@@ -1,0 +1,43 @@
+"""pipelinedp_spark: a PySpark-native differential-privacy analytics engine.
+
+Brand-new implementation with the query capabilities of the reference DP
+aggregation framework (OpenMined/PipelineDP), re-expressed as native Spark
+DataFrame plans, plus large-scale training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing).
+"""
+
+from pipelinedp_spark.aggregate_params import (AddDPNoiseParams,
+                                               AggregateParams, MechanismType,
+                                               Metric, Metrics, NoiseKind,
+                                               NormKind,
+                                               PartitionSelectionStrategy,
+                                               SelectPartitionsParams)
+from pipelinedp_spark.budget_accounting import (Budget, MechanismSpec,
+                                                NaiveBudgetAccountant)
+from pipelinedp_spark.dataframes import Columns, ContributionBounds, Query, \
+    QueryBuilder
+from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine, DPResult
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AddDPNoiseParams",
+    "AggregateParams",
+    "Budget",
+    "Columns",
+    "ContributionBounds",
+    "DataFrameExtractors",
+    "DPEngine",
+    "DPResult",
+    "MechanismSpec",
+    "MechanismType",
+    "Metric",
+    "Metrics",
+    "NaiveBudgetAccountant",
+    "NoiseKind",
+    "NormKind",
+    "PartitionSelectionStrategy",
+    "Query",
+    "QueryBuilder",
+    "SelectPartitionsParams",
+]

@@ -1,0 +1,273 @@
+"""Aggregation parameter objects and validation.
+
+Semantics mirror the reference engine's parameter surface
+(reference: pipeline_dp/aggregate_params.py:61-416) but the implementation is
+new and Spark-first: partition keys are named DataFrame columns, values are
+named columns, and every validation rule is enforced eagerly at construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Sequence, Union
+
+
+class Metric(enum.Enum):
+    """DP aggregation metrics (reference: pipeline_dp/aggregate_params.py:61-72)."""
+
+    COUNT = "count"
+    PRIVACY_ID_COUNT = "privacy_id_count"
+    SUM = "sum"
+    MEAN = "mean"
+    VARIANCE = "variance"
+    VECTOR_SUM = "vector_sum"
+    PERCENTILE = "percentile"  # used via Metrics.PERCENTILE(p)
+
+
+@dataclasses.dataclass(frozen=True)
+class MetricSpec:
+    """A metric plus its parameter (only percentiles carry one)."""
+
+    metric: Metric
+    parameter: Optional[float] = None
+
+    @property
+    def output_name(self) -> str:
+        if self.metric == Metric.PERCENTILE:
+            return f"percentile_{int(self.parameter)}"
+        return self.metric.value
+
+    def __repr__(self):
+        return self.output_name
+
+
+class _MetricsNamespace:
+    """`Metrics.COUNT`-style access mirroring the reference API."""
+
+    COUNT = MetricSpec(Metric.COUNT)
+    PRIVACY_ID_COUNT = MetricSpec(Metric.PRIVACY_ID_COUNT)
+    SUM = MetricSpec(Metric.SUM)
+    MEAN = MetricSpec(Metric.MEAN)
+    VARIANCE = MetricSpec(Metric.VARIANCE)
+    VECTOR_SUM = MetricSpec(Metric.VECTOR_SUM)
+
+    @staticmethod
+    def PERCENTILE(percentile: float) -> MetricSpec:
+        if not 0 <= percentile <= 100:
+            raise ValueError(f"percentile must be in [0, 100], got {percentile}")
+        return MetricSpec(Metric.PERCENTILE, percentile)
+
+
+Metrics = _MetricsNamespace
+
+
+class NoiseKind(enum.Enum):
+    LAPLACE = "laplace"
+    GAUSSIAN = "gaussian"
+
+    def convert_to_mechanism_type(self) -> "MechanismType":
+        return (MechanismType.LAPLACE
+                if self == NoiseKind.LAPLACE else MechanismType.GAUSSIAN)
+
+
+class MechanismType(enum.Enum):
+    LAPLACE = "Laplace"
+    GAUSSIAN = "Gaussian"
+    LAPLACE_THRESHOLDING = "Laplace Thresholding"
+    GAUSSIAN_THRESHOLDING = "Gaussian Thresholding"
+    TRUNCATED_GEOMETRIC = "Truncated Geometric"
+    GENERIC = "Generic"
+
+    def to_noise_kind(self) -> NoiseKind:
+        if self in (MechanismType.LAPLACE, MechanismType.LAPLACE_THRESHOLDING):
+            return NoiseKind.LAPLACE
+        if self in (MechanismType.GAUSSIAN, MechanismType.GAUSSIAN_THRESHOLDING):
+            return NoiseKind.GAUSSIAN
+        raise ValueError(f"{self} has no noise kind")
+
+
+class PartitionSelectionStrategy(enum.Enum):
+    """Reference: pipeline_dp/aggregate_params.py:86-107."""
+
+    TRUNCATED_GEOMETRIC = "Truncated Geometric"
+    LAPLACE_THRESHOLDING = "Laplace Thresholding"
+    GAUSSIAN_THRESHOLDING = "Gaussian Thresholding"
+
+    @property
+    def mechanism_type(self) -> MechanismType:
+        return {
+            PartitionSelectionStrategy.TRUNCATED_GEOMETRIC:
+                MechanismType.TRUNCATED_GEOMETRIC,
+            PartitionSelectionStrategy.LAPLACE_THRESHOLDING:
+                MechanismType.LAPLACE_THRESHOLDING,
+            PartitionSelectionStrategy.GAUSSIAN_THRESHOLDING:
+                MechanismType.GAUSSIAN_THRESHOLDING,
+        }[self]
+
+
+class NormKind(enum.Enum):
+    L1 = "l1"
+    L2 = "l2"
+    LINF = "linf"
+
+
+@dataclasses.dataclass
+class AggregateParams:
+    """Parameters of a DP aggregation.
+
+    Validation rules mirror the reference contract
+    (reference: pipeline_dp/aggregate_params.py:328-416).
+    """
+
+    metrics: List[MetricSpec]
+    max_partitions_contributed: Optional[int] = None  # L0 bound
+    max_contributions_per_partition: Optional[int] = None  # Linf bound
+    max_contributions: Optional[int] = None  # L1-style total bound
+    budget_weight: float = 1.0
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    min_sum_per_partition: Optional[float] = None
+    max_sum_per_partition: Optional[float] = None
+    noise_kind: NoiseKind = NoiseKind.LAPLACE
+    partition_selection_strategy: PartitionSelectionStrategy = (
+        PartitionSelectionStrategy.TRUNCATED_GEOMETRIC)
+    pre_threshold: Optional[int] = None
+    post_aggregation_thresholding: bool = False
+    contribution_bounds_already_enforced: bool = False
+    vector_norm_kind: NormKind = NormKind.LINF
+    vector_max_norm: Optional[float] = None
+    vector_size: Optional[int] = None
+
+    def __post_init__(self):
+        if not self.metrics:
+            raise ValueError("metrics must be non-empty")
+        metric_kinds = [m.metric for m in self.metrics]
+        non_percentile = [m for m in metric_kinds if m != Metric.PERCENTILE]
+        if len(set(non_percentile)) != len(non_percentile):
+            raise ValueError("each metric may appear at most once")
+
+        if self.max_contributions is not None:
+            if self.max_contributions <= 0:
+                raise ValueError("max_contributions must be positive")
+            if (self.max_partitions_contributed is not None or
+                    self.max_contributions_per_partition is not None):
+                raise ValueError(
+                    "set either max_contributions or "
+                    "(max_partitions_contributed, max_contributions_per_partition),"
+                    " not both")
+        elif not self.contribution_bounds_already_enforced:
+            if self.max_partitions_contributed is None:
+                raise ValueError("max_partitions_contributed must be set")
+            if self.max_partitions_contributed <= 0:
+                raise ValueError("max_partitions_contributed must be positive")
+            if self._needs_per_partition_bound():
+                if self.max_contributions_per_partition is None:
+                    raise ValueError(
+                        "max_contributions_per_partition must be set")
+                if self.max_contributions_per_partition <= 0:
+                    raise ValueError(
+                        "max_contributions_per_partition must be positive")
+
+        per_contribution = (self.min_value is not None or
+                            self.max_value is not None)
+        per_partition = (self.min_sum_per_partition is not None or
+                         self.max_sum_per_partition is not None)
+        if per_contribution and per_partition:
+            raise ValueError(
+                "set either (min_value, max_value) or "
+                "(min_sum_per_partition, max_sum_per_partition), not both")
+        if per_contribution and (self.min_value is None or
+                                 self.max_value is None):
+            raise ValueError("min_value and max_value must be set together")
+        if per_partition and (self.min_sum_per_partition is None or
+                              self.max_sum_per_partition is None):
+            raise ValueError("min_sum_per_partition and max_sum_per_partition "
+                             "must be set together")
+        if per_contribution and self.min_value > self.max_value:
+            raise ValueError("min_value must be <= max_value")
+        if per_partition and self.min_sum_per_partition > self.max_sum_per_partition:
+            raise ValueError(
+                "min_sum_per_partition must be <= max_sum_per_partition")
+
+        needs_values = {Metric.SUM, Metric.MEAN, Metric.VARIANCE}
+        if needs_values & set(metric_kinds):
+            if not per_contribution and not per_partition:
+                raise ValueError(
+                    "SUM/MEAN/VARIANCE require clipping bounds: set "
+                    "(min_value, max_value) or (min/max_sum_per_partition)")
+        if {Metric.MEAN, Metric.VARIANCE} & set(metric_kinds) and per_partition:
+            raise ValueError(
+                "MEAN/VARIANCE support only per-contribution bounds "
+                "(min_value, max_value)")
+        if Metric.VECTOR_SUM in metric_kinds:
+            if self.vector_max_norm is None or self.vector_size is None:
+                raise ValueError(
+                    "VECTOR_SUM requires vector_max_norm and vector_size")
+            if {Metric.SUM, Metric.MEAN, Metric.VARIANCE} & set(metric_kinds):
+                raise ValueError(
+                    "VECTOR_SUM cannot be combined with scalar SUM/MEAN/VARIANCE")
+        if self.pre_threshold is not None and self.pre_threshold <= 0:
+            raise ValueError("pre_threshold must be positive")
+        if self.budget_weight <= 0:
+            raise ValueError("budget_weight must be positive")
+
+    def _needs_per_partition_bound(self) -> bool:
+        # Pure per-partition-sum clipping bounds Linf through the sum caps,
+        # matching the reference's SumCombiner per-partition regime
+        # (reference: pipeline_dp/combiners.py:441-446).
+        per_partition_only = (self.min_sum_per_partition is not None and
+                              self.min_value is None)
+        only_sum_like = all(
+            m.metric in (Metric.SUM, Metric.PRIVACY_ID_COUNT)
+            for m in self.metrics)
+        return not (per_partition_only and only_sum_like)
+
+    @property
+    def metric_kinds(self) -> List[Metric]:
+        return [m.metric for m in self.metrics]
+
+    @property
+    def percentiles_to_compute(self) -> List[float]:
+        return [
+            m.parameter for m in self.metrics if m.metric == Metric.PERCENTILE
+        ]
+
+
+@dataclasses.dataclass
+class SelectPartitionsParams:
+    """Reference: pipeline_dp/aggregate_params.py (SelectPartitionsParams)."""
+
+    max_partitions_contributed: int
+    budget_weight: float = 1.0
+    partition_selection_strategy: PartitionSelectionStrategy = (
+        PartitionSelectionStrategy.TRUNCATED_GEOMETRIC)
+    pre_threshold: Optional[int] = None
+
+    def __post_init__(self):
+        if self.max_partitions_contributed is None or \
+                self.max_partitions_contributed <= 0:
+            raise ValueError("max_partitions_contributed must be positive")
+
+
+@dataclasses.dataclass
+class AddDPNoiseParams:
+    """Explicit-sensitivity noise addition
+    (reference: pipeline_dp/aggregate_params.py:770-832)."""
+
+    noise_kind: NoiseKind = NoiseKind.LAPLACE
+    budget_weight: float = 1.0
+    l0_sensitivity: Optional[int] = None
+    linf_sensitivity: Optional[float] = None
+    l1_sensitivity: Optional[float] = None
+    l2_sensitivity: Optional[float] = None
+
+    def __post_init__(self):
+        explicit_l1 = self.l1_sensitivity is not None
+        explicit_l2 = self.l2_sensitivity is not None
+        derived = (self.l0_sensitivity is not None and
+                   self.linf_sensitivity is not None)
+        if not (explicit_l1 or explicit_l2 or derived):
+            raise ValueError(
+                "provide l1_sensitivity, l2_sensitivity, or both "
+                "l0_sensitivity and linf_sensitivity")

@@ -1,0 +1,552 @@
+"""DPEngine: differentially-private aggregations as native DataFrame plans.
+
+Pipeline (mirrors the reference stage order, reference:
+pipeline_dp/dp_engine.py:115-195, re-expressed Spark-first):
+
+  select(pid, partition cols, value)            [column pruning -> scan]
+  [left_semi broadcast join public partitions]  [drop non-public early]
+  window Linf sample -> groupBy(pid, pk) partial aggregates
+  window L0 sample over pid
+  groupBy(pk) final merge                       [map-side partial agg]
+  [union empty public partitions]
+  [DP partition selection filter]
+  noise projection + metric formulas            [budget-dependent, lazy]
+
+Budget protocol is two-phase like the reference: ``aggregate`` registers
+MechanismSpecs and returns a lazy result; the noise projection is built only
+when budgets are computed (reference: pipeline_dp/budget_accounting.py two-
+phase contract; pipeline_dp/dataframes.py:206-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from pipelinedp_spark import contribution_bounders as bounders
+from pipelinedp_spark import dp_computations as dp
+from pipelinedp_spark.aggregate_params import (AddDPNoiseParams,
+                                               AggregateParams, MechanismType,
+                                               Metric, Metrics, NoiseKind,
+                                               PartitionSelectionStrategy,
+                                               SelectPartitionsParams)
+from pipelinedp_spark.budget_accounting import (MechanismSpec,
+                                                NaiveBudgetAccountant)
+from pipelinedp_spark.noise import NoiseSource, create_noise_source
+
+_PID = "__pid__"
+_VALUE = "__value__"
+_PP_COUNT = "__pp_count__"
+_PP_SUM = "__pp_sum__"
+_PP_NORM_SUM = "__pp_norm_sum__"
+_PP_NORM_SQ = "__pp_norm_sq__"
+_PID_COUNT = "__pid_count__"
+_COUNT = "__count__"
+_SUM = "__sum__"
+_NORM_SUM = "__norm_sum__"
+_NORM_SQ = "__norm_sq__"
+
+
+@dataclasses.dataclass
+class DataFrameExtractors:
+    """Named-column analogue of the reference's DataExtractors triple
+    (reference: pipeline_dp/data_extractors.py:20-30)."""
+
+    privacy_id_column: str
+    partition_key_columns: Union[str, Sequence[str]]
+    value_column: Optional[str] = None
+
+    def __post_init__(self):
+        if isinstance(self.partition_key_columns, str):
+            self.partition_key_columns = [self.partition_key_columns]
+        self.partition_key_columns = list(self.partition_key_columns)
+
+
+class DPResult:
+    """Lazy result: the noise projection needs computed budgets, so the final
+    DataFrame is built on first access after ``compute_budgets()``."""
+
+    def __init__(self, thunk: Callable[[], DataFrame],
+                 accountant: NaiveBudgetAccountant):
+        self._thunk = thunk
+        self._accountant = accountant
+        self._df: Optional[DataFrame] = None
+
+    def dataframe(self) -> DataFrame:
+        if self._df is None:
+            if not self._accountant.finalized:
+                raise AssertionError(
+                    "call budget_accountant.compute_budgets() before "
+                    "materializing a DP result")
+            self._df = self._thunk()
+        return self._df
+
+
+def _clip(col: Column, lo: float, hi: float) -> Column:
+    return F.greatest(F.least(col, F.lit(float(hi))), F.lit(float(lo)))
+
+
+class DPEngine:
+    """Reference: pipeline_dp/dp_engine.py:71-305 (semantics)."""
+
+    def __init__(self,
+                 budget_accountant: NaiveBudgetAccountant,
+                 noise_mode: str = "secure",
+                 sample_order_cols: Optional[Sequence[Column]] = None):
+        self._accountant = budget_accountant
+        self._noise: NoiseSource = create_noise_source(noise_mode)
+        self._order_cols = sample_order_cols
+        self._reports: List[List[str]] = []
+
+    # ------------------------------------------------------------------
+    # aggregate
+    # ------------------------------------------------------------------
+    def aggregate(self,
+                  df: DataFrame,
+                  params: AggregateParams,
+                  extractors: DataFrameExtractors,
+                  public_partitions: Optional[Union[DataFrame, Sequence]] = None
+                  ) -> DPResult:
+        report: List[str] = [f"DPEngine.aggregate: metrics={params.metrics}"]
+        self._reports.append(report)
+        pk_cols = extractors.partition_key_columns
+        metric_kinds = set(params.metric_kinds)
+
+        needs_value = bool(metric_kinds
+                           & {Metric.SUM, Metric.MEAN, Metric.VARIANCE,
+                              Metric.PERCENTILE, Metric.VECTOR_SUM})
+        if needs_value and extractors.value_column is None:
+            raise ValueError("value_column required for value metrics")
+
+        # --- stage 1: projection (drives Catalyst column pruning). ---
+        cols = [F.col(extractors.privacy_id_column).alias(_PID)] + \
+            [F.col(c) for c in pk_cols]
+        if extractors.value_column is not None:
+            cols.append(
+                F.col(extractors.value_column).cast(DoubleType()).alias(_VALUE))
+        data = df.select(*cols)
+        report.append(
+            f"Extracted ({extractors.privacy_id_column}, "
+            f"{pk_cols}, {extractors.value_column})")
+
+        # --- stage 2: drop non-public partitions before bounding. ---
+        pub_df = None
+        if public_partitions is not None:
+            pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
+                                            public_partitions)
+            if (not isinstance(public_partitions, DataFrame)
+                    and len(pk_cols) == 1 and len(public_partitions) <= 1000):
+                # Small local key list: isin() compiles to a pushed-down
+                # scan filter — no broadcast exchange at all.
+                values = [p[0] if isinstance(p, tuple) else p
+                          for p in public_partitions]
+                data = data.filter(F.col(pk_cols[0]).isin(values))
+                report.append("Dropped non-public partitions (isin pushdown)")
+            else:
+                data = data.join(F.broadcast(pub_df), on=pk_cols,
+                                 how="left_semi")
+                report.append(
+                    "Dropped non-public partitions (broadcast semi-join)")
+
+        # --- stage 3: budget requests. ---
+        specs = self._request_budgets(params, public_partitions is not None,
+                                      report)
+
+        # --- stage 4: contribution bounding + per-(pid,pk) partials. ---
+        per_pid_pk = self._bound_contributions(data, params, pk_cols,
+                                               metric_kinds, report)
+
+        # --- stage 5: final merge per partition key. ---
+        final_aggs = [
+            F.count(F.lit(1)).alias(_PID_COUNT),
+            F.sum(_PP_COUNT).alias(_COUNT),
+        ]
+        if _PP_SUM in per_pid_pk.columns:
+            final_aggs.append(F.sum(_PP_SUM).alias(_SUM))
+        if _PP_NORM_SUM in per_pid_pk.columns:
+            final_aggs.append(F.sum(_PP_NORM_SUM).alias(_NORM_SUM))
+        if _PP_NORM_SQ in per_pid_pk.columns:
+            final_aggs.append(F.sum(_PP_NORM_SQ).alias(_NORM_SQ))
+        aggregated = per_pid_pk.groupBy(*pk_cols).agg(*final_aggs)
+        report.append("Aggregated partials per partition key")
+
+        accountant = self._accountant
+        engine = self
+
+        def finalize() -> DataFrame:
+            out = aggregated
+            if pub_df is not None:
+                out = engine._add_empty_public_partitions(out, pub_df, pk_cols)
+                report.append("Added empty public partitions")
+            elif not params.post_aggregation_thresholding:
+                out = engine._select_private_partitions(
+                    out, specs["partition_selection"], params, report)
+            out = engine._compute_metrics(out, params, specs, pk_cols, report)
+            return out
+
+        return DPResult(finalize, accountant)
+
+    # ------------------------------------------------------------------
+    def _request_budgets(self, params: AggregateParams, public: bool,
+                         report: List[str]) -> dict:
+        specs: dict = {}
+        mt = params.noise_kind.convert_to_mechanism_type()
+        metric_kinds = set(params.metric_kinds)
+        with self._accountant.scope(params.budget_weight):
+            # Combiner grouping mirrors the reference factory
+            # (reference: pipeline_dp/combiners.py:914-1003): VARIANCE
+            # subsumes MEAN/COUNT/SUM; MEAN subsumes COUNT/SUM.
+            if Metric.VARIANCE in metric_kinds:
+                specs["variance"] = self._accountant.request_budget(mt)
+            elif Metric.MEAN in metric_kinds:
+                specs["mean"] = self._accountant.request_budget(mt)
+            else:
+                if Metric.COUNT in metric_kinds:
+                    specs["count"] = self._accountant.request_budget(mt)
+                if Metric.SUM in metric_kinds:
+                    specs["sum"] = self._accountant.request_budget(mt)
+            if Metric.PERCENTILE in metric_kinds:
+                specs["percentile"] = self._accountant.request_budget(mt)
+            if Metric.VECTOR_SUM in metric_kinds:
+                specs["vector_sum"] = self._accountant.request_budget(mt)
+            if Metric.PRIVACY_ID_COUNT in metric_kinds:
+                if params.post_aggregation_thresholding:
+                    thr_mt = (MechanismType.LAPLACE_THRESHOLDING
+                              if params.noise_kind == NoiseKind.LAPLACE else
+                              MechanismType.GAUSSIAN_THRESHOLDING)
+                    specs["privacy_id_count"] = \
+                        self._accountant.request_budget(thr_mt)
+                else:
+                    specs["privacy_id_count"] = \
+                        self._accountant.request_budget(mt)
+            if not public and not params.post_aggregation_thresholding:
+                specs["partition_selection"] = self._accountant.request_budget(
+                    params.partition_selection_strategy.mechanism_type)
+                report.append(
+                    f"Private partition selection: "
+                    f"{params.partition_selection_strategy.value}")
+        return specs
+
+    # ------------------------------------------------------------------
+    def _bound_contributions(self, data: DataFrame, params: AggregateParams,
+                             pk_cols: Sequence[str], metric_kinds: set,
+                             report: List[str]) -> DataFrame:
+        per_partition_clip = params.min_sum_per_partition is not None
+        partials: List[Column] = []
+        value_dependent = bool(metric_kinds
+                               & {Metric.SUM, Metric.MEAN, Metric.VARIANCE,
+                                  Metric.PERCENTILE, Metric.VECTOR_SUM})
+        linf = params.max_contributions_per_partition
+        l0 = params.max_partitions_contributed
+
+        # Count partial: when no row sampling runs, cap with least().
+        sampling = value_dependent and not per_partition_clip
+        if params.contribution_bounds_already_enforced or \
+                params.max_contributions is not None or sampling or \
+                linf is None:
+            partials.append(F.count(F.lit(1)).alias(_PP_COUNT))
+        else:
+            partials.append(
+                F.least(F.count(F.lit(1)), F.lit(linf)).alias(_PP_COUNT))
+
+        if Metric.SUM in metric_kinds:
+            if per_partition_clip:
+                partials.append(
+                    _clip(F.sum(_VALUE), params.min_sum_per_partition,
+                          params.max_sum_per_partition).alias(_PP_SUM))
+            else:
+                partials.append(
+                    F.sum(_clip(F.col(_VALUE), params.min_value,
+                                params.max_value)).alias(_PP_SUM))
+        if metric_kinds & {Metric.MEAN, Metric.VARIANCE}:
+            mid = (params.min_value + params.max_value) / 2.0
+            norm = _clip(F.col(_VALUE), params.min_value,
+                         params.max_value) - F.lit(mid)
+            partials.append(F.sum(norm).alias(_PP_NORM_SUM))
+            if Metric.VARIANCE in metric_kinds:
+                partials.append(F.sum(norm * norm).alias(_PP_NORM_SQ))
+
+        if params.contribution_bounds_already_enforced:
+            report.append("Contribution bounding: none (already enforced)")
+            return bounders.bound_noop(data, _PID, pk_cols, partials)
+        if params.max_contributions is not None:
+            report.append(
+                f"Contribution bounding: <= {params.max_contributions} total "
+                "contributions per privacy id")
+            return bounders.bound_per_privacy_id(data, _PID, pk_cols, partials,
+                                                 params.max_contributions,
+                                                 self._order_cols)
+        if per_partition_clip:
+            report.append(
+                f"Contribution bounding: per-partition sum clip to "
+                f"[{params.min_sum_per_partition}, "
+                f"{params.max_sum_per_partition}], L0 <= {l0}")
+            return bounders.bound_cross_partition_only(data, _PID, pk_cols,
+                                                       partials, l0,
+                                                       self._order_cols)
+        report.append(
+            f"Contribution bounding: Linf <= {linf} rows per (pid, partition),"
+            f" L0 <= {l0} partitions per pid")
+        return bounders.bound_cross_and_per_partition(
+            data, _PID, pk_cols, partials, l0, linf,
+            row_sampling_needed=sampling, order_cols=self._order_cols)
+
+    # ------------------------------------------------------------------
+    def _select_private_partitions(self, out: DataFrame, spec: MechanismSpec,
+                                   params: AggregateParams,
+                                   report: List[str]) -> DataFrame:
+        """Reference: pipeline_dp/dp_engine.py:332-400 (semantics)."""
+        l0 = params.max_partitions_contributed or params.max_contributions
+        strategy = params.partition_selection_strategy
+        pre = params.pre_threshold
+        pid_count = F.col(_PID_COUNT)
+        if strategy == PartitionSelectionStrategy.TRUNCATED_GEOMETRIC:
+            probs = dp.truncated_geometric_probabilities(
+                spec.eps, spec.delta, l0)
+            keep = self._noise.geometric_keep(pid_count, probs, pre)
+            report.append("Partition selection: truncated geometric")
+            return out.filter(keep)
+        if strategy == PartitionSelectionStrategy.LAPLACE_THRESHOLDING:
+            scale, threshold = dp.laplace_thresholding(spec.eps, spec.delta,
+                                                       l0)
+            noisy = self._noise.add_noise(pid_count.cast(DoubleType()),
+                                          "laplace", scale)
+        else:
+            sigma, threshold = dp.gaussian_thresholding(spec.eps, spec.delta,
+                                                        l0)
+            noisy = self._noise.add_noise(pid_count.cast(DoubleType()),
+                                          "gaussian", sigma)
+        keep = noisy >= F.lit(threshold)
+        if pre is not None:
+            keep = keep & (pid_count >= F.lit(pre))
+        report.append(
+            f"Partition selection: {strategy.value}, threshold={threshold:.3f}")
+        return out.filter(keep)
+
+    # ------------------------------------------------------------------
+    def _compute_metrics(self, out: DataFrame, params: AggregateParams,
+                         specs: dict, pk_cols: Sequence[str],
+                         report: List[str]) -> DataFrame:
+        kind = params.noise_kind.value
+        l0 = params.max_partitions_contributed
+        linf = params.max_contributions_per_partition
+        noise = self._noise
+        metric_cols: dict = {}
+
+        if "count" in specs:
+            spec = specs["count"]
+            sens = self._count_sensitivities(params)
+            scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
+                                   sens)
+            metric_cols["count"] = noise.add_noise(
+                F.col(_COUNT).cast(DoubleType()), kind, scale)
+            report.append(f"COUNT: {kind} noise, scale={scale:.4g}")
+        if "sum" in specs:
+            spec = specs["sum"]
+            sens = dp.sum_sensitivities(
+                l0 or params.max_contributions, linf, params.min_value,
+                params.max_value, params.min_sum_per_partition,
+                params.max_sum_per_partition)
+            scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
+                                   sens)
+            metric_cols["sum"] = noise.add_noise(F.col(_SUM), kind, scale)
+            report.append(f"SUM: {kind} noise, scale={scale:.4g}")
+        if "mean" in specs:
+            spec = specs["mean"]
+            ms = dp.mean_scales(params.noise_kind, spec.eps, spec.delta, l0,
+                                linf, params.min_value, params.max_value)
+            dp_count = noise.add_noise(
+                F.col(_COUNT).cast(DoubleType()), kind, ms.count_scale)
+            dp_norm_sum = noise.add_noise(F.col(_NORM_SUM), kind,
+                                          ms.norm_sum_scale)
+            out = out.withColumn("__dp_count__", dp_count) \
+                     .withColumn("__dp_norm_sum__", dp_norm_sum)
+            dp_mean = (F.lit(ms.mid) + F.col("__dp_norm_sum__") /
+                       F.greatest(F.lit(1.0), F.col("__dp_count__")))
+            metric_cols["mean"] = dp_mean
+            if Metric.COUNT in params.metric_kinds:
+                metric_cols["count"] = F.col("__dp_count__")
+            if Metric.SUM in params.metric_kinds:
+                metric_cols["sum"] = dp_mean * F.col("__dp_count__")
+            report.append(f"MEAN: normalized-sum estimator, mid={ms.mid}")
+        if "variance" in specs:
+            spec = specs["variance"]
+            vs = dp.variance_scales(params.noise_kind, spec.eps, spec.delta,
+                                    l0, linf, params.min_value,
+                                    params.max_value)
+            out = out.withColumn(
+                "__dp_count__",
+                noise.add_noise(F.col(_COUNT).cast(DoubleType()), kind,
+                                vs.count_scale))
+            out = out.withColumn(
+                "__dp_norm_sum__",
+                noise.add_noise(F.col(_NORM_SUM), kind, vs.norm_sum_scale))
+            out = out.withColumn(
+                "__dp_norm_sq__",
+                noise.add_noise(F.col(_NORM_SQ), kind, vs.norm_sum_sq_scale))
+            denom = F.greatest(F.lit(1.0), F.col("__dp_count__"))
+            mean_norm = F.col("__dp_norm_sum__") / denom
+            mean_sq_norm = F.col("__dp_norm_sq__") / denom
+            dp_var = mean_sq_norm - mean_norm * mean_norm
+            dp_mean = F.lit(vs.mid) + mean_norm
+            metric_cols["variance"] = dp_var
+            if Metric.MEAN in params.metric_kinds:
+                metric_cols["mean"] = dp_mean
+            if Metric.COUNT in params.metric_kinds:
+                metric_cols["count"] = F.col("__dp_count__")
+            if Metric.SUM in params.metric_kinds:
+                metric_cols["sum"] = dp_mean * F.col("__dp_count__")
+            report.append("VARIANCE: 3-way budget split estimator")
+        if "privacy_id_count" in specs:
+            spec = specs["privacy_id_count"]
+            sens = dp.privacy_id_count_sensitivities(
+                l0 or params.max_contributions)
+            if params.post_aggregation_thresholding:
+                # Reference: combiners.py:360-416 + dp_computations.py:821-885:
+                # noised pid-count released iff >= threshold; rows below are
+                # dropped entirely.
+                nk = spec.mechanism_type.to_noise_kind()
+                std = dp.noise_std(nk, spec.eps, spec.delta / 2, sens)
+                threshold = dp.thresholding_from_std(nk, std, spec.delta / 2,
+                                                     l0 or 1)
+                noisy = noise.add_noise(
+                    F.col(_PID_COUNT).cast(DoubleType()), nk.value,
+                    dp.noise_scale(nk, spec.eps, spec.delta / 2, sens))
+                out = out.withColumn("__dp_pid_count__", noisy)
+                out = out.filter(
+                    F.col("__dp_pid_count__") >= F.lit(threshold))
+                metric_cols["privacy_id_count"] = F.col("__dp_pid_count__")
+                report.append(
+                    f"PRIVACY_ID_COUNT: post-aggregation thresholding at "
+                    f"{threshold:.3f}")
+            else:
+                scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
+                                       sens)
+                metric_cols["privacy_id_count"] = noise.add_noise(
+                    F.col(_PID_COUNT).cast(DoubleType()), kind, scale)
+                report.append(
+                    f"PRIVACY_ID_COUNT: {kind} noise, scale={scale:.4g}")
+
+        ordered = [F.col(c) for c in pk_cols]
+        for m in params.metrics:
+            name = m.output_name
+            if name in metric_cols:
+                ordered.append(metric_cols[name].cast(DoubleType()).alias(name))
+        return out.select(*ordered)
+
+    def _count_sensitivities(self, params: AggregateParams) -> dp.Sensitivities:
+        if params.max_contributions is not None:
+            m = params.max_contributions
+            return dp.Sensitivities(l1=float(m), l2=float(m))
+        return dp.count_sensitivities(params.max_partitions_contributed,
+                                      params.max_contributions_per_partition)
+
+    # ------------------------------------------------------------------
+    def _add_empty_public_partitions(self, out: DataFrame, pub_df: DataFrame,
+                                     pk_cols: Sequence[str]) -> DataFrame:
+        """Reference: pipeline_dp/dp_engine.py:315-330 — every public key
+        appears in the output; missing ones get empty accumulators."""
+        joined = pub_df.join(out, on=list(pk_cols), how="left")
+        fills = {c: 0 for c in out.columns if c not in pk_cols}
+        return joined.fillna(fills)
+
+    # ------------------------------------------------------------------
+    def select_partitions(self, df: DataFrame, params: SelectPartitionsParams,
+                          extractors: DataFrameExtractors) -> DPResult:
+        """Reference: pipeline_dp/dp_engine.py:220-305 (semantics)."""
+        report = ["DPEngine.select_partitions"]
+        self._reports.append(report)
+        pk_cols = extractors.partition_key_columns
+        data = df.select(
+            F.col(extractors.privacy_id_column).alias(_PID),
+            *[F.col(c) for c in pk_cols]).distinct()
+        bounded = bounders._limit_per_key(data, [_PID],
+                                          params.max_partitions_contributed,
+                                          self._order_cols)
+        counts = bounded.groupBy(*pk_cols).agg(
+            F.count(F.lit(1)).alias(_PID_COUNT))
+        with self._accountant.scope(params.budget_weight):
+            spec = self._accountant.request_budget(
+                params.partition_selection_strategy.mechanism_type)
+        agg_params = AggregateParams(
+            metrics=[Metrics.COUNT],
+            max_partitions_contributed=params.max_partitions_contributed,
+            max_contributions_per_partition=1,
+            partition_selection_strategy=params.partition_selection_strategy,
+            pre_threshold=params.pre_threshold)
+        engine = self
+
+        def finalize() -> DataFrame:
+            kept = engine._select_private_partitions(counts, spec, agg_params,
+                                                     report)
+            return kept.select(*pk_cols)
+
+        return DPResult(finalize, self._accountant)
+
+    # ------------------------------------------------------------------
+    def add_dp_noise(self, df: DataFrame, value_columns: Union[str, List[str]],
+                     params: AddDPNoiseParams) -> DPResult:
+        """Pure noise addition with explicit sensitivities
+        (reference: pipeline_dp/dp_engine.py:579-652)."""
+        report = ["DPEngine.add_dp_noise"]
+        self._reports.append(report)
+        if isinstance(value_columns, str):
+            value_columns = [value_columns]
+        with self._accountant.scope(params.budget_weight):
+            spec = self._accountant.request_budget(
+                params.noise_kind.convert_to_mechanism_type())
+        sens = dp.Sensitivities(l0=params.l0_sensitivity,
+                                linf=params.linf_sensitivity,
+                                l1=params.l1_sensitivity,
+                                l2=params.l2_sensitivity)
+        noise = self._noise
+        kind = params.noise_kind.value
+
+        def finalize() -> DataFrame:
+            scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
+                                   sens)
+            out = df
+            for c in value_columns:
+                out = out.withColumn(
+                    c, noise.add_noise(F.col(c).cast(DoubleType()), kind,
+                                       scale))
+            report.append(f"Added {kind} noise, scale={scale:.4g}")
+            return out
+
+        return DPResult(finalize, self._accountant)
+
+    # ------------------------------------------------------------------
+    def explain_computation_reports(self) -> List[str]:
+        """Reference: pipeline_dp/report_generator.py:46-115."""
+        return ["\n".join(r) for r in self._reports]
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _as_partitions_df(spark: SparkSession, pk_cols: Sequence[str],
+                          partitions: Union[DataFrame, Sequence]) -> DataFrame:
+        if isinstance(partitions, DataFrame):
+            return partitions.select(*pk_cols).distinct()
+        # Local list -> SQL VALUES LocalRelation: stays driver-side in
+        # Catalyst (no parallelize job, no Python-serialization stage).
+        rows = list(
+            dict.fromkeys(p if isinstance(p, tuple) else (p,)
+                          for p in partitions))
+
+        def lit(v) -> str:
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+
+        values = ", ".join(
+            "(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+        cols = ", ".join(f"`{c}`" for c in pk_cols)
+        return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")

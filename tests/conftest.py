@@ -1,0 +1,14 @@
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("pipelinedp_spark-tests")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
+    yield spark
+    spark.stop()

@@ -1,0 +1,207 @@
+"""End-to-end DP engine tests in deterministic (zero-noise) mode, mirroring
+the reference's noise-off test strategy (reference: tests/combiners_test.py
+no_noise parameterizations, tests/dp_engine_test.py e2e tests)."""
+
+import pytest
+
+import pipelinedp_spark as pds
+
+
+def _make_df(spark, rows, cols=("pid", "pk", "v")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+class TestAggregatePublicPartitions:
+
+    def test_count_sum_public_partitions_no_noise(self, spark):
+        # 2 users; user 1 contributes 3 rows to "a", 1 to "b"; user 2: 1 to "a".
+        rows = [(1, "a", 1.0), (1, "a", 2.0), (1, "a", 3.0), (1, "b", 4.0),
+                (2, "a", 5.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=2,
+                          max_contributions_per_group=5,
+                          public_keys=["a", "b", "c"])
+                 .count()
+                 .sum("v", min_value=0.0, max_value=10.0)
+                 .privacy_id_count()
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+        got = {r["pk"]: r for r in out.collect()}
+        assert set(got) == {"a", "b", "c"}
+        assert got["a"]["count"] == 4.0
+        assert got["a"]["sum_v"] == 11.0
+        assert got["a"]["privacy_id_count"] == 2.0
+        assert got["b"]["count"] == 1.0
+        # empty public partition present with zero accumulators
+        assert got["c"]["count"] == 0.0
+        assert got["c"]["sum_v"] == 0.0
+
+    def test_count_caps_linf_deterministically(self, spark):
+        # Linf cap = 2: user 1's 5 rows in "a" count as 2.
+        rows = [(1, "a", 1.0)] * 5 + [(2, "a", 1.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=2,
+                          public_keys=["a"])
+                 .count()
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0), noise_mode="zero")
+        assert out.collect()[0]["count"] == 3.0  # 2 (capped) + 1
+
+    def test_l0_bounding_drops_extra_partitions(self, spark):
+        # User contributes to 3 partitions, L0 = 1 -> total count == 1.
+        rows = [(1, "a", 1.0), (1, "b", 1.0), (1, "c", 1.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=1,
+                          public_keys=["a", "b", "c"])
+                 .count()
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0), noise_mode="zero")
+        total = sum(r["count"] for r in out.collect())
+        assert total == 1.0
+
+    def test_mean_no_noise(self, spark):
+        rows = [(1, "a", 2.0), (1, "a", 4.0), (2, "a", 6.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=5,
+                          public_keys=["a"])
+                 .mean("v", min_value=0.0, max_value=10.0)
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+        assert out.collect()[0]["mean_v"] == pytest.approx(4.0)
+
+    def test_variance_no_noise(self, spark):
+        rows = [(1, "a", 2.0), (2, "a", 4.0), (3, "a", 6.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=1,
+                          public_keys=["a"])
+                 .variance("v", min_value=0.0, max_value=10.0)
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+        # population variance of [2, 4, 6] = 8/3
+        assert out.collect()[0]["variance_v"] == pytest.approx(8.0 / 3.0)
+
+    def test_sum_clipping_per_contribution(self, spark):
+        rows = [(1, "a", 100.0), (2, "a", -50.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=1,
+                          public_keys=["a"])
+                 .sum("v", min_value=0.0, max_value=10.0)
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0), noise_mode="zero")
+        assert out.collect()[0]["sum_v"] == 10.0  # clip(100)=10, clip(-50)=0
+
+    def test_sum_clipping_per_partition(self, spark):
+        # per-partition regime: user sums clipped to [0, 5].
+        rows = [(1, "a", 4.0), (1, "a", 4.0), (2, "a", -3.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=10,
+                          public_keys=["a"])
+                 .sum("v", min_sum_per_partition=0.0,
+                      max_sum_per_partition=5.0)
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0), noise_mode="zero")
+        assert out.collect()[0]["sum_v"] == 5.0  # clip(8)=5 + clip(-3)=0
+
+    def test_composite_partition_key(self, spark):
+        rows = [(1, "a", "x", 1.0), (1, "a", "y", 1.0), (2, "a", "x", 1.0)]
+        df = _make_df(spark, rows, cols=("pid", "k1", "k2", "v"))
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby(["k1", "k2"], max_groups_contributed=2,
+                          max_contributions_per_group=2,
+                          public_keys=[("a", "x"), ("a", "y")])
+                 .count()
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0), noise_mode="zero")
+        got = {(r["k1"], r["k2"]): r["count"] for r in out.collect()}
+        assert got == {("a", "x"): 2.0, ("a", "y"): 1.0}
+
+
+class TestPartitionSelection:
+
+    def test_laplace_thresholding_no_noise(self, spark):
+        # 50 users in "big", 1 user in "small": zero-noise thresholding keeps
+        # only partitions with pid_count >= threshold.
+        rows = [(i, "big", 1.0) for i in range(50)] + [(999, "small", 1.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=1,
+                          partition_selection_strategy=pds.
+                          PartitionSelectionStrategy.LAPLACE_THRESHOLDING)
+                 .count()
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+        got = {r["pk"] for r in out.collect()}
+        assert got == {"big"}
+
+    def test_truncated_geometric_no_noise(self, spark):
+        rows = [(i, "big", 1.0) for i in range(2000)] + [(9999, "small", 1.0)]
+        df = _make_df(spark, rows)
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=1)
+                 .count()
+                 .build_query())
+        out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+        got = {r["pk"] for r in out.collect()}
+        assert got == {"big"}
+
+    def test_select_partitions(self, spark):
+        rows = [(i, "big", 1.0) for i in range(100)] + [(999, "small", 1.0)]
+        df = _make_df(spark, rows)
+        accountant = pds.NaiveBudgetAccountant(1.0, 1e-6)
+        engine = pds.DPEngine(accountant, noise_mode="zero")
+        result = engine.select_partitions(
+            df, pds.SelectPartitionsParams(max_partitions_contributed=1),
+            pds.DataFrameExtractors("pid", "pk"))
+        accountant.compute_budgets()
+        got = {r["pk"] for r in result.dataframe().collect()}
+        assert got == {"big"}
+
+
+class TestEngineDirect:
+
+    def test_add_dp_noise_zero_mode_identity(self, spark):
+        df = spark.createDataFrame([("a", 10.0), ("b", 20.0)], ["k", "v"])
+        accountant = pds.NaiveBudgetAccountant(1.0)
+        engine = pds.DPEngine(accountant, noise_mode="zero")
+        result = engine.add_dp_noise(
+            df, "v",
+            pds.AddDPNoiseParams(l0_sensitivity=1, linf_sensitivity=1.0))
+        accountant.compute_budgets()
+        got = {r["k"]: r["v"] for r in result.dataframe().collect()}
+        assert got == {"a": 10.0, "b": 20.0}
+
+    def test_noise_actually_added_in_secure_mode(self, spark):
+        df = spark.createDataFrame([("a", 0.0)] * 100, ["k", "v"])
+        accountant = pds.NaiveBudgetAccountant(1.0)
+        engine = pds.DPEngine(accountant)
+        result = engine.add_dp_noise(
+            df, "v",
+            pds.AddDPNoiseParams(l0_sensitivity=1, linf_sensitivity=1.0))
+        accountant.compute_budgets()
+        vals = [r["v"] for r in result.dataframe().collect()]
+        assert len(set(vals)) > 10  # fresh noise per row
+
+    def test_explain_report(self, spark):
+        df = spark.createDataFrame([(1, "a", 1.0)], ["pid", "pk", "v"])
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=1,
+                          max_contributions_per_group=1, public_keys=["a"])
+                 .count().build_query())
+        report = query.explain(pds.Budget(1.0))
+        assert "Contribution bounding" in report
+        assert "COUNT" in report
