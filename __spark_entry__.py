@@ -252,6 +252,13 @@ ORDER BY o_month
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "doc_text_stats": _doc_text_stats,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_lsh_topk": _sim_lsh_topk,
+        "emb_near_dup": _emb_near_dup,
         "dp_count_public": _dp_count_public,
         "dp_sum_clip_per_partition": _dp_sum_clip_per_partition,
         "dp_sum_clip_per_contribution": _dp_sum_clip_per_contribution,
@@ -263,6 +270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_text_stats": _DOC_TEXT_STATS_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "dp_count_public": _DP_COUNT_PUBLIC_SQL,
         "dp_sum_clip_per_partition": _DP_SUM_CLIP_SQL,
         "dp_sum_clip_per_contribution": _DP_SUM_CONTRIB_SQL,
@@ -270,3 +282,238 @@ def oracle_sql() -> dict[str, str]:
         "dp_variance_public": _DP_VARIANCE_SQL,
         "dp_partition_selection": _dp_partition_selection_sql(),
     }
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+
+def _doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis over documents: token counts, lexical diversity,
+    quality score, language-ID heuristic, exact-dup fingerprint."""
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.distinct_token_count(t).cast("long").alias("n_distinct"),
+        F.round(TX.type_token_ratio(t), 6).alias("ttr"),
+        TX.avg_token_length(t).alias("avg_tok_len"),
+        TX.quality_score(t).alias("quality"),
+        TX.language_id(t).alias("lang_pred"),
+        TX.rolling_fingerprint(t).alias("fingerprint"))
+
+
+_DOC_TEXT_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct,
+       ROUND(len(list_distinct(t)) / GREATEST(len(t), 1), 6) AS ttr,
+       list_aggregate([length(x) for x in t], 'sum')
+           / GREATEST(len(t), 1) AS avg_tok_len,
+       ROUND((CASE WHEN len(t) < 50 THEN len(t) / 50.0
+                   WHEN len(t) > 10000 THEN 10000.0 / len(t)
+                   ELSE 1.0 END)
+             * (len(list_distinct(t)) / GREATEST(len(t), 1)), 6) AS quality,
+       CASE
+         WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+              ['the','a','and','of','to','in','is','it'])) >=
+              GREATEST(
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['the','a','and','of','to','in','is','it'])),
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['el','la','de','que','y','los','un','por'])),
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['der','die','und','das','ist','ein','nicht'])),
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['le','la','et','les','des','un','est','pas'])), 1)
+         THEN 'en'
+         WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+              ['el','la','de','que','y','los','un','por'])) >=
+              GREATEST(
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['el','la','de','que','y','los','un','por'])),
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['der','die','und','das','ist','ein','nicht'])),
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['le','la','et','les','des','un','est','pas'])), 1)
+         THEN 'es'
+         WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+              ['der','die','und','das','ist','ein','nicht'])) >=
+              GREATEST(
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['der','die','und','das','ist','ein','nicht'])),
+                len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    ['le','la','et','les','des','un','est','pas'])), 1)
+         THEN 'de'
+         WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+              ['le','la','et','les','des','un','est','pas'])) >= 1
+         THEN 'fr'
+         ELSE 'unknown'
+       END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+FROM tok
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY 2
+"""
+
+
+_SHINGLE_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       for i in range(1, len(t) - 1)])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM tok)
+"""
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.7)
+
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, shingles,
+         [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles])
+          for i in range(0, 8)] AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id,
+         UNNEST(range(0, 2)) AS band_idx,
+         UNNEST([md5(sig[1] || '|' || sig[2] || '|' || sig[3] || '|' || sig[4]),
+                 md5(sig[5] || '|' || sig[6] || '|' || sig[7] || '|' || sig[8])])
+             AS band_hash
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      (len(sa.shingles) + len(sb.shingles)
+       - len(list_intersect(sa.shingles, sb.shingles))) >= 0.7
+"""
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(docs, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+_DEDUP_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents),
+th AS (
+  SELECT doc_id, UNNEST(toks) AS token FROM tok),
+hashes AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM th),
+votes AS (
+  SELECT doc_id, b.b AS bit,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashes, (SELECT UNNEST(range(0, 60)) AS b) b
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+             AS simhash
+  FROM votes GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, simhash, UNNEST(range(0, 4)) AS block_idx,
+         UNNEST([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+                 (simhash >> 30) & 32767, (simhash >> 45) & 32767])
+             AS block_val
+  FROM fp),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 fixed query vectors."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = similarity.cosine_topk(emb, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_SIM_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank,
+         cosine
+  FROM scored)
+SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-k (scale path) — rows-only check (the
+    hyperplane derivation is not practical to mirror in SQL)."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.lsh_topk(emb, q, k=10, num_planes=6)
+
+
+def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — rows-only check
+    (the md5-derived hyperplanes are not practical to mirror in SQL)."""
+    from pipelinedp_spark.operators import dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, cosine_threshold=0.45)

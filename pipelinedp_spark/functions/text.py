@@ -1,0 +1,185 @@
+"""Text-analysis column builders for large-scale training-data pipelines.
+
+All functions return native Column expressions (JVM-side, codegen-able) —
+no Python UDFs in any hot path. Designed so the same semantics are exactly
+expressible in ANSI SQL for oracle checking:
+
+  tokens      = split(text, ' ')                       (literal single space)
+  shingles    = distinct word k-grams joined by ' '
+  minhash_i   = min over shingles of md5(i || ':' || shingle)   (lexicographic
+                min over hex strings — a valid uniform minhash)
+  simhash64   = sign-aggregated 60-bit hash of distinct tokens
+
+No reference counterpart (net-new per project north star); designed
+Spark-first for 100 TB corpora: everything is per-row expressions or
+bounded aggregations, no driver collects.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the language-ID heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "por"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "pas"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (literal single-space split for SQL parity)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_length(text: Column) -> Column:
+    t = tokens(text)
+    return (F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+            .cast("double") / F.greatest(F.size(t), F.lit(1)))
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens."""
+    t = tokens(text)
+    return (F.size(F.array_distinct(t)).cast("double") /
+            F.greatest(F.size(t), F.lit(1)))
+
+
+def quality_score(text: Column,
+                  min_tokens: int = 50,
+                  max_tokens: int = 10_000) -> Column:
+    """Composite quality in [0, 1]: length window * lexical diversity.
+
+    A document scores high when its token count is inside
+    [min_tokens, max_tokens] and its vocabulary is not degenerate.
+    """
+    n = token_count(text)
+    length_ok = (F.when(n < min_tokens,
+                        n.cast("double") / F.lit(float(min_tokens)))
+                 .when(n > max_tokens,
+                       F.lit(float(max_tokens)) / n.cast("double"))
+                 .otherwise(F.lit(1.0)))
+    return F.round(length_ok * type_token_ratio(text), 6)
+
+
+def language_id(text: Column,
+                default: str = "unknown") -> Column:
+    """N-gram/stopword-overlap language heuristic: argmax over per-language
+    stopword hit counts on the token set; ties and zero hits -> default."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    scores = [(lang, F.size(F.array_intersect(toks, F.array(
+        *[F.lit(w) for w in words]))))
+        for lang, words in LANG_STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit(default)
+    # Deterministic tie-break: first language (dict order) with max score.
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0),
+                        F.lit(lang)).otherwise(result)
+    return result
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams, space-joined.
+
+    Built as arrays_zip of k shifted slices, NOT element_at over an index
+    sequence: higher-order lambdas run interpreted (no CSE), so an
+    element_at(tokens, i) inside the lambda re-evaluates the full split()
+    per element — O(n^2) per document. The slice form evaluates split()
+    only k+1 times per row.
+    """
+    t = tokens(text)
+    n = F.size(t)
+    win = F.greatest(n - F.lit(k - 1), F.lit(0))
+    parts = [F.slice(t, j + 1, win) for j in range(k)]
+    grams = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    return F.when(n >= k, F.array_distinct(grams)) \
+        .otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
+    """Minhash over hex-string hashes: element i is
+    min(md5(i || ':' || shingle)). Returns array<string> of length
+    num_hashes. Lexicographic min over md5 hex == uniform minhash."""
+    sigs = [
+        F.array_min(
+            F.transform(shingle_col,
+                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(signature: Column, rows_per_band: int = 4,
+              num_hashes: int = 8) -> Column:
+    """Band the signature: band j = md5 of the concatenated j-th slice.
+    Docs sharing ANY band hash are near-dup candidates."""
+    num_bands = num_hashes // rows_per_band
+    bands = [
+        F.md5(F.concat_ws(
+            "|", *[F.element_at(signature, j * rows_per_band + r + 1)
+                   for r in range(rows_per_band)]))
+        for j in range(num_bands)
+    ]
+    return F.array(*bands)
+
+
+def hex_to_long(hex_col: Column, digits: int = 15) -> Column:
+    """First `digits` hex chars -> non-negative bigint (60 bits for 15)."""
+    return F.conv(F.substring(hex_col, 1, digits), 16, 10).cast("long")
+
+
+def token_hash(token: Column) -> Column:
+    """Deterministic 60-bit token hash via md5 (engine-portable)."""
+    return hex_to_long(F.md5(token))
+
+
+def simhash64(text: Column, bits: int = 60) -> Column:
+    """SimHash over distinct tokens: bit b of the result is 1 iff more token
+    hashes have bit b set than unset. Pure column expressions (no explode):
+    fold over the token array accumulating per-bit vote counts."""
+    toks = F.array_distinct(tokens(text))
+    # Static unroll: shift amounts must be Python ints (shiftright does not
+    # take a Column), so each token hash maps to a fixed-width bit array.
+    hashes = F.transform(
+        toks,
+        lambda t: F.array(*[
+            F.shiftright(token_hash(t), b).bitwiseAND(F.lit(1))
+            for b in range(bits)
+        ]))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, bit_arr: F.zip_with(acc, bit_arr,
+                                        lambda a, v: a + 2 * v - 1))
+    bit_values = F.array(*[
+        F.when(F.element_at(votes, b + 1) > 0,
+               F.shiftleft(F.lit(1).cast("long"), b))
+        .otherwise(F.lit(0).cast("long")) for b in range(bits)
+    ])
+    return F.aggregate(bit_values, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseOR(x))
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized (lowercased,
+    space-collapsed) text — exact-dup detection key."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), " +", " "))

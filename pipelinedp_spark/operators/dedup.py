@@ -1,0 +1,222 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+All operators are shuffle-bounded DataFrame plans:
+
+- exact_dedup: one hash-groupBy on the fingerprint (map-side combine).
+- minhash_lsh_pairs: shingle -> minhash -> band -> bucket self-join.
+  The self-join only pairs documents sharing an LSH band, and a frequency
+  cap drops degenerate buckets (a bucket with B docs creates B^2/2 pairs —
+  the cap bounds the blow-up the way frequency filters do in prod dedup).
+- simhash_pairs: bucket by simhash band (Hamming-adjacent candidates).
+- ngram_jaccard_verify: exact verification on candidate pairs only.
+
+No reference counterpart (net-new per project north star).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint.
+
+    Returns (id_col, fingerprint, dup_count). Single shuffle on the
+    fingerprint; min/count are map-side combinable.
+    """
+    fp = T.rolling_fingerprint(F.col(text_col))
+    return (df.select(F.col(id_col), fp.alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .select(id_col, "fingerprint", "dup_count"))
+
+
+def shingle_docs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingles array) — shared prep for minhash/jaccard."""
+    return df.select(
+        F.col(id_col), T.shingles(F.col(text_col), k).alias("shingles"))
+
+
+def minhash_lsh_pairs(df: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      k: int = 3,
+                      num_hashes: int = 8,
+                      rows_per_band: int = 4,
+                      jaccard_threshold: float = 0.8,
+                      max_bucket_size: int = 1000) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan: shingle (per-row expr) -> minhash (per-row expr) -> explode bands
+    -> self-join per band bucket (shuffle on band hash) -> distinct pairs ->
+    join back shingle arrays -> exact Jaccard filter. Buckets larger than
+    max_bucket_size are dropped (degenerate hash collisions).
+    """
+    sh = shingle_docs(df, text_col, id_col, k)
+    # Minhash via explode + groupBy-min rather than per-row higher-order
+    # expressions: HOF lambdas run interpreted (no codegen/CSE), so nesting
+    # bands(sig(shingles(text))) re-evaluates the whole hash tree per band
+    # element. Exploded rows + F.min are codegen'd and map-side combined —
+    # one shuffle on doc_id regardless of corpus size.
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    sig = exploded.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ])
+    num_bands = num_hashes // rows_per_band
+    band_hashes = [
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"s{j * rows_per_band + r}")
+                   for r in range(rows_per_band)]))
+        for j in range(num_bands)
+    ]
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"))
+    # Cap degenerate buckets before the self-join blows up.
+    w = Window.partitionBy("band_idx", "band_hash")
+    bands = (bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+             .filter(F.col("bucket_size") <= max_bucket_size)
+             .drop("bucket_size"))
+    left = bands.select(F.col("band_idx"), F.col("band_hash"),
+                        F.col(id_col).alias("id_a"))
+    right = bands.select(F.col("band_idx"), F.col("band_hash"),
+                         F.col(id_col).alias("id_b"))
+    cand = (left.join(right, on=["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    return ngram_jaccard_verify(cand, sh, id_col, jaccard_threshold)
+
+
+def ngram_jaccard_verify(pairs: DataFrame, shingled: DataFrame,
+                         id_col: str = "doc_id",
+                         jaccard_threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate (id_a, id_b) pairs."""
+    a = shingled.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= jaccard_threshold))
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         bits: int = 60) -> DataFrame:
+    """(id, simhash) fingerprints as bigint.
+
+    Explode distinct tokens -> hash each token ONCE -> per-bit +/-1 vote
+    sums as `bits` map-side-combinable F.sum aggregates (single shuffle on
+    the id), then recompose the sign bits into one bigint. This is the
+    scale path; `functions.text.simhash64` is the equivalent per-row
+    expression for small inputs.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T.tokens(F.col(text_col))))
+        .alias("token"))
+    hashed = tok.select(F.col(id_col),
+                        T.token_hash(F.col("token")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(*[
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"v{b}") for b in range(bits)
+    ])
+    sim = None
+    for b in range(bits):
+        bit = (F.when(F.col(f"v{b}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), b))
+               .otherwise(F.lit(0).cast("long")))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_hamming: int = 3,
+                  num_blocks: int = 4,
+                  bits: int = 60) -> DataFrame:
+    """Near-dup candidate pairs by SimHash blocking: split the fingerprint
+    into num_blocks bit-blocks; by pigeonhole any pair within
+    max_hamming <= num_blocks - 1 shares at least one exact block. Verify
+    with exact Hamming distance (bit_count of xor).
+
+    Returns (id_a, id_b, hamming).
+    """
+    block_bits = bits // num_blocks
+    fp = simhash_fingerprints(df, text_col, id_col)
+    mask = (1 << block_bits) - 1
+    blocks = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * block_bits)
+            .bitwiseAND(F.lit(mask)) for i in range(num_blocks)
+        ])).alias("block_idx", "block_val"))
+    left = blocks.select("block_idx", "block_val",
+                         F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    right = blocks.select("block_idx", "block_val",
+                          F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sh_b"))
+    cand = (left.join(right, on=["block_idx", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def embedding_near_dup_pairs(df: DataFrame,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             cosine_threshold: float = 0.45,
+                             num_bands: int = 6,
+                             planes_per_band: int = 3,
+                             dim: int = 64,
+                             max_bucket_size: int = 2000) -> DataFrame:
+    """Embedding near-dup pairs: banded random-hyperplane LSH (candidates
+    match in ANY band) + exact cosine verification on candidates only.
+    Deterministic md5-derived planes, so results are reproducible across
+    retries. Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    Scale shape: bucket join per band replaces the O(n^2) cross product;
+    oversized buckets are dropped before the self-join blows up.
+    """
+    from pipelinedp_spark.operators.similarity import (cosine_pairs_udf,
+                                                       hyperplane_bands_udf)
+    bands = hyperplane_bands_udf(num_bands, planes_per_band, dim)
+    cos = cosine_pairs_udf()
+    # Vectors ride along through the band join (they ARE the payload), so
+    # verification happens inline — no candidate `distinct` shuffle over the
+    # (large) pre-verification pair set and no re-join to fetch vectors.
+    # Duplicate candidates across bands cost only a re-scored numpy row;
+    # dropDuplicates runs on the (tiny) post-threshold survivors.
+    sig = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(bands(F.col(vec_col))).alias("band_idx", "bucket"))
+    w = Window.partitionBy("band_idx", "bucket")
+    sig = (sig.withColumn("bsz", F.count(F.lit(1)).over(w))
+           .filter(F.col("bsz") <= max_bucket_size).drop("bsz"))
+    a = sig.select("band_idx", "bucket", F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = sig.select("band_idx", "bucket", F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    return (a.join(b, ["band_idx", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cos(F.col("va"), F.col("vb")), 6).alias("cosine"))
+            .filter(F.col("cosine") >= cosine_threshold)
+            .dropDuplicates(["id_a", "id_b"]))

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k per query — the correctness baseline.
+  Queries are broadcast (small side); scoring is a native higher-order-
+  function expression (zip_with + aggregate), fully JVM-side so the oracle
+  SQL can mirror it exactly; top-k is a window over the query id.
+- hyperplane bands / lsh_topk: random-hyperplane LSH — the scale path.
+  Planes are derived deterministically from md5, so no driver-side RNG
+  state and results are reproducible across retries. Signature and
+  pair-cosine evaluation run as Arrow-batched pandas UDFs: higher-order
+  column lambdas are interpreted (no codegen, no CSE), so per-row numpy
+  beats them by ~2 orders of magnitude on 64-dim vectors.
+
+No reference counterpart (net-new per project north star).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"),
+                       lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v.cast("double") * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(corpus: DataFrame,
+                queries: DataFrame,
+                k: int = 10,
+                corpus_id: str = "vec_id",
+                corpus_vec: str = "embedding",
+                query_id: str = "query_id",
+                query_vec: str = "query_vec") -> DataFrame:
+    """Exact brute-force top-k cosine neighbors per query.
+
+    corpus x broadcast(queries) -> score -> window top-k per query.
+    Returns (query_id, vec_id, rank, cosine).
+    """
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    scored = corpus.select(F.col(corpus_id), F.col(corpus_vec)) \
+        .crossJoin(F.broadcast(q)) \
+        .select(
+            F.col(query_id), F.col(corpus_id),
+            cosine_expr(F.col(corpus_vec).cast("array<double>"),
+                        F.col(query_vec).cast("array<double>"))
+            .alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("cosine"), 6).alias("cosine")))
+
+
+def _md5_unit(seed: str) -> float:
+    """Deterministic pseudo-random value in [-0.5, 0.5) from md5(seed)."""
+    return int(hashlib.md5(seed.encode()).hexdigest()[:8], 16) / float(
+        1 << 32) - 0.5
+
+
+def _plane_matrix(num_planes: int, dim: int,
+                  seed_fn) -> np.ndarray:
+    """(num_planes, dim) float64 hyperplane coefficients, md5-derived."""
+    return np.array([[_md5_unit(seed_fn(p, d)) for d in range(dim)]
+                     for p in range(num_planes)])
+
+
+def cosine_pairs_udf() -> "pandas_udf":
+    """Vectorized exact cosine for (vec_a, vec_b) column pairs."""
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype("float64")
+        b = np.stack(vb.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
+
+
+def hyperplane_signature_udf(num_planes: int = 12, dim: int = 64):
+    """Random-hyperplane LSH bucket id (0..2^num_planes-1) as bigint.
+
+    Plane p's coefficient for dimension d is md5("p:d")-derived. Bit p of
+    the signature is 1 iff dot(plane_p, vec) > 0. Arrow-batched numpy.
+    """
+    planes = _plane_matrix(num_planes, dim, lambda p, d: f"{p}:{d}")
+    weights = (1 << np.arange(num_planes)).astype("int64")
+
+    @pandas_udf("long")
+    def _sig(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        v = np.stack(vec.to_numpy()).astype("float64")
+        bits = (v @ planes.T) > 0
+        return pd.Series(bits @ weights)
+
+    return _sig
+
+
+def hyperplane_bands_udf(num_bands: int = 6, planes_per_band: int = 3,
+                         dim: int = 64):
+    """Banded hyperplane signatures (OR-construction): one bucket id per
+    band, each from `planes_per_band` md5-derived hyperplanes seeded by
+    (band, plane). Vectors matching in ANY band become candidates — recall
+    1-(1-p^r)^b vs p^r for a single AND-only signature. Returns
+    array<long> of length num_bands."""
+    n = num_bands * planes_per_band
+    planes = _plane_matrix(
+        n, dim,
+        lambda p, d: f"{p // planes_per_band}:{p % planes_per_band}:{d}")
+    weights = (1 << np.arange(planes_per_band)).astype("int64")
+
+    @pandas_udf("array<long>")
+    def _bands(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        v = np.stack(vec.to_numpy()).astype("float64")
+        bits = ((v @ planes.T) > 0).reshape(len(v), num_bands,
+                                            planes_per_band)
+        buckets = bits @ weights  # (n, num_bands)
+        return pd.Series(list(buckets))
+
+    return _bands
+
+
+def lsh_topk(corpus: DataFrame,
+             queries: DataFrame,
+             k: int = 10,
+             num_planes: int = 8,
+             dim: int = 64,
+             corpus_id: str = "vec_id",
+             corpus_vec: str = "embedding",
+             query_id: str = "query_id",
+             query_vec: str = "query_vec") -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Recall depends on num_planes; the bucket join
+    replaces the full cross product (the 100 TB path).
+    Returns (query_id, vec_id, rank, cosine)."""
+    sig = hyperplane_signature_udf(num_planes, dim)
+    cos = cosine_pairs_udf()
+    c = corpus.select(F.col(corpus_id), F.col(corpus_vec),
+                      sig(F.col(corpus_vec)).alias("bucket"))
+    q = queries.select(F.col(query_id), F.col(query_vec),
+                       sig(F.col(query_vec)).alias("bucket"))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        F.col(query_id), F.col(corpus_id),
+        cos(F.col(corpus_vec), F.col(query_vec)).alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("cosine"), 6).alias("cosine")))

@@ -1,0 +1,131 @@
+"""Unit tests for text-analysis, dedup, and similarity operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.functions import text as T
+from pipelinedp_spark.operators import dedup, similarity
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words about spark engines here"),
+        (5, "el la de que y los un por palabras"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestTextFunctions:
+
+    def test_token_stats(self, spark, docs):
+        r = docs.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n"),
+            T.distinct_token_count(F.col("text")).alias("d")).collect()
+        got = {row["doc_id"]: (row["n"], row["d"]) for row in r}
+        assert got[1] == (9, 8)  # 'the' twice
+        assert got[4] == (7, 7)
+
+    def test_language_id(self, spark, docs):
+        r = docs.select("doc_id",
+                        T.language_id(F.col("text")).alias("lang")).collect()
+        got = {row["doc_id"]: row["lang"] for row in r}
+        assert got[1] == "en"
+        assert got[5] == "es"
+        assert got[4] == "unknown"  # no stopwords from any list
+
+    def test_fingerprint_normalizes_whitespace_and_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world "), (3, "other")],
+            ["doc_id", "text"])
+        r = df.select(T.rolling_fingerprint(F.col("text")).alias("f")) \
+            .collect()
+        assert r[0]["f"] == r[1]["f"]
+        assert r[0]["f"] != r[2]["f"]
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        r = df.select(T.shingles(F.col("text"), 3).alias("s")).collect()
+        assert sorted(r[0]["s"]) == ["a b c", "b c d"]
+
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        r = df.select(T.shingles(F.col("text"), 3).alias("s")).collect()
+        assert r[0]["s"] == ["a b"]
+
+    def test_simhash_identical_texts_equal(self, spark, docs):
+        r = dedup.simhash_fingerprints(docs).collect()
+        got = {row["doc_id"]: row["simhash"] for row in r}
+        assert got[1] == got[3]
+        assert got[1] != got[4]
+
+
+class TestDedup:
+
+    def test_exact_dedup(self, spark, docs):
+        r = dedup.exact_dedup(docs).collect()
+        kept = {row["doc_id"]: row["dup_count"] for row in r}
+        assert 1 in kept and kept[1] == 2  # docs 1 and 3 collapse
+        assert 3 not in kept
+        assert len(r) == 4
+
+    def test_minhash_lsh_finds_near_dup(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (1, 3) in got  # exact dup always found (jaccard 1.0)
+        jac = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+        assert jac[(1, 3)] == 1.0
+
+    def test_simhash_pairs_exact_dup_zero_hamming(self, spark, docs):
+        pairs = dedup.simhash_pairs(docs, max_hamming=0).collect()
+        got = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+        assert got.get((1, 3)) == 0
+
+    def test_jaccard_verify_values(self, spark, docs):
+        sh = dedup.shingle_docs(docs)
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        r = dedup.ngram_jaccard_verify(pairs, sh,
+                                       jaccard_threshold=0.0).collect()
+        # 7 shingles each, 6 shared -> 6/8
+        assert r[0]["jaccard"] == pytest.approx(0.75)
+
+
+class TestSimilarity:
+
+    def test_cosine_topk_self_first(self, spark):
+        rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec"))
+        r = similarity.cosine_topk(emb, q, k=1).collect()
+        assert all(row["query_id"] == row["vec_id"] and row["cosine"] == 1.0
+                   for row in r)
+
+    def test_cosine_value(self, spark):
+        emb = spark.createDataFrame([(0, [1.0, 0.0]), (1, [1.0, 1.0])],
+                                    ["vec_id", "embedding"])
+        q = spark.createDataFrame([(9, [1.0, 0.0])],
+                                  ["query_id", "query_vec"])
+        r = similarity.cosine_topk(emb, q, k=2).collect()
+        by_rank = {row["rank"]: row for row in r}
+        assert by_rank[1]["vec_id"] == 0
+        assert by_rank[2]["cosine"] == pytest.approx(0.707107, abs=1e-6)
+
+    def test_lsh_topk_subset_of_bucket(self, spark):
+        rows = [(i, [float((i + j) % 5) for j in range(8)])
+                for i in range(50)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                                F.col("embedding").alias("query_vec"))
+        r = similarity.lsh_topk(emb, q, k=5, num_planes=4, dim=8)
+        rows_out = r.collect()
+        assert len(rows_out) > 0
+        # query always lands in its own bucket -> self-match rank 1
+        first = {row["query_id"]: row["vec_id"]
+                 for row in rows_out if row["rank"] == 1}
+        for qid, vid in first.items():
+            assert qid == vid
