@@ -215,6 +215,99 @@ ORDER BY event_type
 """
 
 
+def _dp_percentile_public(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP percentiles (50, 90) of clipped event value per event type via the
+    256-bin histogram sketch; caps non-binding, zero noise."""
+    ev = _t(spark, sf_dir, "events")
+    pub = ["click", "error", "purchase", "signup", "view"]
+    query = (pds.QueryBuilder(ev, "user_id")
+             .groupby("event_type", max_groups_contributed=10,
+                      max_contributions_per_group=1_000_000, public_keys=pub)
+             .percentile("value", 50, min_value=0.0, max_value=50.0)
+             .percentile("value", 90, min_value=0.0, max_value=50.0)
+             .build_query())
+    out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+    return out.select(
+        "event_type",
+        F.round(F.col("percentile_50"), 6).alias("percentile_50"),
+        F.round(F.col("percentile_90"), 6).alias("percentile_90"))
+
+
+_DP_PERCENTILE_SQL = """
+WITH pub(event_type) AS (
+    VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+b AS (
+  SELECT event_type,
+         LEAST(255, FLOOR(GREATEST(LEAST(value, 50.0), 0.0) / (50.0/256)))
+             AS bin,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM b),
+p AS (SELECT UNNEST([50.0, 90.0]) AS p),
+sel AS (
+  SELECT event_type, p.p AS p,
+         MIN_BY(0.0 + (50.0/256) *
+                (bin + ((p.p/100.0*tot) - (cum - cnt)) / cnt), bin) AS val
+  FROM c, p
+  WHERE cnt > 0 AND cum >= p.p/100.0*tot
+  GROUP BY 1, 2)
+SELECT pub.event_type,
+       CAST(ROUND(COALESCE(MAX(CASE WHEN p = 50.0 THEN val END), 0.0), 6)
+            AS DOUBLE) AS percentile_50,
+       CAST(ROUND(COALESCE(MAX(CASE WHEN p = 90.0 THEN val END), 0.0), 6)
+            AS DOUBLE) AS percentile_90
+FROM pub LEFT JOIN sel USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _dp_vector_sum_public(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP vector sum of L2-clipped embeddings grouped by vec_id % 7, privacy
+    unit vec_id % 57; caps non-binding, clip binding (max_norm=1), zero
+    noise. Output exploded to (pk, pos, val) rows for stable hashing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select((F.col("vec_id") % 57).alias("uid"),
+                    (F.col("vec_id") % 7).alias("grp"),
+                    F.col("embedding"))
+    query = (pds.QueryBuilder(df, "uid")
+             .groupby("grp", max_groups_contributed=7,
+                      max_contributions_per_group=1000,
+                      public_keys=list(range(7)))
+             .vector_sum("embedding", max_norm=1.0, vector_size=64,
+                         norm_kind=pds.NormKind.L2, name="vs")
+             .build_query())
+    out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+    return out.select("grp", F.posexplode("vs").alias("pos", "val")) \
+        .select(F.col("grp").cast("long").alias("grp"),
+                F.col("pos").cast("long").alias("pos"),
+                F.round(F.col("val"), 6).alias("val"))
+
+
+_DP_VECTOR_SUM_SQL = """
+WITH v AS (
+  SELECT vec_id % 7 AS grp, embedding::DOUBLE[] AS e FROM embeddings),
+clipped AS (
+  SELECT grp,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 1.0
+              THEN list_transform(e, x -> x * (1.0 / sqrt(
+                       list_dot_product(e, e))))
+              ELSE e END AS e
+  FROM v),
+ex AS (
+  SELECT grp, UNNEST(e) AS val,
+         generate_subscripts(e, 1) - 1 AS pos
+  FROM clipped),
+agg AS (SELECT grp, pos, SUM(val) AS val FROM ex GROUP BY 1, 2)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(pos AS BIGINT) AS pos,
+       CAST(ROUND(val, 6) AS DOUBLE) AS val
+FROM agg ORDER BY grp, pos
+"""
+
+
 def _dp_partition_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Private partition selection via Laplace thresholding, zero noise:
     keep order dates whose distinct-customer count clears the threshold."""
@@ -264,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_sum_clip_per_contribution": _dp_sum_clip_per_contribution,
         "dp_mean_public": _dp_mean_public,
         "dp_variance_public": _dp_variance_public,
+        "dp_percentile_public": _dp_percentile_public,
+        "dp_vector_sum_public": _dp_vector_sum_public,
         "dp_partition_selection": _dp_partition_selection,
     }
 
@@ -280,6 +375,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_sum_clip_per_contribution": _DP_SUM_CONTRIB_SQL,
         "dp_mean_public": _DP_MEAN_SQL,
         "dp_variance_public": _DP_VARIANCE_SQL,
+        "dp_percentile_public": _DP_PERCENTILE_SQL,
+        "dp_vector_sum_public": _DP_VECTOR_SUM_SQL,
         "dp_partition_selection": _dp_partition_selection_sql(),
     }
 

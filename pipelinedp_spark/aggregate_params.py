@@ -138,6 +138,10 @@ class AggregateParams:
     vector_norm_kind: NormKind = NormKind.LINF
     vector_max_norm: Optional[float] = None
     vector_size: Optional[int] = None
+    # Bounded-domain histogram resolution for PERCENTILE (bin width =
+    # (max_value - min_value) / percentile_bins; quantiles interpolate
+    # within the bin, so resolution error is <= one bin width).
+    percentile_bins: int = 256
 
     def __post_init__(self):
         if not self.metrics:
@@ -190,23 +194,27 @@ class AggregateParams:
             raise ValueError(
                 "min_sum_per_partition must be <= max_sum_per_partition")
 
-        needs_values = {Metric.SUM, Metric.MEAN, Metric.VARIANCE}
+        needs_values = {Metric.SUM, Metric.MEAN, Metric.VARIANCE,
+                        Metric.PERCENTILE}
         if needs_values & set(metric_kinds):
             if not per_contribution and not per_partition:
                 raise ValueError(
-                    "SUM/MEAN/VARIANCE require clipping bounds: set "
-                    "(min_value, max_value) or (min/max_sum_per_partition)")
-        if {Metric.MEAN, Metric.VARIANCE} & set(metric_kinds) and per_partition:
+                    "SUM/MEAN/VARIANCE/PERCENTILE require clipping bounds: set"
+                    " (min_value, max_value) or (min/max_sum_per_partition)")
+        if {Metric.MEAN, Metric.VARIANCE,
+                Metric.PERCENTILE} & set(metric_kinds) and per_partition:
             raise ValueError(
-                "MEAN/VARIANCE support only per-contribution bounds "
-                "(min_value, max_value)")
+                "MEAN/VARIANCE/PERCENTILE support only per-contribution "
+                "bounds (min_value, max_value)")
+        if Metric.PERCENTILE in metric_kinds and self.percentile_bins <= 0:
+            raise ValueError("percentile_bins must be positive")
         if Metric.VECTOR_SUM in metric_kinds:
             if self.vector_max_norm is None or self.vector_size is None:
                 raise ValueError(
                     "VECTOR_SUM requires vector_max_norm and vector_size")
-            if {Metric.SUM, Metric.MEAN, Metric.VARIANCE} & set(metric_kinds):
+            if len(metric_kinds) > 1:
                 raise ValueError(
-                    "VECTOR_SUM cannot be combined with scalar SUM/MEAN/VARIANCE")
+                    "VECTOR_SUM must be the only metric in an aggregation")
         if self.pre_threshold is not None and self.pre_threshold <= 0:
             raise ValueError("pre_threshold must be positive")
         if self.budget_weight <= 0:

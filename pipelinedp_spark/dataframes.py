@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 
 from pipelinedp_spark.aggregate_params import (AggregateParams, Metric,
                                                MetricSpec, Metrics, NoiseKind,
+                                               NormKind,
                                                PartitionSelectionStrategy)
 from pipelinedp_spark.budget_accounting import Budget, NaiveBudgetAccountant
 from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine
@@ -41,6 +42,9 @@ class ContributionBounds:
     max_value: Optional[float] = None
     min_sum_per_partition: Optional[float] = None
     max_sum_per_partition: Optional[float] = None
+    vector_max_norm: Optional[float] = None
+    vector_norm_kind: NormKind = NormKind.LINF
+    vector_size: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -52,6 +56,9 @@ class _AggregationSpec:
     max_value: Optional[float] = None
     min_sum_per_partition: Optional[float] = None
     max_sum_per_partition: Optional[float] = None
+    vector_max_norm: Optional[float] = None
+    vector_norm_kind: NormKind = NormKind.LINF
+    vector_size: Optional[int] = None
 
 
 class Query:
@@ -88,6 +95,9 @@ class Query:
             max_value=b.max_value,
             min_sum_per_partition=b.min_sum_per_partition,
             max_sum_per_partition=b.max_sum_per_partition,
+            vector_max_norm=b.vector_max_norm,
+            vector_norm_kind=b.vector_norm_kind,
+            vector_size=b.vector_size,
             noise_kind=noise_kind,
             partition_selection_strategy=self._strategy,
             pre_threshold=self._pre_threshold,
@@ -118,6 +128,9 @@ class Query:
             min_value=b.min_value, max_value=b.max_value,
             min_sum_per_partition=b.min_sum_per_partition,
             max_sum_per_partition=b.max_sum_per_partition,
+            vector_max_norm=b.vector_max_norm,
+            vector_norm_kind=b.vector_norm_kind,
+            vector_size=b.vector_size,
             noise_kind=noise_kind,
             partition_selection_strategy=self._strategy,
             pre_threshold=self._pre_threshold)
@@ -236,11 +249,50 @@ class QueryBuilder:
                              max_value))
         return self
 
+    def percentile(self,
+                   column: str,
+                   percentile: float,
+                   min_value: float,
+                   max_value: float,
+                   name: Optional[str] = None) -> "QueryBuilder":
+        """DP percentile (bounded-domain histogram sketch). May be called
+        several times with different percentiles of the same column."""
+        self._check_groupby()
+        spec = Metrics.PERCENTILE(percentile)
+        self._check_metric_once(spec)
+        self._aggregations.append(
+            _AggregationSpec(spec, column,
+                             name or f"percentile_{int(percentile)}",
+                             min_value, max_value))
+        return self
+
+    def vector_sum(self,
+                   column: str,
+                   max_norm: float,
+                   vector_size: int,
+                   norm_kind: NormKind = NormKind.LINF,
+                   name: Optional[str] = None) -> "QueryBuilder":
+        """DP elementwise sum of an array<double> column with per-vector
+        norm clipping. Must be the only aggregation in the query."""
+        self._check_groupby()
+        self._check_metric_once(Metrics.VECTOR_SUM)
+        spec = _AggregationSpec(Metrics.VECTOR_SUM, column,
+                                name or f"vector_sum_{column}")
+        spec.vector_max_norm = max_norm
+        spec.vector_norm_kind = norm_kind
+        spec.vector_size = vector_size
+        self._aggregations.append(spec)
+        return self
+
     def build_query(self) -> Query:
         """Validation mirrors reference: pipeline_dp/dataframes.py:444-499."""
         self._check_groupby()
         if not self._aggregations:
             raise ValueError("at least one aggregation required")
+        vector_aggs = [a for a in self._aggregations
+                       if a.metric.metric == Metric.VECTOR_SUM]
+        if vector_aggs and len(self._aggregations) > 1:
+            raise ValueError("vector_sum must be the only aggregation")
         value_cols = {
             a.input_column
             for a in self._aggregations if a.input_column is not None
@@ -268,6 +320,10 @@ class QueryBuilder:
             bounds.min_value, bounds.max_value = mn, mx
             bounds.min_sum_per_partition = mns
             bounds.max_sum_per_partition = mxs
+        if vector_aggs:
+            bounds.vector_max_norm = vector_aggs[0].vector_max_norm
+            bounds.vector_norm_kind = vector_aggs[0].vector_norm_kind
+            bounds.vector_size = vector_aggs[0].vector_size
         metrics_output = {
             a.metric: a.output_column
             for a in self._aggregations

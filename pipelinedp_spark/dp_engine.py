@@ -23,7 +23,10 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, List, Optional, Sequence, Union
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -49,6 +52,13 @@ _COUNT = "__count__"
 _SUM = "__sum__"
 _NORM_SUM = "__norm_sum__"
 _NORM_SQ = "__norm_sq__"
+_BIN = "__bin__"
+_BCNT = "__bcnt__"
+_CUM = "__cum__"
+_TOT = "__tot__"
+_P = "__p__"
+_POS = "__pos__"
+_VV = "__vv__"
 
 
 @dataclasses.dataclass
@@ -90,6 +100,26 @@ def _clip(col: Column, lo: float, hi: float) -> Column:
     return F.greatest(F.least(col, F.lit(float(hi))), F.lit(float(lo)))
 
 
+def _vector_clip_udf(norm_kind: str, max_norm: float):
+    """Arrow-batched per-vector norm clip: v * min(1, max_norm/||v||)."""
+
+    @F.pandas_udf("array<double>")
+    def _clipv(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return v
+        a = np.stack(v.to_numpy()).astype("float64")
+        if norm_kind == "l1":
+            n = np.abs(a).sum(axis=1)
+        elif norm_kind == "l2":
+            n = np.linalg.norm(a, axis=1)
+        else:
+            n = np.abs(a).max(axis=1)
+        factor = np.where(n > max_norm, max_norm / np.maximum(n, 1e-300), 1.0)
+        return pd.Series(list(a * factor[:, None]))
+
+    return _clipv
+
+
 class DPEngine:
     """Reference: pipeline_dp/dp_engine.py:71-305 (semantics)."""
 
@@ -121,6 +151,10 @@ class DPEngine:
                               Metric.PERCENTILE, Metric.VECTOR_SUM})
         if needs_value and extractors.value_column is None:
             raise ValueError("value_column required for value metrics")
+
+        if Metric.VECTOR_SUM in metric_kinds:
+            return self._aggregate_vector_sum(df, params, extractors,
+                                              public_partitions, report)
 
         # --- stage 1: projection (drives Catalyst column pruning). ---
         cols = [F.col(extractors.privacy_id_column).alias(_PID)] + \
@@ -160,6 +194,14 @@ class DPEngine:
         per_pid_pk = self._bound_contributions(data, params, pk_cols,
                                                metric_kinds, report)
 
+        # Percentiles ride a parallel bounded-histogram pipeline and join
+        # back on the partition key in finalize (independent Linf/L0 sample
+        # from the scalar partials; both enforce the declared bounds).
+        pct_hist = None
+        if params.percentiles_to_compute:
+            pct_hist = self._percentile_histogram(data, params, pk_cols,
+                                                  report)
+
         # --- stage 5: final merge per partition key. ---
         final_aggs = [
             F.count(F.lit(1)).alias(_PID_COUNT),
@@ -185,7 +227,12 @@ class DPEngine:
             elif not params.post_aggregation_thresholding:
                 out = engine._select_private_partitions(
                     out, specs["partition_selection"], params, report)
-            out = engine._compute_metrics(out, params, specs, pk_cols, report)
+            pct_values = None
+            if pct_hist is not None:
+                pct_values = engine._percentile_values(
+                    pct_hist, params, specs["percentile"], pk_cols, report)
+            out = engine._compute_metrics(out, params, specs, pk_cols, report,
+                                          pct_values)
             return out
 
         return DPResult(finalize, accountant)
@@ -330,7 +377,8 @@ class DPEngine:
     # ------------------------------------------------------------------
     def _compute_metrics(self, out: DataFrame, params: AggregateParams,
                          specs: dict, pk_cols: Sequence[str],
-                         report: List[str]) -> DataFrame:
+                         report: List[str],
+                         pct_values: Optional[DataFrame] = None) -> DataFrame:
         kind = params.noise_kind.value
         l0 = params.max_partitions_contributed
         linf = params.max_contributions_per_partition
@@ -431,12 +479,190 @@ class DPEngine:
                 report.append(
                     f"PRIVACY_ID_COUNT: {kind} noise, scale={scale:.4g}")
 
+        if pct_values is not None:
+            # Left join: empty public partitions have no histogram rows; a
+            # missing quantile of an empty partition resolves to min_value
+            # (rank 0 of an empty distribution).
+            out = out.join(pct_values, on=list(pk_cols), how="left")
+
         ordered = [F.col(c) for c in pk_cols]
         for m in params.metrics:
             name = m.output_name
             if name in metric_cols:
                 ordered.append(metric_cols[name].cast(DoubleType()).alias(name))
+            elif m.metric == Metric.PERCENTILE and pct_values is not None:
+                ordered.append(
+                    F.coalesce(F.col(name), F.lit(float(params.min_value)))
+                    .cast(DoubleType()).alias(name))
         return out.select(*ordered)
+
+    # ------------------------------------------------------------------
+    # PERCENTILE: bounded-domain histogram sketch
+    # (reference semantics: pipeline_dp/combiners.py:629-719 — the reference
+    # uses a PyDP QuantileTree; this engine releases a DP histogram of
+    # `percentile_bins` equi-width bins over [min_value, max_value] and
+    # interpolates quantiles from the noised cumulative counts. Fully
+    # native: two bounded groupBys + window cumsum, no per-key sketch
+    # state, no UDAF.)
+    # ------------------------------------------------------------------
+    def _percentile_histogram(self, data: DataFrame, params: AggregateParams,
+                              pk_cols: Sequence[str],
+                              report: List[str]) -> DataFrame:
+        """Contribution-bounded per-(pk, bin) counts of clipped values."""
+        nbins = params.percentile_bins
+        lo, hi = float(params.min_value), float(params.max_value)
+        width = (hi - lo) / nbins if hi > lo else 1.0
+        rows = data
+        linf = params.max_contributions_per_partition
+        if not params.contribution_bounds_already_enforced and \
+                linf is not None:
+            rows = bounders._limit_per_key(rows, [_PID, *pk_cols], linf,
+                                           self._order_cols)
+        bin_col = F.least(
+            F.lit(nbins - 1).cast("long"),
+            F.floor((_clip(F.col(_VALUE), lo, hi) - F.lit(lo)) /
+                    F.lit(width))).cast("int")
+        per = (rows.withColumn(_BIN, bin_col)
+               .groupBy(_PID, *pk_cols, _BIN)
+               .agg(F.count(F.lit(1)).alias(_BCNT)))
+        l0 = params.max_partitions_contributed
+        if not params.contribution_bounds_already_enforced and l0 is not None:
+            keys = bounders._limit_per_key(
+                per.select(_PID, *pk_cols).distinct(), [_PID], l0,
+                self._order_cols)
+            per = per.join(keys, on=[_PID, *pk_cols], how="left_semi")
+        report.append(
+            f"PERCENTILE: {nbins}-bin histogram sketch over [{lo}, {hi}]")
+        return per.groupBy(*pk_cols, _BIN).agg(F.sum(_BCNT).alias(_BCNT))
+
+    def _percentile_values(self, hist: DataFrame, params: AggregateParams,
+                           spec: MechanismSpec, pk_cols: Sequence[str],
+                           report: List[str]) -> DataFrame:
+        """Noise the histogram cells, then linearly interpolate each
+        requested quantile from the cumulative counts. One mechanism
+        releases the whole histogram (each user's rows touch <= l0*linf
+        cells with <= linf per cell -> the scalar count sensitivities)."""
+        nbins = params.percentile_bins
+        lo, hi = float(params.min_value), float(params.max_value)
+        width = (hi - lo) / nbins if hi > lo else 1.0
+        l0 = params.max_partitions_contributed or params.max_contributions or 1
+        linf = params.max_contributions_per_partition or 1
+        scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
+                               dp.count_sensitivities(l0, linf))
+        noisy = F.greatest(
+            self._noise.add_noise(F.col(_BCNT).cast(DoubleType()),
+                                  params.noise_kind.value, scale),
+            F.lit(0.0))
+        hist = hist.withColumn(_BCNT, noisy)
+        wcum = Window.partitionBy(*pk_cols).orderBy(_BIN)
+        wtot = Window.partitionBy(*pk_cols)
+        hist = (hist.withColumn(_CUM, F.sum(_BCNT).over(wcum))
+                .withColumn(_TOT, F.sum(_BCNT).over(wtot)))
+        ps = [float(p) for p in params.percentiles_to_compute]
+        hp = hist.withColumn(_P, F.explode(F.array(*[F.lit(p) for p in ps])))
+        rank = F.col(_P) / F.lit(100.0) * F.col(_TOT)
+        # Linear interpolation inside the first bin whose cumulative count
+        # reaches the rank (min_by over qualifying bins).
+        val = (F.lit(lo) + F.lit(width) *
+               (F.col(_BIN) +
+                (rank - (F.col(_CUM) - F.col(_BCNT))) / F.col(_BCNT)))
+        sel = hp.filter((F.col(_BCNT) > 0) & (F.col(_CUM) >= rank))
+        long_df = sel.groupBy(*pk_cols, _P).agg(
+            F.min_by(val, F.col(_BIN)).alias("__val__"))
+        out = long_df.groupBy(*pk_cols).pivot(_P, ps).agg(F.first("__val__"))
+        for m in params.metrics:
+            if m.metric == Metric.PERCENTILE:
+                out = out.withColumnRenamed(str(float(m.parameter)),
+                                            m.output_name)
+        report.append(f"PERCENTILE: noise scale={scale:.4g}, qs={ps}")
+        return out
+
+    # ------------------------------------------------------------------
+    # VECTOR_SUM: per-vector norm clip + elementwise DP sum
+    # (reference: pipeline_dp/combiners.py:850-911 semantics). Plan shape:
+    # Linf window sample -> numpy norm-clip (Arrow-batched) -> posexplode
+    # to (pid, pk, pos) -> partial sum -> L0 key sample (semi-join) ->
+    # final (pk, pos) sum -> per-element noise -> array reassembly via
+    # bounded collect_list (exactly vector_size elements per group).
+    # ------------------------------------------------------------------
+    def _aggregate_vector_sum(self, df: DataFrame, params: AggregateParams,
+                              extractors: DataFrameExtractors,
+                              public_partitions,
+                              report: List[str]) -> DPResult:
+        pk_cols = extractors.partition_key_columns
+        size = int(params.vector_size)
+        data = df.select(
+            F.col(extractors.privacy_id_column).alias(_PID),
+            *[F.col(c) for c in pk_cols],
+            F.col(extractors.value_column).cast("array<double>")
+            .alias(_VALUE))
+        pub_df = None
+        if public_partitions is not None:
+            pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
+                                            public_partitions)
+            data = data.join(F.broadcast(pub_df), on=list(pk_cols),
+                             how="left_semi")
+            report.append("Dropped non-public partitions")
+        specs = self._request_budgets(params, public_partitions is not None,
+                                      report)
+        linf = params.max_contributions_per_partition
+        if not params.contribution_bounds_already_enforced and \
+                linf is not None:
+            data = bounders._limit_per_key(data, [_PID, *pk_cols], linf,
+                                           self._order_cols)
+        clip = _vector_clip_udf(params.vector_norm_kind.value,
+                                float(params.vector_max_norm))
+        data = data.withColumn(_VALUE, clip(F.col(_VALUE)))
+        report.append(
+            f"VECTOR_SUM: per-vector {params.vector_norm_kind.value}-norm "
+            f"clip to {params.vector_max_norm}, Linf <= {linf}")
+        ex = data.select(_PID, *pk_cols,
+                         F.posexplode(_VALUE).alias(_POS, _VV))
+        per = ex.groupBy(_PID, *pk_cols, _POS).agg(F.sum(_VV).alias(_VV))
+        l0 = params.max_partitions_contributed
+        keys = per.select(_PID, *pk_cols).distinct()
+        if not params.contribution_bounds_already_enforced and l0 is not None:
+            keys = bounders._limit_per_key(keys, [_PID], l0, self._order_cols)
+            per = per.join(keys, on=[_PID, *pk_cols], how="left_semi")
+        final = per.groupBy(*pk_cols, _POS).agg(F.sum(_VV).alias(_VV))
+        pid_counts = keys.groupBy(*pk_cols).agg(
+            F.count(F.lit(1)).alias(_PID_COUNT))
+        engine = self
+        out_name = params.metrics[0].output_name
+
+        def finalize() -> DataFrame:
+            out = final
+            if pub_df is not None:
+                pos_df = df.sparkSession.range(size).select(
+                    F.col("id").cast("int").alias(_POS))
+                grid = pub_df.crossJoin(pos_df)
+                out = grid.join(final, on=[*pk_cols, _POS], how="left") \
+                    .fillna({_VV: 0.0})
+                report.append("Added empty public partitions (zero vectors)")
+            elif not params.post_aggregation_thresholding:
+                kept = engine._select_private_partitions(
+                    pid_counts, specs["partition_selection"], params, report)
+                out = out.join(kept.select(*pk_cols), on=list(pk_cols),
+                               how="left_semi")
+            # One clipped vector per contribution; <= linf contributions per
+            # (pid, pk) => per-partition norm bound scales by linf.
+            sens = dp.vector_sum_sensitivities(
+                l0 or 1, params.vector_norm_kind.value,
+                float(params.vector_max_norm) * (linf or 1), size)
+            spec = specs["vector_sum"]
+            scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
+                                   sens)
+            out = out.withColumn(
+                _VV, engine._noise.add_noise(F.col(_VV),
+                                             params.noise_kind.value, scale))
+            report.append(f"VECTOR_SUM: elementwise noise scale={scale:.4g}")
+            return out.groupBy(*pk_cols).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(_POS),
+                                                         F.col(_VV)))),
+                    lambda s: s[_VV]).alias(out_name))
+
+        return DPResult(finalize, self._accountant)
 
     def _count_sensitivities(self, params: AggregateParams) -> dp.Sensitivities:
         if params.max_contributions is not None:

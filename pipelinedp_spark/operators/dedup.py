@@ -183,8 +183,8 @@ def embedding_near_dup_pairs(df: DataFrame,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              cosine_threshold: float = 0.45,
-                             num_bands: int = 6,
-                             planes_per_band: int = 3,
+                             num_bands: int = 8,
+                             planes_per_band: int = 5,
                              dim: int = 64,
                              max_bucket_size: int = 2000) -> DataFrame:
     """Embedding near-dup pairs: banded random-hyperplane LSH (candidates
