@@ -17,6 +17,12 @@ from pipelinedp_spark.budget_accounting import (Budget, MechanismSpec,
 from pipelinedp_spark.dataframes import Columns, ContributionBounds, Query, \
     QueryBuilder
 from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine, DPResult
+from pipelinedp_spark.private_dataframe import (CountParams, MeanParams,
+                                                PercentileParams,
+                                                PrivacyIdCountParams,
+                                                PrivateDataFrame, SumParams,
+                                                VarianceParams,
+                                                VectorSumParams, make_private)
 
 __version__ = "0.1.0"
 
@@ -26,9 +32,12 @@ __all__ = [
     "Budget",
     "Columns",
     "ContributionBounds",
+    "CountParams",
     "DataFrameExtractors",
     "DPEngine",
     "DPResult",
+    "make_private",
+    "MeanParams",
     "MechanismSpec",
     "MechanismType",
     "Metric",
@@ -37,7 +46,13 @@ __all__ = [
     "NoiseKind",
     "NormKind",
     "PartitionSelectionStrategy",
+    "PercentileParams",
+    "PrivacyIdCountParams",
+    "PrivateDataFrame",
     "Query",
     "QueryBuilder",
     "SelectPartitionsParams",
+    "SumParams",
+    "VarianceParams",
+    "VectorSumParams",
 ]
