@@ -1,0 +1,247 @@
+"""Multi-configuration utility analysis: expected DP error per parameter set.
+
+Reference semantics: analysis/utility_analysis_engine.py:31-201 +
+analysis/per_partition_combiners.py:37-476 + analysis/cross_partition_
+combiners.py:25-347 — instead of running noisy aggregations, compute the
+*closed-form expected error* of each candidate configuration:
+
+per (privacy_id, partition) with true (count, sum, n_partitions):
+  keep_prob p      = min(1, l0 / n_partitions)     [L0 sampling model]
+  clipped count    = min(count, linf)              [Linf bounding]
+  bias contribution  E = p * clipped - true
+  variance contribution V = p (1-p) clipped^2      [Bernoulli keep]
+per (config, partition):
+  bias = sum E, var = sum V + noise_var
+  keep probability under private partition selection (thresholding CDF on
+  the expected privacy-id count — a documented approximation of the
+  reference's Poisson-binomial machinery, analysis/poisson_binomial.py)
+  rmse^2 = p_keep * (bias^2 + var) + (1 - p_keep) * true^2
+per config: RMSE = sqrt(mean over partitions of rmse^2).
+
+Everything runs in ONE Spark pass: the per-(pid, pk) pre-aggregate is
+cross-joined with the (broadcast, tiny) config grid, then two groupBys
+(config, pk) -> (config). Only per-config summaries are collected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipelinedp_spark import dp_computations as dp
+from pipelinedp_spark.aggregate_params import (AggregateParams, Metric,
+                                               NoiseKind,
+                                               PartitionSelectionStrategy)
+from pipelinedp_spark.analysis.pre_aggregation import preaggregate
+from pipelinedp_spark.dp_engine import DataFrameExtractors
+
+
+@dataclasses.dataclass
+class MultiParameterConfiguration:
+    """Candidate parameter grid — parallel lists, one entry per candidate
+    (reference: analysis/analysis.py MultiParameterConfiguration)."""
+
+    max_partitions_contributed: Sequence[int]
+    max_contributions_per_partition: Sequence[int]
+    min_sum_per_partition: Optional[Sequence[float]] = None
+    max_sum_per_partition: Optional[Sequence[float]] = None
+
+    def __post_init__(self):
+        n = len(self.max_partitions_contributed)
+        if len(self.max_contributions_per_partition) != n:
+            raise ValueError("configuration lists must have equal length")
+
+    @property
+    def size(self) -> int:
+        return len(self.max_partitions_contributed)
+
+
+@dataclasses.dataclass
+class MetricUtility:
+    """Expected-error summary for one metric under one configuration
+    (reference: analysis/metrics.py:20-285, condensed)."""
+
+    metric: Metric
+    noise_std: float
+    rmse: float
+    expected_abs_bias: float
+    ratio_data_dropped: float
+
+
+@dataclasses.dataclass
+class UtilityReport:
+    """Reference: analysis/metrics.py UtilityReport."""
+
+    configuration_index: int
+    partitions_kept_expected: float
+    partitions_total: int
+    metric_errors: List[MetricUtility]
+
+
+class UtilityAnalysisEngine:
+    """Reference: analysis/utility_analysis_engine.py:31-201."""
+
+    def __init__(self, epsilon: float, delta: float):
+        self._eps = epsilon
+        self._delta = delta
+
+    def analyze(self,
+                df: DataFrame,
+                params: AggregateParams,
+                extractors: DataFrameExtractors,
+                configurations: MultiParameterConfiguration,
+                public_partitions: Optional[Sequence] = None
+                ) -> List[UtilityReport]:
+        metrics = [m.metric for m in params.metrics
+                   if m.metric in (Metric.COUNT, Metric.PRIVACY_ID_COUNT,
+                                   Metric.SUM)]
+        if not metrics:
+            raise ValueError(
+                "utility analysis supports COUNT / PRIVACY_ID_COUNT / SUM")
+        spark = df.sparkSession
+        pk_cols = list(extractors.partition_key_columns)
+        pre = preaggregate(df, extractors, keep_privacy_id=False)
+
+        # Budget: naive split across requested metrics (+ selection).
+        n_mech = len(metrics) + (0 if public_partitions is not None else 1)
+        eps_m = self._eps / n_mech
+        delta_m = self._delta / n_mech if self._delta else 0.0
+
+        conf_rows = []
+        for i in range(configurations.size):
+            l0 = configurations.max_partitions_contributed[i]
+            linf = configurations.max_contributions_per_partition[i]
+            min_s = (configurations.min_sum_per_partition[i]
+                     if configurations.min_sum_per_partition else None)
+            max_s = (configurations.max_sum_per_partition[i]
+                     if configurations.max_sum_per_partition else None)
+            noise = {}
+            for m in metrics:
+                if m == Metric.COUNT:
+                    sens = dp.count_sensitivities(l0, linf)
+                elif m == Metric.PRIVACY_ID_COUNT:
+                    sens = dp.privacy_id_count_sensitivities(l0)
+                else:
+                    sens = dp.sum_sensitivities(l0, linf, None, None,
+                                                min_s or 0.0, max_s or 1.0)
+                noise[m.value] = dp.noise_std(params.noise_kind, eps_m,
+                                              delta_m, sens)
+            if public_partitions is None:
+                scale, threshold = dp.laplace_thresholding(eps_m,
+                                                           delta_m or 1e-10,
+                                                           l0)
+            else:
+                scale, threshold = 0.0, 0.0
+            conf_rows.append((i, l0, linf, min_s, max_s,
+                              noise.get("count", 0.0),
+                              noise.get("privacy_id_count", 0.0),
+                              noise.get("sum", 0.0), scale, threshold))
+        confs = spark.createDataFrame(
+            conf_rows,
+            "conf int, l0 int, linf int, min_s double, max_s double, "
+            "count_std double, pid_std double, sum_std double, "
+            "sel_scale double, sel_threshold double")
+
+        j = pre.crossJoin(F.broadcast(confs))
+        p = F.least(F.lit(1.0), F.col("l0") / F.col("n_partitions"))
+        clipped_cnt = F.least(F.col("count"), F.col("linf").cast("long")) \
+            .cast("double")
+        cnt = F.col("count").cast("double")
+        exprs = [
+            F.count(F.lit(1)).alias("true_pids"),
+            F.sum(p).alias("exp_pids"),
+            F.sum(cnt).alias("true_count"),
+            F.sum(p * clipped_cnt - cnt).alias("count_bias"),
+            F.sum(p * (1 - p) * clipped_cnt * clipped_cnt)
+            .alias("count_var"),
+            F.sum(p - 1).alias("pid_bias"),
+            F.sum(p * (1 - p)).alias("pid_var"),
+            F.first("count_std").alias("count_std"),
+            F.first("pid_std").alias("pid_std"),
+            F.first("sum_std").alias("sum_std"),
+            F.first("sel_scale").alias("sel_scale"),
+            F.first("sel_threshold").alias("sel_threshold"),
+        ]
+        if Metric.SUM in metrics:
+            s = F.col("sum")
+            clipped_sum = F.greatest(F.least(s, F.col("max_s")),
+                                     F.col("min_s"))
+            exprs += [
+                F.sum(s).alias("true_sum"),
+                F.sum(p * clipped_sum - s).alias("sum_bias"),
+                F.sum(p * (1 - p) * clipped_sum * clipped_sum)
+                .alias("sum_var"),
+            ]
+        per_pk = j.groupBy("conf", *pk_cols).agg(*exprs)
+
+        # Keep probability under Laplace thresholding on the expected
+        # noisy privacy-id count (approximation; see module docstring).
+        if public_partitions is None:
+            diff = (F.col("exp_pids") - F.col("sel_threshold")) / \
+                F.col("sel_scale")
+            p_keep = F.when(
+                diff >= 0, 1.0 - 0.5 * F.exp(-diff)).otherwise(
+                0.5 * F.exp(diff))
+        else:
+            p_keep = F.lit(1.0)
+        per_pk = per_pk.withColumn("p_keep", p_keep)
+
+        def rmse2(bias, var, std, true):
+            kept = F.col("p_keep")
+            in_err = bias * bias + var + F.lit(1.0) * std * std
+            return kept * in_err + (1 - kept) * true * true
+
+        agg_exprs = [
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("p_keep").alias("partitions_kept"),
+            F.avg(rmse2(F.col("count_bias"), F.col("count_var"),
+                        F.col("count_std"), F.col("true_count")))
+            .alias("count_rmse2"),
+            F.avg(F.abs(F.col("count_bias"))).alias("count_abs_bias"),
+            (F.sum(-F.col("count_bias")) / F.sum("true_count"))
+            .alias("count_dropped"),
+            F.avg(rmse2(F.col("pid_bias"), F.col("pid_var"),
+                        F.col("pid_std"), F.col("true_pids")))
+            .alias("pid_rmse2"),
+            F.avg(F.abs(F.col("pid_bias"))).alias("pid_abs_bias"),
+            (F.sum(-F.col("pid_bias")) / F.sum("true_pids"))
+            .alias("pid_dropped"),
+        ]
+        if Metric.SUM in metrics:
+            agg_exprs += [
+                F.avg(rmse2(F.col("sum_bias"), F.col("sum_var"),
+                            F.col("sum_std"), F.col("true_sum")))
+                .alias("sum_rmse2"),
+                F.avg(F.abs(F.col("sum_bias"))).alias("sum_abs_bias"),
+                (F.sum(-F.col("sum_bias")) /
+                 F.sum(F.abs(F.col("true_sum")))).alias("sum_dropped"),
+            ]
+        per_conf = {r["conf"]: r for r in
+                    per_pk.groupBy("conf").agg(*agg_exprs).collect()}
+
+        reports = []
+        for i, row in enumerate(conf_rows):
+            r = per_conf.get(row[0])
+            if r is None:
+                continue
+            errors = []
+            for m in metrics:
+                key = {"count": "count", "privacy_id_count": "pid",
+                       "sum": "sum"}[m.value]
+                errors.append(MetricUtility(
+                    metric=m,
+                    noise_std=row[{"count": 5, "privacy_id_count": 6,
+                                   "sum": 7}[m.value]],
+                    rmse=math.sqrt(max(r[f"{key}_rmse2"], 0.0)),
+                    expected_abs_bias=r[f"{key}_abs_bias"],
+                    ratio_data_dropped=max(r[f"{key}_dropped"] or 0.0, 0.0)))
+            reports.append(UtilityReport(
+                configuration_index=row[0],
+                partitions_kept_expected=r["partitions_kept"],
+                partitions_total=r["n_partitions"],
+                metric_errors=errors))
+        return reports
