@@ -17,6 +17,10 @@ from pipelinedp_spark.budget_accounting import (Budget, MechanismSpec,
 from pipelinedp_spark.dataframes import Columns, ContributionBounds, Query, \
     QueryBuilder
 from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine, DPResult
+from pipelinedp_spark.private_contribution_bounds import (
+    CalculatePrivateContributionBoundsParams, PrivateContributionBounds)
+from pipelinedp_spark.rdp_accounting import (PLDBudgetAccountant,
+                                             RDPBudgetAccountant)
 from pipelinedp_spark.private_dataframe import (CountParams, MeanParams,
                                                 PercentileParams,
                                                 PrivacyIdCountParams,
@@ -30,9 +34,13 @@ __all__ = [
     "AddDPNoiseParams",
     "AggregateParams",
     "Budget",
+    "CalculatePrivateContributionBoundsParams",
     "Columns",
     "ContributionBounds",
     "CountParams",
+    "PLDBudgetAccountant",
+    "PrivateContributionBounds",
+    "RDPBudgetAccountant",
     "DataFrameExtractors",
     "DPEngine",
     "DPResult",

@@ -93,6 +93,7 @@ class PartitionSelectionStrategy(enum.Enum):
     TRUNCATED_GEOMETRIC = "Truncated Geometric"
     LAPLACE_THRESHOLDING = "Laplace Thresholding"
     GAUSSIAN_THRESHOLDING = "Gaussian Thresholding"
+    WEIGHTED_GAUSSIAN_THRESHOLDING = "Weighted Gaussian Thresholding"
 
     @property
     def mechanism_type(self) -> MechanismType:
@@ -102,6 +103,8 @@ class PartitionSelectionStrategy(enum.Enum):
             PartitionSelectionStrategy.LAPLACE_THRESHOLDING:
                 MechanismType.LAPLACE_THRESHOLDING,
             PartitionSelectionStrategy.GAUSSIAN_THRESHOLDING:
+                MechanismType.GAUSSIAN_THRESHOLDING,
+            PartitionSelectionStrategy.WEIGHTED_GAUSSIAN_THRESHOLDING:
                 MechanismType.GAUSSIAN_THRESHOLDING,
         }[self]
 

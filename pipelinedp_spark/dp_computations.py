@@ -165,6 +165,111 @@ def thresholding_from_std(noise_kind: NoiseKind, std: float, delta: float,
     return 1.0 + std * _phi_inv(1.0 - delta_p)
 
 
+def weighted_gaussian_thresholding(eps: float, delta: float,
+                                   l0: int) -> tuple[float, float]:
+    """Weighted Gaussian partition selection: each (privacy_id, partition)
+    carries weight 1/sqrt(#partitions of the id), so every privacy id has
+    total L2 weight exactly 1 and sigma is l0-independent
+    (reference: pipeline_dp/partition_selection.py:92-99,
+    pipeline_dp/dp_engine.py:664-714). Half the delta funds the noise, half
+    the threshold. Returns (sigma, threshold) applied to per-partition
+    weight sums."""
+    sigma = gaussian_sigma(eps, delta / 2.0, 1.0)
+    delta_p = _per_partition_delta(delta / 2.0, l0)
+    threshold = 1.0 + sigma * _phi_inv(1.0 - delta_p)
+    return sigma, threshold
+
+
+# ---------------------------------------------------------------------------
+# Exponential mechanism (reference: pipeline_dp/dp_computations.py:707-761).
+# ---------------------------------------------------------------------------
+
+
+class ExponentialMechanism:
+    """Choose a parameter from a candidate list with probability
+    proportional to exp(eps * score / (sensitivity * [2 if not monotonic])).
+    Driver-side: candidate lists are small by construction."""
+
+    class ScoringFunction:
+        def score(self, k) -> float:
+            raise NotImplementedError
+
+        @property
+        def global_sensitivity(self) -> float:
+            raise NotImplementedError
+
+        @property
+        def is_monotonic(self) -> bool:
+            raise NotImplementedError
+
+    def __init__(self, scoring_function: "ExponentialMechanism.ScoringFunction"):
+        self._scoring_function = scoring_function
+
+    def probabilities(self, eps: float, candidates: List) -> np.ndarray:
+        scores = np.array(
+            [self._scoring_function.score(k) for k in candidates],
+            dtype=float)
+        denom = self._scoring_function.global_sensitivity
+        if not self._scoring_function.is_monotonic:
+            denom *= 2
+        # Stabilize exp by shifting by the max score.
+        logw = scores * eps / denom
+        logw -= logw.max()
+        w = np.exp(logw)
+        return w / w.sum()
+
+    def apply(self, eps: float, candidates: List, rng=None):
+        probs = self.probabilities(eps, candidates)
+        rng = rng or np.random.default_rng()
+        return candidates[int(rng.choice(len(candidates), p=probs))]
+
+
+# ---------------------------------------------------------------------------
+# Renyi-DP composition helpers (used by the tight budget accountant).
+# ---------------------------------------------------------------------------
+
+RDP_ALPHAS = [1.25, 1.5, 1.75, 2.0, 2.5, 3.0, 4.0, 5.0, 6.0, 8.0, 12.0,
+              16.0, 24.0, 32.0, 48.0, 64.0, 128.0, 256.0, 512.0]
+
+
+def gaussian_rdp(sigma: float, alpha: float) -> float:
+    """RDP of the Gaussian mechanism at unit L2 sensitivity (exact)."""
+    return alpha / (2.0 * sigma * sigma)
+
+
+def laplace_rdp(scale: float, alpha: float) -> float:
+    """RDP of the Laplace mechanism at unit L1 sensitivity (Mironov 2017,
+    Table II)."""
+    b = scale
+    if alpha <= 1.0:
+        return 1.0 / b + math.exp(-1.0 / b) - 1.0  # KL divergence (alpha=1)
+    x = (alpha - 1) / b
+    if x > 500:
+        # exp overflow regime: log(t1) dominates; RDP -> 1/b (the pure eps).
+        return (math.log(alpha / (2 * alpha - 1)) + x) / (alpha - 1)
+    t1 = (alpha / (2 * alpha - 1)) * math.exp(x)
+    t2 = ((alpha - 1) / (2 * alpha - 1)) * math.exp(-alpha / b)
+    return math.log(t1 + t2) / (alpha - 1)
+
+
+def pure_dp_rdp(eps: float, alpha: float) -> float:
+    """Conservative RDP bound of any pure eps-DP mechanism: RDP(alpha) <=
+    min(eps, 2*alpha*eps^2) for eps <= 1 (Bun-Steinke); eps is always a
+    valid bound."""
+    return min(eps, 2.0 * alpha * eps * eps) if eps <= 1 else eps
+
+
+def eps_from_rdp(rdp_at_alpha: List[float], delta: float) -> float:
+    """Standard RDP -> (eps, delta) conversion: eps = min over alpha of
+    rdp(alpha) + log(1/delta)/(alpha - 1)."""
+    best = math.inf
+    for a, r in zip(RDP_ALPHAS, rdp_at_alpha):
+        if a <= 1.0:
+            continue
+        best = min(best, r + math.log(1.0 / delta) / (a - 1.0))
+    return best
+
+
 def truncated_geometric_probabilities(eps: float, delta: float,
                                       l0: int,
                                       max_n: int = 100_000) -> np.ndarray:

@@ -686,6 +686,10 @@ class DPEngine:
         """Reference: pipeline_dp/dp_engine.py:220-305 (semantics)."""
         report = ["DPEngine.select_partitions"]
         self._reports.append(report)
+        if params.partition_selection_strategy == \
+                PartitionSelectionStrategy.WEIGHTED_GAUSSIAN_THRESHOLDING:
+            return self._select_partitions_weighted_gaussian(
+                df, params, extractors, report)
         pk_cols = extractors.partition_key_columns
         data = df.select(
             F.col(extractors.privacy_id_column).alias(_PID),
@@ -712,6 +716,76 @@ class DPEngine:
             return kept.select(*pk_cols)
 
         return DPResult(finalize, self._accountant)
+
+    # ------------------------------------------------------------------
+    def _select_partitions_weighted_gaussian(
+            self, df: DataFrame, params: SelectPartitionsParams,
+            extractors: DataFrameExtractors,
+            report: List[str]) -> DPResult:
+        """Weighted Gaussian partition selection (reference:
+        pipeline_dp/dp_engine.py:664-714): each (pid, pk) is weighted
+        1/sqrt(#partitions of the pid after L0 sampling), so every privacy
+        id has total L2 weight exactly 1 and sigma is l0-independent. Plan:
+        distinct -> L0 window sample -> pid-window weight (reuses the
+        sample's hash partitioning) -> groupBy(pk) weight sum -> noisy
+        threshold filter."""
+        pk_cols = extractors.partition_key_columns
+        data = df.select(
+            F.col(extractors.privacy_id_column).alias(_PID),
+            *[F.col(c) for c in pk_cols]).distinct()
+        bounded = bounders._limit_per_key(data, [_PID],
+                                          params.max_partitions_contributed,
+                                          self._order_cols)
+        w = Window.partitionBy(_PID)
+        weighted = bounded.withColumn(
+            "__weight__",
+            F.lit(1.0) / F.sqrt(F.count(F.lit(1)).over(w)))
+        weights = weighted.groupBy(*pk_cols).agg(
+            F.sum("__weight__").alias("__weight__"))
+        with self._accountant.scope(params.budget_weight):
+            spec = self._accountant.request_budget(
+                params.partition_selection_strategy.mechanism_type)
+        engine = self
+        l0 = params.max_partitions_contributed
+
+        def finalize() -> DataFrame:
+            sigma, threshold = dp.weighted_gaussian_thresholding(
+                spec.eps, spec.delta, l0)
+            noisy = engine._noise.add_noise(F.col("__weight__"), "gaussian",
+                                            sigma)
+            keep = noisy >= F.lit(threshold)
+            if params.pre_threshold is not None:
+                # pre-threshold applies to the raw weight sum floor.
+                keep = keep & (F.col("__weight__") >=
+                               F.lit(float(params.pre_threshold)) /
+                               F.sqrt(F.lit(float(l0))))
+            report.append(
+                f"Partition selection: weighted gaussian, sigma={sigma:.3f},"
+                f" threshold={threshold:.3f}")
+            return weights.filter(keep).select(*pk_cols)
+
+        return DPResult(finalize, self._accountant)
+
+    # ------------------------------------------------------------------
+    def calculate_private_contribution_bounds(
+            self, df: DataFrame, params, extractors: DataFrameExtractors,
+            rng=None):
+        """DP choice of max_partitions_contributed via the exponential
+        mechanism over log-spaced candidates
+        (reference: pipeline_dp/dp_engine.py:479-531 +
+        private_contribution_bounds.py:27-195). Runs two small jobs: the
+        L0 histogram and the distinct-partition count."""
+        from pipelinedp_spark.analysis.histograms import \
+            compute_dataset_histograms
+        from pipelinedp_spark.private_contribution_bounds import (
+            PrivateContributionBounds, PrivateL0Calculator)
+        histograms = compute_dataset_histograms(df, extractors)
+        n_partitions = df.select(
+            *extractors.partition_key_columns).distinct().count()
+        calc = PrivateL0Calculator(params, n_partitions,
+                                   histograms.l0_contributions_histogram)
+        return PrivateContributionBounds(
+            max_partitions_contributed=calc.calculate(rng=rng))
 
     # ------------------------------------------------------------------
     def add_dp_noise(self, df: DataFrame, value_columns: Union[str, List[str]],

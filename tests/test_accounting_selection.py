@@ -1,0 +1,149 @@
+"""RDP accounting, weighted-Gaussian selection, private contribution bounds,
+and exponential-mechanism tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+import pipelinedp_spark as pds
+from pipelinedp_spark import dp_computations as dp
+from pipelinedp_spark.aggregate_params import (MechanismType, NoiseKind,
+                                               PartitionSelectionStrategy,
+                                               SelectPartitionsParams)
+from pipelinedp_spark.analysis.histograms import (FrequencyBin, Histogram,
+                                                  HistogramType)
+from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine
+from pipelinedp_spark.private_contribution_bounds import (
+    CalculatePrivateContributionBoundsParams, L0ScoringFunction,
+    PrivateL0Calculator, generate_possible_contribution_bounds)
+
+
+def test_rdp_accountant_amplifies_gaussian_composition():
+    naive = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    rdp = pds.RDPBudgetAccountant(1.0, 1e-6)
+    n_mech = 10
+    naive_specs = [naive.request_budget(MechanismType.GAUSSIAN)
+                   for _ in range(n_mech)]
+    rdp_specs = [rdp.request_budget(MechanismType.GAUSSIAN)
+                 for _ in range(n_mech)]
+    naive.compute_budgets()
+    rdp.compute_budgets()
+    # RDP composition of many Gaussians beats naive: more eps per mechanism
+    # (i.e. less noise) for the same total budget.
+    assert rdp_specs[0].eps > naive_specs[0].eps
+    # Sanity: still spends at least the naive share.
+    assert rdp_specs[0].eps >= naive_specs[0].eps
+
+
+def test_rdp_accountant_laplace_only_not_worse_than_naive():
+    rdp = pds.RDPBudgetAccountant(2.0)
+    spec = rdp.request_budget(MechanismType.LAPLACE)
+    rdp.compute_budgets()
+    assert spec.eps >= 2.0 - 1e-9  # single mechanism keeps its full budget
+
+
+def test_rdp_composition_is_certified():
+    """The amplified budgets must compose within the total under RDP."""
+    total_eps, total_delta = 1.0, 1e-6
+    acct = pds.RDPBudgetAccountant(total_eps, total_delta)
+    specs = [acct.request_budget(MechanismType.GAUSSIAN) for _ in range(5)]
+    acct.compute_budgets()
+    rdp = [0.0] * len(dp.RDP_ALPHAS)
+    for s in specs:
+        sigma = dp.gaussian_sigma(s.eps, s.delta, 1.0)
+        for i, a in enumerate(dp.RDP_ALPHAS):
+            rdp[i] += dp.gaussian_rdp(sigma, a)
+    eps = dp.eps_from_rdp(rdp, total_delta / 2)
+    assert eps <= total_eps + 1e-6
+
+
+def test_exponential_mechanism_probabilities():
+    class Scoring(dp.ExponentialMechanism.ScoringFunction):
+        def score(self, k):
+            return float(-abs(k - 5))
+
+        @property
+        def global_sensitivity(self):
+            return 1.0
+
+        @property
+        def is_monotonic(self):
+            return True
+
+    mech = dp.ExponentialMechanism(Scoring())
+    cands = list(range(10))
+    probs = mech.probabilities(10.0, cands)
+    assert np.argmax(probs) == 5
+    assert probs.sum() == pytest.approx(1.0)
+    # High eps concentrates on the best candidate.
+    assert probs[5] > 0.9
+    picked = mech.apply(10.0, cands, rng=np.random.default_rng(7))
+    assert picked in cands
+
+
+def test_generate_possible_contribution_bounds():
+    bounds = generate_possible_contribution_bounds(1025)
+    assert bounds[:5] == [1, 2, 3, 4, 5]
+    assert 999 in bounds and 1000 in bounds and 1010 in bounds
+    assert 1001 not in bounds
+    assert all(b <= 1025 for b in bounds)
+
+
+def test_private_l0_calculator_picks_reasonable_bound():
+    # 100 users contributing to exactly 10 partitions each, 20 partitions
+    # total: the utility-optimal L0 is 10 (no drop, least noise).
+    hist = Histogram(HistogramType.L0_CONTRIBUTIONS,
+                     [FrequencyBin(10, 11, 100, 1000, 10, 10)])
+    params = CalculatePrivateContributionBoundsParams(
+        aggregation_noise_kind=NoiseKind.LAPLACE,
+        aggregation_eps=1.0, aggregation_delta=0.0,
+        calculation_eps=100.0,
+        max_partitions_contributed_upper_bound=20)
+    calc = PrivateL0Calculator(params, 20, hist)
+    picked = calc.calculate(rng=np.random.default_rng(0))
+    assert picked == 10
+    scoring = L0ScoringFunction(params, 20, hist)
+    assert scoring.score(10) > scoring.score(1)
+    assert scoring.score(10) > scoring.score(20)
+
+
+def test_weighted_gaussian_selection(spark):
+    # 60 users in 'big' (weight sum 60/sqrt(1)), 1 user in 'small'.
+    rows = [(u, "big") for u in range(60)] + [(999, "small")]
+    df = spark.createDataFrame(rows, "uid int, pk string")
+    acct = pds.NaiveBudgetAccountant(2.0, 1e-6)
+    engine = DPEngine(acct, noise_mode="zero")
+    res = engine.select_partitions(
+        df,
+        SelectPartitionsParams(
+            max_partitions_contributed=2,
+            partition_selection_strategy=PartitionSelectionStrategy
+            .WEIGHTED_GAUSSIAN_THRESHOLDING),
+        DataFrameExtractors("uid", "pk", None))
+    acct.compute_budgets()
+    kept = [r["pk"] for r in res.dataframe().collect()]
+    assert kept == ["big"]
+
+
+def test_weighted_gaussian_weights_l2_bounded(spark):
+    # A user in k partitions contributes weight 1/sqrt(k) to each:
+    # total L2 = 1. Verify via the threshold math: sigma is l0-independent.
+    s1, _ = dp.weighted_gaussian_thresholding(1.0, 1e-6, 1)
+    s100, _ = dp.weighted_gaussian_thresholding(1.0, 1e-6, 100)
+    assert s1 == pytest.approx(s100)
+
+
+def test_engine_calculate_private_contribution_bounds(spark):
+    rows = [(u, f"p{p}") for u in range(50) for p in range(5)]
+    df = spark.createDataFrame(rows, "uid int, pk string")
+    params = CalculatePrivateContributionBoundsParams(
+        aggregation_noise_kind=NoiseKind.LAPLACE,
+        aggregation_eps=1.0, aggregation_delta=0.0,
+        calculation_eps=50.0,
+        max_partitions_contributed_upper_bound=10)
+    engine = DPEngine(pds.NaiveBudgetAccountant(1.0, 1e-6))
+    out = engine.calculate_private_contribution_bounds(
+        df, params, DataFrameExtractors("uid", "pk", None),
+        rng=np.random.default_rng(3))
+    assert out.max_partitions_contributed == 5
