@@ -1,0 +1,91 @@
+"""Table catalog and format readers/writers.
+
+Scale posture: readers never infer schemas on big data unless asked
+(schema inference scans the input twice); writers bound file sizes so
+downstream scans parallelize; the parquet reader centralizes the
+TIMESTAMP(NANOS) legacy flag needed by the synthetic ``events`` table.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+CANONICAL_TABLES: List[str] = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan. Sets the nanos-as-long legacy conf so files written
+    with TIMESTAMP(NANOS) (e.g. the events table) load as long."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: Optional[StructType] = None,
+             header: bool = True, **options) -> DataFrame:
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Schema inference is an extra full scan — acceptable only on
+        # small inputs; callers on big data should pass a schema.
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: Optional[StructType] = None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One canonical testdata table (TESTDATA.md layout)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: Optional[List[str]] = None) -> Dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name)
+            for name in (names or CANONICAL_TABLES)}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str,
+                        names: Optional[List[str]] = None) -> None:
+    """Register canonical tables as temp views for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: Optional[List[str]] = None,
+                  max_records_per_file: int = 1_000_000,
+                  mode: str = "error") -> None:
+    """Parquet sink with bounded file sizes (so a 100 TB output still scans
+    with good parallelism) and optional hive-style partitioning."""
+    writer = df.write.mode(mode).option("maxRecordsPerFile",
+                                        max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_stream(spark: SparkSession, path: str, schema: StructType,
+                fmt: str = "parquet",
+                max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """File-based streaming source. Streaming readers REQUIRE an explicit
+    schema (no inference mid-stream); ``maxFilesPerTrigger`` bounds
+    per-micro-batch work."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)

@@ -1,0 +1,12 @@
+"""Structured Streaming DP aggregations (net-new; the reference is
+batch-only — SURVEY.md §2.F)."""
+
+from pipelinedp_spark.streaming.dp_streaming import (dp_streaming_count,
+                                                     dp_streaming_sum,
+                                                     session_window_counts)
+
+__all__ = [
+    "dp_streaming_count",
+    "dp_streaming_sum",
+    "session_window_counts",
+]
