@@ -215,6 +215,49 @@ ORDER BY event_type
 """
 
 
+def _dp_multi_sum_public(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two DP sums (quantity, extendedprice) over different columns sharing
+    ONE contribution-bounding pass, plus count; per-partition clips binding,
+    zero noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    query = (pds.QueryBuilder(li, "l_suppkey")
+             .groupby("l_returnflag", max_groups_contributed=3,
+                      max_contributions_per_group=1_000_000,
+                      public_keys=["A", "N", "R"])
+             .count()
+             .sum("l_quantity", min_sum_per_partition=0.0,
+                  max_sum_per_partition=100.0, name="sum_qty")
+             .sum("l_extendedprice", min_sum_per_partition=0.0,
+                  max_sum_per_partition=50000.0, name="sum_price")
+             .build_query())
+    out = query.run_query(pds.Budget(1.0), noise_mode="zero")
+    return out.select("l_returnflag", "count",
+                      F.round("sum_qty", 4).alias("sum_qty"),
+                      F.round("sum_price", 4).alias("sum_price"))
+
+
+_DP_MULTI_SUM_SQL = """
+WITH pub(l_returnflag) AS (VALUES ('A'), ('N'), ('R')),
+per_user AS (
+    SELECT l_suppkey, l_returnflag,
+           COUNT(*) AS cnt,
+           GREATEST(LEAST(SUM(l_quantity), 100.0), 0.0) AS qty,
+           GREATEST(LEAST(SUM(l_extendedprice), 50000.0), 0.0) AS price
+    FROM lineitem GROUP BY 1, 2),
+agg AS (
+    SELECT l_returnflag,
+           CAST(SUM(cnt) AS DOUBLE) AS count,
+           CAST(ROUND(SUM(qty), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(price), 4) AS DOUBLE) AS sum_price
+    FROM per_user GROUP BY 1)
+SELECT pub.l_returnflag, COALESCE(agg.count, 0.0) AS count,
+       COALESCE(agg.sum_qty, 0.0) AS sum_qty,
+       COALESCE(agg.sum_price, 0.0) AS sum_price
+FROM pub LEFT JOIN agg USING (l_returnflag)
+ORDER BY 1
+"""
+
+
 def _dp_percentile_public(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP percentiles (50, 90) of clipped event value per event type via the
     256-bin histogram sketch; caps non-binding, zero noise."""
@@ -355,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_count_public": _dp_count_public,
         "dp_sum_clip_per_partition": _dp_sum_clip_per_partition,
         "dp_sum_clip_per_contribution": _dp_sum_clip_per_contribution,
+        "dp_multi_sum_public": _dp_multi_sum_public,
         "dp_mean_public": _dp_mean_public,
         "dp_variance_public": _dp_variance_public,
         "dp_percentile_public": _dp_percentile_public,
@@ -373,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_count_public": _DP_COUNT_PUBLIC_SQL,
         "dp_sum_clip_per_partition": _DP_SUM_CLIP_SQL,
         "dp_sum_clip_per_contribution": _DP_SUM_CONTRIB_SQL,
+        "dp_multi_sum_public": _DP_MULTI_SUM_SQL,
         "dp_mean_public": _DP_MEAN_SQL,
         "dp_variance_public": _DP_VARIANCE_SQL,
         "dp_percentile_public": _DP_PERCENTILE_SQL,

@@ -16,7 +16,10 @@ from pipelinedp_spark.budget_accounting import (Budget, MechanismSpec,
                                                 NaiveBudgetAccountant)
 from pipelinedp_spark.dataframes import Columns, ContributionBounds, Query, \
     QueryBuilder
-from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine, DPResult
+from pipelinedp_spark.dp_engine import (DataFrameExtractors, DPEngine,
+                                        DPResult, MultiSumParams,
+                                        MultiSumSpec,
+                                        MultiValueDataFrameExtractors)
 from pipelinedp_spark.private_contribution_bounds import (
     CalculatePrivateContributionBoundsParams, PrivateContributionBounds)
 from pipelinedp_spark.rdp_accounting import (PLDBudgetAccountant,
@@ -48,6 +51,9 @@ __all__ = [
     "MeanParams",
     "MechanismSpec",
     "MechanismType",
+    "MultiSumParams",
+    "MultiSumSpec",
+    "MultiValueDataFrameExtractors",
     "Metric",
     "Metrics",
     "NaiveBudgetAccountant",

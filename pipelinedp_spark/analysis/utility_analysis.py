@@ -94,8 +94,12 @@ class UtilityAnalysisEngine:
                 params: AggregateParams,
                 extractors: DataFrameExtractors,
                 configurations: MultiParameterConfiguration,
-                public_partitions: Optional[Sequence] = None
-                ) -> List[UtilityReport]:
+                public_partitions: Optional[Sequence] = None,
+                preaggregated: bool = False) -> List[UtilityReport]:
+        """``preaggregated=True`` accepts input already shaped as the
+        preaggregate() output — partition cols + (count, sum, n_partitions,
+        n_contributions) — the reference's PreAggregateExtractors path
+        (reference: pipeline_dp/data_extractors.py:47-66)."""
         metrics = [m.metric for m in params.metrics
                    if m.metric in (Metric.COUNT, Metric.PRIVACY_ID_COUNT,
                                    Metric.SUM)]
@@ -104,7 +108,15 @@ class UtilityAnalysisEngine:
                 "utility analysis supports COUNT / PRIVACY_ID_COUNT / SUM")
         spark = df.sparkSession
         pk_cols = list(extractors.partition_key_columns)
-        pre = preaggregate(df, extractors, keep_privacy_id=False)
+        if preaggregated:
+            required = {"count", "sum", "n_partitions"}
+            missing = required - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"preaggregated input missing columns: {sorted(missing)}")
+            pre = df
+        else:
+            pre = preaggregate(df, extractors, keep_privacy_id=False)
 
         # Budget: naive split across requested metrics (+ selection).
         n_mech = len(metrics) + (0 if public_partitions is not None else 1)

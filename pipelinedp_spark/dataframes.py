@@ -69,7 +69,8 @@ class Query:
                  contribution_bounds: ContributionBounds,
                  public_partitions: Optional[Sequence],
                  partition_selection_strategy: PartitionSelectionStrategy,
-                 pre_threshold: Optional[int]):
+                 pre_threshold: Optional[int],
+                 multi_sum_aggs: Optional[List["_AggregationSpec"]] = None):
         self._df = df
         self._columns = columns
         self._metrics_output_columns = metrics_output_columns
@@ -77,6 +78,40 @@ class Query:
         self._public_partitions = public_partitions
         self._strategy = partition_selection_strategy
         self._pre_threshold = pre_threshold
+        self._multi_sum_aggs = multi_sum_aggs
+
+    def _run_multi_sum(self, budget: Budget, noise_kind: NoiseKind,
+                       noise_mode: str) -> DataFrame:
+        from pipelinedp_spark.dp_engine import (MultiSumParams, MultiSumSpec,
+                                                MultiValueDataFrameExtractors)
+        accountant = NaiveBudgetAccountant(budget.epsilon, budget.delta)
+        engine = DPEngine(accountant, noise_mode=noise_mode)
+        b = self._contribution_bounds
+        specs = [MultiSumSpec(a.min_value, a.max_value,
+                              a.min_sum_per_partition,
+                              a.max_sum_per_partition, a.output_column)
+                 for a in self._multi_sum_aggs]
+        params = MultiSumParams(
+            max_partitions_contributed=b.max_partitions_contributed,
+            max_contributions_per_partition=b.max_contributions_per_partition,
+            noise_kind=noise_kind,
+            include_count=Metrics.COUNT in self._metrics_output_columns,
+            include_privacy_id_count=(
+                Metrics.PRIVACY_ID_COUNT in self._metrics_output_columns),
+            partition_selection_strategy=self._strategy,
+            pre_threshold=self._pre_threshold)
+        extractors = MultiValueDataFrameExtractors(
+            privacy_id_column=self._columns.privacy_key,
+            partition_key_columns=self._columns.partition_key,
+            value_columns=[a.input_column for a in self._multi_sum_aggs])
+        result = engine.aggregate_multi_sum(self._df, params, extractors,
+                                            specs, self._public_partitions)
+        accountant.compute_budgets()
+        out = result.dataframe()
+        for metric, out_name in self._metrics_output_columns.items():
+            if out_name != metric.output_name:
+                out = out.withColumnRenamed(metric.output_name, out_name)
+        return out
 
     def run_query(self,
                   budget: Budget,
@@ -84,6 +119,8 @@ class Query:
                   noise_mode: str = "secure") -> DataFrame:
         """Reference: pipeline_dp/dataframes.py:172-248. ``noise_mode='zero'``
         is the deterministic testing/oracle mode."""
+        if self._multi_sum_aggs:
+            return self._run_multi_sum(budget, noise_kind, noise_mode)
         accountant = NaiveBudgetAccountant(budget.epsilon, budget.delta)
         engine = DPEngine(accountant, noise_mode=noise_mode)
         b = self._contribution_bounds
@@ -216,8 +253,14 @@ class QueryBuilder:
             min_sum_per_partition: Optional[float] = None,
             max_sum_per_partition: Optional[float] = None,
             name: Optional[str] = None) -> "QueryBuilder":
+        """May be called several times with DIFFERENT columns — multi-column
+        sums share one contribution-bounding pass (engine extension of the
+        reference's MultiValueDataExtractors; the reference QueryBuilder
+        itself allows a single value column, dataframes.py:454-464)."""
         self._check_groupby()
-        self._check_metric_once(Metrics.SUM)
+        if any(a.metric == Metrics.SUM and a.input_column == column
+               for a in self._aggregations):
+            raise ValueError(f"duplicate sum over column '{column}'")
         self._aggregations.append(
             _AggregationSpec(Metrics.SUM, column, name or f"sum_{column}",
                              min_value, max_value, min_sum_per_partition,
@@ -293,6 +336,35 @@ class QueryBuilder:
                        if a.metric.metric == Metric.VECTOR_SUM]
         if vector_aggs and len(self._aggregations) > 1:
             raise ValueError("vector_sum must be the only aggregation")
+
+        sum_aggs = [a for a in self._aggregations
+                    if a.metric == Metrics.SUM]
+        sum_cols = {a.input_column for a in sum_aggs}
+        if len(sum_cols) > 1:
+            # Multi-column sums: one bounding pass, per-column bounds.
+            others = [a for a in self._aggregations
+                      if a.metric not in (Metrics.SUM, Metrics.COUNT,
+                                          Metrics.PRIVACY_ID_COUNT)]
+            if others:
+                raise ValueError(
+                    "multi-column sums combine only with count / "
+                    f"privacy_id_count, got {others}")
+            for c in sum_cols:
+                if c not in self._df.columns:
+                    raise ValueError(f"column '{c}' not in DataFrame")
+            metrics_output = {a.metric: a.output_column
+                              for a in self._aggregations
+                              if a.metric != Metrics.SUM}
+            return Query(self._df,
+                         Columns(self._privacy_unit_column, self._by, None),
+                         metrics_output,
+                         ContributionBounds(
+                             max_partitions_contributed=self._max_groups,
+                             max_contributions_per_partition=(
+                                 self._max_rows_per_group)),
+                         self._public_keys, self._strategy,
+                         self._pre_threshold, multi_sum_aggs=sum_aggs)
+
         value_cols = {
             a.input_column
             for a in self._aggregations if a.input_column is not None

@@ -76,6 +76,61 @@ class DataFrameExtractors:
         self.partition_key_columns = list(self.partition_key_columns)
 
 
+@dataclasses.dataclass
+class MultiValueDataFrameExtractors(DataFrameExtractors):
+    """Multiple value columns aggregated in one pass — the reference's
+    MultiValueDataExtractors (reference: pipeline_dp/data_extractors.py:
+    33-44, tuple-packed values) become plain named columns here."""
+
+    value_columns: Optional[List[str]] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.value_columns:
+            self.value_columns = list(self.value_columns)
+
+
+@dataclasses.dataclass
+class MultiSumSpec:
+    """Per-column clip bounds + output name for one of several SUMs
+    computed in a single aggregation pass."""
+
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    min_sum_per_partition: Optional[float] = None
+    max_sum_per_partition: Optional[float] = None
+    output_name: Optional[str] = None
+
+    def __post_init__(self):
+        per_contribution = self.min_value is not None
+        per_partition = self.min_sum_per_partition is not None
+        if per_contribution == per_partition:
+            raise ValueError(
+                "set exactly one of (min_value, max_value) or "
+                "(min_sum_per_partition, max_sum_per_partition)")
+        if per_contribution and self.max_value is None:
+            raise ValueError("min_value and max_value must be set together")
+        if per_partition and self.max_sum_per_partition is None:
+            raise ValueError("min/max_sum_per_partition must be set together")
+
+
+@dataclasses.dataclass
+class MultiSumParams:
+    """Parameters of a single-pass multi-column DP sum
+    (engine-level analogue of the reference's MultiValueDataExtractors
+    flow, reference: pipeline_dp/data_extractors.py:33-44)."""
+
+    max_partitions_contributed: int
+    max_contributions_per_partition: int
+    noise_kind: NoiseKind = NoiseKind.LAPLACE
+    include_count: bool = False
+    include_privacy_id_count: bool = False
+    partition_selection_strategy: PartitionSelectionStrategy = (
+        PartitionSelectionStrategy.TRUNCATED_GEOMETRIC)
+    pre_threshold: Optional[int] = None
+    budget_weight: float = 1.0
+
+
 class DPResult:
     """Lazy result: the noise projection needs computed budgets, so the final
     DataFrame is built on first access after ``compute_budgets()``."""
@@ -661,6 +716,132 @@ class DPEngine:
                     F.array_sort(F.collect_list(F.struct(F.col(_POS),
                                                          F.col(_VV)))),
                     lambda s: s[_VV]).alias(out_name))
+
+        return DPResult(finalize, self._accountant)
+
+    # ------------------------------------------------------------------
+    # Multi-column sums in one pass
+    # ------------------------------------------------------------------
+    def aggregate_multi_sum(self, df: DataFrame, params: MultiSumParams,
+                            extractors: "MultiValueDataFrameExtractors",
+                            sum_specs: List[MultiSumSpec],
+                            public_partitions=None) -> DPResult:
+        """DP sums of several value columns sharing ONE contribution-bounding
+        pass (one Linf sample, one L0 sample, one shuffle chain); each
+        column has its own clip bounds and its own budget share."""
+        if not extractors.value_columns or \
+                len(extractors.value_columns) != len(sum_specs):
+            raise ValueError("one MultiSumSpec per value column required")
+        report = [f"DPEngine.aggregate_multi_sum: "
+                  f"{len(sum_specs)} sum columns"]
+        self._reports.append(report)
+        pk_cols = extractors.partition_key_columns
+        l0 = params.max_partitions_contributed
+        linf = params.max_contributions_per_partition
+
+        cols = [F.col(extractors.privacy_id_column).alias(_PID)] + \
+            [F.col(c) for c in pk_cols] + \
+            [F.col(c).cast(DoubleType()).alias(f"__value{i}__")
+             for i, c in enumerate(extractors.value_columns)]
+        data = df.select(*cols)
+
+        pub_df = None
+        if public_partitions is not None:
+            pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
+                                            public_partitions)
+            data = data.join(F.broadcast(pub_df), on=list(pk_cols),
+                             how="left_semi")
+            report.append("Dropped non-public partitions")
+
+        with self._accountant.scope(params.budget_weight):
+            mt = params.noise_kind.convert_to_mechanism_type()
+            specs = {"sums": [self._accountant.request_budget(mt)
+                              for _ in sum_specs]}
+            if params.include_count:
+                specs["count"] = self._accountant.request_budget(mt)
+            if params.include_privacy_id_count:
+                specs["privacy_id_count"] = self._accountant.request_budget(mt)
+            if public_partitions is None:
+                specs["partition_selection"] = self._accountant.request_budget(
+                    params.partition_selection_strategy.mechanism_type)
+
+        # Row sampling is only needed when a per-contribution clip depends
+        # on WHICH rows survive; per-partition clips and count caps do not.
+        row_sampling = any(s.min_value is not None for s in sum_specs)
+        partials: List[Column] = [
+            (F.count(F.lit(1)) if row_sampling else
+             F.least(F.count(F.lit(1)), F.lit(linf))).alias(_PP_COUNT)]
+        for i, s in enumerate(sum_specs):
+            v = F.col(f"__value{i}__")
+            if s.min_value is not None:
+                partials.append(
+                    F.sum(_clip(v, s.min_value, s.max_value))
+                    .alias(f"__pp_sum{i}__"))
+            else:
+                partials.append(
+                    _clip(F.sum(v), s.min_sum_per_partition,
+                          s.max_sum_per_partition).alias(f"__pp_sum{i}__"))
+        per_pid_pk = bounders.bound_cross_and_per_partition(
+            data, _PID, pk_cols, partials, l0, linf,
+            row_sampling_needed=row_sampling, order_cols=self._order_cols)
+        report.append(
+            f"Shared contribution bounding: Linf <= {linf}, L0 <= {l0}")
+
+        final_aggs = [F.count(F.lit(1)).alias(_PID_COUNT),
+                      F.sum(_PP_COUNT).alias(_COUNT)] + \
+            [F.sum(f"__pp_sum{i}__").alias(f"__sum{i}__")
+             for i in range(len(sum_specs))]
+        aggregated = per_pid_pk.groupBy(*pk_cols).agg(*final_aggs)
+        engine = self
+        agg_params = AggregateParams(
+            metrics=[Metrics.COUNT],
+            max_partitions_contributed=l0,
+            max_contributions_per_partition=linf,
+            noise_kind=params.noise_kind,
+            partition_selection_strategy=params.partition_selection_strategy,
+            pre_threshold=params.pre_threshold)
+
+        def finalize() -> DataFrame:
+            out = aggregated
+            if pub_df is not None:
+                out = engine._add_empty_public_partitions(out, pub_df,
+                                                          pk_cols)
+            else:
+                out = engine._select_private_partitions(
+                    out, specs["partition_selection"], agg_params, report)
+            kind = params.noise_kind.value
+            ordered = [F.col(c) for c in pk_cols]
+            if params.include_count:
+                cs = specs["count"]
+                scale = dp.noise_scale(params.noise_kind, cs.eps, cs.delta,
+                                       dp.count_sensitivities(l0, linf))
+                ordered.append(
+                    engine._noise.add_noise(
+                        F.col(_COUNT).cast(DoubleType()), kind, scale)
+                    .alias("count"))
+            if params.include_privacy_id_count:
+                ps = specs["privacy_id_count"]
+                scale = dp.noise_scale(
+                    params.noise_kind, ps.eps, ps.delta,
+                    dp.privacy_id_count_sensitivities(l0))
+                ordered.append(
+                    engine._noise.add_noise(
+                        F.col(_PID_COUNT).cast(DoubleType()), kind, scale)
+                    .alias("privacy_id_count"))
+            for i, (s, spec) in enumerate(zip(sum_specs, specs["sums"])):
+                sens = dp.sum_sensitivities(
+                    l0, linf, s.min_value, s.max_value,
+                    s.min_sum_per_partition, s.max_sum_per_partition)
+                scale = dp.noise_scale(params.noise_kind, spec.eps,
+                                       spec.delta, sens)
+                name = s.output_name or \
+                    f"sum_{extractors.value_columns[i]}"
+                ordered.append(
+                    engine._noise.add_noise(F.col(f"__sum{i}__"), kind,
+                                            scale).alias(name))
+                report.append(f"SUM[{name}]: {kind} noise, "
+                              f"scale={scale:.4g}")
+            return out.select(*ordered)
 
         return DPResult(finalize, self._accountant)
 
