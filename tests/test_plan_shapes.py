@@ -1,0 +1,93 @@
+"""Plan-shape assertions: scan pruning, filter pushdown, broadcast joins,
+map-side partial aggregation, bounded shuffle counts.
+
+These pin the engine's scale-critical physical properties so regressions
+fail tests (the 100 TB posture is a plan property, not a data property).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import pipelinedp_spark as pds
+from pipelinedp_spark import plans as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_scan_pruning_in_dp_pipeline(spark):
+    """The DP aggregate must read only (pid, pk, value) from the scan."""
+    q = (pds.QueryBuilder(_orders(spark), "o_custkey")
+         .groupby("o_orderpriority", max_groups_contributed=3,
+                  max_contributions_per_group=5,
+                  public_keys=["1-URGENT"])
+         .sum("o_totalprice", min_value=0.0, max_value=1000.0)
+         .build_query())
+    out = q.run_query(pds.Budget(1.0), noise_mode="zero")
+    scans = P.scan_columns(out)
+    assert scans, "expected a file scan in the plan"
+    for cols in scans:
+        assert set(cols) <= {"o_custkey", "o_orderpriority", "o_totalprice"}
+
+
+def test_isin_public_filter_pushdown(spark):
+    """Small public-key lists compile to scan-pushed In-filters, not joins."""
+    q = (pds.QueryBuilder(_orders(spark), "o_custkey")
+         .groupby("o_orderpriority", max_groups_contributed=3,
+                  max_contributions_per_group=5,
+                  public_keys=["1-URGENT", "2-HIGH"])
+         .count()
+         .build_query())
+    out = q.run_query(pds.Budget(1.0), noise_mode="zero")
+    pushed = P.pushed_filters(out)
+    assert any("In(o_orderpriority" in p for p in pushed), pushed
+
+
+def test_dp_count_partial_aggregation_and_shuffles(spark):
+    """Count fast path: no Linf window sort; partial aggregation present;
+    bounded shuffle count (pid-pk agg, L0 window, pk agg + small extras)."""
+    q = (pds.QueryBuilder(_orders(spark), "o_custkey")
+         .groupby("o_orderpriority", max_groups_contributed=3,
+                  max_contributions_per_group=5,
+                  public_keys=["1-URGENT", "2-HIGH"])
+         .count()
+         .build_query())
+    out = q.run_query(pds.Budget(1.0), noise_mode="zero")
+    assert P.has_partial_aggregation(out)
+    assert P.count_shuffles(out) <= 4
+
+
+def test_broadcast_join_for_query_keys(spark):
+    """cosine_topk broadcasts the query side instead of shuffling the
+    corpus."""
+    from pipelinedp_spark.operators import similarity
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = similarity.cosine_topk(emb, q, k=5)
+    assert P.has_broadcast_join(out)
+
+
+def test_codegen_spans_nonzero(spark):
+    q = (pds.QueryBuilder(_orders(spark), "o_custkey")
+         .groupby("o_orderpriority", max_groups_contributed=3,
+                  max_contributions_per_group=5, public_keys=["1-URGENT"])
+         .count()
+         .build_query())
+    out = q.run_query(pds.Budget(1.0), noise_mode="zero")
+    assert P.whole_stage_codegen_spans(out) >= 1
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from pipelinedp_spark.operators import dedup
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.exact_dedup(docs)
+    assert P.count_shuffles(out) == 1
+    assert P.has_partial_aggregation(out)
