@@ -386,6 +386,142 @@ ORDER BY o_month
 """
 
 
+def _dp_select_partitions_tg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select_partitions with the TRUNCATED_GEOMETRIC mechanism, zero-noise
+    mode: keep iff the optimal mechanism's keep-probability reaches 0.5."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    acct = pds.NaiveBudgetAccountant(3.0, 1e-5)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    res = engine.select_partitions(
+        df, pds.SelectPartitionsParams(max_partitions_contributed=25),
+        pds.DataFrameExtractors("o_custkey", "o_month", None))
+    acct.compute_budgets()
+    return res.dataframe()
+
+
+def _tg_cutoff(eps: float, delta: float, l0: int) -> int:
+    import numpy as np
+    probs = dpc.truncated_geometric_probabilities(eps, delta, l0)
+    above = np.nonzero(probs >= 0.5)[0]
+    return int(above[0]) if len(above) else len(probs)
+
+
+def _dp_select_partitions_tg_sql() -> str:
+    cutoff = _tg_cutoff(3.0, 1e-5, 25)
+    return f"""
+WITH per_user AS (
+    SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS o_month
+    FROM orders),
+agg AS (SELECT o_month, COUNT(*) AS n FROM per_user GROUP BY 1)
+SELECT o_month FROM agg WHERE n >= {cutoff} ORDER BY o_month
+"""
+
+
+def _dp_post_agg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation thresholding: the noised privacy-id count doubles as
+    the partition-selection signal (no separate selection budget); zero
+    noise keeps months whose exact count clears the threshold."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    acct = pds.NaiveBudgetAccountant(20.0, 1e-4)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.PRIVACY_ID_COUNT],
+        max_partitions_contributed=25,
+        max_contributions_per_partition=1,
+        post_aggregation_thresholding=True)
+    res = engine.aggregate(df, params,
+                           pds.DataFrameExtractors("o_custkey", "o_month",
+                                                   None))
+    acct.compute_budgets()
+    return res.dataframe()
+
+
+def _post_agg_threshold_sql() -> str:
+    # Mirror the engine: full budget on one Laplace-thresholding spec;
+    # threshold from thresholding_from_std at delta/2.
+    eps, delta, l0 = 20.0, 1e-4, 25
+    sens = dpc.privacy_id_count_sensitivities(l0)
+    std = dpc.noise_std(pds.NoiseKind.LAPLACE, eps, delta / 2, sens)
+    threshold = dpc.thresholding_from_std(pds.NoiseKind.LAPLACE, std,
+                                          delta / 2, l0)
+    return f"""
+WITH per_user AS (
+    SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS o_month
+    FROM orders),
+agg AS (SELECT o_month, COUNT(*) AS n FROM per_user GROUP BY 1)
+SELECT o_month, CAST(n AS DOUBLE) AS privacy_id_count
+FROM agg WHERE n >= {threshold}
+ORDER BY o_month
+"""
+
+
+def _dp_count_max_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-style bounding (max_contributions caps a user's TOTAL rows across
+    all partitions); cap set non-binding so the oracle is exact; zero
+    noise."""
+    orders = _t(spark, sf_dir, "orders")
+    pub = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.COUNT, pds.Metrics.PRIVACY_ID_COUNT],
+        max_contributions=100_000)
+    res = engine.aggregate(df=orders, params=params,
+                           extractors=pds.DataFrameExtractors(
+                               "o_custkey", "o_orderpriority", None),
+                           public_partitions=pub)
+    acct.compute_budgets()
+    return res.dataframe()
+
+
+_DP_MAX_CONTRIB_SQL = """
+WITH pub(o_orderpriority) AS (
+    VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'), ('4-NOT SPECIFIED'),
+           ('5-LOW')),
+agg AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) AS count,
+           CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS privacy_id_count
+    FROM orders GROUP BY 1)
+SELECT pub.o_orderpriority,
+       COALESCE(agg.count, 0.0) AS count,
+       COALESCE(agg.privacy_id_count, 0.0) AS privacy_id_count
+FROM pub LEFT JOIN agg USING (o_orderpriority)
+ORDER BY 1
+"""
+
+
+def _dp_count_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (2-column) partition key with private Laplace-thresholding
+    selection; zero noise."""
+    orders = _t(spark, sf_dir, "orders")
+    query = (pds.QueryBuilder(orders, "o_custkey")
+             .groupby(["o_orderpriority", "o_orderstatus"],
+                      max_groups_contributed=15,
+                      max_contributions_per_group=1_000_000,
+                      partition_selection_strategy=pds.
+                      PartitionSelectionStrategy.LAPLACE_THRESHOLDING)
+             .privacy_id_count()
+             .build_query())
+    return query.run_query(pds.Budget(30.0, 1e-4), noise_mode="zero")
+
+
+def _dp_count_composite_key_sql() -> str:
+    _, threshold = dpc.laplace_thresholding(15.0, 1e-4, 15)
+    return f"""
+WITH per_user AS (
+    SELECT DISTINCT o_custkey, o_orderpriority, o_orderstatus FROM orders),
+agg AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM per_user GROUP BY 1, 2)
+SELECT o_orderpriority, o_orderstatus, CAST(n AS DOUBLE) AS privacy_id_count
+FROM agg WHERE n >= {threshold}
+ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -404,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_percentile_public": _dp_percentile_public,
         "dp_vector_sum_public": _dp_vector_sum_public,
         "dp_partition_selection": _dp_partition_selection,
+        "dp_select_partitions_tg": _dp_select_partitions_tg,
+        "dp_post_agg_threshold": _dp_post_agg_threshold,
+        "dp_count_max_contributions": _dp_count_max_contributions,
+        "dp_count_composite_key": _dp_count_composite_key,
     }
 
 
@@ -423,6 +563,10 @@ def oracle_sql() -> dict[str, str]:
         "dp_percentile_public": _DP_PERCENTILE_SQL,
         "dp_vector_sum_public": _DP_VECTOR_SUM_SQL,
         "dp_partition_selection": _dp_partition_selection_sql(),
+        "dp_select_partitions_tg": _dp_select_partitions_tg_sql(),
+        "dp_post_agg_threshold": _post_agg_threshold_sql(),
+        "dp_count_max_contributions": _DP_MAX_CONTRIB_SQL,
+        "dp_count_composite_key": _dp_count_composite_key_sql(),
     }
 
 
