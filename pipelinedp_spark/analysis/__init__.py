@@ -21,6 +21,8 @@ from pipelinedp_spark.analysis.utility_analysis import (MetricUtility,
 from pipelinedp_spark.analysis.parameter_tuning import (TuneResult, tune)
 from pipelinedp_spark.analysis.dp_strategy_selector import (DPStrategy,
                                                             DPStrategySelector)
+from pipelinedp_spark.analysis.dataset_summary import (
+    PublicPartitionsSummary, compute_public_partitions_summary)
 
 __all__ = [
     "CountErrorEstimator",
@@ -31,7 +33,9 @@ __all__ = [
     "Histogram",
     "MetricUtility",
     "MultiParameterConfiguration",
+    "PublicPartitionsSummary",
     "TuneResult",
+    "compute_public_partitions_summary",
     "UtilityAnalysisEngine",
     "UtilityReport",
     "compute_dataset_histograms",

@@ -155,6 +155,42 @@ def _clip(col: Column, lo: float, hi: float) -> Column:
     return F.greatest(F.least(col, F.lit(float(hi))), F.lit(float(lo)))
 
 
+class CustomCombiner:
+    """User-defined DP aggregation hook (reference:
+    pipeline_dp/combiners.py:110-161 + examples/experimental/
+    custom_combiners.py). Subclass and implement:
+
+    - ``request_budget(accountant)``: called once at graph construction;
+      store the returned MechanismSpec(s) on self.
+    - ``output_schema``: DDL fragment of the metric columns this combiner
+      emits, e.g. ``"my_metric double"``.
+    - ``compute(pdf)``: given one partition's contribution-bounded rows as
+      a pandas DataFrame with columns ``__pid__`` (and ``__value__`` when a
+      value column was declared), return a dict of output column -> value.
+      THE COMBINER IS RESPONSIBLE FOR ITS OWN DP (noise, clipping beyond
+      the engine's row bounds), exactly like the reference contract.
+    """
+
+    output_schema: str = ""
+
+    def request_budget(self, accountant) -> None:
+        raise NotImplementedError
+
+    def compute(self, pdf: pd.DataFrame) -> dict:
+        raise NotImplementedError
+
+    def make_compute_fn(self, pk_cols: Sequence[str]):
+        combiner = self
+
+        def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = combiner.compute(pdf)
+            row = {c: pdf.iloc[0][c] for c in pk_cols}
+            row.update(out)
+            return pd.DataFrame([row])
+
+        return _fn
+
+
 def _vector_clip_udf(norm_kind: str, max_norm: float):
     """Arrow-batched per-vector norm clip: v * min(1, max_norm/||v||)."""
 
@@ -718,6 +754,59 @@ class DPEngine:
                     lambda s: s[_VV]).alias(out_name))
 
         return DPResult(finalize, self._accountant)
+
+    # ------------------------------------------------------------------
+    # Custom combiner plug-in
+    # ------------------------------------------------------------------
+    def aggregate_custom(self, df: DataFrame, params: AggregateParams,
+                         extractors: DataFrameExtractors,
+                         combiner: "CustomCombiner",
+                         public_partitions=None) -> DPResult:
+        """User-defined DP aggregation (reference CustomCombiner contract:
+        pipeline_dp/combiners.py:110-161 — the combiner requests budget at
+        graph construction and implements its own DP in compute).
+
+        The engine supplies contribution bounding (the declared Linf/L0
+        window samples) and hands each partition's bounded rows to the
+        combiner as an Arrow batch via applyInPandas; the combiner returns
+        one output row per partition. Group size is bounded by the
+        contribution bounds times the partition's user count — combiners
+        needing sublinear state should pre-aggregate in SQL instead."""
+        report = [f"DPEngine.aggregate_custom: {type(combiner).__name__}"]
+        self._reports.append(report)
+        pk_cols = extractors.partition_key_columns
+        cols = [F.col(extractors.privacy_id_column).alias(_PID)] + \
+            [F.col(c) for c in pk_cols]
+        if extractors.value_column is not None:
+            cols.append(F.col(extractors.value_column).cast(DoubleType())
+                        .alias(_VALUE))
+        data = df.select(*cols)
+        if public_partitions is not None:
+            pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
+                                            public_partitions)
+            data = data.join(F.broadcast(pub_df), on=list(pk_cols),
+                             how="left_semi")
+        with self._accountant.scope(params.budget_weight):
+            combiner.request_budget(self._accountant)
+        linf = params.max_contributions_per_partition
+        l0 = params.max_partitions_contributed
+        if not params.contribution_bounds_already_enforced:
+            if linf is not None:
+                data = bounders._limit_per_key(data, [_PID, *pk_cols], linf,
+                                               self._order_cols)
+            if l0 is not None:
+                keys = bounders._limit_per_key(
+                    data.select(_PID, *pk_cols).distinct(), [_PID], l0,
+                    self._order_cols)
+                data = data.join(keys, on=[_PID, *pk_cols], how="left_semi")
+        report.append(f"Contribution bounding: Linf <= {linf}, L0 <= {l0}")
+        schema = ", ".join(
+            [f"`{c}` {data.schema[c].dataType.simpleString()}"
+             for c in pk_cols] + [combiner.output_schema])
+        fn = combiner.make_compute_fn(pk_cols)
+        return DPResult(
+            lambda: data.groupBy(*pk_cols).applyInPandas(fn, schema),
+            self._accountant)
 
     # ------------------------------------------------------------------
     # Multi-column sums in one pass
