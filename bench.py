@@ -36,11 +36,17 @@ def main() -> None:
     # JVM/codegen warmup on the smallest table.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Best-of-2 per query: local[32] shares the box with other processes,
+    # and a single pass conflates external interference (observed 2s -> 27s
+    # spikes on identical plans) with engine cost.
     times: dict[str, float] = {}
     for name, fn in mod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -609,22 +609,24 @@ class DPEngine:
                 linf is not None:
             rows = bounders._limit_per_key(rows, [_PID, *pk_cols], linf,
                                            self._order_cols)
+        # L0 sampling at the (pid, pk) key level BEFORE binning: avoids
+        # both a per-(pid, pk, bin) intermediate aggregation and a branch
+        # that would recompute it for the semi-join.
+        l0 = params.max_partitions_contributed
+        if not params.contribution_bounds_already_enforced and l0 is not None:
+            keys = bounders._limit_per_key(
+                rows.select(_PID, *pk_cols).distinct(), [_PID], l0,
+                self._order_cols)
+            rows = rows.join(keys, on=[_PID, *pk_cols], how="left_semi")
         bin_col = F.least(
             F.lit(nbins - 1).cast("long"),
             F.floor((_clip(F.col(_VALUE), lo, hi) - F.lit(lo)) /
                     F.lit(width))).cast("int")
-        per = (rows.withColumn(_BIN, bin_col)
-               .groupBy(_PID, *pk_cols, _BIN)
-               .agg(F.count(F.lit(1)).alias(_BCNT)))
-        l0 = params.max_partitions_contributed
-        if not params.contribution_bounds_already_enforced and l0 is not None:
-            keys = bounders._limit_per_key(
-                per.select(_PID, *pk_cols).distinct(), [_PID], l0,
-                self._order_cols)
-            per = per.join(keys, on=[_PID, *pk_cols], how="left_semi")
         report.append(
             f"PERCENTILE: {nbins}-bin histogram sketch over [{lo}, {hi}]")
-        return per.groupBy(*pk_cols, _BIN).agg(F.sum(_BCNT).alias(_BCNT))
+        return (rows.withColumn(_BIN, bin_col)
+                .groupBy(*pk_cols, _BIN)
+                .agg(F.count(F.lit(1)).cast("double").alias(_BCNT)))
 
     def _percentile_values(self, hist: DataFrame, params: AggregateParams,
                            spec: MechanismSpec, pk_cols: Sequence[str],
@@ -701,21 +703,26 @@ class DPEngine:
                 linf is not None:
             data = bounders._limit_per_key(data, [_PID, *pk_cols], linf,
                                            self._order_cols)
+        # L0 sampling happens at the (pid, pk) KEY level BEFORE the d-fold
+        # explode: the key frame is 1/d the exploded size, and sampling
+        # first means the explode+sum subtree is built once (a post-explode
+        # keys.distinct() branch would recompute it for the semi-join).
+        l0 = params.max_partitions_contributed
+        if not params.contribution_bounds_already_enforced and l0 is not None:
+            keys = bounders._limit_per_key(
+                data.select(_PID, *pk_cols).distinct(), [_PID], l0,
+                self._order_cols)
+            data = data.join(keys, on=[_PID, *pk_cols], how="left_semi")
+        else:
+            keys = data.select(_PID, *pk_cols).distinct()
         clip = _vector_clip_udf(params.vector_norm_kind.value,
                                 float(params.vector_max_norm))
         data = data.withColumn(_VALUE, clip(F.col(_VALUE)))
         report.append(
             f"VECTOR_SUM: per-vector {params.vector_norm_kind.value}-norm "
             f"clip to {params.vector_max_norm}, Linf <= {linf}")
-        ex = data.select(_PID, *pk_cols,
-                         F.posexplode(_VALUE).alias(_POS, _VV))
-        per = ex.groupBy(_PID, *pk_cols, _POS).agg(F.sum(_VV).alias(_VV))
-        l0 = params.max_partitions_contributed
-        keys = per.select(_PID, *pk_cols).distinct()
-        if not params.contribution_bounds_already_enforced and l0 is not None:
-            keys = bounders._limit_per_key(keys, [_PID], l0, self._order_cols)
-            per = per.join(keys, on=[_PID, *pk_cols], how="left_semi")
-        final = per.groupBy(*pk_cols, _POS).agg(F.sum(_VV).alias(_VV))
+        ex = data.select(*pk_cols, F.posexplode(_VALUE).alias(_POS, _VV))
+        final = ex.groupBy(*pk_cols, _POS).agg(F.sum(_VV).alias(_VV))
         pid_counts = keys.groupBy(*pk_cols).agg(
             F.count(F.lit(1)).alias(_PID_COUNT))
         engine = self
