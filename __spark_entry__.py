@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_topk": _sim_lsh_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
         "emb_near_dup": _emb_near_dup,
         "dp_count_public": _dp_count_public,
         "dp_sum_clip_per_partition": _dp_sum_clip_per_partition,
@@ -584,6 +585,7 @@ def _doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
         TX.distinct_token_count(t).cast("long").alias("n_distinct"),
         F.round(TX.type_token_ratio(t), 6).alias("ttr"),
         TX.avg_token_length(t).alias("avg_tok_len"),
@@ -597,6 +599,8 @@ WITH tok AS (
   SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
 SELECT doc_id,
        len(t) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_bpe_tokens,
        len(list_distinct(t)) AS n_distinct,
        ROUND(len(list_distinct(t)) / GREATEST(len(t), 1), 6) AS ttr,
        list_aggregate([length(x) for x in t], 'sum')
@@ -795,6 +799,17 @@ def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_vec")))
     return similarity.lsh_topk(emb, q, k=10, num_planes=6)
+
+
+def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — rows-only check
+    (the sampled quantizer training is not practical to mirror in SQL)."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.ivf_topk(emb, q, k=10, num_cells=8, nprobe=2)
 
 
 def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,17 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: alphabetic runs, digit runs, and individual
+    punctuation marks each count as one token (the segmentation BPE
+    vocabularies start from). Pattern is Java/RE2-compatible so DuckDB
+    oracles can mirror it exactly."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def avg_token_length(text: Column) -> Column:
     t = tokens(text)
     return (F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))

@@ -145,6 +145,78 @@ def hyperplane_bands_udf(num_bands: int = 6, planes_per_band: int = 3,
     return _bands
 
 
+def ivf_topk(corpus: DataFrame,
+             queries: DataFrame,
+             k: int = 10,
+             num_cells: int = 16,
+             nprobe: int = 2,
+             corpus_id: str = "vec_id",
+             corpus_vec: str = "embedding",
+             query_id: str = "query_id",
+             query_vec: str = "query_vec",
+             seed: int = 7) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    assigns corpus vectors to cells; each query scores only its `nprobe`
+    nearest cells — the classic alternative to LSH bucketing.
+
+    Scale shape: the quantizer trains on a sample (k-means over all of
+    100 TB is wasteful and unnecessary), assignment is one Arrow-batched
+    numpy pass, and the probe join is corpus x broadcast(query-cell pairs)
+    on the cell id — cost ~ nprobe/num_cells of brute force.
+    Returns (query_id, vec_id, rank, cosine).
+    """
+    import numpy as np
+
+    sample = corpus.select(corpus_vec).limit(10_000).toPandas()
+    x = np.stack(sample[corpus_vec].to_numpy()).astype("float64")
+    # Normalize so euclidean k-means approximates cosine cells.
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(num_cells, len(x)),
+                             replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample
+        d = x @ centroids.T
+        assign = d.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    cts = centroids  # closure-captured, small
+
+    def cell_udf(top: int):
+        @pandas_udf("array<int>")
+        def _cells(vec: pd.Series) -> pd.Series:
+            if len(vec) == 0:
+                return pd.Series([], dtype="object")
+            v = np.stack(vec.to_numpy()).astype("float64")
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                               1e-12)
+            sims = v @ cts.T
+            order = np.argsort(-sims, axis=1)[:, :top].astype("int32")
+            return pd.Series(list(order))
+
+        return _cells
+
+    cos = cosine_pairs_udf()
+    c = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec),
+        F.element_at(cell_udf(1)(F.col(corpus_vec)), 1).alias("cell"))
+    q = queries.select(
+        F.col(query_id), F.col(query_vec),
+        F.explode(cell_udf(nprobe)(F.col(query_vec))).alias("cell"))
+    scored = c.join(F.broadcast(q), "cell").select(
+        F.col(query_id), F.col(corpus_id),
+        cos(F.col(corpus_vec), F.col(query_vec)).alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("cosine"), 6).alias("cosine")))
+
+
 def lsh_topk(corpus: DataFrame,
              queries: DataFrame,
              k: int = 10,

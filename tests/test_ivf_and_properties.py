@@ -1,0 +1,109 @@
+"""IVF similarity tests + hypothesis property tests for driver-side math."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pipelinedp_spark import dp_computations as dp
+from pipelinedp_spark.aggregate_params import NoiseKind
+from pipelinedp_spark.budget_accounting import NaiveBudgetAccountant
+from pipelinedp_spark.aggregate_params import MechanismType
+
+
+def test_ivf_topk_recall(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pipelinedp_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    exact = similarity.cosine_topk(emb, q, k=10)
+    approx = similarity.ivf_topk(emb, q, k=10, num_cells=8, nprobe=3)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=3 of 8 cells: recall should beat the cell fraction comfortably.
+    assert recall >= 0.5
+    # Each query's own vector (cosine 1.0) must be found: it shares the
+    # query's top cell by construction.
+    for qid in range(5):
+        assert (qid, qid) in approx_set
+
+
+def test_bpe_token_count(spark):
+    from pipelinedp_spark.functions import text as T
+    df = spark.createDataFrame(
+        [("Hello, world! 123 abc-def",)], "text string")
+    n = df.select(T.bpe_token_count(F.col("text")).alias("n")).collect()[0]
+    # Hello , world ! 123 abc - def -> 8
+    assert n["n"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Property tests (pure driver-side math; no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(eps=st.floats(0.01, 50), l1=st.floats(0.1, 1e4))
+@settings(max_examples=50, deadline=None)
+def test_laplace_scale_monotone(eps, l1):
+    b = dp.laplace_scale(eps, l1)
+    assert b > 0
+    assert dp.laplace_scale(eps * 2, l1) < b      # more eps -> less noise
+    assert dp.laplace_scale(eps, l1 * 2) > b      # more sens -> more noise
+
+
+@given(eps=st.floats(0.05, 1.0), delta=st.floats(1e-10, 1e-2),
+       l2=st.floats(0.1, 100))
+@settings(max_examples=30, deadline=None)
+def test_gaussian_sigma_valid(eps, delta, l2):
+    sigma = dp.gaussian_sigma(eps, delta, l2)
+    assert sigma > 0
+    # Analytic sigma is never worse than the classic bound (which is only
+    # valid for eps <= 1, hence the restricted strategy).
+    classic = l2 * math.sqrt(2 * math.log(1.25 / delta)) / eps
+    assert sigma <= classic * 1.01
+
+
+@given(l0=st.integers(1, 1000), linf=st.floats(0.1, 100))
+@settings(max_examples=50, deadline=None)
+def test_sensitivity_derivation(l0, linf):
+    s = dp.Sensitivities(l0=l0, linf=linf)
+    assert s.l1 == pytest.approx(l0 * linf)
+    assert s.l2 == pytest.approx(math.sqrt(l0) * linf)
+    assert s.l2 <= s.l1 + 1e-9
+
+
+@given(eps=st.floats(0.1, 10), delta=st.floats(1e-8, 1e-3),
+       l0=st.integers(1, 50))
+@settings(max_examples=30, deadline=None)
+def test_laplace_threshold_above_one(eps, delta, l0):
+    _, threshold = dp.laplace_thresholding(eps, delta, l0)
+    # Small delta -> threshold must exceed the single-user count of 1.
+    assert threshold > 1.0
+
+
+@given(eps=st.floats(0.1, 5), delta=st.floats(1e-8, 1e-4),
+       l0=st.integers(1, 20))
+@settings(max_examples=20, deadline=None)
+def test_truncated_geometric_probs_monotone(eps, delta, l0):
+    probs = dp.truncated_geometric_probabilities(eps, delta, l0)
+    assert probs[0] == 0.0
+    assert probs[-1] == 1.0
+    assert all(b >= a - 1e-12 for a, b in zip(probs, probs[1:]))
+
+
+@given(weights=st.lists(st.floats(0.1, 10), min_size=1, max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_naive_accountant_spends_exact_budget(weights):
+    acct = NaiveBudgetAccountant(total_epsilon=2.0, total_delta=1e-6)
+    specs = [acct.request_budget(MechanismType.GAUSSIAN, weight=w)
+             for w in weights]
+    acct.compute_budgets()
+    assert sum(s.eps for s in specs) == pytest.approx(2.0)
+    assert sum(s.delta for s in specs) == pytest.approx(1e-6)
+    for s, w in zip(specs, weights):
+        assert s.eps == pytest.approx(2.0 * w / sum(weights))
