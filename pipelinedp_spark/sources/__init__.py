@@ -12,6 +12,7 @@ from pipelinedp_spark.sources.catalog import (CANONICAL_TABLES, load_tables,
                                               read_parquet, read_stream,
                                               read_table,
                                               register_temp_views,
+                                              write_bucketed_table,
                                               write_parquet)
 
 __all__ = [
@@ -23,5 +24,6 @@ __all__ = [
     "read_stream",
     "read_table",
     "register_temp_views",
+    "write_bucketed_table",
     "write_parquet",
 ]

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -123,6 +125,57 @@ def dp_streaming_sum(stream: DataFrame,
         "window",
         noise.add_noise(F.col("__sum__"), noise_kind.value, scale)
         .alias("sum"))
+
+
+def streaming_exact_dedup(stream: DataFrame,
+                          fingerprint_col: str,
+                          id_col: str,
+                          timeout_minutes: Optional[int] = None) -> DataFrame:
+    """Custom stateful operator: emit only the FIRST occurrence of each
+    fingerprint across the whole stream (exact online dedup).
+
+    applyInPandasWithState keeps one boolean per fingerprint group; state
+    is partitioned by the fingerprint hash, so it scales horizontally, and
+    an optional processing-time timeout bounds state for unbounded key
+    spaces (trade exactness past the horizon for bounded memory — the
+    standard production compromise).
+    Returns (fingerprint, id) of first occurrences, update mode.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("fingerprint", StringType()),
+        StructField(id_col, LongType()),
+    ])
+    state_schema = StructType([StructField("seen", LongType())])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes else GroupStateTimeout.NoTimeout)
+    ms = timeout_minutes
+
+    def dedup_fn(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf) and first_id is None:
+                first_id = int(pdf[id_col].min())
+        if not state.exists and first_id is not None:
+            state.update((1,))
+            if ms:
+                state.setTimeoutDuration(ms * 60 * 1000)
+            yield pd.DataFrame({"fingerprint": [key[0]],
+                                id_col: [first_id]})
+
+    renamed = stream.select(
+        F.col(fingerprint_col).alias("fingerprint"), F.col(id_col))
+    return (renamed
+            .groupBy("fingerprint")
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "update", timeout))
 
 
 def session_window_counts(stream: DataFrame,

@@ -172,6 +172,42 @@ def test_dp_streaming_sum(spark, stream_dir):
     assert rows[1] == 80.0
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType
+    schema = StructType([StructField("fp", StringType()),
+                         StructField("doc_id", LongType())])
+    rows = [("a", 3), ("a", 1), ("b", 5), ("a", 2), ("c", 7), ("b", 6)]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "dedup_stream")
+    df.coalesce(1).write.parquet(path)
+    from pipelinedp_spark.streaming import streaming_exact_dedup
+    stream = sources.read_stream(spark, path, schema)
+    out = streaming_exact_dedup(stream, "fp", "doc_id")
+    q = (out.writeStream.format("memory").queryName("dedup_stream_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["fingerprint"]: r["doc_id"] for r in
+           spark.sql("select * from dedup_stream_t").collect()}
+    # One row per fingerprint, carrying the min id of the first batch.
+    assert got == {"a": 1, "b": 5, "c": 7}
+
+
+def test_write_bucketed_table(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"))
+    sources.write_bucketed_table(df, "bucketed_t", ["k"], num_buckets=4,
+                                 mode="overwrite")
+    try:
+        back = spark.table("bucketed_t")
+        assert back.count() == 100
+        # Aggregation on the bucket column needs no exchange.
+        from pipelinedp_spark import plans as P
+        agg = back.groupBy("k").count()
+        assert P.count_shuffles(agg) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_t")
+
+
 def test_session_window_counts(spark, stream_dir):
     stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
     out = session_window_counts(stream, "user_id", "ts",
