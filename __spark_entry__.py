@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_ivf_topk": _sim_ivf_topk,
         "emb_near_dup": _emb_near_dup,
+        "emb_near_dup_exact": _emb_near_dup_exact,
         "dp_count_public": _dp_count_public,
         "dp_sum_clip_per_partition": _dp_sum_clip_per_partition,
         "dp_sum_clip_per_contribution": _dp_sum_clip_per_contribution,
@@ -555,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
+        "emb_near_dup_exact": _EMB_NEAR_DUP_EXACT_SQL,
         "dp_count_public": _DP_COUNT_PUBLIC_SQL,
         "dp_sum_clip_per_partition": _DP_SUM_CLIP_SQL,
         "dp_sum_clip_per_contribution": _DP_SUM_CONTRIB_SQL,
@@ -810,6 +812,30 @@ def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_vec")))
     return similarity.ivf_topk(emb, q, k=10, num_cells=8, nprobe=2)
+
+
+def _emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force embedding near-dup pairs (oracle-checkable
+    baseline for the LSH variant)."""
+    from pipelinedp_spark.operators import dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_exact(emb, cosine_threshold=0.45)
+
+
+_EMB_NEAR_DUP_EXACT_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                    a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                   a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]))), 6) >= 0.45
+"""
 
 
 def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

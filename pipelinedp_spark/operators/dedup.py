@@ -179,6 +179,62 @@ def simhash_pairs(df: DataFrame,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def embedding_near_dup_exact(df: DataFrame,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             cosine_threshold: float = 0.45,
+                             max_broadcast_rows: int = 200_000) -> DataFrame:
+    """Exact embedding near-dup pairs (id_a < id_b, cosine rounded to 6dp).
+
+    The O(n^2) correctness baseline for `embedding_near_dup_pairs`. Instead
+    of a row-level self-join (n^2 rows through the join operator, cosine
+    re-evaluated per pair in Catalyst), the full normalized corpus is
+    broadcast once as a dense float64 matrix and each Arrow batch of rows
+    does a single numpy block-matmul against it — the classic blocked
+    brute-force ANN baseline. Work is still distributed across partitions
+    of `df`; only the (small) comparison matrix is replicated, exactly like
+    the build side of a broadcast join. Guarded by `max_broadcast_rows`:
+    beyond that, use the banded-LSH variant (`embedding_near_dup_pairs`),
+    which is the scale path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).cast("array<double>").alias("_vec"))
+    rows = src.collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"corpus has {len(rows)} rows > max_broadcast_rows="
+            f"{max_broadcast_rows}; use embedding_near_dup_pairs (LSH) "
+            "for corpora too large to broadcast")
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["_vec"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids, unit))
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def _block(batches):
+        b_ids, b_unit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            a_norms = np.linalg.norm(a_mat, axis=1)
+            a_norms[a_norms == 0.0] = 1.0
+            cos = np.round((a_mat / a_norms[:, None]) @ b_unit.T, 6)
+            keep = (cos >= cosine_threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bj],
+                                "cosine": cos[ai, bj]})
+
+    return src.mapInPandas(_block, schema=out_schema)
+
+
 def embedding_near_dup_pairs(df: DataFrame,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",

@@ -129,3 +129,18 @@ class TestSimilarity:
                  for row in rows_out if row["rank"] == 1}
         for qid, vid in first.items():
             assert qid == vid
+
+    def test_embedding_near_dup_exact_superset_of_lsh(self, spark):
+        rows = [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+                for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_near_dup_exact(
+                     emb, cosine_threshold=0.9).collect()}
+        lsh = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_near_dup_pairs(
+                   emb, cosine_threshold=0.9, dim=8).collect()}
+        assert len(exact) > 0
+        # LSH candidates are verified against the same threshold, so every
+        # LSH pair must appear in the exact pair set.
+        assert lsh <= exact
