@@ -556,6 +556,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
+        "sim_lsh_topk": _SIM_LSH_TOPK_SQL,
+        "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_exact": _EMB_NEAR_DUP_EXACT_SQL,
         "dp_count_public": _DP_COUNT_PUBLIC_SQL,
         "dp_sum_clip_per_partition": _DP_SUM_CLIP_SQL,
@@ -793,14 +795,95 @@ FROM ranked WHERE rank <= 10
 
 
 def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed top-k (scale path) — rows-only check (the
-    hyperplane derivation is not practical to mirror in SQL)."""
+    """Approximate LSH-bucketed top-k (scale path). Oracle-checked: the
+    md5-derived hyperplanes are data-independent constants, so the SQL
+    mirror injects them as DOUBLE[] literals (`_gen_lsh_topk_sql`)."""
     from pipelinedp_spark.operators import similarity
     emb = _t(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_vec")))
-    return similarity.lsh_topk(emb, q, k=10, num_planes=6)
+    out = similarity.lsh_topk(emb, q, k=10, num_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _plane_lit(row) -> str:
+    """A hyperplane row as a full-precision DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+
+def _gen_lsh_topk_sql(num_planes: int = 6, dim: int = 64,
+                      k: int = 10) -> str:
+    """SQL mirror of `similarity.lsh_topk`: same md5-derived planes
+    (injected as literals), same sign-bit bucket id, same bucket-equality
+    join and (cosine DESC, vec_id ASC) ranking."""
+    from pipelinedp_spark.operators.similarity import _plane_matrix
+    planes = _plane_matrix(num_planes, dim, lambda p, d: f"{p}:{d}")
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(planes[p])}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)" for p in range(num_planes))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv) /
+         (sqrt(list_dot_product(c.v, c.v))
+          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM sig c JOIN q USING (bucket)),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank,
+         cosine
+  FROM scored)
+SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _gen_emb_near_dup_sql(num_bands: int = 8, ppb: int = 5, dim: int = 64,
+                          thresh: float = 0.45,
+                          max_bucket: int = 2000) -> str:
+    """SQL mirror of `dedup.embedding_near_dup_pairs`: per-band sign-bit
+    buckets from the same literal-injected planes, bucket-size cap,
+    bucket-equality self-join, cosine verify at 6dp."""
+    from pipelinedp_spark.operators.similarity import _plane_matrix
+    planes = _plane_matrix(num_bands * ppb, dim,
+                           lambda p, d: f"{p // ppb}:{p % ppb}:{d}")
+    selects = []
+    for b in range(num_bands):
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, "
+            f"{_plane_lit(planes[b * ppb + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)" for j in range(ppb))
+        selects.append(f"SELECT vec_id, v, {b} AS band_idx, "
+                       f"({bucket}) AS bucket FROM base")
+    exploded = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS ({exploded}),
+filt AS (
+  SELECT * FROM sig
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, bucket) <= {max_bucket}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM filt a JOIN filt b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id)
+SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= {thresh}
+"""
+
+
+_SIM_LSH_TOPK_SQL = _gen_lsh_topk_sql(num_planes=6, dim=64, k=10)
+_EMB_NEAR_DUP_SQL = _gen_emb_near_dup_sql(num_bands=8, ppb=5, dim=64,
+                                          thresh=0.45, max_bucket=2000)
 
 
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,8 +922,9 @@ WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 
 
 def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via banded hyperplane LSH — rows-only check
-    (the md5-derived hyperplanes are not practical to mirror in SQL)."""
+    """Embedding near-dup pairs via banded hyperplane LSH. Oracle-checked:
+    the md5-derived planes are data-independent constants, injected into
+    the SQL mirror as literals (`_gen_emb_near_dup_sql`)."""
     from pipelinedp_spark.operators import dedup
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, cosine_threshold=0.45)
