@@ -3,11 +3,14 @@
 All operators are shuffle-bounded DataFrame plans:
 
 - exact_dedup: one hash-groupBy on the fingerprint (map-side combine).
-- minhash_lsh_pairs: shingle -> minhash -> band -> bucket self-join.
-  The self-join only pairs documents sharing an LSH band, and a frequency
-  cap drops degenerate buckets (a bucket with B docs creates B^2/2 pairs —
-  the cap bounds the blow-up the way frequency filters do in prod dedup).
-- simhash_pairs: bucket by simhash band (Hamming-adjacent candidates).
+- minhash_lsh_pairs: shingle -> minhash -> band -> in-bucket pairs.
+  Pairs are generated inside each LSH bucket group (one groupBy shuffle,
+  no self-join), and a size cap drops degenerate buckets whole (a bucket
+  with B docs creates B^2/2 pairs — the cap bounds the blow-up the way
+  frequency filters do in prod dedup).
+- simhash_pairs: bucket by simhash bit-block (Hamming-adjacent candidates).
+- embedding_near_dup_pairs / embedding_near_dup_exact: banded hyperplane
+  LSH scale path / broadcast block-matmul baseline.
 - ngram_jaccard_verify: exact verification on candidate pairs only.
 
 No reference counterpart (net-new per project north star).
@@ -57,9 +60,9 @@ def minhash_lsh_pairs(df: DataFrame,
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     Plan: shingle (per-row expr) -> minhash (per-row expr) -> explode bands
-    -> self-join per band bucket (shuffle on band hash) -> distinct pairs ->
-    join back shingle arrays -> exact Jaccard filter. Buckets larger than
-    max_bucket_size are dropped (degenerate hash collisions).
+    -> in-bucket pair generation (one shuffle on the band hash) -> distinct
+    pairs -> join back shingle arrays -> exact Jaccard filter. Buckets
+    larger than max_bucket_size are dropped (degenerate hash collisions).
     """
     sh = shingle_docs(df, text_col, id_col, k)
     # Minhash via explode + groupBy-min rather than per-row higher-order
@@ -87,6 +90,14 @@ def minhash_lsh_pairs(df: DataFrame,
     bands = (bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
              .filter(F.col("bucket_size") <= max_bucket_size)
              .drop("bucket_size"))
+    # Persist the (tiny: num_bands rows/doc) banded table so the minhash
+    # pipeline above — the expensive part: explode shingles + groupBy with
+    # num_hashes min-aggregates — is evaluated once, not once per join
+    # side. The candidate pairs themselves stay JVM-side: buckets here can
+    # be large (near-dup-heavy corpora), and shipping B^2/2 pair rows
+    # through Arrow to Python costs more than the hash-join that never
+    # leaves Tungsten.
+    bands = bands.persist()
     left = bands.select(F.col("band_idx"), F.col("band_hash"),
                         F.col(id_col).alias("id_a"))
     right = bands.select(F.col("band_idx"), F.col("band_hash"),
@@ -165,18 +176,25 @@ def simhash_pairs(df: DataFrame,
             F.shiftright(F.col("simhash"), i * block_bits)
             .bitwiseAND(F.lit(mask)) for i in range(num_blocks)
         ])).alias("block_idx", "block_val"))
+    # Persist the (num_blocks rows/doc) block table so the fingerprint
+    # subplan — explode tokens + a 60-aggregate groupBy — is evaluated
+    # once, not once per join side. Candidate pairs stay JVM-side: simhash
+    # blocks collide heavily on near-dup corpora, and the pair set is far
+    # cheaper inside Tungsten (bit_count filter before distinct) than
+    # shipped through Arrow to Python.
+    blocks = blocks.persist()
     left = blocks.select("block_idx", "block_val",
                          F.col(id_col).alias("id_a"),
                          F.col("simhash").alias("sh_a"))
     right = blocks.select("block_idx", "block_val",
                           F.col(id_col).alias("id_b"),
                           F.col("simhash").alias("sh_b"))
-    cand = (left.join(right, on=["block_idx", "block_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    return (left.join(right, on=["block_idx", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def embedding_near_dup_exact(df: DataFrame,
@@ -251,28 +269,43 @@ def embedding_near_dup_pairs(df: DataFrame,
     Scale shape: bucket join per band replaces the O(n^2) cross product;
     oversized buckets are dropped before the self-join blows up.
     """
-    from pipelinedp_spark.operators.similarity import (cosine_pairs_udf,
-                                                       hyperplane_bands_udf)
+    import numpy as np
+    import pandas as pd
+
+    from pipelinedp_spark.operators.similarity import hyperplane_bands_udf
     bands = hyperplane_bands_udf(num_bands, planes_per_band, dim)
-    cos = cosine_pairs_udf()
-    # Vectors ride along through the band join (they ARE the payload), so
-    # verification happens inline — no candidate `distinct` shuffle over the
-    # (large) pre-verification pair set and no re-join to fetch vectors.
-    # Duplicate candidates across bands cost only a re-scored numpy row;
-    # dropDuplicates runs on the (tiny) post-threshold survivors.
+    # Vectors ride along into the bucket groups (they ARE the payload), and
+    # pairs are generated + cosine-verified inside each group with one
+    # numpy matmul — one groupBy shuffle total, no bucket self-join (which
+    # would evaluate the band-signature UDF once per side) and no re-join
+    # to fetch vectors. Oversized (degenerate) buckets are dropped whole
+    # before their B^2/2 pairs exist. dropDuplicates runs on the (tiny)
+    # post-threshold survivors.
     sig = df.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
         F.posexplode(bands(F.col(vec_col))).alias("band_idx", "bucket"))
-    w = Window.partitionBy("band_idx", "bucket")
-    sig = (sig.withColumn("bsz", F.count(F.lit(1)).over(w))
-           .filter(F.col("bsz") <= max_bucket_size).drop("bsz"))
-    a = sig.select("band_idx", "bucket", F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("va"))
-    b = sig.select("band_idx", "bucket", F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("vb"))
-    return (a.join(b, ["band_idx", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.round(cos(F.col("va"), F.col("vb")), 6).alias("cosine"))
-            .filter(F.col("cosine") >= cosine_threshold)
+
+    def _pairs(pdf):
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if n < 2 or n > max_bucket_size:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(dtype=np.int64))
+        ids = pdf["_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["_vec"].to_numpy()[order]).astype(np.float64)
+        num = mat @ mat.T
+        norms = np.linalg.norm(mat, axis=1)
+        cos = np.round(num / np.outer(norms, norms), 6)
+        i, j = np.triu_indices(n, k=1)
+        keep = cos[i, j] >= cosine_threshold
+        i, j = i[keep], j[keep]
+        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j],
+                             "cosine": cos[i, j]})
+
+    return (sig.groupBy("band_idx", "bucket")
+            .applyInPandas(_pairs,
+                           schema="id_a long, id_b long, cosine double")
             .dropDuplicates(["id_a", "id_b"]))
