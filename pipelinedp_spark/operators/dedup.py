@@ -135,19 +135,43 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     scale path; `functions.text.simhash64` is the equivalent per-row
     expression for small inputs.
     """
+    # Each token votes +1/-1 per bit; bit b of the fingerprint is the vote
+    # sign. Equivalently, with s_b = count of tokens whose hash has bit b
+    # set and n = token count: bit b is 1 iff 2*s_b > n. The s_b counters
+    # are packed 4-per-long into 16-bit slots, so the groupBy carries
+    # 15 packed sums + 1 count instead of 60 wide sums — 4x fewer
+    # aggregation buffers and a 4x narrower shuffle row, bit-identical
+    # results for any document under 2^16 distinct tokens (guaranteed by
+    # the slice below).
+    slots = 4
+    num_packed = (bits + slots - 1) // slots
     tok = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(T.tokens(F.col(text_col))))
-        .alias("token"))
+        F.explode(F.slice(F.array_distinct(T.tokens(F.col(text_col))),
+                          1, (1 << 16) - 1)).alias("token"))
     hashed = tok.select(F.col(id_col),
                         T.token_hash(F.col("token")).alias("h"))
-    votes = hashed.groupBy(id_col).agg(*[
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        .alias(f"v{b}") for b in range(bits)
-    ])
+
+    def packed_expr(p: int):
+        e = None
+        for s in range(slots):
+            b = p * slots + s
+            if b >= bits:
+                break
+            term = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long"),
+                16 * s)
+            e = term if e is None else e + term
+        return e
+
+    votes = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(packed_expr(p)).alias(f"p{p}") for p in range(num_packed)])
     sim = None
     for b in range(bits):
-        bit = (F.when(F.col(f"v{b}") > 0,
+        p, s = b // slots, b % slots
+        s_b = F.shiftright(F.col(f"p{p}"), 16 * s).bitwiseAND(F.lit(0xFFFF))
+        bit = (F.when(s_b * 2 > F.col("n"),
                       F.shiftleft(F.lit(1).cast("long"), b))
                .otherwise(F.lit(0).cast("long")))
         sim = bit if sim is None else sim.bitwiseOR(bit)
