@@ -156,3 +156,28 @@ def test_private_dataframe_select_partitions(spark):
     acct.compute_budgets()
     kept = [r["pk"] for r in res.dataframe().collect()]
     assert "big" in kept and "tiny" not in kept
+
+
+def test_to_list_and_to_collection(kv, spark):
+    out = B.to_list(kv, "v").collect()
+    assert len(out) == 1
+    assert sorted(out[0]["v"]) == [1, 2, 3, 5, 10]
+    lifted = B.to_collection(spark, [("z", 7)], "k string, v int")
+    assert lifted.collect()[0]["v"] == 7
+
+
+def test_flat_map_with_side_input(kv, spark):
+    # Reference flat_map_with_side_inputs: compose the broadcast singleton
+    # side input with an explode whose array depends on it.
+    side = spark.createDataFrame([(2,)], "reps int")
+    with_side = B.with_singleton_side_input(kv, side, "side")
+    out = B.flat_map(
+        with_side,
+        F.transform(F.sequence(F.lit(1), F.col("side.reps")),
+                    lambda i: F.col("v") * i),
+        "v_scaled", keep=["k"])
+    rows = sorted((r["k"], r["v_scaled"]) for r in out.collect())
+    # every v appears once at x1 and once at x2
+    assert rows.count(("a", 2)) == 2  # v=1 scaled x2 and v=2 scaled x1
+    assert ("b", 20) in rows and ("c", 10) in rows
+    assert len(rows) == 10
