@@ -522,6 +522,47 @@ ORDER BY 1, 2
 """
 
 
+def _dp_windowed_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP count of events per (event_type, tumbling 1-day event-time
+    window) with private Laplace-thresholding partition selection — the
+    batch mirror of the Structured Streaming DP aggregation (same window
+    semantics, same bounding). Linf cap = 5 binding; L0 = 100 non-binding;
+    zero noise. `ts` arrives as raw parquet TIMESTAMP(NANOS) longs."""
+    ev = _t(spark, sf_dir, "events")
+    day_nanos = 86_400_000_000_000
+    ev = ev.withColumn(
+        "day", F.floor(F.col("ts") / F.lit(day_nanos)).cast("long"))
+    query = (pds.QueryBuilder(ev, "user_id")
+             .groupby(["event_type", "day"], max_groups_contributed=100,
+                      max_contributions_per_group=5,
+                      partition_selection_strategy=pds.
+                      PartitionSelectionStrategy.LAPLACE_THRESHOLDING)
+             .count()
+             .build_query())
+    return query.run_query(pds.Budget(60.0, 1e-4), noise_mode="zero")
+
+
+def _dp_windowed_count_events_sql() -> str:
+    threshold = _laplace_threshold_for(30.0, 1e-4, 100)
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events),
+per_user AS (
+    SELECT user_id, event_type, day, LEAST(COUNT(*), 5) AS capped
+    FROM ev GROUP BY 1, 2, 3),
+agg AS (
+    SELECT event_type, day,
+           CAST(SUM(capped) AS DOUBLE) AS count,
+           COUNT(*) AS n_users
+    FROM per_user GROUP BY 1, 2)
+SELECT event_type, day, count
+FROM agg WHERE n_users >= {threshold}
+ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -546,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_post_agg_threshold": _dp_post_agg_threshold,
         "dp_count_max_contributions": _dp_count_max_contributions,
         "dp_count_composite_key": _dp_count_composite_key,
+        "dp_windowed_count_events": _dp_windowed_count_events,
     }
 
 
@@ -572,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_post_agg_threshold": _post_agg_threshold_sql(),
         "dp_count_max_contributions": _DP_MAX_CONTRIB_SQL,
         "dp_count_composite_key": _dp_count_composite_key_sql(),
+        "dp_windowed_count_events": _dp_windowed_count_events_sql(),
     }
 
 
