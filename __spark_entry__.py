@@ -563,6 +563,85 @@ ORDER BY 1, 2
 """
 
 
+def _doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over documents: quality + language
+    filter -> exact-dup removal (keep lowest doc_id per fingerprint,
+    carry dup_count) -> token-budget cut via a distributed two-pass
+    prefix sum (`operators.running.running_sum`), keeping docs in doc_id
+    order while the cumulative BPE-token count stays within budget."""
+    from pyspark.sql import Window
+    from pipelinedp_spark.functions import text as TX
+    from pipelinedp_spark.operators.running import running_sum
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        TX.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        TX.quality_score(t).alias("quality"),
+        TX.language_id(t).alias("lang_pred"),
+        TX.rolling_fingerprint(t).alias("fingerprint"))
+    filtered = scored.filter((F.col("quality") >= 0.3)
+                             & (F.col("lang_pred") == "en"))
+    wf = Window.partitionBy("fingerprint")
+    kept = (filtered
+            .withColumn("dup_count", F.count(F.lit(1)).over(wf))
+            .withColumn("_rn", F.row_number().over(
+                wf.orderBy("doc_id")))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    budgeted = running_sum(kept, "doc_id", "n_bpe_tokens",
+                           out_col="cum_tokens")
+    return (budgeted.filter(F.col("cum_tokens") <= 5000)
+            .select("doc_id", "n_bpe_tokens", "quality", "dup_count",
+                    "cum_tokens"))
+
+
+_DOC_PREP_PIPELINE_SQL = """
+WITH tok AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+scored AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens,
+         ROUND((CASE WHEN len(t) < 50 THEN len(t) / 50.0
+                     WHEN len(t) > 10000 THEN 10000.0 / len(t)
+                     ELSE 1.0 END)
+               * (len(list_distinct(t)) / GREATEST(len(t), 1)), 6)
+             AS quality,
+         CASE
+           WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                ['the','a','and','of','to','in','is','it'])) >=
+                GREATEST(
+                  len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                      ['the','a','and','of','to','in','is','it'])),
+                  len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                      ['el','la','de','que','y','los','un','por'])),
+                  len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                      ['der','die','und','das','ist','ein','nicht'])),
+                  len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                      ['le','la','et','les','des','un','est','pas'])), 1)
+           THEN 'en' ELSE 'other'
+         END AS lang_pred,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+             AS fingerprint
+  FROM tok),
+filtered AS (
+  SELECT * FROM scored WHERE quality >= 0.3 AND lang_pred = 'en'),
+kept AS (
+  SELECT doc_id, n_bpe_tokens, quality,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY doc_id) AS rn
+  FROM filtered),
+budgeted AS (
+  SELECT doc_id, n_bpe_tokens, quality, dup_count,
+         SUM(n_bpe_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+  FROM kept WHERE rn = 1)
+SELECT doc_id, n_bpe_tokens, quality, CAST(dup_count AS BIGINT) AS dup_count,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM budgeted WHERE cum_tokens <= 5000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -588,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_count_max_contributions": _dp_count_max_contributions,
         "dp_count_composite_key": _dp_count_composite_key,
         "dp_windowed_count_events": _dp_windowed_count_events,
+        "doc_prep_pipeline": _doc_prep_pipeline,
     }
 
 
@@ -615,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_count_max_contributions": _DP_MAX_CONTRIB_SQL,
         "dp_count_composite_key": _dp_count_composite_key_sql(),
         "dp_windowed_count_events": _dp_windowed_count_events_sql(),
+        "doc_prep_pipeline": _DOC_PREP_PIPELINE_SQL,
     }
 
 

@@ -1,0 +1,73 @@
+"""Distributed running (prefix) aggregates.
+
+A global ``SUM(...) OVER (ORDER BY ...)`` collapses Spark onto a single
+task (one unpartitioned window). The scalable equivalent is the classic
+two-phase prefix sum:
+
+1. range-partition by the order column and sort within partitions —
+   partition p holds a contiguous, sorted key range;
+2. aggregate one total per partition (tiny: #partitions rows), turn the
+   totals into exclusive per-partition offsets on the driver, and
+   broadcast them;
+3. stream each partition once (Arrow batches), accumulating the local
+   running sum on top of the partition's offset.
+
+Cost: one range-exchange + one #partitions-row collect. Every phase is
+data-parallel, so the operator holds at any corpus size, unlike the
+single-task window.
+
+No reference counterpart (net-new; the reference has no window/ordered
+operators at all — SURVEY.md §2.F).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def running_sum(df: DataFrame, order_col: str, value_col: str,
+                out_col: str = "running_sum",
+                num_partitions: Optional[int] = None) -> DataFrame:
+    """Exact running sum of ``value_col`` in ``order_col`` order.
+
+    Appends ``out_col`` (long) to the schema. ``order_col`` must be
+    globally unique for a deterministic result (ties within a partition
+    are broken by the in-partition sort, but the caller's semantics
+    shouldn't depend on tie order).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(n, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist())
+    totals = {r["_pid"]: r["_t"] for r in
+              part.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+              .collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    bc = spark.sparkContext.broadcast(offsets)
+    out_schema = part.drop("_pid").schema.add(out_col, "long")
+
+    def _cumsum(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = bc.value.get(int(pdf["_pid"].iloc[0]), 0)
+            run = pdf[value_col].cumsum() + carry
+            carry = int(run.iloc[-1])
+            out = pdf.drop(columns=["_pid"])
+            out[out_col] = run.astype("int64")
+            yield out
+
+    return part.mapInPandas(_cumsum, schema=out_schema)

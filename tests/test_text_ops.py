@@ -144,3 +144,28 @@ class TestSimilarity:
         # LSH candidates are verified against the same threshold, so every
         # LSH pair must appear in the exact pair set.
         assert lsh <= exact
+
+
+class TestRunningSum:
+    def test_matches_single_task_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from pipelinedp_spark.operators.running import running_sum
+        rows = [(i * 7 % 101, (i * 13) % 40 + 1) for i in range(101)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {r["k"]: r["cs"] for r in
+               running_sum(df, "k", "v", out_col="cs",
+                           num_partitions=8).collect()}
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = {r["k"]: r["cs"] for r in
+                df.withColumn("cs", F.sum("v").over(w)).collect()}
+        assert got == want
+
+    def test_no_single_task_exchange(self, spark):
+        # The point of the operator: no unpartitioned window in the plan.
+        from pipelinedp_spark.operators.running import running_sum
+        df = spark.range(100).withColumn("v", (F.col("id") % 7) + 1)
+        plan = running_sum(df, "id", "v", num_partitions=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
