@@ -91,3 +91,33 @@ def test_exact_dedup_single_shuffle(spark):
     out = dedup.exact_dedup(docs)
     assert P.count_shuffles(out) == 1
     assert P.has_partial_aggregation(out)
+
+
+def test_embedding_near_dup_no_pair_join(spark):
+    """Banded near-dup: pairs come from in-bucket groups, so the plan has
+    no join operator at all (and so no cartesian/nested-loop blowup)."""
+    from pipelinedp_spark.operators import dedup
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = P.explain_str(dedup.embedding_near_dup_pairs(emb))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, bad
+
+
+def test_minhash_signature_computed_once(spark):
+    """The banded signature table is persisted: both self-join sides must
+    read the InMemoryRelation instead of re-running the minhash subplan."""
+    from pipelinedp_spark.operators import dedup
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = P.explain_str(dedup.minhash_lsh_pairs(docs), mode="simple")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_running_sum_stays_range_partitioned(spark):
+    from pipelinedp_spark.operators.running import running_sum
+    df = spark.range(1000).withColumn("v", (F.col("id") % 9) + 1)
+    plan = P.explain_str(running_sum(df, "id", "v", num_partitions=8),
+                         mode="simple")
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
