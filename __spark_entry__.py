@@ -569,7 +569,6 @@ def _doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry dup_count) -> token-budget cut via a distributed two-pass
     prefix sum (`operators.running.running_sum`), keeping docs in doc_id
     order while the cumulative BPE-token count stays within budget."""
-    from pyspark.sql import Window
     from pipelinedp_spark.functions import text as TX
     from pipelinedp_spark.operators.running import running_sum
     docs = _t(spark, sf_dir, "documents")
@@ -582,12 +581,13 @@ def _doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.rolling_fingerprint(t).alias("fingerprint"))
     filtered = scored.filter((F.col("quality") >= 0.3)
                              & (F.col("lang_pred") == "en"))
-    wf = Window.partitionBy("fingerprint")
-    kept = (filtered
-            .withColumn("dup_count", F.count(F.lit(1)).over(wf))
-            .withColumn("_rn", F.row_number().over(
-                wf.orderBy("doc_id")))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    # Keep-lowest-per-fingerprint as ONE hash aggregation (min_by struct +
+    # count): map-side combinable, no window sort.
+    kept = (filtered.groupBy("fingerprint")
+            .agg(F.min_by(F.struct("doc_id", "n_bpe_tokens", "quality"),
+                          F.col("doc_id")).alias("_s"),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .select("_s.*", "dup_count"))
     budgeted = running_sum(kept, "doc_id", "n_bpe_tokens",
                            out_col="cum_tokens")
     return (budgeted.filter(F.col("cum_tokens") <= 5000)
