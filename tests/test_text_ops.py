@@ -169,3 +169,20 @@ class TestRunningSum:
             ._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert "Window" not in plan
+
+    def test_carry_across_arrow_batches(self, spark):
+        # Force multiple Arrow batches per partition so the running sum
+        # must carry across batch boundaries.
+        from pipelinedp_spark.operators.running import running_sum
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                             "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            df = spark.range(500).withColumn("v", F.lit(1))
+            rows = running_sum(df, "id", "v", out_col="cs",
+                               num_partitions=4).collect()
+            got = {r["id"]: r["cs"] for r in rows}
+            assert got == {i: i + 1 for i in range(500)}
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
