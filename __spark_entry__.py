@@ -642,6 +642,36 @@ FROM budgeted WHERE cum_tokens <= 5000
 """
 
 
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's most recent prior-or-equal
+    click (as-of backward join per user). `ts` stays in raw nanos longs
+    on the Spark side; the oracle compares via epoch_ns."""
+    from pipelinedp_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    out = asof_join(purchases, clicks, time_col="ts", by="user_id")
+    # DuckDB timestamps are microsecond precision; emit micros both sides.
+    return out.select(
+        "event_id", "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.expr("ts_right DIV 1000").alias("ts_right_us"),
+        F.col("value_right").alias("last_click_value"))
+
+
+_ASOF_JOIN_EVENTS_SQL = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(c.ts) AS ts_right_us,
+       c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -668,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_count_composite_key": _dp_count_composite_key,
         "dp_windowed_count_events": _dp_windowed_count_events,
         "doc_prep_pipeline": _doc_prep_pipeline,
+        "asof_join_events": _asof_join_events,
     }
 
 
@@ -696,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_count_composite_key": _dp_count_composite_key_sql(),
         "dp_windowed_count_events": _dp_windowed_count_events_sql(),
         "doc_prep_pipeline": _DOC_PREP_PIPELINE_SQL,
+        "asof_join_events": _ASOF_JOIN_EVENTS_SQL,
     }
 
 

@@ -186,3 +186,78 @@ class TestRunningSum:
         finally:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                            old)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        L = spark.createDataFrame(
+            [(7, 1, 10, 0.5), (8, 1, 20, 0.6), (9, 2, 15, 0.7)],
+            "event_id long, user_id long, ts long, value double")
+        R = spark.createDataFrame(
+            [(1, 5, 1.0), (1, 18, 2.0), (3, 1, 9.0)],
+            "user_id long, ts long, value double")
+        return L, R
+
+    def test_backward(self, spark):
+        from pipelinedp_spark.operators.asof import asof_join
+        L, R = self._frames(spark)
+        rows = {r["event_id"]: (r["ts_right"], r["value_right"])
+                for r in asof_join(L, R, "ts", "user_id").collect()}
+        assert rows[7] == (5, 1.0)
+        assert rows[8] == (18, 2.0)
+        assert rows[9] == (None, None)  # user 2 has no right rows
+
+    def test_forward(self, spark):
+        from pipelinedp_spark.operators.asof import asof_join
+        L, R = self._frames(spark)
+        rows = {r["event_id"]: r["ts_right"]
+                for r in asof_join(L, R, "ts", "user_id",
+                                   direction="forward").collect()}
+        assert rows[7] == 18
+        assert rows[8] is None  # nothing at ts >= 20
+        assert rows[9] is None
+
+    def test_count_survives_input_pruning(self, spark):
+        # A bare count() prunes the cogroup inputs to the key; the
+        # operator must keep the left-join row multiplicity.
+        from pipelinedp_spark.operators.asof import asof_join
+        L, R = self._frames(spark)
+        assert asof_join(L, R, "ts", "user_id").count() == 3
+
+    def test_large_int64_times_not_corrupted(self, spark):
+        # Nano-epoch magnitudes exceed float64 precision; unmatched rows
+        # must not force the matched values through float64.
+        from pipelinedp_spark.operators.asof import asof_join
+        base = 1_704_073_540_167_754_929
+        L = spark.createDataFrame(
+            [(1, 1, base + 1000), (2, 2, base)],
+            "event_id long, user_id long, ts long")
+        R = spark.createDataFrame([(1, base)], "user_id long, ts long")
+        rows = {r["event_id"]: r["ts_right"]
+                for r in asof_join(L, R, "ts", "user_id").collect()}
+        assert rows[1] == base
+        assert rows[2] is None
+
+    def test_sweep_carry_across_arrow_batches(self, spark):
+        # Small Arrow batches force the per-partition fill state to carry
+        # across batch boundaries inside one partition.
+        from pipelinedp_spark.operators.asof import asof_join
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                             "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        try:
+            L = spark.createDataFrame(
+                [(i, i % 3, 10 * i + 5) for i in range(60)],
+                "event_id long, k long, ts long")
+            R = spark.createDataFrame(
+                [(i % 3, 10 * i) for i in range(60)],
+                "k long, ts long")
+            rows = {r["event_id"]: r["ts_right"]
+                    for r in asof_join(L, R, "ts", "k").collect()}
+            # right times for key k are {10i : i % 3 == k}; the latest
+            # right time <= 10i+5 with matching key is 10i itself when
+            # i%3==k... left key is i%3 so the match is exactly 10i.
+            assert rows == {i: 10 * i for i in range(60)}
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
