@@ -672,6 +672,40 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+_RJ_BASE_NS = 1_704_067_200 * 10**9      # 2024-01-01 UTC in nanos
+_RJ_STEP_NS = 36 * 3600 * 10**9          # interval spacing: 36h
+_RJ_LEN_NS = 90 * 3600 * 10**9           # interval length: 90h (overlap)
+
+
+def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked range join: each event matched to every (overlapping)
+    90-hour maintenance window derived from the nation table. The chunk
+    width equals the window spacing, so the nested-loop non-equi join
+    becomes a hash equi-join on the chunk id."""
+    from pipelinedp_spark.operators.ranges import range_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    iv = (_t(spark, sf_dir, "nation")
+          .select("n_nationkey")
+          .withColumn("w_start", (F.lit(_RJ_BASE_NS)
+                                  + F.col("n_nationkey") * _RJ_STEP_NS)
+                      .cast("long"))
+          .withColumn("w_end", (F.col("w_start") + _RJ_LEN_NS)
+                      .cast("long")))
+    out = range_join(ev, "ts", iv, "w_start", "w_end",
+                     chunk=_RJ_STEP_NS)
+    return out.select("event_id", "n_nationkey")
+
+
+_RANGE_JOIN_EVENTS_SQL = f"""
+SELECT e.event_id, n.n_nationkey
+FROM events e
+JOIN nation n
+  ON epoch_ns(e.ts) BETWEEN {_RJ_BASE_NS} + n.n_nationkey * {_RJ_STEP_NS}
+                        AND {_RJ_BASE_NS} + n.n_nationkey * {_RJ_STEP_NS}
+                            + {_RJ_LEN_NS}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -699,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_windowed_count_events": _dp_windowed_count_events,
         "doc_prep_pipeline": _doc_prep_pipeline,
         "asof_join_events": _asof_join_events,
+        "range_join_events": _range_join_events,
     }
 
 
@@ -728,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_windowed_count_events": _dp_windowed_count_events_sql(),
         "doc_prep_pipeline": _DOC_PREP_PIPELINE_SQL,
         "asof_join_events": _ASOF_JOIN_EVENTS_SQL,
+        "range_join_events": _RANGE_JOIN_EVENTS_SQL,
     }
 
 

@@ -261,3 +261,28 @@ class TestAsofJoin:
         finally:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                            old)
+
+
+class TestRangeJoin:
+    def test_matches_between_filter(self, spark):
+        from pipelinedp_spark.operators.ranges import range_join
+        pts = spark.createDataFrame([(i, i * 10) for i in range(20)],
+                                    "pid long, t long")
+        iv = spark.createDataFrame(
+            [(0, 5, 60), (1, 50, 120), (2, 200, 210)],
+            "iid long, s long, e long")
+        got = {(r["pid"], r["iid"]) for r in
+               range_join(pts, "t", iv, "s", "e", chunk=37).collect()}
+        want = {(p, i) for p in range(20) for i, (s, e) in
+                enumerate([(5, 60), (50, 120), (200, 210)])
+                if s <= p * 10 <= e}
+        assert got == want
+
+    def test_no_nested_loop_join(self, spark):
+        from pipelinedp_spark.operators.ranges import range_join
+        from pipelinedp_spark import plans as P
+        pts = spark.range(100).withColumn("t", F.col("id") * 7)
+        iv = spark.createDataFrame([(1, 10, 500)], "iid long, s long, e long")
+        plan = P.explain_str(range_join(pts, "t", iv, "s", "e", chunk=100))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
