@@ -706,6 +706,36 @@ JOIN nation n
 """
 
 
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (1-hour gap): event count and duration
+    per session — the batch mirror of the streaming session windows."""
+    from pipelinedp_spark.operators.sessions import session_stats
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", F.expr("ts DIV 1000").alias("t_us")))
+    gap_us = 3600 * 10**6
+    out = session_stats(ev, "t_us", "user_id", gap_us)
+    return out.select("user_id", "session_id", "n_events",
+                      F.col("dur").alias("dur_us"))
+
+
+_SESSIONIZE_EVENTS_SQL = """
+WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 3600000000 THEN 1 ELSE 0 END AS brk
+  FROM x),
+s AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       (MAX(t) - MIN(t)) AS dur_us
+FROM s GROUP BY user_id, sid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -734,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prep_pipeline": _doc_prep_pipeline,
         "asof_join_events": _asof_join_events,
         "range_join_events": _range_join_events,
+        "sessionize_events": _sessionize_events,
     }
 
 
@@ -764,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_prep_pipeline": _DOC_PREP_PIPELINE_SQL,
         "asof_join_events": _ASOF_JOIN_EVENTS_SQL,
         "range_join_events": _RANGE_JOIN_EVENTS_SQL,
+        "sessionize_events": _SESSIONIZE_EVENTS_SQL,
     }
 
 

@@ -286,3 +286,20 @@ class TestRangeJoin:
         plan = P.explain_str(range_join(pts, "t", iv, "s", "e", chunk=100))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSessionize:
+    def test_gap_sessions(self, spark):
+        from pipelinedp_spark.operators.sessions import (session_stats,
+                                                         sessionize)
+        rows = [(1, t) for t in [0, 10, 25, 100, 105, 300]] + \
+               [(2, t) for t in [50, 55]]
+        df = spark.createDataFrame(rows, "k long, t long")
+        sids = {(r["k"], r["t"]): r["session_id"]
+                for r in sessionize(df, "t", "k", gap=20).collect()}
+        assert sids == {(1, 0): 0, (1, 10): 0, (1, 25): 0, (1, 100): 1,
+                        (1, 105): 1, (1, 300): 2, (2, 50): 0, (2, 55): 0}
+        stats = {(r["k"], r["session_id"]): (r["n_events"], r["dur"])
+                 for r in session_stats(df, "t", "k", gap=20).collect()}
+        assert stats == {(1, 0): (3, 25), (1, 1): (2, 5), (1, 2): (1, 0),
+                         (2, 0): (2, 5)}
