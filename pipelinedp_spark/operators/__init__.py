@@ -1,1 +1,3 @@
-from pipelinedp_spark.operators import dedup, similarity  # noqa: F401
+from pipelinedp_spark.operators import (asof, dedup, multimodal, ranges,
+                                        running, sessions,
+                                        similarity)  # noqa: F401
