@@ -736,6 +736,36 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-50 tokens by document frequency
+    (ties broken by token). Explode distinct tokens -> one map-side
+    combinable groupBy -> partial+final window top-k."""
+    from pyspark.sql import Window
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.array_distinct(TX.tokens(F.col("text"))))
+        .alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 50))
+
+
+_TOKEN_TOPK_SQL = """
+WITH tok AS (
+  SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+counts AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, doc_freq,
+         ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token ASC) AS rank
+  FROM counts)
+SELECT token, doc_freq, rank FROM ranked WHERE rank <= 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -765,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _asof_join_events,
         "range_join_events": _range_join_events,
         "sessionize_events": _sessionize_events,
+        "token_topk": _token_topk,
     }
 
 
@@ -796,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _ASOF_JOIN_EVENTS_SQL,
         "range_join_events": _RANGE_JOIN_EVENTS_SQL,
         "sessionize_events": _SESSIONIZE_EVENTS_SQL,
+        "token_topk": _TOKEN_TOPK_SQL,
     }
 
 
