@@ -766,6 +766,29 @@ SELECT token, doc_freq, rank FROM ranked WHERE rank <= 50
 """
 
 
+def _doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of documents keyed on
+    md5(salt:doc_id) — reproducible across runs and engines, no RNG."""
+    from pipelinedp_spark.functions.sampling import deterministic_split
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+_DOC_SPLIT_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT / 1152921504606846976.0 AS v
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN v < 0.8 THEN 'train'
+            WHEN v < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -796,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _range_join_events,
         "sessionize_events": _sessionize_events,
         "token_topk": _token_topk,
+        "doc_split": _doc_split,
     }
 
 
@@ -828,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": _RANGE_JOIN_EVENTS_SQL,
         "sessionize_events": _SESSIONIZE_EVENTS_SQL,
         "token_topk": _TOKEN_TOPK_SQL,
+        "doc_split": _DOC_SPLIT_SQL,
     }
 
 

@@ -1,0 +1,64 @@
+"""Deterministic splits and samples for training-data pipelines.
+
+Hash-based: every decision is a pure function of (salt, id), so splits
+are reproducible across runs, machines, and engines — no RNG state, no
+seed plumbing, and adding data never reassigns existing rows (the
+property that makes hash splits the standard for train/val/test).
+All expressions are native (md5 + conv), JVM-side, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.functions.text import hex_to_long
+
+_DENOM = float(1 << 60)
+
+
+def hash_uniform(id_col: Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from md5(salt:id) — 60 bits."""
+    h = hex_to_long(
+        F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))))
+    return h / F.lit(_DENOM)
+
+
+def split_column(id_col: Column, fractions: Dict[str, float],
+                 salt: str = "split") -> Column:
+    """A split label column ('train'/'val'/... ) from cumulative
+    fraction thresholds over the hash-uniform value. Fractions must sum
+    to 1 (the last split absorbs rounding)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_uniform(id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        # round the cumulative threshold so 0.8 + 0.1 compares as exactly
+        # 0.9 (engine-portable boundary)
+        acc = round(acc + fractions[name], 12)
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    return (F.lit(names[0]) if expr is None
+            else expr.otherwise(names[-1]))
+
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        fractions: Dict[str, float],
+                        salt: str = "split",
+                        out_col: str = "split") -> DataFrame:
+    """Append a reproducible split label keyed on ``id_col``."""
+    return df.withColumn(out_col,
+                         split_column(F.col(id_col), fractions, salt))
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float,
+                         salt: str = "sample") -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows keyed on ``id_col``."""
+    return df.filter(hash_uniform(F.col(id_col), salt) < F.lit(fraction))

@@ -303,3 +303,34 @@ class TestSessionize:
                  for r in session_stats(df, "t", "k", gap=20).collect()}
         assert stats == {(1, 0): (3, 25), (1, 1): (2, 5), (1, 2): (1, 0),
                          (2, 0): (2, 5)}
+
+
+class TestDeterministicSplit:
+    def test_split_stable_and_exhaustive(self, spark):
+        from pipelinedp_spark.functions.sampling import (
+            deterministic_sample, deterministic_split)
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r["k"]: r["split"] for r in
+             deterministic_split(df, "k", fr).collect()}
+        b = {r["k"]: r["split"] for r in
+             deterministic_split(df, "k", fr).collect()}
+        assert a == b  # reproducible
+        assert set(a.values()) == {"train", "val", "test"}
+        n = len(a)
+        train = sum(1 for v in a.values() if v == "train")
+        assert 0.75 * n < train < 0.85 * n
+        # sample with the same salt is a prefix-consistent subset
+        s10 = {r["k"] for r in
+               deterministic_sample(df, "k", 0.1, salt="s").collect()}
+        s20 = {r["k"] for r in
+               deterministic_sample(df, "k", 0.2, salt="s").collect()}
+        assert s10 <= s20
+        assert 0.05 * n < len(s10) < 0.15 * n
+
+    def test_fractions_must_sum_to_one(self, spark):
+        import pytest as _pytest
+        from pipelinedp_spark.functions.sampling import deterministic_split
+        df = spark.range(10).withColumnRenamed("id", "k")
+        with _pytest.raises(ValueError):
+            deterministic_split(df, "k", {"a": 0.5, "b": 0.4})
