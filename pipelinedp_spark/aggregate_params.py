@@ -218,6 +218,16 @@ class AggregateParams:
             if len(metric_kinds) > 1:
                 raise ValueError(
                     "VECTOR_SUM must be the only metric in an aggregation")
+        if self.post_aggregation_thresholding:
+            # The post-aggregation threshold filter operates on the noisy
+            # privacy-id count; without that metric no DP selection would run
+            # at all and every partition key would be released (reference
+            # raises the same way: pipeline_dp/dp_engine.py:474-477).
+            if Metric.PRIVACY_ID_COUNT not in metric_kinds:
+                raise ValueError(
+                    "post_aggregation_thresholding requires PRIVACY_ID_COUNT "
+                    "in metrics (the threshold is applied to the noisy "
+                    "privacy-id count)")
         if self.pre_threshold is not None and self.pre_threshold <= 0:
             raise ValueError("pre_threshold must be positive")
         if self.budget_weight <= 0:
