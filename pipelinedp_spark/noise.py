@@ -55,7 +55,11 @@ class SecureNoiseSource(NoiseSource):
             rng = np.random.default_rng()
             return pd.Series(rng.laplace(0.0, scale, size=len(v)))
 
-        return _noise(F.lit(0.0))
+        # Nondeterministic so Catalyst never duplicates the draw (e.g. by
+        # pushing a threshold predicate through the projection) or collapses
+        # two draws into one — either would break the DP guarantee by
+        # decoupling the released value from the thresholded value.
+        return _noise.asNondeterministic()(F.lit(0.0))
 
     def gaussian(self, sigma: float) -> Column:
         @F.pandas_udf(DoubleType())
@@ -63,7 +67,7 @@ class SecureNoiseSource(NoiseSource):
             rng = np.random.default_rng()
             return pd.Series(rng.normal(0.0, sigma, size=len(v)))
 
-        return _noise(F.lit(0.0))
+        return _noise.asNondeterministic()(F.lit(0.0))
 
     def geometric_keep(self, count_col: Column, probs: np.ndarray,
                        pre_threshold: Optional[int]) -> Column:
@@ -82,7 +86,7 @@ class SecureNoiseSource(NoiseSource):
             u = rng.random(len(n))
             return pd.Series(u < p)
 
-        return _keep(count_col)
+        return _keep.asNondeterministic()(count_col)
 
 
 class ZeroNoiseSource(NoiseSource):

@@ -15,7 +15,6 @@ SF = "/root/testdata/sf0.001"
 
 
 def _orders(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{SF}/orders.parquet")
 
 
@@ -65,7 +64,6 @@ def test_broadcast_join_for_query_keys(spark):
     """cosine_topk broadcasts the query side instead of shuffling the
     corpus."""
     from pipelinedp_spark.operators import similarity
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = (emb.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"),
@@ -86,7 +84,6 @@ def test_codegen_spans_nonzero(spark):
 
 def test_exact_dedup_single_shuffle(spark):
     from pipelinedp_spark.operators import dedup
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = dedup.exact_dedup(docs)
     assert P.count_shuffles(out) == 1
@@ -108,10 +105,39 @@ def test_minhash_signature_computed_once(spark):
     """The banded signature table is persisted: both self-join sides must
     read the InMemoryRelation instead of re-running the minhash subplan."""
     from pipelinedp_spark.operators import dedup
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = P.explain_str(dedup.minhash_lsh_pairs(docs), mode="simple")
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_noise_udfs_are_nondeterministic(spark):
+    """Secure-noise UDFs must be nondeterministic: Catalyst must not push
+    predicates through a noise projection or duplicate a draw, otherwise the
+    thresholded value and the released value come from independent noise
+    (breaking the thresholding DP guarantee)."""
+    from pipelinedp_spark import noise as N
+    src = N.SecureNoiseSource()
+    df = spark.range(4).select(
+        (F.col("id").cast("double") + src.laplace(1.0)).alias("noisy"))
+    plan = P.explain_str(df, mode="simple")
+    assert "ArrowEvalPython" in plan
+
+    # The DP pipeline with post-aggregation thresholding draws pid-count
+    # noise ONCE: the filter and the released column must share the single
+    # ArrowEvalPython node (no duplicated draw after predicate pushdown).
+    acct = pds.NaiveBudgetAccountant(20.0, 1e-4)
+    engine = pds.DPEngine(acct, noise_mode="secure")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.PRIVACY_ID_COUNT],
+        max_partitions_contributed=3,
+        max_contributions_per_partition=1,
+        post_aggregation_thresholding=True)
+    res = engine.aggregate(
+        _orders(spark), params,
+        pds.DataFrameExtractors("o_custkey", "o_orderpriority", None))
+    acct.compute_budgets()
+    nplan = P.explain_str(res.dataframe(), mode="simple")
+    assert nplan.count("ArrowEvalPython") == 1, nplan
 
 
 def test_running_sum_stays_range_partitioned(spark):
