@@ -27,10 +27,15 @@ from pipelinedp_spark import dp_computations as dpc
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS); Spark needs the legacy conf to
-    # read it (as long). Safe to set at runtime; harmless for other tables.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        # events.ts arrives as parquet TIMESTAMP (NTZ).  Downstream queries
+        # and operators key on integer time arithmetic, so normalize to
+        # microseconds-since-epoch (UTC) longs — the same representation the
+        # DuckDB oracles use via epoch_us().
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -527,11 +532,11 @@ def _dp_windowed_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     window) with private Laplace-thresholding partition selection — the
     batch mirror of the Structured Streaming DP aggregation (same window
     semantics, same bounding). Linf cap = 5 binding; L0 = 100 non-binding;
-    zero noise. `ts` arrives as raw parquet TIMESTAMP(NANOS) longs."""
+    zero noise. `ts` is micros-since-epoch (normalized by `_t`)."""
     ev = _t(spark, sf_dir, "events")
-    day_nanos = 86_400_000_000_000
+    day_us = 86_400_000_000
     ev = ev.withColumn(
-        "day", F.floor(F.col("ts") / F.lit(day_nanos)).cast("long"))
+        "day", F.floor(F.col("ts") / F.lit(day_us)).cast("long"))
     query = (pds.QueryBuilder(ev, "user_id")
              .groupby(["event_type", "day"], max_groups_contributed=100,
                       max_contributions_per_group=5,
@@ -644,8 +649,8 @@ FROM budgeted WHERE cum_tokens <= 5000
 
 def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase event, the user's most recent prior-or-equal
-    click (as-of backward join per user). `ts` stays in raw nanos longs
-    on the Spark side; the oracle compares via epoch_ns."""
+    click (as-of backward join per user). `ts` is micros-since-epoch longs
+    on the Spark side; the oracle compares via epoch_us."""
     from pipelinedp_spark.operators.asof import asof_join
     ev = _t(spark, sf_dir, "events")
     purchases = (ev.filter(F.col("event_type") == "purchase")
@@ -653,11 +658,10 @@ def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("user_id", "ts", "value"))
     out = asof_join(purchases, clicks, time_col="ts", by="user_id")
-    # DuckDB timestamps are microsecond precision; emit micros both sides.
     return out.select(
         "event_id", "user_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        F.expr("ts_right DIV 1000").alias("ts_right_us"),
+        F.col("ts").alias("ts_us"),
+        F.col("ts_right").alias("ts_right_us"),
         F.col("value_right").alias("last_click_value"))
 
 
@@ -672,9 +676,9 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-_RJ_BASE_NS = 1_704_067_200 * 10**9      # 2024-01-01 UTC in nanos
-_RJ_STEP_NS = 36 * 3600 * 10**9          # interval spacing: 36h
-_RJ_LEN_NS = 90 * 3600 * 10**9           # interval length: 90h (overlap)
+_RJ_BASE_US = 1_704_067_200 * 10**6      # 2024-01-01 UTC in micros
+_RJ_STEP_US = 36 * 3600 * 10**6          # interval spacing: 36h
+_RJ_LEN_US = 90 * 3600 * 10**6           # interval length: 90h (overlap)
 
 
 def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,13 +690,13 @@ def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
     iv = (_t(spark, sf_dir, "nation")
           .select("n_nationkey")
-          .withColumn("w_start", (F.lit(_RJ_BASE_NS)
-                                  + F.col("n_nationkey") * _RJ_STEP_NS)
+          .withColumn("w_start", (F.lit(_RJ_BASE_US)
+                                  + F.col("n_nationkey") * _RJ_STEP_US)
                       .cast("long"))
-          .withColumn("w_end", (F.col("w_start") + _RJ_LEN_NS)
+          .withColumn("w_end", (F.col("w_start") + _RJ_LEN_US)
                       .cast("long")))
     out = range_join(ev, "ts", iv, "w_start", "w_end",
-                     chunk=_RJ_STEP_NS)
+                     chunk=_RJ_STEP_US)
     return out.select("event_id", "n_nationkey")
 
 
@@ -700,9 +704,9 @@ _RANGE_JOIN_EVENTS_SQL = f"""
 SELECT e.event_id, n.n_nationkey
 FROM events e
 JOIN nation n
-  ON epoch_ns(e.ts) BETWEEN {_RJ_BASE_NS} + n.n_nationkey * {_RJ_STEP_NS}
-                        AND {_RJ_BASE_NS} + n.n_nationkey * {_RJ_STEP_NS}
-                            + {_RJ_LEN_NS}
+  ON epoch_us(e.ts) BETWEEN {_RJ_BASE_US} + n.n_nationkey * {_RJ_STEP_US}
+                        AND {_RJ_BASE_US} + n.n_nationkey * {_RJ_STEP_US}
+                            + {_RJ_LEN_US}
 """
 
 
@@ -711,7 +715,7 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per session — the batch mirror of the streaming session windows."""
     from pipelinedp_spark.operators.sessions import session_stats
     ev = (_t(spark, sf_dir, "events")
-          .select("user_id", F.expr("ts DIV 1000").alias("t_us")))
+          .select("user_id", F.col("ts").alias("t_us")))
     gap_us = 3600 * 10**6
     out = session_stats(ev, "t_us", "user_id", gap_us)
     return out.select("user_id", "session_id", "n_events",
@@ -831,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_lsh_topk": _SIM_LSH_TOPK_SQL,
+        "sim_ivf_topk": _gen_ivf_topk_sql(),
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_exact": _EMB_NEAR_DUP_EXACT_SQL,
         "dp_count_public": _DP_COUNT_PUBLIC_SQL,
@@ -1168,14 +1173,72 @@ _EMB_NEAR_DUP_SQL = _gen_emb_near_dup_sql(num_bands=8, ppb=5, dim=64,
 
 
 def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) approximate top-k — rows-only check
-    (the sampled quantizer training is not practical to mirror in SQL)."""
+    """IVF (k-means coarse quantizer) approximate top-k. Deterministic:
+    the quantizer trains on the lowest-10k-id sample with a fixed seed, so
+    the oracle generator (`_gen_ivf_topk_sql`) re-trains bit-identical
+    centroids from the same parquet with numpy and mirrors cell assignment
+    + probing + scoring in SQL."""
     from pipelinedp_spark.operators import similarity
     emb = _t(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_vec")))
-    return similarity.ivf_topk(emb, q, k=10, num_cells=8, nprobe=2)
+    out = similarity.ivf_topk(emb, q, k=10, num_cells=8, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _gen_ivf_topk_sql(num_cells: int = 8, nprobe: int = 2, k: int = 10,
+                      seed: int = 7,
+                      sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `similarity.ivf_topk` for the driver's sf0.01 oracle
+    run: trains the same centroids (same deterministic sample, same
+    seeded k-means, shared `train_ivf_centroids`) directly from parquet
+    with pyarrow/numpy, injects them as literals, and mirrors argmax cell
+    assignment, nprobe probing, and (cosine DESC, vec_id ASC) ranking.
+    Cell argmax on the raw vector equals argmax on the normalized vector
+    (positive scaling), so the SQL skips normalization."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pipelinedp_spark.operators.similarity import train_ivf_centroids
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(10_000)
+    x = np.stack(t["embedding"].to_numpy()).astype("float64")
+    cents = train_ivf_centroids(x, num_cells, seed)
+    cell_rows = ", ".join(f"({c}, {_plane_lit(cents[c])})"
+                          for c in range(len(cents)))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells(cell, cv) AS (VALUES {cell_rows}),
+ass AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM base CROSS JOIN cells) WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM base CROSS JOIN cells WHERE vec_id < 5) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv) /
+         (sqrt(list_dot_product(c.v, c.v))
+          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM ass c JOIN q USING (cell)),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank,
+         cosine
+  FROM scored)
+SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,7 +24,6 @@ def main() -> None:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
 
     query = (pds.QueryBuilder(orders, "o_custkey")

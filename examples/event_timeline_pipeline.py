@@ -28,8 +28,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events.ts is parquet TIMESTAMP (NTZ); the timeseries operators key on
+    # integer time, so normalize to micros-since-epoch longs.
+    ev = ev.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
 
     purchases = (ev.filter(F.col("event_type") == "purchase")
                  .select("event_id", "user_id", "ts", "value"))
@@ -41,26 +44,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           enriched.filter(F.col("ts_right").isNotNull()).count(),
           "/", enriched.count())
 
-    hour_ns = 3600 * 10**9
+    hour_us = 3600 * 10**6
     sessions = sessionize(ev.select("user_id", "ts"), "ts", "user_id",
-                          gap=hour_ns)
+                          gap=hour_us)
     sessions.groupBy("user_id").agg(
         F.max("session_id").alias("n_sessions")) \
         .agg(F.avg(F.col("n_sessions") + 1).alias("avg_sessions_per_user")) \
         .show()
 
-    base = 1_704_067_200 * 10**9
+    base = 1_704_067_200 * 10**6
     windows = spark.range(5).select(
         F.col("id").alias("w_id"),
-        (F.lit(base) + F.col("id") * 7 * 24 * hour_ns).alias("w_start"),
-        (F.lit(base) + (F.col("id") * 7 + 10) * 24 * hour_ns).alias("w_end"))
+        (F.lit(base) + F.col("id") * 7 * 24 * hour_us).alias("w_start"),
+        (F.lit(base) + (F.col("id") * 7 + 10) * 24 * hour_us).alias("w_end"))
     tagged = range_join(ev.select("event_id", "ts"), "ts",
-                        windows, "w_start", "w_end", chunk=7 * 24 * hour_ns)
+                        windows, "w_start", "w_end", chunk=7 * 24 * hour_us)
     print("event-window pairs:", tagged.count())
 
     acct_sessions = sessionize(
         ev.select("user_id", "ts", "event_type"), "ts", "user_id",
-        gap=hour_ns)
+        gap=hour_us)
     per_session = (acct_sessions.groupBy("user_id", "session_id")
                    .agg(F.count(F.lit(1)).alias("n"))
                    .withColumn("bucket",

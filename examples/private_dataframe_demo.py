@@ -24,7 +24,6 @@ def main() -> None:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     accountant = pds.NaiveBudgetAccountant(total_epsilon=3.0,

@@ -2,8 +2,7 @@
 
 Scale posture: readers never infer schemas on big data unless asked
 (schema inference scans the input twice); writers bound file sizes so
-downstream scans parallelize; the parquet reader centralizes the
-TIMESTAMP(NANOS) legacy flag needed by the synthetic ``events`` table.
+downstream scans parallelize.
 """
 
 from __future__ import annotations
@@ -21,9 +20,9 @@ CANONICAL_TABLES: List[str] = [
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan. Sets the nanos-as-long legacy conf so files written
-    with TIMESTAMP(NANOS) (e.g. the events table) load as long."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Parquet scan (no session-global conf mutation; timestamp columns
+    load with Spark's native parquet mapping — TIMESTAMP_NTZ for
+    isAdjustedToUTC=false)."""
     return spark.read.parquet(path)
 
 

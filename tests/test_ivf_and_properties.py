@@ -14,7 +14,6 @@ from pipelinedp_spark.aggregate_params import MechanismType
 
 
 def test_ivf_topk_recall(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pipelinedp_spark.operators import similarity
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     q = (emb.filter(F.col("vec_id") < 5)
