@@ -19,6 +19,22 @@ bound user scope by keying windows into the privacy unit via
 Chained stateful aggregations (groupBy(user, window) then groupBy(window))
 require Spark >= 3.4 append-mode multiple-stateful-operator support; both
 aggregations share the event-time watermark.
+
+**Window-presence privacy.** A streaming stateful aggregation only ever
+produces groups that received data, so a window row's *existence* reveals
+"at least one event happened in this window". When ``delta_per_window > 0``
+(and ``threshold_windows`` is not explicitly disabled) both aggregations
+therefore run DP partition selection over the window grid: the noisy
+per-window privacy-id count is compared against a Laplace/Gaussian
+threshold funded by half of ``delta_per_window`` — the same
+post-aggregation-thresholding construction as the batch engine
+(dp_engine's PRIVACY_ID_COUNT thresholding path; reference semantics:
+pipeline_dp/combiners.py:360-416). With ``delta_per_window == 0`` and
+``threshold_windows=None`` the output is (eps, 0)-DP *conditional on the
+released window set*: window presence itself is released exactly, which is
+only safe when the window grid is public knowledge (e.g. "every hour has
+traffic"). Callers wanting that must pass ``threshold_windows=False``
+explicitly; otherwise a pure-eps budget raises.
 """
 
 from __future__ import annotations
@@ -40,6 +56,41 @@ def _clip(col: Column, lo: float, hi: float) -> Column:
     return F.greatest(F.least(col, F.lit(float(hi))), F.lit(float(lo)))
 
 
+def _resolve_thresholding(threshold_windows: Optional[bool],
+                          delta_per_window: float) -> bool:
+    """Default: threshold whenever a delta budget exists; refuse the silent
+    presence leak on a pure-eps budget unless explicitly waived."""
+    if threshold_windows is None:
+        if delta_per_window <= 0.0:
+            raise ValueError(
+                "delta_per_window == 0 cannot fund DP window selection, and "
+                "a streaming aggregation releases window *presence* exactly. "
+                "Pass threshold_windows=False only if the window grid is "
+                "public knowledge, or provide delta_per_window > 0.")
+        return True
+    if threshold_windows and delta_per_window <= 0.0:
+        raise ValueError("threshold_windows=True requires "
+                         "delta_per_window > 0")
+    return threshold_windows
+
+
+def _pid_threshold_filter(per_window: DataFrame, noise, noise_kind: NoiseKind,
+                          eps: float, delta: float, l0: int,
+                          pids_col: str) -> DataFrame:
+    """Noise the per-window privacy-id count with (eps, delta/2) and keep
+    windows whose noisy count clears the (delta/2)-funded threshold —
+    the batch engine's post-aggregation-thresholding construction."""
+    pid_sens = dp.privacy_id_count_sensitivities(l0)
+    nk = noise_kind
+    std = dp.noise_std(nk, eps, delta / 2, pid_sens)
+    threshold = dp.thresholding_from_std(nk, std, delta / 2, l0)
+    noisy = noise.add_noise(
+        F.col(pids_col).cast(DoubleType()), nk.value,
+        dp.noise_scale(nk, eps, delta / 2, pid_sens))
+    out = per_window.withColumn("__dp_pids__", noisy)
+    return out.filter(F.col("__dp_pids__") >= F.lit(threshold))
+
+
 def dp_streaming_count(stream: DataFrame,
                        privacy_id_col: str,
                        timestamp_col: str,
@@ -51,13 +102,22 @@ def dp_streaming_count(stream: DataFrame,
                        noise_kind: NoiseKind = NoiseKind.LAPLACE,
                        delta_per_window: float = 0.0,
                        noise_mode: str = "secure",
-                       slide_duration: Optional[str] = None) -> DataFrame:
+                       slide_duration: Optional[str] = None,
+                       threshold_windows: Optional[bool] = None) -> DataFrame:
     """DP event count per event-time window.
 
     Plan: watermark -> groupBy(pid, window) count capped at linf ->
-    groupBy(window) sum + privacy-id count -> noise projection. Returns
-    (window, count, privacy_id_count) with noised doubles.
+    groupBy(window) sum + privacy-id count -> noise projection ->
+    (default) DP window selection on the noisy privacy-id count. Returns
+    (window, count, privacy_id_count) with noised doubles; the released
+    privacy_id_count is the SAME noisy draw the threshold filter saw.
+
+    ``threshold_windows=None`` (default) enables selection and requires
+    ``delta_per_window > 0``; passing ``False`` asserts the window grid is
+    public and releases every non-empty window (presence leak documented in
+    the module docstring).
     """
+    do_threshold = _resolve_thresholding(threshold_windows, delta_per_window)
     win = F.window(F.col(timestamp_col), window_duration, slide_duration) \
         if slide_duration else F.window(F.col(timestamp_col),
                                         window_duration)
@@ -76,18 +136,26 @@ def dp_streaming_count(stream: DataFrame,
     scale = dp.noise_scale(noise_kind, epsilon_per_window / 2,
                            delta_per_window / 2 if delta_per_window else 0.0,
                            sens)
-    pid_sens = dp.privacy_id_count_sensitivities(l0_per_window)
-    pid_scale = dp.noise_scale(
-        noise_kind, epsilon_per_window / 2,
-        delta_per_window / 2 if delta_per_window else 0.0, pid_sens)
     noise = create_noise_source(noise_mode)
+    if do_threshold:
+        # pid metric's budget share is (eps/2, delta/2); within it, half the
+        # delta funds the noise (Gaussian only) and half the threshold.
+        per_window = _pid_threshold_filter(
+            per_window, noise, noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2, l0_per_window, "__pids__")
+        pid_col = F.col("__dp_pids__")
+    else:
+        pid_sens = dp.privacy_id_count_sensitivities(l0_per_window)
+        pid_scale = dp.noise_scale(
+            noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2 if delta_per_window else 0.0, pid_sens)
+        pid_col = noise.add_noise(F.col("__pids__").cast(DoubleType()),
+                                  noise_kind.value, pid_scale)
     return per_window.select(
         "window",
         noise.add_noise(F.col("__count__").cast(DoubleType()),
                         noise_kind.value, scale).alias("count"),
-        noise.add_noise(F.col("__pids__").cast(DoubleType()),
-                        noise_kind.value, pid_scale)
-        .alias("privacy_id_count"))
+        pid_col.alias("privacy_id_count"))
 
 
 def dp_streaming_sum(stream: DataFrame,
@@ -102,10 +170,14 @@ def dp_streaming_sum(stream: DataFrame,
                      l0_per_window: int = 1,
                      noise_kind: NoiseKind = NoiseKind.LAPLACE,
                      delta_per_window: float = 0.0,
-                     noise_mode: str = "secure") -> DataFrame:
+                     noise_mode: str = "secure",
+                     threshold_windows: Optional[bool] = None) -> DataFrame:
     """DP sum per event-time window with a per-(user, window) sum clip —
-    the batch engine's per-partition clipping regime. Returns
-    (window, sum)."""
+    the batch engine's per-partition clipping regime. With window
+    selection enabled (the default; requires ``delta_per_window > 0``) the
+    epsilon splits half to the sum noise and half to the selection noise.
+    Returns (window, sum)."""
+    do_threshold = _resolve_thresholding(threshold_windows, delta_per_window)
     per_user = (stream
                 .withWatermark(timestamp_col, watermark_delay)
                 .groupBy(F.col(privacy_id_col).alias("__pid__"),
@@ -115,12 +187,18 @@ def dp_streaming_sum(stream: DataFrame,
                            min_sum_per_window, max_sum_per_window)
                      .alias("__clipped__")))
     per_window = per_user.groupBy("window").agg(
-        F.sum("__clipped__").alias("__sum__"))
+        F.sum("__clipped__").alias("__sum__"),
+        F.count(F.lit(1)).alias("__pids__"))
+    eps_sum = epsilon_per_window / 2 if do_threshold else epsilon_per_window
+    delta_sum = delta_per_window / 2 if do_threshold else delta_per_window
     sens = dp.sum_sensitivities(l0_per_window, None, None, None,
                                 min_sum_per_window, max_sum_per_window)
-    scale = dp.noise_scale(noise_kind, epsilon_per_window,
-                           delta_per_window or 0.0, sens)
+    scale = dp.noise_scale(noise_kind, eps_sum, delta_sum or 0.0, sens)
     noise = create_noise_source(noise_mode)
+    if do_threshold:
+        per_window = _pid_threshold_filter(
+            per_window, noise, noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2, l0_per_window, "__pids__")
     return per_window.select(
         "window",
         noise.add_noise(F.col("__sum__"), noise_kind.value, scale)

@@ -127,6 +127,9 @@ def stream_dir(spark, tmp_path):
         for k in range(3):  # 3 events per user in window 1
             rows.append((u, f"2024-01-01 00:00:{10 + k:02d}", 2.0))
         rows.append((u, "2024-01-01 00:01:30", 4.0))  # window 2
+    # Sparse window (minute 2): only 2 users — dropped by DP selection.
+    rows.append((0, "2024-01-01 00:02:30", 1.0))
+    rows.append((1, "2024-01-01 00:02:31", 1.0))
     # Append-mode only emits windows the watermark has passed: one late
     # "flush" event closes the windows under test.
     rows.append((0, "2024-01-01 00:05:00", 0.0))
@@ -150,7 +153,8 @@ def test_dp_streaming_count(spark, stream_dir):
     out = dp_streaming_count(
         stream, "user_id", "ts", window_duration="1 minute",
         watermark_delay="0 seconds", epsilon_per_window=1.0,
-        max_contributions_per_window=2, noise_mode="zero")
+        max_contributions_per_window=2, noise_mode="zero",
+        threshold_windows=False)
     got = _run_stream(spark, out, "dp_count_stream")
     rows = {r["window"]["start"].minute: r for r in got.collect()}
     # Window 0: 3 events/user capped at 2 -> 40; window 1: 1 event/user.
@@ -159,15 +163,56 @@ def test_dp_streaming_count(spark, stream_dir):
     assert rows[1]["count"] == 20.0
 
 
+def test_dp_streaming_count_window_selection(spark, stream_dir):
+    """DP window selection: the sparse minute-2 window (2 users) falls
+    below the Laplace threshold (~2.98 at eps=10, delta=1e-4) and is
+    suppressed; dense windows survive and release the same noisy pid
+    count the filter saw (exact, in zero-noise mode)."""
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_count(
+        stream, "user_id", "ts", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=10.0,
+        delta_per_window=1e-4, max_contributions_per_window=2,
+        noise_mode="zero")
+    got = _run_stream(spark, out, "dp_count_stream_sel")
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["privacy_id_count"] == 20.0
+
+
+def test_dp_streaming_pure_eps_requires_explicit_waiver(spark, stream_dir):
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="presence"):
+        dp_streaming_count(
+            stream, "user_id", "ts", window_duration="1 minute",
+            watermark_delay="0 seconds", epsilon_per_window=1.0,
+            max_contributions_per_window=2, noise_mode="zero")
+
+
 def test_dp_streaming_sum(spark, stream_dir):
     stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
     out = dp_streaming_sum(
         stream, "user_id", "ts", "value", window_duration="1 minute",
         watermark_delay="0 seconds", epsilon_per_window=1.0,
-        min_sum_per_window=0.0, max_sum_per_window=5.0, noise_mode="zero")
+        min_sum_per_window=0.0, max_sum_per_window=5.0, noise_mode="zero",
+        threshold_windows=False)
     got = _run_stream(spark, out, "dp_sum_stream")
     rows = {r["window"]["start"].minute: r["sum"] for r in got.collect()}
     # Window 0: per-user sum 6.0 clipped to 5.0 -> 100; window 1: 4*20=80.
+    assert rows[0] == 100.0
+    assert rows[1] == 80.0
+
+
+def test_dp_streaming_sum_window_selection(spark, stream_dir):
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_sum(
+        stream, "user_id", "ts", "value", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=10.0,
+        delta_per_window=1e-4, min_sum_per_window=0.0,
+        max_sum_per_window=5.0, noise_mode="zero")
+    got = _run_stream(spark, out, "dp_sum_stream_sel")
+    rows = {r["window"]["start"].minute: r["sum"] for r in got.collect()}
+    assert set(rows) == {0, 1}
     assert rows[0] == 100.0
     assert rows[1] == 80.0
 
@@ -217,5 +262,5 @@ def test_session_window_counts(spark, stream_dir):
     per_user = {}
     for r in got.collect():
         per_user.setdefault(r["pid"], []).append(r["n_events"])
-    # Each user: one 3-event session and one 1-event session.
-    assert sorted(per_user[0]) == [1, 3]
+    # User 2 (no sparse-window event): one 3-event and one 1-event session.
+    assert sorted(per_user[2]) == [1, 3]
