@@ -145,6 +145,39 @@ def hyperplane_bands_udf(num_bands: int = 6, planes_per_band: int = 3,
     return _bands
 
 
+def train_ivf_centroids(x: "np.ndarray", num_cells: int, seed: int = 7,
+                        iters: int = 10) -> "np.ndarray":
+    """Spherical k-means (Lloyd) over a sample matrix — deterministic for a
+    given (sample, num_cells, seed). Shared by the Spark operator and the
+    oracle generator so both train bit-identical centroids."""
+    x = np.asarray(x, dtype="float64")
+    # Normalize so euclidean k-means approximates cosine cells.
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(num_cells, len(x)),
+                             replace=False)]
+    for _ in range(iters):
+        assign = (x @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def sample_corpus_matrix(corpus: DataFrame, corpus_id: str, corpus_vec: str,
+                         sample_size: int = 10_000) -> "np.ndarray":
+    """Deterministic quantizer-training sample: the `sample_size` lowest-id
+    vectors (TakeOrderedAndProject — no full sort, no shuffle). Id order is
+    reproducible across runs/partition layouts, unlike bare limit(). On a
+    corpus whose ids correlate with content, pass a pre-built sample or
+    hash-order upstream (functions.sampling) instead."""
+    pdf = (corpus.select(corpus_id, corpus_vec)
+           .orderBy(F.col(corpus_id)).limit(sample_size).toPandas())
+    return np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+
+
 def ivf_topk(corpus: DataFrame,
              queries: DataFrame,
              k: int = 10,
@@ -154,36 +187,26 @@ def ivf_topk(corpus: DataFrame,
              corpus_vec: str = "embedding",
              query_id: str = "query_id",
              query_vec: str = "query_vec",
-             seed: int = 7) -> DataFrame:
+             seed: int = 7,
+             centroids: Optional["np.ndarray"] = None,
+             sample_size: int = 10_000) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     assigns corpus vectors to cells; each query scores only its `nprobe`
     nearest cells — the classic alternative to LSH bucketing.
 
-    Scale shape: the quantizer trains on a sample (k-means over all of
-    100 TB is wasteful and unnecessary), assignment is one Arrow-batched
-    numpy pass, and the probe join is corpus x broadcast(query-cell pairs)
-    on the cell id — cost ~ nprobe/num_cells of brute force.
+    Scale shape: the quantizer trains on a deterministic sample (k-means
+    over all of 100 TB is wasteful and unnecessary), assignment is one
+    Arrow-batched numpy pass, and the probe join is corpus x
+    broadcast(query-cell pairs) on the cell id — cost ~ nprobe/num_cells
+    of brute force. Pass `centroids` to skip training (e.g. a quantizer
+    trained offline once and reused across queries).
     Returns (query_id, vec_id, rank, cosine).
     """
-    import numpy as np
+    if centroids is None:
+        x = sample_corpus_matrix(corpus, corpus_id, corpus_vec, sample_size)
+        centroids = train_ivf_centroids(x, num_cells, seed)
 
-    sample = corpus.select(corpus_vec).limit(10_000).toPandas()
-    x = np.stack(sample[corpus_vec].to_numpy()).astype("float64")
-    # Normalize so euclidean k-means approximates cosine cells.
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    centroids = x[rng.choice(len(x), size=min(num_cells, len(x)),
-                             replace=False)]
-    for _ in range(10):  # Lloyd iterations on the sample
-        d = x @ centroids.T
-        assign = d.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
-
-    cts = centroids  # closure-captured, small
+    cts = np.asarray(centroids, dtype="float64")  # closure-captured, small
 
     def cell_udf(top: int):
         @pandas_udf("array<int>")
