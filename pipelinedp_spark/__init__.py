@@ -22,8 +22,8 @@ from pipelinedp_spark.dp_engine import (DataFrameExtractors, DPEngine,
                                         MultiValueDataFrameExtractors)
 from pipelinedp_spark.private_contribution_bounds import (
     CalculatePrivateContributionBoundsParams, PrivateContributionBounds)
-from pipelinedp_spark.rdp_accounting import (PLDBudgetAccountant,
-                                             RDPBudgetAccountant)
+from pipelinedp_spark.pld_accounting import PLDBudgetAccountant
+from pipelinedp_spark.rdp_accounting import RDPBudgetAccountant
 from pipelinedp_spark.private_dataframe import (CountParams, MeanParams,
                                                 PercentileParams,
                                                 PrivacyIdCountParams,

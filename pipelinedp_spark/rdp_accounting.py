@@ -117,6 +117,3 @@ class RDPBudgetAccountant(NaiveBudgetAccountant):
                                mech_delta(spec))
 
 
-# API-parity alias: the reference exposes this accountant as
-# ``PLDBudgetAccountant`` (reference: pipeline_dp/budget_accounting.py:479).
-PLDBudgetAccountant = RDPBudgetAccountant
