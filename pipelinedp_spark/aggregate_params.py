@@ -145,6 +145,11 @@ class AggregateParams:
     # (max_value - min_value) / percentile_bins; quantiles interpolate
     # within the bin, so resolution error is <= one bin width).
     percentile_bins: int = 256
+    # "histogram" (flat noisy histogram, the fast path) or "tree" (the
+    # reference's height-4 branching-16 quantile tree: noise per visited
+    # node at eps/height per level — better error on skewed value
+    # distributions, where most flat-histogram bins are empty noise).
+    percentile_algorithm: str = "histogram"
 
     def __post_init__(self):
         if not self.metrics:
@@ -211,6 +216,9 @@ class AggregateParams:
                 "bounds (min_value, max_value)")
         if Metric.PERCENTILE in metric_kinds and self.percentile_bins <= 0:
             raise ValueError("percentile_bins must be positive")
+        if self.percentile_algorithm not in ("histogram", "tree"):
+            raise ValueError("percentile_algorithm must be 'histogram' or "
+                             f"'tree', got {self.percentile_algorithm!r}")
         if Metric.VECTOR_SUM in metric_kinds:
             if self.vector_max_norm is None or self.vector_size is None:
                 raise ValueError(

@@ -59,9 +59,13 @@ def gaussian_sigma(eps: float, delta: float, l2_sensitivity: float) -> float:
 
     def delta_for_sigma(sigma: float) -> float:
         # Exact delta of the Gaussian mechanism at given sigma (unit l2).
+        # The second term is exp(eps) * Phi(-(a+b)); for large eps the
+        # factor overflows while the product is tiny, so combine in logs.
         a = 1.0 / (2.0 * sigma)
         b = eps * sigma
-        return _phi(a - b) - math.exp(eps) * _phi(-a - b)
+        log_term = eps + _log_phi_neg(a + b)
+        term = math.exp(log_term) if log_term < 700.0 else math.inf
+        return _phi(a - b) - term
 
     lo, hi = 1e-6, 1.0
     while delta_for_sigma(hi) > delta:
@@ -80,6 +84,14 @@ def gaussian_sigma(eps: float, delta: float, l2_sensitivity: float) -> float:
 def _phi(x: float) -> float:
     """Standard normal CDF."""
     return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def _log_phi_neg(y: float) -> float:
+    """log Phi(-y), stable for large positive y (erfc underflows past
+    ~26 sigma; switch to the standard asymptotic expansion)."""
+    if y < 20.0:
+        return math.log(0.5 * math.erfc(y / math.sqrt(2.0)))
+    return -0.5 * y * y - math.log(y * math.sqrt(2.0 * math.pi))
 
 
 def _phi_inv(p: float) -> float:

@@ -219,6 +219,7 @@ class DPEngine:
                  noise_mode: str = "secure",
                  sample_order_cols: Optional[Sequence[Column]] = None):
         self._accountant = budget_accountant
+        self._noise_mode = noise_mode
         self._noise: NoiseSource = create_noise_source(noise_mode)
         self._order_cols = sample_order_cols
         self._reports: List[List[str]] = []
@@ -290,8 +291,13 @@ class DPEngine:
         # from the scalar partials; both enforce the declared bounds).
         pct_hist = None
         if params.percentiles_to_compute:
-            pct_hist = self._percentile_histogram(data, params, pk_cols,
-                                                  report)
+            if params.percentile_algorithm == "tree":
+                from pipelinedp_spark import quantile_tree as qt
+                pct_hist = self._percentile_histogram(
+                    data, params, pk_cols, report, nbins=qt.num_leaves())
+            else:
+                pct_hist = self._percentile_histogram(data, params, pk_cols,
+                                                      report)
 
         # --- stage 5: final merge per partition key. ---
         final_aggs = [
@@ -320,8 +326,14 @@ class DPEngine:
                     out, specs["partition_selection"], params, report)
             pct_values = None
             if pct_hist is not None:
-                pct_values = engine._percentile_values(
-                    pct_hist, params, specs["percentile"], pk_cols, report)
+                if params.percentile_algorithm == "tree":
+                    pct_values = engine._percentile_tree_values(
+                        pct_hist, params, specs["percentile"], pk_cols,
+                        report)
+                else:
+                    pct_values = engine._percentile_values(
+                        pct_hist, params, specs["percentile"], pk_cols,
+                        report)
             out = engine._compute_metrics(out, params, specs, pk_cols, report,
                                           pct_values)
             return out
@@ -598,9 +610,10 @@ class DPEngine:
     # ------------------------------------------------------------------
     def _percentile_histogram(self, data: DataFrame, params: AggregateParams,
                               pk_cols: Sequence[str],
-                              report: List[str]) -> DataFrame:
+                              report: List[str],
+                              nbins: Optional[int] = None) -> DataFrame:
         """Contribution-bounded per-(pk, bin) counts of clipped values."""
-        nbins = params.percentile_bins
+        nbins = nbins or params.percentile_bins
         lo, hi = float(params.min_value), float(params.max_value)
         width = (hi - lo) / nbins if hi > lo else 1.0
         rows = data
@@ -642,6 +655,16 @@ class DPEngine:
         linf = params.max_contributions_per_partition or 1
         scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
                                dp.count_sensitivities(l0, linf))
+        # Densify to the full public bin domain before noising: empty bins
+        # MUST draw noise too, otherwise bin occupancy (which one user can
+        # flip) reaches the release un-noised. nbins rows per partition
+        # key, generated post-aggregation — negligible at any scale.
+        pks = hist.select(*pk_cols).distinct()
+        full = (pks.withColumn(
+            _BIN, F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))))
+            .withColumn(_BIN, F.col(_BIN).cast("int")))
+        hist = (full.join(hist, on=[*pk_cols, _BIN], how="left")
+                .fillna(0.0, subset=[_BCNT]))
         noisy = F.greatest(
             self._noise.add_noise(F.col(_BCNT).cast(DoubleType()),
                                   params.noise_kind.value, scale),
@@ -668,6 +691,64 @@ class DPEngine:
                 out = out.withColumnRenamed(str(float(m.parameter)),
                                             m.output_name)
         report.append(f"PERCENTILE: noise scale={scale:.4g}, qs={ps}")
+        return out
+
+    def _percentile_tree_values(self, hist: DataFrame,
+                                params: AggregateParams,
+                                spec: MechanismSpec,
+                                pk_cols: Sequence[str],
+                                report: List[str]) -> DataFrame:
+        """Quantile-tree path (reference: pipeline_dp/combiners.py:629-719
+        semantics; height-4 branching-16 hierarchical histogram). The
+        sketch state is the native leaf-count histogram from
+        `_percentile_histogram(nbins=16^4)`; the noisy descent runs per
+        partition key in an Arrow-batched applyInPandas, drawing fresh
+        noise for every visited node (empty ones included) at the
+        per-level budget eps/height and sharing draws across quantiles."""
+        import pandas as pd
+        from pipelinedp_spark import quantile_tree as qt
+        from pyspark.sql.types import StructField, StructType
+
+        lo, hi = float(params.min_value), float(params.max_value)
+        height = qt.DEFAULT_TREE_HEIGHT
+        branching = qt.DEFAULT_BRANCHING_FACTOR
+        l0 = params.max_partitions_contributed or params.max_contributions \
+            or 1
+        linf = params.max_contributions_per_partition or 1
+        kind = params.noise_kind
+        # Per-level composition: each entry touches one node per level, so
+        # each level is a histogram of sensitivity l0*linf released with
+        # eps/height (and delta/height for Gaussian).
+        scale = dp.noise_scale(
+            kind, spec.eps / height,
+            (spec.delta / height) if spec.delta else 0.0,
+            dp.count_sensitivities(l0, linf))
+        ps = [float(p) for p in params.percentiles_to_compute]
+        noise_mode = self._noise_mode
+        kind_value = kind.value
+
+        pk_fields = [f for f in hist.schema.fields if f.name in pk_cols]
+        schema = StructType(pk_fields +
+                            [StructField(str(p), DoubleType())
+                             for p in ps])
+
+        def descend(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            vals = qt.compute_tree_quantiles(
+                pdf[_BIN].to_numpy(), pdf[_BCNT].to_numpy(), ps, lo, hi,
+                qt.make_noise_fn(noise_mode, kind_value, scale),
+                height, branching)
+            row = {c: [pdf[c].iloc[0]] for c in pk_cols}
+            row.update({str(p): [v] for p, v in zip(ps, vals)})
+            return pd.DataFrame(row)
+
+        out = hist.groupBy(*pk_cols).applyInPandas(descend, schema)
+        for m in params.metrics:
+            if m.metric == Metric.PERCENTILE:
+                out = out.withColumnRenamed(str(float(m.parameter)),
+                                            m.output_name)
+        report.append(
+            f"PERCENTILE: quantile tree h={height} b={branching}, "
+            f"per-node scale={scale:.4g}, qs={ps}")
         return out
 
     # ------------------------------------------------------------------
