@@ -12,9 +12,10 @@ per (privacy_id, partition) with true (count, sum, n_partitions):
   variance contribution V = p (1-p) clipped^2      [Bernoulli keep]
 per (config, partition):
   bias = sum E, var = sum V + noise_var
-  keep probability under private partition selection (thresholding CDF on
-  the expected privacy-id count — a documented approximation of the
-  reference's Poisson-binomial machinery, analysis/poisson_binomial.py)
+  keep probability under private partition selection: the expectation of
+  the thresholding tail over the Poisson-binomial distribution of the
+  surviving privacy-id count (refined-normal PMF from three moment sums;
+  matches the reference's analysis/poisson_binomial.py machinery)
   rmse^2 = p_keep * (bias^2 + var) + (1 - p_keep) * true^2
 per config: RMSE = sqrt(mean over partitions of rmse^2).
 
@@ -172,6 +173,7 @@ class UtilityAnalysisEngine:
             .alias("count_var"),
             F.sum(p - 1).alias("pid_bias"),
             F.sum(p * (1 - p)).alias("pid_var"),
+            F.sum(p * (1 - p) * (1 - 2 * p)).alias("pid_m3"),
             F.first("count_std").alias("count_std"),
             F.first("pid_std").alias("pid_std"),
             F.first("sum_std").alias("sum_std"),
@@ -190,14 +192,26 @@ class UtilityAnalysisEngine:
             ]
         per_pk = j.groupBy("conf", *pk_cols).agg(*exprs)
 
-        # Keep probability under Laplace thresholding on the expected
-        # noisy privacy-id count (approximation; see module docstring).
+        # Keep probability under Laplace thresholding: expectation of the
+        # thresholding tail over the Poisson-binomial count of surviving
+        # privacy ids (refined-normal PMF from the three per-partition
+        # moment sums; reference: analysis/poisson_binomial.py:26-83).
         if public_partitions is None:
-            diff = (F.col("exp_pids") - F.col("sel_threshold")) / \
-                F.col("sel_scale")
-            p_keep = F.when(
-                diff >= 0, 1.0 - 0.5 * F.exp(-diff)).otherwise(
-                0.5 * F.exp(diff))
+            import pandas as pd
+            from pipelinedp_spark.analysis import poisson_binomial as pb
+            from pyspark.sql.functions import PandasUDFType
+
+            @F.pandas_udf("double", PandasUDFType.SCALAR)
+            def _p_keep(mean, var, m3, n, scale, threshold):
+                return pd.Series([
+                    pb.keep_probability(mean.iat[i], var.iat[i], m3.iat[i],
+                                        int(n.iat[i]), scale.iat[i],
+                                        threshold.iat[i])
+                    for i in range(len(mean))])
+
+            p_keep = _p_keep(F.col("exp_pids"), F.col("pid_var"),
+                             F.col("pid_m3"), F.col("true_pids"),
+                             F.col("sel_scale"), F.col("sel_threshold"))
         else:
             p_keep = F.lit(1.0)
         per_pk = per_pk.withColumn("p_keep", p_keep)
