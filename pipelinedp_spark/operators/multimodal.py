@@ -7,13 +7,20 @@ row-at-a-time pickling, and each task processes a bounded batch
 (``spark.sql.execution.arrow.maxRecordsPerBatch``) so executor memory is
 bounded regardless of item size.
 
-The actual codecs (PIL / torchaudio / ffmpeg) are NOT available in this
-environment, so decoding is STUBBED: ``decoder="fake"`` (default) produces
-deterministic content-derived stand-ins (byte-level statistics shaped like
-the real decoder's output) and ``decoder="pil"``-style real backends raise
-NotImplementedError until their import succeeds. The Spark-side plumbing —
-schemas, UDF signatures, batch iteration, partitioning — is real and
-tested, so swapping in a real decoder is a one-function change.
+Decode depth is two-tier:
+
+- **Container/metadata parsing is REAL**: PNG, JPEG, GIF, BMP and WAV
+  headers are parsed with ``struct`` from the raw bytes (no codec library
+  needed), so width/height/format and sample_rate/n_samples/codec come
+  from the actual payload.
+- **Pixel/sample decoding is STUBBED**: full bitmap/PCM decoding needs
+  codec libraries (PIL / torchaudio / ffmpeg) that are not installed
+  here, so ``decoder="fake"`` (default) produces deterministic
+  content-derived stand-ins (byte-level statistics shaped like the real
+  decoder's output) and real backends raise NotImplementedError until
+  their import succeeds. The Spark-side plumbing — schemas, UDF
+  signatures, batch iteration, partitioning — is real and tested, so
+  swapping in a real pixel decoder is a one-function change.
 
 No reference counterpart (net-new per project north star).
 """
@@ -21,7 +28,8 @@ No reference counterpart (net-new per project north star).
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Optional
+import struct
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -42,6 +50,121 @@ AUDIO_META_SCHEMA = StructType([
     StructField("n_samples", LongType()),
     StructField("codec", StringType()),
 ])
+
+
+def parse_image_metadata(data: Optional[bytes]
+                         ) -> Tuple[Optional[int], Optional[int],
+                                    Optional[str]]:
+    """(width, height, format) from real container headers: PNG IHDR,
+    JPEG SOF segments, GIF logical screen descriptor, BMP info header.
+    Returns (None, None, None) for unrecognized/truncated payloads."""
+    if not data:
+        return None, None, None
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+            w, h = struct.unpack(">II", data[16:24])
+            return int(w), int(h), "png"
+        if data[:2] == b"\xff\xd8":  # JPEG SOI; walk marker segments
+            i = 2
+            while i + 9 < len(data):
+                if data[i] != 0xFF:
+                    break
+                marker = data[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+                # SOFn frame headers carry dimensions (precision byte,
+                # then height, width big-endian).
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                             0xCC):
+                    h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                    return int(w), int(h), "jpeg"
+                i += 2 + seg_len
+            return None, None, "jpeg"
+        if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+            w, h = struct.unpack("<HH", data[6:10])
+            return int(w), int(h), "gif"
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack("<ii", data[18:26])
+            return int(w), abs(int(h)), "bmp"
+    except struct.error:
+        pass
+    return None, None, None
+
+
+def parse_wav_metadata(data: Optional[bytes]
+                       ) -> Tuple[Optional[int], Optional[int],
+                                  Optional[str]]:
+    """(sample_rate, n_samples, codec) from a real RIFF/WAVE header by
+    walking the chunk list. Returns (None, None, None) if not a WAV."""
+    if not data or len(data) < 12 or data[:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        return None, None, None
+    sample_rate = channels = bits = fmt_code = None
+    data_size = None
+    i = 12
+    try:
+        while i + 8 <= len(data):
+            cid = data[i:i + 4]
+            size = struct.unpack("<I", data[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(data):
+                fmt_code, channels = struct.unpack("<HH", data[i + 8:i + 12])
+                sample_rate = struct.unpack("<I", data[i + 12:i + 16])[0]
+                bits = struct.unpack("<H", data[i + 22:i + 24])[0]
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+    except struct.error:
+        return None, None, None
+    if sample_rate is None:
+        return None, None, None
+    n_samples = None
+    if data_size is not None and channels and bits:
+        bytes_per_frame = channels * max(bits // 8, 1)
+        n_samples = data_size // bytes_per_frame
+    codec = "pcm" if fmt_code == 1 else (f"fmt_{fmt_code}"
+                                         if fmt_code is not None else None)
+    return (int(sample_rate), int(n_samples) if n_samples is not None
+            else None, codec)
+
+
+def extract_image_metadata(df: DataFrame, binary_col: str = "image",
+                           meta_col: str = "meta") -> DataFrame:
+    """Attach a real (width, height, format) struct parsed from the
+    payload's container header — Arrow-batched, no codec library."""
+    out_schema = StructType(df.schema.fields +
+                            [StructField(meta_col, IMAGE_META_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[meta_col] = [
+                dict(zip(("width", "height", "format"),
+                         parse_image_metadata(b)))
+                for b in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def extract_audio_metadata(df: DataFrame, binary_col: str = "audio",
+                           meta_col: str = "meta") -> DataFrame:
+    """Attach a real (sample_rate, n_samples, codec) struct parsed from
+    the RIFF/WAVE header."""
+    out_schema = StructType(df.schema.fields +
+                            [StructField(meta_col, AUDIO_META_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[meta_col] = [
+                dict(zip(("sample_rate", "n_samples", "codec"),
+                         parse_wav_metadata(b)))
+                for b in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def _require_real_decoder(name: str):
@@ -147,9 +270,16 @@ def extract_audio_features(df: DataFrame, binary_col: str = "audio",
                 pdf["est_duration_s"] = [
                     c / max(r, 1) for c, r in zip(counts, rates)]
             else:
-                # 16-bit mono @16kHz assumption for the stand-in.
-                pdf["est_duration_s"] = [
-                    len(b or b"") / 2.0 / 16000.0 for b in pdf[binary_col]]
+                # Real RIFF/WAVE header when the payload is a WAV;
+                # 16-bit mono @16kHz assumption otherwise.
+                durs = []
+                for b in pdf[binary_col]:
+                    sr, ns, _ = parse_wav_metadata(b)
+                    if sr and ns is not None:
+                        durs.append(ns / sr)
+                    else:
+                        durs.append(len(b or b"") / 2.0 / 16000.0)
+                pdf["est_duration_s"] = durs
             yield pdf
 
     return df.mapInPandas(batches, out_schema)

@@ -1,6 +1,7 @@
 """Sources catalog, multimodal plumbing, and streaming DP tests."""
 
 import os
+import struct
 
 import pytest
 from pyspark.sql import functions as F
@@ -98,6 +99,90 @@ def test_extract_audio_features(spark):
     assert out[1]["est_duration_s"] == pytest.approx(1.0)  # 16k samples
     assert out[2]["est_duration_s"] == pytest.approx(2.0)
     assert len(out[1]["audio_features"]) == 8
+
+
+def _make_png(width, height):
+    """A minimal REAL PNG: signature + IHDR + zlib IDAT + IEND."""
+    import zlib
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (struct.pack(">I", len(payload)) + body +
+                struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_jpeg(width, height):
+    """SOI + APP0(JFIF) + SOF0 header carrying the real dimensions."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (b"\xff\xd8" +
+            b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0 +
+            b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof)
+
+
+def _make_wav(sample_rate, n_samples, channels=1, bits=16):
+    frames = bytes(n_samples * channels * (bits // 8))
+    byte_rate = sample_rate * channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * (bits // 8), bits)
+    data = (b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(frames)) + frames)
+    return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+
+def test_parse_image_metadata_real_headers():
+    assert MM.parse_image_metadata(_make_png(31, 17)) == (31, 17, "png")
+    assert MM.parse_image_metadata(_make_jpeg(640, 480)) == (640, 480,
+                                                             "jpeg")
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + bytes(10)
+    assert MM.parse_image_metadata(gif) == (12, 34, "gif")
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 99, -55) + bytes(10)
+    assert MM.parse_image_metadata(bmp) == (99, 55, "bmp")
+    assert MM.parse_image_metadata(b"not an image") == (None, None, None)
+    assert MM.parse_image_metadata(None) == (None, None, None)
+
+
+def test_parse_wav_metadata_real_headers():
+    assert MM.parse_wav_metadata(_make_wav(8000, 100)) == (8000, 100,
+                                                           "pcm")
+    assert MM.parse_wav_metadata(_make_wav(44100, 441, channels=2)) == \
+        (44100, 441, "pcm")
+    assert MM.parse_wav_metadata(b"RIFFxxxx" + b"JUNK") == (None, None,
+                                                            None)
+
+
+def test_extract_image_metadata_operator(spark):
+    rows = [(1, _make_png(8, 4)), (2, _make_jpeg(320, 200)),
+            (3, b"garbage")]
+    df = spark.createDataFrame(rows, "doc_id int, image binary")
+    got = {r["doc_id"]: r["meta"] for r in
+           MM.extract_image_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == \
+        (8, 4, "png")
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) == \
+        (320, 200, "jpeg")
+    assert got[3]["width"] is None and got[3]["format"] is None
+
+
+def test_extract_audio_metadata_and_duration(spark):
+    df = spark.createDataFrame(
+        [(1, _make_wav(8000, 2000)), (2, bytes(32000))],
+        "aid int, audio binary")
+    meta = {r["aid"]: r["meta"] for r in
+            MM.extract_audio_metadata(df).collect()}
+    assert (meta[1]["sample_rate"], meta[1]["n_samples"],
+            meta[1]["codec"]) == (8000, 2000, "pcm")
+    assert meta[2]["sample_rate"] is None
+    # extract_audio_features without meta_col parses the real WAV header
+    feats = {r["aid"]: r["est_duration_s"] for r in
+             MM.extract_audio_features(df, "audio").collect()}
+    assert feats[1] == pytest.approx(0.25)       # 2000 / 8000
+    assert feats[2] == pytest.approx(1.0)        # 16k samples fallback
 
 
 def test_media_dedup(spark):
