@@ -35,7 +35,13 @@ class MetricSpec:
     @property
     def output_name(self) -> str:
         if self.metric == Metric.PERCENTILE:
-            return f"percentile_{int(self.parameter)}"
+            # Injective for fractional percentiles (reference:
+            # combiners.py:686-693): PERCENTILE(50) -> percentile_50,
+            # PERCENTILE(50.4) -> percentile_50_4.
+            p = self.parameter
+            if p == int(p):
+                return f"percentile_{int(p)}"
+            return "percentile_" + str(p).replace(".", "_")
         return self.metric.value
 
     def __repr__(self):
@@ -158,6 +164,10 @@ class AggregateParams:
         non_percentile = [m for m in metric_kinds if m != Metric.PERCENTILE]
         if len(set(non_percentile)) != len(non_percentile):
             raise ValueError("each metric may appear at most once")
+        out_names = [m.output_name for m in self.metrics]
+        if len(set(out_names)) != len(out_names):
+            raise ValueError(
+                f"metrics map to duplicate output columns: {out_names}")
 
         if self.max_contributions is not None:
             if self.max_contributions <= 0:

@@ -304,8 +304,7 @@ class QueryBuilder:
         spec = Metrics.PERCENTILE(percentile)
         self._check_metric_once(spec)
         self._aggregations.append(
-            _AggregationSpec(spec, column,
-                             name or f"percentile_{int(percentile)}",
+            _AggregationSpec(spec, column, name or spec.output_name,
                              min_value, max_value))
         return self
 

@@ -21,6 +21,7 @@ phase contract; pipeline_dp/dataframes.py:206-212).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, List, Optional, Sequence, Union
 
 import numpy as np
@@ -1199,10 +1200,23 @@ class DPEngine:
                 return "NULL"
             if isinstance(v, bool):
                 return "true" if v else "false"
-            if isinstance(v, (int, float)):
+            if isinstance(v, float):
+                # repr() of inf/nan is not a SQL literal.
+                if math.isnan(v):
+                    return "CAST('NaN' AS DOUBLE)"
+                if math.isinf(v):
+                    sign = "-" if v < 0 else ""
+                    return f"CAST('{sign}Infinity' AS DOUBLE)"
                 return repr(v)
-            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
-            return f"'{s}'"
+            if isinstance(v, int):
+                return repr(v)
+            if isinstance(v, str):
+                s = v.replace("\\", "\\\\").replace("'", "\\'")
+                return f"'{s}'"
+            raise ValueError(
+                f"unsupported public-partition key type {type(v).__name__}: "
+                f"pass keys as str/int/float/bool/None, or provide the "
+                f"partitions as a DataFrame")
 
         values = ", ".join(
             "(" + ", ".join(lit(v) for v in row) + ")" for row in rows)

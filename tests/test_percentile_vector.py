@@ -141,3 +141,24 @@ def test_vector_sum_must_be_alone(spark):
          .count()
          .vector_sum("emb", max_norm=1.0, vector_size=1)
          .build_query())
+
+
+def test_fractional_percentile_names_injective():
+    from pipelinedp_spark.aggregate_params import Metrics
+    assert Metrics.PERCENTILE(50).output_name == "percentile_50"
+    assert Metrics.PERCENTILE(50.4).output_name == "percentile_50_4"
+    with pytest.raises(ValueError, match="duplicate output columns"):
+        pds.AggregateParams(
+            metrics=[Metrics.PERCENTILE(50.0), Metrics.PERCENTILE(50)],
+            max_partitions_contributed=1,
+            max_contributions_per_partition=1,
+            min_value=0.0, max_value=1.0)
+
+
+def test_public_partition_literal_edge_values(spark):
+    from pipelinedp_spark.dp_engine import DPEngine
+    vals = [1.5, float("inf"), float("nan")]
+    got = DPEngine._as_partitions_df(spark, ["k"], vals)
+    assert got.count() == 3
+    with pytest.raises(ValueError, match="unsupported public-partition"):
+        DPEngine._as_partitions_df(spark, ["k"], [(b"bytes",)])
