@@ -1,6 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}}."""
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
+
+Also runs a hot-key skew stress (extra "skew" key in the JSON): the
+TPC-H-ish tables are uniform, so they can't surface the 100x risk of a
+skewed partition key. The skew suite builds a deterministic in-memory
+zipf-ish events table (one user owns ~20% of all rows; one partition key
+owns ~25%) and drives the operators whose plans are most skew-sensitive:
+the (pid, pk) contribution-bounding window, the as-of join's per-key
+repartition, and sessionization's per-user window."""
 
 from __future__ import annotations
 
@@ -9,6 +17,62 @@ import json
 import os
 import re
 import time
+
+
+def _skew_df(spark, n: int):
+    """Deterministic skewed events: user 0 gets ~20% of rows, partition
+    key 0 gets ~25%; the rest spread over 50k users / 1k keys."""
+    from pyspark.sql import functions as F
+    return spark.range(n).select(
+        F.when(F.pmod(F.col("id"), 5) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.col("id")), F.lit(50_000)))
+        .alias("uid"),
+        F.when(F.pmod(F.col("id"), 4) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1_000)))
+        .alias("pk"),
+        (F.pmod(F.col("id"), 97)).cast("double").alias("v"),
+        (F.col("id") * 1_000).alias("ts"))
+
+
+def _skew_queries(spark, n: int = 2_000_000):
+    """name -> thunk returning a DataFrame to collect."""
+    from pyspark.sql import functions as F
+
+    import pipelinedp_spark as pds
+    from pipelinedp_spark.operators.asof import asof_join
+    from pipelinedp_spark.operators.sessions import session_stats
+
+    df = _skew_df(spark, n)
+
+    def dp_count_bounded():
+        acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+        engine = pds.DPEngine(acct, noise_mode="zero")
+        params = pds.AggregateParams(
+            metrics=[pds.Metrics.COUNT, pds.Metrics.SUM],
+            max_partitions_contributed=5,
+            max_contributions_per_partition=3,
+            min_value=0.0, max_value=96.0)
+        res = engine.aggregate(
+            df, params, pds.DataFrameExtractors("uid", "pk", "v"),
+            public_partitions=list(range(100)))
+        acct.compute_budgets()
+        return res.dataframe()
+
+    def asof_hot_key():
+        left = df.sample(0.1, seed=7)
+        return asof_join(left.select("uid", "ts", "v"),
+                         df.select("uid", "ts", "v"),
+                         time_col="ts", by="uid")
+
+    def sessionize_hot_user():
+        return session_stats(df.select("uid", "ts"), "ts", "uid",
+                             gap=50_000)
+
+    return {
+        "skew_dp_count_bounded": dp_count_bounded,
+        "skew_asof_hot_key": asof_hot_key,
+        "skew_sessionize": sessionize_hot_user,
+    }
 
 
 def main() -> None:
@@ -48,12 +112,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    skew: dict[str, float] = {}
+    for name, thunk in _skew_queries(spark).items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk().collect()
+            best = min(best, time.perf_counter() - t0)
+        skew[name] = round(best, 3)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "skew": skew,
         "sf": sf,
     }))
     spark.stop()
