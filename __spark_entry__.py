@@ -281,12 +281,19 @@ def _dp_percentile_public(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("percentile_90"), 6).alias("percentile_90"))
 
 
-_DP_PERCENTILE_SQL = """
+def _gen_percentile_sql(nbins: int) -> str:
+    """Histogram-crossing percentile mirror at a given bin resolution.
+    Also the oracle for the quantile-tree path: a zero-noise tree descent
+    over exact counts selects the same leaf and interpolates the same
+    within-leaf rank as crossing the leaf-resolution (16^4-bin) histogram
+    directly."""
+    return f"""
 WITH pub(event_type) AS (
     VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
 b AS (
   SELECT event_type,
-         LEAST(255, FLOOR(GREATEST(LEAST(value, 50.0), 0.0) / (50.0/256)))
+         LEAST({nbins - 1},
+               FLOOR(GREATEST(LEAST(value, 50.0), 0.0) / (50.0/{nbins})))
              AS bin,
          CAST(COUNT(*) AS DOUBLE) AS cnt
   FROM events GROUP BY 1, 2),
@@ -298,7 +305,7 @@ c AS (
 p AS (SELECT UNNEST([50.0, 90.0]) AS p),
 sel AS (
   SELECT event_type, p.p AS p,
-         MIN_BY(0.0 + (50.0/256) *
+         MIN_BY(0.0 + (50.0/{nbins}) *
                 (bin + ((p.p/100.0*tot) - (cum - cnt)) / cnt), bin) AS val
   FROM c, p
   WHERE cnt > 0 AND cum >= p.p/100.0*tot
@@ -310,6 +317,83 @@ SELECT pub.event_type,
             AS DOUBLE) AS percentile_90
 FROM pub LEFT JOIN sel USING (event_type)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+_DP_PERCENTILE_SQL = _gen_percentile_sql(256)
+
+
+def _dp_percentile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP percentiles via the QUANTILE TREE sketch (height-4 branching-16
+    hierarchical histogram, reference combiners.py:629-719 semantics).
+    Zero noise: the descent over exact counts selects the same leaf and
+    within-leaf rank as crossing the 16^4-bin histogram directly, so the
+    oracle is the leaf-resolution histogram mirror."""
+    from pipelinedp_spark import quantile_tree as qt
+    ev = _t(spark, sf_dir, "events")
+    pub = ["click", "error", "purchase", "signup", "view"]
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.PERCENTILE(50), pds.Metrics.PERCENTILE(90)],
+        max_partitions_contributed=10,
+        max_contributions_per_partition=1_000_000,
+        min_value=0.0, max_value=50.0,
+        percentile_algorithm="tree")
+    res = engine.aggregate(
+        ev, params, pds.DataFrameExtractors("user_id", "event_type",
+                                            "value"),
+        public_partitions=pub)
+    acct.compute_budgets()
+    return res.dataframe().select(
+        "event_type",
+        F.round(F.col("percentile_50"), 6).alias("percentile_50"),
+        F.round(F.col("percentile_90"), 6).alias("percentile_90"))
+
+
+def _dp_count_pld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP count driven end-to-end by the PLD budget accountant (privacy-
+    loss-distribution composition; reference budget_accounting.py:479-747
+    semantics). Zero noise makes the released values budget-independent,
+    so the oracle is the plain bounded count — what the query checks is
+    that the engine runs against PLD-assigned mechanism specs."""
+    orders = _t(spark, sf_dir, "orders")
+    acct = pds.PLDBudgetAccountant(1.0, 1e-6)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    # L0 cap = 5 is non-binding (5 priorities exist) so zero-noise output
+    # is deterministic; the Linf count cap of 5 binds deterministically.
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.COUNT, pds.Metrics.PRIVACY_ID_COUNT],
+        max_partitions_contributed=5,
+        max_contributions_per_partition=5)
+    res = engine.aggregate(
+        orders, params,
+        pds.DataFrameExtractors("o_custkey", "o_orderpriority", None),
+        public_partitions=["1-URGENT", "2-HIGH", "3-MEDIUM",
+                           "4-NOT SPECIFIED", "5-LOW"])
+    acct.compute_budgets()
+    return res.dataframe().select(
+        "o_orderpriority", F.col("count"),
+        F.col("privacy_id_count"))
+
+
+_DP_COUNT_PLD_SQL = """
+WITH pub(o_orderpriority) AS (
+    VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'), ('4-NOT SPECIFIED'),
+           ('5-LOW')),
+per_user AS (
+  SELECT o_custkey, o_orderpriority, LEAST(COUNT(*), 5) AS capped
+  FROM orders GROUP BY 1, 2),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(SUM(capped) AS DOUBLE) AS count,
+         CAST(COUNT(*) AS DOUBLE) AS privacy_id_count
+  FROM per_user GROUP BY 1)
+SELECT pub.o_orderpriority,
+       COALESCE(count, 0.0) AS count,
+       COALESCE(privacy_id_count, 0.0) AS privacy_id_count
+FROM pub LEFT JOIN agg USING (o_orderpriority)
+ORDER BY 1
 """
 
 
@@ -811,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_mean_public": _dp_mean_public,
         "dp_variance_public": _dp_variance_public,
         "dp_percentile_public": _dp_percentile_public,
+        "dp_percentile_tree": _dp_percentile_tree,
+        "dp_count_pld": _dp_count_pld,
         "dp_vector_sum_public": _dp_vector_sum_public,
         "dp_partition_selection": _dp_partition_selection,
         "dp_select_partitions_tg": _dp_select_partitions_tg,
@@ -845,6 +931,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_mean_public": _DP_MEAN_SQL,
         "dp_variance_public": _DP_VARIANCE_SQL,
         "dp_percentile_public": _DP_PERCENTILE_SQL,
+        "dp_percentile_tree": _gen_percentile_sql(16 ** 4),
+        "dp_count_pld": _DP_COUNT_PLD_SQL,
         "dp_vector_sum_public": _DP_VECTOR_SUM_SQL,
         "dp_partition_selection": _dp_partition_selection_sql(),
         "dp_select_partitions_tg": _dp_select_partitions_tg_sql(),
