@@ -103,10 +103,13 @@ class UtilityAnalysisEngine:
         (reference: pipeline_dp/data_extractors.py:47-66)."""
         metrics = [m.metric for m in params.metrics
                    if m.metric in (Metric.COUNT, Metric.PRIVACY_ID_COUNT,
-                                   Metric.SUM)]
+                                   Metric.SUM, Metric.MEAN)]
         if not metrics:
-            raise ValueError(
-                "utility analysis supports COUNT / PRIVACY_ID_COUNT / SUM")
+            raise ValueError("utility analysis supports COUNT / "
+                             "PRIVACY_ID_COUNT / SUM / MEAN")
+        if Metric.MEAN in metrics and not configurations.max_sum_per_partition:
+            raise ValueError("MEAN analysis needs min/max_sum_per_partition "
+                             "in the configuration grid (the sum clip)")
         spark = df.sparkSession
         pk_cols = list(extractors.partition_key_columns)
         if preaggregated:
@@ -138,6 +141,18 @@ class UtilityAnalysisEngine:
                     sens = dp.count_sensitivities(l0, linf)
                 elif m == Metric.PRIVACY_ID_COUNT:
                     sens = dp.privacy_id_count_sensitivities(l0)
+                elif m == Metric.MEAN:
+                    # mean = noisy sum / noisy count with its eps_m split
+                    # half/half between the two internal mechanisms; the
+                    # two stds combine per partition via the delta method.
+                    csens = dp.count_sensitivities(l0, linf)
+                    ssens = dp.sum_sensitivities(l0, linf, None, None,
+                                                 min_s or 0.0, max_s or 1.0)
+                    noise["mean_count"] = dp.noise_std(
+                        params.noise_kind, eps_m / 2, delta_m / 2, csens)
+                    noise["mean_sum"] = dp.noise_std(
+                        params.noise_kind, eps_m / 2, delta_m / 2, ssens)
+                    continue
                 else:
                     sens = dp.sum_sensitivities(l0, linf, None, None,
                                                 min_s or 0.0, max_s or 1.0)
@@ -152,11 +167,15 @@ class UtilityAnalysisEngine:
             conf_rows.append((i, l0, linf, min_s, max_s,
                               noise.get("count", 0.0),
                               noise.get("privacy_id_count", 0.0),
-                              noise.get("sum", 0.0), scale, threshold))
+                              noise.get("sum", 0.0),
+                              noise.get("mean_count", 0.0),
+                              noise.get("mean_sum", 0.0),
+                              scale, threshold))
         confs = spark.createDataFrame(
             conf_rows,
             "conf int, l0 int, linf int, min_s double, max_s double, "
             "count_std double, pid_std double, sum_std double, "
+            "mcount_std double, msum_std double, "
             "sel_scale double, sel_threshold double")
 
         j = pre.crossJoin(F.broadcast(confs))
@@ -177,10 +196,12 @@ class UtilityAnalysisEngine:
             F.first("count_std").alias("count_std"),
             F.first("pid_std").alias("pid_std"),
             F.first("sum_std").alias("sum_std"),
+            F.first("mcount_std").alias("mcount_std"),
+            F.first("msum_std").alias("msum_std"),
             F.first("sel_scale").alias("sel_scale"),
             F.first("sel_threshold").alias("sel_threshold"),
         ]
-        if Metric.SUM in metrics:
+        if Metric.SUM in metrics or Metric.MEAN in metrics:
             s = F.col("sum")
             clipped_sum = F.greatest(F.least(s, F.col("max_s")),
                                      F.col("min_s"))
@@ -237,7 +258,7 @@ class UtilityAnalysisEngine:
             (F.sum(-F.col("pid_bias")) / F.sum("true_pids"))
             .alias("pid_dropped"),
         ]
-        if Metric.SUM in metrics:
+        if Metric.SUM in metrics or Metric.MEAN in metrics:
             agg_exprs += [
                 F.avg(rmse2(F.col("sum_bias"), F.col("sum_var"),
                             F.col("sum_std"), F.col("true_sum")))
@@ -245,6 +266,27 @@ class UtilityAnalysisEngine:
                 F.avg(F.abs(F.col("sum_bias"))).alias("sum_abs_bias"),
                 (F.sum(-F.col("sum_bias")) /
                  F.sum(F.abs(F.col("true_sum")))).alias("sum_dropped"),
+            ]
+        if Metric.MEAN in metrics:
+            # Delta method around the true (C, S): mean = S/C, so
+            # err_mean ~ err_S / C - M * err_C / C with M = S/C; bias and
+            # the sampling/noise variances of S and C combine accordingly
+            # (cross-covariance of the bounding events ignored —
+            # documented approximation, conservative in the regimes where
+            # clipping binds one of the two).
+            C = F.col("true_count").cast("double")
+            M = F.col("true_sum") / C
+            mean_bias = (F.col("sum_bias") - M * F.col("count_bias")) / C
+            mean_var = (F.col("sum_var")
+                        + F.col("msum_std") * F.col("msum_std")
+                        + M * M * (F.col("count_var")
+                                   + F.col("mcount_std")
+                                   * F.col("mcount_std"))) / (C * C)
+            kept = F.col("p_keep")
+            agg_exprs += [
+                F.avg(kept * (mean_bias * mean_bias + mean_var)
+                      + (1 - kept) * M * M).alias("mean_rmse2"),
+                F.avg(F.abs(mean_bias)).alias("mean_abs_bias"),
             ]
         per_conf = {r["conf"]: r for r in
                     per_pk.groupBy("conf").agg(*agg_exprs).collect()}
@@ -257,14 +299,20 @@ class UtilityAnalysisEngine:
             errors = []
             for m in metrics:
                 key = {"count": "count", "privacy_id_count": "pid",
-                       "sum": "sum"}[m.value]
+                       "sum": "sum", "mean": "mean"}[m.value]
+                # mean has no single noise std: report the sum-mechanism
+                # component (the dominant term); its data-dropped ratio is
+                # the sum's (the same clipped mass drives both).
+                noise_std = row[{"count": 5, "privacy_id_count": 6,
+                                 "sum": 7, "mean": 9}[m.value]]
+                dropped = r["sum_dropped" if key == "mean"
+                            else f"{key}_dropped"]
                 errors.append(MetricUtility(
                     metric=m,
-                    noise_std=row[{"count": 5, "privacy_id_count": 6,
-                                   "sum": 7}[m.value]],
+                    noise_std=noise_std,
                     rmse=math.sqrt(max(r[f"{key}_rmse2"], 0.0)),
                     expected_abs_bias=r[f"{key}_abs_bias"],
-                    ratio_data_dropped=max(r[f"{key}_dropped"] or 0.0, 0.0)))
+                    ratio_data_dropped=max(dropped or 0.0, 0.0)))
             reports.append(UtilityReport(
                 configuration_index=row[0],
                 partitions_kept_expected=r["partitions_kept"],

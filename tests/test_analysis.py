@@ -168,3 +168,42 @@ def test_strategy_selector():
     wide = Sensitivities(l0=10000, linf=1.0)
     kind = sel.select_noise_kind(1.0, 1e-3, wide)
     assert kind == NoiseKind.GAUSSIAN
+
+
+def test_utility_analysis_mean_path(data):
+    """MEAN error via the delta method on (count, sum) errors. With huge
+    epsilon and non-binding bounds the mean is exact up to noise: rmse
+    must be small relative to the true mean (1.5) and shrink as epsilon
+    grows; bias is zero when nothing clips."""
+    params = AggregateParams(metrics=[Metrics.MEAN],
+                             max_partitions_contributed=1,
+                             max_contributions_per_partition=1,
+                             min_value=0.0, max_value=3.0)
+    conf = A.MultiParameterConfiguration(
+        max_partitions_contributed=[3],
+        max_contributions_per_partition=[2],
+        min_sum_per_partition=[0.0],
+        max_sum_per_partition=[3.0])
+    rmses = {}
+    for eps in (10.0, 1000.0):
+        reports = A.UtilityAnalysisEngine(eps, 1e-6).analyze(
+            data, params, EXT, conf, public_partitions=["p0", "p1", "p2"])
+        err = reports[0].metric_errors[0]
+        assert err.metric == Metric.MEAN
+        assert err.expected_abs_bias == pytest.approx(0.0, abs=1e-9)
+        rmses[eps] = err.rmse
+    assert rmses[1000.0] < rmses[10.0] / 50
+    assert rmses[1000.0] < 0.05  # near-exact at eps=1000
+
+
+def test_utility_analysis_mean_requires_sum_bounds(data):
+    params = AggregateParams(metrics=[Metrics.MEAN],
+                             max_partitions_contributed=1,
+                             max_contributions_per_partition=1,
+                             min_value=0.0, max_value=3.0)
+    conf = A.MultiParameterConfiguration(
+        max_partitions_contributed=[3],
+        max_contributions_per_partition=[2])
+    with pytest.raises(ValueError, match="sum_per_partition"):
+        A.UtilityAnalysisEngine(10.0, 1e-6).analyze(
+            data, params, EXT, conf, public_partitions=["p0"])
