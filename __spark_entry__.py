@@ -882,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": _doc_text_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_jaccard": _dedup_jaccard,
         "dedup_simhash": _dedup_simhash,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_topk": _sim_lsh_topk,
@@ -918,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": _DOC_TEXT_STATS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+        "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_lsh_topk": _SIM_LSH_TOPK_SQL,
@@ -1079,6 +1081,38 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      (len(sa.shingles) + len(sb.shingles)
+       - len(list_intersect(sa.shingles, sb.shingles))) >= 0.7
+"""
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index
+    with the deterministic stop-shingle rule (doc freq > 200 excluded
+    from candidate discovery); Jaccard over full shingle sets."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, jaccard_threshold=0.7)
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+kept AS (
+  SELECT doc_id, s FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 200),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id)
 SELECT c.id_a, c.id_b,
        ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
              (len(sa.shingles) + len(sb.shingles)

@@ -334,3 +334,53 @@ class TestDeterministicSplit:
         df = spark.range(10).withColumnRenamed("id", "k")
         with _pytest.raises(ValueError):
             deterministic_split(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_jaccard_pairs_matches_brute_force(spark):
+    """The inverted-index + exact-upper-bound prefilter must return
+    exactly the brute-force all-pairs Jaccard result (the prefilter is a
+    pure pruning step: no false negatives by construction)."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (0, base + "alpha beta gamma"),
+        (1, base + "alpha beta delta"),          # near-dup of 0
+        (2, base + "epsilon zeta eta theta"),
+        (3, "completely different text with unrelated words here now"),
+        (4, base + "alpha beta gamma"),          # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.jaccard_pairs(df, jaccard_threshold=0.5,
+                               max_shingle_doc_freq=100).collect()}
+
+    # brute force over full shingle sets
+    sh = {r["doc_id"]: set(r["shingles"]) for r in
+          dedup.shingle_docs(df).collect()}
+    want = {}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sh[i] & sh[j])
+                jac = inter / (len(sh[i]) + len(sh[j]) - inter)
+                if round(jac, 6) >= 0.5:
+                    want[(i, j)] = round(jac, 6)
+    assert got == pytest.approx(want)
+
+
+def test_jaccard_stop_shingle_rule_is_discovery_only(spark):
+    """A pair whose every shared shingle is a stop shingle is not
+    discovered; Jaccard for discovered pairs still uses full sets."""
+    common = "shared boilerplate text appears everywhere always " * 2
+    rows = [(i, common + f"unique{i} filler{i} words{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # cap 3 < 6 docs: every shared (boilerplate) shingle is a stop
+    # shingle, so no candidates are discovered at all.
+    none = dedup.jaccard_pairs(df, jaccard_threshold=0.1,
+                               max_shingle_doc_freq=3).collect()
+    assert none == []
+    # with the cap lifted, the boilerplate pairs appear
+    some = dedup.jaccard_pairs(df, jaccard_threshold=0.1,
+                               max_shingle_doc_freq=100).collect()
+    assert len(some) == 15
