@@ -112,12 +112,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # count() not collect(): the skew suite measures operator + shuffle
+    # behavior under hot keys; its outputs are millions of rows whose
+    # driver serialization would swamp the signal.
     skew: dict[str, float] = {}
     for name, thunk in _skew_queries(spark).items():
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            thunk().collect()
+            thunk().count()
             best = min(best, time.perf_counter() - t0)
         skew[name] = round(best, 3)
 

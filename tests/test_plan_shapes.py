@@ -140,6 +140,51 @@ def test_noise_udfs_are_nondeterministic(spark):
     assert nplan.count("ArrowEvalPython") == 1, nplan
 
 
+def test_jaccard_pairs_no_pair_blowup(spark):
+    """The inverted-index jaccard must stay on hash joins (no cartesian /
+    nested-loop) and keep map-side partial aggregation for the
+    shared-shingle counts."""
+    from pipelinedp_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.jaccard_pairs(docs, jaccard_threshold=0.7)
+    plan = P.explain_str(out)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert P.has_partial_aggregation(out)
+
+
+def test_simhash_pairs_fingerprints_computed_once(spark):
+    """Both join sides of the simhash block self-join (and the sub-block
+    path) must read the persisted block table instead of re-running the
+    fingerprint UDF subplan."""
+    from pipelinedp_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = P.explain_str(dedup.simhash_pairs(docs), mode="simple")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_quantile_tree_scan_pruning(spark):
+    """The tree percentile pipeline reads only (pid, pk, value)."""
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.PERCENTILE(50)],
+        max_partitions_contributed=3,
+        max_contributions_per_partition=5,
+        min_value=0.0, max_value=1000.0,
+        percentile_algorithm="tree")
+    res = engine.aggregate(
+        _orders(spark), params,
+        pds.DataFrameExtractors("o_custkey", "o_orderpriority",
+                                "o_totalprice"),
+        public_partitions=["1-URGENT"])
+    acct.compute_budgets()
+    scans = P.scan_columns(res.dataframe())
+    assert scans
+    for cols in scans:
+        assert set(cols) <= {"o_custkey", "o_orderpriority", "o_totalprice"}
+
+
 def test_running_sum_stays_range_partitioned(spark):
     from pipelinedp_spark.operators.running import running_sum
     df = spark.range(1000).withColumn("v", (F.col("id") % 9) + 1)
