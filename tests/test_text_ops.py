@@ -384,3 +384,46 @@ def test_jaccard_stop_shingle_rule_is_discovery_only(spark):
     some = dedup.jaccard_pairs(df, jaccard_threshold=0.1,
                                max_shingle_doc_freq=100).collect()
     assert len(some) == 15
+
+
+def test_sessionize_scalable_matches_window_version(spark):
+    """sessionize_scalable must equal the single-window sessionize on
+    arbitrary data, for partition counts that force hot keys to span
+    partitions (the case the operator exists for)."""
+    import numpy as np
+    from pipelinedp_spark.operators.sessions import (sessionize,
+                                                     sessionize_scalable)
+    rng = np.random.default_rng(5)
+    rows = []
+    # hot key 0 with a long dense timeline + sparse other keys
+    ts = 0
+    for _ in range(500):
+        ts += int(rng.integers(1, 30))
+        rows.append((0, ts))
+    for k in range(1, 20):
+        ts = int(rng.integers(0, 1000))
+        for _ in range(int(rng.integers(1, 15))):
+            ts += int(rng.integers(1, 40))
+            rows.append((k, ts))
+    df = spark.createDataFrame(rows, "k long, t long")
+    want = {(r["k"], r["t"]): r["session_id"]
+            for r in sessionize(df, "t", "k", gap=15).collect()}
+    for n_parts in (1, 3, 8, 17):
+        got = {(r["k"], r["t"]): r["session_id"]
+               for r in sessionize_scalable(df, "t", "k", gap=15,
+                                            num_partitions=n_parts)
+               .collect()}
+        assert got == want, f"mismatch at num_partitions={n_parts}"
+
+
+def test_sessionize_scalable_hot_key_spans_partitions(spark):
+    """One key owning nearly everything: the range partitioner must split
+    it, and the merge must still produce a single session chain."""
+    from pipelinedp_spark.operators.sessions import sessionize_scalable
+    rows = [(7, i * 10) for i in range(2000)]       # one unbroken session
+    rows += [(7, 100_000 + i * 1000) for i in range(50)]  # 50 singletons
+    df = spark.createDataFrame(rows, "k long, t long")
+    out = sessionize_scalable(df, "t", "k", gap=15, num_partitions=8)
+    sids = [r["session_id"] for r in out.orderBy("t").collect()]
+    assert sids[:2000] == [0] * 2000
+    assert sids[2000:] == list(range(1, 51))
