@@ -52,16 +52,17 @@ def cosine_topk(corpus: DataFrame,
     """Exact brute-force top-k cosine neighbors per query.
 
     corpus x broadcast(queries) -> score -> window top-k per query.
-    Returns (query_id, vec_id, rank, cosine).
+    Scoring runs in the Arrow-batched numpy pair UDF (`cosine_pairs_udf`)
+    rather than higher-order column lambdas: HOF lambdas are interpreted
+    (no codegen), which measured ~2 orders slower per pair on 64-dim
+    vectors. Returns (query_id, vec_id, rank, cosine).
     """
+    cos = cosine_pairs_udf()
     q = queries.select(F.col(query_id), F.col(query_vec))
     scored = corpus.select(F.col(corpus_id), F.col(corpus_vec)) \
         .crossJoin(F.broadcast(q)) \
-        .select(
-            F.col(query_id), F.col(corpus_id),
-            cosine_expr(F.col(corpus_vec).cast("array<double>"),
-                        F.col(query_vec).cast("array<double>"))
-            .alias("cosine"))
+        .select(F.col(query_id), F.col(corpus_id),
+                cos(F.col(corpus_vec), F.col(query_vec)).alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
