@@ -883,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_jaccard": _dedup_jaccard,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_lsh_topk": _sim_lsh_topk,
@@ -920,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_clusters": _gen_dedup_clusters_sql(),
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "sim_cosine_topk": _SIM_COSINE_TOPK_SQL,
         "sim_lsh_topk": _SIM_LSH_TOPK_SQL,
@@ -1123,6 +1125,37 @@ JOIN sh sb ON sb.doc_id = c.id_b
 WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
       (len(sa.shingles) + len(sb.shingles)
        - len(list_intersect(sa.shingles, sb.shingles))) >= 0.7
+"""
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: simhash pairs -> iterative min-label
+    connected components -> every doc labeled with its component's min
+    doc id (the keep-one-representative step). The oracle computes the
+    same transitive closure with a recursive CTE over the identical pair
+    set."""
+    from pipelinedp_spark.operators import dedup, graph
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    return graph.near_dup_clusters(docs, pairs)
+
+
+def _gen_dedup_clusters_sql() -> str:
+    pair_sql = _DEDUP_SIMHASH_SQL.replace("ORDER BY 1, 2", "")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pair_sql})
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON reach.node = und.v
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node ORDER BY 1
 """
 
 

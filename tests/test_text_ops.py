@@ -427,3 +427,39 @@ def test_sessionize_scalable_hot_key_spans_partitions(spark):
     sids = [r["session_id"] for r in out.orderBy("t").collect()]
     assert sids[:2000] == [0] * 2000
     assert sids[2000:] == list(range(1, 51))
+
+
+def test_connected_components_matches_brute_force(spark):
+    from pipelinedp_spark.operators.graph import connected_components
+    # two cliques bridged by a path, plus an isolated edge
+    edges = [(1, 2), (2, 3), (3, 1),          # clique A
+             (3, 10), (10, 11), (11, 12),     # path to clique B
+             (12, 13), (13, 14), (14, 12),    # clique B
+             (50, 51)]                        # separate component
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    # brute force union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want
+
+
+def test_near_dup_clusters_covers_all_docs(spark):
+    from pipelinedp_spark.operators.graph import near_dup_clusters
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 7}
