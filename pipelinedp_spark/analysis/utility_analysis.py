@@ -30,6 +30,8 @@ import dataclasses
 import math
 from typing import List, Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -218,12 +220,12 @@ class UtilityAnalysisEngine:
         # privacy ids (refined-normal PMF from the three per-partition
         # moment sums; reference: analysis/poisson_binomial.py:26-83).
         if public_partitions is None:
-            import pandas as pd
             from pipelinedp_spark.analysis import poisson_binomial as pb
-            from pyspark.sql.functions import PandasUDFType
 
-            @F.pandas_udf("double", PandasUDFType.SCALAR)
-            def _p_keep(mean, var, m3, n, scale, threshold):
+            @F.pandas_udf("double")
+            def _p_keep(mean: pd.Series, var: pd.Series, m3: pd.Series,
+                        n: pd.Series, scale: pd.Series,
+                        threshold: pd.Series) -> pd.Series:
                 return pd.Series([
                     pb.keep_probability(mean.iat[i], var.iat[i], m3.iat[i],
                                         int(n.iat[i]), scale.iat[i],
