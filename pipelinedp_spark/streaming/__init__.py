@@ -2,12 +2,14 @@
 batch-only — SURVEY.md §2.F)."""
 
 from pipelinedp_spark.streaming.dp_streaming import (dp_streaming_count,
+                                                     dp_streaming_mean,
                                                      dp_streaming_sum,
                                                      session_window_counts,
                                                      streaming_exact_dedup)
 
 __all__ = [
     "dp_streaming_count",
+    "dp_streaming_mean",
     "dp_streaming_sum",
     "session_window_counts",
     "streaming_exact_dedup",

@@ -205,6 +205,78 @@ def dp_streaming_sum(stream: DataFrame,
         .alias("sum"))
 
 
+def dp_streaming_mean(stream: DataFrame,
+                      privacy_id_col: str,
+                      timestamp_col: str,
+                      value_col: str,
+                      window_duration: str,
+                      watermark_delay: str,
+                      epsilon_per_window: float,
+                      min_value: float,
+                      max_value: float,
+                      max_contributions_per_window: int,
+                      l0_per_window: int = 1,
+                      noise_kind: NoiseKind = NoiseKind.LAPLACE,
+                      delta_per_window: float = 0.0,
+                      noise_mode: str = "secure",
+                      threshold_windows: Optional[bool] = None) -> DataFrame:
+    """DP mean per event-time window: the batch engine's normalized-sum
+    construction (noisy clipped-sum / noisy capped-count, each with half
+    the metric budget) on top of the same watermark -> per-(user, window)
+    partial -> per-window merge plan. Window selection as in
+    dp_streaming_count. Returns (window, mean)."""
+    do_threshold = _resolve_thresholding(threshold_windows, delta_per_window)
+    linf = max_contributions_per_window
+    mid = (min_value + max_value) / 2.0
+    half = (max_value - min_value) / 2.0
+    per_user = (stream
+                .withWatermark(timestamp_col, watermark_delay)
+                .groupBy(F.col(privacy_id_col).alias("__pid__"),
+                         F.window(F.col(timestamp_col), window_duration)
+                         .alias("window"))
+                .agg(F.least(F.count(F.lit(1)), F.lit(linf))
+                     .alias("__capped__"),
+                     # normalized per-contribution values in [-half, half],
+                     # summed with the same Linf cap semantics (cap binds
+                     # the count; the normalized sum of capped rows is
+                     # bounded by capped * half)
+                     _clip(F.sum(F.col(value_col).cast(DoubleType())
+                                 - F.lit(mid)),
+                           -float(linf) * half, float(linf) * half)
+                     .alias("__nsum__")))
+    per_window = per_user.groupBy("window").agg(
+        F.sum("__capped__").alias("__count__"),
+        F.sum("__nsum__").alias("__nsum__"),
+        F.count(F.lit(1)).alias("__pids__"))
+
+    eps_metric = epsilon_per_window / 2 if do_threshold \
+        else epsilon_per_window
+    delta_metric = delta_per_window / 2 if do_threshold \
+        else delta_per_window
+    cnt_sens = dp.count_sensitivities(l0_per_window, linf)
+    sum_sens = dp.sum_sensitivities(l0_per_window, linf, -half, half,
+                                    None, None)
+    cnt_scale = dp.noise_scale(noise_kind, eps_metric / 2,
+                               delta_metric / 2 if delta_metric else 0.0,
+                               cnt_sens)
+    sum_scale = dp.noise_scale(noise_kind, eps_metric / 2,
+                               delta_metric / 2 if delta_metric else 0.0,
+                               sum_sens)
+    noise = create_noise_source(noise_mode)
+    if do_threshold:
+        per_window = _pid_threshold_filter(
+            per_window, noise, noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2, l0_per_window, "__pids__")
+    noisy_cnt = noise.add_noise(F.col("__count__").cast(DoubleType()),
+                                noise_kind.value, cnt_scale)
+    noisy_sum = noise.add_noise(F.col("__nsum__"), noise_kind.value,
+                                sum_scale)
+    return per_window.select(
+        "window",
+        (F.lit(mid) + noisy_sum / F.greatest(noisy_cnt, F.lit(1.0)))
+        .alias("mean"))
+
+
 def streaming_exact_dedup(stream: DataFrame,
                           fingerprint_col: str,
                           id_col: str,

@@ -349,3 +349,20 @@ def test_session_window_counts(spark, stream_dir):
         per_user.setdefault(r["pid"], []).append(r["n_events"])
     # User 2 (no sparse-window event): one 3-event and one 1-event session.
     assert sorted(per_user[2]) == [1, 3]
+
+
+def test_dp_streaming_mean(spark, stream_dir):
+    from pipelinedp_spark.streaming import dp_streaming_mean
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_mean(
+        stream, "user_id", "ts", "value", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=10.0,
+        min_value=0.0, max_value=5.0, max_contributions_per_window=3,
+        delta_per_window=1e-4, noise_mode="zero")
+    got = _run_stream(spark, out, "dp_mean_stream")
+    rows = {r["window"]["start"].minute: r["mean"] for r in got.collect()}
+    # Window 0: each user 3 events of 2.0 -> mean 2.0; window 1: 4.0.
+    # Sparse window 2 (2 users) is suppressed by selection.
+    assert rows[0] == pytest.approx(2.0)
+    assert rows[1] == pytest.approx(4.0)
+    assert 2 not in rows
