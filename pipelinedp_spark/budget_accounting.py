@@ -49,6 +49,14 @@ class MechanismSpec:
         self.count = count  # number of identical mechanisms sharing this spec
         self._eps: Optional[float] = None
         self._delta: Optional[float] = None
+        # Delta earmarked specifically for the keep-threshold of a
+        # thresholding mechanism (reference: budget_accounting.py
+        # set_thresholding_delta). None => the engine falls back to its
+        # historical split of ``delta`` (full delta for Laplace selection,
+        # half/half for Gaussian). Accountants that reserve a distinct
+        # thresholding budget (PLD) set it so every thresholding site spends
+        # exactly the reserved amount.
+        self._thresholding_delta: Optional[float] = None
 
     @property
     def eps(self) -> float:
@@ -73,6 +81,13 @@ class MechanismSpec:
     def set_eps_delta(self, eps: float, delta: float) -> None:
         self._eps = eps
         self._delta = delta
+
+    @property
+    def thresholding_delta(self) -> Optional[float]:
+        return self._thresholding_delta
+
+    def set_thresholding_delta(self, delta: float) -> None:
+        self._thresholding_delta = delta
 
     def __repr__(self):
         return (f"MechanismSpec({self.mechanism_type.value}, weight="

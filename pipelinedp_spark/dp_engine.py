@@ -461,14 +461,26 @@ class DPEngine:
             keep = self._noise.geometric_keep(pid_count, probs, pre)
             report.append("Partition selection: truncated geometric")
             return out.filter(keep)
+        # An accountant that reserved a distinct thresholding budget (PLD)
+        # pins the threshold's delta via spec.thresholding_delta; otherwise
+        # the historical split applies (full delta for Laplace, whose noise
+        # is pure-eps; half/half for Gaussian).
+        thr_delta = spec.thresholding_delta
         if strategy == PartitionSelectionStrategy.LAPLACE_THRESHOLDING:
-            scale, threshold = dp.laplace_thresholding(spec.eps, spec.delta,
-                                                       l0)
+            scale, threshold = dp.laplace_thresholding(
+                spec.eps, thr_delta if thr_delta is not None else spec.delta,
+                l0)
             noisy = self._noise.add_noise(pid_count.cast(DoubleType()),
                                           "laplace", scale)
         else:
-            sigma, threshold = dp.gaussian_thresholding(spec.eps, spec.delta,
-                                                        l0)
+            if thr_delta is None:
+                sigma, threshold = dp.gaussian_thresholding(
+                    spec.eps, spec.delta, l0)
+            else:
+                sigma = dp.gaussian_sigma(spec.eps, spec.delta - thr_delta,
+                                          math.sqrt(l0))
+                threshold = dp.thresholding_from_std(
+                    NoiseKind.GAUSSIAN, sigma, thr_delta, l0)
             noisy = self._noise.add_noise(pid_count.cast(DoubleType()),
                                           "gaussian", sigma)
         keep = noisy >= F.lit(threshold)
@@ -562,12 +574,18 @@ class DPEngine:
                 # noised pid-count released iff >= threshold; rows below are
                 # dropped entirely.
                 nk = spec.mechanism_type.to_noise_kind()
-                std = dp.noise_std(nk, spec.eps, spec.delta / 2, sens)
-                threshold = dp.thresholding_from_std(nk, std, spec.delta / 2,
+                # Thresholding delta: accountant-pinned reservation when
+                # present (PLD), else half of the mechanism delta.
+                thr_delta = (spec.thresholding_delta
+                             if spec.thresholding_delta is not None
+                             else spec.delta / 2)
+                noise_delta = spec.delta - thr_delta
+                std = dp.noise_std(nk, spec.eps, noise_delta, sens)
+                threshold = dp.thresholding_from_std(nk, std, thr_delta,
                                                      l0 or 1)
                 noisy = noise.add_noise(
                     F.col(_PID_COUNT).cast(DoubleType()), nk.value,
-                    dp.noise_scale(nk, spec.eps, spec.delta / 2, sens))
+                    dp.noise_scale(nk, spec.eps, noise_delta, sens))
                 out = out.withColumn("__dp_pid_count__", noisy)
                 out = out.filter(
                     F.col("__dp_pid_count__") >= F.lit(threshold))

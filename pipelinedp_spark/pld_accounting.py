@@ -262,7 +262,16 @@ class PLDBudgetAccountant(NaiveBudgetAccountant):
                > self._total_epsilon):
             hi *= 2.0
             if hi > 1e9:
-                break
+                # Bracket cap hit: no base std up to 1e9 satisfies the
+                # budget (pathological eps/delta). Returning the cap would
+                # silently under-deliver the guarantee — fail loudly.
+                raise ValueError(
+                    f"PLD base-std search could not satisfy "
+                    f"(eps={self._total_epsilon}, delta={delta}) with base "
+                    f"std <= 1e9; achieved eps at cap = "
+                    f"{self._compose_all(hi).epsilon_for_delta(delta):.4g}. "
+                    f"The budget is too small for the registered "
+                    f"mechanisms.")
         lo = 0.0
         while lo + 1e-4 < hi:
             mid = (lo + hi) / 2.0
@@ -301,10 +310,17 @@ class PLDBudgetAccountant(NaiveBudgetAccountant):
 
         for spec in self._specs:
             unit_std = base_std / spec.weight
+            if spec.mechanism_type in _THRESHOLDING_TYPES:
+                # The keep-threshold may spend exactly its reservation —
+                # engine thresholding sites read this field instead of
+                # splitting ``delta`` heuristically (the Laplace selection
+                # site would otherwise spend the FULL delta on the
+                # threshold, exceeding the reservation 2x).
+                spec.set_thresholding_delta(thr_delta_each)
             if spec.mechanism_type in _LAPLACE_TYPES:
                 # engine: b = l1 / eps  =>  eps making b_unit = std/sqrt(2)
                 eps = math.sqrt(2.0) / unit_std
-                delta = (2.0 * thr_delta_each
+                delta = (thr_delta_each
                          if spec.mechanism_type in _THRESHOLDING_TYPES
                          else 0.0)
             elif spec.mechanism_type in _GAUSSIAN_TYPES:

@@ -152,8 +152,43 @@ def test_thresholding_reserves_quarter_delta():
     acct = PLDBudgetAccountant(eps, delta)
     spec = acct.request_budget(MechanismType.LAPLACE_THRESHOLDING)
     acct.compute_budgets()
-    # all thresholding delta (0.25 * total) goes to the single spec
+    # all thresholding delta (0.25 * total) goes to the single spec's
+    # keep-threshold, pinned via the dedicated field the engine reads
+    assert spec.thresholding_delta == pytest.approx(0.25 * delta)
+    # Laplace noise is pure-eps, so the spec's total delta IS the threshold
+    assert spec.delta == pytest.approx(0.25 * delta)
+
+
+def test_total_delta_spend_within_budget_laplace_selection():
+    """Regression (round-3 advice): with Laplace-thresholding selection the
+    engine spends spec.thresholding_delta on the threshold while noise is
+    certified by the composed PLD at total_delta - reservation. The sum of
+    the two must not exceed total_delta."""
+    eps, delta = 1.0, 1e-4
+    acct = PLDBudgetAccountant(eps, delta)
+    thr_spec = acct.request_budget(MechanismType.LAPLACE_THRESHOLDING)
+    acct.request_budget(MechanismType.LAPLACE)  # a count metric
+    acct.compute_budgets()
+    noise_delta_certified = delta - acct._thresholding_delta()
+    threshold_spend = thr_spec.thresholding_delta
+    assert threshold_spend == pytest.approx(0.25 * delta)
+    assert noise_delta_certified + threshold_spend <= delta + 1e-18
+    # and the composed PLD actually certifies the noise at that delta
+    assert acct.composed_epsilon() <= eps + 1e-6
+
+
+def test_gaussian_thresholding_delta_split():
+    """GAUSSIAN_THRESHOLDING: threshold gets the reservation, noise the
+    other half of spec.delta — engine sites derive noise_delta =
+    spec.delta - thresholding_delta."""
+    eps, delta = 1.0, 1e-4
+    acct = PLDBudgetAccountant(eps, delta)
+    spec = acct.request_budget(MechanismType.GAUSSIAN_THRESHOLDING)
+    acct.compute_budgets()
+    assert spec.thresholding_delta == pytest.approx(0.25 * delta)
     assert spec.delta == pytest.approx(0.5 * delta)
+    assert spec.delta - spec.thresholding_delta + spec.thresholding_delta \
+        <= 0.5 * delta + 1e-18
 
 
 def test_pure_eps_matches_reference_formula():
