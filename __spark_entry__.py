@@ -877,6 +877,102 @@ FROM u
 """
 
 
+def _multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end binary image path: a deterministic grayscale pixel
+    pattern per doc -> real 24-bit BMP encoding (struct, bottom-up rows,
+    4-byte row padding) -> opaque binary column -> real decode
+    (operators.multimodal.decode_bmp) -> exact integer luma stats. The
+    oracle recomputes the stats straight from the generating formula, so a
+    header/padding/row-order bug in EITHER codec breaks the match. Widths
+    5..8 exercise all four row-padding residues."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                h, w = 4 + d % 3, 5 + d % 4
+                i, j = np.meshgrid(np.arange(h), np.arange(w),
+                                   indexing="ij")
+                px = ((d + 7 * i + 13 * j) % 256).astype(np.uint8)
+                payloads.append(MM.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "image": payloads})
+
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    return MM.image_pixel_stats(imgs, "image").select(
+        "doc_id", "px_width", "px_height", "px_sum", "px_min", "px_max")
+
+
+_MULTIMODAL_BMP_SQL = """
+WITH px AS (
+  SELECT d.doc_id, (d.doc_id + 7 * gi.i + 13 * gj.j) % 256 AS v
+  FROM documents d,
+       generate_series(0, 5) gi(i),
+       generate_series(0, 7) gj(j)
+  WHERE gi.i < 4 + d.doc_id % 3 AND gj.j < 5 + d.doc_id % 4)
+SELECT doc_id,
+       CAST(5 + doc_id % 4 AS INT) AS px_width,
+       CAST(4 + doc_id % 3 AS INT) AS px_height,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id
+"""
+
+
+def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end binary audio path: deterministic int16 PCM samples
+    per doc -> real RIFF/WAVE encoding -> opaque binary column -> real
+    decode (operators.multimodal.decode_wav) -> exact integer amplitude
+    stats + integer-microsecond duration, all recomputed by the oracle from
+    the generating formula. Varying sample counts exercise the data-chunk
+    size field; varying rates exercise the fmt chunk."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                n = 64 + d % 64
+                rate = 8000 * (1 + d % 3)
+                samples = ((d * 31 + np.arange(n) * 17) % 4096
+                           - 2048).astype(np.int16)
+                payloads.append(MM.encode_wav(samples, int(rate)))
+            yield pd.DataFrame({"doc_id": ids, "audio": payloads})
+
+    wavs = docs.mapInPandas(gen, "doc_id long, audio binary")
+    return MM.audio_pcm_stats(wavs, "audio").select(
+        "doc_id", "sample_rate", "n_samples", "amp_sum", "amp_min",
+        "amp_max", "duration_us")
+
+
+_MULTIMODAL_WAV_SQL = """
+WITH s AS (
+  SELECT d.doc_id, (d.doc_id * 31 + g.k * 17) % 4096 - 2048 AS v
+  FROM documents d, generate_series(0, 127) g(k)
+  WHERE g.k < 64 + d.doc_id % 64)
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+       CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS amp_sum,
+       CAST(MIN(v) AS BIGINT) AS amp_min,
+       CAST(MAX(v) AS BIGINT) AS amp_max,
+       CAST((64 + doc_id % 64) * 1000000
+            // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_us
+FROM s GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_text_stats": _doc_text_stats,
@@ -912,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "token_topk": _token_topk,
         "doc_split": _doc_split,
+        "multimodal_bmp_decode": _multimodal_bmp_decode,
+        "multimodal_wav_decode": _multimodal_wav_decode,
     }
 
 
@@ -950,6 +1048,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_EVENTS_SQL,
         "token_topk": _TOKEN_TOPK_SQL,
         "doc_split": _DOC_SPLIT_SQL,
+        "multimodal_bmp_decode": _MULTIMODAL_BMP_SQL,
+        "multimodal_wav_decode": _MULTIMODAL_WAV_SQL,
     }
 
 

@@ -13,14 +13,16 @@ Decode depth is two-tier:
   headers are parsed with ``struct`` from the raw bytes (no codec library
   needed), so width/height/format and sample_rate/n_samples/codec come
   from the actual payload.
-- **Pixel/sample decoding is STUBBED**: full bitmap/PCM decoding needs
-  codec libraries (PIL / torchaudio / ffmpeg) that are not installed
-  here, so ``decoder="fake"`` (default) produces deterministic
-  content-derived stand-ins (byte-level statistics shaped like the real
-  decoder's output) and real backends raise NotImplementedError until
-  their import succeeds. The Spark-side plumbing — schemas, UDF
-  signatures, batch iteration, partitioning — is real and tested, so
-  swapping in a real pixel decoder is a one-function change.
+- **Pixel/sample decoding is REAL for uncompressed formats**:
+  ``decoder="native"`` fully decodes (and for resize, re-encodes)
+  uncompressed BMP bitmaps (8-bit palette, 24-bit, 32-bit, bottom-up and
+  top-down) and RIFF/WAVE PCM audio (uint8, int16, int32, float32) with
+  ``struct`` + numpy — no codec library needed. Compressed formats
+  (PNG/JPEG/GIF, MP3/AAC) need codec libraries that are not installed
+  here, so for those payloads ``decoder="native"`` falls back to the same
+  deterministic content-derived stand-ins as ``decoder="fake"`` (byte
+  histograms shaped like the real decoder's output), and explicit real
+  backends raise NotImplementedError until their import succeeds.
 
 No reference counterpart (net-new per project north star).
 """
@@ -129,6 +131,150 @@ def parse_wav_metadata(data: Optional[bytes]
             else None, codec)
 
 
+# ---------------------------------------------------------------------------
+# Native (stdlib struct + numpy) codecs for the uncompressed formats.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: Optional[bytes]) -> Optional[np.ndarray]:
+    """Fully decode an uncompressed (BI_RGB) BMP payload to an RGB pixel
+    array of shape (height, width, 3), dtype uint8.
+
+    Supports 24-bit BGR, 32-bit BGRA (alpha dropped), and 8-bit palette
+    bitmaps; positive height = bottom-up row order (flipped to top-down on
+    return), negative = top-down. Rows are 4-byte aligned per the format.
+    Returns None for non-BMP / compressed / truncated payloads.
+    """
+    if not data or data[:2] != b"BM" or len(data) < 54:
+        return None
+    try:
+        pix_offset = struct.unpack("<I", data[10:14])[0]
+        hdr_size = struct.unpack("<I", data[14:18])[0]
+        width, height = struct.unpack("<ii", data[18:26])
+        bpp = struct.unpack("<H", data[28:30])[0]
+        compression = struct.unpack("<I", data[30:34])[0]
+    except struct.error:
+        return None
+    if compression != 0 or bpp not in (8, 24, 32) or width <= 0 \
+            or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    need = pix_offset + row_bytes * height
+    if len(data) < need:
+        return None
+    raw = np.frombuffer(data, dtype=np.uint8,
+                        count=row_bytes * height,
+                        offset=pix_offset).reshape(height, row_bytes)
+    if bpp == 8:
+        # Palette sits between the info header and the pixel data:
+        # BGRA quads. Map indices through it.
+        pal_off = 14 + hdr_size
+        n_colors = (pix_offset - pal_off) // 4
+        if n_colors <= 0:
+            return None
+        pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4,
+                            offset=pal_off).reshape(n_colors, 4)
+        idx = raw[:, :width]
+        rgb = pal[idx][:, :, [2, 1, 0]]          # BGRA -> RGB
+    else:
+        ch = bpp // 8
+        px = raw[:, :width * ch].reshape(height, width, ch)
+        rgb = px[:, :, [2, 1, 0]]                # BGR(A) -> RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an RGB array (height, width, 3) or grayscale (height, width),
+    dtype uint8, as a 24-bit uncompressed bottom-up BMP."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    height, width, _ = px.shape
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, :width * 3] = px[::-1, :, [2, 1, 0]].reshape(height, width * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+_WAV_PCM_DTYPES = {(1, 8): np.uint8, (1, 16): np.dtype("<i2"),
+                   (1, 32): np.dtype("<i4"), (3, 32): np.dtype("<f4")}
+
+
+def decode_wav(data: Optional[bytes]
+               ) -> Optional[Tuple[np.ndarray, int]]:
+    """Fully decode a RIFF/WAVE PCM payload to (samples, sample_rate).
+
+    Samples have shape (n_frames,) for mono or (n_frames, channels),
+    native dtype (uint8 / int16 / int32 / float32). Returns None for
+    non-WAV or compressed codecs.
+    """
+    if not data or len(data) < 12 or data[:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        return None
+    fmt_code = channels = rate = bits = None
+    payload = None
+    i = 12
+    try:
+        while i + 8 <= len(data):
+            cid = data[i:i + 4]
+            size = struct.unpack("<I", data[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(data):
+                fmt_code, channels = struct.unpack("<HH", data[i + 8:i + 12])
+                rate = struct.unpack("<I", data[i + 12:i + 16])[0]
+                bits = struct.unpack("<H", data[i + 22:i + 24])[0]
+            elif cid == b"data":
+                payload = data[i + 8:i + 8 + size]
+            i += 8 + size + (size & 1)
+    except struct.error:
+        return None
+    if rate is None or payload is None or not channels:
+        return None
+    dtype = _WAV_PCM_DTYPES.get((fmt_code, bits))
+    if dtype is None:
+        return None
+    frame = np.dtype(dtype).itemsize * channels
+    n = len(payload) // frame
+    samples = np.frombuffer(payload, dtype=dtype, count=n * channels)
+    if channels > 1:
+        samples = samples.reshape(n, channels)
+    return samples, int(rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a sample array ((n,) mono or (n, channels)) as RIFF/WAVE.
+    dtype picks the format: uint8/int16/int32 -> PCM, float32 -> IEEE."""
+    arr = np.asarray(samples)
+    if arr.dtype == np.uint8:
+        fmt_code, bits = 1, 8
+    elif arr.dtype == np.int16:
+        fmt_code, bits = 1, 16
+    elif arr.dtype == np.int32:
+        fmt_code, bits = 1, 32
+    elif arr.dtype == np.float32:
+        fmt_code, bits = 3, 32
+    else:
+        raise ValueError(f"unsupported sample dtype {arr.dtype}")
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    payload = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"),
+                                              copy=False)).tobytes()
+    byte_rate = sample_rate * channels * bits // 8
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, fmt_code, channels,
+                      sample_rate, byte_rate, channels * bits // 8, bits)
+    data_hdr = struct.pack("<4sI", b"data", len(payload))
+    pad = b"\x00" if len(payload) & 1 else b""
+    riff_size = 4 + len(fmt) + len(data_hdr) + len(payload) + len(pad)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") \
+        + fmt + data_hdr + payload + pad
+
+
 def extract_image_metadata(df: DataFrame, binary_col: str = "image",
                            meta_col: str = "meta") -> DataFrame:
     """Attach a real (width, height, format) struct parsed from the
@@ -169,10 +315,19 @@ def extract_audio_metadata(df: DataFrame, binary_col: str = "audio",
 
 def _require_real_decoder(name: str):
     raise NotImplementedError(
-        f"real {name} decoding requires a media library that is not "
-        f"installed in this environment; use decoder='fake' for the "
-        f"deterministic stand-in, or install the library and extend "
-        f"_decode_batch")
+        f"real {name} decoding of compressed formats requires a media "
+        f"library that is not installed in this environment; use "
+        f"decoder='native' for real uncompressed BMP/WAV-PCM decoding "
+        f"with a byte-histogram fallback for compressed payloads, or "
+        f"decoder='fake' for stand-ins everywhere")
+
+
+_DECODERS = ("fake", "native")
+
+
+def _check_decoder(decoder: str, name: str) -> None:
+    if decoder not in _DECODERS:
+        _require_real_decoder(name)
 
 
 def _fake_pixel_stats(data: bytes, n_bins: int = 16) -> np.ndarray:
@@ -186,28 +341,120 @@ def _fake_pixel_stats(data: bytes, n_bins: int = 16) -> np.ndarray:
     return hist / max(len(arr), 1)
 
 
+def _luminance_hist(rgb: np.ndarray, n_bins: int) -> np.ndarray:
+    """Normalized histogram of integer ITU-R 601 luma over real pixels."""
+    px = rgb.astype(np.uint32)
+    luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+            + 114 * px[:, :, 2]) // 1000
+    hist, _ = np.histogram(luma, bins=n_bins, range=(0, 256))
+    return hist / max(luma.size, 1)
+
+
 def decode_images(df: DataFrame, binary_col: str = "image",
                   decoder: str = "fake",
                   feature_bins: int = 16) -> DataFrame:
     """binary payload -> (all input columns, features array<double>,
-    content_hash string). Arrow-batched mapInPandas; the fake decoder emits
-    byte-histogram features, a real decoder would emit pixel features with
-    the same signature."""
-    if decoder != "fake":
-        _require_real_decoder("image")
+    content_hash string). Arrow-batched mapInPandas. ``decoder="native"``
+    emits a REAL luminance histogram for uncompressed BMP payloads
+    (decode_bmp) and falls back to the byte-histogram stand-in for
+    compressed formats; ``decoder="fake"`` uses the stand-in everywhere."""
+    _check_decoder(decoder, "image")
+    native = decoder == "native"
     out_schema = StructType(
         df.schema.fields +
         [StructField("features", ArrayType(DoubleType())),
          StructField("content_hash", StringType())])
 
+    def feats(b: Optional[bytes]) -> list:
+        if native:
+            rgb = decode_bmp(b)
+            if rgb is not None:
+                return _luminance_hist(rgb, feature_bins).tolist()
+        return _fake_pixel_stats(b, feature_bins).tolist()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[binary_col]
             pdf = pdf.copy()
-            pdf["features"] = [
-                _fake_pixel_stats(b, feature_bins).tolist() for b in payloads]
+            pdf["features"] = [feats(b) for b in payloads]
             pdf["content_hash"] = [
                 hashlib.md5(b or b"").hexdigest() for b in payloads]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_pixel_stats(df: DataFrame, binary_col: str = "image") -> DataFrame:
+    """Exact per-image pixel statistics from REAL decoded bitmaps:
+    (all input columns, px_width, px_height, px_sum, px_min, px_max) where
+    the stats run over the integer luma of decode_bmp's output. Non-BMP /
+    undecodable payloads yield nulls. Integer-exact by construction, so the
+    whole encode->bytes->decode path is oracle-checkable."""
+    out_schema = StructType(
+        df.schema.fields +
+        [StructField("px_width", IntegerType()),
+         StructField("px_height", IntegerType()),
+         StructField("px_sum", LongType()),
+         StructField("px_min", IntegerType()),
+         StructField("px_max", IntegerType())])
+
+    def stats(b: Optional[bytes]) -> tuple:
+        rgb = decode_bmp(b)
+        if rgb is None:
+            return (None, None, None, None, None)
+        px = rgb.astype(np.uint64)
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                + 114 * px[:, :, 2]) // 1000
+        return (rgb.shape[1], rgb.shape[0], int(luma.sum()),
+                int(luma.min()), int(luma.max()))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            cols = [stats(b) for b in pdf[binary_col]]
+            for j, name in enumerate(("px_width", "px_height", "px_sum",
+                                      "px_min", "px_max")):
+                pdf[name] = [c[j] for c in cols]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def audio_pcm_stats(df: DataFrame, binary_col: str = "audio") -> DataFrame:
+    """Exact per-clip PCM statistics from REAL decoded waveforms:
+    (all input columns, sample_rate, n_samples, amp_sum, amp_min, amp_max,
+    duration_us). Integer-exact for integer PCM; duration_us =
+    n_samples * 1_000_000 // sample_rate. Non-WAV payloads yield nulls."""
+    out_schema = StructType(
+        df.schema.fields +
+        [StructField("sample_rate", IntegerType()),
+         StructField("n_samples", LongType()),
+         StructField("amp_sum", LongType()),
+         StructField("amp_min", LongType()),
+         StructField("amp_max", LongType()),
+         StructField("duration_us", LongType())])
+
+    def stats(b: Optional[bytes]) -> tuple:
+        decoded = decode_wav(b)
+        if decoded is None:
+            return (None,) * 6
+        samples, rate = decoded
+        n = samples.shape[0]
+        dur = n * 1_000_000 // rate
+        if np.issubdtype(samples.dtype, np.floating):
+            # float PCM has no exact integer stats; report shape only.
+            return (rate, n, None, None, None, dur)
+        flat = samples.reshape(-1).astype(np.int64)
+        return (rate, n, int(flat.sum()), int(flat.min()) if n else None,
+                int(flat.max()) if n else None, dur)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            cols = [stats(b) for b in pdf[binary_col]]
+            for j, name in enumerate(("sample_rate", "n_samples", "amp_sum",
+                                      "amp_min", "amp_max", "duration_us")):
+                pdf[name] = [c[j] for c in cols]
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
@@ -216,15 +463,37 @@ def decode_images(df: DataFrame, binary_col: str = "image",
 def resize_images(df: DataFrame, binary_col: str = "image",
                   meta_col: str = "meta", width: int = 224,
                   height: int = 224, decoder: str = "fake") -> DataFrame:
-    """Stub resize: real backends re-encode pixels; the fake backend keeps
-    the payload and rewrites the metadata struct (schema plumbing is what
-    downstream code depends on)."""
-    if decoder != "fake":
-        _require_real_decoder("image")
-    return df.withColumn(
-        meta_col,
-        F.struct(F.lit(width).alias("width"), F.lit(height).alias("height"),
-                 F.col(f"{meta_col}.format").alias("format")))
+    """Resize. ``decoder="native"`` REALLY resizes uncompressed BMP
+    payloads: decode_bmp -> nearest-neighbor numpy resample -> encode_bmp
+    (non-BMP payloads pass through unchanged, metadata still rewritten).
+    ``decoder="fake"`` keeps the payload and rewrites only the metadata
+    struct (schema plumbing for downstream code)."""
+    _check_decoder(decoder, "image")
+    meta_rewrite = F.struct(
+        F.lit(width).alias("width"), F.lit(height).alias("height"),
+        F.col(f"{meta_col}.format").alias("format"))
+    if decoder == "fake":
+        return df.withColumn(meta_col, meta_rewrite)
+
+    out_schema = df.schema
+
+    def resize(b: Optional[bytes]) -> Optional[bytes]:
+        rgb = decode_bmp(b)
+        if rgb is None:
+            return b
+        h, w = rgb.shape[:2]
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        return encode_bmp(rgb[rows][:, cols])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[binary_col] = [resize(b) for b in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema).withColumn(
+        meta_col, meta_rewrite)
 
 
 def sample_video_frames(df: DataFrame, frames_col: str = "frames",
@@ -245,23 +514,42 @@ def extract_audio_features(df: DataFrame, binary_col: str = "audio",
                            decoder: str = "fake",
                            n_bins: int = 8) -> DataFrame:
     """binary waveform payload -> (.., audio_features array<double>,
-    est_duration_s double). Fake decoder: byte-histogram features and a
-    size-based duration estimate (real: spectral features + exact
-    duration); identical signature either way."""
-    if decoder != "fake":
-        _require_real_decoder("audio")
+    est_duration_s double). ``decoder="native"`` computes a REAL normalized
+    amplitude histogram over decoded PCM samples (decode_wav) for WAV
+    payloads, byte-histogram stand-in otherwise; ``decoder="fake"`` uses
+    the stand-in everywhere. Identical signature either way."""
+    _check_decoder(decoder, "audio")
+    native = decoder == "native"
     out_schema = StructType(
         df.schema.fields +
         [StructField("audio_features", ArrayType(DoubleType())),
          StructField("est_duration_s", DoubleType())])
     has_meta = meta_col is not None
 
+    def feats(b: Optional[bytes]) -> list:
+        if native:
+            decoded = decode_wav(b)
+            if decoded is not None and decoded[0].size:
+                samples = decoded[0].reshape(-1)
+                if samples.dtype == np.uint8:
+                    norm = samples.astype(np.float64) / 127.5 - 1.0
+                elif np.issubdtype(samples.dtype, np.floating):
+                    norm = np.clip(samples.astype(np.float64), -1.0, 1.0)
+                else:
+                    # full-scale normalization by |min| so the most
+                    # negative sample maps exactly to -1.0
+                    norm = samples.astype(np.float64) \
+                        / float(-np.iinfo(samples.dtype).min)
+                # np.histogram's last bin is closed on the right, so +1.0
+                # full-scale samples land in the top bin with exact edges.
+                hist, _ = np.histogram(norm, bins=n_bins, range=(-1.0, 1.0))
+                return (hist / samples.size).tolist()
+        return _fake_pixel_stats(b, n_bins).tolist()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf["audio_features"] = [
-                _fake_pixel_stats(b, n_bins).tolist()
-                for b in pdf[binary_col]]
+            pdf["audio_features"] = [feats(b) for b in pdf[binary_col]]
             if has_meta:
                 rates = [m["sample_rate"] if m else 16000
                          for m in pdf[meta_col]]

@@ -1,0 +1,266 @@
+"""Native BMP/WAV codec tests: golden bytes, round-trips, Spark operators.
+
+The golden payloads are built BY HAND with struct (not via encode_bmp /
+encode_wav) so the decoders are checked against the file-format spec, not
+against our own encoder.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pipelinedp_spark.operators import multimodal as MM
+
+
+# ---------------------------------------------------------------------------
+# BMP golden bytes
+# ---------------------------------------------------------------------------
+
+
+def _bmp_headers(width, height, bpp, img_size, pix_offset=54):
+    file_hdr = struct.pack("<2sIHHI", b"BM", pix_offset + img_size, 0, 0,
+                           pix_offset)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                           img_size, 2835, 2835, 0, 0)
+    return file_hdr + info_hdr
+
+
+def test_bmp_golden_24bit_bottom_up():
+    # 2x2, rows padded 6 -> 8 bytes, bottom-up, BGR on disk.
+    # Intended top-down RGB: [[red, green], [blue, white]]
+    bottom_row = bytes([255, 0, 0, 255, 255, 255, 0, 0])   # blue, white, pad
+    top_row = bytes([0, 0, 255, 0, 255, 0, 0, 0])          # red, green, pad
+    data = _bmp_headers(2, 2, 24, 16) + bottom_row + top_row
+    rgb = MM.decode_bmp(data)
+    expected = np.array([[[255, 0, 0], [0, 255, 0]],
+                         [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    assert np.array_equal(rgb, expected)
+
+
+def test_bmp_golden_top_down():
+    # Negative height => rows already top-down.
+    row0 = bytes([0, 0, 255, 0, 255, 0, 0, 0])             # red, green, pad
+    row1 = bytes([255, 0, 0, 255, 255, 255, 0, 0])         # blue, white, pad
+    data = _bmp_headers(2, -2, 24, 16) + row0 + row1
+    rgb = MM.decode_bmp(data)
+    assert np.array_equal(rgb[0, 0], [255, 0, 0])
+    assert np.array_equal(rgb[1, 1], [255, 255, 255])
+
+
+def test_bmp_golden_8bit_palette():
+    # 3x1 indexed: palette[0]=black, [1]=white, [2]=orange; row 3 -> 4 bytes.
+    palette = bytes([0, 0, 0, 0, 255, 255, 255, 0, 0, 128, 255, 0])  # BGRA
+    row = bytes([0, 1, 2, 0])
+    pix_offset = 54 + len(palette)
+    data = _bmp_headers(3, 1, 8, 4, pix_offset) + palette + row
+    rgb = MM.decode_bmp(data)
+    expected = np.array([[[0, 0, 0], [255, 255, 255], [255, 128, 0]]],
+                        dtype=np.uint8)
+    assert np.array_equal(rgb, expected)
+
+
+def test_bmp_golden_32bpp():
+    # 1x2 BGRA bottom-up (no padding needed: 4-byte aligned already).
+    rows = bytes([10, 20, 30, 255]) + bytes([40, 50, 60, 128])
+    data = _bmp_headers(2, 1, 32, 8) + rows
+    rgb = MM.decode_bmp(data)
+    expected = np.array([[[30, 20, 10], [60, 50, 40]]], dtype=np.uint8)
+    assert np.array_equal(rgb, expected)
+
+
+def test_bmp_rejects_compressed_and_garbage():
+    hdr = _bmp_headers(2, 2, 24, 16)
+    compressed = hdr[:30] + struct.pack("<I", 1) + hdr[34:] + bytes(16)
+    assert MM.decode_bmp(compressed) is None
+    assert MM.decode_bmp(b"not a bmp") is None
+    assert MM.decode_bmp(None) is None
+    assert MM.decode_bmp(hdr + bytes(7)) is None  # truncated pixel data
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (4, 4), (7, 2), (2, 7)])
+def test_bmp_roundtrip(shape):
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(px)), px)
+
+
+def test_bmp_roundtrip_grayscale_input():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    rgb = MM.decode_bmp(MM.encode_bmp(gray))
+    assert np.array_equal(rgb[:, :, 0], gray)
+    assert np.array_equal(rgb[:, :, 1], gray)
+
+
+# ---------------------------------------------------------------------------
+# WAV golden bytes
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(payload, fmt_code, channels, rate, bits, extra_chunk=b""):
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, fmt_code, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8,
+                      bits)
+    data = struct.pack("<4sI", b"data", len(payload)) + payload
+    if len(payload) & 1:
+        data += b"\x00"
+    body = fmt + data + extra_chunk
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def test_wav_golden_int16_mono():
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    data = _wav_bytes(samples.tobytes(), 1, 1, 16000, 16)
+    out, rate = MM.decode_wav(data)
+    assert rate == 16000
+    assert np.array_equal(out, samples)
+
+
+def test_wav_golden_stereo_and_trailing_chunk():
+    frames = np.array([[1, -1], [2, -2], [3, -3]], dtype="<i2")
+    trailer = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    data = _wav_bytes(frames.tobytes(), 1, 2, 44100, 16,
+                      extra_chunk=trailer)
+    out, rate = MM.decode_wav(data)
+    assert rate == 44100
+    assert out.shape == (3, 2)
+    assert np.array_equal(out, frames)
+
+
+def test_wav_golden_uint8_odd_length():
+    payload = bytes([0, 128, 255])          # odd -> word-aligned pad
+    data = _wav_bytes(payload, 1, 1, 8000, 8)
+    out, rate = MM.decode_wav(data)
+    assert np.array_equal(out, np.array([0, 128, 255], dtype=np.uint8))
+
+
+def test_wav_rejects_compressed():
+    data = _wav_bytes(bytes(8), 85, 1, 16000, 16)  # fmt 85 = MP3
+    assert MM.decode_wav(data) is None
+    assert MM.decode_wav(b"RIFFxxxx") is None
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.int32, np.float32])
+def test_wav_roundtrip_dtypes(dtype):
+    rng = np.random.default_rng(7)
+    if dtype == np.float32:
+        samples = rng.uniform(-1, 1, 33).astype(np.float32)
+    elif dtype == np.uint8:
+        samples = rng.integers(0, 256, 33).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        samples = rng.integers(info.min, info.max, 33).astype(dtype)
+    out, rate = MM.decode_wav(MM.encode_wav(samples, 22050))
+    assert rate == 22050
+    assert out.dtype == np.dtype(dtype)
+    assert np.array_equal(out, samples)
+
+
+def test_wav_roundtrip_stereo():
+    frames = np.arange(10, dtype=np.int16).reshape(5, 2)
+    out, _ = MM.decode_wav(MM.encode_wav(frames, 8000))
+    assert np.array_equal(out, frames)
+
+
+def test_wav_metadata_agrees_with_decode():
+    samples = np.zeros(123, dtype=np.int16)
+    data = MM.encode_wav(samples, 12000)
+    rate, n, codec = MM.parse_wav_metadata(data)
+    assert (rate, n, codec) == (12000, 123, "pcm")
+
+
+# ---------------------------------------------------------------------------
+# Spark operators over real payloads
+# ---------------------------------------------------------------------------
+
+
+def _pattern_pixels(doc_id, h, w):
+    i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return ((doc_id + 7 * i + 13 * j) % 256).astype(np.uint8)
+
+
+@pytest.fixture
+def bmp_df(spark):
+    rows = [(d, bytes(MM.encode_bmp(_pattern_pixels(d, 4 + d % 3,
+                                                    5 + d % 4))))
+            for d in range(8)]
+    return spark.createDataFrame(rows, "doc_id int, image binary")
+
+
+def test_image_pixel_stats_exact(bmp_df):
+    out = {r["doc_id"]: r for r in
+           MM.image_pixel_stats(bmp_df, "image").collect()}
+    for d in range(8):
+        gray = _pattern_pixels(d, 4 + d % 3, 5 + d % 4).astype(np.int64)
+        r = out[d]
+        assert (r["px_width"], r["px_height"]) == (5 + d % 4, 4 + d % 3)
+        assert r["px_sum"] == int(gray.sum())
+        assert r["px_min"] == int(gray.min())
+        assert r["px_max"] == int(gray.max())
+
+
+def test_decode_images_native_real_histogram(bmp_df, spark):
+    out = {r["doc_id"]: r["features"] for r in
+           MM.decode_images(bmp_df, "image", decoder="native",
+                            feature_bins=16).collect()}
+    gray = _pattern_pixels(3, 4, 5 + 3 % 4)
+    hist, _ = np.histogram(gray, bins=16, range=(0, 256))
+    expected = (hist / gray.size).tolist()
+    assert out[3] == pytest.approx(expected)
+    # and differs from the byte-histogram stand-in (headers skew bytes)
+    fake = {r["doc_id"]: r["features"] for r in
+            MM.decode_images(bmp_df, "image", decoder="fake",
+                             feature_bins=16).collect()}
+    assert fake[3] != pytest.approx(expected)
+
+
+def test_resize_images_native(spark):
+    px = _pattern_pixels(1, 4, 4)
+    df = spark.createDataFrame(
+        [(1, bytes(MM.encode_bmp(px)), (4, 4, "bmp"))],
+        "doc_id int, image binary, meta struct<width:int,height:int,"
+        "format:string>")
+    out = MM.resize_images(df, width=2, height=2, decoder="native") \
+        .collect()[0]
+    rgb = MM.decode_bmp(out["image"])
+    assert rgb.shape == (2, 2, 3)
+    # nearest-neighbor: picks source rows/cols 0 and 2
+    assert np.array_equal(rgb[:, :, 0], px[[0, 2]][:, [0, 2]])
+    assert (out["meta"]["width"], out["meta"]["height"]) == (2, 2)
+
+
+def test_audio_pcm_stats_exact(spark):
+    samples = {d: (((d * 31 + np.arange(64 + d) * 17) % 4096) - 2048)
+               .astype(np.int16) for d in range(4)}
+    rows = [(d, bytes(MM.encode_wav(samples[d], 8000))) for d in range(4)]
+    df = spark.createDataFrame(rows, "doc_id int, audio binary")
+    out = {r["doc_id"]: r for r in
+           MM.audio_pcm_stats(df, "audio").collect()}
+    for d in range(4):
+        s = samples[d].astype(np.int64)
+        r = out[d]
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == len(s)
+        assert r["amp_sum"] == int(s.sum())
+        assert r["amp_min"] == int(s.min())
+        assert r["amp_max"] == int(s.max())
+        assert r["duration_us"] == len(s) * 1_000_000 // 8000
+
+
+def test_extract_audio_features_native(spark):
+    samples = np.array([-32768, 0, 32767, 16384], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytes(MM.encode_wav(samples, 16000)))],
+        "doc_id int, audio binary")
+    out = MM.extract_audio_features(df, "audio", decoder="native",
+                                    n_bins=4).collect()[0]
+    # normalized amplitudes: [-1, 0, ~1, 0.5] -> bins [0, 2, 3, 3]
+    assert out["audio_features"] == pytest.approx([0.25, 0.0, 0.25, 0.5])
+    assert out["est_duration_s"] == pytest.approx(4 / 16000)
+
+
+def test_non_bmp_payload_yields_nulls(spark):
+    df = spark.createDataFrame([(1, b"not an image")],
+                               "doc_id int, image binary")
+    r = MM.image_pixel_stats(df, "image").collect()[0]
+    assert r["px_sum"] is None and r["px_width"] is None
