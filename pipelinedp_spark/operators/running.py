@@ -24,23 +24,43 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def running_sum(df: DataFrame, order_col: str, value_col: str,
                 out_col: str = "running_sum",
-                num_partitions: Optional[int] = None) -> DataFrame:
+                num_partitions: Optional[int] = None,
+                small_input_threshold: int = 1_000_000) -> DataFrame:
     """Exact running sum of ``value_col`` in ``order_col`` order.
 
     Appends ``out_col`` (long) to the schema. ``order_col`` must be
     globally unique for a deterministic result (ties within a partition
     are broken by the in-partition sort, but the caller's semantics
     shouldn't depend on tie order).
+
+    With ``num_partitions=None`` (adaptive, the default) the input is
+    persisted and counted once; at or below ``small_input_threshold``
+    rows the plain single-task window is used — optimal at that size,
+    and the count has already materialized the cache so the upstream
+    plan (often an expensive pipeline) runs exactly once instead of
+    three times (range-sampling pass + totals job + output job). Above
+    the threshold — the only regime that matters at cluster scale — the
+    distributed two-phase prefix sum runs against the persisted input.
+    Passing ``num_partitions`` explicitly always forces the distributed
+    path.
     """
     import pandas as pd
 
     spark = df.sparkSession
+    if num_partitions is None:
+        df = df.persist()
+        rows = df.count()
+        if rows <= small_input_threshold:
+            w = (Window.orderBy(order_col)
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            return df.withColumn(out_col,
+                                 F.sum(value_col).over(w).cast("long"))
     n = num_partitions or spark.sparkContext.defaultParallelism
     part = (df.repartitionByRange(n, F.col(order_col))
             .sortWithinPartitions(order_col)
