@@ -507,6 +507,78 @@ SELECT o_month FROM agg WHERE n >= {cutoff} ORDER BY o_month
 """
 
 
+def _dp_gaussian_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Private partition selection via GAUSSIAN thresholding (reference:
+    pipeline_dp/partition_selection.py:51-90), zero noise: keep months
+    whose distinct-customer count clears the Gaussian threshold (half the
+    selection delta funds noise, half the threshold)."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    query = (pds.QueryBuilder(df, "o_custkey")
+             .groupby("o_month", max_groups_contributed=25,
+                      max_contributions_per_group=1_000_000,
+                      partition_selection_strategy=pds.
+                      PartitionSelectionStrategy.GAUSSIAN_THRESHOLDING)
+             .privacy_id_count()
+             .build_query())
+    return query.run_query(pds.Budget(30.0, 1e-4), noise_mode="zero")
+
+
+def _dp_gaussian_threshold_sql() -> str:
+    # Naive accountant: eps split across the 2 specs; the selection spec is
+    # the only delta consumer and gets the full delta.
+    _, threshold = dpc.gaussian_thresholding(15.0, 1e-4, 25)
+    return f"""
+WITH per_user AS (
+    SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS o_month
+    FROM orders),
+agg AS (
+    SELECT o_month, COUNT(*) AS n FROM per_user GROUP BY o_month)
+SELECT o_month, CAST(n AS DOUBLE) AS privacy_id_count
+FROM agg WHERE n >= {threshold!r}
+ORDER BY o_month
+"""
+
+
+def _dp_select_weighted_gaussian(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """select_partitions via WEIGHTED Gaussian thresholding (reference:
+    pipeline_dp/dp_engine.py:664-714, partition_selection.py:92-99), zero
+    noise: each (customer, month) carries weight 1/sqrt(#months of the
+    customer) so every customer has total L2 weight 1; keep months whose
+    weight sum clears the threshold. L0 cap (25) is non-binding so the
+    per-customer month counts are SQL-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    acct = pds.NaiveBudgetAccountant(3.0, 1e-5)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    res = engine.select_partitions(
+        df,
+        pds.SelectPartitionsParams(
+            max_partitions_contributed=25,
+            partition_selection_strategy=pds.PartitionSelectionStrategy.
+            WEIGHTED_GAUSSIAN_THRESHOLDING),
+        pds.DataFrameExtractors("o_custkey", "o_month", None))
+    acct.compute_budgets()
+    return res.dataframe()
+
+
+def _dp_select_weighted_gaussian_sql() -> str:
+    _, threshold = dpc.weighted_gaussian_thresholding(3.0, 1e-5, 25)
+    return f"""
+WITH per AS (
+    SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS o_month
+    FROM orders),
+cnt AS (
+    SELECT o_custkey, COUNT(*) AS np FROM per GROUP BY o_custkey),
+w AS (
+    SELECT per.o_month, SUM(1.0 / SQRT(cnt.np)) AS ws
+    FROM per JOIN cnt USING (o_custkey)
+    GROUP BY per.o_month)
+SELECT o_month FROM w WHERE ws >= {threshold!r} ORDER BY o_month
+"""
+
+
 def _dp_post_agg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation thresholding: the noised privacy-id count doubles as
     the partition-selection signal (no separate selection budget); zero
@@ -998,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_vector_sum_public": _dp_vector_sum_public,
         "dp_partition_selection": _dp_partition_selection,
         "dp_select_partitions_tg": _dp_select_partitions_tg,
+        "dp_gaussian_threshold": _dp_gaussian_threshold,
+        "dp_select_weighted_gaussian": _dp_select_weighted_gaussian,
         "dp_post_agg_threshold": _dp_post_agg_threshold,
         "dp_count_max_contributions": _dp_count_max_contributions,
         "dp_count_composite_key": _dp_count_composite_key,
@@ -1038,6 +1112,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_vector_sum_public": _DP_VECTOR_SUM_SQL,
         "dp_partition_selection": _dp_partition_selection_sql(),
         "dp_select_partitions_tg": _dp_select_partitions_tg_sql(),
+        "dp_gaussian_threshold": _dp_gaussian_threshold_sql(),
+        "dp_select_weighted_gaussian": _dp_select_weighted_gaussian_sql(),
         "dp_post_agg_threshold": _post_agg_threshold_sql(),
         "dp_count_max_contributions": _DP_MAX_CONTRIB_SQL,
         "dp_count_composite_key": _dp_count_composite_key_sql(),
