@@ -5,13 +5,22 @@ assignments: every document gets the minimum doc id reachable through the
 edge graph — the canonical "keep one representative per duplicate
 cluster" step of a training-data pipeline.
 
-Algorithm: iterative min-label propagation. Each round joins current
-labels across edges and takes the elementwise minimum; a round is one
-hash join + one map-side-combinable groupBy, and the loop stops when no
-label changes. Rounds needed = graph diameter, which for near-dup
-clusters (dense cliques glued by a few bridges) is small single digits;
-`max_iter` bounds the worst case. All state lives in DataFrames — the
-driver holds only the per-round changed-count scalar.
+Algorithm: iterative min-label propagation with a FRONTIER: after round
+1 only labels that changed in the previous round are joined across the
+edges (standard label-propagation optimization — information flows only
+when a label drops), so per-round join input collapses with the frontier
+(on near-dup graphs, typically after round 1). A pointer-jumping step
+per round halves remaining chain lengths. The loop stops when no label
+changes; rounds needed ~ graph diameter, `max_iter` bounds the worst
+case. All state lives in DataFrames — the driver holds only the
+per-round changed-count scalar.
+
+Thread-safety note: the loop tunes the session-global
+``spark.sql.shuffle.partitions`` to the edge count for its own ~5 jobs
+per round and restores it in ``finally``; a concurrent query issued on
+the SAME SparkSession from another thread during the loop would run
+with the graph-sized setting. Use a dedicated session for concurrent
+workloads (per-query scoping is not available for this conf on Spark 4).
 
 No reference counterpart (net-new per project north star; the classic
 alternatives are the large-star/small-star MapReduce formulation —
@@ -35,29 +44,41 @@ def connected_components(edges: DataFrame,
     # localCheckpoint (not just persist) every round: iterative self-joins
     # otherwise grow the logical plan exponentially — the planner, not the
     # data, becomes the bottleneck (observed driver OOM on plan strings).
-    both = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .unionByName(edges.select(F.col(dst).alias("u"),
-                                      F.col(src).alias("v")))
-            .distinct()
-            .localCheckpoint())
     spark = edges.sparkSession
-    # Size the per-round shuffles to the edge count: a pair graph is far
-    # smaller than the corpus it came from, and at the session default
-    # (sized for the big tables) fixed task-launch overhead dominates the
-    # ~5 jobs per round (measured 6.4s -> 3.7s at 543k edges). Scoped to
-    # this function's own actions and restored after.
-    n_edges = both.count()
-    target = int(min(max(n_edges // 500_000 + 1, 8), 2000))
+    # Size the shuffles to the edge count: a pair graph is far smaller
+    # than the corpus it came from, and at the session default (sized for
+    # the big tables) fixed task-launch overhead dominates the ~3 jobs per
+    # round. Start at the floor so even the edge-table distinct runs small
+    # (measured setup 1.9s -> 0.7s at 543k edges), then retarget upward
+    # once the true edge count is known. Restored in ``finally``; see the
+    # module docstring for the concurrency caveat.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    labels = (both.groupBy("u")
-              .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
-              .select(F.col("u").alias("node"), "lbl")
-              .localCheckpoint())
-    def prop_step(lbls: DataFrame) -> DataFrame:
-        # candidate label for each node: min over neighbors' labels
-        prop = (both.join(lbls, both.v == lbls.node)
-                .groupBy("u").agg(F.min("lbl").alias("nlbl")))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        both = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+                .unionByName(edges.select(F.col(dst).alias("u"),
+                                          F.col(src).alias("v")))
+                .distinct()
+                .localCheckpoint())
+        n_edges = both.count()
+        target = int(min(max(n_edges // 500_000 + 1, 8), 2000))
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        labels = (both.groupBy("u")
+                  .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
+                  .select(F.col("u").alias("node"), "lbl")
+                  .localCheckpoint())
+    except BaseException:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        raise
+
+    def prop_step(lbls: DataFrame, fresh: DataFrame) -> DataFrame:
+        # candidate label for each node: min over FRESH neighbor labels
+        # only — neighbors whose label didn't change last round already
+        # contributed in the round they last dropped (least() is monotone).
+        prop = (both.join(fresh.select(F.col("node").alias("fn"),
+                                       F.col("lbl").alias("flbl")),
+                          both.v == F.col("fn"))
+                .groupBy("u").agg(F.min("flbl").alias("nlbl")))
         return (lbls.join(prop, lbls.node == prop.u, "left")
                 .select(F.col("node"),
                         F.least(F.col("lbl"),
@@ -75,18 +96,21 @@ def connected_components(edges: DataFrame,
                                 F.coalesce(F.col("lbl2"), F.col("lbl")))
                         .alias("lbl")))
 
+    frontier = labels  # round 1: every node is fresh
     try:
         for _ in range(max_iter):
-            # Two propagation steps + one jump per checked round: the
-            # convergence count and lineage checkpoint carry a fixed
-            # scheduling cost, so advancing ~3 chain steps between checks
-            # cuts wall time ~2x on diameter-8 graphs.
-            new_labels = jump(prop_step(prop_step(labels))) \
-                .localCheckpoint()
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "node")
-                       .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-            labels = new_labels
+            stepped = jump(prop_step(labels, frontier))
+            # Single checkpoint carries labels AND the changed flag; the
+            # count and next round's frontier read the materialized rows.
+            joined = (stepped.alias("n")
+                      .join(labels.alias("o"), "node")
+                      .select(F.col("node"), F.col("n.lbl").alias("lbl"),
+                              (F.col("n.lbl") != F.col("o.lbl"))
+                              .alias("chg"))
+                      .localCheckpoint())
+            changed = joined.filter(F.col("chg")).count()
+            labels = joined.select("node", "lbl")
+            frontier = joined.filter(F.col("chg")).select("node", "lbl")
             if changed == 0:
                 break
         else:

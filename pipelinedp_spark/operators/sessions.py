@@ -70,6 +70,16 @@ def sessionize_scalable(df: DataFrame, time_col: str, by: str, gap: int,
     """
     import pandas as pd
 
+    ts_type = dict(df.dtypes)[time_col]
+    if not any(ts_type.startswith(t) for t in
+               ("tinyint", "smallint", "int", "bigint", "float", "double",
+                "decimal")):
+        raise ValueError(
+            f"sessionize_scalable requires a numeric time column (gap "
+            f"arithmetic in column units); {time_col!r} is {ts_type}. "
+            f"Convert first — e.g. F.unix_micros for timestamps — or use "
+            f"sessionize().")
+
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     part = (df.repartitionByRange(n, F.col(by), F.col(time_col))
@@ -87,8 +97,13 @@ def sessionize_scalable(df: DataFrame, time_col: str, by: str, gap: int,
         brk.iloc[0] = not first_cont
         return brk.astype("int64")
 
-    edge_schema = f"{by} {dict(df.dtypes)[by]}, _first_ts long, " \
-                  f"_last_ts long, _n_loc long"
+    # Edge-summary timestamp type follows the data (int-family widens to
+    # long; float-family to double) so float/decimal time columns survive
+    # the round trip.
+    edge_ts = ("double" if ts_type.startswith(("float", "double", "decimal"))
+               else "long")
+    edge_schema = f"{by} {dict(df.dtypes)[by]}, _first_ts {edge_ts}, " \
+                  f"_last_ts {edge_ts}, _n_loc long"
     edges = (part.select(by, time_col, "_pid")
              .mapInPandas(lambda it: _edges_with_pid(it, by, time_col, gap),
                           schema=f"_pid int, {edge_schema}"))
@@ -164,10 +179,10 @@ def _edges_with_pid(batches, by, time_col, gap):
         lasts = ts_col.groupby(uid_col).max()
         for uid in uid_col.drop_duplicates():
             if uid in summaries:
-                summaries[uid][1] = int(lasts[uid])
+                summaries[uid][1] = lasts[uid].item()
                 summaries[uid][2] += int(nb[uid])
             else:
-                summaries[uid] = [int(firsts[uid]), int(lasts[uid]),
+                summaries[uid] = [firsts[uid].item(), lasts[uid].item(),
                                   int(nb[uid])]
                 order.append(uid)
         prev_uid = uid_col.iloc[-1]

@@ -229,19 +229,26 @@ def dp_streaming_mean(stream: DataFrame,
     linf = max_contributions_per_window
     mid = (min_value + max_value) / 2.0
     half = (max_value - min_value) / 2.0
-    per_user = (stream
+    # Clip EVERY contribution to [min_value, max_value] first (batch-engine
+    # per-value clipping: one out-of-range value shifts the user's window
+    # sum by at most half, it cannot saturate it), then bound the per-user
+    # normalized sum at +-linf*half. Deviation from the batch engine,
+    # documented: a user with more than linf rows has their normalized sum
+    # clipped toward the cap instead of row-sampled (streaming aggregates
+    # cannot order-sample rows); sensitivity is identical, and the capped
+    # count uses the same linf.
+    clipped = stream.withColumn(
+        "__nval__",
+        _clip(F.col(value_col).cast(DoubleType()), float(min_value),
+              float(max_value)) - F.lit(mid))
+    per_user = (clipped
                 .withWatermark(timestamp_col, watermark_delay)
                 .groupBy(F.col(privacy_id_col).alias("__pid__"),
                          F.window(F.col(timestamp_col), window_duration)
                          .alias("window"))
                 .agg(F.least(F.count(F.lit(1)), F.lit(linf))
                      .alias("__capped__"),
-                     # normalized per-contribution values in [-half, half],
-                     # summed with the same Linf cap semantics (cap binds
-                     # the count; the normalized sum of capped rows is
-                     # bounded by capped * half)
-                     _clip(F.sum(F.col(value_col).cast(DoubleType())
-                                 - F.lit(mid)),
+                     _clip(F.sum("__nval__"),
                            -float(linf) * half, float(linf) * half)
                      .alias("__nsum__")))
     per_window = per_user.groupBy("window").agg(

@@ -429,6 +429,31 @@ def test_sessionize_scalable_hot_key_spans_partitions(spark):
     assert sids[2000:] == list(range(1, 51))
 
 
+def test_sessionize_scalable_float_time_col(spark):
+    """Float time columns survive the edge-summary round trip (the edge
+    schema follows the data's type instead of hardcoding long)."""
+    from pipelinedp_spark.operators.sessions import (sessionize,
+                                                     sessionize_scalable)
+    rows = [(1, 0.5), (1, 10.25), (1, 30.75), (2, 1.5), (2, 40.0)]
+    df = spark.createDataFrame(rows, "k long, t double")
+    want = {(r["k"], r["t"]): r["session_id"]
+            for r in sessionize(df, "t", "k", gap=15).collect()}
+    got = {(r["k"], r["t"]): r["session_id"]
+           for r in sessionize_scalable(df, "t", "k", gap=15,
+                                        num_partitions=3).collect()}
+    assert got == want
+
+
+def test_sessionize_scalable_rejects_timestamp_col(spark):
+    import datetime
+    import pytest as _pytest
+    from pipelinedp_spark.operators.sessions import sessionize_scalable
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "k long, t timestamp")
+    with _pytest.raises(ValueError, match="numeric time column"):
+        sessionize_scalable(df, "t", "k", gap=15)
+
+
 def test_connected_components_matches_brute_force(spark):
     from pipelinedp_spark.operators.graph import connected_components
     # two cliques bridged by a path, plus an isolated edge
