@@ -724,6 +724,78 @@ ORDER BY 1, 2
 """
 
 
+def _dp_session_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of streaming.dp_streaming_session_count: DP count of
+    closed user sessions (30-min gap) per tumbling day, sessions
+    attributed to the day containing their END (last event + gap,
+    exclusive boundary — the chained-window assignment Structured
+    Streaming implements), per-user cap 3 sessions/day, Laplace
+    window selection on the user count, zero noise. Same threshold
+    formula as the streaming operator (eps/2 pid budget, delta/2 split
+    half noise / half threshold)."""
+    from pipelinedp_spark.operators.sessions import sessionize
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    gap_us = 1800 * 10**6
+    day_us = 86_400_000_000
+    s = sessionize(ev, "ts", "user_id", gap_us)
+    sess = (s.groupBy("user_id", "session_id")
+            .agg((F.max("ts") + F.lit(gap_us)).alias("end_us")))
+    sess = sess.withColumn(
+        "day", F.floor((F.col("end_us") - 1) / F.lit(day_us)).cast("long"))
+    per_user = (sess.groupBy("user_id", "day")
+                .agg(F.least(F.count(F.lit(1)), F.lit(3)).alias("capped")))
+    agg = per_user.groupBy("day").agg(
+        F.sum("capped").cast("double").alias("session_count"),
+        F.count(F.lit(1)).alias("__n__"))
+    threshold = _streaming_pid_threshold(60.0, 1e-4, 100)
+    return (agg.filter(F.col("__n__") >= threshold)
+            .select("day", "session_count",
+                    F.col("__n__").cast("double").alias("privacy_id_count")))
+
+
+def _streaming_pid_threshold(eps: float, delta: float, l0: int) -> float:
+    # Exactly streaming._pid_threshold_filter's formula at (eps/2, delta/2):
+    # noise std at (eps/2, delta/4), threshold delta/4.
+    std = dpc.noise_std(pds.NoiseKind.LAPLACE, eps / 2, delta / 4,
+                        dpc.privacy_id_count_sensitivities(l0))
+    return dpc.thresholding_from_std(pds.NoiseKind.LAPLACE, std, delta / 4,
+                                     l0)
+
+
+def _dp_session_count_events_sql() -> str:
+    threshold = _streaming_pid_threshold(60.0, 1e-4, 100)
+    return f"""
+WITH x AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM x),
+s AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d),
+sess AS (
+  SELECT user_id, sid, MAX(t) + 1800000000 AS end_us
+  FROM s GROUP BY user_id, sid),
+sd AS (
+  SELECT user_id,
+         CAST(FLOOR((end_us - 1) / 86400000000) AS BIGINT) AS day
+  FROM sess),
+pu AS (
+  SELECT user_id, day, LEAST(COUNT(*), 3) AS capped
+  FROM sd GROUP BY user_id, day),
+agg AS (
+  SELECT day, CAST(SUM(capped) AS DOUBLE) AS session_count,
+         COUNT(*) AS n
+  FROM pu GROUP BY day)
+SELECT day, session_count, CAST(n AS DOUBLE) AS privacy_id_count
+FROM agg WHERE n >= {threshold!r}
+ORDER BY day
+"""
+
+
 def _doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep over documents: quality + language
     filter -> exact-dup removal (keep lowest doc_id per fingerprint,
@@ -1076,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_count_max_contributions": _dp_count_max_contributions,
         "dp_count_composite_key": _dp_count_composite_key,
         "dp_windowed_count_events": _dp_windowed_count_events,
+        "dp_session_count_events": _dp_session_count_events,
         "doc_prep_pipeline": _doc_prep_pipeline,
         "asof_join_events": _asof_join_events,
         "range_join_events": _range_join_events,
@@ -1118,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_count_max_contributions": _DP_MAX_CONTRIB_SQL,
         "dp_count_composite_key": _dp_count_composite_key_sql(),
         "dp_windowed_count_events": _dp_windowed_count_events_sql(),
+        "dp_session_count_events": _dp_session_count_events_sql(),
         "doc_prep_pipeline": _DOC_PREP_PIPELINE_SQL,
         "asof_join_events": _ASOF_JOIN_EVENTS_SQL,
         "range_join_events": _RANGE_JOIN_EVENTS_SQL,

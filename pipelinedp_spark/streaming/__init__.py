@@ -1,15 +1,16 @@
 """Structured Streaming DP aggregations (net-new; the reference is
 batch-only — SURVEY.md §2.F)."""
 
-from pipelinedp_spark.streaming.dp_streaming import (dp_streaming_count,
-                                                     dp_streaming_mean,
-                                                     dp_streaming_sum,
-                                                     session_window_counts,
-                                                     streaming_exact_dedup)
+from pipelinedp_spark.streaming.dp_streaming import (
+    dp_streaming_count, dp_streaming_mean, dp_streaming_percentile,
+    dp_streaming_session_count, dp_streaming_sum, session_window_counts,
+    streaming_exact_dedup)
 
 __all__ = [
     "dp_streaming_count",
     "dp_streaming_mean",
+    "dp_streaming_percentile",
+    "dp_streaming_session_count",
     "dp_streaming_sum",
     "session_window_counts",
     "streaming_exact_dedup",

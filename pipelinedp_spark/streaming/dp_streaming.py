@@ -349,3 +349,199 @@ def session_window_counts(stream: DataFrame,
                      F.session_window(F.col(timestamp_col), gap_duration)
                      .alias("session_window"))
             .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def dp_streaming_session_count(stream: DataFrame,
+                               privacy_id_col: str,
+                               timestamp_col: str,
+                               gap_duration: str,
+                               window_duration: str,
+                               watermark_delay: str,
+                               epsilon_per_window: float,
+                               max_sessions_per_window: int,
+                               l0_per_window: int = 1,
+                               noise_kind: NoiseKind = NoiseKind.LAPLACE,
+                               delta_per_window: float = 0.0,
+                               noise_mode: str = "secure",
+                               threshold_windows: Optional[bool] = None
+                               ) -> DataFrame:
+    """DP count of closed user sessions per tumbling event-time window.
+
+    THREE chained stateful aggregations (Spark >= 3.4 multi-stateful
+    append-mode support, validated on 4.1):
+
+      per-user ``session_window`` close
+      -> per-(user, tumble) session count capped at
+         ``max_sessions_per_window``
+      -> per-window merge (session sum + privacy-id count)
+
+    A session is attributed to the tumbling window containing its session
+    END (last event + gap, EXCLUSIVE boundary: a session ending exactly on
+    a window edge belongs to the earlier window) — the chained-window
+    assignment Spark implements for ``window(session_window_col, dur)``.
+    Sensitivity mirrors dp_streaming_count with sessions as the
+    contribution unit: a user moves a window's session count by at most
+    linf and its privacy-id count by 1. Epsilon splits half to the count
+    noise, half to the pid-count noise / DP window selection (same
+    construction and presence-leak contract as dp_streaming_count).
+    Returns (window, session_count, privacy_id_count), noised doubles.
+    """
+    do_threshold = _resolve_thresholding(threshold_windows, delta_per_window)
+    linf = max_sessions_per_window
+    sessions = (stream
+                .withWatermark(timestamp_col, watermark_delay)
+                .groupBy(F.col(privacy_id_col).alias("__pid__"),
+                         F.session_window(F.col(timestamp_col), gap_duration)
+                         .alias("__sw__"))
+                .agg(F.count(F.lit(1)).alias("__n_events__")))
+    per_user = (sessions
+                .groupBy("__pid__",
+                         F.window(F.col("__sw__"), window_duration)
+                         .alias("window"))
+                .agg(F.least(F.count(F.lit(1)), F.lit(linf))
+                     .alias("__capped__")))
+    per_window = per_user.groupBy("window").agg(
+        F.sum("__capped__").alias("__count__"),
+        F.count(F.lit(1)).alias("__pids__"))
+
+    sens = dp.count_sensitivities(l0_per_window, linf)
+    scale = dp.noise_scale(noise_kind, epsilon_per_window / 2,
+                           delta_per_window / 2 if delta_per_window else 0.0,
+                           sens)
+    noise = create_noise_source(noise_mode)
+    if do_threshold:
+        per_window = _pid_threshold_filter(
+            per_window, noise, noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2, l0_per_window, "__pids__")
+        pid_col = F.col("__dp_pids__")
+    else:
+        pid_sens = dp.privacy_id_count_sensitivities(l0_per_window)
+        pid_scale = dp.noise_scale(
+            noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2 if delta_per_window else 0.0, pid_sens)
+        pid_col = noise.add_noise(F.col("__pids__").cast(DoubleType()),
+                                  noise_kind.value, pid_scale)
+    return per_window.select(
+        "window",
+        noise.add_noise(F.col("__count__").cast(DoubleType()),
+                        noise_kind.value, scale).alias("session_count"),
+        pid_col.alias("privacy_id_count"))
+
+
+def dp_streaming_percentile(stream: DataFrame,
+                            privacy_id_col: str,
+                            timestamp_col: str,
+                            value_col: str,
+                            window_duration: str,
+                            watermark_delay: str,
+                            epsilon_per_window: float,
+                            min_value: float,
+                            max_value: float,
+                            percentile: float = 50.0,
+                            n_bins: int = 256,
+                            l0_per_window: int = 1,
+                            noise_kind: NoiseKind = NoiseKind.LAPLACE,
+                            delta_per_window: float = 0.0,
+                            noise_mode: str = "secure",
+                            threshold_windows: Optional[bool] = None
+                            ) -> DataFrame:
+    """DP percentile per event-time window over PER-USER window averages,
+    via the batch engine's equi-width histogram sketch.
+
+    Contribution unit: each user contributes exactly ONE value per window
+    — the average of their clipped contributions — so every user moves
+    exactly one histogram bin count by 1 (Linf = 1 by construction; the
+    sketch's count-histogram sensitivity, no row sampling needed
+    mid-stream). Plan: watermark -> per-(user, window) clipped mean
+    (stateful) -> bin projection -> per-(window, bin) count (stateful,
+    chained) -> per-bin noise -> per-window collect + quantile read-off
+    (stateful, chained). The released percentile is the left-cumulative
+    bin midpoint, exactly the batch QuantileCombiner histogram fast path.
+
+    Window selection (default on, same contract as dp_streaming_count)
+    thresholds on the noisy total user count = sum of noisy bin counts.
+    The threshold is calibrated for the worst case it protects — a
+    one-user window has exactly one occupied bin, so its noisy total is a
+    single draw of the bin noise. Caveat (documented deviation from the
+    batch sketch, which noises a dense bin grid): a streaming aggregation
+    only materializes OCCUPIED (window, bin) rows, so within a released
+    window the occupancy pattern of bins is not itself noised; a user who
+    is alone in a bin shifts the read-off by at most one bin width beyond
+    what the count noise covers. Use more users per window (the
+    thresholding default) or coarser bins where that residual matters.
+    Returns (window, percentile_value, n_users) with n_users the noisy
+    total.
+    """
+    do_threshold = _resolve_thresholding(threshold_windows, delta_per_window)
+    mid = (min_value + max_value) / 2.0
+    width = (max_value - min_value) / n_bins
+
+    per_user = (stream
+                .withWatermark(timestamp_col, watermark_delay)
+                .groupBy(F.col(privacy_id_col).alias("__pid__"),
+                         F.window(F.col(timestamp_col), window_duration)
+                         .alias("window"))
+                .agg(F.avg(_clip(F.col(value_col).cast(DoubleType()),
+                                 float(min_value), float(max_value)))
+                     .alias("__uval__")))
+    binned = per_user.withColumn(
+        "__bin__",
+        F.least(F.greatest(
+            F.floor((F.col("__uval__") - F.lit(float(min_value)))
+                    / F.lit(width)).cast("int"), F.lit(0)),
+            F.lit(n_bins - 1)))
+    per_bin = binned.groupBy("window", "__bin__").agg(
+        F.count(F.lit(1)).alias("__n__"))
+
+    # Per-bin noise BEFORE the final collect: each user sits in exactly one
+    # bin, so bin counts are disjoint count queries (parallel composition
+    # within a window; epsilon spends once per window, not per bin).
+    eps_metric = epsilon_per_window / 2 if do_threshold else epsilon_per_window
+    delta_metric = (delta_per_window / 2 if do_threshold
+                    else delta_per_window)
+    sens = dp.count_sensitivities(l0_per_window, 1)
+    scale = dp.noise_scale(noise_kind, eps_metric,
+                           delta_metric if delta_metric else 0.0, sens)
+    noise = create_noise_source(noise_mode)
+    noisy_bins = per_bin.withColumn(
+        "__nn__", noise.add_noise(F.col("__n__").cast(DoubleType()),
+                                  noise_kind.value, scale))
+
+    per_window = noisy_bins.groupBy("window").agg(
+        F.sort_array(F.collect_list(F.struct("__bin__", "__nn__")))
+        .alias("__hist__"))
+
+    total = F.aggregate("__hist__", F.lit(0.0),
+                        lambda acc, x: acc + F.greatest(x["__nn__"],
+                                                        F.lit(0.0)))
+    per_window = per_window.withColumn("__total__", total)
+    target = F.col("__total__") * F.lit(percentile / 100.0)
+    # scan: first bin where the cumulative (positive-clamped) count
+    # reaches the target rank
+    scan = F.aggregate(
+        "__hist__",
+        F.struct(F.lit(0.0).alias("cum"), F.lit(-1).alias("bin")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + F.greatest(x["__nn__"], F.lit(0.0))).alias("cum"),
+            F.when(acc["bin"] >= 0, acc["bin"])
+            .when(acc["cum"] + F.greatest(x["__nn__"], F.lit(0.0))
+                  >= target, x["__bin__"])
+            .otherwise(F.lit(-1)).alias("bin")),
+        lambda acc: acc["bin"])
+    chosen = F.when(scan >= 0, scan).otherwise(F.lit(n_bins - 1))
+    value = (F.lit(float(min_value))
+             + (chosen.cast("double") + F.lit(0.5)) * F.lit(width))
+
+    out = per_window.withColumn("percentile_value", value)
+    if do_threshold:
+        # Threshold on the noisy total: in the worst case (one user) the
+        # total is a single draw of the per-bin noise, so the threshold is
+        # calibrated against THAT std; it consumes the other delta half.
+        bin_std = dp.noise_std(noise_kind, eps_metric,
+                               delta_metric if delta_metric else 0.0, sens)
+        threshold = dp.thresholding_from_std(
+            noise_kind, bin_std, delta_per_window / 2, l0_per_window)
+        out = out.filter(F.col("__total__") >= F.lit(threshold))
+    return out.select("window",
+                      F.col("percentile_value"),
+                      F.col("__total__").alias("n_users"))

@@ -11,7 +11,10 @@ from pyspark.sql.types import (DoubleType, IntegerType, StringType,
 from pipelinedp_spark import sources
 from pipelinedp_spark.aggregate_params import NoiseKind
 from pipelinedp_spark.operators import multimodal as MM
-from pipelinedp_spark.streaming import (dp_streaming_count, dp_streaming_sum,
+from pipelinedp_spark.streaming import (dp_streaming_count,
+                                        dp_streaming_percentile,
+                                        dp_streaming_session_count,
+                                        dp_streaming_sum,
                                         session_window_counts)
 
 SF = "/root/testdata/sf0.001"
@@ -349,6 +352,75 @@ def test_session_window_counts(spark, stream_dir):
         per_user.setdefault(r["pid"], []).append(r["n_events"])
     # User 2 (no sparse-window event): one 3-event and one 1-event session.
     assert sorted(per_user[2]) == [1, 3]
+
+
+def test_dp_streaming_session_count(spark, stream_dir):
+    """3-chained stateful plan: session close -> per-(user, tumble) capped
+    session count -> per-window merge. Fixture sessions (gap 30s): every
+    user closes one session ending inside minute 0 ([*:10, *:42)) and one
+    ending exactly at 00:02:00 (exclusive boundary -> minute 1). The
+    sparse-minute sessions of users 0/1 end in minutes 2/3."""
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_session_count(
+        stream, "user_id", "ts", gap_duration="30 seconds",
+        window_duration="1 minute", watermark_delay="0 seconds",
+        epsilon_per_window=1.0, max_sessions_per_window=2,
+        noise_mode="zero", threshold_windows=False)
+    got = _run_stream(spark, out, "dp_sess_stream")
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+    assert rows[0]["session_count"] == 20.0
+    assert rows[0]["privacy_id_count"] == 20.0
+    assert rows[1]["session_count"] == 20.0
+    # user 0's sparse session [150,180) ends exactly 00:03:00 -> minute 2;
+    # user 1's [151,181) -> minute 3.
+    assert rows[2]["session_count"] == 1.0
+    assert rows[3]["session_count"] == 1.0
+
+
+def test_dp_streaming_session_count_selection(spark, stream_dir):
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_session_count(
+        stream, "user_id", "ts", gap_duration="30 seconds",
+        window_duration="1 minute", watermark_delay="0 seconds",
+        epsilon_per_window=10.0, delta_per_window=1e-4,
+        max_sessions_per_window=2, noise_mode="zero")
+    got = _run_stream(spark, out, "dp_sess_stream_sel")
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+    # single-user windows (minutes 2 and 3) fall below the threshold
+    assert set(rows) == {0, 1}
+    assert rows[0]["session_count"] == 20.0
+
+
+def test_dp_streaming_percentile(spark, stream_dir):
+    """Histogram-sketch DP percentile over per-user window averages:
+    window 0 user averages are all 2.0 (bin 2 of 8, width 1) -> midpoint
+    2.5; window 1 all 4.0 -> 4.5."""
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_percentile(
+        stream, "user_id", "ts", "value", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=1.0,
+        min_value=0.0, max_value=8.0, percentile=50.0, n_bins=8,
+        noise_mode="zero", threshold_windows=False)
+    got = _run_stream(spark, out, "dp_pct_stream")
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+    assert rows[0]["percentile_value"] == pytest.approx(2.5)
+    assert rows[0]["n_users"] == pytest.approx(20.0)
+    assert rows[1]["percentile_value"] == pytest.approx(4.5)
+    assert rows[2]["percentile_value"] == pytest.approx(1.5)  # 2 users @1.0
+    assert rows[2]["n_users"] == pytest.approx(2.0)
+
+
+def test_dp_streaming_percentile_selection(spark, stream_dir):
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_percentile(
+        stream, "user_id", "ts", "value", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=10.0,
+        delta_per_window=1e-4, min_value=0.0, max_value=8.0,
+        percentile=50.0, n_bins=8, noise_mode="zero")
+    got = _run_stream(spark, out, "dp_pct_stream_sel")
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+    assert set(rows) == {0, 1}  # sparse minute-2 window suppressed
+    assert rows[1]["percentile_value"] == pytest.approx(4.5)
 
 
 def test_dp_streaming_mean(spark, stream_dir):
