@@ -30,9 +30,15 @@ _HASH_BUCKETS = 1_000_000
 def preaggregate(df: DataFrame,
                  extractors: DataFrameExtractors,
                  partitions_sampling_prob: float = 1.0,
-                 keep_privacy_id: bool = False) -> DataFrame:
+                 keep_privacy_id: bool = False,
+                 include_sum_squares: bool = False) -> DataFrame:
     """Returns (partition cols..., count, sum, n_partitions,
-    n_contributions), one row per (privacy_id, partition_key)."""
+    n_contributions), one row per (privacy_id, partition_key).
+
+    ``include_sum_squares=True`` adds a ``sum_sq`` column (sum of squared
+    raw values) — an extension over the reference preaggregate needed for
+    VARIANCE utility analysis; the normalized moments derive from the raw
+    ones (sum((v-mid)^2) = sum_sq - 2*mid*sum + count*mid^2)."""
     pid = extractors.privacy_id_column
     pk_cols = list(extractors.partition_key_columns)
     value = extractors.value_column
@@ -45,12 +51,17 @@ def preaggregate(df: DataFrame,
 
     value_expr = (F.sum(F.col(value).cast("double")) if value is not None
                   else F.lit(0.0))
-    per = df.groupBy(pid, *pk_cols).agg(
-        F.count(F.lit(1)).alias("count"),
-        value_expr.alias("sum"))
+    aggs = [F.count(F.lit(1)).alias("count"), value_expr.alias("sum")]
+    if include_sum_squares:
+        sq = (F.sum(F.col(value).cast("double") * F.col(value).cast("double"))
+              if value is not None else F.lit(0.0))
+        aggs.append(sq.alias("sum_sq"))
+    per = df.groupBy(pid, *pk_cols).agg(*aggs)
     w = Window.partitionBy(pid)
     per = (per.withColumn("n_partitions", F.count(F.lit(1)).over(w))
            .withColumn("n_contributions", F.sum("count").over(w)))
     cols = ([pid] if keep_privacy_id else []) + \
-        pk_cols + ["count", "sum", "n_partitions", "n_contributions"]
+        pk_cols + ["count", "sum"] + \
+        (["sum_sq"] if include_sum_squares else []) + \
+        ["n_partitions", "n_contributions"]
     return per.select(*cols)

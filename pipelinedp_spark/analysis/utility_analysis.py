@@ -19,6 +19,14 @@ per (config, partition):
   rmse^2 = p_keep * (bias^2 + var) + (1 - p_keep) * true^2
 per config: RMSE = sqrt(mean over partitions of rmse^2).
 
+Beyond the reference's COUNT / PRIVACY_ID_COUNT / SUM / MEAN, this engine
+also analyzes VARIANCE: the delta-method error of Q/C - (S/C)^2 over the
+three mechanisms (count, normalized sum, normalized sum of squares),
+carrying the FULL sampling covariance of (C, S, Q) — the Bernoulli keep
+event is shared per privacy id — so the linearized error moments are
+exact under the bounding model (brute-force-enumeration parity:
+tests/test_utility_variance_parity.py).
+
 Everything runs in ONE Spark pass: the per-(pid, pk) pre-aggregate is
 cross-joined with the (broadcast, tiny) config grid, then two groupBys
 (config, pk) -> (config). Only per-config summaries are collected.
@@ -105,24 +113,32 @@ class UtilityAnalysisEngine:
         (reference: pipeline_dp/data_extractors.py:47-66)."""
         metrics = [m.metric for m in params.metrics
                    if m.metric in (Metric.COUNT, Metric.PRIVACY_ID_COUNT,
-                                   Metric.SUM, Metric.MEAN)]
+                                   Metric.SUM, Metric.MEAN, Metric.VARIANCE)]
         if not metrics:
             raise ValueError("utility analysis supports COUNT / "
-                             "PRIVACY_ID_COUNT / SUM / MEAN")
+                             "PRIVACY_ID_COUNT / SUM / MEAN / VARIANCE")
         if Metric.MEAN in metrics and not configurations.max_sum_per_partition:
             raise ValueError("MEAN analysis needs min/max_sum_per_partition "
                              "in the configuration grid (the sum clip)")
+        want_variance = Metric.VARIANCE in metrics
+        if want_variance and (params.min_value is None
+                              or params.max_value is None):
+            raise ValueError("VARIANCE analysis needs params.min_value / "
+                             "max_value (the per-contribution value bounds)")
         spark = df.sparkSession
         pk_cols = list(extractors.partition_key_columns)
         if preaggregated:
             required = {"count", "sum", "n_partitions"}
+            if want_variance:
+                required = required | {"sum_sq"}
             missing = required - set(df.columns)
             if missing:
                 raise ValueError(
                     f"preaggregated input missing columns: {sorted(missing)}")
             pre = df
         else:
-            pre = preaggregate(df, extractors, keep_privacy_id=False)
+            pre = preaggregate(df, extractors, keep_privacy_id=False,
+                               include_sum_squares=want_variance)
 
         # Budget: naive split across requested metrics (+ selection).
         n_mech = len(metrics) + (0 if public_partitions is not None else 1)
@@ -155,6 +171,25 @@ class UtilityAnalysisEngine:
                     noise["mean_sum"] = dp.noise_std(
                         params.noise_kind, eps_m / 2, delta_m / 2, ssens)
                     continue
+                elif m == Metric.VARIANCE:
+                    # variance = Q/C - (S/C)^2 over normalized values in
+                    # [-h, h]: three mechanisms (count, normalized sum,
+                    # normalized sum of squares), eps/delta split in 3
+                    # (mirrors dp.variance_scales / reference
+                    # pipeline_dp/dp_computations.py:284-312).
+                    h = (params.max_value - params.min_value) / 2.0
+                    noise["var_count"] = dp.noise_std(
+                        params.noise_kind, eps_m / 3, delta_m / 3,
+                        dp.Sensitivities(l0=l0, linf=float(linf)))
+                    noise["var_sum"] = dp.noise_std(
+                        params.noise_kind, eps_m / 3, delta_m / 3,
+                        dp.Sensitivities(l0=l0, linf=linf * h)) \
+                        if h > 0 else 0.0
+                    noise["var_sq"] = dp.noise_std(
+                        params.noise_kind, eps_m / 3, delta_m / 3,
+                        dp.Sensitivities(l0=l0, linf=linf * h * h)) \
+                        if h > 0 else 0.0
+                    continue
                 else:
                     sens = dp.sum_sensitivities(l0, linf, None, None,
                                                 min_s or 0.0, max_s or 1.0)
@@ -172,12 +207,16 @@ class UtilityAnalysisEngine:
                               noise.get("sum", 0.0),
                               noise.get("mean_count", 0.0),
                               noise.get("mean_sum", 0.0),
+                              noise.get("var_count", 0.0),
+                              noise.get("var_sum", 0.0),
+                              noise.get("var_sq", 0.0),
                               scale, threshold))
         confs = spark.createDataFrame(
             conf_rows,
             "conf int, l0 int, linf int, min_s double, max_s double, "
             "count_std double, pid_std double, sum_std double, "
             "mcount_std double, msum_std double, "
+            "vcount_std double, vsum_std double, vsq_std double, "
             "sel_scale double, sel_threshold double")
 
         j = pre.crossJoin(F.broadcast(confs))
@@ -212,6 +251,33 @@ class UtilityAnalysisEngine:
                 F.sum(p * clipped_sum - s).alias("sum_bias"),
                 F.sum(p * (1 - p) * clipped_sum * clipped_sum)
                 .alias("sum_var"),
+            ]
+        if want_variance:
+            # Normalized per-(pid, pk) moments around mid (values assumed
+            # within [min_value, max_value]; per-value clipping is not
+            # modeled — preaggregate only carries sums). Linf bounding is
+            # modeled as uniform thinning: keeping clipped/count of the
+            # rows scales each moment by that ratio.
+            mid = (params.min_value + params.max_value) / 2.0
+            vs = F.col("sum") - cnt * F.lit(mid)
+            vq = (F.col("sum_sq") - 2 * F.lit(mid) * F.col("sum")
+                  + cnt * F.lit(mid * mid))
+            ratio = clipped_cnt / cnt
+            vs_c, vq_c = vs * ratio, vq * ratio
+            pq = p * (1 - p)
+            exprs += [
+                F.sum(vs).alias("vr_true_s"),
+                F.sum(vq).alias("vr_true_q"),
+                F.sum(p * vs_c - vs).alias("vr_bias_s"),
+                F.sum(p * vq_c - vq).alias("vr_bias_q"),
+                F.sum(pq * vs_c * vs_c).alias("vr_var_s"),
+                F.sum(pq * vq_c * vq_c).alias("vr_var_q"),
+                F.sum(pq * clipped_cnt * vs_c).alias("vr_cov_cs"),
+                F.sum(pq * clipped_cnt * vq_c).alias("vr_cov_cq"),
+                F.sum(pq * vs_c * vq_c).alias("vr_cov_sq"),
+                F.first("vcount_std").alias("vcount_std"),
+                F.first("vsum_std").alias("vsum_std"),
+                F.first("vsq_std").alias("vsq_std"),
             ]
         per_pk = j.groupBy("conf", *pk_cols).agg(*exprs)
 
@@ -269,6 +335,39 @@ class UtilityAnalysisEngine:
                 (F.sum(-F.col("sum_bias")) /
                  F.sum(F.abs(F.col("true_sum")))).alias("sum_dropped"),
             ]
+        if want_variance:
+            # Delta method around the true normalized (C, S, Q):
+            # variance = Q/C - (S/C)^2, with gradient
+            #   fC = -Q/C^2 + 2 S^2/C^3,  fS = -2 S/C^2,  fQ = 1/C.
+            # Unlike the MEAN path, the full sampling covariance of
+            # (C, S, Q) is carried — the Bernoulli keep event is shared
+            # per privacy id, so Cov(X, Y) = sum_i p(1-p) x_i y_i — which
+            # makes the linearized error moments EXACT under the
+            # keep/thinning model (brute-force parity:
+            # tests/test_utility_variance_parity.py).
+            C = F.col("true_count").cast("double")
+            S, Q = F.col("vr_true_s"), F.col("vr_true_q")
+            f_true = Q / C - (S / C) * (S / C)
+            fC = -Q / (C * C) + 2 * S * S / (C * C * C)
+            fS = -2 * S / (C * C)
+            fQ = 1 / C
+            v_bias = (fC * F.col("count_bias") + fS * F.col("vr_bias_s")
+                      + fQ * F.col("vr_bias_q"))
+            v_var = (fC * fC * (F.col("count_var")
+                                + F.col("vcount_std") * F.col("vcount_std"))
+                     + fS * fS * (F.col("vr_var_s")
+                                  + F.col("vsum_std") * F.col("vsum_std"))
+                     + fQ * fQ * (F.col("vr_var_q")
+                                  + F.col("vsq_std") * F.col("vsq_std"))
+                     + 2 * fC * fS * F.col("vr_cov_cs")
+                     + 2 * fC * fQ * F.col("vr_cov_cq")
+                     + 2 * fS * fQ * F.col("vr_cov_sq"))
+            kept = F.col("p_keep")
+            agg_exprs += [
+                F.avg(kept * (v_bias * v_bias + v_var)
+                      + (1 - kept) * f_true * f_true).alias("var_rmse2"),
+                F.avg(F.abs(v_bias)).alias("var_abs_bias"),
+            ]
         if Metric.MEAN in metrics:
             # Delta method around the true (C, S): mean = S/C, so
             # err_mean ~ err_S / C - M * err_C / C with M = S/C; bias and
@@ -301,14 +400,21 @@ class UtilityAnalysisEngine:
             errors = []
             for m in metrics:
                 key = {"count": "count", "privacy_id_count": "pid",
-                       "sum": "sum", "mean": "mean"}[m.value]
-                # mean has no single noise std: report the sum-mechanism
-                # component (the dominant term); its data-dropped ratio is
-                # the sum's (the same clipped mass drives both).
+                       "sum": "sum", "mean": "mean",
+                       "variance": "var"}[m.value]
+                # mean / variance have no single noise std: report the
+                # (normalized-)sum-mechanism component for mean and the
+                # squares mechanism for variance (the dominant terms);
+                # their data-dropped ratio is the contributing metric's.
                 noise_std = row[{"count": 5, "privacy_id_count": 6,
-                                 "sum": 7, "mean": 9}[m.value]]
-                dropped = r["sum_dropped" if key == "mean"
-                            else f"{key}_dropped"]
+                                 "sum": 7, "mean": 9,
+                                 "variance": 12}[m.value]]
+                if key == "mean":
+                    dropped = r["sum_dropped"]
+                elif key == "var":
+                    dropped = r["count_dropped"]
+                else:
+                    dropped = r[f"{key}_dropped"]
                 errors.append(MetricUtility(
                     metric=m,
                     noise_std=noise_std,
