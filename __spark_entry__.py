@@ -1157,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _doc_split,
         "multimodal_bmp_decode": _multimodal_bmp_decode,
         "multimodal_wav_decode": _multimodal_wav_decode,
+        "utility_analysis_count_sum": _utility_analysis_count_sum,
+        "utility_analysis_variance": _utility_analysis_variance,
+        "analysis_histograms": _analysis_histograms,
     }
 
 
@@ -1200,6 +1203,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": _DOC_SPLIT_SQL,
         "multimodal_bmp_decode": _MULTIMODAL_BMP_SQL,
         "multimodal_wav_decode": _MULTIMODAL_WAV_SQL,
+        "utility_analysis_count_sum": _UTILITY_ANALYSIS_COUNT_SUM_SQL,
+        "utility_analysis_variance": _UTILITY_ANALYSIS_VARIANCE_SQL,
+        "analysis_histograms": _ANALYSIS_HISTOGRAMS_SQL,
     }
 
 
@@ -1677,3 +1683,219 @@ def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinedp_spark.operators import dedup
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, cosine_threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Analysis layer: oracle-checked utility analysis + dataset histograms.
+# With PUBLIC partitions the utility closed forms (reference:
+# analysis/per_partition_combiners.py + cross_partition_combiners.py
+# semantics) are exactly SQL-expressible: p = least(1, l0/n_partitions),
+# bias/variance sums per partition, Laplace std = sqrt(2) * l1 / eps.
+# ---------------------------------------------------------------------------
+
+
+def _utility_analysis_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UtilityAnalysisEngine over a 2-config grid on lineitem: expected
+    COUNT and SUM error (rmse, |bias|, dropped ratio) per configuration
+    under the Bernoulli-keep model, public partitions."""
+    import pipelinedp_spark.analysis as A
+    li = _t(spark, sf_dir, "lineitem")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.COUNT, pds.Metrics.SUM],
+        max_partitions_contributed=1, max_contributions_per_partition=1,
+        min_value=0.0, max_value=50.0)
+    conf = A.MultiParameterConfiguration(
+        max_partitions_contributed=[2, 3],
+        max_contributions_per_partition=[100, 400],
+        min_sum_per_partition=[0.0, 0.0],
+        max_sum_per_partition=[2000.0, 10000.0])
+    reports = A.UtilityAnalysisEngine(epsilon=4.0, delta=0.0).analyze(
+        li, params,
+        pds.DataFrameExtractors("l_suppkey", "l_returnflag", "l_quantity"),
+        conf, public_partitions=["A", "N", "R"])
+    rows = []
+    for rep in reports:
+        for me in rep.metric_errors:
+            rows.append((rep.configuration_index, me.metric.value,
+                         round(me.rmse, 6), round(me.expected_abs_bias, 6),
+                         round(me.ratio_data_dropped, 6)))
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "conf int, metric string, rmse double, abs_bias double, "
+              "dropped double")
+
+
+# eps=4 over 2 metrics -> eps_m = 2 per mechanism; Laplace std =
+# sqrt(2)*l1/eps_m with l1 = l0*linf (count) / l0*max(|lo|,|hi|) (sum,
+# per-partition clip regime).
+_UTILITY_ANALYSIS_COUNT_SUM_SQL = """
+WITH pre AS (
+  SELECT l_suppkey AS pid, l_returnflag AS pk,
+         COUNT(*)::DOUBLE AS cnt, SUM(l_quantity)::DOUBLE AS s
+  FROM lineitem GROUP BY 1, 2),
+pre2 AS (SELECT *, COUNT(*) OVER (PARTITION BY pid)::DOUBLE AS np FROM pre),
+conf(conf, l0, linf, lo, hi) AS (
+  VALUES (0, 2.0, 100.0, 0.0, 2000.0), (1, 3.0, 400.0, 0.0, 10000.0)),
+j AS (
+  SELECT conf, l0, linf, lo, hi, pk, cnt, s,
+         LEAST(1.0, l0 / np) AS p,
+         LEAST(cnt, linf) AS cc,
+         GREATEST(LEAST(s, hi), lo) AS cs
+  FROM pre2 CROSS JOIN conf),
+per_pk AS (
+  SELECT conf, l0, linf, lo, hi, pk,
+         SUM(cnt) AS true_cnt, SUM(s) AS true_sum,
+         SUM(p * cc - cnt) AS cb, SUM(p * (1 - p) * cc * cc) AS cv,
+         SUM(p * cs - s) AS sb, SUM(p * (1 - p) * cs * cs) AS sv
+  FROM j GROUP BY 1, 2, 3, 4, 5, 6),
+stds AS (
+  SELECT *, sqrt(2.0) * l0 * linf / 2.0 AS cstd,
+            sqrt(2.0) * l0 * GREATEST(abs(lo), abs(hi)) / 2.0 AS sstd
+  FROM per_pk),
+agg AS (
+  SELECT conf,
+         sqrt(avg(cb * cb + cv + cstd * cstd)) AS count_rmse,
+         avg(abs(cb)) AS count_bias,
+         sum(-cb) / sum(true_cnt) AS count_dropped,
+         sqrt(avg(sb * sb + sv + sstd * sstd)) AS sum_rmse,
+         avg(abs(sb)) AS sum_bias,
+         sum(-sb) / sum(abs(true_sum)) AS sum_dropped
+  FROM stds GROUP BY 1)
+SELECT conf, 'count' AS metric, ROUND(count_rmse, 6) AS rmse,
+       ROUND(count_bias, 6) AS abs_bias, ROUND(count_dropped, 6) AS dropped
+FROM agg
+UNION ALL
+SELECT conf, 'sum', ROUND(sum_rmse, 6), ROUND(sum_bias, 6),
+       ROUND(sum_dropped, 6)
+FROM agg
+ORDER BY conf, metric
+"""
+
+
+def _utility_analysis_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANCE utility analysis on events (net-new metric): delta-method
+    rmse and |bias| per configuration, full (C, S, Q) sampling covariance,
+    public partitions."""
+    import pipelinedp_spark.analysis as A
+    ev = _t(spark, sf_dir, "events")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.VARIANCE],
+        max_partitions_contributed=1, max_contributions_per_partition=1,
+        min_value=0.0, max_value=500.0)
+    conf = A.MultiParameterConfiguration(
+        max_partitions_contributed=[2, 4],
+        max_contributions_per_partition=[3, 10])
+    reports = A.UtilityAnalysisEngine(epsilon=6.0, delta=0.0).analyze(
+        ev, params,
+        pds.DataFrameExtractors("user_id", "event_type", "value"),
+        conf, public_partitions=["click", "signup", "error",
+                                 "view", "purchase"])
+    rows = [(rep.configuration_index,
+             round(rep.metric_errors[0].rmse, 6),
+             round(rep.metric_errors[0].expected_abs_bias, 6))
+            for rep in reports]
+    rows.sort()
+    return spark.createDataFrame(rows,
+                                 "conf int, rmse double, abs_bias double")
+
+
+# Single metric + public partitions -> eps_m = 6; each of the three
+# variance mechanisms gets eps_m/3 = 2. mid = 250, half-range h = 250.
+_UTILITY_ANALYSIS_VARIANCE_SQL = """
+WITH pre AS (
+  SELECT user_id AS pid, event_type AS pk,
+         COUNT(*)::DOUBLE AS cnt, SUM(value)::DOUBLE AS s,
+         SUM(value * value)::DOUBLE AS q
+  FROM events GROUP BY 1, 2),
+pre2 AS (SELECT *, COUNT(*) OVER (PARTITION BY pid)::DOUBLE AS np FROM pre),
+conf(conf, l0, linf) AS (VALUES (0, 2.0, 3.0), (1, 4.0, 10.0)),
+j AS (
+  SELECT conf, l0, linf, pk, cnt,
+         LEAST(1.0, l0 / np) AS p,
+         LEAST(cnt, linf) AS cc,
+         (s - cnt * 250.0) AS ns,
+         (q - 2 * 250.0 * s + cnt * 250.0 * 250.0) AS nq,
+         LEAST(cnt, linf) / cnt AS r
+  FROM pre2 CROSS JOIN conf),
+per_pk AS (
+  SELECT conf, l0, linf, pk,
+         SUM(cnt) AS c, SUM(ns) AS sn, SUM(nq) AS qn,
+         SUM(p * cc - cnt) AS bc,
+         SUM(p * ns * r - ns) AS bs,
+         SUM(p * nq * r - nq) AS bq,
+         SUM(p * (1 - p) * cc * cc) AS vc,
+         SUM(p * (1 - p) * ns * r * ns * r) AS vs,
+         SUM(p * (1 - p) * nq * r * nq * r) AS vq,
+         SUM(p * (1 - p) * cc * ns * r) AS ccs,
+         SUM(p * (1 - p) * cc * nq * r) AS ccq,
+         SUM(p * (1 - p) * ns * r * nq * r) AS csq
+  FROM j GROUP BY 1, 2, 3, 4),
+g AS (
+  SELECT *,
+         (-qn / (c * c) + 2 * sn * sn / (c * c * c)) AS fc,
+         (-2 * sn / (c * c)) AS fs,
+         (1.0 / c) AS fq,
+         sqrt(2.0) * l0 * linf / 2.0 AS stdc,
+         sqrt(2.0) * l0 * linf * 250.0 / 2.0 AS stds,
+         sqrt(2.0) * l0 * linf * 250.0 * 250.0 / 2.0 AS stdq
+  FROM per_pk),
+e AS (
+  SELECT conf,
+         (fc * bc + fs * bs + fq * bq) AS bias,
+         fc * fc * (vc + stdc * stdc) + fs * fs * (vs + stds * stds)
+           + fq * fq * (vq + stdq * stdq)
+           + 2 * fc * fs * ccs + 2 * fc * fq * ccq + 2 * fs * fq * csq
+           AS var
+  FROM g)
+SELECT conf, ROUND(sqrt(avg(bias * bias + var)), 6) AS rmse,
+       ROUND(avg(abs(bias)), 6) AS abs_bias
+FROM e GROUP BY conf ORDER BY conf
+"""
+
+
+def _analysis_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset contribution histograms (reference log binning: keep the 3
+    most-significant digits) for L0 / Linf / count-per-partition over
+    lineitem keyed by (l_suppkey, l_returnflag)."""
+    import pipelinedp_spark.analysis as A
+    li = _t(spark, sf_dir, "lineitem")
+    h = A.compute_dataset_histograms(
+        li, pds.DataFrameExtractors("l_suppkey", "l_returnflag",
+                                    "l_quantity"))
+    rows = []
+    for hist in (h.l0_contributions_histogram,
+                 h.linf_contributions_histogram,
+                 h.count_per_partition_histogram):
+        for b in hist.bins:
+            rows.append((hist.name.value, int(b.lower), int(b.upper),
+                         int(b.count), float(b.sum), float(b.max),
+                         float(b.min)))
+    return spark.createDataFrame(
+        rows, "hist string, lower long, upper long, bin_count long, "
+              "bin_sum double, bin_max double, bin_min double")
+
+
+_ANALYSIS_HISTOGRAMS_SQL = """
+WITH per AS (
+  SELECT l_suppkey AS pid, l_returnflag AS pk, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+u AS (
+  SELECT 'l0_contributions' AS h, COUNT(*)::BIGINT AS v
+  FROM per GROUP BY pid
+  UNION ALL
+  SELECT 'linf_contributions', cnt FROM per
+  UNION ALL
+  SELECT 'count_per_partition', SUM(cnt)::BIGINT FROM per GROUP BY pk),
+b AS (
+  SELECT h, v,
+         CAST(FLOOR(v / POWER(10, GREATEST(FLOOR(LOG10(v)) - 2, 0)))
+              * POWER(10, GREATEST(FLOOR(LOG10(v)) - 2, 0)) AS BIGINT)
+             AS lower
+  FROM u)
+SELECT h AS hist, lower,
+       lower + CAST(POWER(10, GREATEST(LENGTH(CAST(lower AS VARCHAR)) - 3,
+                                       0)) AS BIGINT) AS upper,
+       COUNT(*)::BIGINT AS bin_count, SUM(v)::DOUBLE AS bin_sum,
+       MAX(v)::DOUBLE AS bin_max, MIN(v)::DOUBLE AS bin_min
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
