@@ -1160,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utility_analysis_count_sum": _utility_analysis_count_sum,
         "utility_analysis_variance": _utility_analysis_variance,
         "analysis_histograms": _analysis_histograms,
+        "doc_containment": _doc_containment,
     }
 
 
@@ -1206,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "utility_analysis_count_sum": _UTILITY_ANALYSIS_COUNT_SUM_SQL,
         "utility_analysis_variance": _UTILITY_ANALYSIS_VARIANCE_SQL,
         "analysis_histograms": _ANALYSIS_HISTOGRAMS_SQL,
+        "doc_containment": _DOC_CONTAINMENT_SQL,
     }
 
 
@@ -1898,4 +1900,52 @@ SELECT h AS hist, lower,
        COUNT(*)::BIGINT AS bin_count, SUM(v)::DOUBLE AS bin_sum,
        MAX(v)::DOUBLE AS bin_max, MIN(v)::DOUBLE AS bin_min
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-overlap pairs via MOSS-style winnowing fingerprints
+    (k=5-gram hashes, window w=4): catches copied passages that
+    whole-document similarity misses. The hash (md5-derived 60-bit
+    bigint) and both rolling windows mirror exactly into SQL."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_containment_pairs(docs, min_containment=0.5)
+
+
+_DOC_CONTAINMENT_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN [array_to_string(t[i:i+4], ' ')
+                    for i in range(1, len(t) - 3)]
+              ELSE [array_to_string(t, ' ')] END AS grams
+  FROM tok),
+hs AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(g), 1, 15))::BIGINT for g in grams] AS h
+  FROM gr),
+fp AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(h) >= 4
+              THEN [list_min(h[j:j+3]) for j in range(1, len(h) - 2)]
+              ELSE [list_min(h)] END) AS fps
+  FROM hs),
+inv AS (SELECT doc_id, UNNEST(fps) AS f FROM fp),
+kept AS (
+  SELECT doc_id, f FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY f) <= 200),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS shared
+  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, s.shared,
+       ROUND(s.shared::DOUBLE / LEAST(na.n, nb.n), 6) AS containment
+FROM shared s
+JOIN sizes na ON na.doc_id = s.id_a
+JOIN sizes nb ON nb.doc_id = s.id_b
+WHERE ROUND(s.shared::DOUBLE / LEAST(na.n, nb.n), 6) >= 0.5
+ORDER BY 1, 2
 """

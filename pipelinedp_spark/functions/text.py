@@ -194,3 +194,39 @@ def rolling_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized (lowercased,
     space-collapsed) text — exact-dup detection key."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), " +", " "))
+
+
+def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """MOSS-style winnowing fingerprint set (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every k-token gram, slide a window over w consecutive
+    gram hashes, keep each window's minimum, return the distinct selected
+    hashes. Guarantee: any shared token run of length >= k + w - 1
+    contributes at least one shared fingerprint, so PARTIAL overlap
+    (copied passages, quotation, boilerplate reuse) is detectable — which
+    whole-document similarity (minhash/simhash) misses by design.
+
+    Pure column expressions; both rolling windows are built as arrays_zip
+    of shifted slices (see `shingles` for why per-element lambdas over an
+    index sequence would be O(n^2)). Hashes are md5-derived 60-bit
+    bigints, portable to SQL oracles. Documents shorter than k tokens
+    hash as a single gram; gram lists shorter than w keep their overall
+    minimum (the standard winnowing edge rule).
+    """
+    t = tokens(text)
+    n = F.size(t)
+    gwin = F.greatest(n - F.lit(k - 1), F.lit(0))
+    parts = [F.slice(t, j + 1, gwin) for j in range(k)]
+    grams = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    hashes = F.transform(grams, token_hash)
+    m = F.size(hashes)
+    wwin = F.greatest(m - F.lit(w - 1), F.lit(0))
+    hparts = [F.slice(hashes, j + 1, wwin) for j in range(w)]
+    mins = F.transform(
+        F.arrays_zip(*hparts),
+        lambda s: F.least(*[s[str(j)] for j in range(w)]))
+    mins = F.when(m >= w, mins).otherwise(F.array(F.array_min(hashes)))
+    return F.array_distinct(mins)

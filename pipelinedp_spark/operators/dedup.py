@@ -424,3 +424,55 @@ def embedding_near_dup_pairs(df: DataFrame,
             .applyInPandas(_pairs,
                            schema="id_a long, id_b long, cosine double")
             .dropDuplicates(["id_a", "id_b"]))
+
+
+def winnow_containment_pairs(df: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             k: int = 5,
+                             w: int = 4,
+                             min_containment: float = 0.5,
+                             max_fp_doc_freq: int = 200) -> DataFrame:
+    """Passage-overlap (containment) pairs via winnowing fingerprints
+    (`functions.text.winnowing_fingerprints`): detects documents sharing
+    COPIED PASSAGES — quotation, template reuse, partial plagiarism —
+    which whole-document Jaccard/minhash miss when the rest of the
+    documents differ. containment = shared / min(|fp_a|, |fp_b|) over the
+    informative (non-stop) fingerprints.
+
+    Same scale shape as `jaccard_pairs`: one explode + a window count on
+    the fingerprint key (the shuffle the candidate join needs anyway);
+    fingerprints hitting more than `max_fp_doc_freq` documents are stop
+    fingerprints (corpus boilerplate) and excluded from BOTH the
+    intersection and the sizes, bounding pair volume at
+    max_fp_doc_freq^2 per fingerprint — no all-pairs join.
+
+    Returns (id_a, id_b, shared, containment) with id_a < id_b,
+    containment rounded to 6dp.
+    """
+    fps = df.select(
+        F.col(id_col),
+        T.winnowing_fingerprints(F.col(text_col), k, w).alias("fps"))
+    inv = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    win = Window.partitionBy("fp")
+    kept = (inv.withColumn("doc_freq", F.count(F.lit(1)).over(win))
+            .filter(F.col("doc_freq") <= max_fp_doc_freq)
+            .drop("doc_freq")
+            .persist())
+    shared = (kept.select("fp", F.col(id_col).alias("id_a"))
+              .join(kept.select("fp", F.col(id_col).alias("id_b")), "fp")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    out = (shared
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("n_fp").alias("n_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("n_fp").alias("n_b")), "id_b")
+           .withColumn("containment",
+                       F.round(F.col("shared")
+                               / F.least("n_a", "n_b"), 6))
+           .filter(F.col("containment") >= F.lit(min_containment))
+           .select("id_a", "id_b", "shared", "containment"))
+    return out

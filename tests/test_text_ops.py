@@ -488,3 +488,47 @@ def test_near_dup_clusters_covers_all_docs(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in near_dup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 7}
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        # Winnowing guarantee: a shared token run of length >= k + w - 1
+        # (= 8 for k=5, w=4) yields at least one shared fingerprint.
+        passage = " ".join(f"p{i}" for i in range(8))
+        rows = [(1, "alpha beta gamma " + passage + " delta epsilon"),
+                (2, "totally different opening words here " + passage)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {r["doc_id"]: set(r["f"]) for r in df.select(
+            "doc_id",
+            T.winnowing_fingerprints(F.col("text")).alias("f")).collect()}
+        assert fps[1] & fps[2]
+
+    def test_short_doc_single_fingerprint(self, spark):
+        df = spark.createDataFrame([(1, "only three tokens")],
+                                   "doc_id long, text string")
+        f = df.select(T.winnowing_fingerprints(F.col("text"))
+                      .alias("f")).first()["f"]
+        assert len(f) == 1
+
+    def test_containment_detects_copied_passage(self, spark):
+        passage = " ".join(f"p{i}" for i in range(12))
+        rows = [(1, passage),
+                (2, "intro words here " + passage + " closing words now"),
+                (3, " ".join(f"z{i}" for i in range(30)))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in dedup.winnow_containment_pairs(
+                   df, min_containment=0.3).collect()}
+        # doc 1 fully contained in doc 2; doc 3 unrelated to both
+        assert out[(1, 2)] == 1.0
+        assert set(out) == {(1, 2)}
+
+    def test_stop_fingerprints_excluded(self, spark):
+        # A fingerprint present in EVERY doc is boilerplate: with
+        # max_fp_doc_freq below the corpus size it must not create pairs.
+        boiler = " ".join(f"b{i}" for i in range(10))
+        rows = [(i, boiler + f" unique{i} tail{i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.winnow_containment_pairs(
+            df, min_containment=0.1, max_fp_doc_freq=3)
+        assert out.count() == 0
