@@ -107,15 +107,19 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master(f"local[{cpus}]")
-             .appName("pipelinedp_spark-bench")
-             .config("spark.sql.shuffle.partitions", cpus)
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "8g")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
+    def _make_spark():
+        from pyspark.sql import SparkSession
+        sp = (SparkSession.builder.master(f"local[{cpus}]")
+              .appName("pipelinedp_spark-bench")
+              .config("spark.sql.shuffle.partitions", cpus)
+              .config("spark.sql.adaptive.enabled", "true")
+              .config("spark.ui.enabled", "false")
+              .config("spark.driver.memory", "8g")
+              .getOrCreate())
+        sp.sparkContext.setLogLevel("ERROR")
+        return sp
+
+    spark = _make_spark()
 
     spec = importlib.util.spec_from_file_location(
         "spark_entry", os.path.join(os.path.dirname(__file__),
@@ -129,6 +133,12 @@ def main() -> None:
     # Best-of-2 per query: local[32] shares the box with other processes,
     # and a single pass conflates external interference (observed 2s -> 27s
     # spikes on identical plans) with engine cost.
+    # clearCache after every measurement: several operators persist()
+    # intermediate tables (simhash blocks, jaccard shingles, winnowing
+    # fingerprints) whose blocks otherwise accumulate across the ~90
+    # query executions of a full bench and degrade later measurements
+    # ~3-10x (observed: dedup_simhash 13 s fresh vs 155 s at the tail of
+    # a shared session).
     times: dict[str, float] = {}
     for name, fn in mod.queries().items():
         best = float("inf")
@@ -136,6 +146,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
         times[name] = round(best, 3)
 
     # count() not collect(): the skew suite measures operator + shuffle
@@ -148,6 +159,7 @@ def main() -> None:
             t0 = time.perf_counter()
             thunk().count()
             best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
         skew[name] = round(best, 3)
 
     # Second scale factor: a persisted 10x step (generated once from the
@@ -171,6 +183,13 @@ def main() -> None:
             os.path.abspath(__file__)), "scripts"))
         from gen_sf1 import ensure_sf1
         sf1_dir = ensure_sf1(spark)
+        # Fresh session for the second scale factor: stopping the context
+        # releases the block manager (persisted tables, localCheckpoint
+        # blocks), so sf1 measurements start from the same clean JVM state
+        # the sf0.1 ones did.
+        spark.stop()
+        spark = _make_spark()
+        spark.read.parquet(f"{sf1_dir}/region.parquet").count()
         for name, fn in mod.queries().items():
             if name in sf1_skip:
                 continue
