@@ -1161,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utility_analysis_variance": _utility_analysis_variance,
         "analysis_histograms": _analysis_histograms,
         "doc_containment": _doc_containment,
+        "multimodal_png_decode": _multimodal_png_decode,
     }
 
 
@@ -1208,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         "utility_analysis_variance": _UTILITY_ANALYSIS_VARIANCE_SQL,
         "analysis_histograms": _ANALYSIS_HISTOGRAMS_SQL,
         "doc_containment": _DOC_CONTAINMENT_SQL,
+        "multimodal_png_decode": _MULTIMODAL_PNG_SQL,
     }
 
 
@@ -1948,4 +1950,57 @@ JOIN sizes na ON na.doc_id = s.id_a
 JOIN sizes nb ON nb.doc_id = s.id_b
 WHERE ROUND(s.shared::DOUBLE / LEAST(na.n, nb.n), 6) >= 0.5
 ORDER BY 1, 2
+"""
+
+
+def _multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end PNG path: a deterministic RGB pixel pattern per doc
+    -> real PNG encoding (zlib-deflated scanlines, CRC chunks) -> opaque
+    binary column -> real decode (operators.multimodal.decode_png: inflate
+    + scanline unfilter) -> exact integer luma stats. The oracle recomputes
+    the stats from the generating formula, so a chunk/deflate/unfilter bug
+    in either codec breaks the match."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                h, w = 3 + d % 4, 4 + d % 5
+                i, j = np.meshgrid(np.arange(h), np.arange(w),
+                                   indexing="ij")
+                base = d + 3 * i + 5 * j
+                rgb = np.stack([(base + 11 * c) % 256 for c in range(3)],
+                               axis=-1).astype(np.uint8)
+                payloads.append(MM.encode_png(rgb))
+            yield pd.DataFrame({"doc_id": ids, "image": payloads})
+
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    return MM.image_pixel_stats(imgs, "image").select(
+        "doc_id", "px_width", "px_height", "px_sum", "px_min", "px_max")
+
+
+_MULTIMODAL_PNG_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         (299 * ((d.doc_id + 3 * gi.i + 5 * gj.j) % 256)
+          + 587 * ((d.doc_id + 3 * gi.i + 5 * gj.j + 11) % 256)
+          + 114 * ((d.doc_id + 3 * gi.i + 5 * gj.j + 22) % 256)) // 1000
+             AS luma
+  FROM documents d,
+       generate_series(0, 6) gi(i),
+       generate_series(0, 8) gj(j)
+  WHERE gi.i < 3 + d.doc_id % 4 AND gj.j < 4 + d.doc_id % 5)
+SELECT doc_id,
+       CAST(4 + doc_id % 5 AS INT) AS px_width,
+       CAST(3 + doc_id % 4 AS INT) AS px_height,
+       CAST(SUM(luma) AS BIGINT) AS px_sum,
+       CAST(MIN(luma) AS INT) AS px_min,
+       CAST(MAX(luma) AS INT) AS px_max
+FROM px GROUP BY doc_id
 """

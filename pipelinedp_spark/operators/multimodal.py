@@ -13,16 +13,18 @@ Decode depth is two-tier:
   headers are parsed with ``struct`` from the raw bytes (no codec library
   needed), so width/height/format and sample_rate/n_samples/codec come
   from the actual payload.
-- **Pixel/sample decoding is REAL for uncompressed formats**:
+- **Pixel/sample decoding is REAL for BMP, PNG and WAV**:
   ``decoder="native"`` fully decodes (and for resize, re-encodes)
   uncompressed BMP bitmaps (8-bit palette, 24-bit, 32-bit, bottom-up and
-  top-down) and RIFF/WAVE PCM audio (uint8, int16, int32, float32) with
-  ``struct`` + numpy — no codec library needed. Compressed formats
-  (PNG/JPEG/GIF, MP3/AAC) need codec libraries that are not installed
-  here, so for those payloads ``decoder="native"`` falls back to the same
-  deterministic content-derived stand-ins as ``decoder="fake"`` (byte
-  histograms shaped like the real decoder's output), and explicit real
-  backends raise NotImplementedError until their import succeeds.
+  top-down), non-interlaced 8-bit PNG (all five scanline filters, color
+  types gray/RGB/palette/gray-alpha/RGBA — stdlib zlib inflate + numpy
+  unfiltering) and RIFF/WAVE PCM audio (uint8, int16, int32, float32)
+  with ``struct`` + numpy — no codec library needed. JPEG/GIF and
+  MP3/AAC need codec libraries that are not installed here, so for those
+  payloads ``decoder="native"`` falls back to the same deterministic
+  content-derived stand-ins as ``decoder="fake"`` (byte histograms
+  shaped like the real decoder's output), and explicit real backends
+  raise NotImplementedError until their import succeeds.
 
 No reference counterpart (net-new per project north star).
 """
@@ -31,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -204,6 +207,144 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + rows.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: Optional[bytes]) -> Optional[np.ndarray]:
+    """Fully decode a non-interlaced 8-bit-depth PNG payload to an RGB
+    pixel array of shape (height, width, 3), dtype uint8 — stdlib zlib
+    inflate + numpy scanline unfiltering, no codec library.
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette via PLTE),
+    4 (gray+alpha) and 6 (RGBA); alpha is dropped. All five scanline
+    filters (None/Sub/Up/Average/Paeth) are reconstructed; Sub and Up are
+    vectorized, Average/Paeth run a per-byte loop only on rows that use
+    them (encoders emit them adaptively). Returns None for non-PNG,
+    interlaced, 16-bit, or corrupt payloads.
+    """
+    if not data or data[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        try:
+            ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        except struct.error:
+            return None
+        chunk = data[pos + 8:pos + 8 + ln]
+        if len(chunk) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    channels = _PNG_CHANNELS.get(ctype)
+    if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+            or channels is None or w == 0 or h == 0):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, np.uint8,
+                        count=h * (stride + 1)).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        f, r = int(ftypes[y]), rows[y]
+        if f == 0:
+            cur = r.copy()
+        elif f == 1:
+            # Sub: recon[x] = filt[x] + recon[x - bpp]; per-channel
+            # cumulative sum (mod distributes over addition).
+            cur = (np.cumsum(r.reshape(w, bpp), axis=0) % 256).reshape(
+                stride)
+        elif f == 2:
+            cur = (r + prev) % 256
+        elif f == 3:
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (r[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                pa = abs(b - c)
+                pb = abs(a - c)
+                pc = abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                cur[x] = (r[x] + pred) % 256
+        else:
+            return None
+        recon[y] = cur
+        prev = cur
+    px = recon.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 2:
+        rgb = px
+    elif ctype == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            return None
+        rgb = pal[idx]
+    elif ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:
+        rgb = px[:, :, :3]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an RGB array (height, width, 3) or grayscale (height, width),
+    dtype uint8, as an 8-bit RGB PNG (filter 0 scanlines, one IDAT)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_image_native(data: Optional[bytes]) -> Optional[np.ndarray]:
+    """Real pixel decode for every natively supported container: BMP
+    (decode_bmp) then PNG (decode_png). Returns None when neither
+    matches (JPEG/GIF still need codec libraries)."""
+    rgb = decode_bmp(data)
+    if rgb is None:
+        rgb = decode_png(data)
+    return rgb
+
+
 _WAV_PCM_DTYPES = {(1, 8): np.uint8, (1, 16): np.dtype("<i2"),
                    (1, 32): np.dtype("<i4"), (3, 32): np.dtype("<f4")}
 
@@ -355,9 +496,9 @@ def decode_images(df: DataFrame, binary_col: str = "image",
                   feature_bins: int = 16) -> DataFrame:
     """binary payload -> (all input columns, features array<double>,
     content_hash string). Arrow-batched mapInPandas. ``decoder="native"``
-    emits a REAL luminance histogram for uncompressed BMP payloads
-    (decode_bmp) and falls back to the byte-histogram stand-in for
-    compressed formats; ``decoder="fake"`` uses the stand-in everywhere."""
+    emits a REAL luminance histogram for BMP and PNG payloads
+    (decode_image_native) and falls back to the byte-histogram stand-in
+    for JPEG/GIF; ``decoder="fake"`` uses the stand-in everywhere."""
     _check_decoder(decoder, "image")
     native = decoder == "native"
     out_schema = StructType(
@@ -367,7 +508,7 @@ def decode_images(df: DataFrame, binary_col: str = "image",
 
     def feats(b: Optional[bytes]) -> list:
         if native:
-            rgb = decode_bmp(b)
+            rgb = decode_image_native(b)
             if rgb is not None:
                 return _luminance_hist(rgb, feature_bins).tolist()
         return _fake_pixel_stats(b, feature_bins).tolist()
@@ -387,9 +528,10 @@ def decode_images(df: DataFrame, binary_col: str = "image",
 def image_pixel_stats(df: DataFrame, binary_col: str = "image") -> DataFrame:
     """Exact per-image pixel statistics from REAL decoded bitmaps:
     (all input columns, px_width, px_height, px_sum, px_min, px_max) where
-    the stats run over the integer luma of decode_bmp's output. Non-BMP /
-    undecodable payloads yield nulls. Integer-exact by construction, so the
-    whole encode->bytes->decode path is oracle-checkable."""
+    the stats run over the integer luma of the decoded pixels (BMP or
+    PNG). Undecodable payloads yield nulls. Integer-exact by
+    construction, so the whole encode->bytes->decode path is
+    oracle-checkable."""
     out_schema = StructType(
         df.schema.fields +
         [StructField("px_width", IntegerType()),
@@ -399,7 +541,7 @@ def image_pixel_stats(df: DataFrame, binary_col: str = "image") -> DataFrame:
          StructField("px_max", IntegerType())])
 
     def stats(b: Optional[bytes]) -> tuple:
-        rgb = decode_bmp(b)
+        rgb = decode_image_native(b)
         if rgb is None:
             return (None, None, None, None, None)
         px = rgb.astype(np.uint64)
@@ -463,11 +605,11 @@ def audio_pcm_stats(df: DataFrame, binary_col: str = "audio") -> DataFrame:
 def resize_images(df: DataFrame, binary_col: str = "image",
                   meta_col: str = "meta", width: int = 224,
                   height: int = 224, decoder: str = "fake") -> DataFrame:
-    """Resize. ``decoder="native"`` REALLY resizes uncompressed BMP
-    payloads: decode_bmp -> nearest-neighbor numpy resample -> encode_bmp
-    (non-BMP payloads pass through unchanged, metadata still rewritten).
-    ``decoder="fake"`` keeps the payload and rewrites only the metadata
-    struct (schema plumbing for downstream code)."""
+    """Resize. ``decoder="native"`` REALLY resizes BMP and PNG payloads:
+    decode -> nearest-neighbor numpy resample -> re-encode in the source
+    container (other payloads pass through unchanged, metadata still
+    rewritten). ``decoder="fake"`` keeps the payload and rewrites only
+    the metadata struct (schema plumbing for downstream code)."""
     _check_decoder(decoder, "image")
     meta_rewrite = F.struct(
         F.lit(width).alias("width"), F.lit(height).alias("height"),
@@ -478,13 +620,15 @@ def resize_images(df: DataFrame, binary_col: str = "image",
     out_schema = df.schema
 
     def resize(b: Optional[bytes]) -> Optional[bytes]:
-        rgb = decode_bmp(b)
+        is_png = bool(b) and b[:8] == _PNG_SIG
+        rgb = decode_image_native(b)
         if rgb is None:
             return b
         h, w = rgb.shape[:2]
         rows = (np.arange(height) * h) // height
         cols = (np.arange(width) * w) // width
-        return encode_bmp(rgb[rows][:, cols])
+        out = rgb[rows][:, cols]
+        return encode_png(out) if is_png else encode_bmp(out)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -284,6 +284,91 @@ def dp_streaming_mean(stream: DataFrame,
         .alias("mean"))
 
 
+def dp_streaming_variance(stream: DataFrame,
+                          privacy_id_col: str,
+                          timestamp_col: str,
+                          value_col: str,
+                          window_duration: str,
+                          watermark_delay: str,
+                          epsilon_per_window: float,
+                          min_value: float,
+                          max_value: float,
+                          max_contributions_per_window: int,
+                          l0_per_window: int = 1,
+                          noise_kind: NoiseKind = NoiseKind.LAPLACE,
+                          delta_per_window: float = 0.0,
+                          noise_mode: str = "secure",
+                          threshold_windows: Optional[bool] = None
+                          ) -> DataFrame:
+    """DP variance per event-time window: the batch engine's three-part
+    construction (noisy capped count, noisy clipped normalized sum, noisy
+    clipped normalized sum of squares, each with a third of the metric
+    budget — dp_computations.variance_scales / reference
+    pipeline_dp/dp_computations.py:284-312) on the same watermark ->
+    per-(user, window) partial -> per-window merge plan as
+    dp_streaming_mean, with the same per-value clipping and the same
+    capped-sum deviation (documented there). Window selection as in
+    dp_streaming_count. Returns (window, variance)."""
+    do_threshold = _resolve_thresholding(threshold_windows, delta_per_window)
+    linf = max_contributions_per_window
+    mid = (min_value + max_value) / 2.0
+    half = (max_value - min_value) / 2.0
+    clipped = stream.withColumn(
+        "__nval__",
+        _clip(F.col(value_col).cast(DoubleType()), float(min_value),
+              float(max_value)) - F.lit(mid))
+    per_user = (clipped
+                .withWatermark(timestamp_col, watermark_delay)
+                .groupBy(F.col(privacy_id_col).alias("__pid__"),
+                         F.window(F.col(timestamp_col), window_duration)
+                         .alias("window"))
+                .agg(F.least(F.count(F.lit(1)), F.lit(linf))
+                     .alias("__capped__"),
+                     _clip(F.sum("__nval__"),
+                           -float(linf) * half, float(linf) * half)
+                     .alias("__nsum__"),
+                     _clip(F.sum(F.col("__nval__") * F.col("__nval__")),
+                           0.0, float(linf) * half * half)
+                     .alias("__nsq__")))
+    per_window = per_user.groupBy("window").agg(
+        F.sum("__capped__").alias("__count__"),
+        F.sum("__nsum__").alias("__nsum__"),
+        F.sum("__nsq__").alias("__nsq__"),
+        F.count(F.lit(1)).alias("__pids__"))
+
+    eps_metric = epsilon_per_window / 2 if do_threshold \
+        else epsilon_per_window
+    delta_metric = delta_per_window / 2 if do_threshold \
+        else delta_per_window
+    eps3 = eps_metric / 3
+    delta3 = delta_metric / 3 if delta_metric else 0.0
+    cnt_scale = dp.noise_scale(
+        noise_kind, eps3, delta3, dp.count_sensitivities(l0_per_window,
+                                                         linf))
+    sum_scale = dp.noise_scale(
+        noise_kind, eps3, delta3,
+        dp.sum_sensitivities(l0_per_window, linf, -half, half, None, None))
+    sq_scale = dp.noise_scale(
+        noise_kind, eps3, delta3,
+        dp.sum_sensitivities(l0_per_window, linf, 0.0, half * half,
+                             None, None))
+    noise = create_noise_source(noise_mode)
+    if do_threshold:
+        per_window = _pid_threshold_filter(
+            per_window, noise, noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2, l0_per_window, "__pids__")
+    noisy_cnt = F.greatest(
+        noise.add_noise(F.col("__count__").cast(DoubleType()),
+                        noise_kind.value, cnt_scale), F.lit(1.0))
+    noisy_sum = noise.add_noise(F.col("__nsum__"), noise_kind.value,
+                                sum_scale)
+    noisy_sq = noise.add_noise(F.col("__nsq__"), noise_kind.value,
+                               sq_scale)
+    m = noisy_sum / noisy_cnt
+    return per_window.select(
+        "window", (noisy_sq / noisy_cnt - m * m).alias("variance"))
+
+
 def streaming_exact_dedup(stream: DataFrame,
                           fingerprint_col: str,
                           id_col: str,

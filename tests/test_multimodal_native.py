@@ -264,3 +264,120 @@ def test_non_bmp_payload_yields_nulls(spark):
                                "doc_id int, image binary")
     r = MM.image_pixel_stats(df, "image").collect()[0]
     assert r["px_sum"] is None and r["px_width"] is None
+
+
+# ---------------------------------------------------------------------------
+# PNG: spec-faithful reference encoder in the test (filters computed per
+# the PNG spec, not via encode_png) so decode_png is checked against the
+# format, not our own encoder.
+# ---------------------------------------------------------------------------
+
+import zlib
+
+
+def _png_chunk(typ, payload):
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_bytes_with_filters(img, filters, ctype=2, plte=None):
+    """Build a PNG whose row y uses filter filters[y], computing the
+    filtered bytes from the spec definitions."""
+    h, w = img.shape[:2]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    recon = img.reshape(h, w * channels).astype(int)
+    bpp = channels
+    raw = b""
+    prev = np.zeros(w * channels, dtype=int)
+    for y in range(h):
+        cur = recon[y]
+        f = filters[y]
+        out = []
+        for x in range(w * channels):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            upleft = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - left
+            elif f == 2:
+                v = cur[x] - up
+            elif f == 3:
+                v = cur[x] - (left + up) // 2
+            else:
+                v = cur[x] - _paeth(left, up, upleft)
+            out.append(v % 256)
+        raw += bytes([f]) + bytes(out)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    chunks = _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += _png_chunk(b"PLTE", plte)
+    chunks += _png_chunk(b"IDAT", zlib.compress(raw))
+    chunks += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + chunks
+
+
+def test_png_all_five_filters_rgb():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    data = _png_bytes_with_filters(img, filters=[0, 1, 2, 3, 4])
+    out = MM.decode_png(data)
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_png_grayscale_and_rgba():
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, (4, 3, 1), dtype=np.uint8)
+    data = _png_bytes_with_filters(gray, filters=[1, 4, 2, 3], ctype=0)
+    out = MM.decode_png(data)
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    rgba = rng.randint(0, 256, (3, 4, 4), dtype=np.uint8)
+    data = _png_bytes_with_filters(rgba, filters=[4, 1, 3], ctype=6)
+    out = MM.decode_png(data)
+    assert np.array_equal(out, rgba[:, :, :3])  # alpha dropped
+
+
+def test_png_palette():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8).reshape(2, 2, 1)
+    data = _png_bytes_with_filters(idx, filters=[0, 2], ctype=3, plte=pal)
+    out = MM.decode_png(data)
+    expected = np.array([[[255, 0, 0], [0, 255, 0]],
+                         [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8)
+    assert np.array_equal(out, expected)
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (3, 3, 3), dtype=np.uint8)
+    good = _png_bytes_with_filters(img, filters=[0, 0, 0])
+    assert MM.decode_png(None) is None
+    assert MM.decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert MM.decode_png(good[:30]) is None
+    # 16-bit depth rejected
+    bad_ihdr = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", bad_ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + _png_chunk(b"IEND", b""))
+    assert MM.decode_png(bad) is None
+
+
+def test_png_encode_decode_roundtrip_and_native_dispatch():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    data = MM.encode_png(img)
+    assert np.array_equal(MM.decode_png(data), img)
+    assert np.array_equal(MM.decode_image_native(data), img)
+    # metadata parser agrees with the pixel decoder on dimensions
+    meta = MM.parse_image_metadata(data)
+    assert (meta[0], meta[1], meta[2]) == (11, 9, "png")

@@ -438,3 +438,36 @@ def test_dp_streaming_mean(spark, stream_dir):
     assert rows[0] == pytest.approx(2.0)
     assert rows[1] == pytest.approx(4.0)
     assert 2 not in rows
+
+
+def test_dp_streaming_variance(spark, tmp_path):
+    from pipelinedp_spark.streaming import dp_streaming_variance
+    import datetime
+    rows = []
+    for u in range(10):
+        # window 0: values {1, 4} per user -> variance 2.25 around mean 2.5
+        rows.append((u, "2024-01-01 00:00:10", 1.0))
+        rows.append((u, "2024-01-01 00:00:20", 4.0))
+        # window 1: constant 2.0 -> variance 0
+        rows.append((u, "2024-01-01 00:01:30", 2.0))
+    # sparse window 2: 2 users, below the selection threshold
+    rows.append((0, "2024-01-01 00:02:30", 1.0))
+    rows.append((1, "2024-01-01 00:02:31", 1.0))
+    rows.append((0, "2024-01-01 00:05:00", 0.0))  # watermark flush
+    df = spark.createDataFrame(
+        [(u, datetime.datetime.fromisoformat(t), v) for u, t, v in rows],
+        EVENTS_SCHEMA)
+    path = str(tmp_path / "varstream")
+    df.coalesce(1).write.parquet(path)
+
+    stream = sources.read_stream(spark, path, EVENTS_SCHEMA)
+    out = dp_streaming_variance(
+        stream, "user_id", "ts", "value", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=10.0,
+        min_value=0.0, max_value=5.0, max_contributions_per_window=2,
+        delta_per_window=1e-4, noise_mode="zero")
+    got = _run_stream(spark, out, "dp_var_stream")
+    res = {r["window"]["start"].minute: r["variance"] for r in got.collect()}
+    assert res[0] == pytest.approx(2.25)
+    assert res[1] == pytest.approx(0.0)
+    assert 2 not in res  # suppressed by DP window selection
