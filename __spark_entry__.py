@@ -1162,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_histograms": _analysis_histograms,
         "doc_containment": _doc_containment,
         "multimodal_png_decode": _multimodal_png_decode,
+        "dp_count_join_nation": _dp_count_join_nation,
     }
 
 
@@ -1210,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "analysis_histograms": _ANALYSIS_HISTOGRAMS_SQL,
         "doc_containment": _DOC_CONTAINMENT_SQL,
         "multimodal_png_decode": _MULTIMODAL_PNG_SQL,
+        "dp_count_join_nation": _DP_COUNT_JOIN_NATION_SQL,
     }
 
 
@@ -2003,4 +2005,61 @@ SELECT doc_id,
        CAST(MIN(luma) AS INT) AS px_min,
        CAST(MAX(luma) AS INT) AS px_max
 FROM px GROUP BY doc_id
+"""
+
+
+def _dp_count_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP star-schema query: count + privacy-id count + clipped quantity
+    sum of lineitems per CUSTOMER NATION, privacy unit = customer. The
+    fact table reaches the DP engine through a 3-hop join
+    (lineitem -> orders -> customer -> broadcast(nation)); Catalyst
+    broadcasts the dims and pushes the column pruning into all four
+    scans, showing the DP pipeline composes with ordinary star-schema
+    analytics. Per-contribution clip of quantity to [0, 25] binding,
+    Linf/L0 non-binding, zero noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .select("o_custkey", "n_name", "l_quantity"))
+    pub = sorted(r["n_name"] for r in n.select("n_name").collect())
+    query = (pds.QueryBuilder(joined, "o_custkey")
+             .groupby("n_name", max_groups_contributed=25,
+                      max_contributions_per_group=1_000_000,
+                      public_keys=pub)
+             .count()
+             .privacy_id_count()
+             .sum("l_quantity", min_value=0.0, max_value=25.0,
+                  name="sum_qty")
+             .build_query())
+    return query.run_query(pds.Budget(3.0, 1e-6), noise_mode="zero")
+
+
+_DP_COUNT_JOIN_NATION_SQL = """
+WITH j AS (
+  SELECT o.o_custkey AS cust, n.n_name, l.l_quantity
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+per_user AS (
+  SELECT cust, n_name, COUNT(*) AS cnt, COUNT(*) AS pid_one,
+         SUM(LEAST(GREATEST(l_quantity, 0.0), 25.0)) AS s
+  FROM j GROUP BY cust, n_name),
+agg AS (
+  SELECT n_name,
+         CAST(SUM(cnt) AS DOUBLE) AS count,
+         CAST(COUNT(*) AS DOUBLE) AS privacy_id_count,
+         CAST(SUM(s) AS DOUBLE) AS sum_qty
+  FROM per_user GROUP BY n_name)
+SELECT n.n_name,
+       COALESCE(agg.count, 0.0) AS count,
+       COALESCE(agg.privacy_id_count, 0.0) AS privacy_id_count,
+       COALESCE(agg.sum_qty, 0.0) AS sum_qty
+FROM (SELECT DISTINCT n_name FROM nation) n
+LEFT JOIN agg USING (n_name)
+ORDER BY n.n_name
 """

