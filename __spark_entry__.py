@@ -1163,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": _doc_containment,
         "multimodal_png_decode": _multimodal_png_decode,
         "dp_count_join_nation": _dp_count_join_nation,
+        "dp_windowed_variance_events": _dp_windowed_variance_events,
     }
 
 
@@ -1212,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_containment": _DOC_CONTAINMENT_SQL,
         "multimodal_png_decode": _MULTIMODAL_PNG_SQL,
         "dp_count_join_nation": _DP_COUNT_JOIN_NATION_SQL,
+        "dp_windowed_variance_events": _DP_WINDOWED_VARIANCE_SQL,
     }
 
 
@@ -2062,4 +2064,45 @@ SELECT n.n_name,
 FROM (SELECT DISTINCT n_name FROM nation) n
 LEFT JOIN agg USING (n_name)
 ORDER BY n.n_name
+"""
+
+
+def _dp_windowed_variance_events(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """DP variance of event values per (event_type, tumbling 1-day
+    event-time window) — the batch mirror of
+    streaming.dp_streaming_variance (same window semantics, same
+    three-mechanism construction). Per-contribution clip to [0, 500]
+    (non-binding: values stay inside), Linf/L0 non-binding, public
+    window grid, zero noise."""
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    ev = ev.withColumn(
+        "day", F.floor(F.col("ts") / F.lit(day_us)).cast("long"))
+    pub = [(r["event_type"], r["day"]) for r in
+           ev.select("event_type", "day").distinct().collect()]
+    query = (pds.QueryBuilder(ev, "user_id")
+             .groupby(["event_type", "day"], max_groups_contributed=100,
+                      max_contributions_per_group=1_000_000,
+                      public_keys=pub)
+             .variance("value", min_value=0.0, max_value=500.0,
+                       name="var_value")
+             .build_query())
+    out = query.run_query(pds.Budget(3.0, 1e-6), noise_mode="zero")
+    # The public-partition grid is injected as literals, which narrows the
+    # day key to int32; restore the source column's long type.
+    return out.select("event_type", F.col("day").cast("long").alias("day"),
+                      F.round("var_value", 6).alias("var_value"))
+
+
+_DP_WINDOWED_VARIANCE_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, value,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events)
+SELECT event_type, day,
+       ROUND(SUM(value * value) / COUNT(*)
+             - (SUM(value) / COUNT(*)) ^ 2, 6) AS var_value
+FROM ev GROUP BY 1, 2
+ORDER BY 1, 2
 """
