@@ -2089,9 +2089,7 @@ def _dp_windowed_variance_events(spark: SparkSession,
                        name="var_value")
              .build_query())
     out = query.run_query(pds.Budget(3.0, 1e-6), noise_mode="zero")
-    # The public-partition grid is injected as literals, which narrows the
-    # day key to int32; restore the source column's long type.
-    return out.select("event_type", F.col("day").cast("long").alias("day"),
+    return out.select("event_type", "day",
                       F.round("var_value", 6).alias("var_value"))
 
 

@@ -264,7 +264,7 @@ class DPEngine:
         pub_df = None
         if public_partitions is not None:
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
-                                            public_partitions)
+                                            public_partitions, like=df)
             if (not isinstance(public_partitions, DataFrame)
                     and len(pk_cols) == 1 and len(public_partitions) <= 1000):
                 # Small local key list: isin() compiles to a pushed-down
@@ -792,7 +792,7 @@ class DPEngine:
         pub_df = None
         if public_partitions is not None:
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
-                                            public_partitions)
+                                            public_partitions, like=df)
             data = data.join(F.broadcast(pub_df), on=list(pk_cols),
                              how="left_semi")
             report.append("Dropped non-public partitions")
@@ -890,7 +890,7 @@ class DPEngine:
         data = df.select(*cols)
         if public_partitions is not None:
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
-                                            public_partitions)
+                                            public_partitions, like=df)
             data = data.join(F.broadcast(pub_df), on=list(pk_cols),
                              how="left_semi")
         with self._accountant.scope(params.budget_weight):
@@ -944,7 +944,7 @@ class DPEngine:
         pub_df = None
         if public_partitions is not None:
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
-                                            public_partitions)
+                                            public_partitions, like=df)
             data = data.join(F.broadcast(pub_df), on=list(pk_cols),
                              how="left_semi")
             report.append("Dropped non-public partitions")
@@ -1204,9 +1204,22 @@ class DPEngine:
     # ------------------------------------------------------------------
     @staticmethod
     def _as_partitions_df(spark: SparkSession, pk_cols: Sequence[str],
-                          partitions: Union[DataFrame, Sequence]) -> DataFrame:
+                          partitions: Union[DataFrame, Sequence],
+                          like: Optional[DataFrame] = None) -> DataFrame:
+        """``like``: a DataFrame carrying the pk columns with the DATA's
+        types; the public-partition frame is cast to them so literal
+        inference (SQL ints -> INT) can't narrow the output key columns
+        away from the source schema."""
+        def align(pub: DataFrame) -> DataFrame:
+            if like is None:
+                return pub
+            types = {f.name: f.dataType for f in like.schema.fields}
+            return pub.select(*[
+                F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+                for c in pub.columns])
+
         if isinstance(partitions, DataFrame):
-            return partitions.select(*pk_cols).distinct()
+            return align(partitions.select(*pk_cols).distinct())
         # Local list -> SQL VALUES LocalRelation: stays driver-side in
         # Catalyst (no parallelize job, no Python-serialization stage).
         rows = list(
@@ -1239,4 +1252,4 @@ class DPEngine:
         values = ", ".join(
             "(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
         cols = ", ".join(f"`{c}`" for c in pk_cols)
-        return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")
+        return align(spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})"))

@@ -205,3 +205,19 @@ class TestEngineDirect:
         report = query.explain(pds.Budget(1.0))
         assert "Contribution bounding" in report
         assert "COUNT" in report
+
+    def test_public_partition_literals_keep_source_key_types(self, spark):
+        # int literals in a SQL VALUES default to INT; the engine must
+        # cast the public-partition frame to the DATA's key types so the
+        # output schema matches the source (long stays long).
+        df = spark.createDataFrame([(1, 10**10 + i, 1.0) for i in range(4)],
+                                   "pid int, pk long, v double")
+        query = (pds.QueryBuilder(df, "pid")
+                 .groupby("pk", max_groups_contributed=4,
+                          max_contributions_per_group=2,
+                          public_keys=[10**10, 10**10 + 1, 5])
+                 .count().build_query())
+        out = query.run_query(pds.Budget(1.0), noise_mode="zero")
+        assert dict(out.dtypes)["pk"] == "bigint"
+        rows = {r["pk"]: r["count"] for r in out.collect()}
+        assert rows == {10**10: 1.0, 10**10 + 1: 1.0, 5: 0.0}
