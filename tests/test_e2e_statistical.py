@@ -185,3 +185,26 @@ def test_laplace_noise_empirical_scale(spark):
     assert 0.5 * true_std < errs.std() < 1.6 * true_std
     # noise must be centered: |mean| < 5 * std/sqrt(n)
     assert abs(errs.mean()) < 5 * true_std / math.sqrt(n_parts)
+
+
+def test_high_eps_variance_percentile_near_exact(spark):
+    """Secure-noise variance and percentile at huge epsilon: values
+    alternate 0.0 / 1.0 within each group, so true variance is 0.25 and
+    the median of the bounded domain is in {0, 1}. At eps=20000 every
+    mechanism's noise is far below the tolerance with overwhelming
+    probability."""
+    n_groups, users, rows = 3, 40, 2
+    n = n_groups * users * rows
+    df = spark.range(n).select(
+        (F.col("id") % (n_groups * users)).alias("uid"),
+        ((F.col("id") % (n_groups * users)) % F.lit(n_groups)).alias("grp"),
+        (F.col("id") % 2).cast("double").alias("v"))
+    out = _run_agg(spark, df,
+                   [pds.Metrics.VARIANCE, pds.Metrics.PERCENTILE(50)],
+                   eps=20000.0, delta=0.0, public=[0, 1, 2],
+                   min_value=0.0, max_value=1.0)
+    rows_ = out.collect()
+    assert len(rows_) == 3
+    for r in rows_:
+        assert abs(r["variance"] - 0.25) < 0.05
+        assert -0.05 <= r["percentile_50"] <= 1.05
