@@ -1164,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": _multimodal_png_decode,
         "dp_count_join_nation": _dp_count_join_nation,
         "dp_windowed_variance_events": _dp_windowed_variance_events,
+        "doc_quality_signals": _doc_quality_signals,
     }
 
 
@@ -1214,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png_decode": _MULTIMODAL_PNG_SQL,
         "dp_count_join_nation": _DP_COUNT_JOIN_NATION_SQL,
         "dp_windowed_variance_events": _DP_WINDOWED_VARIANCE_SQL,
+        "doc_quality_signals": _DOC_QUALITY_SIGNALS_SQL,
     }
 
 
@@ -2103,4 +2105,77 @@ SELECT event_type, day,
              - (SUM(value) / COUNT(*)) ^ 2, 6) AS var_value
 FROM ev GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+def _doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document: the
+    duplicate 5-gram character fraction (shuffle-free all-minus-distinct
+    identity), the top 2-gram character fraction (word-count shape +
+    per-doc argmax), and the symbol-to-word ratio."""
+    from pipelinedp_spark.functions import text as TX
+    from pipelinedp_spark.operators.quality import top_ngram_char_fraction
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        TX.duplicate_ngram_char_fraction(F.col("text"), 5)
+        .alias("dup_5gram_frac"),
+        TX.symbol_word_ratio(F.col("text")).alias("symbol_word_ratio"))
+    top = top_ngram_char_fraction(docs, ns=(2,))
+    return base.join(top, "doc_id")
+
+
+_DOC_QUALITY_SIGNALS_SQL = """
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
+             FROM documents),
+g5 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN [array_to_string(t[i:i+4], ' ')
+                    for i in range(1, len(t) - 3)]
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM tok),
+dup5 AS (
+  SELECT doc_id,
+         CASE WHEN list_aggregate([length(x) for x in g], 'sum') > 0
+              THEN ROUND(
+                (list_aggregate([length(x) for x in g], 'sum')
+                 - list_aggregate([length(x) for x in list_distinct(g)],
+                                  'sum'))::DOUBLE
+                / list_aggregate([length(x) for x in g], 'sum'), 6)
+              ELSE 0.0 END AS dup_5gram_frac
+  FROM g5),
+g2 AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(t) >= 2
+                     THEN [t[i] || ' ' || t[i+1]
+                           for i in range(1, len(t))]
+                     ELSE [array_to_string(t, ' ')] END) AS g
+  FROM tok),
+cnt2 AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+tot2 AS (
+  SELECT doc_id, SUM(cnt * length(g)) AS total FROM cnt2 GROUP BY 1),
+top2 AS (
+  SELECT doc_id, g, cnt FROM cnt2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, g ASC) = 1),
+sym AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0
+              THEN ROUND(
+                (length(text) - length(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+                / len(t), 6)
+              ELSE 0.0 END AS symbol_word_ratio
+  FROM tok)
+SELECT d.doc_id, dup5.dup_5gram_frac, sym.symbol_word_ratio,
+       ROUND((top2.cnt * length(top2.g))::DOUBLE / tot2.total, 6)
+           AS top_2gram_frac
+FROM documents d
+JOIN dup5 USING (doc_id)
+JOIN sym USING (doc_id)
+JOIN top2 USING (doc_id)
+JOIN tot2 USING (doc_id)
+ORDER BY d.doc_id
 """

@@ -230,3 +230,101 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         lambda s: F.least(*[s[str(j)] for j in range(w)]))
     mins = F.when(m >= w, mins).otherwise(F.array(F.array_min(hashes)))
     return F.array_distinct(mins)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate quality signals (Gopher rules: Rae et al. 2021,
+# "Scaling Language Models", Table A1; RefinedWeb: Penedo et al. 2023).
+# All pure column expressions — the duplicate-mass identities avoid any
+# per-gram shuffle: sum(count_g - 1) * len_g == sum(all) - sum(distinct).
+# ---------------------------------------------------------------------------
+
+
+def _char_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Overlapping word n-grams, NON-distinct (unlike `shingles`), order
+    preserved; whole text as one gram when shorter than n tokens."""
+    t = tokens(text)
+    cnt = F.size(t)
+    win = F.greatest(cnt - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(t, j + 1, win) for j in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    return F.when(cnt >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", t)))
+
+
+def duplicate_ngram_char_fraction(text: Column, n: int) -> Column:
+    """Fraction of n-gram character mass belonging to REPEATED n-grams:
+    sum over grams with count >= 2 of (count - 1) * len(gram), divided by
+    the total gram character mass (Gopher's duplicate n-gram rule,
+    n = 5..10 in the paper). Identity used: that numerator equals
+    char_sum(all grams) - char_sum(distinct grams) — no per-gram counting
+    or shuffle needed."""
+    grams = _word_ngrams(text, n)
+    total = _char_sum(grams)
+    distinct_total = _char_sum(F.array_distinct(grams))
+    return F.when(total > 0,
+                  F.round((total - distinct_total).cast("double")
+                          / total.cast("double"), 6)) \
+        .otherwise(F.lit(0.0))
+
+
+def lines(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line."""
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(n > 0,
+                  F.round((n - F.size(F.array_distinct(ls)))
+                          .cast("double") / n.cast("double"), 6)) \
+        .otherwise(F.lit(0.0))
+
+
+def duplicate_line_char_fraction(text: Column) -> Column:
+    """Fraction of line character mass in repeated lines (same
+    all-minus-distinct identity as the n-gram rule)."""
+    ls = lines(text)
+    total = _char_sum(ls)
+    return F.when(total > 0,
+                  F.round((total - _char_sum(F.array_distinct(ls)))
+                          .cast("double") / total.cast("double"), 6)) \
+        .otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher drops docs
+    with > 90% bullet lines)."""
+    ls = lines(text)
+    n = F.size(ls)
+    bullets = F.size(F.filter(
+        ls, lambda x: F.trim(x).rlike(r"^[-*•]")))
+    return F.when(n > 0, F.round(bullets.cast("double") / n.cast("double"),
+                                 6)).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    """Fraction of lines ending with an ellipsis (Gopher drops > 30%)."""
+    ls = lines(text)
+    n = F.size(ls)
+    ell = F.size(F.filter(
+        ls, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+    return F.when(n > 0, F.round(ell.cast("double") / n.cast("double"),
+                                 6)).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' and ellipsis symbols) / word count (Gopher drops > 0.1)."""
+    n = token_count(text)
+    symbols = (F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+               + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0)))
+    return F.when(n > 0, F.round(symbols.cast("double") / n.cast("double"),
+                                 6)).otherwise(F.lit(0.0))

@@ -532,3 +532,52 @@ class TestWinnowing:
         out = dedup.winnow_containment_pairs(
             df, min_containment=0.1, max_fp_doc_freq=3)
         assert out.count() == 0
+
+
+class TestQualitySignals:
+    def _one(self, spark, text, col):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return df.select(col.alias("x")).first()["x"]
+
+    def test_duplicate_line_signals(self, spark):
+        text = "aaa\nbbb\naaa\nccc\naaa"
+        assert self._one(spark, text,
+                         T.duplicate_line_fraction(F.col("text"))) == \
+            pytest.approx(2 / 5)
+        # repeated mass: two extra 'aaa' -> 6 chars of 15 total
+        assert self._one(spark, text,
+                         T.duplicate_line_char_fraction(F.col("text"))) == \
+            pytest.approx(6 / 15)
+
+    def test_bullet_and_ellipsis_fractions(self, spark):
+        text = "- item one\n* item two\nplain line\nto be continued..."
+        assert self._one(spark, text,
+                         T.bullet_line_fraction(F.col("text"))) == \
+            pytest.approx(0.5)
+        assert self._one(spark, text,
+                         T.ellipsis_line_fraction(F.col("text"))) == \
+            pytest.approx(0.25)
+
+    def test_duplicate_ngram_char_fraction(self, spark):
+        # "a b a b a" -> 2-grams: [a b, b a, a b, b a] all len 3; every
+        # gram repeated once -> dup mass 6 of 12.
+        val = self._one(spark, "a b a b a",
+                        T.duplicate_ngram_char_fraction(F.col("text"), 2))
+        assert val == pytest.approx(0.5)
+        # no repetition -> 0
+        assert self._one(spark, "w x y z",
+                         T.duplicate_ngram_char_fraction(F.col("text"), 2)
+                         ) == 0.0
+
+    def test_top_ngram_char_fraction(self, spark):
+        from pipelinedp_spark.operators.quality import \
+            top_ngram_char_fraction
+        rows = [(1, "a b a b a"),       # top 2-gram "a b" cnt=2 of 4 grams
+                (2, "x"),               # shorter than n -> whole text gram
+                (3, "p q r s")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["top_2gram_frac"]
+               for r in top_ngram_char_fraction(df, ns=(2,)).collect()}
+        assert out[1] == pytest.approx(6 / 12)
+        assert out[2] == pytest.approx(1.0)   # single gram covers all
+        assert out[3] == pytest.approx(1 / 3)  # all cnt=1, tie -> "p q"
