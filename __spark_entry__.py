@@ -1165,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_count_join_nation": _dp_count_join_nation,
         "dp_windowed_variance_events": _dp_windowed_variance_events,
         "doc_quality_signals": _doc_quality_signals,
+        "doc_pii_scrub": _doc_pii_scrub,
     }
 
 
@@ -1216,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_count_join_nation": _DP_COUNT_JOIN_NATION_SQL,
         "dp_windowed_variance_events": _DP_WINDOWED_VARIANCE_SQL,
         "doc_quality_signals": _DOC_QUALITY_SIGNALS_SQL,
+        "doc_pii_scrub": _doc_pii_scrub_sql(),
     }
 
 
@@ -2178,4 +2180,49 @@ JOIN sym USING (doc_id)
 JOIN top2 USING (doc_id)
 JOIN tot2 USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+def _doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene end-to-end: deterministic synthetic PII (e-mail, IPv4,
+    SSN derived from doc_id) is appended to each document, then counted
+    and scrubbed with the engine's shared Java/RE2-compatible patterns
+    (functions.text.PII_PATTERNS); the oracle re-runs the identical
+    regexes in DuckDB and compares match counts + an md5 of the scrubbed
+    text."""
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".org from 10.0.0."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(" ssn 123-45-6789"))
+    return docs.select(
+        "doc_id",
+        TX.pii_count(injected, "email").cast("long").alias("n_email"),
+        TX.pii_count(injected, "ip").cast("long").alias("n_ip"),
+        TX.pii_count(injected, "ssn").cast("long").alias("n_ssn"),
+        F.md5(TX.scrub_pii(injected)).alias("scrub_md5"))
+
+
+def _doc_pii_scrub_sql() -> str:
+    from pipelinedp_spark.functions.text import PII_PATTERNS, _PII_ORDER
+    scrub = "t"
+    for kind in _PII_ORDER:
+        pattern, repl = PII_PATTERNS[kind]
+        scrub = f"regexp_replace({scrub}, '{pattern}', '{repl}', 'g')"
+    email, ip, ssn = (PII_PATTERNS[k][0] for k in ("email", "ip", "ssn"))
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+              || '.org from 10.0.0.' || (doc_id % 200)
+              || ' ssn 123-45-6789' AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{email}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{ip}'))::BIGINT AS n_ip,
+       len(regexp_extract_all(t, '{ssn}'))::BIGINT AS n_ssn,
+       md5({scrub}) AS scrub_md5
+FROM inj ORDER BY doc_id
 """

@@ -328,3 +328,41 @@ def symbol_word_ratio(text: Column) -> Column:
                + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0)))
     return F.when(n > 0, F.round(symbols.cast("double") / n.cast("double"),
                                  6)).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene). Patterns are written in the
+# common Java-regex / RE2 subset so SQL oracles can mirror them exactly.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "[EMAIL]"),
+    "ip": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    "phone": (r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}\b",
+              "[PHONE]"),
+}
+
+# Replacement order matters: SSNs and phones contain digit runs an IP
+# pattern could partially shadow, so structured formats go first.
+_PII_ORDER = ("email", "ssn", "phone", "ip")
+
+
+def scrub_pii(text: Column,
+              kinds: "tuple[str, ...]" = _PII_ORDER) -> Column:
+    """Replace e-mail addresses, IPv4s, SSNs and international-format
+    phone numbers with typed placeholder tokens ([EMAIL], [IP], ...)."""
+    out = text
+    for kind in _PII_ORDER:
+        if kind not in kinds:
+            continue
+        pattern, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII kind (non-overlapping)."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))

@@ -581,3 +581,26 @@ class TestQualitySignals:
         assert out[1] == pytest.approx(6 / 12)
         assert out[2] == pytest.approx(1.0)   # single gram covers all
         assert out[3] == pytest.approx(1 / 3)  # all cnt=1, tie -> "p q"
+
+
+class TestPII:
+    def test_scrub_all_kinds(self, spark):
+        text = ("mail me at jo.doe+x@corp.example.com or call "
+                "+1 555 0100 3333, server 10.1.2.3, ssn 123-45-6789.")
+        df = spark.createDataFrame([(text,)], "text string")
+        out = df.select(T.scrub_pii(F.col("text")).alias("t")).first()["t"]
+        assert "[EMAIL]" in out and "[IP]" in out
+        assert "[SSN]" in out and "[PHONE]" in out
+        assert "example.com" not in out and "6789" not in out
+
+    def test_counts_and_clean_text_untouched(self, spark):
+        df = spark.createDataFrame(
+            [("no pii here at all",),
+             ("a@b.io and c@d.org wrote from 8.8.8.8",)], "text string")
+        rows = df.select(
+            T.pii_count(F.col("text"), "email").alias("e"),
+            T.pii_count(F.col("text"), "ip").alias("i"),
+            T.scrub_pii(F.col("text")).alias("t")).collect()
+        assert (rows[0]["e"], rows[0]["i"]) == (0, 0)
+        assert rows[0]["t"] == "no pii here at all"
+        assert (rows[1]["e"], rows[1]["i"]) == (2, 1)
