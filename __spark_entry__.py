@@ -1166,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_windowed_variance_events": _dp_windowed_variance_events,
         "doc_quality_signals": _doc_quality_signals,
         "doc_pii_scrub": _doc_pii_scrub,
+        "bpe_train_merges": _bpe_train_merges,
     }
 
 
@@ -2226,3 +2227,18 @@ SELECT doc_id,
        md5({scrub}) AS scrub_md5
 FROM inj ORDER BY doc_id
 """
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training on the documents corpus (iterative
+    pair-count/argmax/rewrite over the word-frequency table — corpus
+    touched once, per-iteration cost is vocabulary-sized). Deterministic
+    tie-break, so output is stable; inherently iterative, hence no SQL
+    oracle (rows-only check) — tests/test_bpe.py pins the algorithm
+    against a from-first-principles reference implementation."""
+    from pipelinedp_spark.operators.bpe import train_bpe_merges
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, num_merges=20)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string")
