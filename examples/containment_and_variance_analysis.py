@@ -62,7 +62,11 @@ def main() -> None:
 
     # -- 3. run the actual DP variance with the chosen bounds ------------
     i = best.configuration_index
-    acct = pds.NaiveBudgetAccountant(4.0, 1e-6)
+    # The sf0.001 demo slice has only ~15 users; the release is dominated
+    # by Linf-subsampling variability on the heavy-tailed values (the
+    # analysis models thinning deterministically, so its rmse understates
+    # small-sample effects at this scale), hence the demo-sized budget.
+    acct = pds.NaiveBudgetAccountant(50.0, 1e-6)
     engine = pds.DPEngine(acct)
     res = engine.aggregate(
         ev,
