@@ -13,13 +13,15 @@ Decode depth is two-tier:
   headers are parsed with ``struct`` from the raw bytes (no codec library
   needed), so width/height/format and sample_rate/n_samples/codec come
   from the actual payload.
-- **Pixel/sample decoding is REAL for BMP, PNG and WAV**:
-  ``decoder="native"`` fully decodes (and for resize, re-encodes)
-  uncompressed BMP bitmaps (8-bit palette, 24-bit, 32-bit, bottom-up and
-  top-down), non-interlaced 8-bit PNG (all five scanline filters, color
-  types gray/RGB/palette/gray-alpha/RGBA — stdlib zlib inflate + numpy
-  unfiltering) and RIFF/WAVE PCM audio (uint8, int16, int32, float32)
-  with ``struct`` + numpy — no codec library needed. JPEG/GIF and
+- **Pixel/sample decoding is REAL for BMP, PNG, GIF and WAV**:
+  ``decoder="native"`` fully decodes (and for resize, re-encodes in the
+  source container where an encoder exists) uncompressed BMP bitmaps
+  (8-bit palette, 24-bit, 32-bit, bottom-up and top-down),
+  non-interlaced 8-bit PNG (all five scanline filters, color types
+  gray/RGB/palette/gray-alpha/RGBA — stdlib zlib inflate + numpy
+  unfiltering), GIF87a/89a first frames (pure-Python variable-width LZW
+  + palette mapping, interlace supported) and RIFF/WAVE PCM audio
+  (uint8, int16, int32, float32) — no codec library needed. JPEG and
   MP3/AAC need codec libraries that are not installed here, so for those
   payloads ``decoder="native"`` falls back to the same deterministic
   content-derived stand-ins as ``decoder="fake"`` (byte histograms
@@ -335,13 +337,141 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> Optional[list]:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits, LSB-first
+    bit packing), CLEAR and END codes, dictionary capped at 4096."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list = []
+    # bit reader state
+    pos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        return ({i: (i,) for i in range(clear)}, min_code_size + 1,
+                clear + 2)
+
+    table, width, next_code = reset()
+    prev: Optional[tuple] = None
+    while pos + width <= nbits:
+        code = 0
+        for b in range(width):
+            i = pos + b
+            if data[i >> 3] & (1 << (i & 7)):
+                code |= 1 << b
+        pos += width
+        if code == clear:
+            table, width, next_code = reset()
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: Optional[bytes]) -> Optional[np.ndarray]:
+    """Fully decode the FIRST frame of a GIF87a/GIF89a payload to an RGB
+    array (height, width, 3), dtype uint8 — pure-Python LZW + numpy
+    palette mapping, no codec library. Supports global and local color
+    tables and interlaced images; extension blocks are skipped
+    (transparency is ignored — the frame renders its palette colors).
+    Returns None for non-GIF or corrupt payloads.
+
+    The LZW inner loop is Python-speed: this is a correctness-complete
+    fallback for modest images; wire a codec library for bulk GIF
+    corpora."""
+    if not data or data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    try:
+        sw, sh, flags = struct.unpack("<HHB", data[6:11])
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(data, np.uint8, count=n * 3,
+                                offset=pos).reshape(n, 3)
+            pos += n * 3
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x21:                      # extension
+                pos += 2
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif block == 0x2C:                    # image descriptor
+                left, top, w, h, iflags = struct.unpack(
+                    "<HHHHB", data[pos + 1:pos + 10])
+                pos += 10
+                ct = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    ct = np.frombuffer(data, np.uint8, count=n * 3,
+                                       offset=pos).reshape(n, 3)
+                    pos += n * 3
+                if ct is None or w == 0 or h == 0:
+                    return None
+                min_code = data[pos]
+                pos += 1
+                chunks = []
+                while pos < len(data) and data[pos] != 0:
+                    ln = data[pos]
+                    chunks.append(data[pos + 1:pos + 1 + ln])
+                    pos += 1 + ln
+                idx = _lzw_decode(b"".join(chunks), min_code)
+                if idx is None or len(idx) < w * h:
+                    return None
+                arr = np.asarray(idx[:w * h], dtype=np.int32).reshape(h, w)
+                if iflags & 0x40:
+                    # Interlaced: decoded (source) row i displays at pass
+                    # order; rows[y] = which source row shows at y.
+                    rows = np.empty(h, dtype=np.int64)
+                    src = 0
+                    for start, step in _GIF_INTERLACE_PASSES:
+                        for y in range(start, h, step):
+                            rows[y] = src
+                            src += 1
+                    arr = arr[rows]
+                if arr.max(initial=0) >= len(ct):
+                    return None
+                return np.ascontiguousarray(ct[arr])
+            elif block == 0x3B:                    # trailer
+                return None
+            else:
+                return None
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
 def decode_image_native(data: Optional[bytes]) -> Optional[np.ndarray]:
     """Real pixel decode for every natively supported container: BMP
-    (decode_bmp) then PNG (decode_png). Returns None when neither
-    matches (JPEG/GIF still need codec libraries)."""
+    (decode_bmp), PNG (decode_png), then GIF (decode_gif). Returns None
+    when none match (JPEG still needs a codec library)."""
     rgb = decode_bmp(data)
     if rgb is None:
         rgb = decode_png(data)
+    if rgb is None:
+        rgb = decode_gif(data)
     return rgb
 
 
