@@ -21,9 +21,12 @@ Decode depth is two-tier:
   gray/RGB/palette/gray-alpha/RGBA — stdlib zlib inflate + numpy
   unfiltering), GIF87a/89a first frames (pure-Python variable-width LZW
   + palette mapping, interlace supported) and RIFF/WAVE PCM audio
-  (uint8, int16, int32, float32) — no codec library needed. JPEG and
-  MP3/AAC need codec libraries that are not installed here, so for those
-  payloads ``decoder="native"`` falls back to the same deterministic
+  (uint8, int16, int32, float32) — no codec library needed. Baseline
+  (sequential, SOF0) JPEG decodes via the from-scratch DCT codec in
+  ``operators/jpeg.py`` (bitstream-defined quant/huffman tables, byte
+  stuffing, restart intervals, arbitrary chroma subsampling).
+  Progressive JPEG and MP3/AAC need codec libraries that are not
+  installed here, so those payloads fall back to the same deterministic
   content-derived stand-ins as ``decoder="fake"`` (byte histograms
   shaped like the real decoder's output), and explicit real backends
   raise NotImplementedError until their import succeeds.
@@ -465,13 +468,17 @@ def decode_gif(data: Optional[bytes]) -> Optional[np.ndarray]:
 
 def decode_image_native(data: Optional[bytes]) -> Optional[np.ndarray]:
     """Real pixel decode for every natively supported container: BMP
-    (decode_bmp), PNG (decode_png), then GIF (decode_gif). Returns None
-    when none match (JPEG still needs a codec library)."""
+    (decode_bmp), PNG (decode_png), GIF (decode_gif), then baseline JPEG
+    (operators.jpeg.decode_jpeg). Returns None when none match
+    (progressive JPEG and exotic formats)."""
     rgb = decode_bmp(data)
     if rgb is None:
         rgb = decode_png(data)
     if rgb is None:
         rgb = decode_gif(data)
+    if rgb is None and data and data[:2] == b"\xff\xd8":
+        from pipelinedp_spark.operators.jpeg import decode_jpeg
+        rgb = decode_jpeg(data)
     return rgb
 
 
@@ -751,6 +758,7 @@ def resize_images(df: DataFrame, binary_col: str = "image",
 
     def resize(b: Optional[bytes]) -> Optional[bytes]:
         is_png = bool(b) and b[:8] == _PNG_SIG
+        is_jpeg = bool(b) and b[:2] == b"\xff\xd8"
         rgb = decode_image_native(b)
         if rgb is None:
             return b
@@ -758,7 +766,12 @@ def resize_images(df: DataFrame, binary_col: str = "image",
         rows = (np.arange(height) * h) // height
         cols = (np.arange(width) * w) // width
         out = rgb[rows][:, cols]
-        return encode_png(out) if is_png else encode_bmp(out)
+        if is_png:
+            return encode_png(out)
+        if is_jpeg:
+            from pipelinedp_spark.operators.jpeg import encode_jpeg
+            return encode_jpeg(out)
+        return encode_bmp(out)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -495,3 +495,80 @@ def test_gif_rejects_corrupt():
     assert MM.decode_gif(b"NOTGIF" + b"\x00" * 20) is None
     good = _gif_bytes(2, 2, [0, 1, 2, 3])
     assert MM.decode_gif(good[:20]) is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG: from-scratch baseline DCT codec (operators/jpeg.py).
+# ---------------------------------------------------------------------------
+
+from pipelinedp_spark.operators.jpeg import (ZIGZAG, decode_jpeg,
+                                             encode_jpeg)
+
+
+def _smooth_img(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (xx * 7 + seed) % 256,
+        (yy * 5 + 40) % 256,
+        (128 + 100 * np.sin(xx / 6.0) * np.cos(yy / 5.0)),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_zigzag_is_the_standard_order():
+    # spot-check the spec sequence: (0,0)(0,1)(1,0)(2,0)(1,1)(0,2)(0,3)...
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(ZIGZAG) == list(range(64))
+    assert ZIGZAG[63] == 63
+
+
+@pytest.mark.parametrize("sub", [False, True])
+def test_jpeg_roundtrip(sub):
+    img = _smooth_img(24, 33)
+    out = decode_jpeg(encode_jpeg(img, subsample=sub))
+    assert out is not None and out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # flat-8 quant + (for 4:2:0) chroma averaging: small bounded loss
+    assert err.max() <= (20 if sub else 12)
+    assert err.mean() < 4.0
+
+
+def test_jpeg_restart_intervals():
+    # (the mod-256 wrap in this wider image adds ringing vs the source,
+    # so the strong assertion is restart == non-restart bit-for-bit)
+    img = _smooth_img(40, 56, seed=3)
+    data = encode_jpeg(img, subsample=True, restart_interval=2)
+    assert b"\xff\xdd" in data          # DRI present
+    assert b"\xff\xd0" in data          # first RST marker hit
+    out = decode_jpeg(data)
+    base = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert np.array_equal(out, base)
+
+
+def test_jpeg_odd_dimensions_and_gray():
+    img = _smooth_img(17, 19)
+    out = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert out.shape == (17, 19, 3)
+    g = ((np.add.outer(np.arange(9), np.arange(13))) * 3 % 256).astype(
+        np.uint8)
+    o = decode_jpeg(encode_jpeg(g))
+    assert o.shape == (9, 13, 3)
+    assert np.abs(o[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+
+
+def test_jpeg_rejects_bad_payloads():
+    assert decode_jpeg(None) is None
+    assert decode_jpeg(b"\xff\xd8junkjunkjunk") is None
+    assert decode_jpeg(b"not a jpeg") is None
+    good = encode_jpeg(_smooth_img(16, 16))
+    assert decode_jpeg(good[:40]) is None
+    # flipping the SOF marker to progressive must be rejected
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+
+
+def test_jpeg_dispatch_and_metadata_agree():
+    img = _smooth_img(12, 20)
+    data = encode_jpeg(img)
+    assert MM.decode_image_native(data) is not None
+    meta = MM.parse_image_metadata(data)
+    assert (meta[0], meta[1], meta[2]) == (20, 12, "jpeg")
