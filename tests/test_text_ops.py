@@ -604,3 +604,32 @@ class TestPII:
         assert (rows[0]["e"], rows[0]["i"]) == (0, 0)
         assert rows[0]["t"] == "no pii here at all"
         assert (rows[1]["e"], rows[1]["i"]) == (2, 1)
+
+
+def test_operator_fingerprints_match_column_function(spark):
+    # the operator's posexplode+window path must produce EXACTLY the
+    # fingerprint sets of the one-shot column expression
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    ref = {r["doc_id"]: set(r["f"]) for r in docs.select(
+        "doc_id", T.winnowing_fingerprints(F.col("text")).alias("f"))
+        .collect()}
+    from pyspark.sql import Window
+    g = docs.select(
+        F.col("doc_id"),
+        F.posexplode(T.winnowing_grams(F.col("text"))).alias(
+            "pos", "gram"))
+    wdoc = Window.partitionBy("doc_id")
+    wslide = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.currentRow, 3))
+    got = {}
+    rows = (g.select(F.col("doc_id"), F.col("pos"),
+                     T.token_hash(F.col("gram")).alias("h"))
+            .withColumn("m", F.count(F.lit(1)).over(wdoc))
+            .withColumn("wmin", F.min("h").over(wslide))
+            .filter((F.col("pos") <= F.col("m") - 4)
+                    | (F.col("pos") == 0))
+            .select("doc_id", "wmin").distinct().collect())
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["wmin"])
+    assert got == ref
