@@ -1,3 +1,4 @@
-from pipelinedp_spark.operators import (asof, dedup, multimodal, ranges,
+from pipelinedp_spark.operators import (asof, bpe, dedup, graph, jpeg,
+                                        multimodal, quality, ranges,
                                         running, sessions,
                                         similarity)  # noqa: F401
