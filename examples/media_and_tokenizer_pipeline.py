@@ -1,7 +1,8 @@
 """Round-4 media + tokenizer tour: real codec pipeline and BPE training.
 
-1. Build a mixed-format image corpus (BMP / PNG / GIF / baseline JPEG,
-   all encoded by the engine's own stdlib-only codecs), carry it as an
+1. Build a mixed-format image corpus (BMP / PNG / baseline JPEG, all
+   encoded by the engine's own stdlib-only codecs; GIF is decode-only,
+   exercised in tests), carry it as an
    opaque binary column, and run real metadata parsing, pixel statistics
    and resizing — no codec library anywhere.
 2. Train BPE merges on the documents corpus without collecting the word
