@@ -1167,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_signals": _doc_quality_signals,
         "doc_pii_scrub": _doc_pii_scrub,
         "bpe_train_merges": _bpe_train_merges,
+        "sim_pq_topk": _sim_pq_topk,
     }
 
 
@@ -1219,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_windowed_variance_events": _DP_WINDOWED_VARIANCE_SQL,
         "doc_quality_signals": _DOC_QUALITY_SIGNALS_SQL,
         "doc_pii_scrub": _doc_pii_scrub_sql(),
+        "sim_pq_topk": _gen_pq_topk_sql(),
     }
 
 
@@ -2242,3 +2244,82 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string")
+
+
+def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (asymmetric distance over m=4 x 16
+    codebooks). Deterministic: codebooks train on the lowest-10k-id
+    sample with a fixed seed, so the oracle generator re-trains
+    bit-identical codebooks with numpy, injects them as literals, and
+    mirrors code assignment (argmin, idx tie-break) and the per-subspace
+    dot-product-identity distances in SQL."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = similarity.pq_topk(emb, q, k=10, m=4, ksub=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _gen_pq_topk_sql(m: int = 4, ksub: int = 16, k: int = 10,
+                     seed: int = 7,
+                     sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `similarity.pq_topk` for the sf0.01 oracle run:
+    re-trains the same PQ codebooks from the same deterministic parquet
+    sample, injects them as literals, assigns codes by per-subspace
+    argmin of |v - c|^2 = v.v - 2 v.c + c.c (idx ASC tie-break), and
+    sums the query's per-subspace table entries for the coded ADC
+    distance."""
+    import numpy as np
+    import duckdb
+    from pipelinedp_spark.operators.similarity import train_pq_codebooks
+
+    sample = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 10000").fetchnumpy()["embedding"]
+    x = np.stack([np.asarray(v, dtype="float64") for v in sample])
+    cb = train_pq_codebooks(x, m, ksub, seed)
+    sub = x.shape[1] // m
+    rows = ", ".join(
+        f"({j}, {i}, [{', '.join(repr(float(c)) for c in cb[j, i])}])"
+        for j in range(m) for i in range(ksub))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb(sub, idx, c) AS (VALUES {rows}),
+subs AS (SELECT DISTINCT sub FROM cb),
+subv AS (
+  SELECT vec_id, sub, v[sub * {sub} + 1 : (sub + 1) * {sub}] AS vs
+  FROM base CROSS JOIN subs),
+codes AS (
+  SELECT vec_id, sub, idx FROM (
+    SELECT s.vec_id, s.sub, cb.idx,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.sub
+             ORDER BY list_dot_product(s.vs, s.vs)
+                      - 2 * list_dot_product(s.vs, cb.c)
+                      + list_dot_product(cb.c, cb.c) ASC,
+                      cb.idx ASC) AS rn
+    FROM subv s JOIN cb ON cb.sub = s.sub) WHERE rn = 1),
+tbl AS (
+  SELECT q.vec_id AS query_id, s.sub, cb.idx,
+         list_dot_product(s.vs, s.vs)
+         - 2 * list_dot_product(s.vs, cb.c)
+         + list_dot_product(cb.c, cb.c) AS d
+  FROM base q
+  JOIN subv s ON s.vec_id = q.vec_id
+  JOIN cb ON cb.sub = s.sub
+  WHERE q.vec_id < 5),
+scored AS (
+  SELECT t.query_id, c.vec_id, SUM(t.d) AS adist
+  FROM codes c JOIN tbl t ON t.sub = c.sub AND t.idx = c.idx
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, vec_id ASC) AS rank,
+         adist
+  FROM scored)
+SELECT query_id, vec_id, rank, ROUND(adist, 6) AS adist
+FROM ranked WHERE rank <= {k}
+"""

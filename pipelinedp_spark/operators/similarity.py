@@ -269,3 +269,116 @@ def lsh_topk(corpus: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "rank",
                     F.round(F.col("cosine"), 6).alias("cosine")))
+
+
+def train_pq_codebooks(x: "np.ndarray", m: int = 4, ksub: int = 16,
+                       seed: int = 7, iters: int = 10) -> "np.ndarray":
+    """Product-quantization codebooks (Jegou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split the
+    dimension into ``m`` contiguous subspaces and run plain euclidean
+    k-means (Lloyd) in each. Deterministic for a given (sample, m, ksub,
+    seed) — shared by the Spark operator and the oracle generator.
+    Returns (m, ksub, dim // m)."""
+    x = np.asarray(x, dtype="float64")
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, sub))
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cents = xs[rng.choice(len(xs), size=min(ksub, len(xs)),
+                              replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_topk(corpus: DataFrame,
+            queries: DataFrame,
+            k: int = 10,
+            m: int = 4,
+            ksub: int = 16,
+            corpus_id: str = "vec_id",
+            corpus_vec: str = "embedding",
+            query_id: str = "query_id",
+            query_vec: str = "query_vec",
+            seed: int = 7,
+            codebooks: Optional["np.ndarray"] = None,
+            sample_size: int = 10_000) -> DataFrame:
+    """Product-quantization approximate top-k by asymmetric distance
+    (ADC): corpus vectors compress to ``m`` uint8 codes (here <= ksub);
+    each query scores a vector as the sum of per-subspace distances to
+    the CODED centroids — memory per vector drops from dim floats to m
+    bytes, the regime where 100 TB of embeddings fits a cluster's RAM.
+
+    Scale shape: codebooks train on a deterministic sample; encoding is
+    one Arrow-batched numpy pass (codes travel with the row — no
+    shuffle); scoring is corpus x broadcast(queries) with the per-query
+    distance TABLE (m x ksub) computed once per Arrow batch, so per-pair
+    work is m table lookups + a sum. Distances use the dot-product
+    identity |a-b|^2 = a.a - 2 a.b + b.b term-by-term per subspace —
+    the exact expression the SQL oracle mirrors.
+    Returns (query_id, vec_id, rank, adist) ranked by (adist ASC, id)."""
+    if codebooks is None:
+        x = sample_corpus_matrix(corpus, corpus_id, corpus_vec, sample_size)
+        codebooks = train_pq_codebooks(x, m, ksub, seed)
+    cb = np.asarray(codebooks, dtype="float64")   # (m, ksub, sub)
+    m_, ksub_, sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def _encode(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        v = np.stack(vec.to_numpy()).astype("float64")
+        codes = np.empty((len(v), m_), dtype="int32")
+        for j in range(m_):
+            vs = v[:, j * sub:(j + 1) * sub]
+            # |a-b|^2 via the identity, term order matching the oracle
+            d = ((vs * vs).sum(axis=1, keepdims=True)
+                 - 2.0 * vs @ cb[j].T
+                 + (cb[j] * cb[j]).sum(axis=1)[None, :])
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @pandas_udf("double")
+    def _adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        q = np.stack(qv.to_numpy()).astype("float64")
+        c = np.stack(codes.to_numpy()).astype("int64")
+        out = np.zeros(len(c))
+        # table per distinct query in the batch (queries are broadcast,
+        # so batches hold few distinct queries, many corpus rows)
+        uniq, inv = np.unique(q, axis=0, return_inverse=True)
+        for ui, qrow in enumerate(uniq):
+            tbl = np.empty((m_, ksub_))
+            for j in range(m_):
+                qs = qrow[j * sub:(j + 1) * sub]
+                tbl[j] = ((qs * qs).sum()
+                          - 2.0 * cb[j] @ qs
+                          + (cb[j] * cb[j]).sum(axis=1))
+            mask = inv == ui
+            rows = c[mask]
+            out[mask] = tbl[np.arange(m_)[None, :], rows].sum(axis=1)
+        return pd.Series(out)
+
+    coded = corpus.select(F.col(corpus_id),
+                          _encode(F.col(corpus_vec)).alias("__codes__"))
+    scored = coded.crossJoin(
+        F.broadcast(queries.select(query_id, query_vec))).select(
+        F.col(query_id), F.col(corpus_id),
+        _adc(F.col("__codes__"), F.col(query_vec)).alias("adist"))
+    w = Window.partitionBy(query_id).orderBy(F.col("adist").asc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("adist"), 6).alias("adist")))
