@@ -1168,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _doc_pii_scrub,
         "bpe_train_merges": _bpe_train_merges,
         "sim_pq_topk": _sim_pq_topk,
+        "sim_ivf_pq_topk": _sim_ivf_pq_topk,
     }
 
 
@@ -1221,6 +1222,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_signals": _DOC_QUALITY_SIGNALS_SQL,
         "doc_pii_scrub": _doc_pii_scrub_sql(),
         "sim_pq_topk": _gen_pq_topk_sql(),
+        "sim_ivf_pq_topk": _gen_ivf_pq_topk_sql(),
     }
 
 
@@ -2313,6 +2315,108 @@ tbl AS (
 scored AS (
   SELECT t.query_id, c.vec_id, SUM(t.d) AS adist
   FROM codes c JOIN tbl t ON t.sub = c.sub AND t.idx = c.idx
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, vec_id ASC) AS rank,
+         adist
+  FROM scored)
+SELECT query_id, vec_id, rank, ROUND(adist, 6) AS adist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse k-means cells prune to nprobe cells per query, PQ
+    codes score the survivors by asymmetric distance — the production
+    ANN layout. Both quantizers deterministic (same lowest-10k-id
+    sample, fixed seed); the oracle re-trains both and mirrors cell
+    argmax, code argmin, and the table-sum distances in SQL."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = similarity.ivf_pq_topk(emb, q, k=10, num_cells=8, nprobe=2,
+                                 m=4, ksub=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _gen_ivf_pq_topk_sql(num_cells: int = 8, nprobe: int = 2, m: int = 4,
+                         ksub: int = 16, k: int = 10, seed: int = 7,
+                         sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `similarity.ivf_pq_topk`: both quantizers re-trained
+    from the same parquet sample, centroid AND codebook literals
+    injected; candidates = corpus cells joined to each query's nprobe
+    cells; distances = PQ table sums (identical CTE structure to the ivf
+    and pq oracles, composed)."""
+    import numpy as np
+    import duckdb
+    from pipelinedp_spark.operators.similarity import (train_ivf_centroids,
+                                                       train_pq_codebooks)
+
+    sample = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 10000").fetchnumpy()["embedding"]
+    x = np.stack([np.asarray(v, dtype="float64") for v in sample])
+    cents = train_ivf_centroids(x, num_cells, seed)
+    cb = train_pq_codebooks(x, m, ksub, seed)
+    sub = x.shape[1] // m
+    cell_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(c)) for c in cents[i])}])"
+        for i in range(len(cents)))
+    cb_rows = ", ".join(
+        f"({j}, {i}, [{', '.join(repr(float(c)) for c in cb[j, i])}])"
+        for j in range(m) for i in range(ksub))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells(cell, cv) AS (VALUES {cell_rows}),
+cb(sub, idx, c) AS (VALUES {cb_rows}),
+subs AS (SELECT DISTINCT sub FROM cb),
+ass AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM base CROSS JOIN cells) WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM base CROSS JOIN cells WHERE vec_id < 5) WHERE rn <= {nprobe}),
+subv AS (
+  SELECT vec_id, sub, v[sub * {sub} + 1 : (sub + 1) * {sub}] AS vs
+  FROM base CROSS JOIN subs),
+codes AS (
+  SELECT vec_id, sub, idx FROM (
+    SELECT s.vec_id, s.sub, cb.idx,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.sub
+             ORDER BY list_dot_product(s.vs, s.vs)
+                      - 2 * list_dot_product(s.vs, cb.c)
+                      + list_dot_product(cb.c, cb.c) ASC,
+                      cb.idx ASC) AS rn
+    FROM subv s JOIN cb ON cb.sub = s.sub) WHERE rn = 1),
+tbl AS (
+  SELECT s.vec_id AS query_id, s.sub, cb.idx,
+         list_dot_product(s.vs, s.vs)
+         - 2 * list_dot_product(s.vs, cb.c)
+         + list_dot_product(cb.c, cb.c) AS d
+  FROM subv s JOIN cb ON cb.sub = s.sub
+  WHERE s.vec_id < 5),
+cand AS (
+  SELECT q.query_id, a.vec_id
+  FROM ass a JOIN qcells q USING (cell)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, SUM(t.d) AS adist
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.vec_id
+  JOIN tbl t ON t.query_id = cand.query_id AND t.sub = c.sub
+            AND t.idx = c.idx
   GROUP BY 1, 2),
 ranked AS (
   SELECT query_id, vec_id,

@@ -382,3 +382,101 @@ def pq_topk(corpus: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "rank",
                     F.round(F.col("adist"), 6).alias("adist")))
+
+
+def ivf_pq_topk(corpus: DataFrame,
+                queries: DataFrame,
+                k: int = 10,
+                num_cells: int = 8,
+                nprobe: int = 2,
+                m: int = 4,
+                ksub: int = 16,
+                corpus_id: str = "vec_id",
+                corpus_vec: str = "embedding",
+                query_id: str = "query_id",
+                query_vec: str = "query_vec",
+                seed: int = 7,
+                centroids: Optional["np.ndarray"] = None,
+                codebooks: Optional["np.ndarray"] = None,
+                sample_size: int = 10_000) -> DataFrame:
+    """IVF-PQ: the production ANN architecture — an IVF coarse quantizer
+    prunes the corpus to each query's ``nprobe`` cells, and PQ codes
+    score the survivors by asymmetric distance. Cost ~ nprobe/num_cells
+    of the exhaustive ADC scan, memory ~ m bytes/vector + a cell id.
+
+    Both quantizers train on the same deterministic sample (pass
+    ``centroids``/``codebooks`` to reuse offline-trained ones); scoring,
+    ranking and tie-breaks are identical to `pq_topk`, so results are
+    exactly pq_topk restricted to probed cells.
+    Returns (query_id, vec_id, rank, adist)."""
+    if centroids is None or codebooks is None:
+        x = sample_corpus_matrix(corpus, corpus_id, corpus_vec, sample_size)
+        if centroids is None:
+            centroids = train_ivf_centroids(x, num_cells, seed)
+        if codebooks is None:
+            codebooks = train_pq_codebooks(x, m, ksub, seed)
+    cts = np.asarray(centroids, dtype="float64")
+    cb = np.asarray(codebooks, dtype="float64")
+    m_, ksub_, sub = cb.shape
+
+    def cell_udf(top: int):
+        @pandas_udf("array<int>")
+        def _cells(vec: pd.Series) -> pd.Series:
+            if len(vec) == 0:
+                return pd.Series([], dtype="object")
+            v = np.stack(vec.to_numpy()).astype("float64")
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                               1e-12)
+            order = np.argsort(-(v @ cts.T), axis=1)[:, :top].astype(
+                "int32")
+            return pd.Series(list(order))
+        return _cells
+
+    @pandas_udf("array<int>")
+    def _encode(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        v = np.stack(vec.to_numpy()).astype("float64")
+        codes = np.empty((len(v), m_), dtype="int32")
+        for j in range(m_):
+            vs = v[:, j * sub:(j + 1) * sub]
+            d = ((vs * vs).sum(axis=1, keepdims=True)
+                 - 2.0 * vs @ cb[j].T
+                 + (cb[j] * cb[j]).sum(axis=1)[None, :])
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    @pandas_udf("double")
+    def _adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        q = np.stack(qv.to_numpy()).astype("float64")
+        c = np.stack(codes.to_numpy()).astype("int64")
+        out = np.zeros(len(c))
+        uniq, inv = np.unique(q, axis=0, return_inverse=True)
+        for ui, qrow in enumerate(uniq):
+            tbl = np.empty((m_, ksub_))
+            for j in range(m_):
+                qs = qrow[j * sub:(j + 1) * sub]
+                tbl[j] = ((qs * qs).sum() - 2.0 * cb[j] @ qs
+                          + (cb[j] * cb[j]).sum(axis=1))
+            mask = inv == ui
+            out[mask] = tbl[np.arange(m_)[None, :], c[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    coded = corpus.select(
+        F.col(corpus_id),
+        F.element_at(cell_udf(1)(F.col(corpus_vec)), 1).alias("cell"),
+        _encode(F.col(corpus_vec)).alias("__codes__"))
+    q = queries.select(
+        F.col(query_id), F.col(query_vec),
+        F.explode(cell_udf(nprobe)(F.col(query_vec))).alias("cell"))
+    scored = coded.join(F.broadcast(q), "cell").select(
+        F.col(query_id), F.col(corpus_id),
+        _adc(F.col("__codes__"), F.col(query_vec)).alias("adist"))
+    w = Window.partitionBy(query_id).orderBy(F.col("adist").asc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("adist"), 6).alias("adist")))

@@ -144,3 +144,25 @@ def test_pq_topk_recall_and_determinism(spark):
     for r in a:
         if r["rank"] == 1:
             assert r["vec_id"] == r["query_id"]
+
+
+def test_ivf_pq_scores_match_pq(spark):
+    """IVF-PQ must be exactly PQ restricted to probed cells: every
+    returned (query, vec) pair carries the identical ADC distance the
+    exhaustive PQ scan assigns it."""
+    from pyspark.sql import functions as F
+    from pipelinedp_spark.operators.similarity import ivf_pq_topk, pq_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    full = {(r["query_id"], r["vec_id"]): r["adist"]
+            for r in pq_topk(emb, q, k=10_000).collect()}
+    probed = ivf_pq_topk(emb, q, k=10, num_cells=4, nprobe=2).collect()
+    assert len(probed) > 0
+    for r in probed:
+        assert full[(r["query_id"], r["vec_id"])] == r["adist"]
+    # rank-1 self-match survives probing (a vector's own cell is probed)
+    for r in probed:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
