@@ -108,3 +108,15 @@ def test_apply_matches_training_segmentation(spark):
         reference = [s for w in r["text"].split(" ") if w
                      for s in vocab[w]]
         assert r["bpe_tokens"] == reference
+
+
+def test_apply_bpe_edge_inputs(spark):
+    merges = [("a", "b"), ("ab", "</w>")]
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("ab",), ("ab ab xyz",)], "text string")
+    rows = apply_bpe(df, merges).collect()
+    assert rows[0]["bpe_tokens"] == []          # empty text
+    assert rows[1]["bpe_tokens"] == []          # whitespace only
+    assert rows[2]["bpe_tokens"] == ["ab</w>"]  # both merges chain
+    assert rows[3]["bpe_tokens"] == ["ab</w>", "ab</w>",
+                                     "x", "y", "z", "</w>"]

@@ -166,3 +166,10 @@ def test_ivf_pq_scores_match_pq(spark):
     for r in probed:
         if r["rank"] == 1:
             assert r["vec_id"] == r["query_id"]
+
+
+def test_pq_rejects_indivisible_dim():
+    import numpy as np
+    from pipelinedp_spark.operators.similarity import train_pq_codebooks
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(np.zeros((10, 10)), m=4)
