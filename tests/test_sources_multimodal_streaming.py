@@ -471,3 +471,23 @@ def test_dp_streaming_variance(spark, tmp_path):
     assert res[0] == pytest.approx(2.25)
     assert res[1] == pytest.approx(0.0)
     assert 2 not in res  # suppressed by DP window selection
+
+
+def test_read_csv_and_json_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    df = spark.createDataFrame([(1, "a,b"), (2, "c\"d")],
+                               "id long, s string")
+    csv_p, json_p = str(tmp_path / "c"), str(tmp_path / "j")
+    df.coalesce(1).write.option("header", True).csv(csv_p)
+    df.coalesce(1).write.json(json_p)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("s", StringType())])
+    got_csv = sources.read_csv(spark, csv_p, schema=schema)
+    got_json = sources.read_json(spark, json_p, schema=schema)
+    want = {(1, "a,b"), (2, 'c"d')}
+    assert {(r["id"], r["s"]) for r in got_csv.collect()} == want
+    assert {(r["id"], r["s"]) for r in got_json.collect()} == want
+    # schema-less CSV inference path
+    inferred = sources.read_csv(spark, csv_p)
+    assert dict(inferred.dtypes)["id"] in ("int", "bigint")
