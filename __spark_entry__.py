@@ -1169,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _bpe_train_merges,
         "sim_pq_topk": _sim_pq_topk,
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
+        "dp_variance_selected": _dp_variance_selected,
     }
 
 
@@ -1223,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _doc_pii_scrub_sql(),
         "sim_pq_topk": _gen_pq_topk_sql(),
         "sim_ivf_pq_topk": _gen_ivf_pq_topk_sql(),
+        "dp_variance_selected": _dp_variance_selected_sql(),
     }
 
 
@@ -2426,4 +2428,49 @@ ranked AS (
   FROM scored)
 SELECT query_id, vec_id, rank, ROUND(adist, 6) AS adist
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _dp_variance_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP variance under PRIVATE Laplace-thresholding partition selection
+    (variance was otherwise only oracle-checked on public partitions):
+    per (event_type, day) windows, the ~53.5 threshold at this budget
+    keeps roughly half of the 42-67-user partitions, so the selection
+    path is genuinely exercised. Zero noise; per-contribution clip to
+    [0, 500] non-binding."""
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    ev = ev.withColumn(
+        "day", F.floor(F.col("ts") / F.lit(day_us)).cast("long"))
+    query = (pds.QueryBuilder(ev, "user_id")
+             .groupby(["event_type", "day"], max_groups_contributed=100,
+                      max_contributions_per_group=1_000_000,
+                      partition_selection_strategy=pds.
+                      PartitionSelectionStrategy.LAPLACE_THRESHOLDING)
+             .variance("value", min_value=0.0, max_value=500.0,
+                       name="var_value")
+             .build_query())
+    out = query.run_query(pds.Budget(50.0, 1e-4), noise_mode="zero")
+    return out.select("event_type", F.col("day").cast("long").alias("day"),
+                      F.round("var_value", 6).alias("var_value"))
+
+
+def _dp_variance_selected_sql() -> str:
+    threshold = _laplace_threshold_for(25.0, 1e-4, 100)
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, value,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events),
+agg AS (
+    SELECT event_type, day,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(POW(GREATEST(LEAST(value, 500.0), 0.0) - 250.0, 2))
+               / GREATEST(1.0, COUNT(*))
+           - POW(SUM(GREATEST(LEAST(value, 500.0), 0.0) - 250.0)
+                 / GREATEST(1.0, COUNT(*)), 2) AS var_raw
+    FROM ev GROUP BY 1, 2)
+SELECT event_type, day, ROUND(var_raw, 6) AS var_value
+FROM agg WHERE n_users >= {threshold}
+ORDER BY 1, 2
 """
