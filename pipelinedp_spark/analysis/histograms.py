@@ -141,7 +141,15 @@ def compute_dataset_histograms(df: DataFrame,
                   else F.lit(0.0))
     per_pid_pk = df.groupBy(pid, *pk_cols).agg(
         F.count(F.lit(1)).alias("count"), value_expr.alias("sum")).cache()
+    try:
+        return _histograms_from_cached(per_pid_pk, pid, pk_cols, has_value)
+    finally:
+        per_pid_pk.unpersist()
 
+
+def _histograms_from_cached(per_pid_pk: DataFrame, pid: str,
+                            pk_cols: list, has_value: bool
+                            ) -> DatasetHistograms:
     per_pid = per_pid_pk.groupBy(pid).agg(
         F.count(F.lit(1)).alias("n_partitions"),
         F.sum("count").alias("n_contributions"))
@@ -185,6 +193,11 @@ def compute_dataset_histograms(df: DataFrame,
     meta = {}
     if has_value:
         for tag, src in (("linf_sum", per_pid_pk), ("sum_pp", per_pk)):
+            # Empty input (no range rows) or an all-null value column
+            # (lo is None) would blow up the bin math; skip the frame so
+            # flt_hist returns Histogram(name, []) like the reference.
+            if tag not in ranges or ranges[tag][0] is None:
+                continue
             renamed = src.select(F.col("sum").cast("double").alias("v"))
             idx, lo, width = float_bins(tag)
             frames.append(_binned(renamed, "v", tag, idx))
@@ -212,7 +225,7 @@ def compute_dataset_histograms(df: DataFrame,
     def flt_hist(tag: str, name: HistogramType) -> Optional[Histogram]:
         if not has_value:
             return None
-        if tag not in meta or ranges[tag][0] is None:
+        if tag not in meta:
             return Histogram(name, [])
         lo, width = meta[tag]
         bins = [FrequencyBin(lower=lo + int(r["lower"]) * width,
@@ -223,7 +236,7 @@ def compute_dataset_histograms(df: DataFrame,
                                 key=lambda x: x["lower"])]
         return Histogram(name, bins)
 
-    out = DatasetHistograms(
+    return DatasetHistograms(
         l0_contributions_histogram=int_hist(
             "l0", HistogramType.L0_CONTRIBUTIONS),
         l1_contributions_histogram=int_hist(
@@ -239,8 +252,6 @@ def compute_dataset_histograms(df: DataFrame,
         sum_per_partition_histogram=flt_hist(
             "sum_pp", HistogramType.SUM_PER_PARTITION),
     )
-    per_pid_pk.unpersist()
-    return out
 
 
 def compute_ratio_dropped(

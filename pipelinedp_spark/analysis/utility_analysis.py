@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import warnings
 from typing import List, Optional, Sequence
 
 import pandas as pd
@@ -94,7 +95,17 @@ class UtilityReport:
 
 
 class UtilityAnalysisEngine:
-    """Reference: analysis/utility_analysis_engine.py:31-201."""
+    """Reference: analysis/utility_analysis_engine.py:31-201.
+
+    VARIANCE caveat: variance utility analysis assumes raw values already
+    lie within ``[min_value, max_value]``. Per-value clipping is NOT
+    modeled (``preaggregate`` carries only per-(pid, pk) ``sum`` /
+    ``sum_sq``, so individual out-of-range values can't be clipped after
+    the fact). For data outside the bounds the reported rmse/bias for
+    VARIANCE diverge from the actual DP variance mechanism, which clips
+    each contribution; ``analyze`` emits a ``UserWarning`` when it can
+    detect this (non-preaggregated input whose value range exceeds the
+    configured bounds)."""
 
     def __init__(self, epsilon: float, delta: float):
         self._eps = epsilon
@@ -137,6 +148,23 @@ class UtilityAnalysisEngine:
                     f"preaggregated input missing columns: {sorted(missing)}")
             pre = df
         else:
+            if want_variance and extractors.value_column is not None:
+                # Piggy-backed range check for the VARIANCE in-range
+                # assumption (see class docstring) — one tiny agg job on
+                # the raw frame, executed before the main analysis job.
+                v = F.col(extractors.value_column).cast("double")
+                r = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")) \
+                    .collect()[0]
+                if r["lo"] is not None and (
+                        r["lo"] < params.min_value
+                        or r["hi"] > params.max_value):
+                    warnings.warn(
+                        "VARIANCE utility analysis assumes values lie in "
+                        f"[{params.min_value}, {params.max_value}] but the "
+                        f"data spans [{r['lo']}, {r['hi']}]; per-value "
+                        "clipping is not modeled, so reported VARIANCE "
+                        "rmse/bias will diverge from the actual DP "
+                        "mechanism for out-of-range values", UserWarning)
             pre = preaggregate(df, extractors, keep_privacy_id=False,
                                include_sum_squares=want_variance)
 

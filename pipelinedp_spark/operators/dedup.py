@@ -481,11 +481,17 @@ def winnow_containment_pairs(df: DataFrame,
            .filter((F.col("pos") <= F.col("m") - w) | (F.col("pos") == 0))
            .select(F.col(id_col), F.col("wmin").alias("fp"))
            .distinct())
+    # No explicit persist: `kept` feeds three branches of ONE final plan
+    # (self-join x2 + sizes) whose subtrees all hang off the same
+    # exchange-on-fp, so Catalyst materializes that shuffle once and
+    # stitches the rest with ReusedExchange (plan-tested). An explicit
+    # .persist() here leaked cached blocks across calls in long-lived
+    # sessions and contaminated bench timings (13s fresh vs 155s
+    # degraded; see bench.py notes).
     win = Window.partitionBy("fp")
     kept = (inv.withColumn("doc_freq", F.count(F.lit(1)).over(win))
             .filter(F.col("doc_freq") <= max_fp_doc_freq)
-            .drop("doc_freq")
-            .persist())
+            .drop("doc_freq"))
     shared = (kept.select("fp", F.col(id_col).alias("id_a"))
               .join(kept.select("fp", F.col(id_col).alias("id_b")), "fp")
               .filter(F.col("id_a") < F.col("id_b"))

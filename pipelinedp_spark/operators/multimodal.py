@@ -595,9 +595,9 @@ def _require_real_decoder(name: str):
     raise NotImplementedError(
         f"real {name} decoding of compressed formats requires a media "
         f"library that is not installed in this environment; use "
-        f"decoder='native' for real uncompressed BMP/WAV-PCM decoding "
-        f"with a byte-histogram fallback for compressed payloads, or "
-        f"decoder='fake' for stand-ins everywhere")
+        f"decoder='native' for real BMP/PNG/GIF/baseline-JPEG/WAV-PCM "
+        f"decoding with a byte-histogram fallback for unsupported "
+        f"payloads, or decoder='fake' for stand-ins everywhere")
 
 
 _DECODERS = ("fake", "native")
@@ -633,9 +633,11 @@ def decode_images(df: DataFrame, binary_col: str = "image",
                   feature_bins: int = 16) -> DataFrame:
     """binary payload -> (all input columns, features array<double>,
     content_hash string). Arrow-batched mapInPandas. ``decoder="native"``
-    emits a REAL luminance histogram for BMP and PNG payloads
-    (decode_image_native) and falls back to the byte-histogram stand-in
-    for JPEG/GIF; ``decoder="fake"`` uses the stand-in everywhere."""
+    emits a REAL luminance histogram for BMP, PNG, GIF and baseline-JPEG
+    payloads (decode_image_native) and falls back to the byte-histogram
+    stand-in for payloads the native decoder can't handle (progressive
+    JPEG, corrupt bytes); ``decoder="fake"`` uses the stand-in
+    everywhere."""
     _check_decoder(decoder, "image")
     native = decoder == "native"
     out_schema = StructType(
@@ -742,11 +744,15 @@ def audio_pcm_stats(df: DataFrame, binary_col: str = "audio") -> DataFrame:
 def resize_images(df: DataFrame, binary_col: str = "image",
                   meta_col: str = "meta", width: int = 224,
                   height: int = 224, decoder: str = "fake") -> DataFrame:
-    """Resize. ``decoder="native"`` REALLY resizes BMP and PNG payloads:
-    decode -> nearest-neighbor numpy resample -> re-encode in the source
-    container (other payloads pass through unchanged, metadata still
-    rewritten). ``decoder="fake"`` keeps the payload and rewrites only
-    the metadata struct (schema plumbing for downstream code)."""
+    """Resize. ``decoder="native"`` REALLY resizes BMP, PNG, GIF and
+    baseline-JPEG payloads: decode (decode_image_native) ->
+    nearest-neighbor numpy resample -> re-encode. PNG and JPEG re-encode
+    in their source container; GIF re-encodes as BMP (no GIF encoder) —
+    ``meta.format`` is rewritten from the OUTPUT payload's magic bytes,
+    so downstream format dispatch stays truthful. Undecodable payloads
+    pass through unchanged (metadata format preserved). ``decoder="fake"``
+    keeps the payload and rewrites only the metadata struct (schema
+    plumbing for downstream code)."""
     _check_decoder(decoder, "image")
     meta_rewrite = F.struct(
         F.lit(width).alias("width"), F.lit(height).alias("height"),
@@ -779,8 +785,23 @@ def resize_images(df: DataFrame, binary_col: str = "image",
             pdf[binary_col] = [resize(b) for b in pdf[binary_col]]
             yield pdf
 
+    # meta.format follows the OUTPUT bytes (GIF re-encodes as BMP): sniff
+    # the container from the payload magic, falling back to the original
+    # declared format for payloads the decoder passed through.
+    head = F.substring(F.col(binary_col), 1, 4)
+    out_fmt = (
+        F.when(head == F.lit(bytearray(b"\x89PNG")), F.lit("png"))
+        .when(F.substring(F.col(binary_col), 1, 2)
+              == F.lit(bytearray(b"\xff\xd8")), F.lit("jpeg"))
+        .when(head == F.lit(bytearray(b"GIF8")), F.lit("gif"))
+        .when(F.substring(F.col(binary_col), 1, 2)
+              == F.lit(bytearray(b"BM")), F.lit("bmp"))
+        .otherwise(F.col(f"{meta_col}.format")))
+    native_meta = F.struct(
+        F.lit(width).alias("width"), F.lit(height).alias("height"),
+        out_fmt.alias("format"))
     return df.mapInPandas(batches, out_schema).withColumn(
-        meta_col, meta_rewrite)
+        meta_col, native_meta)
 
 
 def sample_video_frames(df: DataFrame, frames_col: str = "frames",

@@ -57,6 +57,28 @@ def test_dataset_histograms(data):
     assert h.sum_per_partition_histogram is not None
 
 
+def test_dataset_histograms_empty_df(spark):
+    # Regression (r04 advice): empty input with a value column crashed
+    # with KeyError('linf_sum') in the float-bin range lookup.
+    empty = spark.createDataFrame([], "uid int, pk string, v double")
+    h = A.compute_dataset_histograms(empty, EXT)
+    assert h.l0_contributions_histogram.bins == []
+    assert h.linf_sum_contributions_histogram.bins == []
+    assert h.sum_per_partition_histogram.bins == []
+
+
+def test_dataset_histograms_all_null_value(spark):
+    # All-null value column: float ranges collapse to lo=None; float
+    # histograms must come back empty instead of TypeError-ing.
+    df = spark.createDataFrame([(1, "p0", None), (2, "p0", None)],
+                               "uid int, pk string, v double")
+    h = A.compute_dataset_histograms(df, EXT)
+    assert h.linf_sum_contributions_histogram.bins == []
+    assert h.sum_per_partition_histogram.bins == []
+    # integer histograms still real
+    assert h.l0_contributions_histogram.total_count == 2
+
+
 def test_log_binning_large_values(spark):
     df = spark.createDataFrame(
         [(1, "a", float(i)) for i in range(1)] +

@@ -227,6 +227,35 @@ def test_resize_images_native(spark):
     # nearest-neighbor: picks source rows/cols 0 and 2
     assert np.array_equal(rgb[:, :, 0], px[[0, 2]][:, [0, 2]])
     assert (out["meta"]["width"], out["meta"]["height"]) == (2, 2)
+    assert out["meta"]["format"] == "bmp"
+
+
+def test_resize_images_native_gif_reencodes_as_bmp(spark):
+    # GIF decodes but has no encoder: the resized payload comes back as
+    # BMP bytes and meta.format must follow the OUTPUT container, not
+    # the input's declared "gif" (regression: r04 emitted BMP bytes
+    # labeled format="gif").
+    data = _gif_bytes(2, 2, [0, 1, 2, 3])
+    df = spark.createDataFrame(
+        [(1, data, (2, 2, "gif"))],
+        "doc_id int, image binary, meta struct<width:int,height:int,"
+        "format:string>")
+    out = MM.resize_images(df, width=1, height=1, decoder="native") \
+        .collect()[0]
+    assert bytes(out["image"][:2]) == b"BM"
+    assert out["meta"]["format"] == "bmp"
+    assert (out["meta"]["width"], out["meta"]["height"]) == (1, 1)
+    rgb = MM.decode_bmp(out["image"])
+    assert rgb.shape == (1, 1, 3)
+    # undecodable payloads pass through with their declared format kept
+    junk = spark.createDataFrame(
+        [(2, b"\x00\x01junk-not-an-image", (9, 9, "mystery"))],
+        "doc_id int, image binary, meta struct<width:int,height:int,"
+        "format:string>")
+    kept = MM.resize_images(junk, width=1, height=1,
+                            decoder="native").collect()[0]
+    assert bytes(kept["image"]) == b"\x00\x01junk-not-an-image"
+    assert kept["meta"]["format"] == "mystery"
 
 
 def test_audio_pcm_stats_exact(spark):

@@ -229,3 +229,32 @@ def test_variance_rmse_predicts_monte_carlo(spark):
     est = (Q + nQ) / (C + nC) - ((S + nS) / (C + nC)) ** 2
     mc_rmse = float(np.sqrt(np.mean((est - f_true) ** 2)))
     assert rep.metric_errors[0].rmse == pytest.approx(mc_rmse, rel=0.15)
+
+
+def test_variance_warns_on_out_of_range_values(spark):
+    """Per-value clipping is not modeled by VARIANCE utility analysis
+    (preaggregate carries only sums); the engine must warn when raw
+    values fall outside [min_value, max_value], and stay silent when
+    they don't."""
+    import warnings as W
+    params = AggregateParams(metrics=[Metrics.VARIANCE],
+                             max_partitions_contributed=1,
+                             max_contributions_per_partition=2,
+                             min_value=MIN_V, max_value=MAX_V)
+    conf = A.MultiParameterConfiguration(
+        max_partitions_contributed=[1],
+        max_contributions_per_partition=[2])
+    eng = A.UtilityAnalysisEngine(epsilon=3.0, delta=0.0)
+
+    out_of_range = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", MAX_V + 5.0)],
+        "uid int, pk string, v double")
+    with pytest.warns(UserWarning, match="assumes values lie in"):
+        eng.analyze(out_of_range, params, EXT, conf,
+                    public_partitions=["A"])
+
+    in_range = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", MAX_V)], "uid int, pk string, v double")
+    with W.catch_warnings():
+        W.simplefilter("error", UserWarning)
+        eng.analyze(in_range, params, EXT, conf, public_partitions=["A"])
