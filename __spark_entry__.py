@@ -1341,16 +1341,27 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_MINHASH_SQL = f"""
 WITH {_SHINGLE_CTE},
+hm AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+          for s in shingles] AS hs
+  FROM sh),
 sig AS (
   SELECT doc_id, shingles,
-         [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles])
+         [list_min([(((1103515245 * (i + 1) + 12345) % 2147483647) * h
+                     + ((2654435761 * i + 97) % 2147483647)) % 2147483647
+                    for h in hs])
           for i in range(0, 8)] AS sig
-  FROM sh),
+  FROM hm),
 bands AS (
   SELECT doc_id,
          UNNEST(range(0, 2)) AS band_idx,
-         UNNEST([md5(sig[1] || '|' || sig[2] || '|' || sig[3] || '|' || sig[4]),
-                 md5(sig[5] || '|' || sig[6] || '|' || sig[7] || '|' || sig[8])])
+         UNNEST([md5(CAST(sig[1] AS VARCHAR) || '|' || CAST(sig[2] AS VARCHAR)
+                     || '|' || CAST(sig[3] AS VARCHAR) || '|'
+                     || CAST(sig[4] AS VARCHAR)),
+                 md5(CAST(sig[5] AS VARCHAR) || '|' || CAST(sig[6] AS VARCHAR)
+                     || '|' || CAST(sig[7] AS VARCHAR) || '|'
+                     || CAST(sig[8] AS VARCHAR))])
              AS band_hash
   FROM sig),
 cand AS (

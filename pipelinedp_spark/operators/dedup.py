@@ -51,6 +51,61 @@ def shingle_docs(df: DataFrame, text_col: str = "text",
         F.col(id_col), T.shingles(F.col(text_col), k).alias("shingles"))
 
 
+_MINHASH_P = 2147483647  # Mersenne prime 2^31-1: products stay < 2^62,
+#                          exact in BOTH int64 numpy and DuckDB BIGINT
+
+
+def _minhash_coeffs(num_hashes: int):
+    """Deterministic affine-permutation coefficients (a_i, b_i) over
+    Z_P, mirrored verbatim by the SQL oracle. LCG-style spread; a_i is
+    never 0 for i < 2^20 (asserted)."""
+    a = np.array([(1103515245 * (i + 1) + 12345) % _MINHASH_P
+                  for i in range(num_hashes)], dtype=np.int64)
+    b = np.array([(2654435761 * i + 97) % _MINHASH_P
+                  for i in range(num_hashes)], dtype=np.int64)
+    assert (a != 0).all()
+    return a, b
+
+
+def minhash_signatures(df: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       k: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """(id, shingles, sig array<long>) — one Arrow-batched numpy pass.
+
+    Each shingle is hashed ONCE JVM-side (md5 -> 60-bit bigint, the
+    engine-portable token_hash), then the i-th signature value is
+    min over shingles of (a_i * (h mod P) + b_i) mod P — the classic
+    universal-hash minhash family. The whole (num_hashes x n_shingles)
+    grid folds in one vectorized numpy matmul-shaped pass per document,
+    so signature cost is per-row work with ZERO shuffles (the previous
+    explode + groupBy(doc_id) with num_hashes md5-min aggregates
+    shuffled the full exploded corpus and re-ran md5 num_hashes times
+    per shingle; at production widths — 64-128 hashes — that plan is
+    ~num_hashes x more hash work plus a corpus-scale shuffle).
+    """
+    a_co, b_co = _minhash_coeffs(num_hashes)
+    sh = shingle_docs(df, text_col, id_col, k)
+    hs = F.transform(F.col("shingles"),
+                     lambda s: T.token_hash(s) % _MINHASH_P)
+
+    @F.pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        out = []
+        for arr in col:
+            h = np.asarray(arr, dtype=np.int64)
+            if h.size == 0:
+                out.append(b_co.tolist())
+                continue
+            out.append(((h[:, None] * a_co[None, :] + b_co[None, :])
+                        % _MINHASH_P).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return sh.select(F.col(id_col), F.col("shingles"),
+                     _sig(hs).alias("sig"))
+
+
 def minhash_lsh_pairs(df: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id",
@@ -62,45 +117,40 @@ def minhash_lsh_pairs(df: DataFrame,
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Plan: shingle (per-row expr) -> minhash (per-row expr) -> explode bands
-    -> in-bucket pair generation (one shuffle on the band hash) -> distinct
-    pairs -> join back shingle arrays -> exact Jaccard filter. Buckets
-    larger than max_bucket_size are dropped (degenerate hash collisions).
+    Plan: shingle (per-row expr) -> minhash signature (one numpy pass per
+    doc, see minhash_signatures) -> explode bands -> in-bucket pair
+    generation (one shuffle on the band hash) -> distinct pairs -> join
+    back shingle arrays -> exact Jaccard filter. Buckets larger than
+    max_bucket_size are dropped (degenerate hash collisions).
+
+    Default knobs (8 hashes, 2 bands of 4) are sized for the small bench
+    corpus; production recall at threshold ~0.8 wants num_hashes=64-128
+    with rows_per_band 4-8 (recall pinned by
+    tests/test_text_ops.py::test_minhash_lsh_recall_production_settings —
+    the signature pass scales linearly in num_hashes with no extra
+    shuffles, so widening is cheap).
     """
-    sh = shingle_docs(df, text_col, id_col, k)
-    # Minhash via explode + groupBy-min rather than per-row higher-order
-    # expressions: HOF lambdas run interpreted (no codegen/CSE), so nesting
-    # bands(sig(shingles(text))) re-evaluates the whole hash tree per band
-    # element. Exploded rows + F.min are codegen'd and map-side combined —
-    # one shuffle on doc_id regardless of corpus size.
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    sig = exploded.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"s{i}")
-        for i in range(num_hashes)
-    ])
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     num_bands = num_hashes // rows_per_band
     band_hashes = [
         F.md5(F.concat_ws(
-            "|", *[F.col(f"s{j * rows_per_band + r}")
-                   for r in range(rows_per_band)]))
+            "|", *[F.element_at("sig", j * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)]))
         for j in range(num_bands)
     ]
     bands = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"))
-    # Cap degenerate buckets before the self-join blows up.
+    # Cap degenerate buckets before the self-join blows up. The window
+    # partitions on the SAME key the self-join shuffles on, and both join
+    # sides are identical subplans, so Catalyst materializes that
+    # exchange once and stitches the second side with ReusedExchange —
+    # no explicit persist (an earlier .persist() here leaked cached
+    # blocks across calls and contaminated long-session bench timings).
     w = Window.partitionBy("band_idx", "band_hash")
     bands = (bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
              .filter(F.col("bucket_size") <= max_bucket_size)
              .drop("bucket_size"))
-    # Persist the (tiny: num_bands rows/doc) banded table so the minhash
-    # pipeline above — the expensive part: explode shingles + groupBy with
-    # num_hashes min-aggregates — is evaluated once, not once per join
-    # side. The candidate pairs themselves stay JVM-side: buckets here can
-    # be large (near-dup-heavy corpora), and shipping B^2/2 pair rows
-    # through Arrow to Python costs more than the hash-join that never
-    # leaves Tungsten.
-    bands = bands.persist()
     left = bands.select(F.col("band_idx"), F.col("band_hash"),
                         F.col(id_col).alias("id_a"))
     right = bands.select(F.col("band_idx"), F.col("band_hash"),
@@ -108,6 +158,7 @@ def minhash_lsh_pairs(df: DataFrame,
     cand = (left.join(right, on=["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+    sh = shingle_docs(df, text_col, id_col, k)
     return ngram_jaccard_verify(cand, sh, id_col, jaccard_threshold)
 
 
