@@ -635,29 +635,59 @@ class DPEngine:
         nbins = nbins or params.percentile_bins
         lo, hi = float(params.min_value), float(params.max_value)
         width = (hi - lo) / nbins if hi > lo else 1.0
-        rows = data
-        linf = params.max_contributions_per_partition
-        if not params.contribution_bounds_already_enforced and \
-                linf is not None:
-            rows = bounders._limit_per_key(rows, [_PID, *pk_cols], linf,
-                                           self._order_cols)
-        # L0 sampling at the (pid, pk) key level BEFORE binning: avoids
-        # both a per-(pid, pk, bin) intermediate aggregation and a branch
-        # that would recompute it for the semi-join.
-        l0 = params.max_partitions_contributed
-        if not params.contribution_bounds_already_enforced and l0 is not None:
-            keys = bounders._limit_per_key(
-                rows.select(_PID, *pk_cols).distinct(), [_PID], l0,
-                self._order_cols)
-            rows = rows.join(keys, on=[_PID, *pk_cols], how="left_semi")
         bin_col = F.least(
             F.lit(nbins - 1).cast("long"),
             F.floor((_clip(F.col(_VALUE), lo, hi) - F.lit(lo)) /
                     F.lit(width))).cast("int")
         report.append(
             f"PERCENTILE: {nbins}-bin histogram sketch over [{lo}, {hi}]")
-        return (rows.withColumn(_BIN, bin_col)
-                .groupBy(*pk_cols, _BIN)
+        binned = data.withColumn(_BIN, bin_col)
+        enforce = not params.contribution_bounds_already_enforced
+        linf = params.max_contributions_per_partition
+        l0 = params.max_partitions_contributed
+        if not enforce or (linf is None and l0 is None):
+            return (binned.groupBy(*pk_cols, _BIN)
+                    .agg(F.count(F.lit(1)).cast("double").alias(_BCNT)))
+        # ONE map-side-combined per-(pid, pk) count pass drives BOTH
+        # bounding steps, so no full-data shuffle or sort remains in the
+        # common generous-cap case: the Linf sample touches only
+        # oversize groups (joined back, AQE-broadcast / eliminated when
+        # the set is empty), and the L0 key sample draws from the tiny
+        # totals frame instead of a distinct() over raw rows. The final
+        # (pk, bin) histogram aggregates map-side, so the only
+        # corpus-sized data movement left is the scan itself.
+        keys = [_PID, *pk_cols]
+        rows = binned
+        if (linf is not None
+                and linf >= bounders.OVERSIZE_SPLIT_MIN_CAP):
+            totals = binned.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias(bounders._GC))
+            over = bounders._oversize_keys(totals, keys, linf)
+            ok_cols = [f"__ok{i}__" for i in range(len(keys))]
+            cond = bounders._oversize_key_cond(keys, ok_cols)
+            ok = binned.join(over, on=cond, how="left_anti")
+            big = binned.join(over, on=cond, how="left_semi")
+            rows = ok.unionByName(
+                bounders._limit_per_key(big, keys, linf,
+                                        self._order_cols))
+            if l0 is not None:
+                # key sample drawn from the tiny totals frame, not a
+                # distinct() over raw rows
+                keyset = bounders._limit_per_key(
+                    totals.select(*keys), [_PID], l0, self._order_cols)
+                rows = rows.join(keyset, on=keys, how="left_semi")
+        else:
+            # Binding-cap regime (see bounders.OVERSIZE_SPLIT_MIN_CAP):
+            # plain window sample.
+            if linf is not None:
+                rows = bounders._limit_per_key(rows, keys, linf,
+                                               self._order_cols)
+            if l0 is not None:
+                keyset = bounders._limit_per_key(
+                    rows.select(*keys).distinct(), [_PID], l0,
+                    self._order_cols)
+                rows = rows.join(keyset, on=keys, how="left_semi")
+        return (rows.groupBy(*pk_cols, _BIN)
                 .agg(F.count(F.lit(1)).cast("double").alias(_BCNT)))
 
     def _percentile_values(self, hist: DataFrame, params: AggregateParams,

@@ -102,12 +102,19 @@ def test_embedding_near_dup_no_pair_join(spark):
 
 
 def test_minhash_signature_computed_once(spark):
-    """The banded signature table is persisted: both self-join sides must
-    read the InMemoryRelation instead of re-running the minhash subplan."""
+    """The banded signature table feeds both self-join sides through ONE
+    materialized shuffle: AQE must stitch the second side (and the
+    bucket-size window) with ReusedExchange instead of re-running the
+    signature subplan. (Replaces the r04 persist()-based assertion — the
+    explicit persist leaked cached blocks across calls.)"""
     from pipelinedp_spark.operators import dedup
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = P.explain_str(dedup.minhash_lsh_pairs(docs), mode="simple")
-    assert plan.count("InMemoryTableScan") >= 2
+    out = dedup.minhash_lsh_pairs(docs)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("isFinalPlan=true") == 1
+    assert plan.count("ReusedExchange") >= 2
+    assert "InMemoryTableScan" not in plan  # nothing persisted
 
 
 def test_noise_udfs_are_nondeterministic(spark):
@@ -192,3 +199,66 @@ def test_running_sum_stays_range_partitioned(spark):
                          mode="simple")
     assert "rangepartitioning" in plan.lower()
     assert "Window" not in plan
+
+
+def test_linf_sampling_is_aggregate_first(spark):
+    """Generous-cap MEAN/VARIANCE pipelines must not sort the corpus for
+    the Linf sample: the raw input's only full pass is the sort-free
+    partial aggregation (carrying the __gcount__ group count), and the
+    row_number window sits ONLY over the oversize-key semi-joined
+    subset — empty here, and eliminated by AQE at runtime."""
+    rows = [(u, "a", float(u % 5)) for u in range(50)]
+    df = spark.createDataFrame(rows, "pid int, pk string, v double")
+    q = (pds.QueryBuilder(df, "pid")
+         .groupby("pk", max_groups_contributed=10,
+                  max_contributions_per_group=1_000_000,
+                  public_keys=["a"])
+         .mean("v", min_value=0.0, max_value=5.0)
+         .build_query())
+    out = q.run_query(pds.Budget(1.0), noise_mode="zero")
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__gcount__" in opt          # aggregate-first split present
+    # Exactly one Linf window (in the resample branch): its input chain
+    # must contain the oversize semi-join, never the raw scan directly.
+    import re
+    linf_windows = [l for l in opt.splitlines()
+                    if re.search(r"row_number", l) and "__pid__" in l
+                    and "pk" in l]
+    assert len(linf_windows) <= 1
+    assert out.collect()[0]["mean_v"] == pytest.approx(2.0)
+    # AQE runtime: with no oversize group the resample branch is empty —
+    # the executed plan shows an empty LocalTableScan union side.
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+
+
+def test_oversize_resample_parity_with_plain_window(spark):
+    """Aggregate-first bounding must produce ROW-FOR-ROW the per-key
+    partials of the plain sample-then-aggregate plan under deterministic
+    ordering — mixed under/over-cap groups and null-valued keys
+    included."""
+    from pipelinedp_spark import contribution_bounders as B
+    rows = ([(1, "a", i) for i in range(7)]       # over cap
+            + [(1, "b", i) for i in range(2)]     # under cap
+            + [(2, "a", i) for i in range(4)]     # at boundary+1
+            + [(None, "a", i) for i in range(6)]  # null pid, over cap
+            + [(3, None, i) for i in range(5)])   # null pk, over cap
+    df = spark.createDataFrame(rows, "pid int, pk string, v int")
+    order = [F.col("v")]
+    partials = [F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")]
+    plain = (B._limit_per_key(df, ["pid", "pk"], 3, order)
+             .groupBy("pid", "pk").agg(*partials).collect())
+    split = B._agg_with_oversize_resample(df, ["pid", "pk"], 3,
+                                          partials, order).collect()
+    assert sorted(map(str, plain)) == sorted(map(str, split))
+    # no-oversize cap: everything aggregates directly
+    all_rows = B._agg_with_oversize_resample(df, ["pid", "pk"], 100,
+                                             partials, order).collect()
+    assert sorted(map(str, all_rows)) == sorted(map(str, (
+        df.groupBy("pid", "pk").agg(*partials).collect())))
+    # per-privacy-id (L1) bounder: cap key coarser than agg key
+    l1_plain = (B._limit_per_key(df, ["pid"], 5, order)
+                .groupBy("pid", "pk").agg(*partials).collect())
+    l1_split = B.bound_per_privacy_id(df, "pid", ["pk"], partials, 5,
+                                      order).collect()
+    assert sorted(map(str, l1_plain)) == sorted(map(str, l1_split))
