@@ -1170,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": _sim_pq_topk,
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
         "dp_variance_selected": _dp_variance_selected,
+        "dp_windowed_percentile_events": _dp_windowed_percentile_events,
     }
 
 
@@ -1225,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_topk": _gen_pq_topk_sql(),
         "sim_ivf_pq_topk": _gen_ivf_pq_topk_sql(),
         "dp_variance_selected": _dp_variance_selected_sql(),
+        "dp_windowed_percentile_events": _dp_windowed_percentile_events_sql(),
     }
 
 
@@ -2464,6 +2466,77 @@ def _dp_variance_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = query.run_query(pds.Budget(50.0, 1e-4), noise_mode="zero")
     return out.select("event_type", F.col("day").cast("long").alias("day"),
                       F.round("var_value", 6).alias("var_value"))
+
+
+def _dp_windowed_percentile_events(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Batch mirror of streaming.dp_streaming_percentile: DP percentiles
+    (50, 90) of event value per (event_type, tumbling 1-day window)
+    under PRIVATE Laplace-thresholding window selection — the windowed
+    analogue of dp_percentile_public, closing the streaming-percentile
+    oracle gap. 256-bin histogram over [0, 500] (non-binding clip),
+    zero noise."""
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    ev = ev.withColumn(
+        "day", F.floor(F.col("ts") / F.lit(day_us)).cast("long"))
+    query = (pds.QueryBuilder(ev, "user_id")
+             .groupby(["event_type", "day"], max_groups_contributed=100,
+                      max_contributions_per_group=1_000_000,
+                      partition_selection_strategy=pds.
+                      PartitionSelectionStrategy.LAPLACE_THRESHOLDING)
+             .percentile("value", 50, min_value=0.0, max_value=500.0)
+             .percentile("value", 90, min_value=0.0, max_value=500.0)
+             .build_query())
+    out = query.run_query(pds.Budget(50.0, 1e-4), noise_mode="zero")
+    return out.select(
+        "event_type", F.col("day").cast("long").alias("day"),
+        F.round(F.col("percentile_50"), 6).alias("percentile_50"),
+        F.round(F.col("percentile_90"), 6).alias("percentile_90"))
+
+
+def _dp_windowed_percentile_events_sql() -> str:
+    threshold = _laplace_threshold_for(25.0, 1e-4, 100)
+    nbins = 256
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, value,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events),
+sel AS (
+    SELECT event_type, day
+    FROM ev GROUP BY 1, 2
+    HAVING COUNT(DISTINCT user_id) >= {threshold}),
+b AS (
+  SELECT event_type, day,
+         LEAST({nbins - 1},
+               FLOOR(GREATEST(LEAST(value, 500.0), 0.0)
+                     / (500.0/{nbins}))) AS bin,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM ev JOIN sel USING (event_type, day)
+  GROUP BY 1, 2, 3),
+c AS (
+  SELECT event_type, day, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY bin)
+             AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type, day) AS tot
+  FROM b),
+p AS (SELECT UNNEST([50.0, 90.0]) AS p),
+vals AS (
+  SELECT event_type, day, p.p AS p,
+         MIN_BY(0.0 + (500.0/{nbins}) *
+                (bin + ((p.p/100.0*tot) - (cum - cnt)) / cnt), bin)
+             AS val
+  FROM c, p
+  WHERE cnt > 0 AND cum >= p.p/100.0*tot
+  GROUP BY 1, 2, 3)
+SELECT event_type, day,
+       CAST(ROUND(MAX(CASE WHEN p = 50.0 THEN val END), 6) AS DOUBLE)
+           AS percentile_50,
+       CAST(ROUND(MAX(CASE WHEN p = 90.0 THEN val END), 6) AS DOUBLE)
+           AS percentile_90
+FROM vals GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def _dp_variance_selected_sql() -> str:

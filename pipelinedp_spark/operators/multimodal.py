@@ -25,11 +25,14 @@ Decode depth is two-tier:
   (sequential, SOF0) JPEG decodes via the from-scratch DCT codec in
   ``operators/jpeg.py`` (bitstream-defined quant/huffman tables, byte
   stuffing, restart intervals, arbitrary chroma subsampling).
-  Progressive JPEG and MP3/AAC need codec libraries that are not
-  installed here, so those payloads fall back to the same deterministic
-  content-derived stand-ins as ``decoder="fake"`` (byte histograms
-  shaped like the real decoder's output), and explicit real backends
-  raise NotImplementedError until their import succeeds.
+  Progressive JPEG and MP3/AAC need codec libraries: when Pillow /
+  soundfile are installed, ``decoder="native"`` picks them up
+  automatically for exactly those payloads (detected at import, no
+  configuration); absent, those payloads fall back to the same
+  deterministic content-derived stand-ins as ``decoder="fake"`` (byte
+  histograms shaped like the real decoder's output), and explicit real
+  backends raise NotImplementedError until an install makes the import
+  succeed.
 
 No reference counterpart (net-new per project north star).
 """
@@ -48,6 +51,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
+
+# Optional real codec backends, detected once at import: when Pillow /
+# soundfile exist in the environment, decoder="native" transparently
+# covers the payloads the from-scratch codecs cannot (progressive JPEG,
+# WebP/TIFF, MP3/OGG/FLAC). Absent, behavior is unchanged — the
+# documented deterministic stand-in fallback applies. Workers import
+# this module themselves, so the detection also runs executor-side.
+try:  # pragma: no cover - exercised only when Pillow is installed
+    from PIL import Image as _pil_image
+except ImportError:
+    _pil_image = None
+try:  # pragma: no cover - exercised only when soundfile is installed
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
 
 IMAGE_META_SCHEMA = StructType([
     StructField("width", IntegerType()),
@@ -479,11 +497,34 @@ def decode_image_native(data: Optional[bytes]) -> Optional[np.ndarray]:
     if rgb is None and data and data[:2] == b"\xff\xd8":
         from pipelinedp_spark.operators.jpeg import decode_jpeg
         rgb = decode_jpeg(data)
+    if rgb is None and data and _pil_image is not None:
+        # Optional Pillow fallback for containers the from-scratch
+        # codecs don't cover (progressive JPEG, WebP, TIFF, ...).
+        import io
+        try:
+            with _pil_image.open(io.BytesIO(data)) as im:
+                rgb = np.asarray(im.convert("RGB"))
+        except Exception:
+            rgb = None
     return rgb
 
 
 _WAV_PCM_DTYPES = {(1, 8): np.uint8, (1, 16): np.dtype("<i2"),
                    (1, 32): np.dtype("<i4"), (3, 32): np.dtype("<f4")}
+
+
+def _decode_audio_soundfile(data: Optional[bytes]
+                            ) -> Optional[Tuple[np.ndarray, int]]:
+    """Optional soundfile fallback for compressed audio (MP3/OGG/FLAC)
+    when the library is installed; None otherwise (stand-in path)."""
+    if not data or _soundfile is None:
+        return None
+    import io
+    try:
+        samples, rate = _soundfile.read(io.BytesIO(data))
+        return np.asarray(samples), int(rate)
+    except Exception:
+        return None
 
 
 def decode_wav(data: Optional[bytes]
@@ -496,7 +537,7 @@ def decode_wav(data: Optional[bytes]
     """
     if not data or len(data) < 12 or data[:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
-        return None
+        return _decode_audio_soundfile(data)
     fmt_code = channels = rate = bits = None
     payload = None
     i = 12
@@ -514,10 +555,12 @@ def decode_wav(data: Optional[bytes]
     except struct.error:
         return None
     if rate is None or payload is None or not channels:
-        return None
+        return _decode_audio_soundfile(data)
     dtype = _WAV_PCM_DTYPES.get((fmt_code, bits))
     if dtype is None:
-        return None
+        # RIFF container with a non-PCM codec (e.g. ADPCM/MP3-in-WAV):
+        # soundfile handles it when installed.
+        return _decode_audio_soundfile(data)
     frame = np.dtype(dtype).itemsize * channels
     n = len(payload) // frame
     samples = np.frombuffer(payload, dtype=dtype, count=n * channels)

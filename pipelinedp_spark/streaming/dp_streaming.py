@@ -513,6 +513,69 @@ def dp_streaming_session_count(stream: DataFrame,
         pid_col.alias("privacy_id_count"))
 
 
+def dp_streaming_vector_sum(stream: DataFrame,
+                            privacy_id_col: str,
+                            timestamp_col: str,
+                            vector_col: str,
+                            window_duration: str,
+                            watermark_delay: str,
+                            epsilon_per_window: float,
+                            max_abs_per_dim: float,
+                            dims: int,
+                            noise_kind: NoiseKind = NoiseKind.LAPLACE,
+                            delta_per_window: float = 0.0,
+                            noise_mode: str = "secure",
+                            threshold_windows: bool = False) -> DataFrame:
+    """DP element-wise vector sum per event-time window — the streaming
+    analogue of the batch VECTOR_SUM metric, in the per-partition-clip
+    regime: each user's per-(window, dim) sum is clipped to
+    [-max_abs_per_dim, +max_abs_per_dim] (an Linf-ball clip on the
+    user's per-window aggregate — the norm kinds that clip individual
+    contribution vectors need the whole vector at once, which a
+    dim-exploded stateful aggregation cannot see; batch covers those).
+    One user then moves at most ``dims`` cells by at most
+    ``max_abs_per_dim`` each, so noise is scaled with
+    Sensitivities(l0=dims, linf=max_abs_per_dim) under the chosen
+    mechanism. Returns (window, dim, vector_sum) rows — callers pivot or
+    collect dims downstream of the sink.
+
+    Window thresholding is NOT supported: the per-dim rows of one
+    window would each draw their own selection noise, so a window could
+    be released for some dims and suppressed for others — a
+    correctness-breaking inconsistency. Only a PUBLIC window grid is
+    safe; ``threshold_windows=True`` raises.
+    """
+    if threshold_windows:
+        raise ValueError(
+            "dp_streaming_vector_sum cannot threshold windows: per-dim "
+            "rows would draw independent selection noise and release a "
+            "window for some dims but not others. Use it only when the "
+            "window grid is public knowledge (threshold_windows=False).")
+    exploded = stream.select(
+        F.col(privacy_id_col).alias("__pid__"),
+        F.col(timestamp_col),
+        F.posexplode(F.col(vector_col)).alias("dim", "__v__"))
+    per_user = (exploded
+                .withWatermark(timestamp_col, watermark_delay)
+                .groupBy(F.col("__pid__"),
+                         F.window(F.col(timestamp_col), window_duration)
+                         .alias("window"),
+                         F.col("dim"))
+                .agg(_clip(F.sum(F.col("__v__").cast(DoubleType())),
+                           -max_abs_per_dim, max_abs_per_dim)
+                     .alias("__clipped__")))
+    per_window = per_user.groupBy("window", "dim").agg(
+        F.sum("__clipped__").alias("__sum__"))
+    sens = dp.Sensitivities(l0=dims, linf=float(max_abs_per_dim))
+    scale = dp.noise_scale(noise_kind, epsilon_per_window,
+                           delta_per_window or 0.0, sens)
+    noise = create_noise_source(noise_mode)
+    return per_window.select(
+        "window", "dim",
+        noise.add_noise(F.col("__sum__"), noise_kind.value, scale)
+        .alias("vector_sum"))
+
+
 def dp_streaming_percentile(stream: DataFrame,
                             privacy_id_col: str,
                             timestamp_col: str,

@@ -601,3 +601,58 @@ def test_jpeg_dispatch_and_metadata_agree():
     assert MM.decode_image_native(data) is not None
     meta = MM.parse_image_metadata(data)
     assert (meta[0], meta[1], meta[2]) == (20, 12, "jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Optional-codec-backend golden tests: run only when Pillow / soundfile
+# are installed (absent in this container — the fallback contract is
+# covered by the stand-in tests above).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(MM._pil_image is None, reason="Pillow not installed")
+def test_pillow_backend_decodes_progressive_jpeg(spark):
+    import io
+    px = _pattern_pixels(9, 16, 16)
+    buf = io.BytesIO()
+    MM._pil_image.fromarray(np.repeat(px[:, :, None], 3, axis=2)) \
+        .save(buf, format="JPEG", progressive=True, quality=95)
+    data = buf.getvalue()
+    # progressive SOF2 marker present -> from-scratch codec declines,
+    # Pillow fallback must decode real pixels
+    rgb = MM.decode_image_native(data)
+    assert rgb is not None and rgb.shape == (16, 16, 3)
+    assert abs(int(rgb[:, :, 0].astype(int).mean())
+               - int(px.mean())) < 16  # lossy but close
+
+
+@pytest.mark.skipif(MM._soundfile is None,
+                    reason="soundfile not installed")
+def test_soundfile_backend_decodes_flac(spark):
+    import io
+    samples = (np.sin(np.linspace(0, 40 * np.pi, 4000))
+               * 0.5).astype(np.float32)
+    buf = io.BytesIO()
+    MM._soundfile.write(buf, samples, 8000, format="FLAC")
+    decoded = MM.decode_wav(buf.getvalue())
+    assert decoded is not None
+    got, rate = decoded
+    assert rate == 8000
+    assert np.abs(np.asarray(got, dtype=np.float64)
+                  - samples.astype(np.float64)).max() < 1e-3
+
+
+def test_codec_fallback_absent_libraries_stand_in():
+    """Without the optional libraries, non-PCM/progressive payloads keep
+    returning None from the native decoders (stand-in path) instead of
+    raising."""
+    if MM._pil_image is None:
+        assert MM.decode_image_native(b"\xff\xd8\xff\xc2 bogus sof2") is None
+    if MM._soundfile is None:
+        assert MM.decode_wav(b"fLaC bogus") is None
+        # RIFF container with non-PCM codec code
+        import struct as st
+        riff = (b"RIFF" + st.pack("<I", 36) + b"WAVE" + b"fmt " +
+                st.pack("<IHHIIHH", 16, 85, 1, 8000, 8000, 1, 0) +
+                b"data" + st.pack("<I", 0))
+        assert MM.decode_wav(riff) is None

@@ -1,0 +1,57 @@
+"""Fast oracle-parity smoke: the driver's Spark-vs-DuckDB compare on a
+handful of cheap queries at sf0.001, mirroring scripts/check_correctness
+(`pytest -m oracle_smoke`, < 60 s). A broken oracle mirror fails HERE in
+CI instead of surfacing at round end (the dp_variance_selected near-miss
+in r04 motivated this gate)."""
+
+import importlib.util
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+# Cheapest representative queries: one per family (DP count/sum/selection,
+# dedup, text) — each < ~5 s at sf0.001.
+SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
+         "dp_partition_selection", "dedup_exact", "doc_text_stats"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_smoke", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet"
+            f"('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(4)
+    return (df.astype(str).sort_values(list(df.columns))
+            .reset_index(drop=True))
+
+
+@pytest.mark.oracle_smoke
+@pytest.mark.parametrize("name", SMOKE)
+def test_oracle_smoke(spark, entry_mod, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF).toPandas()
+    odf = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    pd.testing.assert_frame_equal(_norm(sdf), _norm(odf))

@@ -491,3 +491,67 @@ def test_read_csv_and_json_roundtrip(spark, tmp_path):
     # schema-less CSV inference path
     inferred = sources.read_csv(spark, csv_p)
     assert dict(inferred.dtypes)["id"] in ("int", "bigint")
+
+
+def test_dp_streaming_vector_sum(spark, tmp_path):
+    """Streaming VECTOR_SUM batch mirror: per-(window, dim) sums with the
+    per-user per-dim clip binding for one hot user; zero noise makes the
+    check exact."""
+    import datetime
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType, TimestampType)
+    from pipelinedp_spark.streaming import dp_streaming_vector_sum
+    schema = StructType([
+        StructField("user_id", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("vec", ArrayType(DoubleType())),
+    ])
+    rows = []
+    t0 = datetime.datetime.fromisoformat("2024-01-01 00:00:10")
+    for u in range(5):
+        rows.append((u, t0, [1.0, -2.0]))
+    # hot user 0: 4 more events in window 0 -> per-dim sum 5.0 / -10.0,
+    # clipped to +-3.0
+    for k in range(4):
+        rows.append((0, t0 + datetime.timedelta(seconds=k + 1),
+                     [1.0, -2.0]))
+    # window 1 + flush event
+    rows.append((1, datetime.datetime.fromisoformat("2024-01-01 00:01:30"),
+                 [0.5, 0.5]))
+    rows.append((0, datetime.datetime.fromisoformat("2024-01-01 00:05:00"),
+                 [0.0, 0.0]))
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "vecstream")
+    df.coalesce(1).write.parquet(path)
+    stream = sources.read_stream(spark, path, schema)
+    out = dp_streaming_vector_sum(
+        stream, "user_id", "ts", "vec", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=1.0,
+        max_abs_per_dim=3.0, dims=2, noise_mode="zero")
+    got = _run_stream(spark, out, "dp_vecsum_stream")
+    res = {(r["window"]["start"].minute, r["dim"]): r["vector_sum"]
+           for r in got.collect()}
+    # window 0, dim 0: user0 clipped 5.0 -> 3.0, users 1-4: 1.0 each = 7.0
+    assert res[(0, 0)] == pytest.approx(7.0)
+    # window 0, dim 1: user0 -10 -> -3.0, others -2.0 each = -11.0
+    assert res[(0, 1)] == pytest.approx(-11.0)
+    assert res[(1, 0)] == pytest.approx(0.5)
+    assert res[(1, 1)] == pytest.approx(0.5)
+
+
+def test_dp_streaming_vector_sum_refuses_thresholding(spark, tmp_path):
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType, TimestampType)
+    from pipelinedp_spark.streaming import dp_streaming_vector_sum
+    schema = StructType([
+        StructField("user_id", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("vec", ArrayType(DoubleType())),
+    ])
+    stream = sources.read_stream(spark, str(tmp_path), schema)
+    with pytest.raises(ValueError, match="per-dim"):
+        dp_streaming_vector_sum(
+            stream, "user_id", "ts", "vec", window_duration="1 minute",
+            watermark_delay="0 seconds", epsilon_per_window=1.0,
+            max_abs_per_dim=3.0, dims=2, delta_per_window=1e-4,
+            threshold_windows=True)
