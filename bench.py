@@ -178,6 +178,7 @@ def main() -> None:
     # time thanks to local[32] having idle cores at sf0.1.
     times_sf1: dict[str, float] = {}
     scaling: dict[str, float] = {}
+    compute_10x: dict[str, float] = {}
     # emb_near_dup_exact is the guarded QUADRATIC reference baseline (its
     # docstring points users at the LSH path for scale); at sf1 its 20k^2
     # driver-side matmul costs ~35 s AND its GC pressure contaminates the
@@ -230,6 +231,27 @@ def main() -> None:
                 times_sf1[name] = round(
                     min(times_sf1[name], time.perf_counter() - t0), 3)
                 spark.catalog.clearCache()
+            # Compute-only ratios for the still-flagged queries: collect()
+            # serializes every output row through the driver, so a query
+            # whose OUTPUT grows linearly with sf (range_join emits one
+            # row per event-window overlap: 2.4M rows at sf1) reads as
+            # super-linear when the engine work is flat (measured: 6.1 s
+            # collect vs 0.44 s count at sf1). count() executes the
+            # identical plan minus driver row transfer — the engine
+            # scaling signal.
+            for name in suspects:
+                if times_sf1[name] / max(times[name], 1e-3) <= 4.5:
+                    continue
+                q = mod.queries()[name]
+                t0 = time.perf_counter()
+                q(spark, sf_dir).count()
+                t_small = time.perf_counter() - t0
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                q(spark, sf1_dir).count()
+                compute_10x[name] = round(
+                    (time.perf_counter() - t0) / max(t_small, 1e-3), 2)
+                spark.catalog.clearCache()
         for name in sf1_names:
             scaling[name] = round(times_sf1[name] / max(times[name], 1e-3), 2)
 
@@ -246,6 +268,8 @@ def main() -> None:
         out["queries_sf1"] = times_sf1
         out["value_sf1"] = round(sum(times_sf1.values()), 3)
         out["scaling_10x"] = scaling
+        if compute_10x:
+            out["scaling_compute_10x"] = compute_10x
         out["sf1_skipped"] = sf1_skip
     print(json.dumps(out))
     spark.stop()

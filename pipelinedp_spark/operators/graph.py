@@ -50,26 +50,23 @@ def connected_components(edges: DataFrame,
     # the big tables) fixed task-launch overhead dominates the ~3 jobs per
     # round. Start at the floor so even the edge-table distinct runs small
     # (measured setup 1.9s -> 0.7s at 543k edges), then retarget upward
-    # once the true edge count is known. Restored in ``finally``; see the
-    # module docstring for the concurrency caveat.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # once the true edge count is known. scoped_conf restores the session
+    # value on any exit; see plans/conf.py for the concurrency caveat.
+    from pipelinedp_spark.plans import scoped_conf
+    parts = "spark.sql.shuffle.partitions"
+    with scoped_conf(spark, **{parts: "8"}):
         both = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                 .unionByName(edges.select(F.col(dst).alias("u"),
                                           F.col(src).alias("v")))
                 .distinct()
                 .localCheckpoint())
         n_edges = both.count()
-        target = int(min(max(n_edges // 500_000 + 1, 8), 2000))
-        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    target = int(min(max(n_edges // 500_000 + 1, 8), 2000))
+    with scoped_conf(spark, **{parts: str(target)}):
         labels = (both.groupBy("u")
                   .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
                   .select(F.col("u").alias("node"), "lbl")
                   .localCheckpoint())
-    except BaseException:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        raise
 
     def prop_step(lbls: DataFrame, fresh: DataFrame) -> DataFrame:
         # candidate label for each node: min over FRESH neighbor labels
@@ -97,7 +94,7 @@ def connected_components(edges: DataFrame,
                         .alias("lbl")))
 
     frontier = labels  # round 1: every node is fresh
-    try:
+    with scoped_conf(spark, **{parts: str(target)}):
         for _ in range(max_iter):
             stepped = jump(prop_step(labels, frontier))
             # Single checkpoint carries labels AND the changed flag; the
@@ -117,8 +114,6 @@ def connected_components(edges: DataFrame,
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 f"rounds (graph diameter exceeds max_iter; raise max_iter)")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     both.unpersist()
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 

@@ -1,5 +1,6 @@
-"""Physical-plan inspection utilities."""
+"""Physical-plan inspection + scoped-conf utilities."""
 
+from pipelinedp_spark.plans.conf import scoped_conf
 from pipelinedp_spark.plans.inspect import (count_shuffles, explain_str,
                                             has_broadcast_join,
                                             has_partial_aggregation,
@@ -7,6 +8,7 @@ from pipelinedp_spark.plans.inspect import (count_shuffles, explain_str,
                                             whole_stage_codegen_spans)
 
 __all__ = [
+    "scoped_conf",
     "count_shuffles",
     "explain_str",
     "has_broadcast_join",

@@ -262,3 +262,20 @@ def test_oversize_resample_parity_with_plain_window(spark):
     l1_split = B.bound_per_privacy_id(df, "pid", ["pk"], partials, 5,
                                       order).collect()
     assert sorted(map(str, l1_plain)) == sorted(map(str, l1_split))
+
+
+def test_scoped_conf_restores_on_exception_and_unset(spark):
+    from pipelinedp_spark.plans import scoped_conf
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pytest.raises(RuntimeError):
+        with scoped_conf(spark, **{key: "3"}):
+            assert spark.conf.get(key) == "3"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+    # a key unset before entry is unset again after exit
+    custom = "spark.pipelinedp.test.flag"
+    with scoped_conf(spark, **{custom: "on"}):
+        assert spark.conf.get(custom) == "on"
+    with pytest.raises(Exception):
+        spark.conf.get(custom)
