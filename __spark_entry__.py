@@ -1171,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
         "dp_variance_selected": _dp_variance_selected,
         "dp_windowed_percentile_events": _dp_windowed_percentile_events,
+        "doc_decontaminate": _doc_decontaminate,
+        "doc_pack_sequences": _doc_pack_sequences,
     }
 
 
@@ -1227,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_pq_topk": _gen_ivf_pq_topk_sql(),
         "dp_variance_selected": _dp_variance_selected_sql(),
         "dp_windowed_percentile_events": _dp_windowed_percentile_events_sql(),
+        "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
+        "doc_pack_sequences": _DOC_PACK_SQL,
     }
 
 
@@ -2536,6 +2540,76 @@ SELECT event_type, day,
        CAST(ROUND(MAX(CASE WHEN p = 90.0 THEN val END), 6) AS DOUBLE)
            AS percentile_90
 FROM vals GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style 5-gram overlap):
+    docs with doc_id % 97 == 0 act as the eval set; every remaining doc
+    sharing a word 5-gram with it is flagged with its occurrence count.
+    Eval grams broadcast; corpus side is one explode + broadcast
+    semi-join + map-side-combined per-doc count."""
+    from pipelinedp_spark.operators.decontam import contamination_hits
+    docs = _t(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (contamination_hits(train, evald, n=3)
+            .select("doc_id", F.col("n_hits").cast("long").alias("n_hits")))
+
+
+_DOC_DECONTAMINATE_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    for i in range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS grams
+  FROM tok),
+ev AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM gr, UNNEST(grams) AS u(g)
+  WHERE doc_id % 97 = 0),
+corpus AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM gr, UNNEST(grams) AS u(g)
+  WHERE doc_id % 97 <> 0)
+SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM corpus JOIN ev USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout):
+    documents concatenated in doc_id order, chunked into 2048-token
+    sequences; each doc's placement (start sequence, in-sequence offset,
+    sequences spanned) via the distributed two-phase prefix sum — no
+    corpus-wide single-task window."""
+    from pipelinedp_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (pack_sequences(docs, seq_len=2048)
+            .select("doc_id", "n_tokens", "start_seq", "start_off",
+                    "n_seqs"))
+
+
+_DOC_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id,
+       n AS n_tokens,
+       CAST((cum - n) // 2048 AS BIGINT) AS start_seq,
+       CAST((cum - n) % 2048 AS BIGINT) AS start_off,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE (cum - 1) // 2048 - (cum - n) // 2048 + 1
+            END AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
 """
 
 

@@ -133,12 +133,13 @@ def main() -> None:
     # Best-of-2 per query: local[32] shares the box with other processes,
     # and a single pass conflates external interference (observed 2s -> 27s
     # spikes on identical plans) with engine cost.
-    # clearCache after every measurement: several operators persist()
-    # intermediate tables (simhash blocks, jaccard shingles, winnowing
-    # fingerprints) whose blocks otherwise accumulate across the ~90
-    # query executions of a full bench and degrade later measurements
-    # ~3-10x (observed: dedup_simhash 13 s fresh vs 155 s at the tail of
-    # a shared session).
+    # clearCache after every measurement: the remaining persist() users
+    # (running_sum / sessionize_scalable cache their range-partitioned
+    # input between the totals pass and the output pass) would otherwise
+    # accumulate blocks across the ~100 query executions of a full bench
+    # and degrade later measurements ~3-10x (observed: dedup_simhash
+    # 13 s fresh vs 155 s at a shared-session tail, before the dedup
+    # operators' persists were replaced with AQE exchange reuse in r5).
     times: dict[str, float] = {}
     for name, fn in mod.queries().items():
         best = float("inf")

@@ -199,7 +199,11 @@ def jaccard_pairs(df: DataFrame,
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = shingle_docs(df, text_col, id_col, k).persist()
+    # No persist for the shingled frame: the verify joins recompute the
+    # (cheap, codegen'd) shingle expressions (+8% at sf0.1) instead of
+    # caching a corpus-scale table — which leaked blocks across calls
+    # and at 100 TB would not fit memory anyway.
+    sh = shingle_docs(df, text_col, id_col, k)
     inv = sh.select(F.col(id_col),
                     F.explode(F.array_distinct("shingles")).alias("sh"))
     w = Window.partitionBy("sh")
@@ -342,11 +346,15 @@ def simhash_pairs(df: DataFrame,
     blocks = blocks.select(
         id_col, "simhash", "block_idx",
         F.col("bv.v").alias("block_val"), F.col("bv.rem").alias("rem"))
-    # Persist the (num_blocks rows/doc) table so the fingerprint subplan
-    # runs once, not once per join side; the size window reuses the same
-    # (block_idx, block_val) shuffle the join needs anyway.
+    # No persist: all four join branches (small left/right, big
+    # left/right) sit above the SAME (block_idx, block_val) exchange the
+    # size window needs, so AQE materializes that shuffle once and
+    # stitches the rest with ReusedExchange — the fingerprint UDF
+    # subplan below the exchange runs once. (An explicit persist here
+    # leaked cached blocks across calls — the bench-contamination class
+    # fixed across winnowing/minhash this round.)
     w = Window.partitionBy("block_idx", "block_val")
-    blocks = blocks.withColumn("bsz", F.count(F.lit(1)).over(w)).persist()
+    blocks = blocks.withColumn("bsz", F.count(F.lit(1)).over(w))
 
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
 

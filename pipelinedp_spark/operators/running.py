@@ -49,6 +49,11 @@ def running_sum(df: DataFrame, order_col: str, value_col: str,
     distributed two-phase prefix sum runs against the persisted input.
     Passing ``num_partitions`` explicitly always forces the distributed
     path.
+
+    Caching note: the persisted frames stay cached after the returned
+    DataFrame is consumed (they cannot be unpersisted before the lazy
+    output plan runs). Long-lived sessions issuing many calls should
+    ``spark.catalog.clearCache()`` periodically, as bench.py does.
     """
     import pandas as pd
 

@@ -67,6 +67,12 @@ def sessionize_scalable(df: DataFrame, time_col: str, by: str, gap: int,
     Cost: one range exchange + a <= 2*num_partitions-row collect; every
     phase is data-parallel regardless of key skew. The single-window
     `sessionize` remains the cheaper plan when keys are well-distributed.
+
+    Caching note: the range-partitioned input stays persisted after the
+    returned DataFrame is consumed (it cannot be unpersisted before the
+    lazy output pass runs). Long-lived sessions issuing many calls
+    should ``spark.catalog.clearCache()`` periodically, as bench.py
+    does.
     """
     import pandas as pd
 

@@ -161,13 +161,18 @@ def test_jaccard_pairs_no_pair_blowup(spark):
 
 
 def test_simhash_pairs_fingerprints_computed_once(spark):
-    """Both join sides of the simhash block self-join (and the sub-block
-    path) must read the persisted block table instead of re-running the
-    fingerprint UDF subplan."""
+    """All four join branches (small/big x left/right) must feed from ONE
+    materialized (block_idx, block_val) exchange via AQE ReusedExchange
+    instead of re-running the fingerprint UDF subplan — and nothing is
+    persisted (the r04 persist leaked cached blocks across calls)."""
     from pipelinedp_spark.operators import dedup
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = P.explain_str(dedup.simhash_pairs(docs), mode="simple")
-    assert plan.count("InMemoryTableScan") >= 2
+    out = dedup.simhash_pairs(docs)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("isFinalPlan=true") == 1
+    assert plan.count("ReusedExchange") >= 1
+    assert "InMemoryTableScan" not in plan
 
 
 def test_quantile_tree_scan_pruning(spark):

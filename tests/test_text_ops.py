@@ -697,3 +697,77 @@ def test_ivf_pq_topk_recall_vs_exact(spark):
     # ~0.05); rank-1 self-match is checked exactly by the parity test.
     assert len(recalls) == 5
     assert sum(recalls) / len(recalls) >= 0.2
+
+
+class TestDecontamination:
+
+    def test_contamination_hits_and_filter(self, spark):
+        from pipelinedp_spark.operators.decontam import (
+            contamination_hits, decontaminate)
+        evald = spark.createDataFrame(
+            [(100, "the secret eval answer is forty two exactly")],
+            "doc_id int, text string")
+        docs = spark.createDataFrame(
+            [(1, "clean document with no overlap whatsoever here"),
+             # contains the 5-gram "secret eval answer is forty" twice
+             (2, "x secret eval answer is forty y "
+                 "secret eval answer is forty z"),
+             (3, "the secret eval answer is hidden"),  # 5-gram overlap
+             (4, "short text")],
+            "doc_id int, text string")
+        hits = {r["doc_id"]: r["n_hits"] for r in
+                contamination_hits(docs, evald, n=5).collect()}
+        assert hits[2] == 2          # non-distinct occurrences
+        assert hits[3] == 1          # "the secret eval answer is"
+        assert 1 not in hits and 4 not in hits
+        kept = {r["doc_id"] for r in
+                decontaminate(docs, evald, n=5).collect()}
+        assert kept == {1, 4}
+        # max_hits=1 tolerates a single overlapping occurrence
+        kept1 = {r["doc_id"] for r in
+                 decontaminate(docs, evald, n=5, max_hits=1).collect()}
+        assert kept1 == {1, 3, 4}
+
+    def test_decontaminate_broadcasts_eval_side(self, spark):
+        from pipelinedp_spark.operators.decontam import decontaminate
+        from pipelinedp_spark import plans as P
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        evald = docs.filter(F.col("doc_id") % 97 == 0)
+        out = decontaminate(docs, evald)
+        assert P.has_broadcast_join(out)
+
+
+class TestSequencePacking:
+
+    def test_pack_sequences_exact_layout(self, spark):
+        from pipelinedp_spark.operators.packing import pack_sequences
+        docs = spark.createDataFrame(
+            [(1, "a b c"),          # 3 tokens: off 0,  seq 0
+             (2, " ".join(["t"] * 6)),   # off 3 -> spans seq 0 only? 3+6=9>8: spans 0-1
+             (3, "x"),              # off 9 -> seq 1
+             (4, " ".join(["u"] * 17))],  # off 10 -> seqs 1..3
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               pack_sequences(docs, seq_len=8).collect()}
+        assert (out[1]["start_seq"], out[1]["start_off"],
+                out[1]["n_seqs"]) == (0, 0, 1)
+        assert (out[2]["start_seq"], out[2]["start_off"],
+                out[2]["n_seqs"]) == (0, 3, 2)   # tokens 3..8 cross seq 0/1
+        assert (out[3]["start_seq"], out[3]["start_off"],
+                out[3]["n_seqs"]) == (1, 1, 1)
+        assert (out[4]["start_seq"], out[4]["start_off"],
+                out[4]["n_seqs"]) == (1, 2, 3)   # tokens 10..26 in seqs 1,2,3
+        # total stream length = 27 tokens -> 4 sequences of 8 (last partial)
+        assert max(r["start_seq"] + r["n_seqs"] for r in out.values()) == 4
+
+    def test_pack_sequences_contiguous_no_gaps(self, spark):
+        from pipelinedp_spark.operators.packing import pack_sequences
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(300)
+        rows = sorted(pack_sequences(docs, seq_len=512).collect(),
+                      key=lambda r: r["doc_id"])
+        stream_pos = 0
+        for r in rows:
+            assert r["start_seq"] * 512 + r["start_off"] == stream_pos
+            stream_pos += r["n_tokens"]
