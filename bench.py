@@ -58,6 +58,25 @@ def _skew_queries(spark, n: int = 2_000_000):
         acct.compute_budgets()
         return res.dataframe()
 
+    def dp_mean_generous_cap():
+        # Generous Linf (100k) routes through the aggregate-first
+        # oversize-resample bounder; the hot (uid 0, pk 0) group holds
+        # ~100k rows (and uid 0 ~400k across keys), so the oversize
+        # branch — semi-join + window-sample of exactly the hot groups —
+        # actually executes instead of being AQE-eliminated.
+        acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+        engine = pds.DPEngine(acct, noise_mode="zero")
+        params = pds.AggregateParams(
+            metrics=[pds.Metrics.MEAN],
+            max_partitions_contributed=1000,
+            max_contributions_per_partition=100_000,
+            min_value=0.0, max_value=96.0)
+        res = engine.aggregate(
+            df, params, pds.DataFrameExtractors("uid", "pk", "v"),
+            public_partitions=list(range(100)))
+        acct.compute_budgets()
+        return res.dataframe()
+
     def asof_hot_key():
         left = df.sample(0.1, seed=7)
         return asof_join(left.select("uid", "ts", "v"),
@@ -95,6 +114,7 @@ def _skew_queries(spark, n: int = 2_000_000):
 
     return {
         "skew_dp_count_bounded": dp_count_bounded,
+        "skew_dp_mean_generous_cap": dp_mean_generous_cap,
         "skew_asof_hot_key": asof_hot_key,
         "skew_sessionize": sessionize_hot_user,
         "skew_dedup_simhash": dedup_simhash_hot_block,

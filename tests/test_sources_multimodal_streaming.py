@@ -341,6 +341,36 @@ def test_write_bucketed_table(spark):
         spark.sql("DROP TABLE IF EXISTS bucketed_t")
 
 
+def test_bucketed_join_is_colocated(spark):
+    """Two tables bucketed on the join key: the repeated-daily-join
+    regime where bucketing pays — the join plan must contain ZERO
+    exchanges (both sides read pre-shuffled buckets)."""
+    left = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    sources.write_bucketed_table(left, "buck_l", ["k"], num_buckets=4,
+                                 sort_cols=["k"], mode="overwrite")
+    sources.write_bucketed_table(right, "buck_r", ["k"], num_buckets=4,
+                                 sort_cols=["k"], mode="overwrite")
+    try:
+        from pipelinedp_spark import plans as P
+        from pipelinedp_spark.plans import scoped_conf
+        # force a sort-merge join: a broadcast would trivially have no
+        # exchange and prove nothing about bucket co-location
+        with scoped_conf(spark,
+                         **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            joined = spark.table("buck_l").join(spark.table("buck_r"),
+                                                "k")
+            assert joined.count() == 200
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert P.count_shuffles(joined) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buck_l")
+        spark.sql("DROP TABLE IF EXISTS buck_r")
+
+
 def test_session_window_counts(spark, stream_dir):
     stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
     out = session_window_counts(stream, "user_id", "ts",
