@@ -119,6 +119,31 @@ def _agg_with_oversize_resample(df: DataFrame, keys: Sequence[str],
     return ok.unionByName(resampled)
 
 
+def limit_rows_per_key(df: DataFrame, keys: Sequence[str], cap: int,
+                       order_cols: Optional[Sequence[Column]]
+                       ) -> DataFrame:
+    """Row-output cap: keep <= cap rows per key, window-sorting ONLY
+    oversize groups when the cap is generous (>= OVERSIZE_SPLIT_MIN_CAP).
+
+    For pipelines that need the surviving ROWS (vector sums clip+explode
+    after sampling; custom combiners applyInPandas over raw rows) the
+    aggregate-first formulation doesn't apply, but the sort can still be
+    confined to groups that exceed the cap: one map-side-combined count
+    pass, then under-cap groups pass through via a broadcast anti-join
+    while only oversize rows window-sample. Binding-regime caps keep the
+    plain window (same threshold rationale as the partial-agg bounders).
+    """
+    if cap < OVERSIZE_SPLIT_MIN_CAP:
+        return _limit_per_key(df, keys, cap, order_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(_GC))
+    over = _oversize_keys(counts, keys, cap)
+    ok_cols = [f"__ok{i}__" for i in range(len(keys))]
+    cond = _oversize_key_cond(keys, ok_cols)
+    ok = df.join(over, on=cond, how="left_anti")
+    big = df.join(over, on=cond, how="left_semi")
+    return ok.unionByName(_limit_per_key(big, keys, cap, order_cols))
+
+
 def bound_cross_and_per_partition(
         df: DataFrame,
         pid_col: str,

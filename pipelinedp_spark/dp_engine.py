@@ -831,8 +831,8 @@ class DPEngine:
         linf = params.max_contributions_per_partition
         if not params.contribution_bounds_already_enforced and \
                 linf is not None:
-            data = bounders._limit_per_key(data, [_PID, *pk_cols], linf,
-                                           self._order_cols)
+            data = bounders.limit_rows_per_key(data, [_PID, *pk_cols],
+                                               linf, self._order_cols)
         # L0 sampling happens at the (pid, pk) KEY level BEFORE the d-fold
         # explode: the key frame is 1/d the exploded size, and sampling
         # first means the explode+sum subtree is built once (a post-explode
@@ -929,8 +929,8 @@ class DPEngine:
         l0 = params.max_partitions_contributed
         if not params.contribution_bounds_already_enforced:
             if linf is not None:
-                data = bounders._limit_per_key(data, [_PID, *pk_cols], linf,
-                                               self._order_cols)
+                data = bounders.limit_rows_per_key(
+                    data, [_PID, *pk_cols], linf, self._order_cols)
             if l0 is not None:
                 keys = bounders._limit_per_key(
                     data.select(_PID, *pk_cols).distinct(), [_PID], l0,

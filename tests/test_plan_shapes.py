@@ -284,3 +284,21 @@ def test_scoped_conf_restores_on_exception_and_unset(spark):
         assert spark.conf.get(custom) == "on"
     with pytest.raises(Exception):
         spark.conf.get(custom)
+
+
+def test_limit_rows_per_key_parity(spark):
+    """Row-output oversize cap (vector/custom paths): identical rows to
+    the plain window under deterministic ordering, both regimes."""
+    from pipelinedp_spark import contribution_bounders as B
+    rows = ([(1, "a", i) for i in range(2500)]
+            + [(2, "a", i) for i in range(10)]
+            + [(2, "b", i) for i in range(1200)])
+    df = spark.createDataFrame(rows, "pid int, pk string, v int")
+    order = [F.col("v")]
+    plain = B._limit_per_key(df, ["pid", "pk"], 1000, order).collect()
+    split = B.limit_rows_per_key(df, ["pid", "pk"], 1000, order).collect()
+    assert sorted(map(str, plain)) == sorted(map(str, split))
+    assert len(split) == 1000 + 10 + 1000
+    # binding-regime cap (< threshold) delegates to the plain window
+    small = B.limit_rows_per_key(df, ["pid", "pk"], 5, order).collect()
+    assert len(small) == 15
