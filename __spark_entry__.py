@@ -1021,6 +1021,28 @@ FROM u
 """
 
 
+def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum corpus mixing: keep all docs of rare
+    languages, 25% of 'en' (the boilerplate-heavy majority). Pure
+    md5-hash decision per row — no RNG, no shuffle, engine-portable."""
+    from pipelinedp_spark.functions.sampling import stratified_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang",
+                             {"en": 0.25}, default_fraction=1.0)
+
+
+_DOC_STRATIFIED_SQL = """
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT / 1152921504606846976.0 AS v
+  FROM documents)
+SELECT doc_id, lang
+FROM u
+WHERE v < CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END
+"""
+
+
 def _multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end binary image path: a deterministic grayscale pixel
     pattern per doc -> real 24-bit BMP encoding (struct, bottom-up rows,
@@ -1173,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_windowed_percentile_events": _dp_windowed_percentile_events,
         "doc_decontaminate": _doc_decontaminate,
         "doc_pack_sequences": _doc_pack_sequences,
+        "doc_stratified_sample": _doc_stratified_sample,
     }
 
 
@@ -1231,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_windowed_percentile_events": _dp_windowed_percentile_events_sql(),
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
         "doc_pack_sequences": _DOC_PACK_SQL,
+        "doc_stratified_sample": _DOC_STRATIFIED_SQL,
     }
 
 

@@ -62,3 +62,24 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float,
                          salt: str = "sample") -> DataFrame:
     """Keep a reproducible ``fraction`` of rows keyed on ``id_col``."""
     return df.filter(hash_uniform(F.col(id_col), salt) < F.lit(fraction))
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: Dict, default_fraction: float = 0.0,
+                      salt: str = "strata") -> DataFrame:
+    """Reproducible per-stratum sampling: keep each row with its
+    stratum's fraction (e.g. downsample boilerplate-heavy sources while
+    keeping rare ones whole — the standard corpus-mixing move). Strata
+    absent from ``fractions`` use ``default_fraction``. Deterministic
+    like every sampler here: pure function of (salt, id), no RNG, no
+    shuffle; the stratum lookup compiles to a CASE chain (broadcast
+    nothing)."""
+    u = hash_uniform(F.col(id_col), salt)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        expr = F.when(cond, F.lit(float(frac))) if expr is None \
+            else expr.when(cond, F.lit(float(frac)))
+    thresh = (F.lit(float(default_fraction)) if expr is None
+              else expr.otherwise(F.lit(float(default_fraction))))
+    return df.filter(u < thresh)

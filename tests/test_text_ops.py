@@ -771,3 +771,26 @@ class TestSequencePacking:
         for r in rows:
             assert r["start_seq"] * 512 + r["start_off"] == stream_pos
             stream_pos += r["n_tokens"]
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from pipelinedp_spark.functions.sampling import stratified_sample
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, "rare").otherwise("common")
+        .alias("src"))
+    out = stratified_sample(df, "id", "src",
+                            {"rare": 1.0, "common": 0.1})
+    got = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["rare"] == 5000                      # kept whole
+    assert abs(got["common"] - 1500) < 200          # ~10% of 15000
+    # deterministic: identical output on a second run
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in stratified_sample(
+        df, "id", "src", {"rare": 1.0, "common": 0.1}).collect())
+    assert a == b
+    # absent stratum uses default_fraction (0 -> dropped)
+    none_kept = stratified_sample(
+        df, "id", "src", {"rare": 0.5}).filter(F.col("src") == "common")
+    assert none_kept.count() == 0
