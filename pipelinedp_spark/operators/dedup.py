@@ -3,11 +3,12 @@
 All operators are shuffle-bounded DataFrame plans:
 
 - exact_dedup: one hash-groupBy on the fingerprint (map-side combine).
-- minhash_lsh_pairs: shingle -> minhash -> band -> in-bucket pairs.
-  Pairs are generated inside each LSH bucket group (one groupBy shuffle,
-  no self-join), and a size cap drops degenerate buckets whole (a bucket
-  with B docs creates B^2/2 pairs — the cap bounds the blow-up the way
-  frequency filters do in prod dedup).
+- minhash_lsh_pairs: shingle -> numpy minhash signature -> band ->
+  in-bucket pairs via a band-key self-join whose two sides share ONE
+  materialized exchange (AQE ReusedExchange, plan-tested); a size cap
+  drops degenerate buckets whole (a bucket with B docs creates B^2/2
+  pairs — the cap bounds the blow-up the way frequency filters do in
+  prod dedup).
 - simhash_pairs: bucket by simhash bit-block (Hamming-adjacent candidates).
 - embedding_near_dup_pairs / embedding_near_dup_exact: banded hyperplane
   LSH scale path / broadcast block-matmul baseline.

@@ -9,21 +9,25 @@ named tables and the format quirks live in one place.
 
 from pipelinedp_spark.sources.catalog import (CANONICAL_TABLES, load_tables,
                                               read_csv, read_json,
-                                              read_parquet, read_stream,
-                                              read_table,
+                                              read_orc, read_parquet,
+                                              read_stream, read_table,
                                               register_temp_views,
                                               write_bucketed_table,
-                                              write_parquet)
+                                              write_orc, write_parquet,
+                                              write_stream)
 
 __all__ = [
     "CANONICAL_TABLES",
     "load_tables",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "read_stream",
     "read_table",
     "register_temp_views",
     "write_bucketed_table",
+    "write_orc",
     "write_parquet",
+    "write_stream",
 ]

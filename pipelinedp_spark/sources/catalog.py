@@ -103,3 +103,48 @@ def read_stream(spark: SparkSession, path: str, schema: StructType,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (columnar, predicate-pushdown-capable like parquet;
+    built into Spark — no extra packages)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: Optional[List[str]] = None,
+              max_records_per_file: int = 1_000_000,
+              mode: str = "error") -> None:
+    """ORC sink with the same bounded-file-size posture as
+    write_parquet."""
+    writer = df.write.mode(mode).option("maxRecordsPerFile",
+                                        max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_stream(df: DataFrame, path: str, checkpoint_dir: str,
+                 fmt: str = "parquet",
+                 output_mode: str = "append",
+                 available_now: bool = False,
+                 processing_time: Optional[str] = None,
+                 partition_by: Optional[List[str]] = None):
+    """File streaming sink with MANDATORY checkpointing (exactly-once
+    file outputs survive restarts only through the checkpoint — an
+    un-checkpointed file sink silently reprocesses everything on
+    restart). ``available_now=True`` drains the source then stops (the
+    batch-backfill trigger); otherwise ``processing_time`` (e.g.
+    "30 seconds") sets the micro-batch cadence. Returns the started
+    StreamingQuery — callers own awaitTermination/stop."""
+    writer = (df.writeStream.format(fmt)
+              .outputMode(output_mode)
+              .option("path", path)
+              .option("checkpointLocation", checkpoint_dir))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -585,3 +585,33 @@ def test_dp_streaming_vector_sum_refuses_thresholding(spark, tmp_path):
             watermark_delay="0 seconds", epsilon_per_window=1.0,
             max_abs_per_dim=3.0, dims=2, delta_per_window=1e-4,
             threshold_windows=True)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    p = str(tmp_path / "orc")
+    sources.write_orc(df, p)
+    back = sources.read_orc(spark, p)
+    assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "a"),
+                                                          (2, "b")}
+    # predicate pushdown reaches the ORC scan
+    from pipelinedp_spark import plans as P
+    pushed = P.pushed_filters(back.filter(F.col("id") > 1))
+    assert any("id" in f for f in pushed), pushed
+
+
+def test_write_stream_checkpointed_roundtrip(spark, tmp_path, stream_dir):
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = sources.write_stream(stream.select("user_id", "value"), out_dir,
+                             ckpt, available_now=True)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == spark.read.parquet(stream_dir).count()
+    # restart with the same checkpoint: nothing reprocessed
+    q2 = sources.write_stream(
+        sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+        .select("user_id", "value"), out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == back.count()
