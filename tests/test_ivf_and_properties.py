@@ -173,3 +173,51 @@ def test_pq_rejects_indivisible_dim():
     from pipelinedp_spark.operators.similarity import train_pq_codebooks
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(np.zeros((10, 10)), m=4)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=32))
+@settings(max_examples=50, deadline=None)
+def test_minhash_permutation_math_matches_pure_python(hashes, num_hashes):
+    """The numpy minhash fold must equal a from-first-principles pure
+    Python evaluation of min over (a_i*h + b_i) mod P — the exact
+    formula the DuckDB oracle mirrors — for any 60-bit hash multiset."""
+    import numpy as np
+    from pipelinedp_spark.operators.dedup import (_MINHASH_P,
+                                                  _minhash_coeffs)
+    a, b = _minhash_coeffs(num_hashes)
+    hm = [h % _MINHASH_P for h in hashes]
+    want = [min((int(a[i]) * h + int(b[i])) % _MINHASH_P for h in hm)
+            for i in range(num_hashes)]
+    arr = np.asarray(hm, dtype=np.int64)
+    got = ((arr[:, None] * a[None, :] + b[None, :])
+           % _MINHASH_P).min(axis=0).tolist()
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                max_size=60),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=30, deadline=None)
+def test_packing_invariants_property(token_counts, seq_len):
+    """Packing placement invariants for ANY doc-length multiset: stream
+    contiguity (each doc starts where the previous ended), in-range
+    offsets, and span counts consistent with lengths."""
+    # pure-python mirror of the operator's integer arithmetic
+    cum = 0
+    for n in token_counts:
+        off = cum
+        cum += n
+        start_seq, start_off = off // seq_len, off % seq_len
+        if n == 0:
+            n_seqs = 0
+        else:
+            n_seqs = (cum - 1) // seq_len - off // seq_len + 1
+        assert 0 <= start_off < seq_len
+        assert start_seq * seq_len + start_off == off
+        if n > 0:
+            # spans exactly the sequences its token range touches
+            assert n_seqs >= 1
+            assert (n_seqs - 1) * seq_len < start_off + n \
+                <= n_seqs * seq_len
