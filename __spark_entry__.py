@@ -904,6 +904,41 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def _asof_join_tolerance_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """As-of backward join with a 6-hour tolerance (pandas merge_asof
+    semantics): clicks older than the tolerance null out instead of
+    matching — the staleness guard real feature-lookup pipelines need.
+    Same plan as asof_join_events plus one column projection."""
+    from pipelinedp_spark.operators.asof import asof_join
+    tol_us = 6 * 3600 * 10**6
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    out = asof_join(purchases, clicks, time_col="ts", by="user_id",
+                    tolerance=tol_us)
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").alias("ts_us"),
+        F.col("ts_right").alias("ts_right_us"),
+        F.col("value_right").alias("last_click_value"))
+
+
+_ASOF_TOLERANCE_SQL = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000
+            THEN epoch_us(c.ts) END AS ts_right_us,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000
+            THEN c.value END AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 _RJ_BASE_US = 1_704_067_200 * 10**6      # 2024-01-01 UTC in micros
 _RJ_STEP_US = 36 * 3600 * 10**6          # interval spacing: 36h
 _RJ_LEN_US = 90 * 3600 * 10**6           # interval length: 90h (overlap)
@@ -1196,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _doc_decontaminate,
         "doc_pack_sequences": _doc_pack_sequences,
         "doc_stratified_sample": _doc_stratified_sample,
+        "asof_join_tolerance_events": _asof_join_tolerance_events,
     }
 
 
@@ -1255,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
         "doc_pack_sequences": _DOC_PACK_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
+        "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
     }
 
 

@@ -45,19 +45,25 @@ _SIDE = "_asof_s"
 def asof_join(left: DataFrame, right: DataFrame, time_col: str,
               by: str, direction: str = "backward",
               right_cols: Optional[List[str]] = None,
-              suffix: str = "_right") -> DataFrame:
+              suffix: str = "_right",
+              tolerance: Optional[int] = None) -> DataFrame:
     """As-of join of two event tables on ``by``, matching along the
     numeric ``time_col``.
 
     Returns every left row plus the matched right columns, renamed with
     ``suffix`` where they collide with left names (unmatched rows get
     nulls). Right-side time is emitted as ``{time_col}{suffix}``.
+    ``tolerance`` (in time_col units, like pandas merge_asof) nulls a
+    match whose time gap exceeds it — a pure post-sweep column
+    projection, so it adds nothing to the shuffle or the Arrow pass.
     """
     import pandas as pd
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, "
                          f"got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
 
     rcols_src = right_cols or [c for c in right.columns if c != by]
     if time_col not in rcols_src:
@@ -151,4 +157,13 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str,
             for k, row in last.iterrows():
                 state[k] = {c: row[c] for c in have}
 
-    return u.mapInPandas(_sweep, schema=StructType(out_fields))
+    out = u.mapInPandas(_sweep, schema=StructType(out_fields))
+    if tolerance is not None:
+        keep = (F.col(rtime).isNotNull()
+                & (F.abs(F.col(time_col) - F.col(rtime))
+                   <= F.lit(tolerance)))
+        rset = set(rcols)
+        out = out.select(*[
+            F.when(keep, F.col(c)).alias(c) if c in rset else F.col(c)
+            for c in names])
+    return out

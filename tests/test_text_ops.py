@@ -794,3 +794,24 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     none_kept = stratified_sample(
         df, "id", "src", {"rare": 0.5}).filter(F.col("src") == "common")
     assert none_kept.count() == 0
+
+
+def test_asof_join_tolerance(spark):
+    from pipelinedp_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 205, 11.0), (2, 300, 12.0)],
+        "uid int, ts long, v double")
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 110, 2.0)], "uid int, ts long, v double")
+    out = {(r["uid"], r["ts"]): (r["ts_right"], r["v_right"])
+           for r in asof_join(left, right, "ts", "uid",
+                              tolerance=50).collect()}
+    assert out[(1, 100)] == (90, 1.0)       # gap 10 <= 50
+    assert out[(1, 205)] == (None, None)    # nearest match 95 stale
+    assert out[(2, 300)] == (None, None)    # no right rows at all
+    # without tolerance the stale match comes through
+    loose = {(r["uid"], r["ts"]): r["ts_right"]
+             for r in asof_join(left, right, "ts", "uid").collect()}
+    assert loose[(1, 205)] == 110
+    with pytest.raises(ValueError, match="non-negative"):
+        asof_join(left, right, "ts", "uid", tolerance=-1)
