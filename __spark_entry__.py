@@ -973,6 +973,65 @@ JOIN nation n
 """
 
 
+def _range_join_keyed_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Keyed range join: each event matched only to ITS nation's
+    maintenance window (equality on the derived key composes into the
+    chunked equi-join's hash key, so selectivity improves — no post-join
+    filter needed for the key)."""
+    from pipelinedp_spark.operators.ranges import range_join
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "ts",
+                  (F.col("event_id") % 25).alias("k")))
+    iv = (_t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("k"), "n_nationkey")
+          .withColumn("w_start", (F.lit(_RJ_BASE_US)
+                                  + F.col("n_nationkey") * _RJ_STEP_US)
+                      .cast("long"))
+          .withColumn("w_end", (F.col("w_start") + _RJ_LEN_US)
+                      .cast("long")))
+    out = range_join(ev, "ts", iv, "w_start", "w_end",
+                     chunk=_RJ_STEP_US, key="k")
+    return out.select("event_id", "n_nationkey")
+
+
+_RANGE_JOIN_KEYED_SQL = f"""
+SELECT e.event_id, n.n_nationkey
+FROM events e
+JOIN nation n
+  ON e.event_id % 25 = n.n_nationkey
+ AND epoch_us(e.ts) BETWEEN {_RJ_BASE_US} + n.n_nationkey * {_RJ_STEP_US}
+                        AND {_RJ_BASE_US} + n.n_nationkey * {_RJ_STEP_US}
+                            + {_RJ_LEN_US}
+"""
+
+
+def _dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: treating docs with doc_id % 3 == 0
+    as the already-ingested reference corpus, keep only NEW docs whose
+    normalized-text fingerprint is absent from it. Reference side
+    reduces to distinct fingerprints before the anti-join."""
+    from pipelinedp_spark.operators.dedup import cross_corpus_dedup
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return cross_corpus_dedup(new, ref).select("doc_id", "fingerprint")
+
+
+_DEDUP_CROSS_CORPUS_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+             AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint
+FROM fp
+WHERE doc_id % 3 <> 0
+  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 3 = 0)
+ORDER BY doc_id
+"""
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user (1-hour gap): event count and duration
     per session — the batch mirror of the streaming session windows."""
@@ -1232,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": _doc_pack_sequences,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
+        "range_join_keyed_events": _range_join_keyed_events,
+        "dedup_cross_corpus": _dedup_cross_corpus,
     }
 
 
@@ -1292,6 +1353,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": _DOC_PACK_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
+        "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
+        "dedup_cross_corpus": _DEDUP_CROSS_CORPUS_SQL,
     }
 
 

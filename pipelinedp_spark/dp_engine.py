@@ -439,9 +439,14 @@ class DPEngine:
             return bounders.bound_cross_partition_only(data, _PID, pk_cols,
                                                        partials, l0,
                                                        self._order_cols)
+        plan_note = ""
+        if sampling and linf is not None:
+            plan_note = (" [aggregate-first: sort only oversize groups]"
+                         if linf >= bounders.OVERSIZE_SPLIT_MIN_CAP
+                         else " [window sample]")
         report.append(
             f"Contribution bounding: Linf <= {linf} rows per (pid, partition),"
-            f" L0 <= {l0} partitions per pid")
+            f" L0 <= {l0} partitions per pid{plan_note}")
         return bounders.bound_cross_and_per_partition(
             data, _PID, pk_cols, partials, l0, linf,
             row_sampling_needed=sampling, order_cols=self._order_cols)

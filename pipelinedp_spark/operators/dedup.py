@@ -45,6 +45,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .select(id_col, "fingerprint", "dup_count"))
 
 
+def cross_corpus_dedup(new_docs: DataFrame, reference: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Incremental-ingestion dedup: drop new documents whose normalized
+    fingerprint already exists in the reference corpus. The reference
+    side reduces to DISTINCT fingerprints before the anti-join, so join
+    state is one row per unique reference document; both sides hash on
+    the fingerprint (AQE broadcasts the reference set when it is small,
+    shuffle-joins co-partitioned otherwise). Returns the surviving new
+    rows with their fingerprint attached."""
+    fp = T.rolling_fingerprint(F.col(text_col))
+    ref = (reference.select(fp.alias("fingerprint")).distinct())
+    return (new_docs.withColumn("fingerprint", fp)
+            .join(ref, "fingerprint", "left_anti"))
+
+
 def shingle_docs(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, shingles array) — shared prep for minhash/jaccard."""

@@ -815,3 +815,16 @@ def test_asof_join_tolerance(spark):
     assert loose[(1, 205)] == 110
     with pytest.raises(ValueError, match="non-negative"):
         asof_join(left, right, "ts", "uid", tolerance=-1)
+
+
+def test_cross_corpus_dedup(spark):
+    ref = spark.createDataFrame(
+        [(1, "Alpha  beta"), (2, "gamma delta")], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta "),   # normalizes to a reference fingerprint
+         (11, "epsilon zeta"),
+         (12, "gamma delta")],
+        "doc_id int, text string")
+    kept = {r["doc_id"] for r in
+            dedup.cross_corpus_dedup(new, ref).collect()}
+    assert kept == {11}
