@@ -939,6 +939,62 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def _multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container path: deterministic MP4/ISO-BMFF boxes per
+    doc (hand-packed ftyp + moov/mvhd/trak, alternating mvhd version
+    0/1) -> opaque binary column -> real box-walk parse
+    (operators.multimodal.parse_mp4_metadata). The oracle recomputes
+    duration_us straight from the generating arithmetic, so a box-size,
+    version-offset, or timescale bug in the walker breaks the match."""
+    import struct as st
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def box(btype, payload):
+        return st.pack(">I", 8 + len(payload)) + btype + payload
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                timescale = 1000 + (d % 7) * 100
+                duration = (d % 1000 + 1) * timescale
+                n_tracks = 1 + d % 3
+                ftyp = box(b"ftyp", b"isom" + st.pack(">I", 0))
+                if d % 2 == 0:
+                    mvhd = box(b"mvhd", bytes([0, 0, 0, 0]) + bytes(8)
+                               + st.pack(">II", timescale, duration)
+                               + bytes(80))
+                else:
+                    mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                               + st.pack(">I", timescale)
+                               + st.pack(">Q", duration) + bytes(80))
+                traks = b"".join(box(b"trak", bytes(16))
+                                 for _ in range(n_tracks))
+                payloads.append(ftyp + box(b"moov", mvhd + traks))
+            yield pd.DataFrame({"doc_id": ids, "video": payloads})
+
+    vids = docs.mapInPandas(gen, "doc_id long, video binary")
+    out = MM.extract_video_metadata(vids, "video")
+    return out.select("doc_id", F.col("meta.brand").alias("brand"),
+                      F.col("meta.duration_us").alias("duration_us"),
+                      F.col("meta.n_tracks").alias("n_tracks"))
+
+
+_MULTIMODAL_MP4_SQL = """
+SELECT doc_id,
+       'isom' AS brand,
+       CAST((doc_id % 1000 + 1) * (1000 + (doc_id % 7) * 100)
+            * 1000000 // (1000 + (doc_id % 7) * 100) AS BIGINT)
+           AS duration_us,
+       CAST(1 + doc_id % 3 AS INT) AS n_tracks
+FROM documents ORDER BY doc_id
+"""
+
+
 _RJ_BASE_US = 1_704_067_200 * 10**6      # 2024-01-01 UTC in micros
 _RJ_STEP_US = 36 * 3600 * 10**6          # interval spacing: 36h
 _RJ_LEN_US = 90 * 3600 * 10**6           # interval length: 90h (overlap)
@@ -1293,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
         "dedup_cross_corpus": _dedup_cross_corpus,
+        "multimodal_mp4_meta": _multimodal_mp4_meta,
     }
 
 
@@ -1355,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
         "dedup_cross_corpus": _DEDUP_CROSS_CORPUS_SQL,
+        "multimodal_mp4_meta": _MULTIMODAL_MP4_SQL,
     }
 
 

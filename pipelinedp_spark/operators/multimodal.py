@@ -157,6 +157,93 @@ def parse_wav_metadata(data: Optional[bytes]
             else None, codec)
 
 
+VIDEO_META_SCHEMA = StructType([
+    StructField("brand", StringType()),
+    StructField("duration_us", LongType()),
+    StructField("n_tracks", IntegerType()),
+])
+
+
+def parse_mp4_metadata(data: Optional[bytes]
+                       ) -> Tuple[Optional[str], Optional[int],
+                                  Optional[int]]:
+    """(major_brand, duration_us, n_tracks) from a real ISO BMFF / MP4
+    box walk — no codec library. Reads ftyp's major brand and moov's
+    mvhd (version 0: 32-bit timescale/duration at +12/+16; version 1:
+    64-bit duration at +20/+28), counting trak children. Returns
+    (None, None, None) for non-MP4 payloads."""
+    if not data or len(data) < 12:
+        return None, None, None
+
+    def boxes(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            size, = struct.unpack(">I", buf[i:i + 4])
+            btype = buf[i + 4:i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= end:
+                size, = struct.unpack(">Q", buf[i + 8:i + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    try:
+        brand = None
+        duration_us = None
+        n_tracks = None
+        saw_mp4_box = False
+        for btype, s, e in boxes(data, 0, len(data)):
+            if btype == b"ftyp" and e - s >= 4:
+                brand = data[s:s + 4].decode("ascii", "replace").strip()
+                saw_mp4_box = True
+            elif btype == b"moov":
+                saw_mp4_box = True
+                n_tracks = 0
+                for ctype, cs, ce in boxes(data, s, e):
+                    if ctype == b"trak":
+                        n_tracks += 1
+                    elif ctype == b"mvhd" and ce - cs >= 20:
+                        version = data[cs]
+                        if version == 1 and ce - cs >= 36:
+                            timescale, = struct.unpack(
+                                ">I", data[cs + 20:cs + 24])
+                            duration, = struct.unpack(
+                                ">Q", data[cs + 24:cs + 32])
+                        else:
+                            timescale, duration = struct.unpack(
+                                ">II", data[cs + 12:cs + 20])
+                        if timescale:
+                            duration_us = duration * 1_000_000 // timescale
+        if not saw_mp4_box:
+            return None, None, None
+        return brand, duration_us, n_tracks
+    except (struct.error, IndexError):
+        return None, None, None
+
+
+def extract_video_metadata(df: DataFrame, binary_col: str = "video",
+                           meta_col: str = "meta") -> DataFrame:
+    """Attach a real (brand, duration_us, n_tracks) struct parsed from
+    the MP4/ISO-BMFF box structure — Arrow-batched, no codec library."""
+    out_schema = StructType(df.schema.fields +
+                            [StructField(meta_col, VIDEO_META_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[meta_col] = [
+                dict(zip(("brand", "duration_us", "n_tracks"),
+                         parse_mp4_metadata(b)))
+                for b in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Native (stdlib struct + numpy) codecs for the uncompressed formats.
 # ---------------------------------------------------------------------------

@@ -656,3 +656,65 @@ def test_codec_fallback_absent_libraries_stand_in():
                 st.pack("<IHHIIHH", 16, 85, 1, 8000, 8000, 1, 0) +
                 b"data" + st.pack("<I", 0))
         assert MM.decode_wav(riff) is None
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF golden bytes: boxes hand-packed from the spec.
+# ---------------------------------------------------------------------------
+
+
+def _box(btype, payload):
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_bytes(timescale=1000, duration=2500, n_tracks=2, version=0,
+               brand=b"isom"):
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + b"isommp42")
+    if version == 0:
+        mvhd = _box(b"mvhd", bytes([0, 0, 0, 0]) + bytes(8) +
+                    struct.pack(">II", timescale, duration) + bytes(80))
+    else:
+        mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16) +
+                    struct.pack(">I", timescale) +
+                    struct.pack(">Q", duration) + bytes(80))
+    traks = b"".join(_box(b"trak", bytes(16)) for _ in range(n_tracks))
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov
+
+
+def test_mp4_golden_v0():
+    brand, dur, n = MM.parse_mp4_metadata(_mp4_bytes())
+    assert brand == "isom"
+    assert dur == 2500 * 1_000_000 // 1000
+    assert n == 2
+
+
+def test_mp4_golden_v1_64bit_duration():
+    data = _mp4_bytes(timescale=90000, duration=90000 * 3600 * 5,
+                      n_tracks=3, version=1, brand=b"mp42")
+    brand, dur, n = MM.parse_mp4_metadata(data)
+    assert brand == "mp42"
+    assert dur == 5 * 3600 * 1_000_000
+    assert n == 3
+
+
+def test_mp4_rejects_non_mp4():
+    assert MM.parse_mp4_metadata(b"RIFF not an mp4 at all") == \
+        (None, None, None)
+    assert MM.parse_mp4_metadata(None) == (None, None, None)
+    assert MM.parse_mp4_metadata(b"\x00\x00") == (None, None, None)
+    # truncated box sizes must not loop or raise
+    assert MM.parse_mp4_metadata(
+        struct.pack(">I", 3) + b"ftypisom") == (None, None, None)
+
+
+def test_extract_video_metadata_operator(spark):
+    rows = [(1, _mp4_bytes()), (2, b"garbage"),
+            (3, _mp4_bytes(n_tracks=1, version=1))]
+    df = spark.createDataFrame(rows, "vid int, video binary")
+    got = {r["vid"]: r["meta"] for r in
+           MM.extract_video_metadata(df).collect()}
+    assert (got[1]["brand"], got[1]["n_tracks"]) == ("isom", 2)
+    assert got[1]["duration_us"] == 2_500_000
+    assert got[2]["brand"] is None
+    assert got[3]["n_tracks"] == 1
