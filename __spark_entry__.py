@@ -1350,6 +1350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_keyed_events": _range_join_keyed_events,
         "dedup_cross_corpus": _dedup_cross_corpus,
         "multimodal_mp4_meta": _multimodal_mp4_meta,
+        "emb_semantic_dedup": _emb_semantic_dedup,
+        "doc_duplicate_spans": _doc_duplicate_spans,
+        "doc_unigram_ppl": _doc_unigram_ppl,
     }
 
 
@@ -1413,6 +1416,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
         "dedup_cross_corpus": _DEDUP_CROSS_CORPUS_SQL,
         "multimodal_mp4_meta": _MULTIMODAL_MP4_SQL,
+        "emb_semantic_dedup": _gen_semantic_dedup_sql(),
+        "doc_duplicate_spans": _DOC_DUP_SPANS_SQL,
+        "doc_unigram_ppl": _gen_unigram_ppl_sql(),
     }
 
 
@@ -2813,4 +2819,137 @@ agg AS (
 SELECT event_type, day, ROUND(var_raw, 6) AS var_value
 FROM agg WHERE n_users >= {threshold}
 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 2: semantic dedup, span dedup, LM-quality, retrieval,
+# importance weighting — LLM-pipeline ops with exact SQL oracles.
+# ---------------------------------------------------------------------------
+
+
+def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells + within-cell
+    keep-first cosine pruning. Deterministic: quantizer trains on the
+    lowest-10k-id sample with a fixed seed, so the oracle generator
+    re-trains bit-identical centroids and mirrors cell assignment and
+    the earlier-id pruning rule in SQL."""
+    from pipelinedp_spark.operators import semdedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup.semantic_dedup(emb, num_clusters=8,
+                                   cosine_threshold=0.4)
+
+
+def _gen_semantic_dedup_sql(num_clusters: int = 8, tau: float = 0.4,
+                            seed: int = 7,
+                            sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `semdedup.semantic_dedup`: same centroids (shared
+    `train_ivf_centroids` on the same deterministic sample), argmax cell
+    via row_number (dot DESC, cell ASC — numpy argmax-first-max), dup
+    rule = EXISTS earlier-id same-cell member with round(cos, 6) >= tau."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pipelinedp_spark.operators.similarity import train_ivf_centroids
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(10_000)
+    x = np.stack(t["embedding"].to_numpy()).astype("float64")
+    cents = train_ivf_centroids(x, num_clusters, seed)
+    cell_rows = ", ".join(f"({c}, {_plane_lit(cents[c])})"
+                          for c in range(len(cents)))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells(cell, cv) AS (VALUES {cell_rows}),
+ass AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM base CROSS JOIN cells) WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM ass a JOIN ass b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau})
+SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM ass a LEFT JOIN dups d USING (vec_id)
+"""
+
+
+def _doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated k-token span cut ranges (keep the
+    globally-first occurrence; overlapping windows merged)."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, k=8)
+
+
+_DOC_DUP_SPANS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i,
+             toks
+      FROM t WHERE len(toks) >= 8),
+g AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM e),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY h
+                              ORDER BY doc_id, pos) AS rn
+    FROM g) WHERE rn > 1),
+iv AS (SELECT doc_id, pos AS start, pos + 8 AS "end" FROM dups),
+m AS (
+  SELECT doc_id, start, "end",
+         MAX("end") OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+  FROM iv),
+grps AS (
+  SELECT doc_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR start > prev_end
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS grp
+  FROM m)
+SELECT doc_id,
+       CAST(MIN(start) AS BIGINT) AS span_start,
+       CAST(MAX("end") AS BIGINT) AS span_end
+FROM grps GROUP BY doc_id, grp
+"""
+
+
+def _doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under a corpus-fit unigram LM (CCNet-style
+    quality signal, exact-SQL-expressible unigram variant)."""
+    from pipelinedp_spark.operators import quality
+    docs = _t(spark, sf_dir, "documents")
+    return quality.unigram_perplexity(docs)
+
+
+def _gen_unigram_ppl_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `quality.unigram_perplexity`. ln(N) is computed once
+    in Python and injected as a literal into BOTH sides (the Spark op
+    does the same), so the only cross-engine drift is last-ulp libm ln
+    per token under a 6dp round."""
+    import math
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT SUM(len(string_split(text, ' ')))"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+    ln_n = repr(math.log(float(n)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(EXP({ln_n} - SUM(LN(v.c)) / COUNT(*)), 6) AS ppl
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
 """

@@ -585,3 +585,71 @@ def winnow_containment_pairs(df: DataFrame,
            .filter(F.col("containment") >= F.lit(min_containment))
            .select("id_a", "id_b", "shared", "containment"))
     return out
+
+
+def duplicate_spans(df: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id",
+                    k: int = 8,
+                    merge: bool = True) -> DataFrame:
+    """Exact duplicated-substring detection, ExactSubstr-style (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), approximated with fixed k-token windows instead of
+    a suffix array: every k-token span whose text occurs elsewhere in the
+    corpus is marked for removal EXCEPT its globally-first occurrence
+    (ordered by (doc_id, pos)); overlapping/adjacent marked spans within
+    a document are merged into maximal cut ranges.
+
+    A duplicated run of L >= k tokens yields L - k + 1 overlapping marked
+    windows that merge back into one [start, start+L) range, so the
+    fixed-k approximation recovers the suffix-array result for every
+    duplicated run of length >= k — it only misses shorter repeats.
+
+    Scale shape: one posexplode (k-slice arrays_zip, all codegen — no
+    higher-order element_at lambdas, see `text.shingles`), one shuffle on
+    the span md5 for the first-occurrence window, one window per doc for
+    the interval merge. Span keys are md5 hex (16 bytes through the
+    exchange instead of ~k*8 text bytes). No self-join anywhere: cost is
+    linear in corpus tokens.
+
+    Returns (id_col, span_start, span_end) token ranges, end-exclusive;
+    with merge=False, the raw per-window rows (id_col, pos) — useful for
+    auditing. Reference repo has no counterpart (net-new LLM-pipeline op).
+    """
+    t = T.tokens(F.col(text_col))
+    n = F.size(t)
+    win = F.greatest(n - F.lit(k - 1), F.lit(0))
+    parts = [F.slice(t, j + 1, win) for j in range(k)]
+    grams = df.filter(n >= k).select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(*parts)).alias("pos", "s"))
+    spans = grams.select(
+        F.col(id_col), F.col("pos"),
+        F.md5(F.concat_ws(" ", *[F.col("s")[str(j)] for j in range(k)]))
+        .alias("h"))
+    wfirst = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+    dups = (spans.withColumn("rn", F.row_number().over(wfirst))
+            .filter(F.col("rn") > 1)
+            .select(id_col, "pos"))
+    if not merge:
+        return dups
+    start = F.col("pos")
+    end = (F.col("pos") + k).alias("end")
+    iv = dups.select(F.col(id_col), start.alias("start"), end)
+    wprev = (Window.partitionBy(id_col).orderBy("start")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wgrp = (Window.partitionBy(id_col).orderBy("start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (iv.withColumn("prev_end", F.max("end").over(wprev))
+              .withColumn("new_grp",
+                          F.when(F.col("prev_end").isNull()
+                                 | (F.col("start") > F.col("prev_end")),
+                                 F.lit(1)).otherwise(F.lit(0)))
+              .withColumn("grp", F.sum("new_grp").over(wgrp))
+              .groupBy(id_col, "grp")
+              .agg(F.min("start").alias("span_start"),
+                   F.max("end").alias("span_end"))
+              .select(id_col,
+                      F.col("span_start").cast("long").alias("span_start"),
+                      F.col("span_end").cast("long").alias("span_end")))
+    return merged

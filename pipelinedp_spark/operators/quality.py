@@ -72,3 +72,46 @@ def top_ngram_char_fraction(df: DataFrame,
     out = df.select(id_col).join(pivoted, id_col, "left")
     fills = {f"top_{n}gram_frac": 0.0 for n in ns}
     return out.fillna(fills)
+
+
+def unigram_perplexity(df: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document perplexity under a unigram LM fit on the corpus
+    itself — the cheap end of CCNet-style LM quality filtering (Wenzek et
+    al., arXiv:1911.00359, which uses a KenLM 5-gram; the unigram variant
+    needs no model artifact and is fully aggregation-expressible, so it
+    is exactly SQL-oracle-checkable).
+
+    ppl(d) = exp(ln N - (1/n_d) * sum_{t in d} ln c_t) where c_t is the
+    corpus count of token t and N the corpus token total. Low ppl = the
+    document is made of common tokens (boilerplate-ish); high ppl = rare
+    tokens (noise-ish). MLE, no smoothing — every scored token came from
+    the corpus, so c_t >= 1.
+
+    Scale shape: one explode + one map-side-combinable groupBy for the
+    vocab counts; the (token -> ln count) join is broadcast when
+    ``broadcast_vocab`` (vocabularies are ~10^6-10^7 rows even at web
+    scale — far under broadcast limits); set False to fall back to a
+    shuffle join for pathological vocabularies. Per-doc reduction is one
+    more map-side-combinable groupBy. No windows, no driver loops.
+
+    Returns (id_col, n_tokens, ppl) with ppl rounded to 6dp.
+    """
+    import math
+    toks = df.select(F.col(id_col),
+                     F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    return (toks.join(v, "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.log("c")).alias("sum_ln_c"))
+            .select(F.col(id_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round(F.exp(F.lit(math.log(float(total)))
+                                  - F.col("sum_ln_c")
+                                  / F.col("n_tokens")), 6).alias("ppl")))

@@ -1,0 +1,165 @@
+"""Tests for the round-5 batch-2 LLM-pipeline operators: semantic
+dedup (SemDeDup-style), duplicated-span detection (ExactSubstr-style),
+and unigram-LM perplexity."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.operators.quality import unigram_perplexity
+from pipelinedp_spark.operators.dedup import duplicate_spans
+from pipelinedp_spark.operators.semdedup import semantic_dedup
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+def _vec_rows(vectors):
+    return [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+
+
+def test_semantic_dedup_marks_later_near_duplicate(spark):
+    # Two tight groups on orthogonal axes plus one singleton; within each
+    # group every member after the first (by id) must be marked.
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],       # id 0 — kept (first of group A)
+        [0.99, 0.05, 0.0, 0.0],     # id 1 — dup of 0
+        [0.0, 1.0, 0.0, 0.0],       # id 2 — kept (first of group B)
+        [0.05, 0.99, 0.0, 0.0],     # id 3 — dup of 2
+        [0.0, 0.0, 1.0, 0.0],       # id 4 — singleton, kept
+    ]
+    df = spark.createDataFrame(_vec_rows(vecs), "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]])
+    out = semantic_dedup(df, num_clusters=3, cosine_threshold=0.9,
+                         centroids=cents)
+    got = {r["vec_id"]: r["is_dup"] for r in out.collect()}
+    assert got == {0: False, 1: True, 2: False, 3: True, 4: False}
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    # Identical vectors forced into different cells by explicit centroids
+    # are NOT compared — the clustering is the approximation boundary.
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.9])],
+        "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = semantic_dedup(df, num_clusters=2, cosine_threshold=0.5,
+                         centroids=cents)
+    got = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in out.collect()}
+    assert got[0] == (0, False)
+    assert got[1][1] is False     # first in its cell
+    assert got[2] == (1, True)    # same cell as 1, cos = 1.0
+
+
+def test_semantic_dedup_trains_when_no_centroids(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, list(map(float, v))))
+        rows.append((2 * i + 1, list(map(float, v * 1.001))))  # near-dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, num_clusters=3, cosine_threshold=0.999,
+                         sample_size=100)
+    got = {r["vec_id"]: r["is_dup"] for r in out.collect()}
+    # Every odd id shares a cell with its even twin (identical direction
+    # -> identical argmax cell), so all odd ids are dups, evens kept.
+    assert all(got[2 * i + 1] for i in range(6))
+    assert not any(got[2 * i] for i in range(6))
+
+
+def test_semantic_dedup_cluster_cap_raises(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0]])
+    out = semantic_dedup(df, num_clusters=1, cosine_threshold=0.9,
+                         centroids=cents, max_cluster_rows=5)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        out.collect()
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_duplicate_spans_keeps_first_occurrence(spark):
+    shared = "a b c d e f g h"           # exactly k=8 tokens
+    df = _docs(spark, [shared + " x y z",
+                       "p q " + shared,
+                       "unrelated words only here nothing repeats at all"])
+    out = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicate_spans(df, k=8).collect()}
+    # Only doc 1's copy is cut; doc 0 (globally first) untouched.
+    assert out == {(1, 2, 10)}
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    # A duplicated run of 10 tokens => 3 overlapping 8-windows in the
+    # second doc that must merge into ONE [start, start+10) range.
+    run = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = _docs(spark, [run, "zz " + run])
+    out = duplicate_spans(df, k=8).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"])
+            for r in out] == [(1, 1, 11)]
+
+
+def test_duplicate_spans_short_docs_skipped(spark):
+    df = _docs(spark, ["a b c", "a b c"])   # < k tokens: no windows
+    assert duplicate_spans(df, k=8).count() == 0
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = _docs(spark, [run + " mid " + run])
+    out = duplicate_spans(df, k=8).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"])
+            for r in out] == [(0, 9, 17)]
+
+
+def test_duplicate_spans_unmerged_mode(spark):
+    shared = "a b c d e f g h"
+    df = _docs(spark, [shared, shared])
+    raw = duplicate_spans(df, k=8, merge=False).collect()
+    assert [(r["doc_id"], r["pos"]) for r in raw] == [(1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# unigram_perplexity
+# ---------------------------------------------------------------------------
+
+def test_unigram_perplexity_matches_hand_computation(spark):
+    df = _docs(spark, ["a a b", "b c"])
+    # counts: a=2, b=2, c=1, N=5
+    out = {r["doc_id"]: (r["n_tokens"], r["ppl"])
+           for r in unigram_perplexity(df).collect()}
+    ppl0 = math.exp(math.log(5) - (2 * math.log(2) + math.log(2)) / 3)
+    ppl1 = math.exp(math.log(5) - (math.log(2) + math.log(1)) / 2)
+    assert out[0][0] == 3 and out[1][0] == 2
+    assert out[0][1] == pytest.approx(ppl0, abs=1e-6)
+    assert out[1][1] == pytest.approx(ppl1, abs=1e-6)
+
+
+def test_unigram_perplexity_common_tokens_score_lower(spark):
+    common = " ".join(["the"] * 20)
+    rare_words = " ".join(f"w{i}" for i in range(20))
+    df = _docs(spark, [common, rare_words, common])
+    out = {r["doc_id"]: r["ppl"] for r in unigram_perplexity(df).collect()}
+    assert out[0] < out[1]
+    assert out[0] == out[2]
+
+
+def test_unigram_perplexity_shuffle_join_variant_matches(spark):
+    df = _docs(spark, ["x y z x", "y y q"])
+    a = sorted(unigram_perplexity(df, broadcast_vocab=True).collect())
+    b = sorted(unigram_perplexity(df, broadcast_vocab=False).collect())
+    assert a == b
