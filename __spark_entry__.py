@@ -1353,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": _emb_semantic_dedup,
         "doc_duplicate_spans": _doc_duplicate_spans,
         "doc_unigram_ppl": _doc_unigram_ppl,
+        "doc_bm25_topk": _doc_bm25_topk,
+        "doc_dsir_weights": _doc_dsir_weights,
     }
 
 
@@ -1419,6 +1421,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_semantic_dedup": _gen_semantic_dedup_sql(),
         "doc_duplicate_spans": _DOC_DUP_SPANS_SQL,
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
+        "doc_bm25_topk": _gen_bm25_sql(),
+        "doc_dsir_weights": _gen_dsir_sql(),
     }
 
 
@@ -2952,4 +2956,122 @@ SELECT t.doc_id,
        ROUND(EXP({ln_n} - SUM(LN(v.c)) / COUNT(*)), 6) AS ppl
 FROM toks t JOIN vocab v USING (tok)
 GROUP BY t.doc_id
+"""
+
+
+_BM25_QUERIES = [(0, "hash join merge"),
+                 (1, "scan filter column"),
+                 (2, "stream window batch"),
+                 (3, "customer order query value")]
+
+
+def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs per query over the documents corpus (inverted-
+    index postings join; broadcast query terms)."""
+    from pipelinedp_spark.operators import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    return retrieval.bm25_topk(docs, q, k=10)
+
+
+def _gen_bm25_sql(k: int = 10, sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `retrieval.bm25_topk`: N and avgdl are computed once
+    in Python from the parquet (exactly as the operator computes them)
+    and injected as literals; the score expression mirrors the Column
+    arithmetic term-for-term (same association, same Python-folded
+    constants for k1=1.2, b=0.75)."""
+    import duckdb
+    n, tot = duckdb.sql(
+        f"SELECT COUNT(*), SUM(len(string_split(text, ' ')))"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')").fetchone()
+    avgdl = repr(float(tot) / float(n))
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {vals}),
+qterms AS (
+  SELECT query_id,
+         unnest(list_distinct(string_split(query_text, ' '))) AS term
+  FROM q),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+post AS (
+  SELECT qt.query_id, tf.doc_id, tf.tf, dft.df, dl.dl
+  FROM tf JOIN qterms qt USING (term)
+          JOIN dft USING (term)
+          JOIN dl USING (doc_id)),
+scored AS (
+  SELECT query_id, doc_id,
+         SUM(LN(1.0 + ({float(n)} - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / {avgdl}))))
+             AS score
+  FROM post GROUP BY 1, 2)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(score, 6) AS score
+FROM (SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank,
+             score
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def _doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights: every document scored for
+    similarity to the English-language subset (the 'target')."""
+    from pipelinedp_spark.operators import mixing
+    docs = _t(spark, sf_dir, "documents")
+    return mixing.dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def _gen_dsir_sql(num_buckets: int = 4096, alpha: float = 1.0,
+                  sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `mixing.dsir_log_weights`: identical md5-bucket
+    features, identical smoothing denominators (totals computed in
+    Python from the parquet exactly as the operator's driver scalars and
+    injected as literals)."""
+    import duckdb
+    con = duckdb.connect()
+    gram_count = (
+        "SELECT SUM(CASE WHEN len(string_split(text, ' ')) >= 2 "
+        "THEN len(string_split(text, ' ')) - 1 ELSE 1 END) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')")
+    tot = con.execute(gram_count).fetchone()[0]
+    tot_t = con.execute(gram_count + " WHERE lang = 'en'").fetchone()[0]
+    denom_r = repr(float(tot) + alpha * num_buckets)
+    denom_t = repr(float(tot_t) + alpha * num_buckets)
+    bigram_cte = """
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(tk) >= 2
+                     THEN [tk[i] || ' ' || tk[i+1]
+                           for i in range(1, len(tk))]
+                     ELSE [array_to_string(tk, ' ')] END) AS gram
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        FROM documents)"""
+    return f"""
+WITH g AS ({bigram_cte}),
+f AS (SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % {num_buckets}
+                 AS bucket,
+             COUNT(*) AS c
+      FROM g GROUP BY 1, 2),
+rawc AS (SELECT bucket, SUM(c) AS c_r FROM f GROUP BY 1),
+tgtc AS (SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT % {num_buckets}
+                    AS bucket,
+                COUNT(*) AS c_t
+         FROM g WHERE lang = 'en' GROUP BY 1),
+ratio AS (
+  SELECT rawc.bucket,
+         LN((COALESCE(tgtc.c_t, 0) + {alpha}) / {denom_t})
+         - LN((rawc.c_r + {alpha}) / {denom_r}) AS lr
+  FROM rawc LEFT JOIN tgtc USING (bucket))
+SELECT f.doc_id,
+       CAST(SUM(f.c) AS BIGINT) AS n_feats,
+       ROUND(SUM(f.c * ratio.lr), 6) AS logw
+FROM f JOIN ratio USING (bucket)
+GROUP BY 1
 """

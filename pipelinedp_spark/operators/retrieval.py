@@ -1,0 +1,102 @@
+"""Sparse lexical retrieval over the corpus: TF-IDF statistics and BM25
+top-k — the inverted-index workload of a training-data pipeline (mining
+domain-relevant documents, building eval/retrieval sets, kNN-LM style
+lookups) expressed as pure DataFrame aggregations.
+
+BM25 (Robertson-Sparck Jones; the +1 idf form Lucene uses, so idf is
+never negative):
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d) = sum_{t in q} idf(t) * tf_td * (k1 + 1)
+                  / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+Scale shape: term frequencies are ONE explode + ONE map-side-combinable
+groupBy over (doc, term) — the word-count plan; document frequencies
+aggregate off the tf table (no second corpus scan); the postings join
+hits ONLY the query terms (broadcast — a query set is tiny next to the
+corpus), so corpus-scale work is proportional to the postings of the
+queried terms, exactly like serving from an inverted index. Scoring is
+native Column arithmetic (whole-stage codegen), top-k is a per-query
+WindowGroupLimit. N and total token count are two driver scalars from
+one tiny agg — injected as literals so a SQL oracle can bit-match.
+
+No reference counterpart (net-new LLM-pipeline operator; reference repo
+= OpenMined/PipelineDP).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.functions import text as T
+
+
+def term_frequencies(docs: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id_col, term, tf) — one explode + one combinable groupBy."""
+    return (docs.select(F.col(id_col),
+                        F.explode(T.tokens(F.col(text_col))).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def doc_lengths(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, dl) token counts derived from the tf table (no rescan)."""
+    return tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+
+def bm25_topk(docs: DataFrame,
+              queries: DataFrame,
+              k: int = 10,
+              k1: float = 1.2,
+              b: float = 0.75,
+              text_col: str = "text",
+              id_col: str = "doc_id",
+              query_id: str = "query_id",
+              query_text: str = "query_text") -> DataFrame:
+    """Top-k BM25 documents per query.
+
+    ``queries`` is a small (query_id, query_text) frame; its distinct
+    whitespace terms are what gets scored (classic bag-of-words BM25 —
+    repeated query terms don't double-count). Returns
+    (query_id, id_col, rank, score) with score rounded to 6dp and rank
+    tie-broken by ascending doc id.
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    dl = doc_lengths(tf, id_col)
+    # Two exact driver scalars (N docs, total tokens) from one tiny agg;
+    # avgdl is computed once in Python and injected as a literal so an
+    # external oracle can reproduce the float bit-for-bit.
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("tot")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / float(stats["n"])
+
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        F.col(query_id),
+        F.explode(F.array_distinct(T.tokens(F.col(query_text))))
+        .alias("term"))
+
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)
+               / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+
+    postings = (tf.join(F.broadcast(qterms), "term")
+                .join(F.broadcast(df_t.join(qterms.select("term")
+                                            .distinct(), "term")), "term")
+                .join(dl, id_col))
+    scored = (postings
+              .groupBy(query_id, id_col)
+              .agg(F.sum(idf * tf_part).alias("score")))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, id_col,
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round(F.col("score"), 6).alias("score")))

@@ -1,0 +1,117 @@
+"""Tests for BM25 retrieval and DSIR importance weighting."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.operators.mixing import (dsir_log_weights,
+                                               hashed_ngram_features)
+from pipelinedp_spark.operators.retrieval import (bm25_topk, doc_lengths,
+                                                  term_frequencies)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def _queries(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "query_id long, query_text string")
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def test_term_frequencies_and_doc_lengths(spark):
+    tf = term_frequencies(_docs(spark, ["a a b", "b"]))
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in tf.collect()}
+    assert got == {(0, "a"): 2, (0, "b"): 1, (1, "b"): 1}
+    dl = {r["doc_id"]: r["dl"] for r in doc_lengths(tf).collect()}
+    assert dl == {0: 3, 1: 1}
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = _docs(spark, ["cat dog", "cat cat cat dog", "fish"])
+    out = bm25_topk(docs, _queries(spark, ["cat"]), k=3).collect()
+    # N=3, df(cat)=2, idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    # avgdl = (2+4+1)/3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = 7 / 3
+
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in out}
+    assert set(got) == {0, 1}            # 'fish' doc never scores
+    assert got[1][0] == 1 and got[0][0] == 2
+    assert got[1][1] == pytest.approx(round(s(3, 4), 6), abs=1e-6)
+    assert got[0][1] == pytest.approx(round(s(1, 2), 6), abs=1e-6)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    docs = _docs(spark, ["x common", "y common", "z common", "x rare"])
+    out = bm25_topk(docs, _queries(spark, ["rare common"]), k=4).collect()
+    top = min(out, key=lambda r: r["rank"])
+    assert top["doc_id"] == 3            # the only doc with 'rare'
+
+
+def test_bm25_repeated_query_terms_not_double_counted(spark):
+    docs = _docs(spark, ["cat dog", "dog cat"])
+    a = bm25_topk(docs, _queries(spark, ["cat"]), k=2).collect()
+    b = bm25_topk(docs, _queries(spark, ["cat cat cat"]), k=2).collect()
+    assert sorted((r["doc_id"], r["score"]) for r in a) == \
+        sorted((r["doc_id"], r["score"]) for r in b)
+
+
+def test_bm25_topk_limit(spark):
+    docs = _docs(spark, [f"tok filler{i}" for i in range(20)])
+    out = bm25_topk(docs, _queries(spark, ["tok"]), k=5).collect()
+    assert len(out) == 5
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+def test_hashed_ngram_features_counts_bigrams(spark):
+    f = hashed_ngram_features(_docs(spark, ["a b a b"]), num_buckets=1 << 20)
+    rows = f.collect()
+    # bigrams: "a b", "b a", "a b" -> one bucket with c=2, one with c=1
+    assert sorted(r["c"] for r in rows) == [1, 2]
+
+
+def test_hashed_ngram_features_short_doc_whole_text(spark):
+    f = hashed_ngram_features(_docs(spark, ["solo"]), num_buckets=64)
+    rows = f.collect()
+    assert len(rows) == 1 and rows[0]["c"] == 1
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    target_like = "alpha beta gamma delta"
+    off_target = "omega psi chi phi"
+    raw = _docs(spark, [target_like, off_target,
+                        "alpha beta something else"])
+    target = _docs(spark, [target_like, "alpha beta gamma"])
+    out = {r["doc_id"]: r["logw"]
+           for r in dsir_log_weights(raw, target,
+                                     num_buckets=1 << 14).collect()}
+    assert out[0] > out[2] > out[1]
+
+
+def test_dsir_weight_value_matches_model(spark):
+    # One shared bigram between raw doc and target; verify the closed form.
+    raw = _docs(spark, ["a b"])
+    target = _docs(spark, ["a b"])
+    B, alpha = 16, 1.0
+    out = dsir_log_weights(raw, target, num_buckets=B).collect()
+    # tot_r = tot_t = 1 gram; bucket has c_r = c_t = 1.
+    expected = math.log((1 + alpha) / (1 + alpha * B)) \
+        - math.log((1 + alpha) / (1 + alpha * B))
+    assert out[0]["logw"] == pytest.approx(expected, abs=1e-6)
+    assert out[0]["n_feats"] == 1
