@@ -1355,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_ppl": _doc_unigram_ppl,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_dsir_weights": _doc_dsir_weights,
+        "doc_quality_classifier": _doc_quality_classifier,
     }
 
 
@@ -1423,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
         "doc_bm25_topk": _gen_bm25_sql(),
         "doc_dsir_weights": _gen_dsir_sql(),
+        "doc_quality_classifier": _gen_quality_classifier_sql(),
     }
 
 
@@ -3073,5 +3075,76 @@ SELECT f.doc_id,
        CAST(SUM(f.c) AS BIGINT) AS n_feats,
        ROUND(SUM(f.c * ratio.lr), 6) AS logw
 FROM f JOIN ratio USING (bucket)
+GROUP BY 1
+"""
+
+
+def _classifier_sample_from_parquet(sf_dir: str, num_buckets: int = 1024):
+    """Shared trainer input for the quality-classifier query and its
+    oracle: per-doc hashed-bigram counts + (lang == 'en') labels for the
+    lowest-2000-id docs, computed via DuckDB (md5 buckets are engine-
+    portable, so Spark produces the identical sample)."""
+    import duckdb
+    rows = duckdb.sql(f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+           FROM read_parquet('{sf_dir}/documents.parquet')
+           ORDER BY doc_id LIMIT 2000),
+g AS (SELECT doc_id, lang,
+             unnest(CASE WHEN len(tk) >= 2
+                         THEN [tk[i] || ' ' || tk[i+1]
+                               for i in range(1, len(tk))]
+                         ELSE [array_to_string(tk, ' ')] END) AS gram
+      FROM t)
+SELECT doc_id,
+       ('0x' || substr(md5(gram), 1, 15))::BIGINT % {num_buckets} AS bucket,
+       COUNT(*) AS c,
+       MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+""").fetchall()
+    by_doc: dict = {}
+    for doc_id, bucket, c, y in rows:
+        ent = by_doc.setdefault(doc_id, ({}, y))
+        ent[0][int(bucket)] = int(c)
+    return [(d, feats, int(y)) for d, (feats, y) in sorted(by_doc.items())]
+
+
+def _doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality/domain classifier: logistic
+    regression on hashed bigram features, trained deterministically on
+    the lowest-id sample with (lang == 'en') labels, scoring every doc.
+    The oracle retrains bit-identical weights (shared numpy trainer,
+    engine-portable md5 features) and mirrors the scoring in SQL."""
+    from pipelinedp_spark.operators import mixing
+    docs = _t(spark, sf_dir, "documents")
+    sample = _classifier_sample_from_parquet(sf_dir)
+    w, b = mixing.train_linear_classifier(sample, num_buckets=1024)
+    return mixing.classifier_scores(docs, w, b, num_buckets=1024)
+
+
+def _gen_quality_classifier_sql(num_buckets: int = 1024,
+                                sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from pipelinedp_spark.operators import mixing
+    sample = _classifier_sample_from_parquet(sf_dir, num_buckets)
+    w, b = mixing.train_linear_classifier(sample, num_buckets=num_buckets)
+    vals = ", ".join(f"({i}, {w[i]!r})" for i in range(num_buckets)
+                     if w[i] != 0.0)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2
+                         THEN [tk[i] || ' ' || tk[i+1]
+                               for i in range(1, len(tk))]
+                         ELSE [array_to_string(tk, ' ')] END) AS gram
+      FROM t),
+f AS (SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % {num_buckets}
+                 AS bucket,
+             COUNT(*) AS c
+      FROM g GROUP BY 1, 2),
+wt(bucket, w) AS (VALUES {vals})
+SELECT f.doc_id,
+       ROUND(1.0 / (1.0 + EXP(-({b!r}
+             + SUM(f.c * COALESCE(wt.w, 0.0)) / SUM(f.c)))), 6) AS score
+FROM f LEFT JOIN wt USING (bucket)
 GROUP BY 1
 """

@@ -98,3 +98,97 @@ def dsir_log_weights(raw: DataFrame,
             .groupBy(id_col)
             .agg(F.sum("c").cast("long").alias("n_feats"),
                  F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw")))
+
+
+def train_linear_classifier(sample_feats: "list[tuple[int, dict, int]]",
+                            num_buckets: int,
+                            iters: int = 200,
+                            lr: float = 0.5,
+                            l2: float = 1e-3) -> "tuple":
+    """Deterministic full-batch logistic regression over hashed n-gram
+    count features — the fastText-style linear text classifier used as a
+    quality/domain filter in web-corpus pipelines (Joulin et al.,
+    arXiv:1607.01759; the CCNet/quality-classifier role). Pure float64
+    numpy, fixed iteration count, no RNG: retrains bit-identically on
+    the same sample, so a SQL oracle can inject the weights as literals.
+
+    ``sample_feats`` rows are (doc_id, {bucket: count}, label). Features
+    are count-normalized per doc (x_f = c_f / n_d). Returns (w, b) with
+    w shape (num_buckets,).
+    """
+    import numpy as np
+    n = len(sample_feats)
+    x = np.zeros((n, num_buckets))
+    y = np.zeros(n)
+    for i, (_, feats, label) in enumerate(sample_feats):
+        tot = float(sum(feats.values())) or 1.0
+        for bkt, c in feats.items():
+            x[i, bkt] = c / tot
+        y[i] = label
+    w = np.zeros(num_buckets)
+    b = 0.0
+    for _ in range(iters):
+        z = x @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * ((x.T @ g) / n + l2 * w)
+        b -= lr * float(g.mean())
+    return w, b
+
+
+def collect_sample_features(docs: DataFrame,
+                            label_expr,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n: int = 2,
+                            num_buckets: int = 1024,
+                            sample_size: int = 2_000):
+    """Driver-side training sample: hashed features + label for the
+    `sample_size` lowest-id documents (deterministic across partition
+    layouts, like `similarity.sample_corpus_matrix`). Bounded collect."""
+    feats = hashed_ngram_features(
+        docs.orderBy(F.col(id_col)).limit(sample_size),
+        text_col, id_col, n, num_buckets)
+    labels = (docs.orderBy(F.col(id_col)).limit(sample_size)
+              .select(F.col(id_col), label_expr.cast("int").alias("y")))
+    rows = (feats.groupBy(id_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("bucket", "c"))).alias("m"))
+            .join(labels, id_col).orderBy(id_col).collect())
+    return [(r[id_col], dict(r["m"]), int(r["y"])) for r in rows]
+
+
+def classifier_scores(docs: DataFrame,
+                      w: "np.ndarray",
+                      b: float,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n: int = 2,
+                      num_buckets: int = 1024) -> DataFrame:
+    """Score every document with a trained linear classifier:
+    sigmoid(b + sum_f (c_f / n_d) * w_f). Returns (id_col, score 6dp).
+
+    Scale shape: the feature explode + groupBy is the word-count plan;
+    the weight table is num_buckets rows — always broadcast; one final
+    per-doc groupBy. The model is data, not code: at 100 TB you train
+    once on a sample and score the corpus in a single pass.
+    """
+    import numpy as np
+    import pandas as pd
+    wa = np.asarray(w, dtype="float64")
+    nz = np.nonzero(wa)[0]
+    sess = docs.sparkSession
+    # Arrow path (pandas input) — row-list createDataFrame costs seconds.
+    wt = sess.createDataFrame(
+        pd.DataFrame({"bucket": nz.astype("int64"), "w": wa[nz]}),
+        "bucket long, w double")
+    feats = hashed_ngram_features(docs, text_col, id_col, n, num_buckets)
+    return (feats.join(F.broadcast(wt), "bucket", "left")
+            .groupBy(id_col)
+            .agg((F.sum(F.col("c") * F.coalesce(F.col("w"), F.lit(0.0)))
+                  / F.sum("c")).alias("dot"))
+            .select(F.col(id_col),
+                    F.round(F.lit(1.0) /
+                            (F.lit(1.0)
+                             + F.exp(-(F.lit(float(b)) + F.col("dot")))),
+                            6).alias("score")))

@@ -115,3 +115,63 @@ def test_dsir_weight_value_matches_model(spark):
         - math.log((1 + alpha) / (1 + alpha * B))
     assert out[0]["logw"] == pytest.approx(expected, abs=1e-6)
     assert out[0]["n_feats"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier
+# ---------------------------------------------------------------------------
+
+def test_classifier_separates_token_disjoint_classes(spark):
+    from pipelinedp_spark.operators.mixing import (classifier_scores,
+                                                   collect_sample_features,
+                                                   train_linear_classifier)
+    pos = [f"good text sample number {i} quality words" for i in range(10)]
+    neg = [f"bad noise junk entry {i} garbage tokens" for i in range(10)]
+    docs = _docs(spark, pos + neg)
+    sample = collect_sample_features(
+        docs, label_expr=(F.col("doc_id") < 10), num_buckets=256)
+    w, b = train_linear_classifier(sample, num_buckets=256)
+    scores = {r["doc_id"]: r["score"]
+              for r in classifier_scores(docs, w, b,
+                                         num_buckets=256).collect()}
+    assert min(scores[i] for i in range(10)) > \
+        max(scores[i] for i in range(10, 20))
+
+
+def test_collect_sample_features_matches_duckdb_features(spark):
+    """The Spark sample collector and a DuckDB recomputation must agree
+    exactly (md5 buckets are engine-portable) — this is what lets the
+    driver query train via either engine and get identical weights."""
+    import duckdb
+    from pipelinedp_spark.operators.mixing import collect_sample_features
+    texts = ["alpha beta gamma", "beta gamma delta epsilon", "solo"]
+    docs = _docs(spark, texts)
+    got = collect_sample_features(docs, label_expr=(F.col("doc_id") == 0),
+                                  num_buckets=64, sample_size=10)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO d VALUES (?, ?)", [i, t])
+    rows = con.execute("""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2
+                         THEN [tk[i] || ' ' || tk[i+1]
+                               for i in range(1, len(tk))]
+                         ELSE [array_to_string(tk, ' ')] END) AS gram
+      FROM t)
+SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % 64, COUNT(*)
+FROM g GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    want = {}
+    for doc_id, bucket, c in rows:
+        want.setdefault(doc_id, {})[bucket] = c
+    assert {d: feats for d, feats, _ in got} == want
+    assert [y for _, _, y in got] == [1, 0, 0]
+
+
+def test_train_linear_classifier_deterministic():
+    from pipelinedp_spark.operators.mixing import train_linear_classifier
+    sample = [(0, {1: 2, 3: 1}, 1), (1, {5: 4}, 0), (2, {1: 1, 5: 1}, 1)]
+    w1, b1 = train_linear_classifier(sample, num_buckets=8)
+    w2, b2 = train_linear_classifier(sample, num_buckets=8)
+    assert (w1 == w2).all() and b1 == b2
