@@ -1356,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_dsir_weights": _doc_dsir_weights,
         "doc_quality_classifier": _doc_quality_classifier,
+        "doc_chunk_windows": _doc_chunk_windows,
     }
 
 
@@ -1425,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _gen_bm25_sql(),
         "doc_dsir_weights": _gen_dsir_sql(),
         "doc_quality_classifier": _gen_quality_classifier_sql(),
+        "doc_chunk_windows": _DOC_CHUNK_SQL,
     }
 
 
@@ -3147,4 +3149,30 @@ SELECT f.doc_id,
              + SUM(f.c * COALESCE(wt.w, 0.0)) / SUM(f.c)))), 6) AS score
 FROM f LEFT JOIN wt USING (bucket)
 GROUP BY 1
+"""
+
+
+def _doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG-style chunking: 32-token chunks, 8-token
+    overlap, per document."""
+    from pipelinedp_spark.operators.packing import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+_DOC_CHUNK_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+c AS (SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= 32 THEN 1
+                  ELSE (len(tk) - 32 + 23) // 24 + 1 END AS nc
+      FROM t),
+e AS (SELECT doc_id, tk, n,
+             unnest(generate_series(0, nc - 1)) AS chunk_idx
+      FROM c)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+           AS chunk,
+       CAST(LEAST(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens
+FROM e
 """

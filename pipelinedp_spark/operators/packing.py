@@ -50,3 +50,47 @@ def pack_sequences(docs: DataFrame, seq_len: int,
                    - F.expr(f"__off__ DIV {seq_len}").cast("long")
                    + 1)))
     return out.drop("__cum__", "__off__")
+
+
+def chunk_documents(docs: DataFrame,
+                    chunk_tokens: int = 256,
+                    overlap: int = 32,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window token chunking — the RAG / context-window prep
+    layout (fixed-size chunks with overlap, per document, no
+    cross-document concatenation; contrast `pack_sequences`).
+
+    Chunk i of a document covers tokens [i*stride, i*stride +
+    chunk_tokens) with stride = chunk_tokens - overlap; the last chunk
+    may be short; a document not longer than chunk_tokens yields exactly
+    one chunk. Number of chunks: 1 + ceil((n - chunk_tokens) / stride)
+    for n > chunk_tokens (integer arithmetic, SQL-mirrorable).
+
+    Scale shape: pure per-row codegen arithmetic — one posexplode of a
+    sequence() the size of the chunk count, slices off the already-split
+    token array (split() evaluated once per row via the shared array
+    column), zero shuffles, zero UDFs.
+
+    Returns (id_col, chunk_idx, chunk, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = docs.select(F.col(id_col),
+                       T.tokens(F.col(text_col)).alias("tk"))
+    n = F.size(F.col("tk"))
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (n - chunk_tokens + (stride - 1)) / stride + 1).cast("int")
+    exploded = toks.select(
+        F.col(id_col), F.col("tk"), n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    start = F.col("chunk_idx") * stride
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("tk"), start + 1, chunk_tokens), " ")
+        .alias("chunk"),
+        F.least(F.lit(chunk_tokens), F.col("n") - start)
+        .cast("long").alias("n_tokens"))

@@ -163,3 +163,40 @@ def test_unigram_perplexity_shuffle_join_variant_matches(spark):
     a = sorted(unigram_perplexity(df, broadcast_vocab=True).collect())
     b = sorted(unigram_perplexity(df, broadcast_vocab=False).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    from pipelinedp_spark.operators.packing import chunk_documents
+    df = _docs(spark, [" ".join(f"t{i}" for i in range(10))])
+    rows = sorted(chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+                  key=lambda r: r["chunk_idx"])
+    assert [r["chunk"] for r in rows] == \
+        ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from pipelinedp_spark.operators.packing import chunk_documents
+    df = _docs(spark, ["a b"])
+    rows = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk"] == "a b" and rows[0]["n_tokens"] == 2
+
+
+def test_chunk_documents_ragged_tail(spark):
+    from pipelinedp_spark.operators.packing import chunk_documents
+    df = _docs(spark, [" ".join(f"t{i}" for i in range(9))])
+    rows = sorted(chunk_documents(df, chunk_tokens=4, overlap=0).collect(),
+                  key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in rows] == [4, 4, 1]
+    assert rows[-1]["chunk"] == "t8"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from pipelinedp_spark.operators.packing import chunk_documents
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, ["a"]), chunk_tokens=4, overlap=4)
