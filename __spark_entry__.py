@@ -1357,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": _doc_dsir_weights,
         "doc_quality_classifier": _doc_quality_classifier,
         "doc_chunk_windows": _doc_chunk_windows,
+        "doc_dsir_resample": _doc_dsir_resample,
     }
 
 
@@ -1427,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_weights": _gen_dsir_sql(),
         "doc_quality_classifier": _gen_quality_classifier_sql(),
         "doc_chunk_windows": _DOC_CHUNK_SQL,
+        "doc_dsir_resample": _gen_dsir_resample_sql(),
     }
 
 
@@ -3175,4 +3177,33 @@ SELECT doc_id,
            AS chunk,
        CAST(LEAST(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens
 FROM e
+"""
+
+
+def _doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end: hashed-bigram importance weights vs the English
+    subset, then deterministic Bernoulli importance resampling at an
+    expected 25% keep rate."""
+    from pipelinedp_spark.operators import mixing
+    docs = _t(spark, sf_dir, "documents")
+    weights = mixing.dsir_log_weights(docs,
+                                      docs.filter(F.col("lang") == "en"))
+    return mixing.importance_resample(weights, keep_fraction=0.25)
+
+
+def _gen_dsir_resample_sql(keep_fraction: float = 0.25,
+                           sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror: the weight query from `_gen_dsir_sql` as a CTE plus
+    the md5-uniform Bernoulli keep rule. The Spark operator's filter
+    consumes the ROUNDED logw column that `dsir_log_weights` projects,
+    so the mirror's w and mean(w) are likewise built on the rounded
+    value."""
+    return f"""
+WITH weights AS ({_gen_dsir_sql(sf_dir=sf_dir)}),
+m AS (SELECT AVG(EXP(logw / 1.0)) AS mean_w FROM weights)
+SELECT w.doc_id, w.n_feats, w.logw
+FROM weights w, m
+WHERE ('0x' || substr(md5('dsir:' || CAST(w.doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT / 1152921504606846976.0
+      < LEAST(1.0, EXP(w.logw / 1.0) * ({keep_fraction} / m.mean_w))
 """

@@ -192,3 +192,29 @@ def classifier_scores(docs: DataFrame,
                             (F.lit(1.0)
                              + F.exp(-(F.lit(float(b)) + F.col("dot")))),
                             6).alias("score")))
+
+
+def importance_resample(weighted: DataFrame,
+                        logw_col: str = "logw",
+                        id_col: str = "doc_id",
+                        keep_fraction: float = 0.25,
+                        temperature: float = 1.0,
+                        salt: str = "dsir") -> DataFrame:
+    """Deterministic importance resampling over DSIR log-weights: keep
+    document d with probability min(1, keep_fraction * w_d / mean(w)),
+    w_d = exp(logw_d / temperature) — the Bernoulli/Poisson form of
+    DSIR's resampling step (expected kept fraction <= keep_fraction,
+    exact when no weight saturates the min). The coin is the md5-uniform
+    of (salt, id) — `functions.sampling.hash_uniform` — so the draw is
+    reproducible across runs, engines, and partition layouts.
+
+    Scale shape: one tiny agg for mean(w) (driver scalar), then a pure
+    per-row filter — no shuffle beyond the input's. Returns the kept
+    rows of ``weighted`` unchanged.
+    """
+    from pipelinedp_spark.functions.sampling import hash_uniform
+    w = F.exp(F.col(logw_col) / temperature)
+    mean_w = (weighted.agg(F.avg(w).alias("m")).collect()[0]["m"])
+    keep_p = F.least(F.lit(1.0), w * (keep_fraction / float(mean_w)))
+    return weighted.filter(
+        hash_uniform(F.col(id_col), salt=salt) < keep_p)

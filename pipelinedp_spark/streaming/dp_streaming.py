@@ -693,3 +693,120 @@ def dp_streaming_percentile(stream: DataFrame,
     return out.select("window",
                       F.col("percentile_value"),
                       F.col("__total__").alias("n_users"))
+
+
+def near_dup_dedup_batch(batch: DataFrame,
+                         state: Optional[DataFrame],
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         bits: int = 60,
+                         num_blocks: int = 4,
+                         max_hamming: int = 3) -> "tuple[DataFrame, DataFrame]":
+    """One micro-batch of incremental NEAR-dup (simhash) dedup: drop
+    batch docs within ``max_hamming`` of (a) any previously-kept doc
+    (``state`` = accumulated block table) or (b) a smaller-id doc in the
+    same batch. Pigeonhole blocking as in `operators.dedup.simhash_pairs`:
+    a pair within Hamming distance num_blocks-1 shares at least one
+    exact block, so block-equality joins find every candidate when
+    max_hamming <= num_blocks - 1.
+
+    Returns (kept_docs_with_simhash, kept_block_rows); append the block
+    rows to the state table for the next batch. Both joins hash on
+    (block_idx, block_val) — state-sized, never corpus x corpus.
+    """
+    from pipelinedp_spark.operators.dedup import simhash_fingerprints
+
+    block_bits = bits // num_blocks
+    mask = (1 << block_bits) - 1
+    # Arrow-batched fingerprint UDF (operators.dedup), NOT the pure
+    # column-expression simhash64: the expression tree there is
+    # per-bit-sized and bloats the task binary.
+    fp = (batch.select(F.col(id_col), F.col(text_col))
+          .join(simhash_fingerprints(batch, text_col, id_col), id_col))
+    blocks = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * block_bits)
+            .bitwiseAND(F.lit(mask)) for i in range(num_blocks)
+        ])).alias("block_idx", "block_val"))
+
+    hamming_vs = lambda other: F.bit_count(
+        F.col("simhash").bitwiseXOR(F.col(other)))
+
+    dup_ids = None
+    if state is not None:
+        st = state.select(F.col("block_idx"), F.col("block_val"),
+                          F.col("simhash").alias("state_simhash"))
+        vs_state = (blocks.join(st, ["block_idx", "block_val"])
+                    .filter(hamming_vs("state_simhash") <= max_hamming)
+                    .select(F.col(id_col)).distinct())
+        dup_ids = vs_state
+
+    left = blocks.select("block_idx", "block_val",
+                         F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    right = blocks.select("block_idx", "block_val",
+                          F.col(id_col).alias(id_col),
+                          F.col("simhash").alias("simhash"))
+    in_batch = (right.join(left, ["block_idx", "block_val"])
+                .filter((F.col("id_a") < F.col(id_col))
+                        & (hamming_vs("sh_a") <= max_hamming))
+                .select(F.col(id_col)).distinct())
+    dup_ids = in_batch if dup_ids is None else dup_ids.unionByName(
+        in_batch).distinct()
+
+    kept = fp.join(dup_ids, id_col, "left_anti")
+    kept_blocks = blocks.join(dup_ids, id_col, "left_anti") \
+        .select(id_col, "block_idx", "block_val", "simhash")
+    return kept, kept_blocks
+
+
+def streaming_near_dup_dedup(stream: DataFrame,
+                             output_path: str,
+                             state_path: str,
+                             checkpoint_dir: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             bits: int = 60,
+                             num_blocks: int = 4,
+                             max_hamming: int = 3):
+    """Streaming incremental near-dup dedup via foreachBatch: each
+    micro-batch is deduped against the accumulated state-block table
+    (parquet at ``state_path``) AND within itself, survivors append to
+    ``output_path`` and their blocks to the state table.
+
+    This is the production micro-batch pattern for stateful operators
+    whose state is relational (block inverted index), not per-key
+    scalars — applyInPandasWithState cannot express the multi-key
+    (one doc -> num_blocks block groups) membership test. Caveat,
+    documented: a batch replayed after a failure between the two
+    appends can duplicate appended rows; an ACID table format's MERGE
+    closes that window — out of scope here, the checkpoint still
+    guarantees each input file is PROCESSED once.
+
+    Returns the started StreamingQuery.
+    """
+    spark = stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            state = None
+        kept, kept_blocks = near_dup_dedup_batch(
+            batch_df, state, text_col, id_col, bits, num_blocks,
+            max_hamming)
+        # Materialize kept BEFORE appending blocks: both outputs derive
+        # from the same plan, and the state append must not observe the
+        # rows this very batch writes.
+        kept.persist()
+        try:
+            kept.write.mode("append").parquet(output_path)
+            kept_blocks.write.mode("append").parquet(state_path)
+        finally:
+            kept.unpersist()
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

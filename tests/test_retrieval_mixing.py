@@ -175,3 +175,37 @@ def test_train_linear_classifier_deterministic():
     w1, b1 = train_linear_classifier(sample, num_buckets=8)
     w2, b2 = train_linear_classifier(sample, num_buckets=8)
     assert (w1 == w2).all() and b1 == b2
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling
+# ---------------------------------------------------------------------------
+
+def test_importance_resample_keeps_expected_fraction(spark):
+    from pipelinedp_spark.operators.mixing import importance_resample
+    # Uniform weights -> keep probability == keep_fraction for every doc.
+    df = spark.createDataFrame([(i, 0.0) for i in range(2000)],
+                               "doc_id long, logw double")
+    kept = importance_resample(df, keep_fraction=0.3).count()
+    assert 0.25 * 2000 < kept < 0.35 * 2000
+
+
+def test_importance_resample_prefers_heavy_docs(spark):
+    from pipelinedp_spark.operators.mixing import importance_resample
+    import math
+    rows = [(i, math.log(9.0)) for i in range(200)] + \
+        [(i, math.log(1.0 / 9.0)) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, logw double")
+    kept = importance_resample(df, keep_fraction=0.3).collect()
+    heavy = sum(1 for r in kept if r["doc_id"] < 200)
+    light = len(kept) - heavy
+    assert heavy > 3 * max(light, 1)
+
+
+def test_importance_resample_deterministic(spark):
+    from pipelinedp_spark.operators.mixing import importance_resample
+    df = spark.createDataFrame([(i, (i % 7) / 3.0) for i in range(300)],
+                               "doc_id long, logw double")
+    a = sorted(r["doc_id"] for r in importance_resample(df).collect())
+    b = sorted(r["doc_id"] for r in importance_resample(df).collect())
+    assert a == b and len(a) > 0

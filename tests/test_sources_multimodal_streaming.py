@@ -615,3 +615,64 @@ def test_write_stream_checkpointed_roundtrip(spark, tmp_path, stream_dir):
         .select("user_id", "value"), out_dir, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == back.count()
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental near-dup dedup (foreachBatch + state table)
+# ---------------------------------------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_batch_drops_state_and_in_batch_dups(spark):
+    from pipelinedp_spark.streaming.dp_streaming import near_dup_dedup_batch
+    # Long docs: a one-token edit moves few simhash bits (votes have
+    # wide margins at 120 tokens), keeping near-dups inside max_hamming.
+    base = " ".join(f"word{i}" for i in range(120))
+    nearly = base.replace("word119", "changed")
+    other = " ".join(f"db{i}" for i in range(120))
+    b1 = _mk_docs(spark, [(1, base), (2, other)])
+    kept1, blocks1 = near_dup_dedup_batch(b1, None)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+
+    # Batch 2: near-dup of a state doc + near-dup pair within the batch.
+    novel = " ".join(f"other{i}" for i in range(120))
+    b2 = _mk_docs(spark, [(3, nearly), (10, novel),
+                          (11, novel + " extra")])
+    kept2, blocks2 = near_dup_dedup_batch(b2, blocks1)
+    kept_ids = sorted(r["doc_id"] for r in kept2.collect())
+    assert 3 not in kept_ids            # matched state doc 1
+    assert 10 in kept_ids               # novel, first of its pair
+    assert 11 not in kept_ids           # in-batch dup of 10
+    # State rows only for kept docs.
+    assert set(r["doc_id"] for r in blocks2.collect()) == set(kept_ids)
+
+
+def test_streaming_near_dup_dedup_end_to_end(spark, tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_near_dup_dedup)
+    src = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    statep = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"tok{i}" for i in range(120))
+    _mk_docs(spark, [(1, base)]).write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src + "/*"))
+    q = streaming_near_dup_dedup(stream, outp, statep, ckpt)
+    q.awaitTermination(120)
+
+    # Second trigger: a near-dup of the already-kept doc plus a novel one.
+    _mk_docs(spark, [
+        (2, base.replace("tok119", "psi")),
+        (3, " ".join(f"sea{i}" for i in range(120))),
+    ]).write.parquet(src + "/f2.parquet")
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .parquet(src + "/*"))
+    q2 = streaming_near_dup_dedup(stream2, outp, statep, ckpt)
+    q2.awaitTermination(120)
+
+    kept = sorted(r["doc_id"]
+                  for r in spark.read.parquet(outp).collect())
+    assert kept == [1, 3]
