@@ -79,8 +79,10 @@ def dsir_log_weights(raw: DataFrame,
                                         num_buckets)
                   .groupBy("bucket").agg(F.sum("c").alias("c_t")))
 
-    tot = raw_counts.agg(F.sum("c_r").alias("t")).collect()[0]["t"]
-    tot_t = tgt_counts.agg(F.sum("c_t").alias("t")).collect()[0]["t"]
+    # SUM over an empty frame is NULL -> 0 (empty raw/target corpora
+    # degrade to the pure smoothing floor rather than crashing).
+    tot = raw_counts.agg(F.sum("c_r").alias("t")).collect()[0]["t"] or 0
+    tot_t = tgt_counts.agg(F.sum("c_t").alias("t")).collect()[0]["t"] or 0
     denom_r = float(tot) + alpha * num_buckets
     denom_t = float(tot_t) + alpha * num_buckets
 

@@ -209,3 +209,45 @@ def test_importance_resample_deterministic(spark):
     a = sorted(r["doc_id"] for r in importance_resample(df).collect())
     b = sorted(r["doc_id"] for r in importance_resample(df).collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Edge cases
+# ---------------------------------------------------------------------------
+
+def test_bm25_query_with_unknown_terms_only_returns_empty(spark):
+    from pipelinedp_spark.operators.retrieval import bm25_topk
+    docs = _docs(spark, ["cat dog", "dog bird"])
+    out = bm25_topk(docs, _queries(spark, ["zzz qqq"]), k=3)
+    assert out.count() == 0
+
+
+def test_bm25_mixed_known_unknown_terms_scores_known_only(spark):
+    from pipelinedp_spark.operators.retrieval import bm25_topk
+    docs = _docs(spark, ["cat dog", "dog bird"])
+    a = bm25_topk(docs, _queries(spark, ["cat zzz"]), k=3).collect()
+    b = bm25_topk(docs, _queries(spark, ["cat"]), k=3).collect()
+    assert sorted((r["doc_id"], r["score"]) for r in a) == \
+        sorted((r["doc_id"], r["score"]) for r in b)
+
+
+def test_dsir_empty_target_gives_uniform_floor(spark):
+    import math
+    from pipelinedp_spark.operators.mixing import dsir_log_weights
+    raw = _docs(spark, ["a b", "c d"])
+    target = _docs(spark, []).filter("doc_id > 0")  # empty frame
+    B = 32
+    out = dsir_log_weights(raw, target, num_buckets=B).collect()
+    # Every bucket: c_t=0, c_r=1, tot_r=2, tot_t=0 ->
+    # lr = ln(1/B) - ln(2/(2+B)) identical for all docs.
+    lr = math.log(1.0 / B) - math.log(2.0 / (2.0 + B))
+    for r in out:
+        assert r["logw"] == pytest.approx(lr, abs=1e-6)
+
+
+def test_unigram_perplexity_single_doc_is_vocab_size_like(spark):
+    from pipelinedp_spark.operators.quality import unigram_perplexity
+    # All-distinct tokens: every c_t = 1, so ppl == N exactly.
+    df = _docs(spark, ["u v w x y"])
+    out = unigram_perplexity(df).collect()[0]
+    assert out["ppl"] == pytest.approx(5.0, abs=1e-6)
