@@ -200,3 +200,36 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     from pipelinedp_spark.operators.packing import chunk_documents
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(_docs(spark, ["a"]), chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans property: planted-run recovery
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_recovers_planted_runs_exactly(spark):
+    """For every planted duplicated run of length L >= k at offset p,
+    the merged output must contain exactly [p, p+L) — the fixed-k
+    window approximation is lossless above k (docstring guarantee)."""
+    import random
+    rng = random.Random(11)
+    k = 8
+    cases = []
+    for case in range(6):
+        run_len = rng.randint(k, k + 12)
+        run = [f"r{case}_{j}" for j in range(run_len)]
+        prefix = [f"p{case}_{j}" for j in range(rng.randint(0, 10))]
+        suffix = [f"s{case}_{j}" for j in range(rng.randint(0, 10))]
+        # doc A carries the original, doc B the re-occurrence.
+        cases.append((2 * case, " ".join(run),
+                      2 * case + 1,
+                      " ".join(prefix + run + suffix),
+                      len(prefix), len(prefix) + run_len))
+    rows = []
+    for a_id, a_text, b_id, b_text, _, _ in cases:
+        rows.append((a_id, a_text))
+        rows.append((b_id, b_text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicate_spans(df, k=k).collect()}
+    want = {(b_id, s, e) for _, _, b_id, _, s, e in cases}
+    assert got == want
