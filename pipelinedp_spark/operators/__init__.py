@@ -1,4 +1,5 @@
-from pipelinedp_spark.operators import (asof, bpe, dedup, graph, jpeg,
-                                        multimodal, quality, ranges,
-                                        running, sessions,
+from pipelinedp_spark.operators import (asof, bpe, decontam, dedup, graph,
+                                        jpeg, mixing, multimodal, packing,
+                                        quality, ranges, retrieval,
+                                        running, semdedup, sessions,
                                         similarity)  # noqa: F401
