@@ -1358,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": _doc_quality_classifier,
         "doc_chunk_windows": _doc_chunk_windows,
         "doc_dsir_resample": _doc_dsir_resample,
+        "emb_semantic_clusters": _emb_semantic_clusters,
     }
 
 
@@ -1429,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_classifier": _gen_quality_classifier_sql(),
         "doc_chunk_windows": _DOC_CHUNK_SQL,
         "doc_dsir_resample": _gen_dsir_resample_sql(),
+        "emb_semantic_clusters": _gen_semantic_clusters_sql(),
     }
 
 
@@ -3087,11 +3089,18 @@ def _classifier_sample_from_parquet(sf_dir: str, num_buckets: int = 1024):
     """Shared trainer input for the quality-classifier query and its
     oracle: per-doc hashed-bigram counts + (lang == 'en') labels for the
     lowest-2000-id docs, computed via DuckDB (md5 buckets are engine-
-    portable, so Spark produces the identical sample)."""
+    portable, so Spark produces the identical sample). Handles both
+    single-file tables (driver-generated sf dirs) and Spark-written
+    directory tables (the generated sf1 set)."""
+    import os
+
     import duckdb
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
     rows = duckdb.sql(f"""
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
-           FROM read_parquet('{sf_dir}/documents.parquet')
+           FROM read_parquet('{path}')
            ORDER BY doc_id LIMIT 2000),
 g AS (SELECT doc_id, lang,
              unnest(CASE WHEN len(tk) >= 2
@@ -3206,4 +3215,61 @@ FROM weights w, m
 WHERE ('0x' || substr(md5('dsir:' || CAST(w.doc_id AS VARCHAR)), 1, 15))
           ::BIGINT / 1152921504606846976.0
       < LEAST(1.0, EXP(w.logw / 1.0) * ({keep_fraction} / m.mean_w))
+"""
+
+
+def _emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster ids: SemDeDup within-cell pairs fed through
+    iterative connected components (min-label + pointer jumping). Oracle
+    mirrors the pairs in SQL and closes them with a recursive CTE."""
+    from pipelinedp_spark.operators import graph, semdedup
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semdedup.semantic_pairs(emb, num_clusters=8,
+                                    cosine_threshold=0.4)
+    return (graph.near_dup_clusters(emb.select("vec_id"), pairs,
+                                    id_col="vec_id")
+            .select(F.col("vec_id"),
+                    F.col("cluster_id").cast("long").alias("cluster_id")))
+
+
+def _gen_semantic_clusters_sql(num_clusters: int = 8, tau: float = 0.4,
+                               seed: int = 7,
+                               sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pipelinedp_spark.operators.similarity import train_ivf_centroids
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(10_000)
+    x = np.stack(t["embedding"].to_numpy()).astype("float64")
+    cents = train_ivf_centroids(x, num_clusters, seed)
+    cell_rows = ", ".join(f"({c}, {_plane_lit(cents[c])})"
+                          for c in range(len(cents)))
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells(cell, cv) AS (VALUES {cell_rows}),
+ass AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM base CROSS JOIN cells) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ass a JOIN ass b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON reach.node = und.v
+)
+SELECT node AS vec_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node
 """

@@ -73,28 +73,37 @@ def dsir_log_weights(raw: DataFrame,
     Returns (id_col, n_feats, logw) where n_feats is the document's
     n-gram count and logw is rounded to 6dp. Higher = more target-like.
     """
+    import math
+
+    import pandas as pd
+
     feats = hashed_ngram_features(raw, text_col, id_col, n, num_buckets)
-    raw_counts = feats.groupBy("bucket").agg(F.sum("c").alias("c_r"))
-    tgt_counts = (hashed_ngram_features(target, text_col, id_col, n,
-                                        num_buckets)
-                  .groupBy("bucket").agg(F.sum("c").alias("c_t")))
+    # The per-bucket count tables are <= num_buckets rows — collect them
+    # ONCE and build the log-ratio table driver-side. This costs one job
+    # per corpus (vs. separate totals-agg jobs plus a re-explode of the
+    # raw corpus for the ratio join) and keeps the model a broadcastable
+    # B-row artifact. Totals fall out of the collected rows for free.
+    raw_rows = (feats.groupBy("bucket").agg(F.sum("c").alias("c_r"))
+                .collect())
+    tgt_rows = (hashed_ngram_features(target, text_col, id_col, n,
+                                      num_buckets)
+                .groupBy("bucket").agg(F.sum("c").alias("c_t"))
+                .collect())
+    c_r = {r["bucket"]: int(r["c_r"]) for r in raw_rows}
+    c_t = {r["bucket"]: int(r["c_t"]) for r in tgt_rows}
+    denom_r = float(sum(c_r.values())) + alpha * num_buckets
+    denom_t = float(sum(c_t.values())) + alpha * num_buckets
 
-    # SUM over an empty frame is NULL -> 0 (empty raw/target corpora
-    # degrade to the pure smoothing floor rather than crashing).
-    tot = raw_counts.agg(F.sum("c_r").alias("t")).collect()[0]["t"] or 0
-    tot_t = tgt_counts.agg(F.sum("c_t").alias("t")).collect()[0]["t"] or 0
-    denom_r = float(tot) + alpha * num_buckets
-    denom_t = float(tot_t) + alpha * num_buckets
-
-    # B-row log-ratio table; buckets unseen in the target get the
-    # smoothing floor alpha / denom_t. Only raw buckets can appear in a
-    # scored document, so a left join from raw buckets is exhaustive.
-    ratio = (raw_counts.join(tgt_counts, "bucket", "left")
-             .select("bucket",
-                     (F.log((F.coalesce(F.col("c_t"), F.lit(0)) + alpha)
-                            / F.lit(denom_t))
-                      - F.log((F.col("c_r") + alpha) / F.lit(denom_r)))
-                     .alias("lr")))
+    # Buckets unseen in the target get the smoothing floor
+    # alpha / denom_t. Only raw buckets can appear in a scored document,
+    # so enumerating raw buckets is exhaustive.
+    buckets = sorted(c_r)
+    lr = [math.log((c_t.get(bkt, 0) + alpha) / denom_t)
+          - math.log((c_r[bkt] + alpha) / denom_r) for bkt in buckets]
+    ratio = raw.sparkSession.createDataFrame(
+        pd.DataFrame({"bucket": pd.Series(buckets, dtype="int64"),
+                      "lr": pd.Series(lr, dtype="float64")}),
+        "bucket long, lr double")
 
     return (feats.join(F.broadcast(ratio), "bucket")
             .groupBy(id_col)

@@ -111,3 +111,49 @@ def semantic_dedup(df: DataFrame,
 
     return (cells.groupBy("cell")
             .applyInPandas(_mark, schema=out_schema))
+
+
+def semantic_pairs(df: DataFrame,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   num_clusters: int = 16,
+                   cosine_threshold: float = 0.7,
+                   seed: int = 7,
+                   centroids: Optional["np.ndarray"] = None,
+                   sample_size: int = 10_000,
+                   max_cluster_rows: int = 500_000) -> DataFrame:
+    """Within-cluster near-dup PAIRS (id_a < id_b, round(cos,6) >= tau)
+    — the edge list `semantic_dedup` prunes with and the input to
+    `graph.connected_components` for semantic cluster ids. Same
+    quantizer, same in-cluster mat-mul shape."""
+    if centroids is None:
+        x = sample_corpus_matrix(df, id_col, vec_col, sample_size)
+        centroids = train_ivf_centroids(x, num_clusters, seed)
+
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).cast("array<double>").alias("_vec"))
+    cells = src.withColumn("cell",
+                           assign_cells_udf(centroids)(F.col("_vec")))
+    thr = float(cosine_threshold)
+    cap = int(max_cluster_rows)
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"cluster {int(pdf['cell'].iloc[0])} has {len(pdf)} rows "
+                f"> max_cluster_rows={cap}; raise num_clusters")
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        cos = np.round(unit @ unit.T, 6)
+        keep = np.triu(cos >= thr, k=1)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj],
+                             "cosine": cos[ai, bj]})
+
+    return (cells.groupBy("cell")
+            .applyInPandas(_pairs, schema=out_schema))

@@ -233,3 +233,39 @@ def test_duplicate_spans_recovers_planted_runs_exactly(spark):
            for r in duplicate_spans(df, k=k).collect()}
     want = {(b_id, s, e) for _, _, b_id, _, s, e in cases}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# semantic_pairs / semantic clusters
+# ---------------------------------------------------------------------------
+
+def test_semantic_pairs_within_cell_only(spark):
+    from pipelinedp_spark.operators.semdedup import semantic_pairs
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.0, 1.0]),
+         (3, [0.01, 0.99])],
+        "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    got = {(r["id_a"], r["id_b"])
+           for r in semantic_pairs(df, cosine_threshold=0.9,
+                                   centroids=cents).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_semantic_pairs_feed_connected_components(spark):
+    from pipelinedp_spark.operators.graph import near_dup_clusters
+    from pipelinedp_spark.operators.semdedup import semantic_pairs
+    # Chain 0-1, 1-2 inside one cell -> one cluster {0,1,2}; 3 alone.
+    # Angles 0/8/16 deg: cos(8deg)=0.990 >= thr, cos(16deg)=0.961 < thr.
+    import math as m
+    ang = lambda d: [m.cos(m.radians(d)), m.sin(m.radians(d))]
+    df = spark.createDataFrame(
+        [(0, ang(0)), (1, ang(8)), (2, ang(16)), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.15], [-1.0, 0.0]])
+    pairs = semantic_pairs(df, cosine_threshold=0.98, centroids=cents)
+    out = {r["vec_id"]: r["cluster_id"]
+           for r in near_dup_clusters(df.select("vec_id"), pairs,
+                                      id_col="vec_id").collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == 3
