@@ -1359,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_windows": _doc_chunk_windows,
         "doc_dsir_resample": _doc_dsir_resample,
         "emb_semantic_clusters": _emb_semantic_clusters,
+        "doc_corpus_report": _doc_corpus_report,
     }
 
 
@@ -1431,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk_windows": _DOC_CHUNK_SQL,
         "doc_dsir_resample": _gen_dsir_resample_sql(),
         "emb_semantic_clusters": _gen_semantic_clusters_sql(),
+        "doc_corpus_report": _DOC_CORPUS_REPORT_SQL,
     }
 
 
@@ -3272,4 +3274,46 @@ reach(node, lbl) AS (
 )
 SELECT node AS vec_id, MIN(lbl) AS cluster_id
 FROM reach GROUP BY node
+"""
+
+
+def _doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus report: the dataset-card rollup a
+    training-data pipeline publishes — doc/token counts, exact-dup rate
+    via fingerprint distinct, mean quality score. One scan + one
+    map-side-combinable groupBy."""
+    from pipelinedp_spark.functions import text as T
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                " +", " "))
+    return (docs.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(T.token_count(F.col("text"))).cast("long")
+                 .alias("n_tokens"),
+                 F.countDistinct(fp).cast("long").alias("n_unique"),
+                 # SUM (not AVG) of the 6dp per-doc scores: dividing by
+                 # n lands exactly on .5-at-6dp boundaries where Spark
+                 # (HALF_UP) and DuckDB (HALF_EVEN) round apart.
+                 F.round(F.sum(T.quality_score(F.col("text"))), 6)
+                 .alias("sum_quality")))
+
+
+_DOC_CORPUS_REPORT_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ',
+                                              'g'))) AS BIGINT)
+           AS n_unique,
+       ROUND(SUM(ROUND(
+         (CASE WHEN len(string_split(text, ' ')) < 50
+               THEN len(string_split(text, ' ')) / 50.0
+               WHEN len(string_split(text, ' ')) > 10000
+               THEN 10000.0 / len(string_split(text, ' '))
+               ELSE 1.0 END)
+         * (len(list_distinct(string_split(text, ' ')))
+            / greatest(len(string_split(text, ' ')), 1)), 6)), 6)
+           AS sum_quality
+FROM documents
+GROUP BY 1, 2
 """
