@@ -219,11 +219,16 @@ def importance_resample(weighted: DataFrame,
     of (salt, id) — `functions.sampling.hash_uniform` — so the draw is
     reproducible across runs, engines, and partition layouts.
 
-    Scale shape: one tiny agg for mean(w) (driver scalar), then a pure
-    per-row filter — no shuffle beyond the input's. Returns the kept
-    rows of ``weighted`` unchanged.
+    Scale shape: the input is materialized ONCE (`localCheckpoint`) —
+    without it the mean(w) agg and the returned filter would each
+    recompute the whole upstream weight pipeline (two extra corpus
+    passes when fed straight from `dsir_log_weights`). Then one tiny
+    agg for mean(w) (driver scalar) and a pure per-row filter — no
+    shuffle beyond the input's. Returns the kept rows of ``weighted``
+    unchanged.
     """
     from pipelinedp_spark.functions.sampling import hash_uniform
+    weighted = weighted.localCheckpoint(eager=True)
     w = F.exp(F.col(logw_col) / temperature)
     mean_w = (weighted.agg(F.avg(w).alias("m")).collect()[0]["m"])
     keep_p = F.least(F.lit(1.0), w * (keep_fraction / float(mean_w)))
