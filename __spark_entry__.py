@@ -1360,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_resample": _doc_dsir_resample,
         "emb_semantic_clusters": _emb_semantic_clusters,
         "doc_corpus_report": _doc_corpus_report,
+        "dp_corpus_token_count": _dp_corpus_token_count,
+        "multimodal_audio_features": _multimodal_audio_features,
     }
 
 
@@ -1433,6 +1435,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_resample": _gen_dsir_resample_sql(),
         "emb_semantic_clusters": _gen_semantic_clusters_sql(),
         "doc_corpus_report": _DOC_CORPUS_REPORT_SQL,
+        "dp_corpus_token_count": _DP_CORPUS_TOKEN_SQL,
+        "multimodal_audio_features": _MULTIMODAL_AUDIO_FEATURES_SQL,
     }
 
 
@@ -3316,4 +3320,103 @@ SELECT lang, source,
            AS sum_quality
 FROM documents
 GROUP BY 1, 2
+"""
+
+
+def _dp_corpus_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level DP statistics OVER the training corpus itself —
+    the privacy-accounting shape for LLM training data releases: each
+    DOCUMENT is the privacy unit (pid = doc_id), partitions are
+    languages (public), and the released metric is the clipped sum of
+    per-document token counts. Contribution bounding is real: a doc
+    contributes to exactly its own language, token counts clip to
+    [0, 80]. Zero noise for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    from pipelinedp_spark.functions import text as T
+    with_tokens = docs.select(
+        F.col("doc_id"), F.col("lang"),
+        T.token_count(F.col("text")).cast("double").alias("n_tokens"))
+    query = (pds.QueryBuilder(with_tokens, "doc_id")
+             .groupby("lang", max_groups_contributed=1,
+                      max_contributions_per_group=1,
+                      public_keys=["en", "de", "fr", "es", "zh"])
+             .count(name="n_docs")
+             .sum("n_tokens", min_value=0.0, max_value=80.0,
+                  name="dp_tokens")
+             .build_query())
+    return query.run_query(pds.Budget(1.0), noise_mode="zero")
+
+
+_DP_CORPUS_TOKEN_SQL = """
+WITH pub(lang) AS (VALUES ('en'), ('de'), ('fr'), ('es'), ('zh')),
+per_doc AS (
+    SELECT doc_id, lang,
+           GREATEST(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE),
+                          80.0), 0.0) AS clipped
+    FROM documents),
+agg AS (
+    SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(clipped) AS DOUBLE) AS dp_tokens
+    FROM per_doc GROUP BY lang)
+SELECT pub.lang, COALESCE(agg.n_docs, 0.0) AS n_docs,
+       COALESCE(agg.dp_tokens, 0.0) AS dp_tokens
+FROM pub LEFT JOIN agg USING (lang)
+"""
+
+
+def _multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-feature path: full-range deterministic int16 PCM ->
+    RIFF/WAVE encode -> opaque binary -> native decode -> normalized
+    8-bin amplitude histogram (extract_audio_features, decoder=native).
+    The histogram bin of sample v is exactly (v + 32768) // 8192 (the
+    np.histogram edges are v/2^15 rationals — exact in float64), so the
+    oracle recomputes the whole feature vector from the generating
+    formula in integer SQL."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                n = 64 + d % 64
+                rate = 8000 * (1 + d % 3)
+                samples = ((d * 31 + np.arange(n) * 17) % 65536
+                           - 32768).astype(np.int16)
+                payloads.append(MM.encode_wav(samples, int(rate)))
+            yield pd.DataFrame({"doc_id": ids, "audio": payloads})
+
+    wav = docs.mapInPandas(gen, "doc_id long, audio binary")
+    feats = MM.extract_audio_features(wav, "audio", decoder="native",
+                                      n_bins=8)
+    return feats.select(
+        F.col("doc_id"),
+        F.posexplode(F.col("audio_features")).alias("bin", "frac"),
+        F.col("est_duration_s")).select(
+        "doc_id", F.col("bin").cast("long").alias("bin"),
+        F.round(F.col("frac"), 6).alias("frac"),
+        F.round(F.col("est_duration_s"), 6).alias("est_duration_s"))
+
+
+_MULTIMODAL_AUDIO_FEATURES_SQL = """
+WITH s AS (
+  SELECT d.doc_id, (d.doc_id * 31 + g.k * 17) % 65536 - 32768 AS v
+  FROM documents d, generate_series(0, 127) g(k)
+  WHERE g.k < 64 + d.doc_id % 64),
+h AS (
+  SELECT doc_id, CAST((v + 32768) // 8192 AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM s GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, g.b AS bin, 64 + d.doc_id % 64 AS n,
+         8000 * (1 + d.doc_id % 3) AS rate
+  FROM documents d, generate_series(0, 7) g(b))
+SELECT grid.doc_id, CAST(grid.bin AS BIGINT) AS bin,
+       ROUND(COALESCE(h.c, 0) / grid.n, 6) AS frac,
+       ROUND(grid.n / grid.rate, 6) AS est_duration_s
+FROM grid LEFT JOIN h ON grid.doc_id = h.doc_id AND grid.bin = h.bin
 """
