@@ -1362,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_report": _doc_corpus_report,
         "dp_corpus_token_count": _dp_corpus_token_count,
         "multimodal_audio_features": _multimodal_audio_features,
+        "dedup_cross_corpus_near": _dedup_cross_corpus_near,
     }
 
 
@@ -1437,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_corpus_report": _DOC_CORPUS_REPORT_SQL,
         "dp_corpus_token_count": _DP_CORPUS_TOKEN_SQL,
         "multimodal_audio_features": _MULTIMODAL_AUDIO_FEATURES_SQL,
+        "dedup_cross_corpus_near": _DEDUP_CROSS_NEAR_SQL,
     }
 
 
@@ -3419,4 +3421,69 @@ SELECT grid.doc_id, CAST(grid.bin AS BIGINT) AS bin,
        ROUND(COALESCE(h.c, 0) / grid.n, 6) AS frac,
        ROUND(grid.n / grid.rate, 6) AS est_duration_s
 FROM grid LEFT JOIN h ON grid.doc_id = h.doc_id AND grid.bin = h.bin
+"""
+
+
+def _dedup_cross_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion NEAR-dup dedup: odd-id docs (the 'new
+    batch') surviving a MinHash band join + exact-Jaccard check against
+    even-id docs (the 'reference index'). The oracle replays signatures,
+    bands, the cross join, and the verify in SQL. (The reference-bucket
+    cap never binds at this sf; the mirror omits it.)"""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    out = dedup.cross_corpus_near_dup(new, ref, jaccard_threshold=0.7)
+    return out.select("doc_id", "lang")
+
+
+_DEDUP_CROSS_NEAR_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       for i in range(1, len(t) - 1)])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM tok),
+hm AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+          for s in shingles] AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_min([(((1103515245 * (i + 1) + 12345) % 2147483647) * h
+                     + ((2654435761 * i + 97) % 2147483647)) % 2147483647
+                    for h in hs])
+          for i in range(0, 8)] AS sig
+  FROM hm),
+bands AS (
+  SELECT doc_id,
+         UNNEST(range(0, 2)) AS band_idx,
+         UNNEST([md5(CAST(sig[1] AS VARCHAR) || '|' || CAST(sig[2] AS VARCHAR)
+                     || '|' || CAST(sig[3] AS VARCHAR) || '|'
+                     || CAST(sig[4] AS VARCHAR)),
+                 md5(CAST(sig[5] AS VARCHAR) || '|' || CAST(sig[6] AS VARCHAR)
+                     || '|' || CAST(sig[7] AS VARCHAR) || '|'
+                     || CAST(sig[8] AS VARCHAR))])
+             AS band_hash
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+dups AS (
+  SELECT DISTINCT c.id_a
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.7)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT id_a FROM dups)
 """

@@ -123,6 +123,30 @@ def minhash_signatures(df: DataFrame,
                      _sig(hs).alias("sig"))
 
 
+def minhash_bands(df: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id",
+                  k: int = 3,
+                  num_hashes: int = 8,
+                  rows_per_band: int = 4) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band table — md5 over each band's
+    signature slice. Shared by within-corpus pair generation
+    (`minhash_lsh_pairs`) and cross-corpus matching
+    (`cross_corpus_near_dup`); at scale this is the table you persist as
+    the corpus's dedup index."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    num_bands = num_hashes // rows_per_band
+    band_hashes = [
+        F.md5(F.concat_ws(
+            "|", *[F.element_at("sig", j * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)]))
+        for j in range(num_bands)
+    ]
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"))
+
+
 def minhash_lsh_pairs(df: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id",
@@ -147,17 +171,8 @@ def minhash_lsh_pairs(df: DataFrame,
     the signature pass scales linearly in num_hashes with no extra
     shuffles, so widening is cheap).
     """
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    num_bands = num_hashes // rows_per_band
-    band_hashes = [
-        F.md5(F.concat_ws(
-            "|", *[F.element_at("sig", j * rows_per_band + r + 1)
-                   .cast("string") for r in range(rows_per_band)]))
-        for j in range(num_bands)
-    ]
-    bands = sig.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"))
+    bands = minhash_bands(df, text_col, id_col, k, num_hashes,
+                          rows_per_band)
     # Cap degenerate buckets before the self-join blows up. The window
     # partitions on the SAME key the self-join shuffles on, and both join
     # sides are identical subplans, so Catalyst materializes that
@@ -653,3 +668,55 @@ def duplicate_spans(df: DataFrame,
                       F.col("span_start").cast("long").alias("span_start"),
                       F.col("span_end").cast("long").alias("span_end")))
     return merged
+
+
+def cross_corpus_near_dup(new_docs: DataFrame,
+                          reference: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          k: int = 3,
+                          num_hashes: int = 8,
+                          rows_per_band: int = 4,
+                          jaccard_threshold: float = 0.8,
+                          max_bucket_size: int = 1000) -> DataFrame:
+    """Incremental-ingestion NEAR-dup dedup: drop new documents whose
+    exact shingle Jaccard against some reference document meets the
+    threshold, discovering candidates through a MinHash band join (new
+    bands x reference bands — never corpus x corpus). The near-dup
+    complement of `cross_corpus_dedup` (exact fingerprints).
+
+    Scale shape: the reference's band table is the persistable dedup
+    index (`minhash_bands`); each ingest batch computes its own bands
+    (one Arrow pass, no shuffle) and hash-joins the index on
+    (band_idx, band_hash). Degenerate reference buckets are capped at
+    ``max_bucket_size`` (window on the join key; the exchange is reused
+    by the join — same AQE pattern as `minhash_lsh_pairs`).
+
+    Returns the surviving new rows (original columns).
+    """
+    nb = minhash_bands(new_docs, text_col, id_col, k, num_hashes,
+                       rows_per_band)
+    rb = minhash_bands(reference, text_col, id_col, k, num_hashes,
+                       rows_per_band)
+    w = Window.partitionBy("band_idx", "band_hash")
+    rb = (rb.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+          .filter(F.col("bucket_size") <= max_bucket_size)
+          .drop("bucket_size"))
+    cand = (nb.select("band_idx", "band_hash",
+                      F.col(id_col).alias("id_a"))
+            .join(rb.select("band_idx", "band_hash",
+                            F.col(id_col).alias("id_b")),
+                  ["band_idx", "band_hash"])
+            .select("id_a", "id_b").distinct())
+    sh_new = shingle_docs(new_docs, text_col, id_col, k).select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_ref = shingle_docs(reference, text_col, id_col, k).select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(sh_new, "id_a").join(sh_ref, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    dup_ids = (joined
+               .filter(F.round(inter.cast("double") / union, 6)
+                       >= jaccard_threshold)
+               .select(F.col("id_a").alias(id_col)).distinct())
+    return new_docs.join(dup_ids, id_col, "left_anti")

@@ -269,3 +269,31 @@ def test_semantic_pairs_feed_connected_components(spark):
                                       id_col="vec_id").collect()}
     assert out[0] == out[1] == out[2] == 0
     assert out[3] == 3
+
+
+# ---------------------------------------------------------------------------
+# cross_corpus_near_dup
+# ---------------------------------------------------------------------------
+
+def test_cross_corpus_near_dup_drops_near_matches_only(spark):
+    from pipelinedp_spark.operators.dedup import cross_corpus_near_dup
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " changed"
+    ref = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(101, near),                                  # near-dup of ref
+         (102, " ".join(f"x{i}" for i in range(40))),  # novel
+         (103, base)],                                 # exact dup of ref
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  cross_corpus_near_dup(new, ref,
+                                        jaccard_threshold=0.7).collect())
+    assert kept == [102]
+
+
+def test_cross_corpus_near_dup_empty_reference_keeps_all(spark):
+    from pipelinedp_spark.operators.dedup import cross_corpus_near_dup
+    new = spark.createDataFrame([(1, "a b c d e")],
+                                "doc_id long, text string")
+    ref = new.filter("doc_id < 0")
+    assert cross_corpus_near_dup(new, ref).count() == 1
