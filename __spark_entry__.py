@@ -1363,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_corpus_token_count": _dp_corpus_token_count,
         "multimodal_audio_features": _multimodal_audio_features,
         "dedup_cross_corpus_near": _dedup_cross_corpus_near,
+        "doc_bigram_ppl": _doc_bigram_ppl,
     }
 
 
@@ -1439,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_corpus_token_count": _DP_CORPUS_TOKEN_SQL,
         "multimodal_audio_features": _MULTIMODAL_AUDIO_FEATURES_SQL,
         "dedup_cross_corpus_near": _DEDUP_CROSS_NEAR_SQL,
+        "doc_bigram_ppl": _gen_bigram_ppl_sql(),
     }
 
 
@@ -3486,4 +3488,54 @@ SELECT d.doc_id, d.lang
 FROM documents d
 WHERE d.doc_id % 2 = 1
   AND d.doc_id NOT IN (SELECT id_a FROM dups)
+"""
+
+
+def _doc_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document (lambda = 0.75
+    bigram weight, unigram backoff)."""
+    from pipelinedp_spark.operators import quality
+    docs = _t(spark, sf_dir, "documents")
+    return quality.bigram_perplexity(docs)
+
+
+def _gen_bigram_ppl_sql(lam: float = 0.75,
+                        sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `quality.bigram_perplexity`: N and ln(N) injected
+    as the same Python-computed literals the Spark op folds in; the
+    interpolation expression mirrors the Column arithmetic term for
+    term."""
+    import math
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT SUM(len(string_split(text, ' ')))"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+    total = repr(float(n))
+    ln_n = repr(math.log(float(n)))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+uni AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c_w
+        FROM toks GROUP BY 1),
+prs AS (SELECT doc_id, tk[i] AS v, tk[i+1] AS w
+        FROM (SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM t WHERE len(tk) >= 2)),
+big AS (SELECT v, w, CAST(COUNT(*) AS DOUBLE) AS c_vw
+        FROM prs GROUP BY 1, 2),
+fst AS (SELECT t.doc_id, LN(u.c_w) - {ln_n} AS lp
+        FROM t JOIN uni u ON u.tok = t.tk[1]),
+cond AS (SELECT p.doc_id,
+                LN({lam} * (b.c_vw / cv.c_w)
+                   + {1.0 - lam} * (uw.c_w / {total})) AS lp
+         FROM prs p
+         JOIN big b ON b.v = p.v AND b.w = p.w
+         JOIN uni cv ON cv.tok = p.v
+         JOIN uni uw ON uw.tok = p.w),
+lp AS (SELECT doc_id, SUM(lp) AS lp
+       FROM (SELECT * FROM fst UNION ALL SELECT * FROM cond)
+       GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       ROUND(EXP(-lp.lp / len(t.tk)), 6) AS ppl
+FROM t JOIN lp USING (doc_id)
 """

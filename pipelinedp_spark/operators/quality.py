@@ -115,3 +115,76 @@ def unigram_perplexity(df: DataFrame,
                     F.round(F.exp(F.lit(math.log(float(total)))
                                   - F.col("sum_ln_c")
                                   / F.col("n_tokens")), 6).alias("ppl")))
+
+
+def bigram_perplexity(df: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      lam: float = 0.75,
+                      broadcast_model: bool = True) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram LM fit on
+    the corpus — one rung up from `unigram_perplexity` toward CCNet's
+    KenLM filter, still fully aggregation-expressible:
+
+        p(w | v) = lam * c(v,w)/c(v) + (1 - lam) * c(w)/N
+        lp(d)    = ln p(w_0) + sum_{i>=1} ln p(w_i | w_{i-1})
+        ppl(d)   = exp(-lp(d) / n_d)       (first token scored unigram)
+
+    Every scored bigram occurs in the corpus, so c(v,w) >= 1 and the
+    interpolation never needs a zero guard.
+
+    Scale shape: two word-count aggregations (unigram + bigram tables),
+    then per-doc (v, w) pairs join the model tables — broadcast when
+    ``broadcast_model`` (bigram vocabularies are corpus-dependent; set
+    False to shuffle-join when the bigram table outgrows broadcast), and
+    one final per-doc groupBy. Pairs come from zip-sliced token arrays
+    (codegen), not positional windows.
+
+    Returns (id_col, n_tokens, ppl) with ppl rounded to 6dp.
+    """
+    import math
+    t = T.tokens(F.col(text_col))
+    n = F.size(t)
+    pairs_arr = F.arrays_zip(F.slice(t, 1, n - 1).alias("v"),
+                             F.slice(t, 2, n - 1).alias("w"))
+    pairs = (df.select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+             .select(F.col(id_col), F.col("p.v").alias("v"),
+                     F.col("p.w").alias("w")))
+    toks = df.select(F.col(id_col), F.explode(t).alias("tok"))
+
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c_w"))
+    big = pairs.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c_vw"))
+    total = uni.agg(F.sum("c_w").alias("n")).collect()[0]["n"] or 0.0
+    ln_n = math.log(float(total)) if total else 0.0
+
+    uni_b = F.broadcast(uni) if broadcast_model else uni
+    big_b = F.broadcast(big) if broadcast_model else big
+
+    # First token of each doc: unigram log-prob ln(c_w) - ln(N).
+    first = (df.select(F.col(id_col),
+                       F.element_at(t, 1).alias("tok"))
+             .join(uni_b, "tok")
+             .select(F.col(id_col),
+                     (F.log("c_w") - F.lit(ln_n)).alias("lp")))
+    # Bigram positions: interpolated conditional.
+    ctx = uni_b.select(F.col("tok").alias("v"),
+                       F.col("c_w").alias("c_v"))
+    cond = (pairs.join(big_b, ["v", "w"])
+            .join(F.broadcast(ctx) if broadcast_model else ctx, "v")
+            .join(uni_b.select(F.col("tok").alias("w"),
+                               F.col("c_w")), "w")
+            .select(F.col(id_col),
+                    F.log(F.lit(lam) * (F.col("c_vw") / F.col("c_v"))
+                          + F.lit(1.0 - lam)
+                          * (F.col("c_w") / F.lit(float(total))))
+                    .alias("lp")))
+    lens = df.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+    return (first.unionByName(cond)
+            .groupBy(id_col)
+            .agg(F.sum("lp").alias("lp"))
+            .join(lens, id_col)
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.round(F.exp(-F.col("lp") / F.col("n_tokens")), 6)
+                    .alias("ppl")))

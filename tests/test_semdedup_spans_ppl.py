@@ -297,3 +297,42 @@ def test_cross_corpus_near_dup_empty_reference_keeps_all(spark):
                                 "doc_id long, text string")
     ref = new.filter("doc_id < 0")
     assert cross_corpus_near_dup(new, ref).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# bigram_perplexity
+# ---------------------------------------------------------------------------
+
+def test_bigram_perplexity_matches_hand_computation(spark):
+    from pipelinedp_spark.operators.quality import bigram_perplexity
+    df = _docs(spark, ["a b a b", "a b"])
+    # unigrams: a=3, b=3, N=6. bigrams: (a,b)=3, (b,a)=1.
+    out = {r["doc_id"]: (r["n_tokens"], r["ppl"])
+           for r in bigram_perplexity(df, lam=0.75).collect()}
+    lam, N = 0.75, 6.0
+    p_ab = lam * (3 / 3) + (1 - lam) * (3 / N)
+    p_ba = lam * (1 / 3) + (1 - lam) * (3 / N)
+    lp0 = (math.log(3) - math.log(N)) + math.log(p_ab) \
+        + math.log(p_ba) + math.log(p_ab)
+    lp1 = (math.log(3) - math.log(N)) + math.log(p_ab)
+    assert out[0][0] == 4 and out[1][0] == 2
+    assert out[0][1] == pytest.approx(math.exp(-lp0 / 4), abs=1e-5)
+    assert out[1][1] == pytest.approx(math.exp(-lp1 / 2), abs=1e-5)
+
+
+def test_bigram_perplexity_predictable_text_scores_lower(spark):
+    from pipelinedp_spark.operators.quality import bigram_perplexity
+    predictable = " ".join(["x y"] * 15)
+    scrambled = "y y x x y x y y x x " + " ".join(
+        f"z{i}" for i in range(20))
+    df = _docs(spark, [predictable, scrambled])
+    out = {r["doc_id"]: r["ppl"] for r in bigram_perplexity(df).collect()}
+    assert out[0] < out[1]
+
+
+def test_bigram_perplexity_single_token_doc(spark):
+    from pipelinedp_spark.operators.quality import bigram_perplexity
+    df = _docs(spark, ["solo", "solo pair"])
+    out = {r["doc_id"]: r["n_tokens"]
+           for r in bigram_perplexity(df).collect()}
+    assert out == {0: 1, 1: 2}
