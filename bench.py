@@ -112,12 +112,32 @@ def _skew_queries(spark, n: int = 2_000_000):
             .alias("text"))
         return simhash_pairs(docs, max_hamming=3)
 
+    def duplicate_spans_hot_span():
+        # One 8-gram shared by ALL 60k docs: under the old row_number
+        # window every occurrence of that span hash landed on a single
+        # task; the aggregate-first plan map-side-combines the hot key
+        # and lets AQE split the residual join.
+        from pipelinedp_spark.operators.dedup import duplicate_spans
+        hot = " ".join(f"hot{i}" for i in range(8))
+        docs = spark.range(60_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(hot + " "),
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: F.conv(
+                        F.abs(F.xxhash64(F.col("id"), i))
+                        .cast("string"), 10, 36))))
+            .alias("text"))
+        return duplicate_spans(docs, k=8)
+
     return {
         "skew_dp_count_bounded": dp_count_bounded,
         "skew_dp_mean_generous_cap": dp_mean_generous_cap,
         "skew_asof_hot_key": asof_hot_key,
         "skew_sessionize": sessionize_hot_user,
         "skew_dedup_simhash": dedup_simhash_hot_block,
+        "skew_duplicate_spans": duplicate_spans_hot_span,
     }
 
 

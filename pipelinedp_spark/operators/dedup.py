@@ -621,11 +621,16 @@ def duplicate_spans(df: DataFrame,
     duplicated run of length >= k — it only misses shorter repeats.
 
     Scale shape: one posexplode (k-slice arrays_zip, all codegen — no
-    higher-order element_at lambdas, see `text.shingles`), one shuffle on
-    the span md5 for the first-occurrence window, one window per doc for
-    the interval merge. Span keys are md5 hex (16 bytes through the
-    exchange instead of ~k*8 text bytes). No self-join anywhere: cost is
-    linear in corpus tokens.
+    higher-order element_at lambdas, see `text.shingles`), then the
+    first occurrence per span is a map-side-combinable min(struct)
+    aggregation joined back on the span md5 — NOT a row_number window:
+    a window partition on a corpus-hot span (boilerplate shared by
+    millions of docs) lands whole on one task and cannot be split,
+    while the aggregate-first plan combines map-side and the join is
+    AQE-skew-splittable. One window per doc for the interval merge
+    (doc-sized partitions — bounded). Span keys are md5 hex (16 bytes
+    through the exchange instead of ~k*8 text bytes). Cost is linear in
+    corpus tokens.
 
     Returns (id_col, span_start, span_end) token ranges, end-exclusive;
     with merge=False, the raw per-window rows (id_col, pos) — useful for
@@ -642,9 +647,12 @@ def duplicate_spans(df: DataFrame,
         F.col(id_col), F.col("pos"),
         F.md5(F.concat_ws(" ", *[F.col("s")[str(j)] for j in range(k)]))
         .alias("h"))
-    wfirst = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
-    dups = (spans.withColumn("rn", F.row_number().over(wfirst))
-            .filter(F.col("rn") > 1)
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("f"))
+    dups = (spans.join(firsts, "h")
+            .filter((F.col(id_col) != F.col("f.i"))
+                    | (F.col("pos") != F.col("f.p")))
             .select(id_col, "pos"))
     if not merge:
         return dups

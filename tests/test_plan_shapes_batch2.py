@@ -18,15 +18,20 @@ def _docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
 
 
-def test_duplicate_spans_no_join_no_pair_blowup(spark):
-    """Span dedup is windows + aggregations only — literally no join
-    operator in the plan (the classic failure mode for substring dedup
-    is a gram self-join)."""
-    plan = P.explain_str(duplicate_spans(_docs(spark), k=8))
-    assert "Join" not in plan, plan
-    assert "NestedLoop" not in plan
-    # one exchange for the span-hash window + doc-local merge windows
-    assert P.count_shuffles(duplicate_spans(_docs(spark), k=8)) <= 3
+def test_duplicate_spans_skew_safe_first_occurrence(spark):
+    """Span dedup finds first occurrences with a map-side-combinable
+    min(struct) aggregate + equi-join on the span hash — NOT a
+    row_number window (a corpus-hot span would land whole on one
+    window task) and NOT a pair self-join (the classic substring-dedup
+    blow-up)."""
+    out = duplicate_spans(_docs(spark), k=8)
+    plan = P.explain_str(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert P.has_partial_aggregation(out)
+    # No row_number window keyed on the span hash: the remaining
+    # windows are the per-doc interval merge (bounded partitions).
+    assert "row_number" not in plan, plan
+    assert P.count_shuffles(out) <= 4
 
 
 def test_unigram_perplexity_broadcasts_vocab(spark):
