@@ -706,10 +706,15 @@ def cross_corpus_near_dup(new_docs: DataFrame,
                        rows_per_band)
     rb = minhash_bands(reference, text_col, id_col, k, num_hashes,
                        rows_per_band)
-    w = Window.partitionBy("band_idx", "band_hash")
-    rb = (rb.withColumn("bucket_size", F.count(F.lit(1)).over(w))
-          .filter(F.col("bucket_size") <= max_bucket_size)
-          .drop("bucket_size"))
+    # Bucket cap via a map-side-combinable count + join (NOT a count
+    # window: a degenerate reference bucket would land whole on one
+    # window task; the aggregate's partial combine absorbs the hot key
+    # and AQE can skew-split the join).
+    sizes = (rb.groupBy("band_idx", "band_hash")
+             .agg(F.count(F.lit(1)).alias("bucket_size"))
+             .filter(F.col("bucket_size") <= max_bucket_size)
+             .select("band_idx", "band_hash"))
+    rb = rb.join(sizes, ["band_idx", "band_hash"])
     cand = (nb.select("band_idx", "band_hash",
                       F.col(id_col).alias("id_a"))
             .join(rb.select("band_idx", "band_hash",
