@@ -65,8 +65,14 @@ def bm25_topk(docs: DataFrame,
     repeated query terms don't double-count). Returns
     (query_id, id_col, rank, score) with score rounded to 6dp and rank
     tie-broken by ascending doc id.
+
+    The tf table is materialized once (`localCheckpoint`) — it feeds
+    doc lengths, the corpus stats, document frequencies, AND the
+    postings join, which otherwise re-explodes the corpus four times.
+    At production scale you persist it offline: it IS the inverted
+    index.
     """
-    tf = term_frequencies(docs, text_col, id_col)
+    tf = term_frequencies(docs, text_col, id_col).localCheckpoint()
     dl = doc_lengths(tf, id_col)
     # Two exact driver scalars (N docs, total tokens) from one tiny agg;
     # avgdl is computed once in Python and injected as a literal so an
