@@ -77,7 +77,11 @@ def dsir_log_weights(raw: DataFrame,
 
     import pandas as pd
 
-    feats = hashed_ngram_features(raw, text_col, id_col, n, num_buckets)
+    # Materialized once: `feats` feeds the raw-count collect AND the
+    # final scoring join — un-checkpointed, the corpus explode behind
+    # it would run twice.
+    feats = hashed_ngram_features(raw, text_col, id_col, n,
+                                  num_buckets).localCheckpoint()
     # The per-bucket count tables are <= num_buckets rows — collect them
     # ONCE and build the log-ratio table driver-side. This costs one job
     # per corpus (vs. separate totals-agg jobs plus a re-explode of the

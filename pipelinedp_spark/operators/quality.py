@@ -102,8 +102,11 @@ def unigram_perplexity(df: DataFrame,
     import math
     toks = df.select(F.col(id_col),
                      F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    # Materialized once: the vocab feeds the total collect AND the
+    # scoring join — un-checkpointed, the corpus explode behind it
+    # would run twice.
     vocab = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("c"))
+        F.count(F.lit(1)).cast("double").alias("c")).localCheckpoint()
     total = vocab.agg(F.sum("c").alias("n")).collect()[0]["n"]
     v = F.broadcast(vocab) if broadcast_vocab else vocab
     return (toks.join(v, "tok")
@@ -152,10 +155,13 @@ def bigram_perplexity(df: DataFrame,
                      F.col("p.w").alias("w")))
     toks = df.select(F.col(id_col), F.explode(t).alias("tok"))
 
+    # Model tables materialized once: `uni` feeds the total collect and
+    # THREE scoring joins, `big` one join — un-checkpointed, each use
+    # re-explodes the corpus.
     uni = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("c_w"))
+        F.count(F.lit(1)).cast("double").alias("c_w")).localCheckpoint()
     big = pairs.groupBy("v", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("c_vw"))
+        F.count(F.lit(1)).cast("double").alias("c_vw")).localCheckpoint()
     total = uni.agg(F.sum("c_w").alias("n")).collect()[0]["n"] or 0.0
     ln_n = math.log(float(total)) if total else 0.0
 
