@@ -1,0 +1,184 @@
+"""Fluent corpus-pipeline facade over the LLM-data operators.
+
+One chainable object for the standard training-data flow — each stage
+delegates to the operator modules (which remain the primary, fully
+parameterized API) and returns a new immutable `CorpusPipeline`:
+
+    from pipelinedp_spark.corpus import CorpusPipeline
+
+    clean = (CorpusPipeline(docs)
+             .exact_dedup()
+             .near_dedup(jaccard_threshold=0.8)
+             .quality_band(0.05, 0.95)
+             .decontaminate(eval_df)
+             .classifier_filter(w, b, min_score=0.5)
+             .sample(0.5)
+             .df)
+    chunks = CorpusPipeline(clean).chunk(chunk_tokens=512, overlap=64).df
+
+Every stage is lazy (pure DataFrame transforms) except the ones whose
+underlying operator needs a driver scalar (`quality_band` quantiles,
+`dsir_select` mean weight) — those document it. Nothing here adds
+shuffles beyond the delegated operators' documented shapes.
+
+No reference counterpart (net-new; the reference's fluent surface is
+the DP QueryBuilder, mirrored in `dataframes.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.functions import text as T
+
+
+class CorpusPipeline:
+    """Immutable chainable wrapper around a documents DataFrame with
+    (id_col, text_col) columns; `.df` unwraps at any point."""
+
+    def __init__(self, df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.df = df
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _with(self, df: DataFrame) -> "CorpusPipeline":
+        return CorpusPipeline(df, self.text_col, self.id_col)
+
+    # -- dedup ---------------------------------------------------------
+
+    def exact_dedup(self) -> "CorpusPipeline":
+        """Keep the lowest-id document per normalized fingerprint."""
+        from pipelinedp_spark.operators.dedup import exact_dedup
+        keep = exact_dedup(self.df, self.text_col, self.id_col) \
+            .select(self.id_col)
+        return self._with(self.df.join(keep, self.id_col, "left_semi"))
+
+    def near_dedup(self, jaccard_threshold: float = 0.8,
+                   **kw) -> "CorpusPipeline":
+        """Drop the larger id of every MinHash-LSH near-dup pair."""
+        from pipelinedp_spark.operators.dedup import minhash_lsh_pairs
+        pairs = minhash_lsh_pairs(self.df, self.text_col, self.id_col,
+                                  jaccard_threshold=jaccard_threshold,
+                                  **kw)
+        dups = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+        return self._with(self.df.join(dups, self.id_col, "left_anti"))
+
+    def dedup_against(self, reference: DataFrame,
+                      near: bool = False, **kw) -> "CorpusPipeline":
+        """Incremental-ingestion dedup vs an existing corpus (exact
+        fingerprints, or MinHash near-dup with ``near=True``)."""
+        from pipelinedp_spark.operators.dedup import (cross_corpus_dedup,
+                                                      cross_corpus_near_dup)
+        fn = cross_corpus_near_dup if near else cross_corpus_dedup
+        out = fn(self.df, reference, self.text_col, self.id_col, **kw)
+        return self._with(out.select(*self.df.columns))
+
+    # -- quality -------------------------------------------------------
+
+    def quality_band(self, lo_q: float = 0.05,
+                     hi_q: float = 0.95) -> "CorpusPipeline":
+        """Keep docs inside the [lo_q, hi_q] unigram-perplexity quantile
+        band (drops junk and boilerplate tails). Runs one quantile
+        computation driver-side."""
+        from pipelinedp_spark.operators.quality import unigram_perplexity
+        ppl = unigram_perplexity(self.df, self.text_col, self.id_col)
+        lo, hi = ppl.approxQuantile("ppl", [lo_q, hi_q], 0.0)
+        keep = ppl.filter(F.col("ppl").between(lo, hi)) \
+            .select(self.id_col)
+        return self._with(self.df.join(keep, self.id_col, "left_semi"))
+
+    def quality_filter(self, min_score: float = 0.3,
+                       **kw) -> "CorpusPipeline":
+        """Keep docs whose composite `text.quality_score` clears
+        ``min_score``."""
+        return self._with(self.df.filter(
+            T.quality_score(F.col(self.text_col), **kw) >= min_score))
+
+    def classifier_filter(self, w, b: float, min_score: float = 0.5,
+                          **kw) -> "CorpusPipeline":
+        """Keep docs a trained linear classifier scores above
+        ``min_score`` (see `mixing.train_linear_classifier`)."""
+        from pipelinedp_spark.operators.mixing import classifier_scores
+        scores = classifier_scores(self.df, w, b, self.text_col,
+                                   self.id_col, **kw)
+        keep = scores.filter(F.col("score") >= min_score) \
+            .select(self.id_col)
+        return self._with(self.df.join(keep, self.id_col, "left_semi"))
+
+    def scrub_pii(self) -> "CorpusPipeline":
+        """Replace emails/phones/SSNs/IPs with typed placeholders."""
+        return self._with(self.df.withColumn(
+            self.text_col, T.scrub_pii(F.col(self.text_col))))
+
+    # -- decontamination ----------------------------------------------
+
+    def decontaminate(self, eval_df: DataFrame,
+                      **kw) -> "CorpusPipeline":
+        """Drop docs overlapping an eval set's n-grams."""
+        from pipelinedp_spark.operators.decontam import decontaminate
+        out = decontaminate(self.df, eval_df, text_col=self.text_col,
+                            id_col=self.id_col, **kw)
+        return self._with(out.select(*self.df.columns))
+
+    # -- selection / mixing -------------------------------------------
+
+    def sample(self, fraction: float,
+               salt: str = "corpus") -> "CorpusPipeline":
+        """Deterministic md5-hash sample (reproducible across runs)."""
+        from pipelinedp_spark.functions.sampling import deterministic_sample
+        return self._with(deterministic_sample(
+            self.df, self.id_col, fraction, salt=salt))
+
+    def stratified(self, strata_col: str, fractions: dict,
+                   default_fraction: float = 1.0) -> "CorpusPipeline":
+        """Per-stratum deterministic mixing (e.g. downsample English)."""
+        from pipelinedp_spark.functions.sampling import stratified_sample
+        return self._with(stratified_sample(
+            self.df, self.id_col, strata_col, fractions,
+            default_fraction=default_fraction))
+
+    def dsir_select(self, target: DataFrame, keep_fraction: float = 0.25,
+                    **kw) -> "CorpusPipeline":
+        """DSIR importance resampling toward a target corpus."""
+        from pipelinedp_spark.operators.mixing import (dsir_log_weights,
+                                                       importance_resample)
+        weights = dsir_log_weights(self.df, target, self.text_col,
+                                   self.id_col, **kw)
+        kept = importance_resample(weights, id_col=self.id_col,
+                                   keep_fraction=keep_fraction) \
+            .select(self.id_col)
+        return self._with(self.df.join(kept, self.id_col, "left_semi"))
+
+    # -- layout --------------------------------------------------------
+
+    def chunk(self, chunk_tokens: int = 256,
+              overlap: int = 32) -> "CorpusPipeline":
+        """Sliding-window chunks; the result's text column is `chunk`."""
+        from pipelinedp_spark.operators.packing import chunk_documents
+        out = chunk_documents(self.df, chunk_tokens, overlap,
+                              self.text_col, self.id_col)
+        return CorpusPipeline(out, text_col="chunk", id_col=self.id_col)
+
+    def pack(self, seq_len: int, **kw) -> "CorpusPipeline":
+        """Concat-and-chunk sequence placement (GPT-style packing)."""
+        from pipelinedp_spark.operators.packing import pack_sequences
+        return self._with(pack_sequences(self.df, seq_len,
+                                         text_col=self.text_col,
+                                         id_col=self.id_col, **kw))
+
+    def split(self, fractions: Optional[dict] = None) -> DataFrame:
+        """Deterministic train/val/test assignment; returns the
+        (id, split) DataFrame (terminal — not chainable)."""
+        from pipelinedp_spark.functions.sampling import deterministic_split
+        return deterministic_split(
+            self.df.select(self.id_col), self.id_col,
+            fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+
+    # -- introspection -------------------------------------------------
+
+    def count(self) -> int:
+        return self.df.count()

@@ -1,0 +1,108 @@
+"""Tests for the fluent CorpusPipeline facade."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.corpus import CorpusPipeline
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_exact_then_near_dedup_chain(spark):
+    run = " ".join(f"t{i}" for i in range(30))
+    texts = [run,                      # kept
+             run,                      # exact dup -> dropped
+             run + " tail",            # near dup -> dropped
+             " ".join(f"u{i}" for i in range(30))]  # kept
+    out = (CorpusPipeline(_docs(spark, texts))
+           .exact_dedup()
+           .near_dedup(jaccard_threshold=0.7)
+           .df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3]
+
+
+def test_dedup_against_reference(spark):
+    ref = _docs(spark, ["shared reference document text here"])
+    new = spark.createDataFrame(
+        [(10, "shared reference document text here"),
+         (11, "completely novel words")],
+        "doc_id long, text string")
+    out = CorpusPipeline(new).dedup_against(ref).df
+    assert [r["doc_id"] for r in out.collect()] == [11]
+
+
+def test_quality_and_pii_stages(spark):
+    texts = ["contact me at bob@example.com please",
+             "plain words with nothing sensitive"]
+    out = CorpusPipeline(_docs(spark, texts)).scrub_pii().df.collect()
+    joined = " ".join(r["text"] for r in out)
+    assert "bob@example.com" not in joined
+    assert "[EMAIL]" in joined
+
+
+def test_sample_and_stratified_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 else "fr") for i in range(400)],
+        "doc_id long, text string, lang string")
+    p = CorpusPipeline(df)
+    a = sorted(r["doc_id"] for r in p.sample(0.5).df.collect())
+    b = sorted(r["doc_id"] for r in p.sample(0.5).df.collect())
+    assert a == b and 120 < len(a) < 280
+    s = p.stratified("lang", {"en": 0.0}, default_fraction=1.0).df
+    assert s.filter(F.col("lang") == "en").count() == 0
+    assert s.filter(F.col("lang") == "fr").count() == 200
+
+
+def test_chunk_switches_text_column(spark):
+    p = CorpusPipeline(_docs(spark, [" ".join(f"t{i}" for i in range(10))]))
+    c = p.chunk(chunk_tokens=4, overlap=0)
+    assert c.text_col == "chunk"
+    assert c.count() == 3
+    # chainable after chunking: quality_filter runs on the chunk column
+    assert c.quality_filter(min_score=0.0).count() == 3
+
+
+def test_split_terminal(spark):
+    out = CorpusPipeline(_docs(spark, [f"d {i}" for i in range(50)])).split()
+    got = {r["split"] for r in out.collect()}
+    assert got <= {"train", "val", "test"}
+    assert out.count() == 50
+
+
+def test_dsir_select_and_classifier_filter(spark):
+    from pipelinedp_spark.operators.mixing import (collect_sample_features,
+                                                   train_linear_classifier)
+    en = [f"alpha beta gamma delta run {i}" for i in range(10)]
+    de = [f"zug bahn strasse haus nummer {i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, t, "en" if i < 10 else "de")
+         for i, t in enumerate(en + de)],
+        "doc_id long, text string, lang string")
+    p = CorpusPipeline(df)
+    sel = p.dsir_select(df.filter(F.col("lang") == "en"),
+                        keep_fraction=0.5, num_buckets=1 << 12).df
+    en_kept = sel.filter(F.col("lang") == "en").count()
+    de_kept = sel.filter(F.col("lang") == "de").count()
+    assert en_kept > de_kept
+
+    sample = collect_sample_features(df, F.col("lang") == "en",
+                                     num_buckets=256)
+    w, b = train_linear_classifier(sample, num_buckets=256)
+    cls = p.classifier_filter(w, b, min_score=0.5, num_buckets=256).df
+    assert cls.filter(F.col("lang") == "de").count() == 0
+    assert cls.filter(F.col("lang") == "en").count() == 10
+
+
+def test_decontaminate_stage(spark):
+    docs = _docs(spark, ["one two three four five six seven",
+                         "totally different safe words here now"])
+    evals = spark.createDataFrame(
+        [(0, "one two three four five six seven")],
+        "doc_id long, text string")
+    out = CorpusPipeline(docs).decontaminate(evals).df
+    assert [r["doc_id"] for r in out.collect()] == [1]
