@@ -1364,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _multimodal_audio_features,
         "dedup_cross_corpus_near": _dedup_cross_corpus_near,
         "doc_bigram_ppl": _doc_bigram_ppl,
+        "stream_near_dup_mirror": _stream_near_dup_mirror,
     }
 
 
@@ -1441,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": _MULTIMODAL_AUDIO_FEATURES_SQL,
         "dedup_cross_corpus_near": _DEDUP_CROSS_NEAR_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
+        "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
     }
 
 
@@ -3538,4 +3540,83 @@ lp AS (SELECT doc_id, SUM(lp) AS lp
 SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
        ROUND(EXP(-lp.lp / len(t.tk)), 6) AS ppl
 FROM t JOIN lp USING (doc_id)
+"""
+
+
+def _stream_near_dup_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_near_dup_dedup` with exact
+    two-trigger semantics: micro-batch 1 = even-id docs (deduped within
+    itself), micro-batch 2 = odd-id docs (deduped against batch 1's
+    kept-doc block state AND within itself). The oracle replays the
+    simhash fingerprints, pigeonhole blocks, and both batches' keep
+    rules in SQL. Returns (doc_id, batch)."""
+    from pipelinedp_spark.streaming.dp_streaming import near_dup_dedup_batch
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    kept1, blocks1 = near_dup_dedup_batch(even, None)
+    kept2, _ = near_dup_dedup_batch(odd, blocks1)
+    return (kept1.select("doc_id").withColumn("batch", F.lit(0))
+            .unionByName(kept2.select("doc_id")
+                         .withColumn("batch", F.lit(1)))
+            .select(F.col("doc_id"), F.col("batch").cast("long")))
+
+
+_STREAM_NEAR_DUP_MIRROR_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents),
+th AS (
+  SELECT doc_id, UNNEST(toks) AS token FROM tok),
+hashes AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM th),
+votes AS (
+  SELECT doc_id, b.b AS bit,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashes, (SELECT UNNEST(range(0, 60)) AS b) b
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+             AS simhash
+  FROM votes GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, simhash, UNNEST(range(0, 4)) AS block_idx,
+         UNNEST([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+                 (simhash >> 30) & 32767, (simhash >> 45) & 32767])
+             AS block_val
+  FROM fp),
+b1_dups AS (
+  SELECT DISTINCT b.doc_id
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+kept1 AS (
+  SELECT doc_id FROM fp
+  WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM b1_dups)),
+b2_state_dups AS (
+  SELECT DISTINCT o.doc_id
+  FROM blocks o JOIN blocks s
+    ON o.block_idx = s.block_idx AND o.block_val = s.block_val
+  WHERE o.doc_id % 2 = 1 AND s.doc_id IN (SELECT doc_id FROM kept1)
+    AND bit_count(xor(o.simhash, s.simhash)) <= 3),
+b2_in_batch_dups AS (
+  SELECT DISTINCT b.doc_id
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+kept2 AS (
+  SELECT doc_id FROM fp
+  WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT doc_id FROM b2_state_dups)
+    AND doc_id NOT IN (SELECT doc_id FROM b2_in_batch_dups))
+SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM kept1
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM kept2
 """

@@ -182,3 +182,32 @@ class CorpusPipeline:
 
     def count(self) -> int:
         return self.df.count()
+
+
+    # -- DP release ----------------------------------------------------
+
+    def dp_token_stats(self, budget, group_col: str,
+                       public_keys: Sequence,
+                       max_tokens_per_doc: float = 1000.0,
+                       noise_mode: str = "secure") -> DataFrame:
+        """Differentially private per-group doc and token counts over
+        THIS corpus, with the document as the privacy unit — the
+        training-data release shape (each doc influences exactly its
+        own group, token counts clipped). Returns (group_col, n_docs,
+        dp_tokens). ``budget`` is a `pipelinedp_spark.Budget`.
+        """
+        import pipelinedp_spark as pds
+        with_tokens = self.df.select(
+            F.col(self.id_col), F.col(group_col),
+            T.token_count(F.col(self.text_col)).cast("double")
+            .alias("n_tokens"))
+        query = (pds.QueryBuilder(with_tokens, self.id_col)
+                 .groupby(group_col, max_groups_contributed=1,
+                          max_contributions_per_group=1,
+                          public_keys=list(public_keys))
+                 .count(name="n_docs")
+                 .sum("n_tokens", min_value=0.0,
+                      max_value=float(max_tokens_per_doc),
+                      name="dp_tokens")
+                 .build_query())
+        return query.run_query(budget, noise_mode=noise_mode)

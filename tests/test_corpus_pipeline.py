@@ -106,3 +106,20 @@ def test_decontaminate_stage(spark):
         "doc_id long, text string")
     out = CorpusPipeline(docs).decontaminate(evals).df
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_dp_token_stats_zero_noise_matches_truth(spark):
+    import pipelinedp_spark as pds
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1), "en" if i % 2 else "fr")
+         for i in range(40)],
+        "doc_id long, text string, lang string")
+    out = (CorpusPipeline(df)
+           .dp_token_stats(pds.Budget(1.0), "lang", ["en", "fr"],
+                           max_tokens_per_doc=100.0, noise_mode="zero")
+           .collect())
+    got = {r["lang"]: (r["n_docs"], r["dp_tokens"]) for r in out}
+    assert got["en"][0] == 20 and got["fr"][0] == 20
+    # "w " * k splits to k+1 tokens (trailing empty string counts).
+    true_en = sum((i % 5 + 1) + 1 for i in range(40) if i % 2)
+    assert got["en"][1] == pytest.approx(true_en)
