@@ -173,16 +173,21 @@ def minhash_lsh_pairs(df: DataFrame,
     """
     bands = minhash_bands(df, text_col, id_col, k, num_hashes,
                           rows_per_band)
-    # Cap degenerate buckets before the self-join blows up. The window
-    # partitions on the SAME key the self-join shuffles on, and both join
-    # sides are identical subplans, so Catalyst materializes that
-    # exchange once and stitches the second side with ReusedExchange —
-    # no explicit persist (an earlier .persist() here leaked cached
-    # blocks across calls and contaminated long-session bench timings).
-    w = Window.partitionBy("band_idx", "band_hash")
-    bands = (bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
-             .filter(F.col("bucket_size") <= max_bucket_size)
-             .drop("bucket_size"))
+    # Cap degenerate buckets before the self-join blows up — via a
+    # map-side-combinable count + tiny broadcast anti-join, NOT a count
+    # window: the window put every row of a corpus-hot bucket on ONE
+    # unsplittable task, while the partial agg absorbs the hot key
+    # map-side and only the handful of over-cap keys travel. The band
+    # table (signature UDF upstream) is checkpointed so the cap agg and
+    # the self-join read ONE materialization instead of recomputing the
+    # signatures per branch.
+    bands = bands.localCheckpoint()
+    oversize = (bands.groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("bucket_size"))
+                .filter(F.col("bucket_size") > max_bucket_size)
+                .select("band_idx", "band_hash"))
+    bands = bands.join(F.broadcast(oversize),
+                       ["band_idx", "band_hash"], "left_anti")
     left = bands.select(F.col("band_idx"), F.col("band_hash"),
                         F.col(id_col).alias("id_a"))
     right = bands.select(F.col("band_idx"), F.col("band_hash"),
@@ -238,9 +243,17 @@ def jaccard_pairs(df: DataFrame,
     sh = shingle_docs(df, text_col, id_col, k)
     inv = sh.select(F.col(id_col),
                     F.explode(F.array_distinct("shingles")).alias("sh"))
-    w = Window.partitionBy("sh")
-    kept = (inv.withColumn("doc_freq", F.count(F.lit(1)).over(w))
-            .filter(F.col("doc_freq") <= max_shingle_doc_freq))
+    # Stop-shingle rule as a tiny broadcast anti-join (see the band-cap
+    # comment in minhash_lsh_pairs: a count window serializes hot
+    # shingles on one task; the combinable count does not). The
+    # inverted index is checkpointed so the doc-freq agg and the pair
+    # join read one materialization.
+    inv = inv.localCheckpoint()
+    stop = (inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_shingle_doc_freq)
+            .select("sh"))
+    kept = inv.join(F.broadcast(stop), "sh", "left_anti")
     left = kept.select(F.col("sh"), F.col(id_col).alias("id_a"))
     right = kept.select(F.col("sh"), F.col(id_col).alias("id_b"))
     # Count shared non-stop shingles per pair (same shuffle a distinct
@@ -572,17 +585,19 @@ def winnow_containment_pairs(df: DataFrame,
            .filter((F.col("pos") <= F.col("m") - w) | (F.col("pos") == 0))
            .select(F.col(id_col), F.col("wmin").alias("fp"))
            .distinct())
-    # No explicit persist: `kept` feeds three branches of ONE final plan
-    # (self-join x2 + sizes) whose subtrees all hang off the same
-    # exchange-on-fp, so Catalyst materializes that shuffle once and
-    # stitches the rest with ReusedExchange (plan-tested). An explicit
-    # .persist() here leaked cached blocks across calls in long-lived
-    # sessions and contaminated bench timings (13s fresh vs 155s
-    # degraded; see bench.py notes).
-    win = Window.partitionBy("fp")
-    kept = (inv.withColumn("doc_freq", F.count(F.lit(1)).over(win))
-            .filter(F.col("doc_freq") <= max_fp_doc_freq)
-            .drop("doc_freq"))
+    # Stop-fingerprint rule via combinable count + tiny broadcast
+    # anti-join off ONE checkpointed materialization of the fingerprint
+    # table (see the band-cap comment in minhash_lsh_pairs: a count
+    # window serializes a corpus-hot fingerprint on one task). A
+    # localCheckpoint — unlike the .persist() that once leaked blocks
+    # across calls and contaminated bench timings (13s fresh vs 155s
+    # degraded) — is released when the DataFrame is garbage-collected.
+    inv = inv.localCheckpoint()
+    stop_fp = (inv.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("doc_freq"))
+               .filter(F.col("doc_freq") > max_fp_doc_freq)
+               .select("fp"))
+    kept = inv.join(F.broadcast(stop_fp), "fp", "left_anti")
     shared = (kept.select("fp", F.col(id_col).alias("id_a"))
               .join(kept.select("fp", F.col(id_col).alias("id_b")), "fp")
               .filter(F.col("id_a") < F.col("id_b"))

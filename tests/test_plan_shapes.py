@@ -102,18 +102,21 @@ def test_embedding_near_dup_no_pair_join(spark):
 
 
 def test_minhash_signature_computed_once(spark):
-    """The banded signature table feeds both self-join sides through ONE
-    materialized shuffle: AQE must stitch the second side (and the
-    bucket-size window) with ReusedExchange instead of re-running the
-    signature subplan. (Replaces the r04 persist()-based assertion — the
-    explicit persist leaked cached blocks across calls.)"""
+    """The banded signature table is materialized ONCE (localCheckpoint)
+    and every consumer — the bucket-cap aggregate and both self-join
+    sides — reads that materialization as an ExistingRDD scan; the
+    signature UDF subplan must not appear in the executed plan at all.
+    (Replaces the earlier window/ReusedExchange shape, which serialized
+    corpus-hot buckets on one window task, and the r04 persist()-based
+    assertion, which leaked cached blocks across calls.)"""
     from pipelinedp_spark.operators import dedup
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = dedup.minhash_lsh_pairs(docs)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("isFinalPlan=true") == 1
-    assert plan.count("ReusedExchange") >= 2
+    assert "ExistingRDD" in plan            # checkpointed band table
+    assert "ArrowEvalPython" not in plan    # signature UDF ran pre-checkpoint
     assert "InMemoryTableScan" not in plan  # nothing persisted
 
 
