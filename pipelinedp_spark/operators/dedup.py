@@ -391,15 +391,18 @@ def simhash_pairs(df: DataFrame,
     blocks = blocks.select(
         id_col, "simhash", "block_idx",
         F.col("bv.v").alias("block_val"), F.col("bv.rem").alias("rem"))
-    # No persist: all four join branches (small left/right, big
-    # left/right) sit above the SAME (block_idx, block_val) exchange the
-    # size window needs, so AQE materializes that shuffle once and
-    # stitches the rest with ReusedExchange — the fingerprint UDF
-    # subplan below the exchange runs once. (An explicit persist here
-    # leaked cached blocks across calls — the bench-contamination class
-    # fixed across winnowing/minhash this round.)
-    w = Window.partitionBy("block_idx", "block_val")
-    blocks = blocks.withColumn("bsz", F.count(F.lit(1)).over(w))
+    # The small/big routing size is a map-side-combinable count joined
+    # back on the block key from ONE checkpointed materialization — not
+    # a count window, which put every row of a corpus-hot block on one
+    # unsplittable window task before the re-blocking path could even
+    # see it. The join shuffles on the same key but AQE can skew-split
+    # joins. (localCheckpoint, not persist: an explicit persist here
+    # leaked cached blocks across calls — the bench-contamination
+    # class; checkpoint blocks release when the DataFrame is GC'd.)
+    blocks = blocks.localCheckpoint()
+    sizes = blocks.groupBy("block_idx", "block_val").agg(
+        F.count(F.lit(1)).alias("bsz"))
+    blocks = blocks.join(sizes, ["block_idx", "block_val"])
 
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
 
