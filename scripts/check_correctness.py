@@ -33,10 +33,18 @@ def main() -> None:
     only = sys.argv[1:] or None
 
     from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master("local[8]")
+    # Override the runtime to sweep for partition-layout-dependent
+    # results (a clean engine passes under ANY of these):
+    #   SPARK_GRAFT_CHECK_MASTER=local[3] SPARK_GRAFT_CHECK_SHUFFLE=7 \
+    #   SPARK_GRAFT_CHECK_AQE=false python scripts/check_correctness.py
+    spark = (SparkSession.builder
+             .master(os.environ.get("SPARK_GRAFT_CHECK_MASTER",
+                                    "local[8]"))
              .appName("correctness-check")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.shuffle.partitions",
+                     os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE", "8"))
+             .config("spark.sql.adaptive.enabled",
+                     os.environ.get("SPARK_GRAFT_CHECK_AQE", "true"))
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
