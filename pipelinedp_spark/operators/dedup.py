@@ -382,15 +382,10 @@ def simhash_pairs(df: DataFrame,
     blocks = fp.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*[
-            F.struct(
-                F.shiftright(F.col("simhash"), i * block_bits)
-                .bitwiseAND(F.lit(mask)).alias("v"),
-                complement(i).alias("rem"))
+            F.shiftright(F.col("simhash"), i * block_bits)
+            .bitwiseAND(F.lit(mask))
             for i in range(num_blocks)
-        ])).alias("block_idx", "bv"))
-    blocks = blocks.select(
-        id_col, "simhash", "block_idx",
-        F.col("bv.v").alias("block_val"), F.col("bv.rem").alias("rem"))
+        ])).alias("block_idx", "block_val"))
     # The small/big routing size is a map-side-combinable count joined
     # back on the block key from ONE checkpointed materialization — not
     # a count window, which put every row of a corpus-hot block on one
@@ -418,7 +413,15 @@ def simhash_pairs(df: DataFrame,
 
     small = self_join(blocks.filter(F.col("bsz") <= max_block_size),
                       ["block_idx", "block_val"])
-    big = blocks.filter(F.col("bsz") > max_block_size).select(
+    # The complement (fingerprint with the matched block's bits removed)
+    # is pure arithmetic on (simhash, block_idx), so it is computed HERE
+    # — only for the rare over-cap rows — instead of being materialized
+    # through the checkpoint for every row.
+    rem = F.lit(None).cast("long")
+    for i in reversed(range(num_blocks)):
+        rem = F.when(F.col("block_idx") == i, complement(i)).otherwise(rem)
+    big = blocks.filter(F.col("bsz") > max_block_size) \
+        .withColumn("rem", rem).select(
         id_col, "simhash", "block_idx", "block_val",
         F.posexplode(F.array(*[
             F.shiftright(F.col("rem"), j * sub_bits)
