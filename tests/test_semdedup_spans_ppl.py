@@ -336,3 +336,28 @@ def test_bigram_perplexity_single_token_doc(spark):
     out = {r["doc_id"]: r["n_tokens"]
            for r in bigram_perplexity(df).collect()}
     assert out == {0: 1, 1: 2}
+
+
+def test_semantic_dedup_recall_at_realistic_cluster_count(spark):
+    """Recall gate at production-ish settings: 300 corpus vectors in
+    64-d, 32 trained clusters, 60 planted tight near-dups (cos ~0.9998).
+    A planted pair is missed only when the two vectors straddle a cell
+    boundary; at this tightness that should be rare — pin recall >= 0.9
+    so knob changes that quietly break the useful regime fail tests."""
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(300, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # 60 planted dups: tiny perturbation of vectors 0..59, ids 1000+.
+    planted = []
+    for i in range(60):
+        v = base[i] + rng.normal(scale=0.01, size=64)
+        rows.append((1000 + i, [float(x) for x in v]))
+        planted.append(1000 + i)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, num_clusters=32, cosine_threshold=0.999,
+                         sample_size=1000)
+    flagged = {r["vec_id"] for r in out.collect() if r["is_dup"]}
+    recall = len(flagged & set(planted)) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    # No spurious dups among well-separated random 64-d originals.
+    assert not any(v < 1000 for v in flagged)
