@@ -668,6 +668,10 @@ def duplicate_spans(df: DataFrame,
         F.col(id_col), F.col("pos"),
         F.md5(F.concat_ws(" ", *[F.col("s")[str(j)] for j in range(k)]))
         .alias("h"))
+    # Materialized once: `spans` feeds the first-occurrence aggregate
+    # AND the join side below; un-checkpointed the explode+md5 subplan
+    # runs twice.
+    spans = spans.localCheckpoint()
     firsts = spans.groupBy("h").agg(
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col("pos").alias("p"))).alias("f"))
