@@ -1365,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus_near": _dedup_cross_corpus_near,
         "doc_bigram_ppl": _doc_bigram_ppl,
         "stream_near_dup_mirror": _stream_near_dup_mirror,
+        "doc_hash_embeddings": _doc_hash_embeddings,
     }
 
 
@@ -1443,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_corpus_near": _DEDUP_CROSS_NEAR_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
+        "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
     }
 
 
@@ -3619,4 +3621,35 @@ kept2 AS (
 SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM kept1
 UNION ALL
 SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM kept2
+"""
+
+
+def _doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (model-free, md5-derived token
+    vectors, L2-normalized bag sum) — the in-engine stand-in that feeds
+    the semantic-dedup/ANN stack straight from text. Flattened to
+    (doc_id, d, value) rows for the oracle compare."""
+    from pipelinedp_spark.functions.embeddings import hashed_embeddings
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_embeddings(docs, dim=16)
+    return emb.select(
+        F.col("doc_id"),
+        F.posexplode(F.col("embedding")).alias("d", "value")).select(
+        "doc_id", F.col("d").cast("long").alias("d"), F.col("value"))
+
+
+_DOC_HASH_EMB_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS tokn FROM t),
+comp AS (
+  SELECT doc_id, d.d AS d,
+         SUM((('0x' || substr(md5(tokn), 2 * d.d + 1, 2))::BIGINT
+              - 127.5) / 127.5) AS v
+  FROM tok, (SELECT unnest(range(0, 16)) AS d) d
+  GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM comp GROUP BY 1)
+SELECT comp.doc_id, CAST(comp.d AS BIGINT) AS d,
+       ROUND(CASE WHEN nrm.n > 0 THEN comp.v / nrm.n
+                  ELSE comp.v END, 6) AS value
+FROM comp JOIN nrm USING (doc_id)
 """

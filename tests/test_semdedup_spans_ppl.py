@@ -361,3 +361,51 @@ def test_semantic_dedup_recall_at_realistic_cluster_count(spark):
     assert recall >= 0.9, f"recall {recall}"
     # No spurious dups among well-separated random 64-d originals.
     assert not any(v < 1000 for v in flagged)
+
+
+# ---------------------------------------------------------------------------
+# hashed_embeddings
+# ---------------------------------------------------------------------------
+
+def test_hashed_embeddings_match_reference_vectors(spark):
+    from pipelinedp_spark.functions.embeddings import (hashed_embeddings,
+                                                       token_vector)
+    df = _docs(spark, ["alpha beta alpha"])
+    out = hashed_embeddings(df, dim=16).collect()[0]["embedding"]
+    ref = 2 * token_vector("alpha") + token_vector("beta")
+    ref = ref / np.linalg.norm(ref)
+    assert np.allclose(out, np.round(ref, 6), atol=1e-6)
+
+
+def test_hashed_embeddings_similar_docs_high_cosine(spark):
+    from pipelinedp_spark.functions.embeddings import hashed_embeddings
+    a = " ".join(f"w{i}" for i in range(50))
+    near = a + " extra"
+    far = " ".join(f"q{i}" for i in range(50))
+    df = _docs(spark, [a, near, far])
+    vecs = {r["doc_id"]: np.array(r["embedding"])
+            for r in hashed_embeddings(df, dim=16).collect()}
+    cos = lambda x, y: float(x @ y)   # already unit-norm
+    assert cos(vecs[0], vecs[1]) > 0.95
+    assert abs(cos(vecs[0], vecs[2])) < 0.8
+
+
+def test_hashed_embeddings_feed_semantic_dedup(spark):
+    """End-to-end text -> embed -> SemDeDup with no external model."""
+    from pipelinedp_spark.functions.embeddings import hashed_embeddings
+    base = " ".join(f"tok{i}" for i in range(60))
+    df = _docs(spark, [base, base + " tail", 
+                       " ".join(f"other{i}" for i in range(60))])
+    emb = hashed_embeddings(df, dim=16).withColumnRenamed(
+        "doc_id", "vec_id")
+    out = {r["vec_id"]: r["is_dup"]
+           for r in semantic_dedup(emb, num_clusters=2,
+                                   cosine_threshold=0.95,
+                                   sample_size=100).collect()}
+    assert out[0] is False and out[1] is True and out[2] is False
+
+
+def test_hashed_embeddings_dim_validation(spark):
+    from pipelinedp_spark.functions.embeddings import hashed_embeddings
+    with pytest.raises(ValueError, match="dim"):
+        hashed_embeddings(_docs(spark, ["x"]), dim=17)
