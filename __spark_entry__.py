@@ -1366,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_ppl": _doc_bigram_ppl,
         "stream_near_dup_mirror": _stream_near_dup_mirror,
         "doc_hash_embeddings": _doc_hash_embeddings,
+        "doc_semantic_dedup_text": _doc_semantic_dedup_text,
     }
 
 
@@ -1445,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
+        "doc_semantic_dedup_text": _gen_semantic_dedup_text_sql(),
     }
 
 
@@ -3652,4 +3654,85 @@ SELECT comp.doc_id, CAST(comp.d AS BIGINT) AS d,
        ROUND(CASE WHEN nrm.n > 0 THEN comp.v / nrm.n
                   ELSE comp.v END, 6) AS value
 FROM comp JOIN nrm USING (doc_id)
+"""
+
+
+def _doc_semantic_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition, fully in-engine and fully mirrored: raw
+    text -> feature-hashing embeddings -> SemDeDup (k-means cells +
+    keep-first cosine pruning). No external model anywhere; the oracle
+    recomputes the embeddings from text in SQL, and the generator
+    retrains bit-identical centroids from the same deterministic
+    sample via the shared numpy code path."""
+    from pipelinedp_spark.functions.embeddings import hashed_embeddings
+    from pipelinedp_spark.operators import semdedup
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_embeddings(docs, dim=16)
+    return semdedup.semantic_dedup(emb, vec_col="embedding",
+                                   id_col="doc_id", num_clusters=8,
+                                   cosine_threshold=0.8)
+
+
+def _hash_embedding_matrix(sf_dir: str, limit: int = 10_000):
+    """Driver-side replica of `hashed_embeddings` (same byte maths,
+    same 6dp rounding) for the lowest-id docs — the quantizer-training
+    sample `semantic_dedup` draws via `sample_corpus_matrix`."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pipelinedp_spark.functions.embeddings import token_vector
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id").head(limit)
+    out = []
+    for txt in t["text"]:
+        toks = txt.split(" ")
+        m = np.stack([token_vector(tok) for tok in toks])
+        v = m.sum(axis=0)
+        n = float(np.linalg.norm(v))
+        if n > 0.0:
+            v = v / n
+        out.append(np.round(v, 6))
+    return np.stack(out)
+
+
+def _gen_semantic_dedup_text_sql(num_clusters: int = 8, tau: float = 0.8,
+                                 seed: int = 7,
+                                 sf_dir: str = "/root/testdata/sf0.01"
+                                 ) -> str:
+    from pipelinedp_spark.operators.similarity import train_ivf_centroids
+    x = _hash_embedding_matrix(sf_dir)
+    cents = train_ivf_centroids(x, num_clusters, seed)
+    cell_rows = ", ".join(f"({c}, {_plane_lit(cents[c])})"
+                          for c in range(len(cents)))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS tokn FROM t),
+comp AS (
+  SELECT doc_id, d.d AS d,
+         SUM((('0x' || substr(md5(tokn), 2 * d.d + 1, 2))::BIGINT
+              - 127.5) / 127.5) AS v
+  FROM tok, (SELECT unnest(range(0, 16)) AS d) d
+  GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM comp GROUP BY 1),
+emb AS (
+  SELECT comp.doc_id,
+         list(ROUND(CASE WHEN nrm.n > 0 THEN comp.v / nrm.n
+                         ELSE comp.v END, 6) ORDER BY comp.d) AS v
+  FROM comp JOIN nrm USING (doc_id) GROUP BY comp.doc_id),
+cells(cell, cv) AS (VALUES {cell_rows}),
+ass AS (
+  SELECT doc_id, v, cell FROM (
+    SELECT doc_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM emb CROSS JOIN cells) WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.doc_id
+  FROM ass a JOIN ass b ON a.cell = b.cell AND a.doc_id < b.doc_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau})
+SELECT a.doc_id, a.cell, (d.doc_id IS NOT NULL) AS is_dup
+FROM ass a LEFT JOIN dups d USING (doc_id)
 """
