@@ -3668,8 +3668,14 @@ def _doc_semantic_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinedp_spark.operators import semdedup
     docs = _t(spark, sf_dir, "documents")
     emb = hashed_embeddings(docs, dim=16)
+    # Cluster count scales with the corpus (SemDeDup's contract: cells
+    # must stay small or the in-cell mat-mul goes quadratic — a fixed 8
+    # measured 15x on the 10x step). ~64 docs/cell; 500 docs at the
+    # oracle sf yields exactly the 8 cells the SQL mirror trains.
+    n_docs = docs.count()
+    k = max(8, n_docs // 64)
     return semdedup.semantic_dedup(emb, vec_col="embedding",
-                                   id_col="doc_id", num_clusters=8,
+                                   id_col="doc_id", num_clusters=k,
                                    cosine_threshold=0.8)
 
 
