@@ -16,7 +16,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # Cheapest representative queries: one per family (DP count/sum/selection,
 # dedup, text) — each < ~5 s at sf0.001.
 SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
-         "dp_partition_selection", "dedup_exact", "doc_text_stats"]
+         "dp_partition_selection", "dedup_exact", "doc_text_stats",
+         # round-5 families (only queries with STATIC SQL oracles can
+         # smoke at sf0.001 — generator oracles bake sf0.01 literals):
+         "doc_hash_embeddings", "doc_duplicate_spans",
+         "doc_chunk_windows", "doc_corpus_report"]
 
 
 @pytest.fixture(scope="module")
