@@ -654,6 +654,51 @@ ORDER BY 1
 """
 
 
+def _dp_count_no_cross_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perform_cross_partition_contribution_bounding=False: L0 = 2 would be
+    BINDING (customers span up to 5 priorities) but the L0 sampling step is
+    skipped, so the zero-noise output is the exact Linf-capped count —
+    deterministic precisely because cross-partition sampling is off. L0
+    stays in the sensitivity, pinned by the output_noise_stddev column
+    (= (l0*linf/eps)*sqrt(2) for Laplace)."""
+    orders = _t(spark, sf_dir, "orders")
+    pub = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.COUNT],
+        max_partitions_contributed=2,
+        max_contributions_per_partition=3,
+        perform_cross_partition_contribution_bounding=False,
+        output_noise_stddev=True)
+    res = engine.aggregate(df=orders, params=params,
+                           extractors=pds.DataFrameExtractors(
+                               "o_custkey", "o_orderpriority", None),
+                           public_partitions=pub)
+    acct.compute_budgets()
+    return res.dataframe()
+
+
+_DP_NO_CROSS_BOUNDING_SQL = """
+WITH pub(o_orderpriority) AS (
+    VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'), ('4-NOT SPECIFIED'),
+           ('5-LOW')),
+per_user AS (
+    SELECT o_custkey, o_orderpriority,
+           LEAST(COUNT(*), 3) AS capped_cnt
+    FROM orders GROUP BY o_custkey, o_orderpriority),
+agg AS (
+    SELECT o_orderpriority,
+           CAST(SUM(capped_cnt) AS DOUBLE) AS count
+    FROM per_user GROUP BY o_orderpriority)
+SELECT pub.o_orderpriority,
+       COALESCE(agg.count, 0.0) AS count,
+       (6.0 / 1.0) * SQRT(2.0) AS count_noise_stddev
+FROM pub LEFT JOIN agg USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
 def _dp_count_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite (2-column) partition key with private Laplace-thresholding
     selection; zero noise."""
@@ -1318,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_select_weighted_gaussian": _dp_select_weighted_gaussian,
         "dp_post_agg_threshold": _dp_post_agg_threshold,
         "dp_count_max_contributions": _dp_count_max_contributions,
+        "dp_count_no_cross_bounding": _dp_count_no_cross_bounding,
         "dp_count_composite_key": _dp_count_composite_key,
         "dp_windowed_count_events": _dp_windowed_count_events,
         "dp_session_count_events": _dp_session_count_events,
@@ -1399,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_select_weighted_gaussian": _dp_select_weighted_gaussian_sql(),
         "dp_post_agg_threshold": _post_agg_threshold_sql(),
         "dp_count_max_contributions": _DP_MAX_CONTRIB_SQL,
+        "dp_count_no_cross_bounding": _DP_NO_CROSS_BOUNDING_SQL,
         "dp_count_composite_key": _dp_count_composite_key_sql(),
         "dp_windowed_count_events": _dp_windowed_count_events_sql(),
         "dp_session_count_events": _dp_session_count_events_sql(),

@@ -156,6 +156,17 @@ class AggregateParams:
     # node at eps/height per level — better error on skewed value
     # distributions, where most flat-histogram bins are empty noise).
     percentile_algorithm: str = "histogram"
+    # When False, skip the cross-partition (L0) sampling step while KEEPING
+    # max_partitions_contributed in the noise sensitivity. Only sound when
+    # the data already satisfies the L0 bound
+    # (reference: pipeline_dp/aggregate_params.py:279,308 and
+    # dp_engine.py:418-430 — LinfSampler / NoOpSampler dispatch).
+    perform_cross_partition_contribution_bounding: bool = True
+    # When True, emit an extra `<metric>_noise_stddev` DOUBLE column per
+    # supported metric (COUNT, PRIVACY_ID_COUNT, SUM — same support set as
+    # the reference: pipeline_dp/aggregate_params.py:284-287,309;
+    # combiners.py:276-288,323-335,439-454).
+    output_noise_stddev: bool = False
 
     def __post_init__(self):
         if not self.metrics:
@@ -250,6 +261,14 @@ class AggregateParams:
             raise ValueError("pre_threshold must be positive")
         if self.budget_weight <= 0:
             raise ValueError("budget_weight must be positive")
+        if self.output_noise_stddev:
+            supported = {Metric.COUNT, Metric.PRIVACY_ID_COUNT, Metric.SUM}
+            unsupported = set(metric_kinds) - supported
+            if unsupported:
+                raise ValueError(
+                    "output_noise_stddev supports only COUNT, "
+                    "PRIVACY_ID_COUNT and SUM (got "
+                    f"{sorted(m.value for m in unsupported)})")
 
     def _needs_per_partition_bound(self) -> bool:
         # Pure per-partition-sum clipping bounds Linf through the sum caps,
@@ -300,6 +319,9 @@ class AddDPNoiseParams:
     linf_sensitivity: Optional[float] = None
     l1_sensitivity: Optional[float] = None
     l2_sensitivity: Optional[float] = None
+    # Emit a `<column>_noise_stddev` DOUBLE column per noised value column
+    # (reference: pipeline_dp/aggregate_params.py:810,820).
+    output_noise_stddev: bool = False
 
     def __post_init__(self):
         explicit_l1 = self.l1_sensitivity is not None

@@ -431,6 +431,23 @@ class DPEngine:
             return bounders.bound_per_privacy_id(data, _PID, pk_cols, partials,
                                                  params.max_contributions,
                                                  self._order_cols)
+        if not params.perform_cross_partition_contribution_bounding:
+            # L0 sampling disabled by the caller (data already satisfies the
+            # L0 bound); max_partitions_contributed STAYS in the noise
+            # sensitivity (reference: pipeline_dp/dp_engine.py:418-430 —
+            # LinfSampler / NoOpSampler dispatch).
+            if per_partition_clip or not (sampling and linf is not None):
+                report.append(
+                    "Contribution bounding: cross-partition bounding "
+                    f"disabled (L0 <= {l0} kept in sensitivity), no sampling")
+                return bounders.bound_noop(data, _PID, pk_cols, partials)
+            report.append(
+                "Contribution bounding: cross-partition bounding disabled "
+                f"(L0 <= {l0} kept in sensitivity), Linf <= {linf} rows per "
+                "(pid, partition)")
+            return bounders.bound_linf_only(data, _PID, pk_cols, partials,
+                                            linf, row_sampling_needed=True,
+                                            order_cols=self._order_cols)
         if per_partition_clip:
             report.append(
                 f"Contribution bounding: per-partition sum clip to "
@@ -505,6 +522,12 @@ class DPEngine:
         linf = params.max_contributions_per_partition
         noise = self._noise
         metric_cols: dict = {}
+        # metric name -> applied noise stddev (constant per metric: the
+        # mechanism scale depends only on budget + sensitivities, never on
+        # the partition's value), emitted as `<name>_noise_stddev` columns
+        # when params.output_noise_stddev is set
+        # (reference: pipeline_dp/combiners.py:276-288,323-335,439-454).
+        stddev_vals: dict = {}
 
         if "count" in specs:
             spec = specs["count"]
@@ -513,6 +536,8 @@ class DPEngine:
                                    sens)
             metric_cols["count"] = noise.add_noise(
                 F.col(_COUNT).cast(DoubleType()), kind, scale)
+            stddev_vals["count"] = dp.noise_std(params.noise_kind, spec.eps,
+                                                spec.delta, sens)
             report.append(f"COUNT: {kind} noise, scale={scale:.4g}")
         if "sum" in specs:
             spec = specs["sum"]
@@ -523,6 +548,8 @@ class DPEngine:
             scale = dp.noise_scale(params.noise_kind, spec.eps, spec.delta,
                                    sens)
             metric_cols["sum"] = noise.add_noise(F.col(_SUM), kind, scale)
+            stddev_vals["sum"] = dp.noise_std(params.noise_kind, spec.eps,
+                                              spec.delta, sens)
             report.append(f"SUM: {kind} noise, scale={scale:.4g}")
         if "mean" in specs:
             spec = specs["mean"]
@@ -595,6 +622,7 @@ class DPEngine:
                 out = out.filter(
                     F.col("__dp_pid_count__") >= F.lit(threshold))
                 metric_cols["privacy_id_count"] = F.col("__dp_pid_count__")
+                stddev_vals["privacy_id_count"] = std
                 report.append(
                     f"PRIVACY_ID_COUNT: post-aggregation thresholding at "
                     f"{threshold:.3f}")
@@ -603,6 +631,8 @@ class DPEngine:
                                        sens)
                 metric_cols["privacy_id_count"] = noise.add_noise(
                     F.col(_PID_COUNT).cast(DoubleType()), kind, scale)
+                stddev_vals["privacy_id_count"] = dp.noise_std(
+                    params.noise_kind, spec.eps, spec.delta, sens)
                 report.append(
                     f"PRIVACY_ID_COUNT: {kind} noise, scale={scale:.4g}")
 
@@ -621,6 +651,10 @@ class DPEngine:
                 ordered.append(
                     F.coalesce(F.col(name), F.lit(float(params.min_value)))
                     .cast(DoubleType()).alias(name))
+            if params.output_noise_stddev and name in stddev_vals:
+                ordered.append(
+                    F.lit(float(stddev_vals[name])).cast(DoubleType())
+                    .alias(f"{name}_noise_stddev"))
         return out.select(*ordered)
 
     # ------------------------------------------------------------------
@@ -1226,6 +1260,12 @@ class DPEngine:
                 out = out.withColumn(
                     c, noise.add_noise(F.col(c).cast(DoubleType()), kind,
                                        scale))
+            if params.output_noise_stddev:
+                std = dp.noise_std(params.noise_kind, spec.eps, spec.delta,
+                                   sens)
+                for c in value_columns:
+                    out = out.withColumn(f"{c}_noise_stddev",
+                                         F.lit(float(std)))
             report.append(f"Added {kind} noise, scale={scale:.4g}")
             return out
 

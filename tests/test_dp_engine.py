@@ -221,3 +221,100 @@ class TestEngineDirect:
         assert dict(out.dtypes)["pk"] == "bigint"
         rows = {r["pk"]: r["count"] for r in out.collect()}
         assert rows == {10**10: 1.0, 10**10 + 1: 1.0, 5: 0.0}
+
+
+class TestCrossBoundingAndNoiseStddev:
+    """perform_cross_partition_contribution_bounding + output_noise_stddev
+    (reference: pipeline_dp/aggregate_params.py:279-287,308-309,
+    dp_engine.py:418-430, combiners.py:276-288,323-335,439-454)."""
+
+    def _count(self, spark, rows, *, cross_bounding, l0=1, linf=10,
+               stddev=False, metrics=None):
+        df = spark.createDataFrame(rows, ["pid", "pk", "v"])
+        accountant = pds.NaiveBudgetAccountant(1.0, 1e-6)
+        engine = pds.DPEngine(accountant, noise_mode="zero")
+        params = pds.AggregateParams(
+            metrics=metrics or [pds.Metrics.COUNT],
+            max_partitions_contributed=l0,
+            max_contributions_per_partition=linf,
+            perform_cross_partition_contribution_bounding=cross_bounding,
+            output_noise_stddev=stddev)
+        res = engine.aggregate(
+            df=df, params=params,
+            extractors=pds.DataFrameExtractors("pid", "pk", "v"),
+            public_partitions=["a", "b", "c"])
+        accountant.compute_budgets()
+        return res.dataframe()
+
+    def test_disabled_cross_bounding_keeps_all_partitions(self, spark):
+        # One user in 3 partitions with L0 = 1: enabled -> total count 1
+        # (sampled); disabled -> all 3 kept, L0 only in sensitivity.
+        rows = [(1, "a", 1.0), (1, "b", 1.0), (1, "c", 1.0)]
+        out = self._count(spark, rows, cross_bounding=False)
+        got = {r["pk"]: r["count"] for r in out.collect()}
+        assert got == {"a": 1.0, "b": 1.0, "c": 1.0}
+        enabled = self._count(spark, rows, cross_bounding=True)
+        assert sum(r["count"] for r in enabled.collect()) == 1.0
+
+    def test_disabled_cross_bounding_still_applies_linf(self, spark):
+        # Linf sampling must still cap per-partition rows.
+        rows = [(1, "a", 1.0)] * 7 + [(1, "b", 1.0)]
+        out = self._count(spark, rows, cross_bounding=False, l0=1, linf=2)
+        got = {r["pk"]: r["count"] for r in out.collect()}
+        assert got == {"a": 2.0, "b": 1.0, "c": 0.0}
+
+    def test_output_noise_stddev_columns(self, spark):
+        import math
+        rows = [(1, "a", 2.0), (2, "a", 3.0)]
+        # eps = 3.0 split evenly across count/sum/pid_count -> 1.0 each
+        df = spark.createDataFrame(rows, ["pid", "pk", "v"])
+        accountant = pds.NaiveBudgetAccountant(3.0, 1e-6)
+        engine = pds.DPEngine(accountant, noise_mode="zero")
+        params = pds.AggregateParams(
+            metrics=[pds.Metrics.COUNT, pds.Metrics.SUM,
+                     pds.Metrics.PRIVACY_ID_COUNT],
+            max_partitions_contributed=2,
+            max_contributions_per_partition=3,
+            min_value=0.0, max_value=5.0,
+            output_noise_stddev=True)
+        res = engine.aggregate(
+            df=df, params=params,
+            extractors=pds.DataFrameExtractors("pid", "pk", "v"),
+            public_partitions=["a"])
+        accountant.compute_budgets()
+        row = res.dataframe().collect()[0]
+        cols = set(res.dataframe().columns)
+        assert {"count_noise_stddev", "sum_noise_stddev",
+                "privacy_id_count_noise_stddev"} <= cols
+        # Laplace std = (l1 / eps) * sqrt(2); eps = 1.0 per metric.
+        assert row["count_noise_stddev"] == pytest.approx(
+            (2 * 3 / 1.0) * math.sqrt(2))
+        assert row["sum_noise_stddev"] == pytest.approx(
+            (2 * 3 * 5.0 / 1.0) * math.sqrt(2))
+        assert row["privacy_id_count_noise_stddev"] == pytest.approx(
+            (2 / 1.0) * math.sqrt(2))
+        # zero-noise values unaffected by the extra columns
+        assert row["count"] == 2.0 and row["privacy_id_count"] == 2.0
+
+    def test_output_noise_stddev_rejects_unsupported_metric(self, spark):
+        with pytest.raises(ValueError, match="output_noise_stddev"):
+            pds.AggregateParams(
+                metrics=[pds.Metrics.MEAN],
+                max_partitions_contributed=1,
+                max_contributions_per_partition=1,
+                min_value=0.0, max_value=1.0,
+                output_noise_stddev=True)
+
+    def test_add_dp_noise_output_stddev(self, spark):
+        import math
+        df = spark.createDataFrame([("a", 10.0)], ["k", "v"])
+        accountant = pds.NaiveBudgetAccountant(1.0)
+        engine = pds.DPEngine(accountant, noise_mode="zero")
+        result = engine.add_dp_noise(
+            df, "v",
+            pds.AddDPNoiseParams(l0_sensitivity=2, linf_sensitivity=1.5,
+                                 output_noise_stddev=True))
+        accountant.compute_budgets()
+        row = result.dataframe().collect()[0]
+        assert row["v"] == 10.0
+        assert row["v_noise_stddev"] == pytest.approx(3.0 * math.sqrt(2))
