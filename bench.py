@@ -313,6 +313,16 @@ def main() -> None:
             out["scaling_compute_10x"] = compute_10x
         out["sf1_skipped"] = sf1_skip
     print(json.dumps(out))
+    # The driver's BENCH_r{N}.json keeps only a tail of stdout (BENCH_r05's
+    # sf0.1 per-query section was truncated away); persist the full JSON
+    # in-repo so the artifact survives regardless of driver capture.
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+        with open(local, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -16,10 +16,15 @@ parameterized API) and returns a new immutable `CorpusPipeline`:
              .df)
     chunks = CorpusPipeline(clean).chunk(chunk_tokens=512, overlap=64).df
 
-Every stage is lazy (pure DataFrame transforms) except the ones whose
-underlying operator needs a driver scalar (`quality_band` quantiles,
-`dsir_select` mean weight) — those document it. Nothing here adds
-shuffles beyond the delegated operators' documented shapes.
+Most stages are lazy (pure DataFrame transforms); the exceptions run
+work at *construction* time: `quality_band` computes quantiles and
+`dsir_select` a mean weight driver-side, and `near_dedup` /
+`dedup_against(near=True)` / `dsir_select` trigger eager
+`localCheckpoint` jobs inside the delegated operators (which also
+trades fault tolerance for speed — checkpoint blocks are not
+recomputed on executor loss; at very large scale prefer a persisted
+table between stages). Nothing here adds shuffles beyond the
+delegated operators' documented shapes.
 
 No reference counterpart (net-new; the reference's fluent surface is
 the DP QueryBuilder, mirrored in `dataframes.py`).
@@ -86,7 +91,10 @@ class CorpusPipeline:
         computation driver-side."""
         from pipelinedp_spark.operators.quality import unigram_perplexity
         ppl = unigram_perplexity(self.df, self.text_col, self.id_col)
-        lo, hi = ppl.approxQuantile("ppl", [lo_q, hi_q], 0.0)
+        qs = ppl.approxQuantile("ppl", [lo_q, hi_q], 0.0)
+        if not qs:  # empty corpus: nothing to band
+            return self
+        lo, hi = qs
         keep = ppl.filter(F.col("ppl").between(lo, hi)) \
             .select(self.id_col)
         return self._with(self.df.join(keep, self.id_col, "left_semi"))

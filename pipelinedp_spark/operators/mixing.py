@@ -235,6 +235,8 @@ def importance_resample(weighted: DataFrame,
     weighted = weighted.localCheckpoint(eager=True)
     w = F.exp(F.col(logw_col) / temperature)
     mean_w = (weighted.agg(F.avg(w).alias("m")).collect()[0]["m"])
+    if mean_w is None:  # empty input: nothing to resample
+        return weighted
     keep_p = F.least(F.lit(1.0), w * (keep_fraction / float(mean_w)))
     return weighted.filter(
         hash_uniform(F.col(id_col), salt=salt) < keep_p)

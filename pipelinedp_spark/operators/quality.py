@@ -108,6 +108,8 @@ def unigram_perplexity(df: DataFrame,
     vocab = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("double").alias("c")).localCheckpoint()
     total = vocab.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    if total is None:  # empty corpus: no tokens, no scorable docs
+        total = 1.0
     v = F.broadcast(vocab) if broadcast_vocab else vocab
     return (toks.join(v, "tok")
             .groupBy(id_col)

@@ -701,21 +701,37 @@ def near_dup_dedup_batch(batch: DataFrame,
                          id_col: str = "doc_id",
                          bits: int = 60,
                          num_blocks: int = 4,
-                         max_hamming: int = 3) -> "tuple[DataFrame, DataFrame]":
+                         max_hamming: int = 3,
+                         materialize: bool = False) -> "tuple[DataFrame, DataFrame]":
     """One micro-batch of incremental NEAR-dup (simhash) dedup: drop
     batch docs within ``max_hamming`` of (a) any previously-kept doc
     (``state`` = accumulated block table) or (b) a smaller-id doc in the
     same batch. Pigeonhole blocking as in `operators.dedup.simhash_pairs`:
     a pair within Hamming distance num_blocks-1 shares at least one
-    exact block, so block-equality joins find every candidate when
-    max_hamming <= num_blocks - 1.
+    exact block, so block-equality joins find every candidate — which is
+    why ``max_hamming <= num_blocks - 1`` is REQUIRED (validated below:
+    a larger radius would silently miss pairs).
 
     Returns (kept_docs_with_simhash, kept_block_rows); append the block
     rows to the state table for the next batch. Both joins hash on
     (block_idx, block_val) — state-sized, never corpus x corpus.
+
+    ``materialize=True`` localCheckpoints the shared upstreams (the
+    fingerprint table and the duplicate-id set) so the two returned
+    frames are cheap anti-joins off already-computed inputs — without it
+    each returned frame independently re-runs the fingerprint UDF, the
+    joins, and any ``state`` re-read when consumed. The streaming writer
+    uses this so the state append cannot observe the same batch's
+    output-path write mid-plan.
     """
     from pipelinedp_spark.operators.dedup import simhash_fingerprints
 
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_blocks >= "
+            f"{max_hamming + 1} (pigeonhole: only pairs within Hamming "
+            "distance num_blocks-1 are guaranteed to share a block); got "
+            f"num_blocks={num_blocks}")
     block_bits = bits // num_blocks
     mask = (1 << block_bits) - 1
     # Arrow-batched fingerprint UDF (operators.dedup), NOT the pure
@@ -723,6 +739,8 @@ def near_dup_dedup_batch(batch: DataFrame,
     # per-bit-sized and bloats the task binary.
     fp = (batch.select(F.col(id_col), F.col(text_col))
           .join(simhash_fingerprints(batch, text_col, id_col), id_col))
+    if materialize:
+        fp = fp.localCheckpoint()
     blocks = fp.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*[
@@ -754,6 +772,10 @@ def near_dup_dedup_batch(batch: DataFrame,
                 .select(F.col(id_col)).distinct())
     dup_ids = in_batch if dup_ids is None else dup_ids.unionByName(
         in_batch).distinct()
+    if materialize:
+        # Small (duplicate ids only); pins the state-table read so later
+        # consumers can't observe concurrent appends to it.
+        dup_ids = dup_ids.localCheckpoint()
 
     kept = fp.join(dup_ids, id_col, "left_anti")
     kept_blocks = blocks.join(dup_ids, id_col, "left_anti") \
@@ -793,18 +815,16 @@ def streaming_near_dup_dedup(stream: DataFrame,
             state = spark.read.parquet(state_path)
         except Exception:
             state = None
+        # materialize=True: the fingerprint table and duplicate-id set are
+        # localCheckpoint'd inside, so both writes below are cheap
+        # anti-joins off already-computed inputs — the fingerprint UDF and
+        # the vs-state join run exactly once, and the state append cannot
+        # re-read state_path (or observe the output-path write) mid-plan.
         kept, kept_blocks = near_dup_dedup_batch(
             batch_df, state, text_col, id_col, bits, num_blocks,
-            max_hamming)
-        # Materialize kept BEFORE appending blocks: both outputs derive
-        # from the same plan, and the state append must not observe the
-        # rows this very batch writes.
-        kept.persist()
-        try:
-            kept.write.mode("append").parquet(output_path)
-            kept_blocks.write.mode("append").parquet(state_path)
-        finally:
-            kept.unpersist()
+            max_hamming, materialize=True)
+        kept.write.mode("append").parquet(output_path)
+        kept_blocks.write.mode("append").parquet(state_path)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)

@@ -123,3 +123,9 @@ def test_dp_token_stats_zero_noise_matches_truth(spark):
     # "w " * k splits to k+1 tokens (trailing empty string counts).
     true_en = sum((i % 5 + 1) + 1 for i in range(40) if i % 2)
     assert got["en"][1] == pytest.approx(true_en)
+
+
+def test_quality_band_empty_corpus_is_noop(spark):
+    out = (CorpusPipeline(_docs(spark, []))
+           .quality_band(0.05, 0.95).df)
+    assert out.count() == 0

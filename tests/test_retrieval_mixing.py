@@ -251,3 +251,9 @@ def test_unigram_perplexity_single_doc_is_vocab_size_like(spark):
     df = _docs(spark, ["u v w x y"])
     out = unigram_perplexity(df).collect()[0]
     assert out["ppl"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_importance_resample_empty_input_returns_empty(spark):
+    from pipelinedp_spark.operators.mixing import importance_resample
+    df = spark.createDataFrame([], "doc_id long, logw double")
+    assert importance_resample(df, keep_fraction=0.3).count() == 0

@@ -676,3 +676,10 @@ def test_streaming_near_dup_dedup_end_to_end(spark, tmp_path):
     kept = sorted(r["doc_id"]
                   for r in spark.read.parquet(outp).collect())
     assert kept == [1, 3]
+
+
+def test_near_dup_dedup_rejects_bad_hamming_radius(spark):
+    from pipelinedp_spark.streaming.dp_streaming import near_dup_dedup_batch
+    b = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        near_dup_dedup_batch(b, None, num_blocks=4, max_hamming=4)
