@@ -131,6 +131,26 @@ def _skew_queries(spark, n: int = 2_000_000):
             .alias("text"))
         return duplicate_spans(docs, k=8)
 
+    def semdedup_hot_cell():
+        # One degenerate coarse centroid swallows all 40k vectors (3x
+        # max_cluster_rows), forcing refine_oversize_cells to re-quantize
+        # the hot cell into sub-cells before the in-cluster mat-mul; the
+        # 16 latent directions split cleanly so the pairwise stage runs
+        # on ~5k-row groups instead of one quadratic 40k blob.
+        import numpy as np
+        from pipelinedp_spark.operators.semdedup import semantic_dedup
+        dim = 16
+        vecs = spark.range(40_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.when(j == F.pmod(F.col("id"), dim), F.lit(1.0))
+                .otherwise(F.pmod(F.abs(F.xxhash64(F.col("id"), j)),
+                                  F.lit(100)) / 10_000.0)).alias("embedding"))
+        return semantic_dedup(vecs, centroids=np.full((1, dim), 0.25),
+                              cosine_threshold=0.99,
+                              max_cluster_rows=12_000)
+
     return {
         "skew_dp_count_bounded": dp_count_bounded,
         "skew_dp_mean_generous_cap": dp_mean_generous_cap,
@@ -138,6 +158,7 @@ def _skew_queries(spark, n: int = 2_000_000):
         "skew_sessionize": sessionize_hot_user,
         "skew_dedup_simhash": dedup_simhash_hot_block,
         "skew_duplicate_spans": duplicate_spans_hot_span,
+        "skew_semdedup_hot_cell": semdedup_hot_cell,
     }
 
 

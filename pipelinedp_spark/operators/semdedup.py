@@ -17,9 +17,18 @@ Scale shape (the whole point of the clustering step):
   normalized mat-mul per group (`applyInPandas`) — O(m^2) floats per
   cluster but vectorized, never a row-level self-join. Cluster size is
   controlled by `num_clusters`: SemDeDup at production scale uses tens of
-  thousands of clusters so m stays ~corpus/num_clusters. A cluster
-  exceeding `max_cluster_rows` raises with sizing advice rather than
-  silently quadratic-ing.
+  thousands of clusters so m stays ~corpus/num_clusters.
+- Oversize clusters are AUTO-SPLIT before the pairwise stage: a cheap
+  map-side-combinable count finds cells over `max_cluster_rows`, and only
+  those cells are re-quantized with per-cell sub-centroids trained on a
+  bounded per-cell sample (`refine_oversize_cells`), up to
+  `auto_split_rounds` rounds. Under-cap cells keep their ids untouched,
+  so the common path is byte-identical to no refinement. A cell still
+  over cap after all rounds (e.g. one point repeated > cap times —
+  unsplittable) raises with sizing advice rather than silently
+  quadratic-ing. Splitting is semantics-affecting in the same way
+  `num_clusters` is: vectors moved to different sub-cells are no longer
+  compared, i.e. dedup gets coarser exactly where the space is densest.
 
 No reference counterpart (net-new LLM-pipeline operator per the project
 north star; reference repo = OpenMined/PipelineDP, which has no
@@ -59,6 +68,93 @@ def assign_cells_udf(centroids: "np.ndarray"):
     return _cell
 
 
+def refine_oversize_cells(cells: DataFrame,
+                          max_cluster_rows: int,
+                          seed: int = 7,
+                          sub_k: int = 8,
+                          sample_per_cell: int = 2048,
+                          max_rounds: int = 3,
+                          id_col: str = "_id",
+                          vec_col: str = "_vec") -> DataFrame:
+    """Split cells larger than ``max_cluster_rows`` by re-quantizing ONLY
+    those cells with per-cell sub-centroids, repeating up to
+    ``max_rounds`` times. Input/output: (id_col, vec_col, cell int).
+
+    Scale shape per round:
+    - One map-side-combinable groupBy("cell").count() finds over-cap
+      cells; the collected list is <= total_rows / max_cluster_rows ids.
+    - The per-cell training sample is a partial+final WindowGroupLimit
+      (row_number <= sample_per_cell), so the driver collect is bounded
+      by n_over_cells * sample_per_cell rows.
+    - Sub-cell assignment is one Arrow-batched pass; under-cap rows pass
+      through with their cell id unchanged (zero-round input returns the
+      exact input plan — the common path costs one count agg only).
+    - New cell ids start above the current max id, so they never collide
+      with surviving cells.
+
+    Rounds that make no progress (an unsplittable cell: > cap copies of
+    one point) exit early; callers treat any remaining over-cap cell as
+    an error (see `semantic_dedup`).
+    """
+    from pyspark.sql import Window
+
+    cap = int(max_cluster_rows)
+    for rnd in range(int(max_rounds)):
+        counts = cells.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_n")).collect()
+        over = sorted(int(r["cell"]) for r in counts if r["_n"] > cap)
+        if not over:
+            return cells
+        # Only now that a split is certain: materialize the input so the
+        # sample window and the re-assignment below don't each re-run the
+        # upstream assignment chain (the happy path above stays lazy —
+        # it costs one count agg on the un-checkpointed plan).
+        if rnd == 0:
+            cells = cells.localCheckpoint(eager=True)
+        base = max(int(r["cell"]) for r in counts) + 1
+
+        w = Window.partitionBy("cell").orderBy(id_col)
+        sample_pdf = (cells.filter(F.col("cell").isin(over))
+                      .withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= int(sample_per_cell))
+                      .select("cell", vec_col).toPandas())
+        sub_centroids = {}
+        new_base = {}
+        for i, c in enumerate(over):
+            mat = np.stack(sample_pdf.loc[sample_pdf["cell"] == c, vec_col]
+                           .to_numpy()).astype("float64")
+            sub_centroids[c] = train_ivf_centroids(
+                mat, int(sub_k), seed + 1 + rnd)
+            new_base[c] = base + i * int(sub_k)
+
+        @pandas_udf("int")
+        def _recell(cell: pd.Series, vec: pd.Series) -> pd.Series:
+            out = cell.to_numpy(dtype="int64").copy()
+            for c, cts in sub_centroids.items():
+                m = out == c
+                if not m.any():
+                    continue
+                v = np.stack(vec[m].to_numpy()).astype("float64")
+                out[m] = new_base[c] + (v @ cts.T).argmax(axis=1)
+            return pd.Series(out.astype("int32"))
+
+        refined = cells.withColumn(
+            "cell", _recell(F.col("cell"), F.col(vec_col)))
+        # Materialize: the next round's count (and the final pairwise
+        # stage) must not re-run this round's assignment chain.
+        cells = refined.localCheckpoint(eager=True)
+        # No progress (every over-cap cell landed whole in one sub-cell —
+        # unsplittable, e.g. > cap copies of one point): further rounds
+        # are futile; the caller's cap check reports the oversize cell.
+        parent_n = {int(r["cell"]): r["_n"] for r in counts}
+        new_counts = {int(r["cell"]): r["_n"] for r in cells.groupBy(
+            "cell").agg(F.count(F.lit(1)).alias("_n")).collect()}
+        if all(any(new_counts.get(new_base[c] + j, 0) == parent_n[c]
+                   for j in range(int(sub_k))) for c in over):
+            return cells
+    return cells
+
+
 def semantic_dedup(df: DataFrame,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id",
@@ -67,14 +163,17 @@ def semantic_dedup(df: DataFrame,
                    seed: int = 7,
                    centroids: Optional["np.ndarray"] = None,
                    sample_size: int = 10_000,
-                   max_cluster_rows: int = 500_000) -> DataFrame:
+                   max_cluster_rows: int = 500_000,
+                   auto_split_rounds: int = 3) -> DataFrame:
     """Mark semantic duplicates: ``is_dup`` is true iff some same-cluster
     vector with a smaller id has round(cosine, 6) >= cosine_threshold.
 
     Returns (id_col, cell, is_dup) — filter ``~is_dup`` for the kept set.
     Pass ``centroids`` (shape (num_clusters, dim)) to reuse a quantizer
     trained offline; otherwise one is trained on the lowest-id sample
-    exactly like `similarity.ivf_topk`.
+    exactly like `similarity.ivf_topk`. Cells over ``max_cluster_rows``
+    are re-quantized into sub-cells first (`refine_oversize_cells`,
+    ``auto_split_rounds`` rounds; 0 disables and oversize cells raise).
     """
     if centroids is None:
         x = sample_corpus_matrix(df, id_col, vec_col, sample_size)
@@ -84,6 +183,9 @@ def semantic_dedup(df: DataFrame,
                     F.col(vec_col).cast("array<double>").alias("_vec"))
     cells = src.withColumn("cell",
                            assign_cells_udf(centroids)(F.col("_vec")))
+    if auto_split_rounds:
+        cells = refine_oversize_cells(cells, max_cluster_rows, seed,
+                                      max_rounds=auto_split_rounds)
 
     out_schema = f"{id_col} long, cell int, is_dup boolean"
     thr = float(cosine_threshold)
@@ -121,11 +223,13 @@ def semantic_pairs(df: DataFrame,
                    seed: int = 7,
                    centroids: Optional["np.ndarray"] = None,
                    sample_size: int = 10_000,
-                   max_cluster_rows: int = 500_000) -> DataFrame:
+                   max_cluster_rows: int = 500_000,
+                   auto_split_rounds: int = 3) -> DataFrame:
     """Within-cluster near-dup PAIRS (id_a < id_b, round(cos,6) >= tau)
     — the edge list `semantic_dedup` prunes with and the input to
     `graph.connected_components` for semantic cluster ids. Same
-    quantizer, same in-cluster mat-mul shape."""
+    quantizer, same in-cluster mat-mul shape, same oversize-cell
+    auto-split."""
     if centroids is None:
         x = sample_corpus_matrix(df, id_col, vec_col, sample_size)
         centroids = train_ivf_centroids(x, num_clusters, seed)
@@ -134,6 +238,9 @@ def semantic_pairs(df: DataFrame,
                     F.col(vec_col).cast("array<double>").alias("_vec"))
     cells = src.withColumn("cell",
                            assign_cells_udf(centroids)(F.col("_vec")))
+    if auto_split_rounds:
+        cells = refine_oversize_cells(cells, max_cluster_rows, seed,
+                                      max_rounds=auto_split_rounds)
     thr = float(cosine_threshold)
     cap = int(max_cluster_rows)
     out_schema = "id_a long, id_b long, cosine double"

@@ -409,3 +409,70 @@ def test_hashed_embeddings_dim_validation(spark):
     from pipelinedp_spark.functions.embeddings import hashed_embeddings
     with pytest.raises(ValueError, match="dim"):
         hashed_embeddings(_docs(spark, ["x"]), dim=17)
+
+
+# ---------------------------------------------------------------------------
+# oversize-cell auto-split
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_auto_splits_oversize_cluster(spark):
+    # A single coarse centroid swallows 2x the cap, but the data is two
+    # distinct tight groups -> refine_oversize_cells separates them and
+    # the dedup completes without raising, keeping one doc per group.
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)] + \
+           [(i, [0.0, 0.0, 1.0]) for i in range(20, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[0.7, 0.0, 0.7]])   # one cell captures all 40 rows
+    out = semantic_dedup(df, cosine_threshold=0.9, centroids=cents,
+                         max_cluster_rows=25).collect()
+    got = {r["vec_id"]: r["is_dup"] for r in out}
+    assert len(got) == 40
+    assert not got[0] and all(got[i] for i in range(1, 20))
+    assert not got[20] and all(got[i] for i in range(21, 40))
+    # The two groups really did land in different sub-cells.
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    assert cells[0] != cells[20]
+
+
+def test_semantic_dedup_unsplittable_cluster_still_raises(spark):
+    # > cap copies of ONE point cannot be split by re-quantizing; the
+    # cap check must still fire after the refinement rounds give up.
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0]])
+    out = semantic_dedup(df, num_clusters=1, cosine_threshold=0.9,
+                         centroids=cents, max_cluster_rows=5)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        out.collect()
+
+
+def test_refine_oversize_cells_leaves_under_cap_cells_untouched(spark):
+    from pipelinedp_spark.operators.semdedup import refine_oversize_cells
+    from pyspark.sql import functions as F
+    rows = [(i, [1.0, 0.0], 0) for i in range(15)] + \
+           [(i, [0.0, 1.0], 0) for i in range(15, 30)] + \
+           [(i, [0.5, 0.5], 7) for i in range(30, 33)]
+    cells = spark.createDataFrame(
+        rows, "_id long, _vec array<double>, cell int")
+    out = refine_oversize_cells(cells, max_cluster_rows=20).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r["_id"])
+    # Every final cell is under the cap.
+    assert all(len(v) <= 20 for v in by_cell.values())
+    # The under-cap cell kept its id and members.
+    assert sorted(by_cell[7]) == [30, 31, 32]
+    # The oversize cell's two point groups were separated intact.
+    groups = [sorted(v) for c, v in by_cell.items() if c != 7]
+    assert sorted(groups) == [list(range(15)), list(range(15, 30))]
+
+
+def test_refine_oversize_cells_noop_under_cap(spark):
+    from pipelinedp_spark.operators.semdedup import refine_oversize_cells
+    rows = [(i, [1.0, 0.0], 3) for i in range(5)]
+    cells = spark.createDataFrame(
+        rows, "_id long, _vec array<double>, cell int")
+    out = sorted((r["_id"], r["cell"])
+                 for r in refine_oversize_cells(cells, 100).collect())
+    assert out == [(i, 3) for i in range(5)]
