@@ -828,3 +828,35 @@ def test_cross_corpus_dedup(spark):
     kept = {r["doc_id"] for r in
             dedup.cross_corpus_dedup(new, ref).collect()}
     assert kept == {11}
+
+
+@pytest.mark.parametrize("num_bands,planes_per_band", [(8, 5), (16, 8)])
+def test_embedding_lsh_recall_planted_near_dups(spark, num_bands,
+                                                planes_per_band):
+    """Recall gate for banded hyperplane LSH (mirrors the MinHash gate
+    above): planted near-dup embedding pairs (cos >= ~0.98) must be
+    recovered. A plane separates a pair with prob theta/pi ~= 0.06 at
+    cos 0.98, so a pair matches a band of r planes with prob
+    (1-0.06)^r and ANY of b bands with prob > 0.99 at both settings —
+    the gate pins the implementation (banding, bucketing, verification),
+    not luck. Deterministic: md5-derived planes + seeded data."""
+    import numpy as np
+    rng = np.random.default_rng(17)
+    dim = 64
+    rows, planted = [], []
+    for d in range(80):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        noise = rng.normal(size=dim) * 0.02
+        rows.append((2 * d, [float(x) for x in base]))
+        rows.append((2 * d + 1, [float(x) for x in base + noise]))
+        planted.append((2 * d, 2 * d + 1))
+    for d in range(160, 260):   # unrelated distractors
+        v = rng.normal(size=dim)
+        rows.append((d, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dup_pairs(
+        emb, cosine_threshold=0.95, num_bands=num_bands,
+        planes_per_band=planes_per_band, dim=dim).collect()}
+    recall = sum(p in got for p in planted) / len(planted)
+    assert recall >= 0.95, f"planted embedding near-dup recall {recall}"
