@@ -1371,6 +1371,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_semantic_dedup_text",
     # round-6 additions
     "dp_count_no_cross_bounding",
+    "bpe_encode",
 ]
 
 
@@ -1432,6 +1433,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_signals": _doc_quality_signals,
         "doc_pii_scrub": _doc_pii_scrub,
         "bpe_train_merges": _bpe_train_merges,
+        "bpe_encode": _bpe_encode,
         "sim_pq_topk": _sim_pq_topk,
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
         "dp_variance_selected": _dp_variance_selected,
@@ -1541,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
         "doc_semantic_dedup_text": _gen_semantic_dedup_text_sql(),
+        "bpe_encode": _gen_bpe_encode_sql(),
     }
 
 
@@ -2575,6 +2578,84 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string")
+
+
+def _bpe_word_counts_from_parquet(sf_dir: str) -> "dict[str, int]":
+    """Shared trainer input for the bpe_encode query and its oracle:
+    the corpus word-frequency table via DuckDB (engine-portable — Spark
+    tokenization is the same split-on-space). Handles both single-file
+    tables and Spark-written directory tables (the generated sf1 set)."""
+    import os
+
+    import duckdb
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    rows = duckdb.sql(f"""
+SELECT w, COUNT(*) AS c FROM (
+  SELECT unnest(string_split(text, ' ')) AS w
+  FROM read_parquet('{path}'))
+WHERE w <> '' GROUP BY w""").fetchall()
+    return {w: c for w, c in rows}
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with a fixed merge table — the SQL-checkable half of
+    the BPE pair (training is iterative, rows-only: `bpe_train_merges`).
+    Merges train driver-side on the corpus word-frequency table
+    (`train_bpe_merges_local`, same algorithm + tie-break as the
+    distributed trainer, which tests pin against a reference impl); the
+    encode itself is the Arrow-batched `apply_bpe` mapInPandas over the
+    corpus. The oracle bakes per-word expected encodings computed by an
+    INDEPENDENT sequential-merge encoder, so the min-rank greedy encoder
+    is cross-checked end-to-end."""
+    from pipelinedp_spark.operators.bpe import (apply_bpe,
+                                                train_bpe_merges_local)
+    merges = train_bpe_merges_local(
+        _bpe_word_counts_from_parquet(sf_dir), num_merges=20)
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_bpe(docs.select("doc_id", "text"), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_subwords"),
+        F.md5(F.concat_ws(" ", F.col("bpe_tokens"))).alias("enc_md5"))
+
+
+def _gen_bpe_encode_sql(sf_dir: str = "/root/testdata/sf0.01",
+                        num_merges: int = 20) -> str:
+    """Oracle for `bpe_encode`: trains the same merges from the same
+    word-count table, but encodes every vocabulary word with the
+    sequential-order encoder (`encode_word_sequential` — an independent
+    formulation of BPE application), bakes (word -> encoding, n_subwords)
+    as a VALUES table, and reassembles per-document encodings in SQL
+    with an ordinality join."""
+    from pipelinedp_spark.operators.bpe import (encode_word_sequential,
+                                                train_bpe_merges_local)
+    wc = _bpe_word_counts_from_parquet(sf_dir)
+    merges = train_bpe_merges_local(wc, num_merges=num_merges)
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+    vals = ", ".join(
+        f"('{q(w)}', '{q(' '.join(encode_word_sequential(w, merges)))}', "
+        f"{len(encode_word_sequential(w, merges))})"
+        for w in sorted(wc))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (SELECT doc_id,
+             unnest([{{'i': i, 'word': tk[i]}}
+                     for i in range(1, len(tk) + 1)]) AS u
+      FROM t),
+pos AS (SELECT doc_id, u.i AS i, u.word AS word FROM w
+        WHERE u.word <> ''),
+e(word, enc, n) AS (VALUES {vals}),
+j AS (SELECT pos.doc_id, pos.i, e.enc, e.n
+      FROM pos JOIN e USING (word))
+SELECT d.doc_id,
+       COALESCE(SUM(j.n), 0)::BIGINT AS n_subwords,
+       md5(COALESCE(string_agg(j.enc, ' ' ORDER BY j.i), '')) AS enc_md5
+FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+GROUP BY d.doc_id
+"""
 
 
 def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

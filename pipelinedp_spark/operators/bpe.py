@@ -96,6 +96,72 @@ def train_bpe_merges(df: DataFrame,
     return merges
 
 
+def train_bpe_merges_local(word_counts: "dict[str, int]",
+                           num_merges: int = 50,
+                           min_pair_count: int = 2
+                           ) -> List[Tuple[str, str]]:
+    """Pure-Python BPE trainer over a word-frequency dict — same
+    semantics and deterministic tie-break as `train_bpe_merges` (pair
+    frequency desc, then pair ascending), for driver-side use when the
+    word table is already small (e.g. baking oracle artifacts, or
+    training on a pre-aggregated vocabulary). The distributed trainer
+    remains the path for corpus-scale vocabularies."""
+    import collections
+    vocab = collections.Counter()
+    for w, c in word_counts.items():
+        if w:
+            vocab[tuple(list(w) + [END_OF_WORD])] += int(c)
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        stats: collections.Counter = collections.Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += cnt
+        if not stats:
+            break
+        (a, b), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        new_vocab: collections.Counter = collections.Counter()
+        for syms, cnt in vocab.items():
+            out: List[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+def encode_word_sequential(word: str,
+                           merges: Sequence[Tuple[str, str]]) -> List[str]:
+    """Encode one word by applying the merge list IN LEARNED ORDER, each
+    merge exhaustively leftmost-non-overlapping — the textbook
+    formulation, provably equivalent to `apply_bpe`'s min-rank greedy
+    loop (the lowest-rank pair present is always the one the sequential
+    pass would apply next). Kept as an independent code path so oracle
+    encodings cross-check the Arrow-batched encoder."""
+    syms = list(word) + [END_OF_WORD]
+    for a, b in merges:
+        out: List[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def apply_bpe(df: DataFrame,
               merges: Sequence[Tuple[str, str]],
               text_col: str = "text",

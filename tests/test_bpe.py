@@ -120,3 +120,33 @@ def test_apply_bpe_edge_inputs(spark):
     assert rows[2]["bpe_tokens"] == ["ab</w>"]  # both merges chain
     assert rows[3]["bpe_tokens"] == ["ab</w>", "ab</w>",
                                      "x", "y", "z", "</w>"]
+
+
+def test_local_trainer_matches_reference_and_distributed(spark):
+    from pipelinedp_spark.operators.bpe import train_bpe_merges_local
+    wc = collections.Counter()
+    for t in CORPUS:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    local = train_bpe_merges_local(wc, num_merges=12)
+    assert local == _reference_bpe(CORPUS, num_merges=12)
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    assert local == train_bpe_merges(df, num_merges=12)
+
+
+def test_sequential_encoder_matches_rank_greedy(spark):
+    # encode_word_sequential (learned-order exhaustive application) and
+    # apply_bpe (min-rank greedy) are equivalent formulations of BPE
+    # application; pin it on every corpus word including repeats like
+    # 'aaa' shapes.
+    from pipelinedp_spark.operators.bpe import (encode_word_sequential,
+                                                train_bpe_merges_local)
+    corpus = CORPUS + ["aaaa aab baaa", "hugs hugs huge hugged"]
+    wc = collections.Counter(w for t in corpus for w in t.split(" ") if w)
+    merges = train_bpe_merges_local(wc, num_merges=15)
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    for r in apply_bpe(df, merges).collect():
+        want = [s for w in r["text"].split(" ") if w
+                for s in encode_word_sequential(w, merges)]
+        assert r["bpe_tokens"] == want
