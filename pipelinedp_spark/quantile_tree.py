@@ -42,16 +42,23 @@ def compute_tree_quantiles(
         hi: float,
         noise_fn: Callable[[], float],
         height: int = DEFAULT_TREE_HEIGHT,
-        branching: int = DEFAULT_BRANCHING_FACTOR) -> List[float]:
+        branching: int = DEFAULT_BRANCHING_FACTOR,
+        return_total: bool = False):
     """Noisy root-to-leaf descent over a sparse leaf histogram.
 
     ``noise_fn()`` draws one fresh noise value; it is called once per
     visited node (memoized), so all quantiles share the same noisy tree —
     the property that makes the reference combiner's multi-quantile
     answers mutually consistent.
+
+    ``return_total=True`` returns ``(values, level1_total)`` where the
+    total is the sum of the level-1 noisy children — the noisy entry
+    count the descent itself ranks against. It reuses the descent's own
+    draws, so reading it consumes no extra budget.
     """
     if hi <= lo:
-        return [lo for _ in quantiles]
+        vals = [lo for _ in quantiles]
+        return (vals, 0.0) if return_total else vals
     order = np.argsort(leaf_ids)
     leaf_ids = np.asarray(leaf_ids, dtype=np.int64)[order]
     leaf_counts = np.asarray(leaf_counts, dtype=np.float64)[order]
@@ -75,6 +82,7 @@ def compute_tree_quantiles(
         return noisy_cache[key]
 
     results = []
+    level1_total = None
     for q in quantiles:
         frac = min(max(q / 100.0, 0.0), 1.0)
         node = 0
@@ -87,6 +95,8 @@ def compute_tree_quantiles(
             total = sum(children)
             if level == 1:
                 rank = frac * total
+                if level1_total is None:
+                    level1_total = total
             rank = min(max(rank, 0.0), total)
             cum = 0.0
             chosen = branching - 1
@@ -110,6 +120,8 @@ def compute_tree_quantiles(
         else:
             inner = 0.5
         results.append(node_lo + (node_hi - node_lo) * inner)
+    if return_total:
+        return results, float(level1_total or 0.0)
     return results
 
 

@@ -591,10 +591,14 @@ def dp_streaming_percentile(stream: DataFrame,
                             noise_kind: NoiseKind = NoiseKind.LAPLACE,
                             delta_per_window: float = 0.0,
                             noise_mode: str = "secure",
-                            threshold_windows: Optional[bool] = None
+                            threshold_windows: Optional[bool] = None,
+                            percentile_algorithm: str = "histogram"
                             ) -> DataFrame:
     """DP percentile per event-time window over PER-USER window averages,
-    via the batch engine's equi-width histogram sketch.
+    via the batch engine's equi-width histogram sketch — or, with
+    ``percentile_algorithm="tree"``, the reference quantile tree (the
+    same height-4 branching-16 hierarchical histogram as the batch
+    ``percentile_algorithm="tree"`` path; `quantile_tree.py`).
 
     Contribution unit: each user contributes exactly ONE value per window
     — the average of their clipped contributions — so every user moves
@@ -632,6 +636,15 @@ def dp_streaming_percentile(stream: DataFrame,
                 .agg(F.avg(_clip(F.col(value_col).cast(DoubleType()),
                                  float(min_value), float(max_value)))
                      .alias("__uval__")))
+    if percentile_algorithm == "tree":
+        return _streaming_percentile_tree(
+            per_user, do_threshold, epsilon_per_window, delta_per_window,
+            float(min_value), float(max_value), percentile,
+            l0_per_window, noise_kind, noise_mode)
+    if percentile_algorithm != "histogram":
+        raise ValueError(
+            f"percentile_algorithm must be 'histogram' or 'tree', got "
+            f"{percentile_algorithm!r}")
     binned = per_user.withColumn(
         "__bin__",
         F.least(F.greatest(
@@ -693,6 +706,99 @@ def dp_streaming_percentile(stream: DataFrame,
     return out.select("window",
                       F.col("percentile_value"),
                       F.col("__total__").alias("n_users"))
+
+
+def _streaming_percentile_tree(per_user: DataFrame,
+                               do_threshold: bool,
+                               epsilon_per_window: float,
+                               delta_per_window: float,
+                               min_value: float,
+                               max_value: float,
+                               percentile: float,
+                               l0_per_window: int,
+                               noise_kind: NoiseKind,
+                               noise_mode: str) -> DataFrame:
+    """Quantile-tree streaming percentile (batch parity: the engine's
+    ``percentile_algorithm="tree"`` path, `dp_engine._percentile_tree_values`,
+    mirroring the reference combiner's h=4/b=16 hierarchical histogram).
+
+    Plan: the stateful aggregation keeps EXACT per-(window, leaf) counts
+    (leaf = 16^4-resolution bin of the per-user clipped window average —
+    the same mergeable sketch state as batch); the noisy root-to-leaf
+    descent runs in an Arrow-batched UDF over each window's collected
+    sparse leaf histogram, drawing fresh noise for every visited node
+    (empty children included) at the per-level budget eps/height — noise
+    at READ time, exactly like batch, so state stores no noise.
+
+    Budget: thresholding on -> (eps/2, delta/2) to the tree, (eps/2,
+    delta/2) to the noisy privacy-id count that funds the threshold (the
+    `dp_streaming_count` construction); off -> the tree gets the full
+    budget and ``n_users`` is the descent's own level-1 noisy total
+    (reuses the descent draws — no extra release).
+
+    Returns (window, percentile_value, n_users) like the histogram path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pipelinedp_spark import quantile_tree as qt
+
+    height = qt.DEFAULT_TREE_HEIGHT
+    branching = qt.DEFAULT_BRANCHING_FACTOR
+    n_leaves = branching ** height
+    leaf_width = (max_value - min_value) / n_leaves
+
+    leafed = per_user.withColumn(
+        "__leaf__",
+        F.least(F.greatest(
+            F.floor((F.col("__uval__") - F.lit(min_value))
+                    / F.lit(leaf_width)).cast("int"), F.lit(0)),
+            F.lit(n_leaves - 1)))
+    per_leaf = leafed.groupBy("window", "__leaf__").agg(
+        F.count(F.lit(1)).alias("__n__"))
+    per_window = per_leaf.groupBy("window").agg(
+        F.collect_list(F.struct("__leaf__", "__n__")).alias("__hist__"),
+        F.sum("__n__").alias("__pids__"))
+
+    eps_tree = epsilon_per_window / 2 if do_threshold else epsilon_per_window
+    delta_tree = (delta_per_window / 2 if do_threshold
+                  else delta_per_window)
+    tree_scale = dp.noise_scale(
+        noise_kind, eps_tree / height,
+        (delta_tree / height) if delta_tree else 0.0,
+        dp.count_sensitivities(l0_per_window, 1))
+    kind_value = noise_kind.value
+    pct = float(percentile)
+    lo, hi = min_value, max_value
+
+    @pandas_udf("percentile_value double, n_users double")
+    def _descend(hist: pd.Series) -> pd.DataFrame:
+        out_v, out_n = [], []
+        for h in hist:
+            leaves = np.array([e["__leaf__"] for e in h], dtype=np.int64)
+            counts = np.array([e["__n__"] for e in h], dtype=np.float64)
+            vals, total = qt.compute_tree_quantiles(
+                leaves, counts, [pct], lo, hi,
+                qt.make_noise_fn(noise_mode, kind_value, tree_scale),
+                height, branching, return_total=True)
+            out_v.append(vals[0])
+            out_n.append(total)
+        return pd.DataFrame({"percentile_value": out_v, "n_users": out_n})
+
+    noise = create_noise_source(noise_mode)
+    out = per_window.withColumn("__res__", _descend(F.col("__hist__")))
+    if do_threshold:
+        out = _pid_threshold_filter(
+            out, noise, noise_kind, epsilon_per_window / 2,
+            delta_per_window / 2, l0_per_window, "__pids__")
+        n_users = F.col("__dp_pids__")
+    else:
+        n_users = F.col("__res__.n_users")
+    return out.select("window",
+                      F.col("__res__.percentile_value")
+                      .alias("percentile_value"),
+                      n_users.alias("n_users"))
 
 
 def near_dup_dedup_batch(batch: DataFrame,

@@ -683,3 +683,66 @@ def test_near_dup_dedup_rejects_bad_hamming_radius(spark):
     b = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         near_dup_dedup_batch(b, None, num_blocks=4, max_hamming=4)
+
+
+def test_dp_streaming_percentile_tree_matches_quantile_tree(spark,
+                                                            stream_dir):
+    """percentile_algorithm='tree' parity with the batch quantile-tree
+    path: zero noise, the streaming value must equal a direct
+    compute_tree_quantiles descent over the same leaf histogram, and
+    n_users must be the exact user count (the level-1 total)."""
+    import numpy as np
+    from pipelinedp_spark import quantile_tree as qt
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_percentile(
+        stream, "user_id", "ts", "value", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=1.0,
+        min_value=0.0, max_value=8.0, percentile=50.0,
+        noise_mode="zero", threshold_windows=False,
+        percentile_algorithm="tree")
+    got = _run_stream(spark, out, "dp_pct_tree_stream")
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+
+    n_leaves = qt.num_leaves()
+    def mirror(avg, n):
+        leaf = int(avg / 8.0 * n_leaves)
+        return qt.compute_tree_quantiles(
+            np.array([leaf]), np.array([float(n)]), [50.0], 0.0, 8.0,
+            lambda: 0.0)[0]
+
+    # minute 0: 20 users, every per-user window avg is 2.0; minute 1:
+    # 4.0; minute 2: 2 users at 1.0 (same fixture facts as the
+    # histogram-path test above).
+    assert rows[0]["percentile_value"] == pytest.approx(mirror(2.0, 20))
+    assert rows[0]["n_users"] == pytest.approx(20.0)
+    assert rows[1]["percentile_value"] == pytest.approx(mirror(4.0, 20))
+    assert rows[2]["percentile_value"] == pytest.approx(mirror(1.0, 2))
+    assert rows[2]["n_users"] == pytest.approx(2.0)
+    # tree read-off lands inside the (tiny) leaf containing the true
+    # value -- far tighter than the histogram path's bin midpoint
+    assert abs(rows[0]["percentile_value"] - 2.0) < 8.0 / n_leaves
+
+
+def test_dp_streaming_percentile_tree_selection(spark, stream_dir):
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    out = dp_streaming_percentile(
+        stream, "user_id", "ts", "value", window_duration="1 minute",
+        watermark_delay="0 seconds", epsilon_per_window=10.0,
+        delta_per_window=1e-4, min_value=0.0, max_value=8.0,
+        percentile=50.0, noise_mode="zero",
+        percentile_algorithm="tree")
+    got = _run_stream(spark, out, "dp_pct_tree_stream_sel")
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+    assert set(rows) == {0, 1}   # sparse windows suppressed
+    assert rows[0]["n_users"] == pytest.approx(20.0)
+
+
+def test_dp_streaming_percentile_rejects_unknown_algorithm(spark,
+                                                           stream_dir):
+    stream = sources.read_stream(spark, stream_dir, EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="percentile_algorithm"):
+        dp_streaming_percentile(
+            stream, "user_id", "ts", "value", window_duration="1 minute",
+            watermark_delay="0 seconds", epsilon_per_window=1.0,
+            min_value=0.0, max_value=8.0, noise_mode="zero",
+            threshold_windows=False, percentile_algorithm="sketchy")
