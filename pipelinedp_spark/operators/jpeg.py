@@ -1,13 +1,19 @@
-"""Baseline JPEG codec — pure Python + numpy, no codec library.
+"""Baseline + progressive JPEG codec — pure Python + numpy, no codec
+library.
 
-Decoder: general baseline (SOF0) sequential DCT JPEG — quantization and
-huffman tables are read from the FILE's own DQT/DHT segments, so any
-conforming baseline payload decodes regardless of which tables produced
-it. Supports multi-component scans with arbitrary sampling factors
-(4:4:4, 4:2:2, 4:2:0), byte stuffing, and restart intervals.
-Progressive (SOF2), arithmetic coding, and 12-bit precision return None.
+Decoder: general baseline (SOF0/1) sequential DCT JPEG and progressive
+(SOF2) DCT JPEG (ITU T.81 Annex G: spectral selection + successive
+approximation — DC first/refine, AC first/refine with EOB runs) —
+quantization and huffman tables are read from the FILE's own DQT/DHT
+segments, so any conforming payload decodes regardless of which tables
+produced it. Supports multi-component scans with arbitrary sampling
+factors (4:4:4, 4:2:2, 4:2:0), byte stuffing, and restart intervals.
+Arithmetic coding, hierarchical, and 12-bit precision return None.
 
-Encoder: sequential baseline with 4:4:4 or 4:2:0 chroma subsampling and
+Encoder: sequential baseline (encode_jpeg) or progressive
+(encode_jpeg_progressive — DC-first/AC-first/DC-refine/AC-refine scan
+script with cross-block EOB runs and buffered correction bits, the
+libjpeg scan shape) with 4:4:4 or 4:2:0 chroma subsampling and
 self-describing simple canonical huffman tables (all DC categories at 4
 bits, all AC run/size symbols at 9 bits) — valid JPEG, chosen so the
 tables can be CONSTRUCTED rather than transcribed; compression ratio is
@@ -146,9 +152,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: Optional[bytes]) -> Optional[np.ndarray]:
-    """Decode a baseline (SOF0) JPEG payload to RGB uint8
-    (height, width, 3); grayscale JPEGs are replicated across channels.
-    Returns None for progressive/arithmetic/12-bit or corrupt payloads."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG payload to
+    RGB uint8 (height, width, 3); grayscale JPEGs are replicated across
+    channels. Returns None for arithmetic/hierarchical/12-bit or corrupt
+    payloads."""
     if not data or data[:2] != b"\xff\xd8":
         return None
     try:
@@ -162,6 +169,8 @@ def _decode_jpeg_inner(data: bytes) -> Optional[np.ndarray]:
     qt: Dict[int, np.ndarray] = {}
     huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coefs = None
     restart_interval = 0
     i = 2
     while i + 4 <= len(data):
@@ -169,7 +178,7 @@ def _decode_jpeg_inner(data: bytes) -> Optional[np.ndarray]:
             return None
         marker = data[i + 1]
         if marker == 0xD9:                          # EOI
-            return None
+            break
         seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
         seg = data[i + 4:i + 2 + seg_len]
         if marker == 0xDB:                          # DQT
@@ -203,9 +212,20 @@ def _decode_jpeg_inner(data: bytes) -> Optional[np.ndarray]:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:                        # SOF2 progressive
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None                             # non-baseline
+            return None                             # non-DCT/arithmetic
         elif marker == 0xDD:                        # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                        # SOS
@@ -217,9 +237,20 @@ def _decode_jpeg_inner(data: bytes) -> Optional[np.ndarray]:
                 cs, tt = seg[1 + c * 2], seg[2 + c * 2]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(data, i + 2 + seg_len, frame, scan, qt,
-                                huff, restart_interval)
+            if not progressive:
+                return _decode_scan(data, i + 2 + seg_len, frame, scan,
+                                    qt, huff, restart_interval)
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ahal = seg[3 + ns * 2]
+            i = _decode_progressive_scan(
+                data, i + 2 + seg_len, frame, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, huff, restart_interval, coefs)
+            continue
         i += 2 + seg_len
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     return None
 
 
@@ -275,9 +306,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _planes_to_rgb([c for c, _, _ in scan], planes, h, w,
+                          hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, and convert
+    YCbCr (or replicate grayscale) to RGB uint8 — shared by the baseline
+    and progressive reconstruction paths."""
     full = []
-    for (comp, _, _), plane in zip(scan, planes):
+    for comp, plane in zip(comps, planes):
         plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
                           hmax // comp["h"], axis=1)
         full.append(plane[:h, :w])
@@ -289,6 +327,201 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G: spectral selection + successive
+# approximation). Coefficients accumulate across scans in per-component
+# int32 block grids; dequantize + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _comp_blocks(frame, comp):
+    """Non-interleaved block count of one component: blocks over the
+    component's own (sampled) dimensions, per T.81 A.2.2."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_coefs(frame):
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+            for c in frame["comps"]]
+
+
+def _refine_nonzero(reader, coef, z, p1, m1):
+    """One correction bit for an already-nonzero coefficient."""
+    if reader.read_bit():
+        if (int(coef[z]) & p1) == 0:
+            coef[z] += p1 if coef[z] >= 0 else m1
+
+
+def _prog_ac_first(reader, coef, act, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                             # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1                       # covers this block
+        k += r
+        if k > se:
+            raise ValueError("AC overflow")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, coef, act, ss, se, al, eobrun):
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0                             # ZRL: skip 16 zeros
+            else:
+                if s != 1:
+                    raise ValueError("bad refine size")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    _refine_nonzero(reader, coef, z, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                              # EOB: refine the rest
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                _refine_nonzero(reader, coef, z, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(data, pos, frame, scan, ss, se, ah, al,
+                             huff, restart_interval, coefs):
+    """Decode one progressive SOS; returns the offset of the next marker
+    (pointing at its 0xFF)."""
+    reader = _BitReader(data, pos)
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    comp_idx = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    ns = len(scan)
+    state = {"preds": [0] * ns, "eobrun": 0, "mcus": 0}
+
+    def maybe_restart():
+        if restart_interval and state["mcus"] == restart_interval:
+            m = reader.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise ValueError("missing restart marker")
+            state["preds"] = [0] * ns
+            state["eobrun"] = 0
+            state["mcus"] = 0
+
+    if ss == 0:                                     # DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+
+        def dc_block(ci, dct, coef):
+            if ah == 0:
+                s = _decode_huffman(reader, dct)
+                state["preds"][ci] += _extend(reader.read_bits(s), s)
+                coef[0] = state["preds"][ci] << al
+            elif reader.read_bit():
+                coef[0] |= 1 << al
+
+        if ns == 1:
+            comp, dc_id, _ = scan[0]
+            arr = coefs[comp_idx[comp["id"]]]
+            dct = huff[(0, dc_id)] if ah == 0 else None
+            nb_y, nb_x = _comp_blocks(frame, comp)
+            for by in range(nb_y):
+                for bx in range(nb_x):
+                    maybe_restart()
+                    dc_block(0, dct, arr[by, bx])
+                    state["mcus"] += 1
+        else:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for ci, (comp, dc_id, _) in enumerate(scan):
+                        arr = coefs[comp_idx[comp["id"]]]
+                        dct = huff[(0, dc_id)] if ah == 0 else None
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                dc_block(ci, dct,
+                                         arr[my * comp["v"] + by,
+                                             mx * comp["h"] + bx])
+                    state["mcus"] += 1
+    else:                                           # AC scan
+        if ns != 1:
+            raise ValueError("interleaved AC scan")
+        comp, _, ac_id = scan[0]
+        act = huff[(1, ac_id)]
+        arr = coefs[comp_idx[comp["id"]]]
+        nb_y, nb_x = _comp_blocks(frame, comp)
+        fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                maybe_restart()
+                state["eobrun"] = fn(reader, arr[by, bx], act, ss, se,
+                                     al, state["eobrun"])
+                state["mcus"] += 1
+
+    # Skip any pad bits, then find the next marker.
+    if reader.bit:
+        reader.bit = 0
+        reader.pos += 1
+    d, p = data, reader.pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 \
+                and not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(d)
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for comp, arr in zip(frame["comps"], coefs):
+        q = qt[comp["tq"]]
+        by, bx = arr.shape[:2]
+        deq = arr.astype(np.float64).reshape(by, bx, 8, 8) * q
+        out = _C.T @ deq @ _C + 128.0               # batched IDCT
+        planes.append(out.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _planes_to_rgb(frame["comps"], planes, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -449,4 +682,310 @@ def encode_jpeg(pixels: np.ndarray, subsample: bool = False,
     dri = (seg(0xDD, struct.pack(">H", restart_interval))
            if restart_interval else b"")
     return (b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(writer.out)
+            + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G dual of the decoder above; scan
+# script and EOB-run/correction-bit buffering follow the public libjpeg
+# structure: DC first -> AC first per component -> DC refine -> AC
+# refine per component).
+# ---------------------------------------------------------------------------
+
+# Progressive AC table: every (run, size) symbol including the EOBn
+# symbols (r<<4 | 0 for r in 0..14) and ZRL (0xF0), all at 9 bits.
+_AC_PROG_VALUES = [(r << 4) | s for r in range(16) for s in range(11)]
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALUES),
+                 0, 0, 0, 0, 0, 0, 0]
+
+
+class _AcScanState:
+    """Cross-block AC-scan state: the pending EOB run, its owned
+    correction bits (``be`` — emitted right after the EOBn symbol), and
+    the current block's bits since the last symbol (``br``)."""
+
+    def __init__(self, writer: "_BitWriter", ac_codes):
+        self.w = writer
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: List[int] = []
+        self.br: List[int] = []
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.w.write(code, ln)
+            if nbits:
+                self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+    def flush_br(self):
+        for b in self.br:
+            self.w.write(b, 1)
+        self.br = []
+
+    def end_block(self, had_pending: bool):
+        """Nothing (more) coded in this block's band: fold it into the
+        EOB run, handing its correction bits to the run."""
+        if had_pending:
+            self.eobrun += 1
+            self.be.extend(self.br)
+            self.br = []
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+
+def _enc_ac_first(st: _AcScanState, zz, ss, se, al):
+    k = ss
+    r = 0
+    coded = False
+    while k <= se:
+        v = int(zz[k])
+        m = (-v if v < 0 else v) >> al
+        if m == 0:
+            r += 1
+            k += 1
+            continue
+        if st.eobrun > 0:
+            st.emit_eobrun()
+        while r > 15:
+            code, ln = st.ac[0xF0]
+            st.w.write(code, ln)
+            r -= 16
+        s = m.bit_length()
+        code, ln = st.ac[(r << 4) | s]
+        st.w.write(code, ln)
+        bits = m if v > 0 else ((1 << s) - 1 - m)
+        st.w.write(bits, s)
+        r = 0
+        coded = True
+        k += 1
+    st.end_block(r > 0 or not coded)
+
+
+def _enc_ac_refine(st: _AcScanState, zz, ss, se, al):
+    mags = [((-int(zz[k]) if zz[k] < 0 else int(zz[k])) >> al)
+            for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if mags[k - ss] == 1:
+            eob = k
+    r = 0
+    for k in range(ss, se + 1):
+        m = mags[k - ss]
+        if m == 0:
+            r += 1
+            continue
+        if m > 1:                       # already significant: one bit
+            st.br.append(m & 1)
+            continue
+        while r > 15 and k <= eob:      # ZRLs not foldable into EOB
+            st.emit_eobrun()
+            code, ln = st.ac[0xF0]
+            st.w.write(code, ln)
+            r -= 16
+            st.flush_br()
+        st.emit_eobrun()
+        code, ln = st.ac[(r << 4) | 1]
+        st.w.write(code, ln)
+        st.w.write(1 if zz[k] > 0 else 0, 1)
+        st.flush_br()
+        r = 0
+    st.end_block(r > 0 or bool(st.br))
+
+
+def encode_jpeg_progressive(pixels: np.ndarray,
+                            subsample: bool = False,
+                            restart_interval: int = 0,
+                            dc_al: int = 1,
+                            ac_al: int = 1) -> bytes:
+    """Encode RGB (h, w, 3) or grayscale (h, w) uint8 as a progressive
+    (SOF2) JPEG with the standard successive-approximation script:
+    DC first (Al=dc_al, interleaved) -> AC first per component
+    (Ss=1..63, Al=ac_al) -> DC refine scans down to Al=0 -> AC refine
+    scans down to Al=0. Same flat quant and constructed huffman tables
+    as `encode_jpeg`, so baseline and progressive encodings of the same
+    pixels carry identical coefficients and decode identically."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h, w = px.shape[:2]
+    r_, g_, b_ = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+
+    sh, sv = (2, 2) if subsample else (1, 1)
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    pw = -(-w // mcu_w) * mcu_w
+    ph = -(-h // mcu_h) * mcu_h
+
+    def pad(plane, tw, th):
+        out = np.empty((th, tw))
+        ph_, pw_ = plane.shape
+        out[:ph_, :pw_] = plane
+        out[ph_:, :pw_] = plane[-1:, :]
+        out[:, pw_:] = out[:, pw_ - 1:pw_]
+        return out
+
+    ypl = pad(y, pw, ph)
+    if subsample:
+        cbp = pad(cb, pw, ph).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+        crp = pad(cr, pw, ph).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+    else:
+        cbp, crp = pad(cb, pw, ph), pad(cr, pw, ph)
+
+    comps = [{"id": 1, "h": sh, "v": sv, "tq": 0},
+             {"id": 2, "h": 1, "v": 1, "tq": 0},
+             {"id": 3, "h": 1, "v": 1, "tq": 0}]
+    frame = {"h": h, "w": w, "comps": comps}
+
+    # Quantized coefficients in zigzag order, full interleaved grid.
+    zzs = []
+    for plane in (ypl, cbp, crp):
+        gby, gbx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (plane.reshape(gby, 8, gbx, 8).transpose(0, 2, 1, 3)
+                  - 128.0)
+        coef = np.round((_C @ blocks @ _C.T) / _QUANT).astype(np.int64)
+        zzs.append(coef.reshape(gby, gbx, 64)[:, :, ZIGZAG])
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
+    ac_codes = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALUES)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    def sos_header(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for ci, tdc, tac in scan_comps:
+            body += bytes([comps[ci]["id"], (tdc << 4) | tac])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def with_restarts(n_units, encode_unit, on_restart):
+        """Drive encode_unit over n_units, inserting RSTn markers every
+        ``restart_interval`` units (writer-flushed, state reset)."""
+        out = bytearray()
+        w = _BitWriter()
+        state = {"w": w, "rst": 0, "count": 0}
+        for u in range(n_units):
+            if restart_interval and state["count"] == restart_interval:
+                state["w"].flush()
+                out += bytes(state["w"].out)
+                out += bytes([0xFF, 0xD0 + state["rst"]])
+                state["rst"] = (state["rst"] + 1) % 8
+                state["w"] = _BitWriter()
+                state["count"] = 0
+                on_restart(state)
+            encode_unit(u, state)
+            state["count"] += 1
+        state["w"].flush()
+        out += bytes(state["w"].out)
+        return bytes(out)
+
+    mcus_x, mcus_y = pw // mcu_w, ph // mcu_h
+    stream = bytearray()
+
+    # --- scan 1: DC first, interleaved, Al=dc_al ---
+    def dc_first_scan():
+        preds = [0, 0, 0]
+
+        def unit(u, state):
+            my, mx = divmod(u, mcus_x)
+            for ci, comp in enumerate(comps):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        dc = int(zzs[ci][my * comp["v"] + by,
+                                         mx * comp["h"] + bx, 0]) >> dc_al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _category(diff)
+                        code, ln = dc_codes[s]
+                        state["w"].write(code, ln)
+                        if s:
+                            state["w"].write(
+                                diff if diff > 0 else diff + (1 << s) - 1,
+                                s)
+
+        def on_rst(state):
+            preds[:] = [0, 0, 0]
+
+        return with_restarts(mcus_x * mcus_y, unit, on_rst)
+
+    stream += sos_header([(0, 0, 0), (1, 0, 0), (2, 0, 0)],
+                         0, 0, 0, dc_al)
+    stream += dc_first_scan()
+
+    # --- scans 2..4: AC first per component, Al=ac_al ---
+    def ac_scan(ci, enc_fn, al):
+        nb_y, nb_x = _comp_blocks(frame, comps[ci])
+        out = bytearray()
+        w = _BitWriter()
+        st = _AcScanState(w, ac_codes)
+        rst, count = 0, 0
+        for u in range(nb_y * nb_x):
+            if restart_interval and count == restart_interval:
+                st.emit_eobrun()
+                w.flush()
+                out += bytes(w.out)
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                w = _BitWriter()
+                st = _AcScanState(w, ac_codes)
+                count = 0
+            by, bx = divmod(u, nb_x)
+            enc_fn(st, zzs[ci][by, bx], 1, 63, al)
+            count += 1
+        st.emit_eobrun()
+        w.flush()
+        out += bytes(w.out)
+        return bytes(out)
+
+    for ci in range(3):
+        stream += sos_header([(ci, 0, 0)], 1, 63, 0, ac_al)
+        stream += ac_scan(ci, _enc_ac_first, ac_al)
+
+    # --- DC refine scans down to Al=0 ---
+    for al in range(dc_al - 1, -1, -1):
+        def dc_refine_scan(al=al):
+            def unit(u, state):
+                my, mx = divmod(u, mcus_x)
+                for ci, comp in enumerate(comps):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            dc = int(zzs[ci][my * comp["v"] + by,
+                                             mx * comp["h"] + bx, 0])
+                            state["w"].write((dc >> al) & 1, 1)
+
+            return with_restarts(mcus_x * mcus_y, unit, lambda s: None)
+
+        stream += sos_header([(0, 0, 0), (1, 0, 0), (2, 0, 0)],
+                             0, 0, al + 1, al)
+        stream += dc_refine_scan()
+
+    # --- AC refine scans down to Al=0, per component ---
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(3):
+            stream += sos_header([(ci, 0, 0)], 1, 63, al + 1, al)
+            stream += ac_scan(ci, _enc_ac_refine, al)
+
+    qbytes = np.empty(64, dtype=np.uint8)
+    flat = _QUANT.reshape(64)
+    for k in range(64):
+        qbytes[k] = int(flat[ZIGZAG[k]])
+    dqt = seg(0xDB, bytes([0x00]) + qbytes.tobytes())
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, (sh << 4) | sv, 0,
+                       2, 0x11, 0,
+                       3, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALUES))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS)
+                 + bytes(_AC_PROG_VALUES)))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + bytes(stream)
             + b"\xff\xd9")

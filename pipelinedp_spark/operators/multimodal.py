@@ -22,13 +22,14 @@ Decode depth is two-tier:
   unfiltering), GIF87a/89a first frames (pure-Python variable-width LZW
   + palette mapping, interlace supported) and RIFF/WAVE PCM audio
   (uint8, int16, int32, float32) — no codec library needed. Baseline
-  (sequential, SOF0) JPEG decodes via the from-scratch DCT codec in
-  ``operators/jpeg.py`` (bitstream-defined quant/huffman tables, byte
-  stuffing, restart intervals, arbitrary chroma subsampling).
-  Progressive JPEG and MP3/AAC need codec libraries: when Pillow /
-  soundfile are installed, ``decoder="native"`` picks them up
-  automatically for exactly those payloads (detected at import, no
-  configuration); absent, those payloads fall back to the same
+  (sequential, SOF0) AND progressive (SOF2) JPEG decode via the
+  from-scratch DCT codec in ``operators/jpeg.py`` (bitstream-defined
+  quant/huffman tables, byte stuffing, restart intervals, arbitrary
+  chroma subsampling, spectral-selection/successive-approximation
+  scans). MP3/AAC and exotic containers (WebP, TIFF) need codec
+  libraries: when Pillow / soundfile are installed, ``decoder="native"``
+  picks them up automatically for exactly those payloads (detected at
+  import, no configuration); absent, those payloads fall back to the same
   deterministic content-derived stand-ins as ``decoder="fake"`` (byte
   histograms shaped like the real decoder's output), and explicit real
   backends raise NotImplementedError until an install makes the import
@@ -54,8 +55,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
 
 # Optional real codec backends, detected once at import: when Pillow /
 # soundfile exist in the environment, decoder="native" transparently
-# covers the payloads the from-scratch codecs cannot (progressive JPEG,
-# WebP/TIFF, MP3/OGG/FLAC). Absent, behavior is unchanged — the
+# covers the payloads the from-scratch codecs cannot (WebP/TIFF,
+# MP3/OGG/FLAC). Absent, behavior is unchanged — the
 # documented deterministic stand-in fallback applies. Workers import
 # this module themselves, so the detection also runs executor-side.
 try:  # pragma: no cover - exercised only when Pillow is installed
@@ -573,9 +574,9 @@ def decode_gif(data: Optional[bytes]) -> Optional[np.ndarray]:
 
 def decode_image_native(data: Optional[bytes]) -> Optional[np.ndarray]:
     """Real pixel decode for every natively supported container: BMP
-    (decode_bmp), PNG (decode_png), GIF (decode_gif), then baseline JPEG
-    (operators.jpeg.decode_jpeg). Returns None when none match
-    (progressive JPEG and exotic formats)."""
+    (decode_bmp), PNG (decode_png), GIF (decode_gif), then baseline or
+    progressive JPEG (operators.jpeg.decode_jpeg). Returns None when
+    none match (exotic formats like WebP/TIFF)."""
     rgb = decode_bmp(data)
     if rgb is None:
         rgb = decode_png(data)
@@ -586,7 +587,7 @@ def decode_image_native(data: Optional[bytes]) -> Optional[np.ndarray]:
         rgb = decode_jpeg(data)
     if rgb is None and data and _pil_image is not None:
         # Optional Pillow fallback for containers the from-scratch
-        # codecs don't cover (progressive JPEG, WebP, TIFF, ...).
+        # codecs don't cover (WebP, TIFF, ...).
         import io
         try:
             with _pil_image.open(io.BytesIO(data)) as im:
@@ -725,7 +726,7 @@ def _require_real_decoder(name: str):
     raise NotImplementedError(
         f"real {name} decoding of compressed formats requires a media "
         f"library that is not installed in this environment; use "
-        f"decoder='native' for real BMP/PNG/GIF/baseline-JPEG/WAV-PCM "
+        f"decoder='native' for real BMP/PNG/GIF/JPEG/WAV-PCM "
         f"decoding with a byte-histogram fallback for unsupported "
         f"payloads, or decoder='fake' for stand-ins everywhere")
 
@@ -763,11 +764,11 @@ def decode_images(df: DataFrame, binary_col: str = "image",
                   feature_bins: int = 16) -> DataFrame:
     """binary payload -> (all input columns, features array<double>,
     content_hash string). Arrow-batched mapInPandas. ``decoder="native"``
-    emits a REAL luminance histogram for BMP, PNG, GIF and baseline-JPEG
-    payloads (decode_image_native) and falls back to the byte-histogram
-    stand-in for payloads the native decoder can't handle (progressive
-    JPEG, corrupt bytes); ``decoder="fake"`` uses the stand-in
-    everywhere."""
+    emits a REAL luminance histogram for BMP, PNG, GIF and JPEG
+    (baseline + progressive) payloads (decode_image_native) and falls
+    back to the byte-histogram stand-in for payloads the native decoder
+    can't handle (exotic containers, corrupt bytes); ``decoder="fake"``
+    uses the stand-in everywhere."""
     _check_decoder(decoder, "image")
     native = decoder == "native"
     out_schema = StructType(

@@ -718,3 +718,64 @@ def test_extract_video_metadata_operator(spark):
     assert got[1]["duration_us"] == 2_500_000
     assert got[2]["brand"] is None
     assert got[3]["n_tracks"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG: from-scratch SOF2 codec (no Pillow needed).
+# ---------------------------------------------------------------------------
+
+from pipelinedp_spark.operators.jpeg import encode_jpeg_progressive
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                         # 4:4:4, Al=1 script
+    {"subsample": True},                        # 4:2:0 non-interleaved AC
+    {"restart_interval": 2},                    # RSTn resets EOBRUN/preds
+    {"dc_al": 2, "ac_al": 2},                   # multi-level refinement
+    {"subsample": True, "restart_interval": 3},
+])
+def test_progressive_jpeg_matches_baseline_decode(kw):
+    """Golden gate without Pillow: baseline and progressive encodings of
+    the same pixels carry identical quantized coefficients, so decoding
+    must be bit-identical — any DC/AC first/refine or EOB-run defect
+    shows up as a pixel diff."""
+    img = _smooth_img(40, 33, seed=2)
+    base = decode_jpeg(encode_jpeg(img,
+                                   subsample=kw.get("subsample", False)))
+    data = encode_jpeg_progressive(img, **kw)
+    assert b"\xff\xc2" in data                   # SOF2
+    assert data.count(b"\xff\xda") >= 8          # multi-scan script
+    out = decode_jpeg(data)
+    assert out is not None
+    assert np.array_equal(out, base)
+
+
+def test_progressive_jpeg_eob_run_heavy_payload():
+    # A flat image makes every AC band empty -> the whole scan is one
+    # cross-block EOB run per component; plus sparse impulses exercise
+    # run breaks and correction bits.
+    flat = np.full((32, 24, 3), 93, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(flat)),
+                          decode_jpeg(encode_jpeg(flat)))
+    sparse = np.zeros((32, 32, 3), np.uint8)
+    sparse[5, 7] = 255
+    sparse[20, 25] = 200
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(
+        sparse, dc_al=3, ac_al=3)), decode_jpeg(encode_jpeg(sparse)))
+
+
+def test_progressive_jpeg_grayscale_and_dispatch():
+    g = ((np.add.outer(np.arange(15), np.arange(21))) * 5 % 256).astype(
+        np.uint8)
+    data = encode_jpeg_progressive(g)
+    out = decode_jpeg(data)
+    assert out is not None and out.shape == (15, 21, 3)
+    # decode_image_native now covers progressive without any fallback
+    assert MM.decode_image_native(data) is not None
+    meta = MM.parse_image_metadata(data)
+    assert (meta[0], meta[1], meta[2]) == (21, 15, "jpeg")
+
+
+def test_progressive_jpeg_truncation_rejected():
+    data = encode_jpeg_progressive(_smooth_img(16, 16))
+    assert decode_jpeg(data[:60]) is None
