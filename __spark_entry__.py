@@ -1372,6 +1372,9 @@ _DRIVER_ARTIFACT_FIRST = [
     # round-6 additions
     "dp_count_no_cross_bounding",
     "bpe_encode",
+    "dp_windowed_percentile_tree_events",
+    "doc_gram_novelty",
+    "doc_source_quota",
 ]
 
 
@@ -1462,6 +1465,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dup_mirror": _stream_near_dup_mirror,
         "doc_hash_embeddings": _doc_hash_embeddings,
         "doc_semantic_dedup_text": _doc_semantic_dedup_text,
+        "dp_windowed_percentile_tree_events":
+            _dp_windowed_percentile_tree_events,
+        "doc_gram_novelty": _doc_gram_novelty,
+        "doc_source_quota": _doc_source_quota,
     }
 
 
@@ -1544,6 +1551,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
         "doc_semantic_dedup_text": _gen_semantic_dedup_text_sql(),
         "bpe_encode": _gen_bpe_encode_sql(),
+        "dp_windowed_percentile_tree_events": _DP_WINDOWED_PCT_TREE_SQL,
+        "doc_gram_novelty": _DOC_GRAM_NOVELTY_SQL,
+        "doc_source_quota": _DOC_SOURCE_QUOTA_SQL,
     }
 
 
@@ -2931,6 +2941,125 @@ SELECT event_type, day,
        CAST(ROUND(MAX(CASE WHEN p = 90.0 THEN val END), 6) AS DOUBLE)
            AS percentile_90
 FROM vals GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _dp_windowed_percentile_tree_events(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Batch mirror of streaming.dp_streaming_percentile with
+    ``percentile_algorithm="tree"``: the per-(event_type, day) median of
+    per-user day averages via the reference h=4/b=16 quantile tree
+    (leaf resolution 16^4 over [0, 500]), zero noise — exercising the
+    SAME `_streaming_percentile_tree` plan the stream runs (exact
+    per-(window, leaf) counts + Arrow-batched noisy descent), with the
+    batch groupBy standing in for the stateful aggregation. The oracle
+    reproduces the zero-noise descent in closed form: first leaf whose
+    cumulative count crosses rank = 0.5 * total, with within-leaf linear
+    interpolation — the flat equivalent of the nested first-crossing
+    descent."""
+    from pipelinedp_spark.aggregate_params import NoiseKind
+    from pipelinedp_spark.streaming.dp_streaming import (
+        _streaming_percentile_tree)
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    per_user = (ev.withColumn(
+        "day", F.floor(F.col("ts") / F.lit(day_us)).cast("long"))
+        .groupBy(F.col("user_id").alias("__pid__"),
+                 F.struct(F.col("event_type"), F.col("day"))
+                 .alias("window"))
+        .agg(F.avg(F.greatest(F.least(F.col("value"), F.lit(500.0)),
+                              F.lit(0.0))).alias("__uval__")))
+    out = _streaming_percentile_tree(
+        per_user, do_threshold=False, epsilon_per_window=1.0,
+        delta_per_window=0.0, min_value=0.0, max_value=500.0,
+        percentile=50.0, l0_per_window=1,
+        noise_kind=NoiseKind.LAPLACE, noise_mode="zero")
+    return out.select(
+        F.col("window.event_type").alias("event_type"),
+        F.col("window.day").cast("long").alias("day"),
+        F.round(F.col("percentile_value"), 6).alias("p50_tree"),
+        F.col("n_users").cast("long").alias("n_users"))
+
+
+_DP_WINDOWED_PCT_TREE_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+           GREATEST(LEAST(value, 500.0), 0.0) AS v
+    FROM events),
+ub AS (
+    SELECT user_id, event_type, day, AVG(v) AS uval
+    FROM ev GROUP BY 1, 2, 3),
+lf AS (
+    SELECT event_type, day,
+           CAST(LEAST(65535, GREATEST(0,
+                FLOOR(uval / (500.0 / 65536)))) AS BIGINT) AS leaf,
+           CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM ub GROUP BY 1, 2, 3),
+c AS (
+    SELECT event_type, day, leaf, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY leaf)
+               AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type, day) AS tot
+    FROM lf)
+SELECT event_type, day,
+       CAST(ROUND(MIN_BY((500.0 / 65536)
+                         * (leaf + ((0.5 * tot) - (cum - cnt)) / cnt),
+                         leaf), 6) AS DOUBLE) AS p50_tree,
+       CAST(ANY_VALUE(tot) AS BIGINT) AS n_users
+FROM c
+WHERE cum >= 0.5 * tot
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _doc_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 5-gram novelty (`quality.ngram_novelty`): per doc,
+    the fraction of its distinct word 5-grams with corpus-wide document
+    frequency 1 — the cross-doc originality signal the within-doc
+    repetition rules can't see. One explode, one combinable gram-DF
+    groupBy (checkpointed), one gram-keyed shuffle join."""
+    from pipelinedp_spark.operators.quality import ngram_novelty
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=5)
+
+
+_DOC_GRAM_NOVELTY_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+             CASE WHEN len(t) >= 5
+                  THEN [array_to_string(t[i:i+4], ' ')
+                        for i in range(1, len(t) - 3)]
+                  ELSE [array_to_string(t, ' ')] END)) AS gram
+  FROM tok),
+df AS (SELECT gram, COUNT(*) AS d FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN df USING (gram)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-origin cap (`sampling.cap_per_key`): keep at
+    most 15 lowest-id docs per source, bounding any one origin's corpus
+    share (binding at every test SF: sources hold 25+ docs each).
+    Compiles to partial+final WindowGroupLimit — map-side top-n, hot
+    sources never concentrate on one task."""
+    from pipelinedp_spark.functions.sampling import cap_per_key
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_key(docs, "source", 15, "doc_id") \
+        .select("doc_id", "source")
+
+
+_DOC_SOURCE_QUOTA_SQL = """
+SELECT doc_id, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+ORDER BY doc_id
 """
 
 

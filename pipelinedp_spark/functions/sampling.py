@@ -83,3 +83,21 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     thresh = (F.lit(float(default_fraction)) if expr is None
               else expr.otherwise(F.lit(float(default_fraction))))
     return df.filter(u < thresh)
+
+
+def cap_per_key(df: DataFrame, key_col: str, n: int,
+                order_col: str) -> DataFrame:
+    """Keep at most ``n`` rows per key, lowest ``order_col`` first — the
+    RefinedWeb-style per-domain/per-source cap (bound any one origin's
+    share of the corpus). Deterministic given the order column.
+
+    Scale shape: row_number over (key, order) compiles to
+    partial+final WindowGroupLimit (map-side top-n per key before the
+    shuffle — the same plan the DP contribution bounders rely on), so a
+    corpus-hot key never concentrates more than the surviving n rows
+    plus local partials on one task."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return (df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= int(n))
+            .drop("__rn__"))

@@ -196,3 +196,45 @@ def bigram_perplexity(df: DataFrame,
             .select(F.col(id_col), F.col("n_tokens"),
                     F.round(F.exp(-F.col("lp") / F.col("n_tokens")), 6)
                     .alias("ppl")))
+
+
+def ngram_novelty(df: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id",
+                  n: int = 5) -> DataFrame:
+    """Cross-document n-gram novelty: per document, the fraction of its
+    DISTINCT word n-grams that occur in no other document (document
+    frequency 1 corpus-wide). High novelty = original content; low =
+    boilerplate/templates shared across the corpus — a cross-doc signal
+    the within-doc repetition rules (`functions.text`) cannot see, and
+    the scoring-side analogue of the dedup stack's shared-gram indexes.
+
+    Scale shape: one explode of per-doc distinct grams; the per-gram
+    document-frequency table is a map-side-combinable groupBy,
+    localCheckpoint'd (vocabulary-of-grams-sized — far smaller than the
+    exploded corpus) so the count and the scoring join don't each re-run
+    the explode chain; the scoring join shuffles on the gram (no
+    broadcast — the gram table grows with corpus vocabulary); the per-doc
+    reduction is one more combinable groupBy. No windows, no driver
+    loops.
+
+    Returns (id_col, n_grams bigint, novelty double) with novelty
+    rounded to 6dp; documents shorter than n tokens have exactly one
+    gram (the whole text — the `_word_ngrams` rule), scored like any
+    other.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T._word_ngrams(F.col(text_col), n)))
+        .alias("gram"))
+    gram_df = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df")).localCheckpoint()
+    return (grams.join(gram_df, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .alias("unique"))
+            .select(F.col(id_col),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.round(F.col("unique").cast("double")
+                            / F.col("n_grams"), 6).alias("novelty")))

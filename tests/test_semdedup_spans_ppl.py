@@ -476,3 +476,47 @@ def test_refine_oversize_cells_noop_under_cap(spark):
     out = sorted((r["_id"], r["cell"])
                  for r in refine_oversize_cells(cells, 100).collect())
     assert out == [(i, 3) for i in range(5)]
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty / cap_per_key
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_hand_computed(spark):
+    from pipelinedp_spark.operators.quality import ngram_novelty
+    shared = "a b c d e"              # the one 5-gram both docs contain
+    texts = [shared + " f g",         # grams: abcde, bcdef, cdefg (3)
+             "x " + shared,           # grams: xabcd, abcde (2)
+             "p q r"]                 # short doc: single whole-text gram
+    out = {r["doc_id"]: (r["n_grams"], r["novelty"])
+           for r in ngram_novelty(_docs(spark, texts), n=5).collect()}
+    assert out[0] == (3, pytest.approx(2 / 3, abs=1e-6))   # abcde shared
+    assert out[1] == (2, pytest.approx(0.5))
+    assert out[2] == (1, pytest.approx(1.0))
+
+
+def test_ngram_novelty_identical_docs_score_zero(spark):
+    from pipelinedp_spark.operators.quality import ngram_novelty
+    texts = ["one two three four five six"] * 2
+    out = ngram_novelty(_docs(spark, texts), n=5).collect()
+    assert all(r["novelty"] == 0.0 for r in out)
+
+
+def test_cap_per_key_keeps_lowest_ids(spark):
+    from pipelinedp_spark.functions.sampling import cap_per_key
+    rows = [(i, "big") for i in range(10)] + [(100, "small"), (101, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {}
+    for r in cap_per_key(df, "source", 3, "doc_id").collect():
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(got["big"]) == [0, 1, 2]
+    assert sorted(got["small"]) == [100, 101]
+
+
+def test_cap_per_key_compiles_to_window_group_limit(spark):
+    from pipelinedp_spark.functions.sampling import cap_per_key
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)],
+                               "doc_id long, k int")
+    plan = cap_per_key(df, "k", 2, "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
