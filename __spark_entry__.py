@@ -1375,6 +1375,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "dp_windowed_percentile_tree_events",
     "doc_gram_novelty",
     "doc_source_quota",
+    "doc_dup_rate_estimate",
 ]
 
 
@@ -1469,6 +1470,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dp_windowed_percentile_tree_events,
         "doc_gram_novelty": _doc_gram_novelty,
         "doc_source_quota": _doc_source_quota,
+        "doc_dup_rate_estimate": _doc_dup_rate_estimate,
     }
 
 
@@ -1554,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_windowed_percentile_tree_events": _DP_WINDOWED_PCT_TREE_SQL,
         "doc_gram_novelty": _DOC_GRAM_NOVELTY_SQL,
         "doc_source_quota": _DOC_SOURCE_QUOTA_SQL,
+        "doc_dup_rate_estimate": _DOC_DUP_RATE_SQL,
     }
 
 
@@ -3041,6 +3044,38 @@ SELECT g.doc_id,
              / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
 FROM g JOIN df USING (gram)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def _doc_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled duplicate 8-gram mass estimate
+    (`dedup.gram_dup_rate_estimate`): the pre-pass planning statistic
+    for span dedup — grams Bernoulli-sampled BY VALUE (md5 bucket % 4),
+    so the estimator is unbiased and the shuffle carries 1/4 of the gram
+    occurrences. One row out."""
+    from pipelinedp_spark.operators.dedup import gram_dup_rate_estimate
+    docs = _t(spark, sf_dir, "documents")
+    return gram_dup_rate_estimate(docs, n=8, sample_mod=4)
+
+
+_DOC_DUP_RATE_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT unnest(CASE WHEN len(t) >= 8
+                     THEN [array_to_string(t[i:i+7], ' ')
+                           for i in range(1, len(t) - 6)]
+                     ELSE [array_to_string(t, ' ')] END) AS gram
+  FROM tok),
+s AS (SELECT gram FROM g
+      WHERE ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4 = 0),
+c AS (SELECT gram, COUNT(*) AS o FROM s GROUP BY 1)
+SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS sampled_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       CAST(COALESCE(SUM(o - 1), 0) AS BIGINT) AS dup_occurrences,
+       CASE WHEN COALESCE(SUM(o), 0) > 0
+            THEN ROUND(SUM(o - 1) / CAST(SUM(o) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_rate
+FROM c
 """
 
 

@@ -758,3 +758,46 @@ def cross_corpus_near_dup(new_docs: DataFrame,
                        >= jaccard_threshold)
                .select(F.col("id_a").alias(id_col)).distinct())
     return new_docs.join(dup_ids, id_col, "left_anti")
+
+
+def gram_dup_rate_estimate(df: DataFrame,
+                           text_col: str = "text",
+                           n: int = 8,
+                           sample_mod: int = 4) -> DataFrame:
+    """Sampled estimate of the corpus's duplicate n-gram MASS — the
+    planning statistic you compute BEFORE committing a 100 TB corpus to
+    a full ExactSubstr/span-dedup pass (how much is there to remove?).
+
+    Grams are Bernoulli-sampled BY GRAM VALUE (md5-bucket % sample_mod
+    == 0), so all occurrences of a sampled gram are in or out together —
+    the per-gram (count - 1) duplicate mass is observed exactly for a
+    1/sample_mod fraction of the gram space, making the rate estimate
+    unbiased; engine-portable hashing (`text.hex_to_long(md5)`) lets the
+    SQL oracle reproduce the sample bit-for-bit.
+
+    Scale shape: the explode is filtered to the sample BEFORE the
+    map-side-combinable gram groupBy, so the shuffle carries only
+    ~1/sample_mod of the gram occurrences; the final reduction is a
+    single-row agg. Raise ``sample_mod`` to make the pre-pass arbitrarily
+    cheap at the cost of estimator variance.
+
+    Returns ONE row: (sampled_grams, distinct_grams, dup_occurrences,
+    dup_rate) with dup_rate = dup_occurrences / sampled_grams rounded to
+    6dp (0.0 on an empty sample).
+    """
+    grams = df.select(
+        F.explode(T._word_ngrams(F.col(text_col), n)).alias("gram"))
+    sampled = grams.filter(
+        T.hex_to_long(F.md5(F.col("gram"))) % sample_mod == 0)
+    per_gram = sampled.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("o"))
+    return per_gram.agg(
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long")
+        .alias("sampled_grams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+        F.coalesce(F.sum(F.col("o") - 1), F.lit(0)).cast("long")
+        .alias("dup_occurrences"),
+        F.when(F.coalesce(F.sum("o"), F.lit(0)) > 0,
+               F.round(F.sum(F.col("o") - 1).cast("double")
+                       / F.sum("o"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_rate"))

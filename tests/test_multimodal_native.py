@@ -779,3 +779,18 @@ def test_progressive_jpeg_grayscale_and_dispatch():
 def test_progressive_jpeg_truncation_rejected():
     data = encode_jpeg_progressive(_smooth_img(16, 16))
     assert decode_jpeg(data[:60]) is None
+
+
+@given(h=st.integers(8, 24), w=st.integers(8, 24),
+       seed=st.integers(0, 2**31 - 1),
+       sub=st.booleans(), rst=st.sampled_from([0, 2]))
+@settings(max_examples=25, deadline=None)
+def test_progressive_jpeg_property_matches_baseline(h, w, seed, sub, rst):
+    """Property gate: for ANY pixels/shape/subsampling/restart config,
+    progressive and baseline encodings decode bit-identically."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(px, subsample=sub,
+                                               restart_interval=rst))
+    assert prog is not None and np.array_equal(base, prog)

@@ -860,3 +860,39 @@ def test_embedding_lsh_recall_planted_near_dups(spark, num_bands,
         planes_per_band=planes_per_band, dim=dim).collect()}
     recall = sum(p in got for p in planted) / len(planted)
     assert recall >= 0.95, f"planted embedding near-dup recall {recall}"
+
+
+def test_gram_dup_rate_estimate_counts_planted_duplicates(spark):
+    # Identical docs -> every sampled gram occurs twice -> rate 0.5;
+    # disjoint docs -> rate 0.0. Sampling by gram value keeps all
+    # occurrences of a gram together, so the counts are exact.
+    run = " ".join(f"t{i}" for i in range(20))
+    other = " ".join(f"u{i}" for i in range(20))
+    df = spark.createDataFrame([(0, run), (1, run)],
+                               "doc_id long, text string")
+    row = dedup.gram_dup_rate_estimate(df, n=8, sample_mod=1).collect()[0]
+    assert row["dup_occurrences"] == row["distinct_grams"]
+    assert row["dup_rate"] == pytest.approx(0.5)
+    df2 = spark.createDataFrame([(0, run), (1, other)],
+                                "doc_id long, text string")
+    row2 = dedup.gram_dup_rate_estimate(df2, n=8,
+                                        sample_mod=1).collect()[0]
+    assert row2["dup_occurrences"] == 0 and row2["dup_rate"] == 0.0
+
+
+def test_gram_dup_rate_estimate_empty_sample(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    row = dedup.gram_dup_rate_estimate(df).collect()[0]
+    assert (row["sampled_grams"], row["dup_rate"]) == (0, 0.0)
+
+
+def test_gram_dup_rate_sample_is_unbiased_subset(spark):
+    # The mod-4 sample's per-gram counts must equal the full count for
+    # every sampled gram (value-level sampling, not row-level).
+    texts = [" ".join(f"w{(i + j) % 30}" for j in range(25))
+             for i in range(12)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    full = dedup.gram_dup_rate_estimate(df, n=8, sample_mod=1).collect()[0]
+    part = dedup.gram_dup_rate_estimate(df, n=8, sample_mod=4).collect()[0]
+    assert 0 < part["sampled_grams"] < full["sampled_grams"]
