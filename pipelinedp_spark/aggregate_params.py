@@ -167,8 +167,24 @@ class AggregateParams:
     # the reference: pipeline_dp/aggregate_params.py:284-287,309;
     # combiners.py:276-288,323-335,439-454).
     output_noise_stddev: bool = False
+    # When True, the caller asserts rows with non-public partition keys are
+    # already removed, so the engine skips its drop filter; only valid with
+    # public partitions (reference: pipeline_dp/aggregate_params.py:267-269,
+    # 304 — validated at aggregate() where public_partitions is known).
+    public_partitions_already_filtered: bool = False
+    # User-defined combiners (reference: pipeline_dp/aggregate_params.py:
+    # 254-257,296): mutually exclusive with `metrics`; routed through
+    # `DPEngine.aggregate_custom` (multiple combiners are composed — each
+    # requests its own budget, outputs are merged per partition).
+    custom_combiners: Optional[List] = None
 
     def __post_init__(self):
+        if self.custom_combiners:
+            if self.metrics:
+                raise ValueError(
+                    "metrics must be empty when custom_combiners are used "
+                    "(each custom combiner implements its own DP)")
+            return
         if not self.metrics:
             raise ValueError("metrics must be non-empty")
         metric_kinds = [m.metric for m in self.metrics]

@@ -192,6 +192,44 @@ class CustomCombiner:
         return _fn
 
 
+class _CompositeCustomCombiner(CustomCombiner):
+    """Composes several CustomCombiners for `AggregateParams.
+    custom_combiners` (reference compound-combiner semantics): each
+    requests its own budget; per partition, outputs merge into one row
+    (duplicate output columns are an error)."""
+
+    def __init__(self, combiners: Sequence[CustomCombiner]):
+        self._combiners = list(combiners)
+        self.output_schema = ", ".join(
+            c.output_schema for c in self._combiners)
+
+    def request_budget(self, accountant) -> None:
+        for c in self._combiners:
+            c.request_budget(accountant)
+
+    def compute(self, pdf: pd.DataFrame) -> dict:
+        out: dict = {}
+        for c in self._combiners:
+            for k, v in c.compute(pdf).items():
+                if k in out:
+                    raise ValueError(
+                        f"custom combiners emit duplicate column {k!r}")
+                out[k] = v
+        return out
+
+
+def _resolve_prefiltered(params, public_partitions) -> bool:
+    """Validate + read `public_partitions_already_filtered` (reference:
+    aggregate_params.py:267-269 — only usable with public partitions).
+    Param types without the flag (e.g. MultiSumParams) read as False."""
+    if getattr(params, "public_partitions_already_filtered", False) \
+            and public_partitions is None:
+        raise ValueError(
+            "public_partitions_already_filtered requires public "
+            "partitions")
+    return getattr(params, "public_partitions_already_filtered", False)
+
+
 def _vector_clip_udf(norm_kind: str, max_norm: float):
     """Arrow-batched per-vector norm clip: v * min(1, max_norm/||v||)."""
 
@@ -234,6 +272,13 @@ class DPEngine:
                   extractors: DataFrameExtractors,
                   public_partitions: Optional[Union[DataFrame, Sequence]] = None
                   ) -> DPResult:
+        if params.custom_combiners:
+            combiner = (params.custom_combiners[0]
+                        if len(params.custom_combiners) == 1
+                        else _CompositeCustomCombiner(
+                            params.custom_combiners))
+            return self.aggregate_custom(df, params, extractors, combiner,
+                                         public_partitions)
         report: List[str] = [f"DPEngine.aggregate: metrics={params.metrics}"]
         self._reports.append(report)
         pk_cols = extractors.partition_key_columns
@@ -261,11 +306,16 @@ class DPEngine:
             f"{pk_cols}, {extractors.value_column})")
 
         # --- stage 2: drop non-public partitions before bounding. ---
+        prefiltered = _resolve_prefiltered(params, public_partitions)
         pub_df = None
         if public_partitions is not None:
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
                                             public_partitions, like=df)
-            if (not isinstance(public_partitions, DataFrame)
+            if prefiltered:
+                report.append(
+                    "Public partitions pre-filtered by caller (drop "
+                    "skipped)")
+            elif (not isinstance(public_partitions, DataFrame)
                     and len(pk_cols) == 1 and len(public_partitions) <= 1000):
                 # Small local key list: isin() compiles to a pushed-down
                 # scan filter — no broadcast exchange at all.
@@ -862,9 +912,12 @@ class DPEngine:
         if public_partitions is not None:
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
                                             public_partitions, like=df)
-            data = data.join(F.broadcast(pub_df), on=list(pk_cols),
-                             how="left_semi")
-            report.append("Dropped non-public partitions")
+            if _resolve_prefiltered(params, public_partitions):
+                report.append("Public partitions pre-filtered by caller")
+            else:
+                data = data.join(F.broadcast(pub_df), on=list(pk_cols),
+                                 how="left_semi")
+                report.append("Dropped non-public partitions")
         specs = self._request_budgets(params, public_partitions is not None,
                                       report)
         linf = params.max_contributions_per_partition
@@ -957,7 +1010,8 @@ class DPEngine:
             cols.append(F.col(extractors.value_column).cast(DoubleType())
                         .alias(_VALUE))
         data = df.select(*cols)
-        if public_partitions is not None:
+        if public_partitions is not None \
+                and not _resolve_prefiltered(params, public_partitions):
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
                                             public_partitions, like=df)
             data = data.join(F.broadcast(pub_df), on=list(pk_cols),
@@ -1014,9 +1068,12 @@ class DPEngine:
         if public_partitions is not None:
             pub_df = self._as_partitions_df(df.sparkSession, pk_cols,
                                             public_partitions, like=df)
-            data = data.join(F.broadcast(pub_df), on=list(pk_cols),
-                             how="left_semi")
-            report.append("Dropped non-public partitions")
+            if _resolve_prefiltered(params, public_partitions):
+                report.append("Public partitions pre-filtered by caller")
+            else:
+                data = data.join(F.broadcast(pub_df), on=list(pk_cols),
+                                 how="left_semi")
+                report.append("Dropped non-public partitions")
 
         with self._accountant.scope(params.budget_weight):
             mt = params.noise_kind.convert_to_mechanism_type()

@@ -84,3 +84,104 @@ def test_public_partitions_summary(spark):
     assert s.num_dataset_only == 1
     assert s.num_public_only == 1
     assert s.ratio_rows_dropped == pytest.approx(1 / 10)
+
+
+def test_custom_combiners_via_aggregate_params(spark):
+    # Reference surface: params.custom_combiners routes DPEngine.aggregate
+    # through the custom path; metrics must be empty.
+    rows = [(u, "g", float(u % 7)) for u in range(35)]
+    df = spark.createDataFrame(rows, "uid int, pk string, v double")
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[],
+        custom_combiners=[make_median_combiner()],
+        max_partitions_contributed=1,
+        max_contributions_per_partition=1)
+    res = engine.aggregate(df, params,
+                           DataFrameExtractors("uid", "pk", "v"),
+                           public_partitions=["g"])
+    acct.compute_budgets()
+    row = res.dataframe().collect()[0]
+    assert row["n"] == 35 and 0.0 <= row["median"] <= 6.0
+
+
+def test_custom_combiners_composed_and_exclusive(spark):
+    def make_count_combiner():
+        class CountCombiner(CustomCombiner):
+            output_schema = "my_count long"
+
+            def request_budget(self, accountant):
+                self.spec = accountant.request_budget(
+                    MechanismType.LAPLACE)
+
+            def compute(self, pdf):
+                return {"my_count": len(pdf)}
+
+        return CountCombiner()
+
+    rows = [(u, "g", float(u)) for u in range(10)]
+    df = spark.createDataFrame(rows, "uid int, pk string, v double")
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[],
+        custom_combiners=[make_median_combiner(), make_count_combiner()],
+        max_partitions_contributed=1,
+        max_contributions_per_partition=1)
+    res = engine.aggregate(df, params,
+                           DataFrameExtractors("uid", "pk", "v"),
+                           public_partitions=["g"])
+    acct.compute_budgets()
+    row = res.dataframe().collect()[0]
+    assert row["my_count"] == 10 and row["n"] == 10
+    with pytest.raises(ValueError, match="metrics must be empty"):
+        pds.AggregateParams(metrics=[pds.Metrics.COUNT],
+                            custom_combiners=[make_median_combiner()],
+                            max_partitions_contributed=1,
+                            max_contributions_per_partition=1)
+
+
+def test_public_partitions_already_filtered(spark):
+    # Caller pre-filtered to the public key: results match the normal
+    # path run over the UNfiltered data, and the engine skips its drop
+    # (the explain report records it).
+    rows = [(u, "pub", 1.0) for u in range(20)] + \
+           [(u, "private", 1.0) for u in range(900, 905)]
+    df = spark.createDataFrame(rows, "uid int, pk string, v double")
+    ex = DataFrameExtractors("uid", "pk", "v")
+
+    def run(data, flag):
+        acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+        engine = DPEngine(acct, noise_mode="zero")
+        params = pds.AggregateParams(
+            metrics=[pds.Metrics.COUNT],
+            max_partitions_contributed=1,
+            max_contributions_per_partition=1,
+            public_partitions_already_filtered=flag)
+        res = engine.aggregate(data, params, ex,
+                               public_partitions=["pub"])
+        acct.compute_budgets()
+        return {r["pk"]: r["count"] for r in res.dataframe().collect()}, \
+            engine.explain_computation_reports()
+
+    filtered = df.filter(df.pk == "pub")
+    got, report = run(filtered, True)
+    want, _ = run(df, False)
+    assert got == want == {"pub": 20.0}
+    assert "pre-filtered" in report[-1]
+
+
+def test_public_partitions_already_filtered_requires_public(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)],
+                               "uid int, pk string, v double")
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.COUNT],
+        max_partitions_contributed=1,
+        max_contributions_per_partition=1,
+        public_partitions_already_filtered=True)
+    with pytest.raises(ValueError, match="requires public"):
+        engine.aggregate(df, params,
+                         DataFrameExtractors("uid", "pk", "v"))
