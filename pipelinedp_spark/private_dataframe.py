@@ -47,6 +47,11 @@ class _MetricParams:
     public_partitions: Optional[Sequence] = None
     partition_selection_strategy: PartitionSelectionStrategy = (
         PartitionSelectionStrategy.TRUNCATED_GEOMETRIC)
+    # Reference parity (aggregate_params.py:527-531,560-563): skip the
+    # engine's row sampling when the data already satisfies the declared
+    # bounds; minimum privacy-unit count on top of private selection.
+    contribution_bounds_already_enforced: bool = False
+    pre_threshold: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -149,6 +154,9 @@ class PrivateDataFrame:
             noise_kind=params.noise_kind,
             partition_selection_strategy=(
                 params.partition_selection_strategy),
+            contribution_bounds_already_enforced=(
+                params.contribution_bounds_already_enforced),
+            pre_threshold=params.pre_threshold,
             **extra)
         extractors = DataFrameExtractors(
             privacy_id_column=self._pid,

@@ -181,3 +181,24 @@ def test_flat_map_with_side_input(kv, spark):
     assert rows.count(("a", 2)) == 2  # v=1 scaled x2 and v=2 scaled x1
     assert ("b", 20) in rows and ("c", 10) in rows
     assert len(rows) == 10
+
+
+def test_private_dataframe_params_carry_bounds_flags(spark):
+    # Reference parity: the per-metric params expose
+    # contribution_bounds_already_enforced + pre_threshold and the
+    # wrapper forwards them to the engine's AggregateParams.
+    import pipelinedp_spark as pds
+    from pipelinedp_spark.private_dataframe import CountParams, make_private
+    rows = [(u, "g") for u in range(30)]
+    df = spark.createDataFrame(rows, "uid int, pk string")
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    pdf = make_private(df, acct, "uid")
+    res = pdf.count(CountParams(
+        partition_key="pk", max_partitions_contributed=1,
+        max_contributions_per_partition=1,
+        public_partitions=["g"],
+        contribution_bounds_already_enforced=True,
+        pre_threshold=5))
+    acct.compute_budgets()
+    out = res.dataframe().collect()
+    assert len(out) == 1  # runs end-to-end with both flags set
