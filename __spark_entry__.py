@@ -1376,6 +1376,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_gram_novelty",
     "doc_source_quota",
     "doc_dup_rate_estimate",
+    "events_zorder_key",
 ]
 
 
@@ -1471,6 +1472,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gram_novelty": _doc_gram_novelty,
         "doc_source_quota": _doc_source_quota,
         "doc_dup_rate_estimate": _doc_dup_rate_estimate,
+        "events_zorder_key": _events_zorder_key,
     }
 
 
@@ -1557,6 +1559,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gram_novelty": _DOC_GRAM_NOVELTY_SQL,
         "doc_source_quota": _DOC_SOURCE_QUOTA_SQL,
         "doc_dup_rate_estimate": _DOC_DUP_RATE_SQL,
+        "events_zorder_key": _gen_zorder_sql(),
     }
 
 
@@ -3044,6 +3047,51 @@ SELECT g.doc_id,
              / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
 FROM g JOIN df USING (gram)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def _events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, ts) — the multi-column
+    data-skipping layout (`functions/layout.py`): interleaved bits of
+    exact-min/max-bucketized columns, pure shift/or codegen. At 100 TB
+    this key drives `write_zordered` so file min/max stats prune scans
+    filtering on EITHER column; here the key itself is oracle-checked
+    bit-for-bit (the SQL mirror re-derives the same buckets and
+    interleave)."""
+    from pipelinedp_spark.functions.layout import with_zorder_key
+    ev = _t(spark, sf_dir, "events")
+    return (with_zorder_key(ev, ["user_id", "ts"], bits=16)
+            .select("event_id", "zkey"))
+
+
+def _gen_zorder_sql(bits: int = 16) -> str:
+    terms = []
+    for i, b in enumerate(("bu", "bt")):
+        for k in range(bits):
+            terms.append(f"((({b} >> {k}) & 1) << {k * 2 + i})")
+    expr = " | ".join(terms)
+    n = (1 << bits) - 1
+    scale = float(1 << bits)
+    return f"""
+WITH rng AS (
+  SELECT MIN(CAST(user_id AS DOUBLE)) AS lou,
+         MAX(CAST(user_id AS DOUBLE)) AS hiu,
+         MIN(CAST(epoch_us(ts) AS DOUBLE)) AS lot,
+         MAX(CAST(epoch_us(ts) AS DOUBLE)) AS hit
+  FROM events),
+b AS (
+  SELECT event_id,
+         CASE WHEN hiu <= lou THEN 0 ELSE
+           CAST(LEAST({n}, GREATEST(0,
+             FLOOR((CAST(user_id AS DOUBLE) - lou) / (hiu - lou)
+                   * {scale!r}))) AS BIGINT) END AS bu,
+         CASE WHEN hit <= lot THEN 0 ELSE
+           CAST(LEAST({n}, GREATEST(0,
+             FLOOR((CAST(epoch_us(ts) AS DOUBLE) - lot) / (hit - lot)
+                   * {scale!r}))) AS BIGINT) END AS bt
+  FROM events, rng)
+SELECT event_id, CAST({expr} AS BIGINT) AS zkey
+FROM b ORDER BY event_id
 """
 
 
