@@ -1377,6 +1377,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_source_quota",
     "doc_dup_rate_estimate",
     "events_zorder_key",
+    "doc_vocab_estimate",
+    "doc_weighted_sample",
 ]
 
 
@@ -1473,6 +1475,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_quota": _doc_source_quota,
         "doc_dup_rate_estimate": _doc_dup_rate_estimate,
         "events_zorder_key": _events_zorder_key,
+        "doc_vocab_estimate": _doc_vocab_estimate,
+        "doc_weighted_sample": _doc_weighted_sample,
     }
 
 
@@ -1560,6 +1564,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_quota": _DOC_SOURCE_QUOTA_SQL,
         "doc_dup_rate_estimate": _DOC_DUP_RATE_SQL,
         "events_zorder_key": _gen_zorder_sql(),
+        "doc_vocab_estimate": _DOC_VOCAB_ESTIMATE_SQL,
+        "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
     }
 
 
@@ -3092,6 +3098,63 @@ b AS (
   FROM events, rng)
 SELECT event_id, CAST({expr} AS BIGINT) AS zkey
 FROM b ORDER BY event_id
+"""
+
+
+def _doc_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-cardinality estimate (`sampling.kmv_distinct_estimate`,
+    k=256) over the corpus's word 5-grams — the deterministic, engine-
+    portable sketch for sizing shuffles/broadcasts before running them.
+    One row out."""
+    from pipelinedp_spark.functions.sampling import kmv_distinct_estimate
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(TX._word_ngrams(F.col("text"), 5)).alias("gram"))
+    return kmv_distinct_estimate(grams, "gram", k=256)
+
+
+_DOC_VOCAB_ESTIMATE_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT unnest(CASE WHEN len(t) >= 5
+                     THEN [array_to_string(t[i:i+4], ' ')
+                           for i in range(1, len(t) - 3)]
+                     ELSE [array_to_string(t, ' ')] END) AS gram
+  FROM tok),
+h AS (SELECT DISTINCT
+        ('0x' || substr(md5('kmv:' || gram), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS h
+      FROM g),
+s AS (SELECT h FROM h ORDER BY h LIMIT 256)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+       MAX(h) AS kth_min,
+       ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE (256.0 - 1.0) / MAX(h) END, 6) AS estimate
+FROM s
+"""
+
+
+def _doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (`sampling.weighted_sample_topk`, Efraimidis-Spirakis keys over
+    md5 uniforms): 50 docs drawn proportionally to length — the
+    reproducible corpus-subsetting move (no RNG state, identical across
+    engines/partitionings). TakeOrderedAndProject shape."""
+    from pipelinedp_spark.functions.sampling import weighted_sample_topk
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "n_chars", 50, "doc_id") \
+        .select("doc_id", "n_chars")
+
+
+_DOC_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > 0
+ORDER BY ln(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+             1, 15))::BIGINT / 1152921504606846976.0)
+         / CAST(n_chars AS DOUBLE) DESC,
+         doc_id ASC
+LIMIT 50
 """
 
 

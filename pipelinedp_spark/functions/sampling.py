@@ -101,3 +101,66 @@ def cap_per_key(df: DataFrame, key_col: str, n: int,
     return (df.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= int(n))
             .drop("__rn__"))
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str,
+                          k: int = 1024) -> DataFrame:
+    """K-minimum-values distinct-count estimate (Bar-Yossef et al. 2002,
+    the classic mergeable cardinality sketch): hash every value to a
+    uniform in [0, 1); if the k-th smallest hash among DISTINCT values
+    is h_k, the distinct count is ~ (k - 1) / h_k. The 100 TB use:
+    estimate a vocabulary / key cardinality (to size broadcasts,
+    shuffles, and dedup passes) without paying a full distinct shuffle's
+    memory — the sketch state is k doubles.
+
+    Deterministic (md5-based hashing, no RNG), so the estimate is
+    reproducible across runs and engines — exactly SQL-oracle-checkable,
+    unlike HLL sketches whose binary state is engine-private.
+
+    Scale shape: hash, distinct, then the GLOBAL k smallest hashes via
+    TakeOrderedAndProject (per-partition top-k before one small merge —
+    no full sort; the distinct shuffles only the 1-column hash
+    projection, and sizing that shuffle is itself what the estimate is
+    usually FOR, so pre-reduce with a coarse groupBy when even that is
+    too wide).
+
+    Returns ONE row: (k_used, kth_min double, estimate double). When
+    fewer than k distinct values exist the exact distinct count is
+    returned in `estimate` (and kth_min is the max seen hash).
+    """
+    h = hash_uniform(F.col(col), salt="kmv")
+    smallest = (df.select(h.alias("h")).distinct()
+                .orderBy("h").limit(int(k)))
+    return smallest.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_min"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k,
+                   F.count(F.lit(1)).cast("double"))
+            .otherwise((F.lit(float(k)) - 1.0) / F.max("h")), 6)
+        .alias("estimate"))
+
+
+def weighted_sample_topk(df: DataFrame, weight_col: str, k: int,
+                         id_col: str, salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis A-ES scheme): each row draws the md5-uniform
+    u(id) and gets key = ln(u) / w; the k largest keys are a weighted
+    sample without replacement — rows with twice the weight are twice as
+    likely to make the cut, yet the result is a pure function of
+    (salt, ids, weights): reproducible across runs, engines, and
+    partitionings, unlike rand()-based samplers.
+
+    Scale shape: one TakeOrderedAndProject (per-partition top-k, single
+    small merge) — no shuffle of the full corpus, no RNG state. Rows
+    with non-positive weight are excluded (they have probability 0).
+    Ties (impossible for continuous keys, but cheap insurance) break by
+    ascending id.
+    """
+    u = hash_uniform(F.col(id_col), salt=salt)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("__wkey__", key)
+            .orderBy(F.col("__wkey__").desc(), F.col(id_col).asc())
+            .limit(int(k))
+            .drop("__wkey__"))

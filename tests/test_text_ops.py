@@ -896,3 +896,44 @@ def test_gram_dup_rate_sample_is_unbiased_subset(spark):
     full = dedup.gram_dup_rate_estimate(df, n=8, sample_mod=1).collect()[0]
     part = dedup.gram_dup_rate_estimate(df, n=8, sample_mod=4).collect()[0]
     assert 0 < part["sampled_grams"] < full["sampled_grams"]
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from pipelinedp_spark.functions.sampling import kmv_distinct_estimate
+    # 5000 distinct values, k=256: relative error concentrates around
+    # 1/sqrt(k) ~ 6%; allow 4 sigma. Duplicates must not bias it.
+    df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    dup = df.unionAll(df.limit(2000))  # re-add duplicates
+    row = kmv_distinct_estimate(dup, "v", k=256).collect()[0]
+    assert row["k_used"] == 256
+    assert abs(row["estimate"] - 5000) / 5000 < 0.25
+    # deterministic: identical on re-run
+    again = kmv_distinct_estimate(dup, "v", k=256).collect()[0]
+    assert again["estimate"] == row["estimate"]
+
+
+def test_kmv_small_domain_is_exact(spark):
+    from pipelinedp_spark.functions.sampling import kmv_distinct_estimate
+    df = spark.createDataFrame([(str(i % 7),) for i in range(100)],
+                               "v string")
+    row = kmv_distinct_estimate(df, "v", k=64).collect()[0]
+    assert (row["k_used"], row["estimate"]) == (7, 7.0)
+
+
+def test_weighted_sample_topk_prefers_heavy_and_is_deterministic(spark):
+    from pipelinedp_spark.functions.sampling import weighted_sample_topk
+    rows = [(i, 100.0) for i in range(200)] + \
+           [(i, 1.0) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in
+           weighted_sample_topk(df, "w", 100, "doc_id").collect()]
+    heavy = sum(1 for d in got if d < 200)
+    assert heavy > 80                       # 100x weight dominates
+    again = [r["doc_id"] for r in
+             weighted_sample_topk(df, "w", 100, "doc_id").collect()]
+    assert sorted(got) == sorted(again)
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)],
+                                "doc_id long, w double")
+    assert [r["doc_id"] for r in
+            weighted_sample_topk(df2, "w", 10, "doc_id").collect()] == [3]
