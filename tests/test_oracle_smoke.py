@@ -20,7 +20,12 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          # round-5 families (only queries with STATIC SQL oracles can
          # smoke at sf0.001 — generator oracles bake sf0.01 literals):
          "doc_hash_embeddings", "doc_duplicate_spans",
-         "doc_chunk_windows", "doc_corpus_report"]
+         "doc_chunk_windows", "doc_corpus_report",
+         # round-6 families (static oracles only; bpe_encode bakes
+         # sf0.01-trained merges):
+         "doc_gram_novelty", "doc_source_quota", "doc_dup_rate_estimate",
+         "events_zorder_key", "doc_vocab_estimate", "doc_weighted_sample",
+         "dp_windowed_percentile_tree_events"]
 
 
 @pytest.fixture(scope="module")
