@@ -135,8 +135,9 @@ def _skew_queries(spark, n: int = 2_000_000):
         # One degenerate coarse centroid swallows all 40k vectors (3x
         # max_cluster_rows), forcing refine_oversize_cells to re-quantize
         # the hot cell into sub-cells before the in-cluster mat-mul; the
-        # 16 latent directions split cleanly so the pairwise stage runs
-        # on ~5k-row groups instead of one quadratic 40k blob.
+        # 16 latent directions split cleanly across the 16 sub-cells so
+        # the pairwise stage runs on ~2.5k-row groups, 16-way parallel,
+        # instead of one quadratic 40k blob.
         import numpy as np
         from pipelinedp_spark.operators.semdedup import semantic_dedup
         dim = 16

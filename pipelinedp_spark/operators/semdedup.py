@@ -71,7 +71,7 @@ def assign_cells_udf(centroids: "np.ndarray"):
 def refine_oversize_cells(cells: DataFrame,
                           max_cluster_rows: int,
                           seed: int = 7,
-                          sub_k: int = 8,
+                          sub_k: int = 16,
                           sample_per_cell: int = 2048,
                           max_rounds: int = 3,
                           id_col: str = "_id",
