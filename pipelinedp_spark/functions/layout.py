@@ -62,8 +62,21 @@ def with_zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16,
     cheap job) unless supplied via ``ranges`` — pass precomputed ranges
     when layout jobs run incrementally so the curve stays stable across
     ingestion batches."""
+    dtypes = dict(df.dtypes)
+
+    def _numeric(c: str) -> Column:
+        # timestamps/dates can't cast straight to double; micros since
+        # epoch preserves order (the only property bucketing needs).
+        t = dtypes.get(c, "")
+        if t.startswith("timestamp"):
+            return F.unix_micros(F.col(c).cast("timestamp")) \
+                .cast("double")
+        if t == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
     exprs: List[Column] = []
-    casted = {c: F.col(c).cast("double") for c in cols}
+    casted = {c: _numeric(c) for c in cols}
     if ranges is None:
         row = df.agg(*[f for c in cols
                        for f in (F.min(casted[c]).alias(f"__lo_{c}"),

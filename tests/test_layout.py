@@ -88,3 +88,12 @@ def test_write_zordered_files_cover_compact_boxes(spark, tmp_path):
     assert "zkey" not in pdf.columns            # key dropped
     # every file's bbox is far under the full domain (32x32 = 1024)
     assert float(np.mean(areas)) < 1024 / 3
+
+
+def test_with_zorder_key_accepts_timestamp_columns(spark):
+    from datetime import datetime
+    rows = [(i, datetime(2024, 1, 1 + i % 20), float(i % 7))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp, v double")
+    out = with_zorder_key(df, ["ts", "v"], bits=8).collect()
+    assert len(out) == 50 and len({r["zkey"] for r in out}) > 10
