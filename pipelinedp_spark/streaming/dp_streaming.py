@@ -936,3 +936,100 @@ def streaming_near_dup_dedup(stream: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_token_topk(stream: DataFrame,
+                         text_col: str = "text",
+                         timestamp_col: str = "ts",
+                         window_duration: str = "1 minute",
+                         watermark_delay: str = "0 seconds",
+                         k: int = 10,
+                         capacity: int = 1024) -> DataFrame:
+    """Streaming heavy hitters (trending tokens) per event-time window
+    via the Space-Saving sketch (Metwally et al. 2005, "Efficient
+    computation of frequent and top-k elements in data streams") in an
+    `applyInPandasWithState` custom stateful operator.
+
+    Per window the state is AT MOST ``capacity`` (token, est_count,
+    max_overestimate) counters regardless of vocabulary size — the
+    bounded-memory property that makes per-window exact counting
+    untenable at stream scale. Arrivals for a token already tracked
+    increment it; new tokens evict the minimum counter and inherit its
+    count (so ``est_count`` never under-counts, and
+    ``max_overestimate`` bounds the inflation — the classic guarantees:
+    any token with true count > N/capacity is present). With
+    ``capacity`` >= the window's distinct tokens the counts are EXACT.
+
+    Plan: watermark -> explode tokens (per-trigger traffic only — the
+    sketch, not the stream, holds history) -> state keyed by window
+    start, horizontally partitioned across windows. Each trigger emits
+    the current top ``k`` (update mode; downstream dedup by
+    (window_start, token) keeps the latest). Eviction tie-breaks are
+    deterministic (min count, then lexicographically largest token), so
+    results are reproducible for a fixed arrival order. State lives
+    until the query ends — bound it by cohorting old windows out of the
+    source, or add an event-time timeout if windows must expire in-op.
+
+    Returns (window_start, token, est_count, max_overestimate).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    from pipelinedp_spark.functions import text as T
+
+    out_schema = StructType([
+        StructField("window_start", TimestampType()),
+        StructField("token", StringType()),
+        StructField("est_count", LongType()),
+        StructField("max_overestimate", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("tokens", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+    ])
+    cap, kk = int(capacity), int(k)
+
+    toks = (stream.withWatermark(timestamp_col, watermark_delay)
+            .select(F.window(F.col(timestamp_col), window_duration)
+                    .alias("__w__"),
+                    F.explode(T.tokens(F.col(text_col))).alias("token"))
+            .filter(F.col("token") != "")
+            .select(F.col("__w__.start").alias("window_start"), "token"))
+
+    def topk_fn(key, pdfs, state):
+        if state.exists:
+            t0, c0, e0 = state.get
+            sketch = {tok: [int(c), int(e)]
+                      for tok, c, e in zip(t0, c0, e0)}
+        else:
+            sketch = {}
+        for pdf in pdfs:
+            for tok, n in pdf["token"].value_counts().items():
+                n = int(n)
+                got = sketch.get(tok)
+                if got is not None:
+                    got[0] += n
+                elif len(sketch) < cap:
+                    sketch[tok] = [n, 0]
+                else:
+                    mn = min(v[0] for v in sketch.values())
+                    victim = max(t for t, v in sketch.items()
+                                 if v[0] == mn)
+                    base = sketch.pop(victim)[0]
+                    sketch[tok] = [base + n, base]
+        items = sorted(sketch.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(([t for t, _ in items],
+                      [v[0] for _, v in items],
+                      [v[1] for _, v in items]))
+        top = items[:kk]
+        yield pd.DataFrame({
+            "window_start": [key[0]] * len(top),
+            "token": [t for t, _ in top],
+            "est_count": [v[0] for _, v in top],
+            "max_overestimate": [v[1] for _, v in top]})
+
+    return (toks.groupBy("window_start")
+            .applyInPandasWithState(topk_fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

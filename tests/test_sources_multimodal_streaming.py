@@ -746,3 +746,96 @@ def test_dp_streaming_percentile_rejects_unknown_algorithm(spark,
             watermark_delay="0 seconds", epsilon_per_window=1.0,
             min_value=0.0, max_value=8.0, noise_mode="zero",
             threshold_windows=False, percentile_algorithm="sketchy")
+
+
+def _write_docs_stream(spark, path, rows):
+    from datetime import datetime
+    schema = StructType([StructField("ts", TimestampType()),
+                         StructField("text", StringType())])
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, m, s), t) for m, s, t in rows], schema)
+    df.coalesce(1).write.mode("append").parquet(path)
+    return schema
+
+
+def test_streaming_token_topk_exact_when_capacity_suffices(spark,
+                                                           tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import streaming_token_topk
+    path = str(tmp_path / "topk_stream")
+    schema = _write_docs_stream(spark, path, [
+        (0, 10, "a a a b b c"),
+        (0, 20, "a b d"),
+        (1, 5, "z z y"),          # second window
+    ])
+    stream = sources.read_stream(spark, path, schema)
+    out = streaming_token_topk(stream, "text", "ts", "1 minute",
+                               "0 seconds", k=3, capacity=100)
+    q = (out.writeStream.format("memory").queryName("topk_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from topk_t").collect()
+    w0 = {r["token"]: (r["est_count"], r["max_overestimate"])
+          for r in rows if r["window_start"].minute == 0}
+    # exact counts, zero overestimate, top-3 of window 0
+    assert w0 == {"a": (4, 0), "b": (3, 0), "c": (1, 0)} or \
+        w0 == {"a": (4, 0), "b": (3, 0), "d": (1, 0)}
+    w1 = {r["token"]: r["est_count"]
+          for r in rows if r["window_start"].minute == 1}
+    assert w1 == {"z": 2, "y": 1}
+
+
+def test_streaming_token_topk_heavy_hitter_under_tiny_capacity(
+        spark, tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import streaming_token_topk
+    path = str(tmp_path / "topk_hh_stream")
+    fillers = " ".join(f"f{i}" for i in range(40))
+    schema = _write_docs_stream(spark, path, [
+        (0, 10, ("hot " * 30) + fillers),
+    ])
+    stream = sources.read_stream(spark, path, schema)
+    out = streaming_token_topk(stream, "text", "ts", "1 minute",
+                               "0 seconds", k=1, capacity=8)
+    q = (out.writeStream.format("memory").queryName("topk_hh")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from topk_hh").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the space-saving guarantee: the heavy hitter survives eviction and
+    # its estimate never under-counts the true 30
+    assert r["token"] == "hot" and r["est_count"] >= 30
+
+
+def test_streaming_token_topk_state_carries_across_triggers(spark,
+                                                            tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import streaming_token_topk
+    path = str(tmp_path / "topk_inc_stream")
+    schema = _write_docs_stream(spark, path, [(0, 10, "a a b")])
+    ckpt = str(tmp_path / "topk_ckpt")
+
+    outp = str(tmp_path / "topk_out")
+
+    def run():
+        stream = sources.read_stream(spark, path, schema)
+        out = streaming_token_topk(stream, "text", "ts", "1 minute",
+                                   "0 seconds", k=2, capacity=100)
+
+        def _sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(outp)
+
+        q = (out.writeStream.foreachBatch(_sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    _write_docs_stream(spark, path, [(0, 40, "b b b c")])
+    run()
+    rows = spark.read.parquet(outp).collect()
+    latest = {}
+    for r in rows:                        # update mode: keep max emission
+        latest[r["token"]] = max(latest.get(r["token"], 0),
+                                 r["est_count"])
+    # counts accumulate across the two triggers: a=2, b=1+3=4
+    assert latest["a"] == 2 and latest["b"] == 4
