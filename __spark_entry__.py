@@ -1379,6 +1379,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_zorder_key",
     "doc_vocab_estimate",
     "doc_weighted_sample",
+    "dp_trending_bigrams",
 ]
 
 
@@ -1477,6 +1478,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_key": _events_zorder_key,
         "doc_vocab_estimate": _doc_vocab_estimate,
         "doc_weighted_sample": _doc_weighted_sample,
+        "dp_trending_bigrams": _dp_trending_bigrams,
     }
 
 
@@ -1566,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zorder_key": _gen_zorder_sql(),
         "doc_vocab_estimate": _DOC_VOCAB_ESTIMATE_SQL,
         "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
+        "dp_trending_bigrams": _gen_trending_bigrams_sql(),
     }
 
 
@@ -3098,6 +3101,56 @@ b AS (
   FROM events, rng)
 SELECT event_id, CAST({expr} AS BIGINT) AS zkey
 FROM b ORDER BY event_id
+"""
+
+
+def _dp_trending_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP trending terms: occurrence counts per word BIGRAM with PRIVATE
+    Laplace-thresholding selection over the bigram space — the release
+    shape for "what phrases are trending" over a sensitive corpus: the
+    document is the privacy unit, the partition key is text-derived
+    (exploded bigrams, not a column), and rare bigrams (few supporting
+    docs) are suppressed by DP selection rather than a public list.
+    Caps (L0=120 distinct bigrams/doc, Linf=50 occurrences) are
+    non-binding at every test SF, zero noise, so the oracle reproduces
+    the surviving set and counts exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    from pipelinedp_spark.functions import text as TX
+    t = TX.tokens(F.col("text"))
+    pairs = (docs.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("v"),
+            F.slice(t, 2, F.size(t) - 1).alias("w"))).alias("p"))
+        .select("doc_id",
+                F.concat_ws(" ", F.col("p.v"), F.col("p.w"))
+                .alias("bigram")))
+    query = (pds.QueryBuilder(pairs, "doc_id")
+             .groupby("bigram", max_groups_contributed=120,
+                      max_contributions_per_group=50,
+                      partition_selection_strategy=pds.
+                      PartitionSelectionStrategy.LAPLACE_THRESHOLDING)
+             .count(name="n_occurrences")
+             .build_query())
+    return query.run_query(pds.Budget(100.0, 1e-4), noise_mode="zero")
+
+
+def _gen_trending_bigrams_sql() -> str:
+    threshold = _laplace_threshold_for(50.0, 1e-4, 120)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1]
+                 for i in range(1, len(tk))]) AS bigram
+  FROM t),
+agg AS (
+  SELECT bigram, CAST(COUNT(*) AS DOUBLE) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS df
+  FROM p GROUP BY 1)
+SELECT bigram, n_occurrences
+FROM agg WHERE df >= {threshold!r}
+ORDER BY bigram
 """
 
 
