@@ -944,7 +944,9 @@ def streaming_token_topk(stream: DataFrame,
                          window_duration: str = "1 minute",
                          watermark_delay: str = "0 seconds",
                          k: int = 10,
-                         capacity: int = 1024) -> DataFrame:
+                         capacity: int = 1024,
+                         timeout_minutes: Optional[int] = None
+                         ) -> DataFrame:
     """Streaming heavy hitters (trending tokens) per event-time window
     via the Space-Saving sketch (Metwally et al. 2005, "Efficient
     computation of frequent and top-k elements in data streams") in an
@@ -966,9 +968,11 @@ def streaming_token_topk(stream: DataFrame,
     the current top ``k`` (update mode; downstream dedup by
     (window_start, token) keeps the latest). Eviction tie-breaks are
     deterministic (min count, then lexicographically largest token), so
-    results are reproducible for a fixed arrival order. State lives
-    until the query ends — bound it by cohorting old windows out of the
-    source, or add an event-time timeout if windows must expire in-op.
+    results are reproducible for a fixed arrival order. By default state
+    lives until the query ends; ``timeout_minutes`` adds a processing-
+    time TTL per window (reset on every arrival), the same bounded-state
+    compromise as `streaming_exact_dedup` — closed windows stop
+    receiving data and expire.
 
     Returns (window_start, token, est_count, max_overestimate).
     """
@@ -990,6 +994,9 @@ def streaming_token_topk(stream: DataFrame,
         StructField("errs", ArrayType(LongType())),
     ])
     cap, kk = int(capacity), int(k)
+    ms = timeout_minutes
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ms else GroupStateTimeout.NoTimeout)
 
     toks = (stream.withWatermark(timestamp_col, watermark_delay)
             .select(F.window(F.col(timestamp_col), window_duration)
@@ -999,6 +1006,9 @@ def streaming_token_topk(stream: DataFrame,
             .select(F.col("__w__.start").alias("window_start"), "token"))
 
     def topk_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             t0, c0, e0 = state.get
             sketch = {tok: [int(c), int(e)]
@@ -1023,6 +1033,8 @@ def streaming_token_topk(stream: DataFrame,
         state.update(([t for t, _ in items],
                       [v[0] for _, v in items],
                       [v[1] for _, v in items]))
+        if ms:
+            state.setTimeoutDuration(ms * 60 * 1000)
         top = items[:kk]
         yield pd.DataFrame({
             "window_start": [key[0]] * len(top),
@@ -1032,4 +1044,4 @@ def streaming_token_topk(stream: DataFrame,
 
     return (toks.groupBy("window_start")
             .applyInPandasWithState(topk_fn, out_schema, state_schema,
-                                    "update", GroupStateTimeout.NoTimeout))
+                                    "update", timeout))
