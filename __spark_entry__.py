@@ -440,6 +440,53 @@ FROM agg ORDER BY grp, pos
 """
 
 
+def _dp_vector_mean_public(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP vector MEAN (private embedding centroids per group): noisy
+    L2-clipped vector sum divided by a separately released noisy
+    contribution count — the `Metrics.VECTOR_MEAN` engine path (net-new
+    beyond the reference's VECTOR_SUM). Caps non-binding, clip binding,
+    zero noise; output exploded to (grp, pos, val) rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select((F.col("vec_id") % 57).alias("uid"),
+                    (F.col("vec_id") % 7).alias("grp"),
+                    F.col("embedding"))
+    query = (pds.QueryBuilder(df, "uid")
+             .groupby("grp", max_groups_contributed=7,
+                      max_contributions_per_group=1000,
+                      public_keys=list(range(7)))
+             .vector_mean("embedding", max_norm=1.0, vector_size=64,
+                          norm_kind=pds.NormKind.L2, name="vm")
+             .build_query())
+    out = query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+    return out.select("grp", F.posexplode("vm").alias("pos", "val")) \
+        .select(F.col("grp").cast("long").alias("grp"),
+                F.col("pos").cast("long").alias("pos"),
+                F.round(F.col("val"), 6).alias("val"))
+
+
+_DP_VECTOR_MEAN_SQL = """
+WITH v AS (
+  SELECT vec_id % 7 AS grp, embedding::DOUBLE[] AS e FROM embeddings),
+clipped AS (
+  SELECT grp,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 1.0
+              THEN list_transform(e, x -> x * (1.0 / sqrt(
+                       list_dot_product(e, e))))
+              ELSE e END AS e
+  FROM v),
+n AS (SELECT grp, CAST(COUNT(*) AS DOUBLE) AS cnt FROM clipped
+      GROUP BY 1),
+ex AS (
+  SELECT grp, UNNEST(e) AS val,
+         generate_subscripts(e, 1) - 1 AS pos
+  FROM clipped),
+agg AS (SELECT grp, pos, SUM(val) AS val FROM ex GROUP BY 1, 2)
+SELECT CAST(agg.grp AS BIGINT) AS grp, CAST(pos AS BIGINT) AS pos,
+       CAST(ROUND(val / GREATEST(cnt, 1.0), 6) AS DOUBLE) AS val
+FROM agg JOIN n USING (grp) ORDER BY grp, pos
+"""
+
+
 def _dp_partition_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Private partition selection via Laplace thresholding, zero noise:
     keep order dates whose distinct-customer count clears the threshold."""
@@ -1380,6 +1427,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_vocab_estimate",
     "doc_weighted_sample",
     "dp_trending_bigrams",
+    "dp_vector_mean_public",
 ]
 
 
@@ -1479,6 +1527,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_estimate": _doc_vocab_estimate,
         "doc_weighted_sample": _doc_weighted_sample,
         "dp_trending_bigrams": _dp_trending_bigrams,
+        "dp_vector_mean_public": _dp_vector_mean_public,
     }
 
 
@@ -1569,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_estimate": _DOC_VOCAB_ESTIMATE_SQL,
         "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
         "dp_trending_bigrams": _gen_trending_bigrams_sql(),
+        "dp_vector_mean_public": _DP_VECTOR_MEAN_SQL,
     }
 
 

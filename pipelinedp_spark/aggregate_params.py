@@ -22,6 +22,7 @@ class Metric(enum.Enum):
     MEAN = "mean"
     VARIANCE = "variance"
     VECTOR_SUM = "vector_sum"
+    VECTOR_MEAN = "vector_mean"
     PERCENTILE = "percentile"  # used via Metrics.PERCENTILE(p)
 
 
@@ -57,6 +58,7 @@ class _MetricsNamespace:
     MEAN = MetricSpec(Metric.MEAN)
     VARIANCE = MetricSpec(Metric.VARIANCE)
     VECTOR_SUM = MetricSpec(Metric.VECTOR_SUM)
+    VECTOR_MEAN = MetricSpec(Metric.VECTOR_MEAN)
 
     @staticmethod
     def PERCENTILE(percentile: float) -> MetricSpec:
@@ -256,13 +258,16 @@ class AggregateParams:
         if self.percentile_algorithm not in ("histogram", "tree"):
             raise ValueError("percentile_algorithm must be 'histogram' or "
                              f"'tree', got {self.percentile_algorithm!r}")
-        if Metric.VECTOR_SUM in metric_kinds:
+        if Metric.VECTOR_SUM in metric_kinds \
+                or Metric.VECTOR_MEAN in metric_kinds:
+            which = ("VECTOR_SUM" if Metric.VECTOR_SUM in metric_kinds
+                     else "VECTOR_MEAN")
             if self.vector_max_norm is None or self.vector_size is None:
                 raise ValueError(
-                    "VECTOR_SUM requires vector_max_norm and vector_size")
+                    f"{which} requires vector_max_norm and vector_size")
             if len(metric_kinds) > 1:
                 raise ValueError(
-                    "VECTOR_SUM must be the only metric in an aggregation")
+                    f"{which} must be the only metric in an aggregation")
         if self.post_aggregation_thresholding:
             # The post-aggregation threshold filter operates on the noisy
             # privacy-id count; without that metric no DP selection would run

@@ -326,15 +326,37 @@ class QueryBuilder:
         self._aggregations.append(spec)
         return self
 
+    def vector_mean(self,
+                    column: str,
+                    max_norm: float,
+                    vector_size: int,
+                    norm_kind: NormKind = NormKind.LINF,
+                    name: Optional[str] = None) -> "QueryBuilder":
+        """DP elementwise mean of an array<double> column (the private
+        embedding-centroid release): noisy clipped vector sum divided by
+        a separately released noisy contribution count. Must be the only
+        aggregation in the query."""
+        self._check_groupby()
+        self._check_metric_once(Metrics.VECTOR_MEAN)
+        spec = _AggregationSpec(Metrics.VECTOR_MEAN, column,
+                                name or f"vector_mean_{column}")
+        spec.vector_max_norm = max_norm
+        spec.vector_norm_kind = norm_kind
+        spec.vector_size = vector_size
+        self._aggregations.append(spec)
+        return self
+
     def build_query(self) -> Query:
         """Validation mirrors reference: pipeline_dp/dataframes.py:444-499."""
         self._check_groupby()
         if not self._aggregations:
             raise ValueError("at least one aggregation required")
         vector_aggs = [a for a in self._aggregations
-                       if a.metric.metric == Metric.VECTOR_SUM]
+                       if a.metric.metric in (Metric.VECTOR_SUM,
+                                              Metric.VECTOR_MEAN)]
         if vector_aggs and len(self._aggregations) > 1:
-            raise ValueError("vector_sum must be the only aggregation")
+            raise ValueError(
+                "vector_sum/vector_mean must be the only aggregation")
 
         sum_aggs = [a for a in self._aggregations
                     if a.metric == Metrics.SUM]

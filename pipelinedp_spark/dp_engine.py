@@ -286,11 +286,12 @@ class DPEngine:
 
         needs_value = bool(metric_kinds
                            & {Metric.SUM, Metric.MEAN, Metric.VARIANCE,
-                              Metric.PERCENTILE, Metric.VECTOR_SUM})
+                              Metric.PERCENTILE, Metric.VECTOR_SUM,
+                              Metric.VECTOR_MEAN})
         if needs_value and extractors.value_column is None:
             raise ValueError("value_column required for value metrics")
 
-        if Metric.VECTOR_SUM in metric_kinds:
+        if metric_kinds & {Metric.VECTOR_SUM, Metric.VECTOR_MEAN}:
             return self._aggregate_vector_sum(df, params, extractors,
                                               public_partitions, report)
 
@@ -412,8 +413,12 @@ class DPEngine:
                     specs["sum"] = self._accountant.request_budget(mt)
             if Metric.PERCENTILE in metric_kinds:
                 specs["percentile"] = self._accountant.request_budget(mt)
-            if Metric.VECTOR_SUM in metric_kinds:
+            if Metric.VECTOR_SUM in metric_kinds \
+                    or Metric.VECTOR_MEAN in metric_kinds:
                 specs["vector_sum"] = self._accountant.request_budget(mt)
+            if Metric.VECTOR_MEAN in metric_kinds:
+                # denominator release: the bounded contribution count
+                specs["vector_count"] = self._accountant.request_budget(mt)
             if Metric.PRIVACY_ID_COUNT in metric_kinds:
                 if params.post_aggregation_thresholding:
                     thr_mt = (MechanismType.LAPLACE_THRESHOLDING
@@ -940,11 +945,20 @@ class DPEngine:
         clip = _vector_clip_udf(params.vector_norm_kind.value,
                                 float(params.vector_max_norm))
         data = data.withColumn(_VALUE, clip(F.col(_VALUE)))
+        is_mean = Metric.VECTOR_MEAN in set(params.metric_kinds)
+        which = "VECTOR_MEAN" if is_mean else "VECTOR_SUM"
         report.append(
-            f"VECTOR_SUM: per-vector {params.vector_norm_kind.value}-norm "
+            f"{which}: per-vector {params.vector_norm_kind.value}-norm "
             f"clip to {params.vector_max_norm}, Linf <= {linf}")
         ex = data.select(*pk_cols, F.posexplode(_VALUE).alias(_POS, _VV))
         final = ex.groupBy(*pk_cols, _POS).agg(F.sum(_VV).alias(_VV))
+        # Denominator for VECTOR_MEAN: the bounded CONTRIBUTION count per
+        # partition (each contribution is one clipped vector), released
+        # with its own budget share; computed off the same bounded frame.
+        contrib_counts = (data.groupBy(*pk_cols)
+                          .agg(F.count(F.lit(1)).cast("double")
+                               .alias("__vn__"))
+                          if is_mean else None)
         pid_counts = keys.groupBy(*pk_cols).agg(
             F.count(F.lit(1)).alias(_PID_COUNT))
         engine = self
@@ -975,7 +989,28 @@ class DPEngine:
             out = out.withColumn(
                 _VV, engine._noise.add_noise(F.col(_VV),
                                              params.noise_kind.value, scale))
-            report.append(f"VECTOR_SUM: elementwise noise scale={scale:.4g}")
+            report.append(f"{which}: elementwise noise scale={scale:.4g}")
+            if is_mean:
+                # One noisy denominator draw per partition key (noise is
+                # applied on the per-pk count frame, THEN joined), floored
+                # at 1 so empty public partitions release zero vectors.
+                cnt_spec = specs["vector_count"]
+                cnt_scale = dp.noise_scale(
+                    params.noise_kind, cnt_spec.eps, cnt_spec.delta,
+                    dp.count_sensitivities(l0 or 1, linf or 1))
+                noisy_n = contrib_counts.withColumn(
+                    "__vn__", engine._noise.add_noise(
+                        F.col("__vn__"), params.noise_kind.value,
+                        cnt_scale))
+                out = (out.join(F.broadcast(noisy_n), on=list(pk_cols),
+                                how="left")
+                       .withColumn(_VV, F.col(_VV)
+                                   / F.greatest(F.coalesce(
+                                       F.col("__vn__"), F.lit(0.0)),
+                                       F.lit(1.0))))
+                report.append(
+                    f"VECTOR_MEAN: denominator noise scale="
+                    f"{cnt_scale:.4g}")
             return out.groupBy(*pk_cols).agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct(F.col(_POS),

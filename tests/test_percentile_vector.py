@@ -162,3 +162,58 @@ def test_public_partition_literal_edge_values(spark):
     assert got.count() == 3
     with pytest.raises(ValueError, match="unsupported public-partition"):
         DPEngine._as_partitions_df(spark, ["k"], [(b"bytes",)])
+
+
+def test_vector_mean_zero_noise_is_clipped_average(spark):
+    import numpy as np
+    from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine
+    rows = [(u, "g", [float(u), 1.0]) for u in range(8)]
+    df = spark.createDataFrame(rows, "uid int, pk string, v array<double>")
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.VECTOR_MEAN],
+        max_partitions_contributed=1,
+        max_contributions_per_partition=1,
+        vector_max_norm=100.0, vector_norm_kind=pds.NormKind.L2,
+        vector_size=2)
+    res = engine.aggregate(df, params,
+                           DataFrameExtractors("uid", "pk", "v"),
+                           public_partitions=["g", "empty"])
+    acct.compute_budgets()
+    got = {r["pk"]: r["vector_mean"] for r in res.dataframe().collect()}
+    want = np.mean([[float(u), 1.0] for u in range(8)], axis=0)
+    assert np.allclose(got["g"], want)
+    assert got["empty"] == [0.0, 0.0]     # empty public partition
+
+
+def test_vector_mean_clip_binding(spark):
+    # One vector far outside the norm ball: the mean is over CLIPPED
+    # vectors, so the release is bounded regardless of outliers.
+    from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine
+    rows = [(1, "g", [3.0, 4.0]), (2, "g", [300.0, 400.0])]
+    df = spark.createDataFrame(rows, "uid int, pk string, v array<double>")
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.VECTOR_MEAN],
+        max_partitions_contributed=1,
+        max_contributions_per_partition=1,
+        vector_max_norm=5.0, vector_norm_kind=pds.NormKind.L2,
+        vector_size=2)
+    res = engine.aggregate(df, params,
+                           DataFrameExtractors("uid", "pk", "v"),
+                           public_partitions=["g"])
+    acct.compute_budgets()
+    got = res.dataframe().collect()[0]["vector_mean"]
+    # both clipped to norm 5 on the same ray -> mean == [3, 4]
+    assert got[0] == pytest.approx(3.0) and got[1] == pytest.approx(4.0)
+
+
+def test_vector_mean_must_be_only_metric(spark):
+    with pytest.raises(ValueError, match="only metric"):
+        pds.AggregateParams(
+            metrics=[pds.Metrics.VECTOR_MEAN, pds.Metrics.COUNT],
+            max_partitions_contributed=1,
+            max_contributions_per_partition=1,
+            vector_max_norm=1.0, vector_size=2)
