@@ -25,7 +25,7 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          # sf0.01-trained merges):
          "doc_gram_novelty", "doc_source_quota", "doc_dup_rate_estimate",
          "events_zorder_key", "doc_vocab_estimate", "doc_weighted_sample",
-         "dp_windowed_percentile_tree_events", "dp_trending_bigrams"]
+         "dp_windowed_percentile_tree_events", "dp_trending_bigrams", "dp_vector_mean_public"]
 
 
 @pytest.fixture(scope="module")

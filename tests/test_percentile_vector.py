@@ -217,3 +217,26 @@ def test_vector_mean_must_be_only_metric(spark):
             max_partitions_contributed=1,
             max_contributions_per_partition=1,
             vector_max_norm=1.0, vector_size=2)
+
+
+def test_vector_mean_private_selection_suppresses_sparse_groups(spark):
+    from pipelinedp_spark.dp_engine import DataFrameExtractors, DPEngine
+    rows = [(u, "big", [1.0, 0.0]) for u in range(40)] + \
+           [(100, "sparse", [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "uid int, pk string, v array<double>")
+    acct = pds.NaiveBudgetAccountant(10.0, 1e-4)
+    engine = DPEngine(acct, noise_mode="zero")
+    params = pds.AggregateParams(
+        metrics=[pds.Metrics.VECTOR_MEAN],
+        max_partitions_contributed=1,
+        max_contributions_per_partition=1,
+        vector_max_norm=2.0, vector_norm_kind=pds.NormKind.L2,
+        vector_size=2,
+        partition_selection_strategy=pds.PartitionSelectionStrategy
+        .LAPLACE_THRESHOLDING)
+    res = engine.aggregate(df, params,
+                           DataFrameExtractors("uid", "pk", "v"))
+    acct.compute_budgets()
+    got = {r["pk"]: r["vector_mean"] for r in res.dataframe().collect()}
+    assert "sparse" not in got          # 1 supporting user: suppressed
+    assert got["big"] == [pytest.approx(1.0), pytest.approx(0.0)]
