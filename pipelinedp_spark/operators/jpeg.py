@@ -702,14 +702,18 @@ _AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALUES),
 class _AcScanState:
     """Cross-block AC-scan state: the pending EOB run, its owned
     correction bits (``be`` — emitted right after the EOBn symbol), and
-    the current block's bits since the last symbol (``br``)."""
+    the current block's bits since the last symbol (``br``). Each br
+    entry is ``(zeros_before, bit)`` — the zero-run length preceding the
+    coefficient — because a ZRL's decoder-side window covers only the
+    positions up to its 16th zero: correction bits for coefficients
+    beyond that window belong to the NEXT symbol, not the ZRL."""
 
     def __init__(self, writer: "_BitWriter", ac_codes):
         self.w = writer
         self.ac = ac_codes
         self.eobrun = 0
         self.be: List[int] = []
-        self.br: List[int] = []
+        self.br: List[Tuple[int, int]] = []
 
     def emit_eobrun(self):
         if self.eobrun > 0:
@@ -724,16 +728,25 @@ class _AcScanState:
         self.be = []
 
     def flush_br(self):
-        for b in self.br:
+        for _, b in self.br:
             self.w.write(b, 1)
         self.br = []
+
+    def flush_br_zrl(self):
+        """Flush only the correction bits inside a ZRL's window (the
+        coefficients the decoder traverses while consuming its 16
+        zeros); retain the rest, rebased past the consumed run."""
+        for z, b in self.br:
+            if z <= 15:
+                self.w.write(b, 1)
+        self.br = [(z - 16, b) for z, b in self.br if z > 15]
 
     def end_block(self, had_pending: bool):
         """Nothing (more) coded in this block's band: fold it into the
         EOB run, handing its correction bits to the run."""
         if had_pending:
             self.eobrun += 1
-            self.be.extend(self.br)
+            self.be.extend(b for _, b in self.br)
             self.br = []
             if self.eobrun == 0x7FFF:
                 self.emit_eobrun()
@@ -781,14 +794,14 @@ def _enc_ac_refine(st: _AcScanState, zz, ss, se, al):
             r += 1
             continue
         if m > 1:                       # already significant: one bit
-            st.br.append(m & 1)
+            st.br.append((r, m & 1))
             continue
         while r > 15 and k <= eob:      # ZRLs not foldable into EOB
             st.emit_eobrun()
             code, ln = st.ac[0xF0]
             st.w.write(code, ln)
             r -= 16
-            st.flush_br()
+            st.flush_br_zrl()
         st.emit_eobrun()
         code, ln = st.ac[(r << 4) | 1]
         st.w.write(code, ln)

@@ -794,3 +794,17 @@ def test_progressive_jpeg_property_matches_baseline(h, w, seed, sub, rst):
     prog = decode_jpeg(encode_jpeg_progressive(px, subsample=sub,
                                                restart_interval=rst))
     assert prog is not None and np.array_equal(base, prog)
+
+
+def test_progressive_refine_zrl_window_regression():
+    """Pinned repro of the AC-refine ZRL desync (hypothesis-found,
+    17x10 seed 1): an already-significant coefficient located after a
+    ZRL's 16-zero window must have its correction bit emitted with the
+    NEXT symbol (the decoder reads it during that symbol's traversal),
+    not flushed with the ZRL."""
+    for h, w, seed in [(17, 10, 1), (9, 10, 0), (9, 13, 1), (17, 16, 1)]:
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, subsample=False))
+        prog = decode_jpeg(encode_jpeg_progressive(px, subsample=False))
+        assert prog is not None and np.array_equal(base, prog), (h, w, seed)
