@@ -1428,6 +1428,9 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_weighted_sample",
     "dp_trending_bigrams",
     "dp_vector_mean_public",
+    "doc_vocab_hll",
+    "token_freq_cms",
+    "doc_decontaminate_bloom",
 ]
 
 
@@ -1528,6 +1531,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": _doc_weighted_sample,
         "dp_trending_bigrams": _dp_trending_bigrams,
         "dp_vector_mean_public": _dp_vector_mean_public,
+        "doc_vocab_hll": _doc_vocab_hll,
+        "token_freq_cms": _token_freq_cms,
+        "doc_decontaminate_bloom": _doc_decontaminate_bloom,
     }
 
 
@@ -1619,6 +1625,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
         "dp_trending_bigrams": _gen_trending_bigrams_sql(),
         "dp_vector_mean_public": _DP_VECTOR_MEAN_SQL,
+        "doc_vocab_hll": _DOC_VOCAB_HLL_SQL,
+        "token_freq_cms": _TOKEN_FREQ_CMS_SQL,
+        "doc_decontaminate_bloom": _DOC_DECONTAM_BLOOM_SQL,
     }
 
 
@@ -4294,4 +4303,151 @@ dups AS (
                * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau})
 SELECT a.doc_id, a.cell, (d.doc_id IS NOT NULL) AS is_dup
 FROM ass a LEFT JOIN dups d USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches: HyperLogLog, count-min, Bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def _doc_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate (`sketches.hll_distinct_estimate`,
+    m=1024 registers, md5-deterministic) over the corpus's word 3-grams —
+    the KB-state mergeable alternative to `doc_vocab_estimate`'s KMV: no
+    distinct pass at all, one map-side-combined groupBy over <= m register
+    rows. One row out (raw + linear-counting-corrected estimates)."""
+    from pipelinedp_spark.functions.sketches import hll_distinct_estimate
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(TX._word_ngrams(F.col("text"), 3)).alias("gram"))
+    return hll_distinct_estimate(grams, "gram", p=10)
+
+
+# Mirrors sketches.hll_distinct_estimate exactly: same md5 register/rho
+# draws, the integer-scaled (2^50) register sum so cross-register addition
+# is order-independent in both engines, same bias constant and
+# linear-counting branch (literals computed once in Python).
+_DOC_VOCAB_HLL_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT unnest(CASE WHEN len(t) >= 3
+                     THEN [array_to_string(t[i:i+2], ' ')
+                           for i in range(1, len(t) - 1)]
+                     ELSE [array_to_string(t, ' ')] END) AS gram
+  FROM tok),
+hr AS (
+  SELECT ('0x' || substr(md5('hllr:' || gram), 1, 15))::BIGINT % 1024
+             AS reg,
+         CAST(floor(ln(greatest(
+                ('0x' || substr(md5('hllw:' || gram), 1, 15))::BIGINT
+                    / 1152921504606846976.0,
+                8.673617379884035e-19)) / ln(0.5)) + 1 AS INT) AS rho
+  FROM g),
+regs AS (SELECT reg, MAX(rho) AS mr FROM hr GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nz,
+         CAST(SUM(CASE WHEN mr <= 50
+                       THEN 1125899906842624::BIGINT >> mr
+                       ELSE 0 END) AS BIGINT) AS present_scaled
+  FROM regs),
+est AS (
+  SELECT nz,
+         755541.746198293
+           / ((present_scaled + (1024 - nz) * 1125899906842624)
+              / 1125899906842624.0) AS raw
+  FROM agg)
+SELECT CAST(1024 AS BIGINT) AS m,
+       nz AS nonzero_registers,
+       ROUND(raw, 6) AS raw_estimate,
+       ROUND(CASE WHEN raw <= 2560.0 AND nz < 1024
+                  THEN 1024.0 * ln(1024.0 / (1024 - nz))
+                  ELSE raw END, 6) AS estimate
+FROM est
+"""
+
+
+def _token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (`sketches.cms_counters` /
+    `cms_estimate`, depth=4, width=1024, md5-deterministic): corpus
+    token counts reduced to a <= 4096-row integer counter table (one
+    map-side-combined shuffle of a 2-int projection), then point-queried
+    for every distinct token of the probe docs (doc_id % 199 == 0) via
+    a broadcast of the counters and an integer min over the 4 rows.
+    Estimates are exact upper bounds (never under the true count)."""
+    from pipelinedp_spark.functions.sketches import cms_counters, cms_estimate
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    counters = cms_counters(toks, "tok", depth=4, width=1024)
+    probe = (docs.filter(F.col("doc_id") % 199 == 0)
+             .select(F.explode(TX.tokens(F.col("text"))).alias("tok")))
+    return cms_estimate(counters, probe, "tok", depth=4, width=1024)
+
+
+_TOKEN_FREQ_CMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+ctr AS (
+  SELECT j,
+         ('0x' || substr(md5('cms' || j || ':' || tok), 1, 15))::BIGINT
+             % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok, (SELECT unnest(range(4)) AS j) r
+  GROUP BY 1, 2),
+pr AS (SELECT DISTINCT tok FROM tok WHERE doc_id % 199 = 0),
+pj AS (
+  SELECT tok, j,
+         ('0x' || substr(md5('cms' || j || ':' || tok), 1, 15))::BIGINT
+             % 1024 AS bucket
+  FROM pr, (SELECT unnest(range(4)) AS j) r)
+SELECT pj.tok, CAST(MIN(COALESCE(ctr.cnt, 0)) AS BIGINT) AS est_count
+FROM pj LEFT JOIN ctr USING (j, bucket)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (`decontam.decontaminate_bloom`):
+    same eval split and 3-gram overlap rule as `doc_decontaminate`, but
+    the corpus grams probe a 4 KiB Bloom word table (broadcast) and only
+    Bloom-positive occurrences reach the exact confirm join — the shape
+    for eval suites too large to broadcast as exact hash sets. m_bits is
+    deliberately small here so false positives occur and the confirm
+    join is exercised; the output (kept doc_ids) is identical to exact
+    decontamination, which IS the oracle."""
+    from pipelinedp_spark.operators.decontam import decontaminate_bloom
+    docs = _t(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    kept = decontaminate_bloom(train, evald, n=3, max_hits=0,
+                               m_bits=1 << 15, num_hashes=3)
+    return kept.select("doc_id")
+
+
+# The Bloom changes the plan, never the answer: the oracle is plain exact
+# decontamination (kept = train docs with zero eval-overlapping 3-grams).
+_DOC_DECONTAM_BLOOM_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    for i in range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS grams
+  FROM tok),
+ev AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM gr, UNNEST(grams) AS u(g)
+  WHERE doc_id % 97 = 0),
+bad AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        FROM gr, UNNEST(grams) AS u(g)
+        WHERE doc_id % 97 <> 0) c
+  JOIN ev USING (h))
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
 """

@@ -48,6 +48,99 @@ def contamination_hits(docs: DataFrame, eval_df: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_hits")))
 
 
+def bloom_filter_table(eval_df: DataFrame, text_col: str = "text",
+                       n: int = 5, m_bits: int = 1 << 20,
+                       num_hashes: int = 5) -> DataFrame:
+    """Bloom filter over the eval set's n-gram hashes, laid out as a
+    table of 64-bit words: (word_idx, word) where bit (pos & 63) of
+    word[pos >> 6] is set iff some eval gram hashed to position pos
+    under one of the `num_hashes` md5-salted hash functions. m_bits
+    bits = m_bits/8 bytes of state regardless of eval-set size
+    (<= m_bits/64 rows). Deterministic (md5), so the filter is
+    reproducible and mergeable (bit_or) across engines and corpora."""
+    gram = F.explode(
+        T._word_ngrams(F.col(text_col), n)).alias("g")
+    pos = F.explode(F.array(*[
+        (T.hex_to_long(F.md5(F.concat(F.lit(f"bloom{j}:"), F.col("g"))))
+         % int(m_bits))
+        for j in range(int(num_hashes))
+    ])).alias("pos")
+    return (eval_df.select(gram).select(pos)
+            .select(F.expr("pos div 64").alias("word_idx"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pos % 64 AS INT))").alias("mask"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("mask").alias("word")))
+
+
+def decontaminate_bloom(docs: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, max_hits: int = 0,
+                        m_bits: int = 1 << 20,
+                        num_hashes: int = 5) -> DataFrame:
+    """`decontaminate`, restructured for eval sets too large to
+    broadcast as exact hash sets. Two passes over the corpus grams:
+
+    1. Bloom prefilter — probe every corpus gram against the broadcast
+       word table from `bloom_filter_table` (m_bits/8 bytes vs 8 bytes
+       PER GRAM for the exact set: a 1B-gram eval suite is 8 GB exact
+       but 128 KB..1 GB Bloom at 1..10 bits/gram). A gram survives only
+       if ALL num_hashes probed bits are set. No false negatives, so
+       nothing contaminated escapes.
+    2. Exact confirm — join the few Bloom-positive gram occurrences
+       against the true eval gram set to discard false positives. This
+       join is NOT broadcast-hinted: at scale it is the shuffle join
+       whose left side the Bloom just shrank by ~(1 - fp_rate); AQE
+       still broadcasts it at small SF.
+
+    Output is identical to `decontaminate` (the Bloom changes the plan,
+    never the answer) — the oracle for this operator IS the exact
+    decontaminate SQL.
+    """
+    bloom = F.broadcast(
+        bloom_filter_table(eval_df, text_col, n, m_bits, num_hashes))
+    grams = (docs.select(
+        F.col(id_col),
+        F.explode(T._word_ngrams(F.col(text_col), n)).alias("g"))
+        .withColumn("gram_hash", T.token_hash(F.col("g"))))
+    probes = grams.select(
+        id_col, "gram_hash",
+        F.posexplode(F.array(*[
+            (T.hex_to_long(F.md5(F.concat(F.lit(f"bloom{j}:"),
+                                          F.col("g"))))
+             % int(m_bits))
+            for j in range(int(num_hashes))
+        ])).alias("j", "pos"))
+    hit = (probes
+           .select(id_col, "gram_hash",
+                   F.expr("pos div 64").alias("word_idx"),
+                   F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(pos % 64 AS INT))").alias("mask"))
+           .join(bloom, "word_idx", "left")
+           .withColumn("bit_set",
+                       F.coalesce(F.col("word"), F.lit(0).cast("long"))
+                       .bitwiseAND(F.col("mask")) != 0))
+    # A gram occurrence is a candidate iff all its probed bits are set.
+    # posexplode keeps one row per (occurrence, hash j); count the set
+    # bits per occurrence without collapsing repeated grams in a doc:
+    # group on a per-occurrence key (id, gram_hash, occurrence index is
+    # not materialized — instead require min(bit_set) over the j rows,
+    # which is occurrence-invariant since bits depend only on the gram).
+    cand = (hit.groupBy(id_col, "gram_hash")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("bit_set").cast("long")).alias("n_set"))
+            .filter(F.col("n_set") == F.col("n_rows"))
+            .select(id_col, "gram_hash",
+                    (F.col("n_rows") / int(num_hashes)).cast("long")
+                    .alias("occurrences")))
+    exact = (eval_gram_set(eval_df, text_col, n))
+    confirmed = (cand.join(exact, "gram_hash")  # no broadcast hint: see doc
+                 .groupBy(id_col)
+                 .agg(F.sum("occurrences").alias("n_hits")))
+    bad = (confirmed.filter(F.col("n_hits") > max_hits).select(id_col))
+    return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
 def decontaminate(docs: DataFrame, eval_df: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 5, max_hits: int = 0) -> DataFrame:

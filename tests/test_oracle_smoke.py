@@ -25,7 +25,10 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          # sf0.01-trained merges):
          "doc_gram_novelty", "doc_source_quota", "doc_dup_rate_estimate",
          "events_zorder_key", "doc_vocab_estimate", "doc_weighted_sample",
-         "dp_windowed_percentile_tree_events", "dp_trending_bigrams", "dp_vector_mean_public"]
+         "dp_windowed_percentile_tree_events", "dp_trending_bigrams",
+         "dp_vector_mean_public",
+         # sketch batch (static oracles)
+         "doc_vocab_hll", "token_freq_cms", "doc_decontaminate_bloom"]
 
 
 @pytest.fixture(scope="module")
