@@ -1431,6 +1431,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_vocab_hll",
     "token_freq_cms",
     "doc_decontaminate_bloom",
+    "events_windowed_hll",
+    "vocab_overlap_kmv",
 ]
 
 
@@ -1534,6 +1536,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_hll": _doc_vocab_hll,
         "token_freq_cms": _token_freq_cms,
         "doc_decontaminate_bloom": _doc_decontaminate_bloom,
+        "events_windowed_hll": _events_windowed_hll,
+        "vocab_overlap_kmv": _vocab_overlap_kmv,
     }
 
 
@@ -1628,6 +1632,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_hll": _DOC_VOCAB_HLL_SQL,
         "token_freq_cms": _TOKEN_FREQ_CMS_SQL,
         "doc_decontaminate_bloom": _DOC_DECONTAM_BLOOM_SQL,
+        "events_windowed_hll": _EVENTS_WINDOWED_HLL_SQL,
+        "vocab_overlap_kmv": _VOCAB_OVERLAP_KMV_SQL,
     }
 
 
@@ -4450,4 +4456,105 @@ bad AS (
 SELECT doc_id FROM documents
 WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
 ORDER BY doc_id
+"""
+
+
+def _events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimates via grouped HyperLogLog
+    (`sketches.hll_distinct_estimate_by`, m=256): the batch mirror of
+    `streaming.streaming_distinct_hll` (same md5 registers, same
+    integer-scaled estimate — the streaming state merged per trigger
+    equals this exactly). Two map-side-combined shuffles, <= 256
+    register rows per day."""
+    from pipelinedp_spark.functions.sketches import hll_distinct_estimate_by
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    ev = ev.select(
+        F.floor(F.col("ts") / F.lit(day_us)).cast("long").alias("day"),
+        F.col("user_id"))
+    return hll_distinct_estimate_by(ev, "user_id", ["day"], p=8)
+
+
+_EVENTS_WINDOWED_HLL_SQL = """
+WITH ev AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(user_id AS VARCHAR) AS v
+  FROM events),
+hr AS (
+  SELECT day,
+         ('0x' || substr(md5('hllr:' || v), 1, 15))::BIGINT % 256 AS reg,
+         CAST(floor(ln(greatest(
+                ('0x' || substr(md5('hllw:' || v), 1, 15))::BIGINT
+                    / 1152921504606846976.0,
+                8.673617379884035e-19)) / ln(0.5)) + 1 AS INT) AS rho
+  FROM ev),
+regs AS (SELECT day, reg, MAX(rho) AS mr FROM hr GROUP BY 1, 2),
+agg AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS nz,
+         CAST(SUM(CASE WHEN mr <= 50
+                       THEN 1125899906842624::BIGINT >> mr
+                       ELSE 0 END) AS BIGINT) AS ps
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT day, nz,
+         47072.71267120224
+           / ((ps + (256 - nz) * 1125899906842624)
+              / 1125899906842624.0) AS raw
+  FROM agg)
+SELECT day, CAST(256 AS BIGINT) AS m, nz AS nonzero_registers,
+       ROUND(raw, 6) AS raw_estimate,
+       ROUND(CASE WHEN raw <= 640.0 AND nz < 256
+                  THEN 256.0 * ln(256.0 / (256 - nz))
+                  ELSE raw END, 6) AS estimate
+FROM est ORDER BY 1
+"""
+
+
+def _vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus vocabulary overlap from KMV/theta sketches
+    (`sketches.kmv_overlap_estimate`, k=512): Jaccard + intersection +
+    union estimates between the English and French corpora's token
+    sets — the pre-pass that prices a cross-corpus dedup before paying
+    its shuffle. Per side one distinct hash projection; one 512-row
+    TakeOrderedAndProject over the merged sets. One row out."""
+    from pipelinedp_spark.functions import text as TX
+    from pipelinedp_spark.functions.sketches import kmv_overlap_estimate
+    docs = _t(spark, sf_dir, "documents")
+    en = (docs.filter(F.col("lang") == "en")
+          .select(F.explode(TX.tokens(F.col("text"))).alias("tok")))
+    fr = (docs.filter(F.col("lang") == "fr")
+          .select(F.explode(TX.tokens(F.col("text"))).alias("tok")))
+    return kmv_overlap_estimate(en, fr, "tok", k=512)
+
+
+_VOCAB_OVERLAP_KMV_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE lang IN ('en', 'fr')),
+ha AS (SELECT DISTINCT
+         ('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS h
+       FROM tok WHERE lang = 'en'),
+hb AS (SELECT DISTINCT
+         ('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS h
+       FROM tok WHERE lang = 'fr'),
+mg AS (
+  SELECT COALESCE(ha.h, hb.h) AS h,
+         CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ha FULL OUTER JOIN hb ON ha.h = hb.h),
+s AS (SELECT * FROM mg ORDER BY h LIMIT 512)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+       MAX(h) AS kth_min,
+       ROUND(CASE WHEN COUNT(*) < 512 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE (512.0 - 1.0) / MAX(h) END, 6) AS union_est,
+       ROUND(CAST(SUM(in_a * in_b) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS jaccard_est,
+       ROUND((CAST(SUM(in_a * in_b) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE))
+             * (CASE WHEN COUNT(*) < 512 THEN CAST(COUNT(*) AS DOUBLE)
+                     ELSE (512.0 - 1.0) / MAX(h) END), 6)
+           AS intersection_est
+FROM s
 """

@@ -1045,3 +1045,92 @@ def streaming_token_topk(stream: DataFrame,
     return (toks.groupBy("window_start")
             .applyInPandasWithState(topk_fn, out_schema, state_schema,
                                     "update", timeout))
+
+
+def streaming_distinct_hll(stream: DataFrame,
+                           value_col: str = "user_id",
+                           timestamp_col: str = "ts",
+                           window_duration: str = "1 hour",
+                           watermark_delay: str = "0 seconds",
+                           p: int = 8,
+                           timeout_minutes: Optional[int] = None
+                           ) -> DataFrame:
+    """Streaming distinct-count per event-time window via the
+    deterministic HyperLogLog sketch (`functions.sketches`): state per
+    window is at most 2^p register maxima regardless of how many
+    distinct values arrive — the bounded-memory replacement for
+    `approx_count_distinct`'s engine-private sketch, with md5-derived
+    registers so the streaming estimate EQUALS the batch
+    `hll_distinct_estimate_by` over the same window's rows (parity
+    tested; the register merge is a max, so arrival order and trigger
+    boundaries cannot change it).
+
+    Plan: watermark -> project (window_start, value) -> state keyed by
+    window start (horizontally partitioned across windows). Each
+    trigger re-emits the window's current estimate (update mode;
+    downstream dedup by window_start keeps the latest).
+    ``timeout_minutes`` adds the same processing-time TTL per window as
+    `streaming_token_topk`.
+
+    Returns (window_start, m, nonzero_registers, raw_estimate,
+    estimate).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType,
+                                   TimestampType)
+
+    from pipelinedp_spark.functions.sketches import (hll_estimate_py,
+                                                     hll_reg_rho_py)
+
+    m = 1 << int(p)
+    out_schema = StructType([
+        StructField("window_start", TimestampType()),
+        StructField("m", LongType()),
+        StructField("nonzero_registers", LongType()),
+        StructField("raw_estimate", DoubleType()),
+        StructField("estimate", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("regs", ArrayType(IntegerType())),
+        StructField("rhos", ArrayType(IntegerType())),
+    ])
+    ms = timeout_minutes
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ms else GroupStateTimeout.NoTimeout)
+
+    vals = (stream.withWatermark(timestamp_col, watermark_delay)
+            .select(F.window(F.col(timestamp_col), window_duration)
+                    .alias("__w__"),
+                    F.col(value_col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .select(F.col("__w__.start").alias("window_start"), "v"))
+
+    def hll_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            r0, h0 = state.get
+            sketch = {int(r): int(h) for r, h in zip(r0, h0)}
+        else:
+            sketch = {}
+        for pdf in pdfs:
+            for v in pdf["v"].unique():
+                reg, rho = hll_reg_rho_py(v, p)
+                if rho > sketch.get(reg, 0):
+                    sketch[reg] = rho
+        state.update((list(sketch.keys()), list(sketch.values())))
+        if ms:
+            state.setTimeoutDuration(ms * 60 * 1000)
+        raw, est = hll_estimate_py(sketch, p)
+        yield pd.DataFrame({
+            "window_start": [key[0]],
+            "m": [m],
+            "nonzero_registers": [len(sketch)],
+            "raw_estimate": [raw],
+            "estimate": [est]})
+
+    return (vals.groupBy("window_start")
+            .applyInPandasWithState(hll_fn, out_schema, state_schema,
+                                    "update", timeout))

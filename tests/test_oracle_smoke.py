@@ -28,7 +28,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "dp_windowed_percentile_tree_events", "dp_trending_bigrams",
          "dp_vector_mean_public",
          # sketch batch (static oracles)
-         "doc_vocab_hll", "token_freq_cms", "doc_decontaminate_bloom"]
+         "doc_vocab_hll", "token_freq_cms", "doc_decontaminate_bloom",
+         "events_windowed_hll", "vocab_overlap_kmv"]
 
 
 @pytest.fixture(scope="module")

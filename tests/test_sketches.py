@@ -123,3 +123,94 @@ def test_bloom_word_table_is_bounded(spark):
     docs = _doc_frame(spark)
     tbl = bloom_filter_table(docs, n=3, m_bits=1 << 12, num_hashes=5)
     assert tbl.count() <= (1 << 12) // 64
+
+
+def test_hll_grouped_matches_per_group_global(spark):
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("u-"), (F.col("id") % 997)).alias("v"))
+    from pipelinedp_spark.functions.sketches import hll_distinct_estimate_by
+    grouped = {r["g"]: r["estimate"]
+               for r in hll_distinct_estimate_by(df, "v", ["g"], p=8)
+               .collect()}
+    for g in range(3):
+        solo = hll_distinct_estimate(
+            df.filter(F.col("g") == g), "v", p=8).collect()[0]["estimate"]
+        assert grouped[g] == solo
+
+
+def test_hll_python_twin_matches_dataframe(spark):
+    from pipelinedp_spark.functions.sketches import (hll_estimate_py,
+                                                     hll_reg_rho_py)
+    vals = [f"item-{i}" for i in range(5000)]
+    sketch = {}
+    for v in vals:
+        reg, rho = hll_reg_rho_py(v, 8)
+        if rho > sketch.get(reg, 0):
+            sketch[reg] = rho
+    raw, est = hll_estimate_py(sketch, 8)
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    row = hll_distinct_estimate(df, "v", p=8).collect()[0]
+    assert row["raw_estimate"] == raw
+    assert row["estimate"] == est
+    assert row["nonzero_registers"] == len(sketch)
+
+
+def test_kmv_overlap_planted_sets(spark):
+    from pipelinedp_spark.functions.sketches import kmv_overlap_estimate
+    a = spark.range(0, 10000).select(
+        F.concat(F.lit("w-"), F.col("id")).alias("v"))
+    b = spark.range(5000, 15000).select(
+        F.concat(F.lit("w-"), F.col("id")).alias("v"))
+    row = kmv_overlap_estimate(a, b, "v", k=512).collect()[0]
+    # True: union 15000, jaccard 1/3, intersection 5000.
+    assert abs(row["union_est"] - 15000) / 15000 < 0.2
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.1
+    assert abs(row["intersection_est"] - 5000) / 5000 < 0.3
+
+
+def test_kmv_overlap_exact_when_small(spark):
+    from pipelinedp_spark.functions.sketches import kmv_overlap_estimate
+    a = spark.range(0, 100).select(
+        F.concat(F.lit("w-"), F.col("id")).alias("v"))
+    b = spark.range(60, 160).select(
+        F.concat(F.lit("w-"), F.col("id")).alias("v"))
+    # Union 0..159 = 160 distinct, intersection 60..99 = 40.
+    row = kmv_overlap_estimate(a, b, "v", k=512).collect()[0]
+    assert row["k_used"] == 160
+    assert row["union_est"] == 160.0
+    assert row["intersection_est"] == pytest.approx(40.0, abs=1e-6)
+
+
+def test_streaming_hll_matches_batch_mirror(spark, tmp_path):
+    """Streaming per-window HLL == batch hll_distinct_estimate_by over
+    the same windows (register merge is order/trigger-invariant)."""
+    import datetime as dt
+    from pipelinedp_spark.functions.sketches import hll_distinct_estimate_by
+    from pipelinedp_spark.streaming.dp_streaming import streaming_distinct_hll
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(hours=h, minutes=i % 60), f"u{i % (20 + h)}")
+            for h in range(3) for i in range(200)]
+    df = spark.createDataFrame(rows, ["ts", "user"])
+    src = str(tmp_path / "hll_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, user string") \
+        .parquet(src)
+    out = streaming_distinct_hll(stream, value_col="user",
+                                 timestamp_col="ts",
+                                 window_duration="1 hour", p=8)
+    q = (out.writeStream.format("memory").queryName("hll_stream_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("hll_stream_t")
+           .groupBy("window_start")
+           .agg(F.last("estimate").alias("estimate"),
+                F.last("nonzero_registers").alias("nz")))
+    batch = hll_distinct_estimate_by(
+        df.select(F.date_trunc("hour", "ts").alias("window_start"),
+                  "user"),
+        "user", ["window_start"], p=8)
+    g = {r["window_start"]: (r["estimate"], r["nz"]) for r in got.collect()}
+    b = {r["window_start"]: (r["estimate"], r["nonzero_registers"])
+         for r in batch.collect()}
+    assert g == b and len(g) == 3
