@@ -305,3 +305,39 @@ def test_limit_rows_per_key_parity(spark):
     # binding-regime cap (< threshold) delegates to the plain window
     small = B.limit_rows_per_key(df, ["pid", "pk"], 5, order).collect()
     assert len(small) == 15
+
+
+def test_hll_no_distinct_and_bounded_shuffle(spark):
+    """HLL needs NO distinct pass: the plan is exactly two hash
+    aggregations (register max, then the estimate) = 2 shuffles of
+    register-sized data, with map-side partials."""
+    from pipelinedp_spark.functions.sketches import hll_distinct_estimate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    est = hll_distinct_estimate(docs, "text", p=10)
+    plan = P.explain_str(est)
+    assert "Deduplicate" not in plan
+    assert P.count_shuffles(est) <= 2
+    assert P.has_partial_aggregation(est)
+
+
+def test_cms_probe_broadcasts_counters(spark):
+    """Counter table (<= depth*width rows) must reach the probe as a
+    broadcast join, never a shuffle join."""
+    from pipelinedp_spark.functions.sketches import cms_counters, cms_estimate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    est = cms_estimate(cms_counters(toks, "tok"), toks, "tok")
+    assert P.has_broadcast_join(est)
+    assert P.has_partial_aggregation(est)
+
+
+def test_bloom_word_table_broadcasts(spark):
+    """The Bloom probe join must broadcast the word table; the exact
+    confirm join is deliberately NOT broadcast-hinted (shuffle shape at
+    scale), so we assert only the word-table side here."""
+    from pipelinedp_spark.operators.decontam import decontaminate_bloom
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    evald = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    kept = decontaminate_bloom(train, evald, n=3)
+    assert P.has_broadcast_join(kept)
