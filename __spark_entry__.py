@@ -1433,6 +1433,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_decontaminate_bloom",
     "events_windowed_hll",
     "vocab_overlap_kmv",
+    "doc_temperature_mix",
 ]
 
 
@@ -1538,6 +1539,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": _doc_decontaminate_bloom,
         "events_windowed_hll": _events_windowed_hll,
         "vocab_overlap_kmv": _vocab_overlap_kmv,
+        "doc_temperature_mix": _doc_temperature_mix,
     }
 
 
@@ -1634,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate_bloom": _DOC_DECONTAM_BLOOM_SQL,
         "events_windowed_hll": _EVENTS_WINDOWED_HLL_SQL,
         "vocab_overlap_kmv": _VOCAB_OVERLAP_KMV_SQL,
+        "doc_temperature_mix": _DOC_TEMPERATURE_MIX_SQL,
     }
 
 
@@ -4557,4 +4560,41 @@ SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
                      ELSE (512.0 - 1.0) / MAX(h) END), 6)
            AS intersection_est
 FROM s
+"""
+
+
+def _doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (`sampling.temperature_sample`,
+    alpha=0.5, total=200): per-source quotas proportional to
+    n_s^alpha — the pretraining-mixture rule that upweights small
+    sources — each source contributing its lowest-md5-hash docs. One
+    count agg, a source-sized broadcast quota table, one per-source
+    WindowGroupLimit."""
+    from pipelinedp_spark.functions.sampling import temperature_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (temperature_sample(docs, "source", "doc_id",
+                               total=200, alpha=0.5)
+            .select("doc_id", "source"))
+
+
+_DOC_TEMPERATURE_MIX_SQL = """
+WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents GROUP BY 1),
+z AS (SELECT SUM(pow(n, 0.5)) AS z FROM c),
+q AS (SELECT source,
+             CAST(FLOOR(200.0 * pow(n, 0.5) / z) AS BIGINT) AS quota
+      FROM c, z),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('temp:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    / 1152921504606846976.0 ASC,
+                    doc_id ASC) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source
+FROM r JOIN q USING (source)
+WHERE rn <= quota
+ORDER BY 1
 """

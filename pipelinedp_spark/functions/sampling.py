@@ -103,6 +103,52 @@ def cap_per_key(df: DataFrame, key_col: str, n: int,
             .drop("__rn__"))
 
 
+def temperature_sample(df: DataFrame, key_col: str, id_col: str,
+                       total: int, alpha: float = 0.5,
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-based source mixing (the pretraining-mixture rule:
+    sampling weight of source s proportional to n_s^alpha, alpha < 1
+    upweights small/rare sources relative to their raw share): draw a
+    deterministic sample of ~``total`` docs whose per-source quotas are
+    floor(total * n_s^alpha / sum n^alpha), each source contributing its
+    quota of lowest-hash docs.
+
+    Deterministic end to end: quotas are a pure function of the source
+    counts (no RNG), per-source membership is the md5-uniform order —
+    reproducible across runs, engines, partitionings. A source's quota
+    is capped at its size (floor + the cap mean the output can be
+    slightly under ``total``; exact integer placement across sources is
+    `operators.packing`'s prefix-sum territory and deliberately not
+    replicated here).
+
+    Scale shape: one map-side-combined count per source, a
+    source-count-sized broadcast of the quota table, and ONE
+    row_number window per source (partial+final WindowGroupLimit when
+    the quota filter is pushed; parallelism = number of sources, which
+    is bounded — document corpora have tens of origins, not millions;
+    for per-DOMAIN mixing at web scale use `cap_per_key`-style fixed
+    caps instead).
+    """
+    from pyspark.sql import Window
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n__"))
+    tot_pow = counts.agg(
+        F.sum(F.pow(F.col("__n__"), F.lit(float(alpha))))
+        .alias("__z__"))
+    quotas = (counts.crossJoin(F.broadcast(tot_pow))
+              .select(key_col,
+                      F.floor(F.lit(float(total))
+                              * F.pow(F.col("__n__"), F.lit(float(alpha)))
+                              / F.col("__z__")).cast("long")
+                      .alias("__quota__")))
+    w = Window.partitionBy(key_col).orderBy(
+        hash_uniform(F.col(id_col), salt).asc(), F.col(id_col).asc())
+    return (df.withColumn("__rn__", F.row_number().over(w))
+            .join(F.broadcast(quotas), key_col)
+            .filter(F.col("__rn__") <= F.col("__quota__"))
+            .drop("__rn__", "__quota__"))
+
+
 def kmv_distinct_estimate(df: DataFrame, col: str,
                           k: int = 1024) -> DataFrame:
     """K-minimum-values distinct-count estimate (Bar-Yossef et al. 2002,

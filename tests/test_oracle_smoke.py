@@ -29,7 +29,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "dp_vector_mean_public",
          # sketch batch (static oracles)
          "doc_vocab_hll", "token_freq_cms", "doc_decontaminate_bloom",
-         "events_windowed_hll", "vocab_overlap_kmv"]
+         "events_windowed_hll", "vocab_overlap_kmv",
+         "doc_temperature_mix"]
 
 
 @pytest.fixture(scope="module")

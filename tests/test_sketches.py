@@ -214,3 +214,33 @@ def test_streaming_hll_matches_batch_mirror(spark, tmp_path):
     b = {r["window_start"]: (r["estimate"], r["nonzero_registers"])
          for r in batch.collect()}
     assert g == b and len(g) == 3
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    from pipelinedp_spark.functions.sampling import temperature_sample
+    # Sources with sizes 100 / 400 / 1600: alpha=0.5 gives quota weights
+    # 10:20:40 (sqrt), upweighting the small source vs raw 1:4:16.
+    df = spark.range(0, 2100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "small")
+        .when(F.col("id") < 500, "mid").otherwise("big").alias("source"))
+    out = temperature_sample(df, "source", "doc_id", total=140, alpha=0.5)
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {"small": 20, "mid": 40, "big": 80}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_sample(df.repartition(7), "source", "doc_id",
+                                  total=140, alpha=0.5).collect())
+    assert a == b
+
+
+def test_temperature_sample_alpha_one_is_proportional(spark):
+    from pipelinedp_spark.functions.sampling import temperature_sample
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "a").otherwise("b").alias("source"))
+    out = temperature_sample(df, "source", "doc_id", total=30, alpha=1.0)
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {"a": 10, "b": 20}
