@@ -1434,6 +1434,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_windowed_hll",
     "vocab_overlap_kmv",
     "doc_temperature_mix",
+    "multimodal_phash_dedup",
 ]
 
 
@@ -1540,6 +1541,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_hll": _events_windowed_hll,
         "vocab_overlap_kmv": _vocab_overlap_kmv,
         "doc_temperature_mix": _doc_temperature_mix,
+        "multimodal_phash_dedup": _multimodal_phash_dedup,
     }
 
 
@@ -1637,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_hll": _EVENTS_WINDOWED_HLL_SQL,
         "vocab_overlap_kmv": _VOCAB_OVERLAP_KMV_SQL,
         "doc_temperature_mix": _DOC_TEMPERATURE_MIX_SQL,
+        "multimodal_phash_dedup": _MULTIMODAL_PHASH_SQL,
     }
 
 
@@ -4597,4 +4600,48 @@ SELECT r.doc_id, r.source
 FROM r JOIN q USING (source)
 WHERE rn <= quota
 ORDER BY 1
+"""
+
+
+def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hashing (`multimodal.phash_dedup`):
+    each doc renders one of 17 fixed 32x32 frequency patterns (class =
+    doc_id % 17) PLUS a per-doc brightness offset (doc_id % 9) * 5 —
+    byte-level dedup (md5 content hash) sees every image as unique, but
+    pHash is brightness-shift invariant (the offset moves only the
+    excluded DC coefficient), so images collapse exactly to their
+    pattern class (verified: one hash per class, cross-class Hamming
+    >= 20; pinned in tests/test_multimodal_native.py). Real BMP bytes
+    in between, real decode on the way out. The oracle states the
+    planted truth: dup iff a smaller doc_id shares the class."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                g = int(d) % 17
+                base = (11 * ((i * i * (g + 2) + 3 * j) % 29)
+                        + 5 * ((7 * i + (g + 5) * j * j) % 31)
+                        + g * 17) % 200
+                px = (base + (int(d) % 9) * 5).astype(np.uint8)
+                payloads.append(MM.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "image": payloads})
+
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    return (MM.phash_dedup(imgs, "image", "doc_id")
+            .select("doc_id", "is_dup"))
+
+
+_MULTIMODAL_PHASH_SQL = """
+SELECT doc_id,
+       doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 17) AS is_dup
+FROM documents
+ORDER BY doc_id
 """

@@ -1021,3 +1021,145 @@ def dedup_by_content_hash(df: DataFrame, binary_col: str = "image",
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"))
             .select(id_col, "hash", "dup_count"))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) — image near-dup over binary columns
+# ---------------------------------------------------------------------------
+
+_PHASH_SIZE = 32          # resample target (32x32 luma grid)
+_PHASH_BLOCK = 8          # low-frequency DCT block
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (same construction as the 8x8 matrix in
+    operators.jpeg, generalized to n)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_PHASH_DCT = _dct_matrix(_PHASH_SIZE)
+
+
+def phash64(rgb: Optional[np.ndarray]) -> Optional[int]:
+    """Classic perceptual hash (DCT pHash) of a decoded image: luma ->
+    bilinear 32x32 resample -> 2D DCT-II -> the 8x8 low-frequency block
+    minus DC -> one bit per coefficient vs their median. 63 bits packed
+    into a non-negative int64.
+
+    Brightness-shift invariant by construction (an additive offset moves
+    only the DC coefficient, which is excluded and does not shift the
+    AC median); robust to small pixel perturbations and resampling,
+    unlike the md5 content hash. Deterministic numpy float64 end to end.
+    """
+    if rgb is None or rgb.size == 0:
+        return None
+    px = rgb.astype(np.float64)
+    if px.ndim == 3:
+        px = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+              + 0.114 * px[:, :, 2])
+    h, w = px.shape
+    n = _PHASH_SIZE
+    # Bilinear resample on the pixel-center grid (deterministic; exact
+    # identity when the image is already 32x32).
+    yy = np.linspace(0, h - 1, n)
+    xx = np.linspace(0, w - 1, n)
+    y0 = np.floor(yy).astype(int)
+    x0 = np.floor(xx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (yy - y0)[:, None]
+    fx = (xx - x0)[None, :]
+    g = (px[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+         + px[np.ix_(y1, x0)] * fy * (1 - fx)
+         + px[np.ix_(y0, x1)] * (1 - fy) * fx
+         + px[np.ix_(y1, x1)] * fy * fx)
+    spec = _PHASH_DCT @ g @ _PHASH_DCT.T
+    block = spec[:_PHASH_BLOCK, :_PHASH_BLOCK].reshape(-1)[1:]  # drop DC
+    med = float(np.median(block))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(df: DataFrame, binary_col: str = "image") -> DataFrame:
+    """(all input columns, phash long) via Arrow-batched mapInPandas over
+    `decode_image_native` + `phash64`; null phash for payloads no native
+    codec handles. One corpus pass, no shuffle."""
+    out_schema = StructType(
+        df.schema.fields + [StructField("phash", LongType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["phash"] = [phash64(decode_image_native(b))
+                            for b in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def phash_dedup(df: DataFrame, binary_col: str = "image",
+                id_col: str = "doc_id",
+                max_hamming: int = 0,
+                num_blocks: int = 4) -> DataFrame:
+    """Image near-dup flags from perceptual hashes: a row is a duplicate
+    iff a SMALLER-id image has pHash within ``max_hamming`` bits. The
+    default (0) groups exact pHash matches — which already collapses
+    brightness-shifted and lightly-perturbed variants (see `phash64`);
+    ``max_hamming`` > 0 widens to near matches via the same pigeonhole
+    blocking as SimHash dedup (hashes within Hamming h share at least
+    one of ``num_blocks`` > h contiguous bit-blocks, so candidate pairs
+    come from equi-joins on block values, never an all-pairs join).
+
+    Returns (id_col, phash, is_dup).
+
+    Scale shape: exact mode is ONE groupBy on the 63-bit hash (min-id
+    keeper broadcast back by hash); blocked mode shuffles each row
+    ``num_blocks`` times on (block_idx, block_bits) — degenerate blocks
+    (e.g. all-zero high bits across the corpus) concentrate like any
+    blocking scheme and follow SimHash's cap guidance.
+    """
+    hashed = image_phash(df, binary_col).select(id_col, "phash") \
+        .filter(F.col("phash").isNotNull())
+    if max_hamming == 0:
+        keeper = hashed.groupBy("phash").agg(
+            F.min(id_col).alias("__keep__"))
+        return (hashed.join(keeper, "phash")
+                .select(id_col, "phash",
+                        (F.col(id_col) != F.col("__keep__"))
+                        .alias("is_dup")))
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_blocks >= "
+            f"{max_hamming + 1} (pigeonhole recall bound)")
+    total_bits = _PHASH_BLOCK * _PHASH_BLOCK - 1
+    width = -(-total_bits // num_blocks)
+    blocks = F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.shiftright(F.col("phash"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
+        for b in range(num_blocks)])
+    tagged = hashed.select(id_col, "phash",
+                           F.explode(blocks).alias("blk"))
+    pairs = (tagged.alias("a")
+             .join(tagged.alias("b"),
+                   (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias(id_col),
+                     F.col("a.phash").alias("phash"),
+                     F.col("b.phash").alias("other"))
+             .distinct())
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("other")))
+    dup_ids = (pairs.filter(ham <= max_hamming)
+               .select(id_col).distinct()
+               .withColumn("__dup__", F.lit(True)))
+    return (hashed.join(dup_ids, id_col, "left")
+            .select(id_col, "phash",
+                    F.coalesce(F.col("__dup__"), F.lit(False))
+                    .alias("is_dup")))

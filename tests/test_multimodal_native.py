@@ -808,3 +808,111 @@ def test_progressive_refine_zrl_window_regression():
         base = decode_jpeg(encode_jpeg(px, subsample=False))
         prog = decode_jpeg(encode_jpeg_progressive(px, subsample=False))
         assert prog is not None and np.array_equal(base, prog), (h, w, seed)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing
+# ---------------------------------------------------------------------------
+
+from pipelinedp_spark.operators.multimodal import (image_phash, phash64,
+                                                   phash_dedup)
+
+
+def _phash_reference(rgb):
+    """Independent straight-from-the-definition pHash (explicit double
+    loops over the DCT sums; no shared code with phash64's matmul path)."""
+    import math
+    px = rgb.astype(np.float64)
+    if px.ndim == 3:
+        px = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    h, w = px.shape
+    n = 32
+    yy = np.linspace(0, h - 1, n)
+    xx = np.linspace(0, w - 1, n)
+    g = np.empty((n, n))
+    for a in range(n):
+        for b in range(n):
+            y, x = yy[a], xx[b]
+            y0, x0 = int(math.floor(y)), int(math.floor(x))
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            fy, fx = y - y0, x - x0
+            g[a, b] = (px[y0, x0] * (1 - fy) * (1 - fx)
+                       + px[y1, x0] * fy * (1 - fx)
+                       + px[y0, x1] * (1 - fy) * fx
+                       + px[y1, x1] * fy * fx)
+    spec = np.empty((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for a in range(n):
+                for b in range(n):
+                    s += (g[a, b]
+                          * math.cos(math.pi * (2 * a + 1) * u / (2 * n))
+                          * math.cos(math.pi * (2 * b + 1) * v / (2 * n)))
+            cu = math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n)
+            cv = math.sqrt(1.0 / n) if v == 0 else math.sqrt(2.0 / n)
+            spec[u, v] = cu * cv * s
+    block = spec.reshape(-1)[1:]
+    med = float(np.median(block))
+    bits = 0
+    for i, val in enumerate(block):
+        if val > med:
+            bits |= 1 << i
+    return bits
+
+
+def test_phash_matches_independent_reference():
+    rng = np.random.RandomState(7)
+    for shape in [(32, 32, 3), (48, 64, 3), (17, 23, 3)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        got, want = phash64(img), _phash_reference(img)
+        # Matmul vs scalar-loop DCT can differ in the last ulp exactly at
+        # the median boundary; identical bit patterns everywhere else.
+        assert bin(got ^ want).count("1") <= 1, shape
+
+
+def test_phash_brightness_invariance_and_separation():
+    rng = np.random.RandomState(3)
+    img = (rng.randint(0, 200, (40, 40), dtype=np.uint8))
+    assert phash64(img) == phash64((img + 40).astype(np.uint8))
+    other = rng.randint(0, 256, (40, 40), dtype=np.uint8)
+    assert bin(phash64(img) ^ phash64(other)).count("1") > 10
+
+
+def test_phash_resample_stability():
+    # The same pattern rendered at 2x resolution hashes near-identically.
+    i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    small = ((7 * i + 13 * j) % 200).astype(np.uint8)
+    i2, j2 = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    big = ((7 * (i2 // 2) + 13 * (j2 // 2)) % 200).astype(np.uint8)
+    assert bin(phash64(small) ^ phash64(big)).count("1") <= 6
+
+
+def test_phash_dedup_exact_and_blocked(spark):
+    from pipelinedp_spark.operators.multimodal import encode_bmp
+    i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+
+    def img(d):
+        g = d % 5
+        base = (11 * ((i * i * (g + 2) + 3 * j) % 29)
+                + 5 * ((7 * i + (g + 5) * j * j) % 31) + g * 17) % 200
+        return (base + (d % 9) * 5).astype(np.uint8)
+
+    rows = [(d, bytearray(encode_bmp(img(d)))) for d in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    out = {r["doc_id"]: r["is_dup"]
+           for r in phash_dedup(df, "image", "doc_id").collect()}
+    assert all(out[d] == (d >= 5) for d in range(30))
+    # Blocked near mode must be a superset of exact grouping.
+    near = {r["doc_id"]: r["is_dup"]
+            for r in phash_dedup(df, "image", "doc_id",
+                                 max_hamming=2, num_blocks=4).collect()}
+    assert all(near[d] for d in range(30) if out[d])
+    with pytest.raises(ValueError):
+        phash_dedup(df, "image", "doc_id", max_hamming=4, num_blocks=4)
+
+
+def test_image_phash_null_for_undecodable(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "doc_id long, image binary")
+    assert image_phash(df, "image").collect()[0]["phash"] is None
