@@ -1435,6 +1435,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "vocab_overlap_kmv",
     "doc_temperature_mix",
     "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
 ]
 
 
@@ -1542,6 +1543,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap_kmv": _vocab_overlap_kmv,
         "doc_temperature_mix": _doc_temperature_mix,
         "multimodal_phash_dedup": _multimodal_phash_dedup,
+        "multimodal_audio_dedup": _multimodal_audio_dedup,
     }
 
 
@@ -1640,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_overlap_kmv": _VOCAB_OVERLAP_KMV_SQL,
         "doc_temperature_mix": _DOC_TEMPERATURE_MIX_SQL,
         "multimodal_phash_dedup": _MULTIMODAL_PHASH_SQL,
+        "multimodal_audio_dedup": _MULTIMODAL_AUDIO_DEDUP_SQL,
     }
 
 
@@ -4640,6 +4643,55 @@ def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MULTIMODAL_PHASH_SQL = """
+SELECT doc_id,
+       doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 17) AS is_dup
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via spectral fingerprints (`multimodal.audio_dedup`,
+    Haitsma-Kalker flux bits): each doc renders one of 17 fixed
+    three-sinusoid waveforms (class = doc_id % 17) at a per-doc gain of
+    2^(doc_id % 5) — byte hashes all differ, but the fingerprint's
+    difference signs are gain-invariant (power-of-two gains scale every
+    FFT intermediate exactly in IEEE arithmetic, so invariance is exact
+    here; under re-quantized arbitrary gains it is approximate), so
+    clips collapse to their waveform class (cross-class Hamming >= 22;
+    pinned in tests). Real WAV bytes in between, real decode on the way
+    out. Oracle = the planted class truth."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        n, sr = 4096, 8000
+        t = np.arange(n) / sr
+        bases = {}
+        for g in range(17):
+            f1, f2 = 200 + 60 * g, 900 + 37 * g
+            w = (np.sin(2 * np.pi * f1 * t)
+                 + 0.5 * np.sin(2 * np.pi * f2 * t)
+                 + 0.25 * np.sin(2 * np.pi * (f1 * 2.3 + 11 * g) * t))
+            bases[g] = np.round(1000 * w).astype(np.int16)
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                MM.encode_wav(
+                    (bases[int(d) % 17] * (1 << (int(d) % 5)))
+                    .astype(np.int16), sr)
+                for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "audio": payloads})
+
+    clips = docs.mapInPandas(gen, "doc_id long, audio binary")
+    return (MM.audio_dedup(clips, "audio", "doc_id")
+            .select("doc_id", "is_dup"))
+
+
+_MULTIMODAL_AUDIO_DEDUP_SQL = """
 SELECT doc_id,
        doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 17) AS is_dup
 FROM documents

@@ -1127,39 +1127,137 @@ def phash_dedup(df: DataFrame, binary_col: str = "image",
     """
     hashed = image_phash(df, binary_col).select(id_col, "phash") \
         .filter(F.col("phash").isNotNull())
+    return _hash_dedup_flags(hashed, id_col, "phash",
+                             _PHASH_BLOCK * _PHASH_BLOCK - 1,
+                             max_hamming, num_blocks)
+
+
+def _hash_dedup_flags(hashed: DataFrame, id_col: str, hash_col: str,
+                      total_bits: int, max_hamming: int,
+                      num_blocks: int) -> DataFrame:
+    """Shared near-dup flagging over any <= 63-bit fingerprint column:
+    exact mode is one groupBy on the hash; near mode uses pigeonhole
+    bit-blocks (hashes within Hamming h share a block when
+    num_blocks > h) so candidates come from equi-joins, never an
+    all-pairs join. Returns (id_col, hash_col, is_dup)."""
     if max_hamming == 0:
-        keeper = hashed.groupBy("phash").agg(
+        keeper = hashed.groupBy(hash_col).agg(
             F.min(id_col).alias("__keep__"))
-        return (hashed.join(keeper, "phash")
-                .select(id_col, "phash",
+        return (hashed.join(keeper, hash_col)
+                .select(id_col, hash_col,
                         (F.col(id_col) != F.col("__keep__"))
                         .alias("is_dup")))
     if max_hamming > num_blocks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs num_blocks >= "
             f"{max_hamming + 1} (pigeonhole recall bound)")
-    total_bits = _PHASH_BLOCK * _PHASH_BLOCK - 1
     width = -(-total_bits // num_blocks)
     blocks = F.array(*[
         F.struct(F.lit(b).alias("b"),
-                 F.shiftright(F.col("phash"), b * width)
+                 F.shiftright(F.col(hash_col), b * width)
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
         for b in range(num_blocks)])
-    tagged = hashed.select(id_col, "phash",
+    tagged = hashed.select(id_col, hash_col,
                            F.explode(blocks).alias("blk"))
     pairs = (tagged.alias("a")
              .join(tagged.alias("b"),
                    (F.col("a.blk") == F.col("b.blk"))
                    & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias(id_col),
-                     F.col("a.phash").alias("phash"),
-                     F.col("b.phash").alias("other"))
+                     F.col(f"a.{hash_col}").alias(hash_col),
+                     F.col(f"b.{hash_col}").alias("other"))
              .distinct())
-    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("other")))
+    ham = F.bit_count(F.col(hash_col).bitwiseXOR(F.col("other")))
     dup_ids = (pairs.filter(ham <= max_hamming)
                .select(id_col).distinct()
                .withColumn("__dup__", F.lit(True)))
     return (hashed.join(dup_ids, id_col, "left")
-            .select(id_col, "phash",
+            .select(id_col, hash_col,
                     F.coalesce(F.col("__dup__"), F.lit(False))
                     .alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (Haitsma-Kalker spectral flux) — audio near-dup
+# ---------------------------------------------------------------------------
+
+_AFP_FRAMES = 16          # analysis frames over the clip
+_AFP_BANDS = 9            # spectral bands (8 band-differences per frame)
+
+
+def audio_fingerprint64(samples: Optional[np.ndarray],
+                        sample_rate: int = 0) -> Optional[int]:
+    """Haitsma-Kalker-style audio fingerprint (the Philips robust-hash
+    construction): mono energy spectrum per frame, banded; bit(f, b) =
+    sign of the band-difference's temporal flux
+    (E[f,b]-E[f,b+1]) - (E[f-1,b]-E[f-1,b+1]). 15 frames x 8 band
+    pairs -> the first 63 bits packed into a non-negative int64.
+
+    Volume-invariant by construction: positive gain scales every band
+    energy by the same factor, leaving all difference signs unchanged —
+    the audio analogue of pHash's brightness invariance (and like it,
+    robust to what byte hashing cannot see past). Deterministic numpy
+    float64 (rfft) end to end. Returns None for empty/too-short clips
+    (< _AFP_FRAMES * 16 samples).
+    """
+    if samples is None:
+        return None
+    x = np.asarray(samples)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    x = x.astype(np.float64)
+    if x.dtype == np.float64 and samples.dtype == np.uint8:
+        x = x - 128.0
+    n = x.size
+    frame_len = n // _AFP_FRAMES
+    if frame_len < 16:
+        return None
+    frames = x[:frame_len * _AFP_FRAMES].reshape(_AFP_FRAMES, frame_len)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nbins = spec.shape[1] - 1                  # exclude DC
+    edges = np.linspace(1, nbins + 1, _AFP_BANDS + 1).astype(int)
+    e = np.stack([spec[:, edges[b]:edges[b + 1]].sum(axis=1)
+                  for b in range(_AFP_BANDS)], axis=1)
+    d = e[:, :-1] - e[:, 1:]                   # band differences
+    flux = d[1:] - d[:-1]                      # temporal flux
+    flat = flux.reshape(-1)[:63]
+    bits = 0
+    for i, v in enumerate(flat):
+        if v > 0:
+            bits |= 1 << i
+    return bits
+
+
+def audio_phash(df: DataFrame, binary_col: str = "audio") -> DataFrame:
+    """(all input columns, afp long) — `audio_fingerprint64` over WAV
+    payloads via `decode_wav` in one Arrow mapInPandas pass; null for
+    undecodable/too-short payloads. No shuffle."""
+    out_schema = StructType(
+        df.schema.fields + [StructField("afp", LongType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for b in pdf[binary_col]:
+                dec = decode_wav(b)
+                fps.append(None if dec is None
+                           else audio_fingerprint64(dec[0], dec[1]))
+            pdf = pdf.copy()
+            pdf["afp"] = fps
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def audio_dedup(df: DataFrame, binary_col: str = "audio",
+                id_col: str = "doc_id",
+                max_hamming: int = 0,
+                num_blocks: int = 4) -> DataFrame:
+    """Audio near-dup flags from spectral fingerprints — same dedup
+    machinery as `phash_dedup` (exact hash groupBy, or pigeonhole
+    bit-block equi-joins for ``max_hamming`` > 0). Returns
+    (id_col, afp, is_dup)."""
+    hashed = audio_phash(df, binary_col).select(id_col, "afp") \
+        .filter(F.col("afp").isNotNull())
+    return _hash_dedup_flags(hashed, id_col, "afp", 63,
+                             max_hamming, num_blocks)

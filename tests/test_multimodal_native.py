@@ -916,3 +916,62 @@ def test_image_phash_null_for_undecodable(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"not an image"))], "doc_id long, image binary")
     assert image_phash(df, "image").collect()[0]["phash"] is None
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting
+# ---------------------------------------------------------------------------
+
+from pipelinedp_spark.operators.multimodal import (audio_dedup,
+                                                   audio_fingerprint64,
+                                                   audio_phash)
+
+
+def _sine_clip(g, gain=1, n=4096, sr=8000):
+    t = np.arange(n) / sr
+    f1, f2 = 200 + 60 * g, 900 + 37 * g
+    w = (np.sin(2 * np.pi * f1 * t) + 0.5 * np.sin(2 * np.pi * f2 * t)
+         + 0.25 * np.sin(2 * np.pi * (f1 * 2.3 + 11 * g) * t))
+    return (np.round(1000 * w).astype(np.int16) * gain).astype(np.int16)
+
+
+def test_audio_fingerprint_gain_invariance_and_separation():
+    for g in (0, 5, 11):
+        base = audio_fingerprint64(_sine_clip(g), 8000)
+        for k in (2, 4, 8, 16):
+            assert audio_fingerprint64(_sine_clip(g, k), 8000) == base
+    fps = [audio_fingerprint64(_sine_clip(g), 8000) for g in range(17)]
+    assert len(set(fps)) == 17
+    mn = min(bin(a ^ b).count("1")
+             for x, a in enumerate(fps) for b in fps[x + 1:])
+    assert mn >= 10
+
+
+def test_audio_fingerprint_wav_roundtrip_stability():
+    from pipelinedp_spark.operators.multimodal import decode_wav, encode_wav
+    clip = _sine_clip(3)
+    direct = audio_fingerprint64(clip, 8000)
+    samples, rate = decode_wav(encode_wav(clip, 8000))
+    assert audio_fingerprint64(samples, rate) == direct
+
+
+def test_audio_fingerprint_too_short_is_none():
+    assert audio_fingerprint64(np.zeros(100, dtype=np.int16), 8000) is None
+    assert audio_fingerprint64(None) is None
+
+
+def test_audio_dedup_planted_classes(spark):
+    from pipelinedp_spark.operators.multimodal import encode_wav
+    rows = [(d, bytearray(encode_wav(_sine_clip(d % 5, 1 << (d % 3)), 8000)))
+            for d in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    out = {r["doc_id"]: r["is_dup"]
+           for r in audio_dedup(df, "audio", "doc_id").collect()}
+    assert all(out[d] == (d >= 5) for d in range(20))
+    # stereo + undecodable inputs
+    stereo = np.stack([_sine_clip(2), _sine_clip(2)], axis=1)
+    df2 = spark.createDataFrame(
+        [(1, bytearray(encode_wav(stereo, 8000))),
+         (2, bytearray(b"junk"))], "doc_id long, audio binary")
+    got = {r["doc_id"]: r["afp"] for r in audio_phash(df2, "audio").collect()}
+    assert got[1] is not None and got[2] is None
