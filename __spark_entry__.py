@@ -1436,6 +1436,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_temperature_mix",
     "multimodal_phash_dedup",
     "multimodal_audio_dedup",
+    "doc_line_dedup",
 ]
 
 
@@ -1544,6 +1545,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": _doc_temperature_mix,
         "multimodal_phash_dedup": _multimodal_phash_dedup,
         "multimodal_audio_dedup": _multimodal_audio_dedup,
+        "doc_line_dedup": _doc_line_dedup,
     }
 
 
@@ -1643,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_temperature_mix": _DOC_TEMPERATURE_MIX_SQL,
         "multimodal_phash_dedup": _MULTIMODAL_PHASH_SQL,
         "multimodal_audio_dedup": _MULTIMODAL_AUDIO_DEDUP_SQL,
+        "doc_line_dedup": _DOC_LINE_DEDUP_SQL,
     }
 
 
@@ -4696,4 +4699,56 @@ SELECT doc_id,
        doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 17) AS is_dup
 FROM documents
 ORDER BY doc_id
+"""
+
+
+def _doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (`dedup.line_dedup`, RefinedWeb/CCNet
+    boilerplate removal, grouped by source): docs are made multi-line
+    deterministically on BOTH sides (five frequent words become
+    newlines),
+    then any line shared by >= 2 distinct docs of the same source is
+    stripped from all of them and the text is rebuilt in order. One
+    posexplode, two map-side aggs on the 60-bit line hash, one
+    (source, hash) equi-join, one groupBy(doc) rebuild — no windows."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.regexp_replace(F.col("text"), " (the|a|data|value|row) ",
+                         "\n").alias("text"))
+    return dedup.line_dedup(docs, min_docs=2, group_col="source")
+
+
+_DOC_LINE_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_replace(text, ' (the|a|data|value|row) ', chr(10), 'g') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source,
+         UNNEST(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM base
+),
+dup AS (
+  SELECT source, line
+  FROM (SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+        FROM lines WHERE trim(line) <> '' GROUP BY 1, 2)
+  WHERE nd >= 2
+),
+tagged AS (
+  SELECT l.doc_id, l.line, l.pos,
+         (d.line IS NOT NULL AND trim(l.line) <> '') AS removed
+  FROM lines l
+  LEFT JOIN dup d ON l.source = d.source AND l.line = d.line
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT removed), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM tagged
+GROUP BY doc_id
 """

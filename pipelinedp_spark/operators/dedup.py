@@ -801,3 +801,66 @@ def gram_dup_rate_estimate(df: DataFrame,
                F.round(F.sum(F.col("o") - 1).cast("double")
                        / F.sum("o"), 6))
         .otherwise(F.lit(0.0)).alias("dup_rate"))
+
+
+def line_dedup(df: DataFrame,
+               text_col: str = "text",
+               id_col: str = "doc_id",
+               min_docs: int = 2,
+               group_col: Optional[str] = None,
+               delimiter: str = "\n") -> DataFrame:
+    """Corpus-wide line-level dedup (RefinedWeb / CCNet boilerplate
+    removal): a line that appears in >= ``min_docs`` DISTINCT documents
+    (within ``group_col`` when given — boilerplate is usually
+    per-source/per-domain) is removed from EVERY document; surviving
+    lines are re-joined in their original order. Whitespace-only lines
+    are never counted or removed (they carry document structure, not
+    boilerplate).
+
+    Returns (id_col, clean_text, n_lines, n_removed) — one row per
+    input document, clean_text = '' when every line was boilerplate.
+
+    Scale shape: one posexplode; duplicate detection is two map-side-
+    combinable aggregations on a 60-bit md5 line hash (the line TEXT is
+    never shuffled for counting — only its hash), then one equi-join of
+    the exploded lines against the duplicated-line table keyed by
+    (group, hash) — small at high ``min_docs`` (AQE broadcasts it) and
+    skew-safe otherwise (AQE skew-join splits hot boilerplate hashes);
+    the rebuild is one groupBy(doc) with an in-memory sort of that
+    document's own lines (no window). Removal keys on the 60-bit hash,
+    the standard trade at corpus scale (a cross-doc collision removing
+    a wrong line has probability ~n_lines^2 / 2^61).
+    """
+    cols = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+    lines = df.select(
+        *cols,
+        F.posexplode(F.split(F.col(text_col), delimiter))
+        .alias("__pos__", "__line__"))
+    lh = T.hex_to_long(F.md5(F.col("__line__"))).alias("__lh__")
+    nonblank = lines.filter(F.trim(F.col("__line__")) != "")
+    gkeys = ([group_col] if group_col else []) + ["__lh__"]
+    per_doc = (nonblank.select(*cols, lh)
+               .groupBy(*gkeys, id_col).agg(F.first(F.lit(1))))
+    dup = (per_doc.groupBy(*gkeys)
+           .agg(F.count(F.lit(1)).alias("__nd__"))
+           .filter(F.col("__nd__") >= min_docs)
+           .select(*gkeys, F.lit(True).alias("__boiler__")))
+    tagged = (lines.withColumn("__lh__", lh)
+              .join(dup, on=gkeys, how="left")
+              .withColumn(
+                  "__removed__",
+                  F.coalesce(F.col("__boiler__"), F.lit(False))
+                  & (F.trim(F.col("__line__")) != "")))
+    rebuilt = (tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("__removed__"),
+                           F.struct(F.col("__pos__").alias("p"),
+                                    F.col("__line__").alias("l"))))),
+                lambda s: s["l"]),
+            delimiter).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("__removed__").cast("long")).cast("long")
+        .alias("n_removed")))
+    return rebuilt.select(id_col, "clean_text", "n_lines", "n_removed")

@@ -341,3 +341,18 @@ def test_bloom_word_table_broadcasts(spark):
     train = docs.filter(F.col("doc_id") % 97 != 0)
     kept = decontaminate_bloom(train, evald, n=3)
     assert P.has_broadcast_join(kept)
+
+
+def test_line_dedup_no_window_partial_aggs(spark):
+    """Corpus line dedup: the rebuild is a groupBy with an in-group
+    array_sort, not a window (a corpus-hot boilerplate line must never
+    serialize onto one window task), and the two counting aggregations
+    are map-side combinable."""
+    from pipelinedp_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.line_dedup(docs, min_docs=2, group_col="source")
+    plan = P.explain_str(out)
+    assert "Window" not in plan
+    assert P.has_partial_aggregation(out)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad

@@ -937,3 +937,56 @@ def test_weighted_sample_topk_prefers_heavy_and_is_deterministic(spark):
                                 "doc_id long, w double")
     assert [r["doc_id"] for r in
             weighted_sample_topk(df2, "w", 10, "doc_id").collect()] == [3]
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(0, "COOKIE NOTICE\nalpha beta\nfooter text"),
+         (1, "COOKIE NOTICE\ngamma delta\nfooter text"),
+         (2, "unique one\nunique two")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.line_dedup(df, min_docs=2).collect()}
+    assert out[0]["clean_text"] == "alpha beta"
+    assert out[1]["clean_text"] == "gamma delta"
+    assert out[2]["clean_text"] == "unique one\nunique two"
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 2
+    assert out[2]["n_removed"] == 0
+
+
+def test_line_dedup_grouped_blank_and_all_removed(spark):
+    # Same line in different groups is NOT boilerplate; blank lines are
+    # never removed; a doc losing every line comes back as ''.
+    df = spark.createDataFrame(
+        [(0, "s1", "promo\n\nbody a"), (1, "s1", "promo"),
+         (2, "s2", "promo\nbody b"), (3, "s1", "promo")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.line_dedup(df, min_docs=2, group_col="source").collect()}
+    assert out[0]["clean_text"] == "\nbody a"      # blank line kept
+    assert out[1]["clean_text"] == ""              # all-boilerplate doc
+    assert out[1]["n_lines"] == 1 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "promo\nbody b"  # s2: only 1 doc has it
+    assert out[3]["clean_text"] == ""
+
+
+def test_line_dedup_min_docs_threshold_and_repeat_within_doc(spark):
+    # A line repeated inside ONE doc counts once toward min_docs (it is
+    # distinct-doc counting), and every occurrence is removed once the
+    # threshold is crossed corpus-wide.
+    df = spark.createDataFrame(
+        [(0, "x\nx\nkeep"), (1, "y")], "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in
+           dedup.line_dedup(df, min_docs=2).collect()}
+    assert out[0] == "x\nx\nkeep"                  # 1 distinct doc < 2
+    df2 = spark.createDataFrame(
+        [(0, "x\nx\nkeep"), (1, "x")], "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            dedup.line_dedup(df2, min_docs=2).collect()}
+    assert out2[0]["clean_text"] == "keep"
+    assert out2[0]["n_removed"] == 2               # both occurrences
+    assert out2[1]["clean_text"] == ""
