@@ -1437,6 +1437,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "multimodal_phash_dedup",
     "multimodal_audio_dedup",
     "doc_line_dedup",
+    "multimodal_video_frames",
 ]
 
 
@@ -1546,6 +1547,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_dedup": _multimodal_phash_dedup,
         "multimodal_audio_dedup": _multimodal_audio_dedup,
         "doc_line_dedup": _doc_line_dedup,
+        "multimodal_video_frames": _multimodal_video_frames,
     }
 
 
@@ -1646,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_dedup": _MULTIMODAL_PHASH_SQL,
         "multimodal_audio_dedup": _MULTIMODAL_AUDIO_DEDUP_SQL,
         "doc_line_dedup": _DOC_LINE_DEDUP_SQL,
+        "multimodal_video_frames": _MULTIMODAL_VIDEO_FRAMES_SQL,
     }
 
 
@@ -4751,4 +4754,54 @@ SELECT doc_id,
          AS n_removed
 FROM tagged
 GROUP BY doc_id
+"""
+
+
+def _multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI/MJPEG frame sampling (`video.sample_video_frames_avi`): each
+    doc renders a real RIFF/AVI container with 6 + doc_id%5 MJPEG frames
+    (frame i = solid gray 32 + 64*((doc_id+i)%4), encoded by the
+    package's own JPEG codec), then every 2nd frame is demux-sampled and
+    DECODED; the recovered mean luma collapses to its planted class
+    (64-wide bins, JPEG error ~1 gray level). Real container mux, real
+    demux walk, real DCT decode on the way out. Oracle = the plant."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import video as V
+    from pipelinedp_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        cell = [encode_jpeg(np.full((16, 16, 3), 32 + 64 * c,
+                                    dtype=np.uint8)) for c in range(4)]
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            vids = [V.encode_avi_mjpeg(
+                        [cell[(int(d) + i) % 4]
+                         for i in range(6 + int(d) % 5)], 16, 16)
+                    for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "video": vids})
+
+    clips = docs.mapInPandas(gen, "doc_id long, video binary")
+    frames = V.sample_video_frames_avi(clips, "video", "doc_id",
+                                       every_nth=2, decode=True)
+    return frames.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round((F.col("mean_luma") - 32) / 64).cast("long")
+        .alias("luma_class"))
+
+
+_MULTIMODAL_VIDEO_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id, UNNEST(range(0, 6 + doc_id % 5)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST((doc_id + i) % 4 AS BIGINT) AS luma_class
+FROM f
+WHERE i % 2 = 0
 """

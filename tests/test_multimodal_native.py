@@ -975,3 +975,73 @@ def test_audio_dedup_planted_classes(spark):
          (2, bytearray(b"junk"))], "doc_id long, audio binary")
     got = {r["doc_id"]: r["afp"] for r in audio_phash(df2, "audio").collect()}
     assert got[1] is not None and got[2] is None
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video: mux, demux, frame sampling
+# ---------------------------------------------------------------------------
+
+from pipelinedp_spark.operators.jpeg import encode_jpeg
+from pipelinedp_spark.operators.video import (encode_avi_mjpeg,
+                                              extract_avi_metadata,
+                                              iter_avi_frames,
+                                              parse_avi_metadata,
+                                              sample_video_frames_avi)
+
+
+def _gray_frame(level):
+    return encode_jpeg(np.full((16, 16, 3), level, dtype=np.uint8))
+
+
+def _clip(n_frames, fps=10.0):
+    return encode_avi_mjpeg([_gray_frame(32 + 64 * (i % 4))
+                             for i in range(n_frames)], 16, 16, fps)
+
+
+def test_avi_mux_demux_roundtrip():
+    frames = [_gray_frame(32 + 64 * (i % 4)) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, 16, 16, fps=25.0)
+    assert parse_avi_metadata(avi) == (16, 16, 5, 25.0)
+    back = list(iter_avi_frames(avi))
+    assert [bytes(b) for b in back] == [bytes(f) for f in frames]
+    assert parse_avi_metadata(b"RIFFxxxxWAVE") == (None,) * 4
+    assert parse_avi_metadata(None) == (None,) * 4
+
+
+def test_avi_odd_frame_padding_preserved():
+    # movi chunks are even-padded; odd-length payloads must round-trip.
+    frames = [b"\xff\xd8odd", b"\xff\xd8even!"]
+    back = list(iter_avi_frames(encode_avi_mjpeg(frames, 4, 4)))
+    assert back == frames
+
+
+def test_extract_avi_metadata_df(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(_clip(3))), (1, bytearray(b"junk")), (2, None)],
+        "doc_id long, video binary")
+    rows = {r["doc_id"]: r for r in
+            extract_avi_metadata(df, "video").collect()}
+    assert (rows[0]["width"], rows[0]["height"],
+            rows[0]["n_frames"], rows[0]["fps"]) == (16, 16, 3, 10.0)
+    assert rows[1]["width"] is None and rows[2]["width"] is None
+
+
+def test_sample_video_frames_avi_sampling_and_decode(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(_clip(7))), (1, bytearray(b"junk"))],
+        "doc_id long, video binary")
+    out = sample_video_frames_avi(df, "video", "doc_id",
+                                  every_nth=3, decode=True).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    assert set(got) == {(0, 0), (0, 3), (0, 6)}   # junk -> no rows
+    for (_, i), r in got.items():
+        assert (r["width"], r["height"]) == (16, 16)
+        assert abs(r["mean_luma"] - (32 + 64 * (i % 4))) < 8
+    # binary mode + max_frames cap
+    out2 = sample_video_frames_avi(df, "video", "doc_id", every_nth=2,
+                                   max_frames=2).collect()
+    assert [r["frame_idx"] for r in out2] == [0, 2]
+    assert bytes(out2[0]["frame"]) == bytes(_gray_frame(32))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sample_video_frames_avi(df, every_nth=0)

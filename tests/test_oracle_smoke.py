@@ -31,7 +31,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "doc_vocab_hll", "token_freq_cms", "doc_decontaminate_bloom",
          "events_windowed_hll", "vocab_overlap_kmv",
          "doc_temperature_mix", "multimodal_phash_dedup",
-         "multimodal_audio_dedup", "doc_line_dedup"]
+         "multimodal_audio_dedup", "doc_line_dedup",
+         "multimodal_video_frames"]
 
 
 @pytest.fixture(scope="module")
