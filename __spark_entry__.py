@@ -1438,6 +1438,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "multimodal_audio_dedup",
     "doc_line_dedup",
     "multimodal_video_frames",
+    "doc_url_canonicalize",
 ]
 
 
@@ -1548,6 +1549,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_dedup": _multimodal_audio_dedup,
         "doc_line_dedup": _doc_line_dedup,
         "multimodal_video_frames": _multimodal_video_frames,
+        "doc_url_canonicalize": _doc_url_canonicalize,
     }
 
 
@@ -1649,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_dedup": _MULTIMODAL_AUDIO_DEDUP_SQL,
         "doc_line_dedup": _DOC_LINE_DEDUP_SQL,
         "multimodal_video_frames": _MULTIMODAL_VIDEO_FRAMES_SQL,
+        "doc_url_canonicalize": _DOC_URL_CANONICALIZE_SQL,
     }
 
 
@@ -4804,4 +4807,62 @@ SELECT doc_id,
        CAST((doc_id + i) % 4 AS BIGINT) AS luma_class
 FROM f
 WHERE i % 2 = 0
+"""
+
+
+def _doc_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain stats
+    (`functions.urls`): each doc gets a deterministically messy URL
+    (upper-cased scheme/host, default :443 port, utm tracking params,
+    unsorted params, fragments — all keyed off doc_id), which the
+    engine canonicalizes, domain-extracts (incl. the co.uk two-label
+    suffix path), and annotates with a broadcast per-domain doc count.
+    Everything is codegen column expressions — zero Python per row.
+    Oracle = the planted canonical form."""
+    from pipelinedp_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 23).cast("string")
+    m2, m3 = F.col("doc_id") % 2, F.col("doc_id") % 3
+    m4, m5 = F.col("doc_id") % 4, F.col("doc_id") % 5
+    raw = F.concat(
+        F.when(m2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(m3 == 0, F.concat(F.lit("WWW.Site"), k, F.lit(".COM")))
+         .when(m3 == 1, F.concat(F.lit("Site"), k, F.lit(".co.uk:443")))
+         .otherwise(F.concat(F.lit("m.site"), k, F.lit(".com"))),
+        F.lit("/p/"), d,
+        F.when(m4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+         .when(m4 == 1, F.lit("?b=2&a=1"))
+         .when(m4 == 2, F.lit("?utm_campaign=x"))
+         .otherwise(F.lit("")),
+        F.when(m5 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    pages = docs.withColumn("url", raw)
+    out = U.with_domain_counts(pages, "url")
+    return out.select(
+        "doc_id",
+        U.canonicalize_url(F.col("url")).alias("canon_url"),
+        "domain", "n_in_domain")
+
+
+_DOC_URL_CANONICALIZE_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 23 AS k, doc_id % 3 AS m3, doc_id % 4 AS m4
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CASE m3 WHEN 0 THEN 'www.site' || k || '.com'
+                 WHEN 1 THEN 'site' || k || '.co.uk'
+                 ELSE 'm.site' || k || '.com' END AS ch,
+         CASE m3 WHEN 1 THEN 'site' || k || '.co.uk'
+                 ELSE 'site' || k || '.com' END AS domain,
+         CASE WHEN m4 IN (0, 1) THEN '?a=1&b=2' ELSE '' END AS q
+  FROM p
+)
+SELECT doc_id,
+       'https://' || ch || '/p/' || doc_id || q AS canon_url,
+       domain,
+       COUNT(*) OVER (PARTITION BY domain) AS n_in_domain
+FROM e
 """

@@ -990,3 +990,48 @@ def test_line_dedup_min_docs_threshold_and_repeat_within_doc(spark):
     assert out2[0]["clean_text"] == "keep"
     assert out2[0]["n_removed"] == 2               # both occurrences
     assert out2[1]["clean_text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / domain extraction
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_rules(spark):
+    from pipelinedp_spark.functions import urls as U
+    cases = [
+        # lowercase scheme+host, strip userinfo/default port/fragment
+        ("HTTPS://User:pw@WWW.Ex.COM:443/A/b#frag",
+         "https://www.ex.com/A/b"),
+        # non-default port kept; params sorted; tracking dropped
+        ("http://ex.com:8080/p?utm_source=f&b=2&a=1",
+         "http://ex.com:8080/p?a=1&b=2"),
+        ("http://ex.com:80/p?gclid=x", "http://ex.com/p"),
+        # empty path -> '/', all-params-stripped -> no '?'
+        ("https://ex.com?utm_campaign=x", "https://ex.com/"),
+        ("not a url", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", U.canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+
+
+def test_registered_domain_and_counts(spark):
+    from pipelinedp_spark.functions import urls as U
+    cases = [("https://a.b.news.co.uk/x", "news.co.uk"),
+             ("https://m.shop.com/y", "shop.com"),
+             ("https://shop.com/z", "shop.com"),
+             ("https://localhost/w", "localhost")]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = df.select("i", U.registered_domain(
+        U.url_host(F.col("url"))).alias("d")).collect()
+    for r in got:
+        assert r["d"] == cases[r["i"]][1]
+    counted = {(r["i"], r["domain"]): r["n_in_domain"]
+               for r in U.with_domain_counts(df).collect()}
+    assert counted[(1, "shop.com")] == 2 and counted[(2, "shop.com")] == 2
+    assert counted[(0, "news.co.uk")] == 1
