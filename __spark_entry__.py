@@ -1439,6 +1439,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_line_dedup",
     "multimodal_video_frames",
     "doc_url_canonicalize",
+    "multimodal_video_dedup",
+    "multimodal_resize_stats",
 ]
 
 
@@ -1550,6 +1552,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _doc_line_dedup,
         "multimodal_video_frames": _multimodal_video_frames,
         "doc_url_canonicalize": _doc_url_canonicalize,
+        "multimodal_video_dedup": _multimodal_video_dedup,
+        "multimodal_resize_stats": _multimodal_resize_stats,
     }
 
 
@@ -1652,6 +1656,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_dedup": _DOC_LINE_DEDUP_SQL,
         "multimodal_video_frames": _MULTIMODAL_VIDEO_FRAMES_SQL,
         "doc_url_canonicalize": _DOC_URL_CANONICALIZE_SQL,
+        "multimodal_video_dedup": _MULTIMODAL_VIDEO_DEDUP_SQL,
+        "multimodal_resize_stats": _MULTIMODAL_RESIZE_STATS_SQL,
     }
 
 
@@ -4865,4 +4871,107 @@ SELECT doc_id,
        domain,
        COUNT(*) OVER (PARTITION BY domain) AS n_in_domain
 FROM e
+"""
+
+
+def _multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via sampled-frame perceptual hashing
+    (`video.video_dedup`): each doc renders a real AVI whose first 8
+    MJPEG frames cycle 4 textures of its class (doc_id % 11) and whose
+    tail appends 0-3 doc-specific junk frames; sampling every 2nd frame
+    capped at 4 pins the compared prefix, so the per-bit-majority
+    fingerprint collapses exactly to the class (the 11 class
+    fingerprints are distinct — random 16x16 textures). Real mux, real
+    demux, real JPEG decode + DCT pHash per sampled frame. Oracle =
+    the planted class truth."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import video as V
+    from pipelinedp_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        def texture(seed):
+            rng = np.random.default_rng(seed)
+            return encode_jpeg(
+                rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+        cls = {c: [texture(c * 4 + j) for j in range(4)]
+               for c in range(11)}
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            vids = []
+            for d in ids:
+                d = int(d)
+                frames = [cls[d % 11][i % 4] for i in range(8)]
+                frames += [texture(100_000 + d * 16 + j)
+                           for j in range(d % 4)]
+                vids.append(V.encode_avi_mjpeg(frames, 16, 16))
+            yield pd.DataFrame({"doc_id": ids, "video": vids})
+
+    clips = docs.mapInPandas(gen, "doc_id long, video binary")
+    return (V.video_dedup(clips, "video", "doc_id",
+                          every_nth=2, max_frames=4)
+            .select("doc_id", "is_dup"))
+
+
+_MULTIMODAL_VIDEO_DEDUP_SQL = """
+SELECT doc_id,
+       doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 11) AS is_dup
+FROM documents
+"""
+
+
+def _multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native image resize, oracle-exact (`multimodal.resize_images` ->
+    `image_pixel_stats`): each doc renders a gray BMP of planted size
+    (8+d%5 x 8+d%7) with pixel v(y,x) = (d + 7y + 13x) % 256, resized
+    to 4x4 with the engine's nearest-neighbor resampler (rows
+    (i*h)//4, cols (j*w)//4) and re-encoded; the decoded pixel sum of
+    the OUTPUT bytes must equal the closed-form plant — integer-exact
+    end-to-end (BMP is lossless, gray luma == v). Oracle = the same
+    index arithmetic in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            imgs, metas = [], []
+            for d in ids:
+                d = int(d)
+                w, h = 8 + d % 5, 8 + d % 7
+                y, x = np.mgrid[0:h, 0:w]
+                v = ((d + 7 * y + 13 * x) % 256).astype(np.uint8)
+                imgs.append(MM.encode_bmp(np.stack([v, v, v], axis=2)))
+                metas.append({"width": w, "height": h, "format": "bmp"})
+            yield pd.DataFrame({"doc_id": ids, "image": imgs,
+                                "meta": metas})
+
+    imgs = docs.mapInPandas(
+        gen, "doc_id long, image binary, "
+             "meta struct<width:int,height:int,format:string>")
+    resized = MM.resize_images(imgs, "image", "meta",
+                               width=4, height=4, decoder="native")
+    return MM.image_pixel_stats(resized, "image").select(
+        "doc_id", "px_width", "px_height", "px_sum")
+
+
+_MULTIMODAL_RESIZE_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h
+  FROM documents
+),
+g AS (SELECT doc_id, w, h, UNNEST(range(0, 4)) AS i FROM p),
+gg AS (SELECT doc_id, w, h, i, UNNEST(range(0, 4)) AS j FROM g)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS px_width,
+       CAST(4 AS INTEGER) AS px_height,
+       CAST(SUM((doc_id + 7 * ((i * h) // 4) + 13 * ((j * w) // 4))
+                % 256) AS BIGINT) AS px_sum
+FROM gg
+GROUP BY doc_id
 """

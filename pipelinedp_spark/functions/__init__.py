@@ -1,1 +1,2 @@
-from pipelinedp_spark.functions import text  # noqa: F401
+from pipelinedp_spark.functions import (embeddings, layout, sampling,
+                                        sketches, text, urls)  # noqa: F401

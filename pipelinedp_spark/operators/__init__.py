@@ -2,4 +2,5 @@ from pipelinedp_spark.operators import (asof, bpe, decontam, dedup, graph,
                                         jpeg, mixing, multimodal, packing,
                                         quality, ranges, retrieval,
                                         running, semdedup, sessions,
-                                        similarity)  # noqa: F401
+                                        similarity, video)  # noqa: F401
+from pipelinedp_spark.functions import text  # noqa: F401

@@ -195,3 +195,85 @@ def sample_video_frames_avi(df: DataFrame,
             yield pd.DataFrame(out)
 
     return df.select(id_col, video_col).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprinting / near-dup
+# ---------------------------------------------------------------------------
+
+def video_phash(df: DataFrame,
+                video_col: str = "video",
+                id_col: str = "doc_id",
+                every_nth: int = 2,
+                max_frames: Optional[int] = 8) -> DataFrame:
+    """63-bit video fingerprint: per-frame perceptual hash
+    (`multimodal.phash64`, DCT-sign) over the SAMPLED frames, combined
+    by per-bit majority — the frame-set signature that survives
+    trailing-credit / appended-frame variation (sampling + cap pin the
+    compared prefix) and single-frame corruption (majority vote).
+    Returns (id_col, vfp, n_hashed); vfp is null when no sampled frame
+    decodes. One Arrow pass; decode + pHash cost is per SAMPLED frame.
+    """
+    from pipelinedp_spark.operators.multimodal import phash64
+    if every_nth < 1:
+        raise ValueError(f"every_nth={every_nth} must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, ns = [], [], []
+            for vid, data in zip(pdf[id_col], pdf[video_col]):
+                if data is None:
+                    continue
+                data = bytes(data)
+                if parse_avi_metadata(data)[0] is None:
+                    continue
+                hashes, taken = [], 0
+                for i, fr in enumerate(iter_avi_frames(data)):
+                    if i % every_nth:
+                        continue
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    taken += 1
+                    ph = phash64(decode_jpeg(fr))
+                    if ph is not None:
+                        hashes.append(ph)
+                if not hashes:
+                    vfp = None
+                else:
+                    arr = np.array(hashes, dtype=np.uint64)
+                    ones = np.zeros(63, dtype=np.int64)
+                    for b in range(63):
+                        ones[b] = int(
+                            ((arr >> np.uint64(b))
+                             & np.uint64(1)).sum())
+                    maj = (ones * 2 >= len(hashes)).astype(np.uint64)
+                    vfp = int((maj << np.arange(63, dtype=np.uint64))
+                              .sum())
+                ids.append(vid)
+                fps.append(vfp)
+                ns.append(len(hashes))
+            yield pd.DataFrame({id_col: ids, "vfp": fps,
+                                "n_hashed": ns})
+
+    return df.select(id_col, video_col).mapInPandas(
+        gen, f"{id_col} long, vfp long, n_hashed int")
+
+
+def video_dedup(df: DataFrame,
+                video_col: str = "video",
+                id_col: str = "doc_id",
+                max_hamming: int = 0,
+                num_blocks: int = 4,
+                every_nth: int = 2,
+                max_frames: Optional[int] = 8) -> DataFrame:
+    """Video near-dup flags from sampled-frame fingerprints — the same
+    dedup machinery as image/audio (`multimodal._hash_dedup_flags`):
+    exact mode is one groupBy on the fingerprint; near mode uses
+    pigeonhole bit-block equi-joins (never all-pairs). Returns
+    (id_col, vfp, is_dup)."""
+    from pipelinedp_spark.operators.multimodal import _hash_dedup_flags
+    hashed = video_phash(df, video_col, id_col, every_nth,
+                         max_frames).select(id_col, "vfp") \
+        .filter(F.col("vfp").isNotNull())
+    return _hash_dedup_flags(hashed, id_col, "vfp", 63,
+                             max_hamming, num_blocks)

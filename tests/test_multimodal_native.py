@@ -1045,3 +1045,46 @@ def test_sample_video_frames_avi_sampling_and_decode(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sample_video_frames_avi(df, every_nth=0)
+
+
+def _texture_frame(seed):
+    rng = np.random.default_rng(seed)
+    return encode_jpeg(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+
+
+def test_video_phash_majority_ignores_tail_and_corruption(spark):
+    from pipelinedp_spark.operators.video import video_dedup, video_phash
+    cls = [_texture_frame(j) for j in range(4)]
+
+    def clip(n_junk, doc):
+        frames = [cls[i % 4] for i in range(8)]
+        frames += [_texture_frame(1000 + doc * 16 + j)
+                   for j in range(n_junk)]
+        return bytearray(encode_avi_mjpeg(frames, 16, 16))
+
+    df = spark.createDataFrame(
+        [(0, clip(0, 0)), (1, clip(3, 1)), (2, clip(1, 2)),
+         (3, bytearray(b"junk"))],
+        "doc_id long, video binary")
+    fps = {r["doc_id"]: r for r in
+           video_phash(df, every_nth=2, max_frames=4).collect()}
+    # sampling+cap pins frames 0,2,4,6 -> identical fingerprint
+    assert fps[0]["vfp"] == fps[1]["vfp"] == fps[2]["vfp"]
+    assert fps[0]["n_hashed"] == 4
+    assert 3 not in fps                       # undecodable -> no row
+    out = {r["doc_id"]: r["is_dup"] for r in
+           video_dedup(df, every_nth=2, max_frames=4).collect()}
+    assert out == {0: False, 1: True, 2: True}
+
+
+def test_video_phash_majority_vote_flips_minority_frame(spark):
+    from pipelinedp_spark.operators.video import video_phash
+    base = [_texture_frame(7)] * 5
+    corrupted = base[:4] + [_texture_frame(99)]   # 1 of 5 differs
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_avi_mjpeg(base, 16, 16))),
+         (1, bytearray(encode_avi_mjpeg(corrupted, 16, 16)))],
+        "doc_id long, video binary")
+    fps = {r["doc_id"]: r["vfp"] for r in
+           video_phash(df, every_nth=1, max_frames=None).collect()}
+    assert fps[0] == fps[1]                   # 4-of-5 majority wins

@@ -32,7 +32,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "events_windowed_hll", "vocab_overlap_kmv",
          "doc_temperature_mix", "multimodal_phash_dedup",
          "multimodal_audio_dedup", "doc_line_dedup",
-         "multimodal_video_frames", "doc_url_canonicalize"]
+         "multimodal_video_frames", "doc_url_canonicalize",
+         "multimodal_video_dedup", "multimodal_resize_stats"]
 
 
 @pytest.fixture(scope="module")
