@@ -4779,7 +4779,8 @@ def _multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinedp_spark.operators import video as V
     from pipelinedp_spark.operators.jpeg import encode_jpeg
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     def gen(it):
         cell = [encode_jpeg(np.full((16, 16, 3), 32 + 64 * c,
@@ -4881,7 +4882,7 @@ def _multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail appends 0-3 doc-specific junk frames; sampling every 2nd frame
     capped at 4 pins the compared prefix, so the per-bit-majority
     fingerprint collapses exactly to the class (the 11 class
-    fingerprints are distinct — random 16x16 textures). Real mux, real
+    fingerprints are distinct — random low-frequency textures). Real mux, real
     demux, real JPEG decode + DCT pHash per sampled frame. Oracle =
     the planted class truth."""
     import numpy as np
@@ -4889,23 +4890,30 @@ def _multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinedp_spark.operators import video as V
     from pipelinedp_spark.operators.jpeg import encode_jpeg
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # Repartition the 8-byte id rows BEFORE the expensive render pass so
+    # parallelism is core-bound, not input-file-bound (sf1 ships 8 files).
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     def gen(it):
         def texture(seed):
+            # Low-frequency texture (4x4 noise upsampled 4x): decodes
+            # ~4x faster than raw noise (sparse post-quant spectrum)
+            # and concentrates energy exactly where pHash looks.
             rng = np.random.default_rng(seed)
-            return encode_jpeg(
-                rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+            base = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+            return encode_jpeg(np.kron(base, np.ones((4, 4, 1),
+                                                     dtype=np.uint8)))
         cls = {c: [texture(c * 4 + j) for j in range(4)]
                for c in range(11)}
+        junk = [texture(100_000 + j) for j in range(64)]  # memoized pool
         for pdf in it:
             ids = pdf["doc_id"].astype("int64")
             vids = []
             for d in ids:
                 d = int(d)
                 frames = [cls[d % 11][i % 4] for i in range(8)]
-                frames += [texture(100_000 + d * 16 + j)
-                           for j in range(d % 4)]
+                frames += [junk[(d * 16 + j) % 64] for j in range(d % 4)]
                 vids.append(V.encode_avi_mjpeg(frames, 16, 16))
             yield pd.DataFrame({"doc_id": ids, "video": vids})
 

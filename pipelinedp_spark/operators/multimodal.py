@@ -1139,7 +1139,14 @@ def _hash_dedup_flags(hashed: DataFrame, id_col: str, hash_col: str,
     exact mode is one groupBy on the hash; near mode uses pigeonhole
     bit-blocks (hashes within Hamming h share a block when
     num_blocks > h) so candidates come from equi-joins, never an
-    all-pairs join. Returns (id_col, hash_col, is_dup)."""
+    all-pairs join. Returns (id_col, hash_col, is_dup).
+
+    The hashed table feeds 2-3 consumers below; un-materialized, each
+    consumer would re-run the whole upstream decode+fingerprint pass
+    (the expensive part), so it is localCheckpoint'd first — the
+    materialization is (id, 63-bit hash) only, ~16 B/row at any corpus
+    size."""
+    hashed = hashed.localCheckpoint()
     if max_hamming == 0:
         keeper = hashed.groupBy(hash_col).agg(
             F.min(id_col).alias("__keep__"))
