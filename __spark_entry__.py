@@ -1441,6 +1441,10 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_url_canonicalize",
     "multimodal_video_dedup",
     "multimodal_resize_stats",
+    "dedup_keep_best",
+    "doc_paragraph_filter",
+    "stream_line_dedup_mirror",
+    "doc_token_budget",
 ]
 
 
@@ -1554,6 +1558,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_canonicalize": _doc_url_canonicalize,
         "multimodal_video_dedup": _multimodal_video_dedup,
         "multimodal_resize_stats": _multimodal_resize_stats,
+        "dedup_keep_best": _dedup_keep_best,
+        "doc_paragraph_filter": _doc_paragraph_filter,
+        "stream_line_dedup_mirror": _stream_line_dedup_mirror,
+        "doc_token_budget": _doc_token_budget,
     }
 
 
@@ -1658,6 +1666,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_url_canonicalize": _DOC_URL_CANONICALIZE_SQL,
         "multimodal_video_dedup": _MULTIMODAL_VIDEO_DEDUP_SQL,
         "multimodal_resize_stats": _MULTIMODAL_RESIZE_STATS_SQL,
+        "dedup_keep_best": _gen_dedup_keep_best_sql(),
+        "doc_paragraph_filter": _gen_paragraph_filter_sql(),
+        "stream_line_dedup_mirror": _STREAM_LINE_DEDUP_MIRROR_SQL,
+        "doc_token_budget": _DOC_TOKEN_BUDGET_SQL,
     }
 
 
@@ -4982,4 +4994,213 @@ SELECT doc_id,
                 % 256) AS BIGINT) AS px_sum
 FROM gg
 GROUP BY doc_id
+"""
+
+
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection
+    (`graph.keep_best_representative`): the simhash near-dup clusters
+    from dedup_clusters, but each cluster keeps its LONGEST document
+    (n_chars, ties to smallest id) instead of the minimum id — the
+    production rule (keep the best copy). One max(struct) agg per
+    cluster, no windows. Oracle = the recursive-CTE closure plus a
+    per-cluster argmax."""
+    from pipelinedp_spark.operators import dedup, graph
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    clusters = graph.near_dup_clusters(docs, pairs)
+    return graph.keep_best_representative(docs, clusters, "n_chars")
+
+
+def _gen_dedup_keep_best_sql() -> str:
+    pair_sql = _DEDUP_SIMHASH_SQL.replace("ORDER BY 1, 2", "")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pair_sql})
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON reach.node = und.v
+),
+cluster AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT c.doc_id, c.cluster_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS is_kept
+FROM cluster c JOIN documents d USING (doc_id)
+"""
+
+
+def _doc_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level LM filtering
+    (`quality.paragraph_perplexity_filter`, max_ppl=60): docs made
+    multi-paragraph deterministically (five frequent words become
+    newlines), each paragraph scored under the corpus-fit unigram LM,
+    rare-token paragraphs (ppl > 60) dropped, docs rebuilt in order.
+    Oracle recomputes the identical model and threshold in SQL."""
+    from pipelinedp_spark.operators import quality
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " (the|a|data|value|row) ",
+                         "\n").alias("text"))
+    return quality.paragraph_perplexity_filter(docs, max_ppl=60.0)
+
+
+def _gen_paragraph_filter_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `quality.paragraph_perplexity_filter`: ln(N) is
+    computed once in Python and injected as a literal into BOTH sides
+    (the operator does the same), so the only cross-engine drift is
+    last-ulp libm ln per token under the 6dp round."""
+    import math
+    import duckdb
+    n = duckdb.sql(f"""
+WITH base AS (SELECT regexp_replace(text, ' (the|a|data|value|row) ',
+                                    chr(10), 'g') AS t
+              FROM read_parquet('{sf_dir}/documents.parquet')),
+paras AS (SELECT UNNEST(string_split(t, chr(10))) AS para FROM base)
+SELECT SUM(len(string_split(para, ' '))) FROM paras""").fetchone()[0]
+    ln_n = repr(math.log(float(n)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(text, ' (the|a|data|value|row) ',
+                                chr(10), 'g') AS t
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, UNNEST(string_split(t, chr(10))) AS para,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM base
+),
+toks AS (
+  SELECT doc_id, pos, unnest(string_split(para, ' ')) AS tok FROM paras
+),
+vocab AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+ppl AS (
+  SELECT doc_id, pos,
+         ROUND(EXP({ln_n} - SUM(LN(c)) / COUNT(*)), 6) AS p
+  FROM toks JOIN vocab USING (tok) GROUP BY doc_id, pos
+),
+tagged AS (
+  SELECT paras.doc_id, paras.pos, paras.para, ppl.p > 60.0 AS dropped
+  FROM paras JOIN ppl ON paras.doc_id = ppl.doc_id
+                     AND paras.pos = ppl.pos
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT dropped), '') AS clean_text,
+       COUNT(*) AS n_paragraphs,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM tagged
+GROUP BY doc_id
+"""
+
+
+def _stream_line_dedup_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_line_dedup` with exact
+    two-trigger semantics: micro-batch 1 = even-id docs (boilerplate =
+    lines in >= 2 distinct even docs), micro-batch 2 = odd-id docs
+    (boilerplate counted against batch 1's accumulated state PLUS the
+    odd batch itself). Same multiline transform as doc_line_dedup.
+    The oracle replays both batches' cumulative count rules in SQL."""
+    from pipelinedp_spark.streaming.dp_streaming import line_dedup_batch
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " (the|a|data|value|row) ",
+                         "\n").alias("text"))
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    cleaned1, state1 = line_dedup_batch(even, None, materialize=True)
+    cleaned2, _ = line_dedup_batch(odd, state1)
+    return (cleaned1.withColumn("batch", F.lit(0).cast("long"))
+            .unionByName(cleaned2.withColumn("batch",
+                                             F.lit(1).cast("long"))))
+
+
+_STREAM_LINE_DEDUP_MIRROR_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a|data|value|row) ', chr(10), 'g') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, doc_id % 2 AS par,
+         UNNEST(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM base
+),
+ce AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines
+  WHERE par = 0 AND trim(line) <> '' GROUP BY 1
+),
+co AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines
+  WHERE par = 1 AND trim(line) <> '' GROUP BY 1
+),
+tagged AS (
+  SELECT l.doc_id, l.par, l.line, l.pos,
+         (trim(l.line) <> '' AND
+          CASE WHEN l.par = 0 THEN COALESCE(ce.nd, 0) >= 2
+               ELSE COALESCE(ce.nd, 0) + COALESCE(co.nd, 0) >= 2
+          END) AS removed
+  FROM lines l
+  LEFT JOIN ce ON l.line = ce.line
+  LEFT JOIN co ON l.line = co.line
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT removed), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(par AS BIGINT) AS batch
+FROM tagged
+GROUP BY doc_id, par
+"""
+
+
+def _doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation (`mixing.select_to_token_budget`, budget =
+    40000): docs ranked by token count DESC (id tiebreak, both folded
+    into one unique ascending key) are taken greedily while the
+    cumulative token count stays within budget — the prefix sum is the
+    distributed two-phase running_sum, not a single-task window. Oracle
+    = the same cumulative rule as a SQL window."""
+    from pipelinedp_spark.operators.mixing import select_to_token_budget
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"))
+    # unique ascending priority key: more tokens first, then smaller id
+    # (n_toks < 2^20, doc_id < 2^40 at any test SF)
+    keyed = toks.withColumn(
+        "__ord__",
+        (-F.col("n_toks") * F.lit(1 << 40) + F.col("doc_id"))
+        .cast("long"))
+    out = select_to_token_budget(keyed, 40000, "n_toks", "__ord__")
+    return out.select("doc_id", "n_toks",
+                      F.col("cum_tokens").cast("long").alias("cum_tokens"))
+
+
+_DOC_TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_toks,
+         SUM(n_toks) OVER (ORDER BY n_toks DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_toks, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 40000
 """

@@ -851,6 +851,16 @@ def line_dedup(df: DataFrame,
                   "__removed__",
                   F.coalesce(F.col("__boiler__"), F.lit(False))
                   & (F.trim(F.col("__line__")) != "")))
+    return _rebuild_kept_lines(tagged, id_col, delimiter)
+
+
+def _rebuild_kept_lines(tagged: DataFrame, id_col: str,
+                        delimiter: str) -> DataFrame:
+    """Shared doc-rebuild tail for line-level filters: one groupBy(doc)
+    with an in-group array_sort of that document's own (pos, line)
+    structs (no window — a corpus-hot line never serializes onto one
+    task). Expects (id, __pos__, __line__, __removed__) rows; emits
+    (id, clean_text, n_lines, n_removed)."""
     rebuilt = (tagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -130,3 +130,28 @@ def near_dup_clusters(docs: DataFrame, pairs: DataFrame,
             .select(F.col(id_col),
                     F.coalesce(F.col("component"), F.col(id_col))
                     .alias("cluster_id")))
+
+
+def keep_best_representative(docs: DataFrame, clusters: DataFrame,
+                             quality_col: str,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Pick each near-dup cluster's surviving document by QUALITY
+    instead of min-id (production dedup keeps the best copy — longest,
+    highest quality score — not the lowest id): given (id, cluster_id)
+    from `near_dup_clusters` and a numeric quality column on ``docs``,
+    returns (id_col, cluster_id, is_kept) with exactly one kept row per
+    cluster (argmax quality, ties to the smallest id).
+
+    One shuffle on cluster_id for the argmax (a single max(struct)
+    aggregation — map-side combinable, no window, so a corpus-hot
+    cluster never serializes onto one task) and one join back.
+    """
+    labeled = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col)
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col(quality_col).alias("q"),
+                       (-F.col(id_col)).alias("nid"))).alias("__b__"))
+    return (labeled.join(best, "cluster_id")
+            .select(id_col, "cluster_id",
+                    (F.col(id_col) == -F.col("__b__.nid"))
+                    .alias("is_kept")))

@@ -240,3 +240,27 @@ def importance_resample(weighted: DataFrame,
     keep_p = F.least(F.lit(1.0), w * (keep_fraction / float(mean_w)))
     return weighted.filter(
         hash_uniform(F.col(id_col), salt=salt) < keep_p)
+
+
+def select_to_token_budget(df: DataFrame,
+                           budget: int,
+                           token_col: str,
+                           order_col: str,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Greedy selection to a corpus token budget: walk the documents in
+    ascending ``order_col`` (the caller encodes its priority there —
+    e.g. quality descending with an id tiebreak folded into one unique
+    sortable key) and keep each document whose INCLUSIVE cumulative
+    ``token_col`` stays within ``budget`` — the standard "best docs
+    until the token budget is full" curation rule (greedy by priority,
+    not knapsack-optimal; a doc that individually overflows is skipped
+    only if everything before it already filled the budget).
+
+    Returns the selected rows plus ``cum_tokens``. Scale shape: the
+    cumulative count is `operators.running.running_sum` — a
+    range-exchange two-phase prefix sum, never a single-task global
+    window — and the budget cut is a filter on it.
+    """
+    from pipelinedp_spark.operators.running import running_sum
+    rs = running_sum(df, order_col, token_col, "cum_tokens")
+    return rs.filter(F.col("cum_tokens") <= budget)

@@ -238,3 +238,68 @@ def ngram_novelty(df: DataFrame,
                     F.col("n_grams").cast("long").alias("n_grams"),
                     F.round(F.col("unique").cast("double")
                             / F.col("n_grams"), 6).alias("novelty")))
+
+
+def paragraph_perplexity_filter(df: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                max_ppl: float = 1000.0,
+                                delimiter: str = "\n",
+                                broadcast_vocab: bool = True) -> DataFrame:
+    """CCNet-style PARAGRAPH-level LM filtering (Wenzek et al.,
+    arXiv:1911.00359 §4.4 scores and filters at paragraph granularity,
+    not document granularity): split each document into paragraphs,
+    score every paragraph's perplexity under a unigram LM fit on the
+    whole corpus (same MLE model as `unigram_perplexity`), DROP
+    paragraphs with ppl > ``max_ppl`` (rare-token noise), and rebuild
+    the documents from the survivors in order.
+
+    Returns (id_col, clean_text, n_paragraphs, n_dropped) — one row per
+    input document; clean_text = '' when every paragraph drops.
+
+    Scale shape: one posexplode to paragraphs + one explode to tokens;
+    vocab is ONE map-side-combinable groupBy, localCheckpoint'd because
+    it feeds the total-count collect AND the scoring join (broadcast —
+    vocabularies are far under broadcast limits at any corpus size; set
+    ``broadcast_vocab=False`` for pathological token spaces); the
+    per-paragraph reduction and the per-doc rebuild are two more
+    map-side-combinable groupBys. No windows, no driver loops beyond
+    the single scalar N.
+    """
+    import math
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+        .alias("__pos__", "__para__"))
+    toks = paras.select(
+        F.col(id_col), "__pos__",
+        F.explode(T.tokens(F.col("__para__"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")).localCheckpoint()
+    total = vocab.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    if total is None:
+        total = 1.0
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = (toks.join(v, "tok")
+              .groupBy(id_col, "__pos__")
+              .agg(F.count(F.lit(1)).alias("n_toks"),
+                   F.sum(F.log("c")).alias("sum_ln_c"))
+              .select(F.col(id_col), "__pos__",
+                      F.round(F.exp(F.lit(math.log(float(total)))
+                                    - F.col("sum_ln_c")
+                                    / F.col("n_toks")), 6)
+                      .alias("__ppl__")))
+    tagged = (paras.join(scored, [id_col, "__pos__"])
+              .withColumn("__drop__", F.col("__ppl__") > max_ppl))
+    return (tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("__drop__"),
+                           F.struct(F.col("__pos__").alias("p"),
+                                    F.col("__para__").alias("t"))))),
+                lambda s: s["t"]),
+            delimiter).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.sum(F.col("__drop__").cast("long")).cast("long")
+        .alias("n_dropped")))

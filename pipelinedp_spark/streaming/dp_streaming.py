@@ -1134,3 +1134,99 @@ def streaming_distinct_hll(stream: DataFrame,
     return (vals.groupBy("window_start")
             .applyInPandasWithState(hll_fn, out_schema, state_schema,
                                     "update", timeout))
+
+
+def line_dedup_batch(batch: DataFrame,
+                     state: Optional[DataFrame],
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_docs: int = 2,
+                     delimiter: str = "\n",
+                     materialize: bool = False
+                     ) -> "tuple[DataFrame, DataFrame]":
+    """One micro-batch of incremental corpus line dedup (the streaming
+    twin of `operators.dedup.line_dedup`): a line is boilerplate once
+    the number of distinct documents that ever contained it — across
+    ALL batches so far plus this one — reaches ``min_docs``; such lines
+    are stripped from THIS batch's documents (earlier batches were
+    already emitted — the inherent one-pass tradeoff, so early copies
+    of late-detected boilerplate survive; a compaction re-run of the
+    batch operator over the emitted corpus closes that gap offline).
+
+    ``state`` is the accumulated (line hash -> distinct-doc count)
+    table from prior batches (None on the first batch). Returns
+    (cleaned_docs, new_state); persist new_state for the next batch —
+    it REPLACES the old state (counts are merged, not appended).
+
+    Scale shape: per batch one posexplode + two map-side-combinable
+    aggs on the 60-bit line hash; the state merge is a groupBy over
+    state+batch hash counts (state is distinct-line-sized, not
+    corpus-sized); ``materialize=True`` localCheckpoints the merged
+    counts so the cleaned output and the returned state don't each
+    re-run the merge (and the state write can never observe its own
+    consumer mid-plan).
+    """
+    from pipelinedp_spark.functions import text as T
+    from pipelinedp_spark.operators.dedup import _rebuild_kept_lines
+
+    lines = batch.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+        .alias("__pos__", "__line__"))
+    lh = T.hex_to_long(F.md5(F.col("__line__"))).alias("__lh__")
+    batch_counts = (lines.filter(F.trim(F.col("__line__")) != "")
+                    .select(F.col(id_col), lh)
+                    .groupBy("__lh__", id_col).agg(F.first(F.lit(1)))
+                    .groupBy("__lh__")
+                    .agg(F.count(F.lit(1)).alias("__nd__")))
+    merged = batch_counts if state is None else (
+        batch_counts.unionByName(state.select("__lh__", "__nd__"))
+        .groupBy("__lh__").agg(F.sum("__nd__").cast("long")
+                               .alias("__nd__")))
+    if materialize:
+        merged = merged.localCheckpoint()
+    boiler = (merged.filter(F.col("__nd__") >= min_docs)
+              .select("__lh__", F.lit(True).alias("__boiler__")))
+    tagged = (lines.withColumn("__lh__", lh)
+              .join(boiler, "__lh__", "left")
+              .withColumn(
+                  "__removed__",
+                  F.coalesce(F.col("__boiler__"), F.lit(False))
+                  & (F.trim(F.col("__line__")) != "")))
+    return _rebuild_kept_lines(tagged, id_col, delimiter), merged
+
+
+def streaming_line_dedup(stream: DataFrame,
+                         output_path: str,
+                         state_path: str,
+                         checkpoint_dir: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_docs: int = 2,
+                         delimiter: str = "\n"):
+    """Streaming ingest-time boilerplate removal via foreachBatch:
+    each micro-batch's documents are scrubbed of lines whose
+    cumulative distinct-doc count (state parquet at ``state_path``)
+    reaches ``min_docs``; cleaned docs append to ``output_path`` and
+    the merged counts OVERWRITE the state table (same relational-state
+    micro-batch pattern, and the same replay caveat, as
+    `streaming_near_dup_dedup`). Returns the started StreamingQuery."""
+    spark = stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            state = None
+        cleaned, new_state = line_dedup_batch(
+            batch_df, state, text_col, id_col, min_docs, delimiter,
+            materialize=True)
+        cleaned.write.mode("append").parquet(output_path)
+        # merged counts REPLACE the state; localCheckpoint above means
+        # this write never re-reads state_path mid-overwrite.
+        new_state.write.mode("overwrite").parquet(state_path)
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -33,7 +33,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "doc_temperature_mix", "multimodal_phash_dedup",
          "multimodal_audio_dedup", "doc_line_dedup",
          "multimodal_video_frames", "doc_url_canonicalize",
-         "multimodal_video_dedup", "multimodal_resize_stats"]
+         "multimodal_video_dedup", "multimodal_resize_stats",
+         "dedup_keep_best", "stream_line_dedup_mirror", "doc_token_budget"]
 
 
 @pytest.fixture(scope="module")

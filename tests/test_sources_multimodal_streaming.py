@@ -839,3 +839,45 @@ def test_streaming_token_topk_state_carries_across_triggers(spark,
                                  r["est_count"])
     # counts accumulate across the two triggers: a=2, b=1+3=4
     assert latest["a"] == 2 and latest["b"] == 4
+
+
+def test_line_dedup_batch_cumulative_counts(spark):
+    from pipelinedp_spark.streaming.dp_streaming import line_dedup_batch
+    b1 = _mk_docs(spark, [(0, "promo\nalpha"), (2, "promo\nbeta")])
+    cleaned1, state1 = line_dedup_batch(b1, None, min_docs=2)
+    got1 = {r["doc_id"]: r["clean_text"] for r in cleaned1.collect()}
+    assert got1 == {0: "alpha", 2: "beta"}     # promo dup within batch 1
+    # batch 2: 'promo' already at count 2 in state -> dropped even though
+    # only ONE batch-2 doc has it; 'gamma x' reaches 2 only cumulatively
+    b2 = _mk_docs(spark, [(1, "promo\ngamma x"), (3, "gamma x\ndelta")])
+    cleaned2, state2 = line_dedup_batch(b2, state1, min_docs=2)
+    got2 = {r["doc_id"]: r for r in cleaned2.collect()}
+    assert got2[1]["clean_text"] == "" and got2[1]["n_removed"] == 2
+    assert got2[3]["clean_text"] == "delta"
+    # merged state REPLACES: promo=2+1=3, gamma x=2, alpha/beta/delta=1
+    nd = sorted(r["__nd__"] for r in state2.collect())
+    assert nd == [1, 1, 1, 2, 3]
+
+
+def test_streaming_line_dedup_end_to_end(spark, tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import streaming_line_dedup
+    src = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    statep = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_docs(spark, [(0, "COOKIES\nalpha"),
+                     (1, "COOKIES\nbeta")]).write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src + "/*"))
+    q = streaming_line_dedup(stream, outp, statep, ckpt)
+    q.awaitTermination(120)
+    # trigger 2: boilerplate known from state removes on FIRST sight here
+    _mk_docs(spark, [(2, "COOKIES\ngamma")]).write.parquet(
+        src + "/f2.parquet")
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .parquet(src + "/*"))
+    q2 = streaming_line_dedup(stream2, outp, statep, ckpt)
+    q2.awaitTermination(120)
+    got = {r["doc_id"]: r["clean_text"]
+           for r in spark.read.parquet(outp).collect()}
+    assert got == {0: "alpha", 1: "beta", 2: "gamma"}

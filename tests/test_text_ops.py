@@ -1035,3 +1035,56 @@ def test_registered_domain_and_counts(spark):
                for r in U.with_domain_counts(df).collect()}
     assert counted[(1, "shop.com")] == 2 and counted[(2, "shop.com")] == 2
     assert counted[(0, "news.co.uk")] == 1
+
+
+def test_keep_best_representative_argmax_and_ties(spark):
+    from pipelinedp_spark.operators import graph
+    docs = spark.createDataFrame(
+        [(0, 10.0), (1, 30.0), (2, 30.0), (3, 5.0)],
+        "doc_id long, quality double")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    clusters = graph.near_dup_clusters(docs, pairs)
+    out = {r["doc_id"]: (r["cluster_id"], r["is_kept"]) for r in
+           graph.keep_best_representative(docs, clusters,
+                                          "quality").collect()}
+    # cluster {0,1,2}: quality argmax ties at 1,2 -> smallest id 1 kept
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[2] == (0, False)
+    assert out[3] == (3, True)      # singleton keeps itself
+
+
+def test_paragraph_perplexity_filter_drops_rare_paragraphs(spark):
+    from pipelinedp_spark.operators import quality
+    common = "alpha beta gamma"
+    df = spark.createDataFrame(
+        [(0, f"{common}\nzzq wwx yyk\n{common}"),
+         (1, f"{common}\n{common}"),
+         (2, common)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           quality.paragraph_perplexity_filter(df, max_ppl=10.0).collect()}
+    # the rare-token paragraph is the only one above threshold
+    assert out[0]["clean_text"] == f"{common}\n{common}"
+    assert out[0]["n_paragraphs"] == 3 and out[0]["n_dropped"] == 1
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == common
+    # all-dropped doc comes back as ''
+    df2 = spark.createDataFrame(
+        [(0, "qqa qqb"), (1, "c c c c c c c c c c c c")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r["clean_text"] for r in
+            quality.paragraph_perplexity_filter(df2,
+                                                max_ppl=3.0).collect()}
+    assert out2[0] == "" and out2[1] == "c c c c c c c c c c c c"
+
+
+def test_select_to_token_budget_greedy_cut(spark):
+    from pipelinedp_spark.operators.mixing import select_to_token_budget
+    df = spark.createDataFrame(
+        [(0, 100, 0), (1, 50, 1), (2, 30, 2), (3, 30, 3)],
+        "doc_id long, n long, ord long")
+    got = {r["doc_id"]: r["cum_tokens"] for r in
+           select_to_token_budget(df, 180, "n", "ord").collect()}
+    assert got == {0: 100, 1: 150, 2: 180}     # doc 3 would hit 210
+    assert select_to_token_budget(df, 99, "n", "ord").count() == 0
