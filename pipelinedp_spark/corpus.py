@@ -117,6 +117,46 @@ class CorpusPipeline:
             .select(self.id_col)
         return self._with(self.df.join(keep, self.id_col, "left_semi"))
 
+    def line_dedup(self, min_docs: int = 2, group_col=None,
+                   delimiter: str = "\n") -> "CorpusPipeline":
+        """Strip corpus-level boilerplate lines (RefinedWeb rule) and
+        rebuild each document's text in place. Triggers no job; lazy."""
+        from pipelinedp_spark.operators.dedup import line_dedup
+        cleaned = line_dedup(self.df, self.text_col, self.id_col,
+                             min_docs, group_col, delimiter)
+        return self._with(self.df.drop(self.text_col).join(
+            cleaned.select(self.id_col,
+                           F.col("clean_text").alias(self.text_col)),
+            self.id_col))
+
+    def paragraph_filter(self, max_ppl: float = 1000.0,
+                         delimiter: str = "\n") -> "CorpusPipeline":
+        """CCNet paragraph-level LM filter: drop rare-token paragraphs
+        (corpus-fit unigram ppl > max_ppl), rebuild text in place.
+        EAGER: the vocab total is one scalar collect."""
+        from pipelinedp_spark.operators.quality import (
+            paragraph_perplexity_filter)
+        cleaned = paragraph_perplexity_filter(
+            self.df, self.text_col, self.id_col, max_ppl, delimiter)
+        return self._with(self.df.drop(self.text_col).join(
+            cleaned.select(self.id_col,
+                           F.col("clean_text").alias(self.text_col)),
+            self.id_col))
+
+    def token_budget(self, budget: int) -> "CorpusPipeline":
+        """Greedy keep-the-longest selection to a corpus token budget
+        (whitespace tokens; distributed prefix sum, no global window).
+        Assumes ids below 2^40 for the fold-into-one-key tiebreak."""
+        from pipelinedp_spark.operators.mixing import select_to_token_budget
+        keyed = self.df.withColumn(
+            "__nt__", F.size(F.split(F.col(self.text_col), " "))
+            .cast("long")).withColumn(
+            "__ord__", (-F.col("__nt__") * F.lit(1 << 40)
+                        + F.col(self.id_col)).cast("long"))
+        out = select_to_token_budget(keyed, budget, "__nt__", "__ord__",
+                                     self.id_col)
+        return self._with(out.drop("__nt__", "__ord__", "cum_tokens"))
+
     def scrub_pii(self) -> "CorpusPipeline":
         """Replace emails/phones/SSNs/IPs with typed placeholders."""
         return self._with(self.df.withColumn(

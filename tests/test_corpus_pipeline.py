@@ -129,3 +129,26 @@ def test_quality_band_empty_corpus_is_noop(spark):
     out = (CorpusPipeline(_docs(spark, []))
            .quality_band(0.05, 0.95).df)
     assert out.count() == 0
+
+
+def test_line_dedup_paragraph_filter_token_budget_stages(spark):
+    docs = _docs(spark, ["COOKIE\nalpha beta gamma delta",
+                         "COOKIE\nepsilon zeta eta",
+                         "theta iota\nqqz wwk"])
+    out = CorpusPipeline(docs).line_dedup(min_docs=2).df
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[0] == "alpha beta gamma delta"
+    assert got[1] == "epsilon zeta eta"
+    assert got[2] == "theta iota\nqqz wwk"
+
+    # paragraph filter drops the rare-token paragraph in doc 2
+    common = "alpha beta alpha beta"
+    docs2 = _docs(spark, [common, common, f"{common}\nqqz wwk yyv"])
+    out2 = CorpusPipeline(docs2).paragraph_filter(max_ppl=12.0).df
+    got2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+    assert got2[2] == common and got2[0] == common
+
+    # budget: keep longest docs while cumulative tokens <= 7
+    docs3 = _docs(spark, ["a b c d", "e f g", "h i"])
+    out3 = CorpusPipeline(docs3).token_budget(7).df
+    assert sorted(r["doc_id"] for r in out3.collect()) == [0, 1]
