@@ -1445,6 +1445,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_paragraph_filter",
     "stream_line_dedup_mirror",
     "doc_token_budget",
+    "doc_wet_roundtrip",
 ]
 
 
@@ -1562,6 +1563,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_filter": _doc_paragraph_filter,
         "stream_line_dedup_mirror": _stream_line_dedup_mirror,
         "doc_token_budget": _doc_token_budget,
+        "doc_wet_roundtrip": _doc_wet_roundtrip,
     }
 
 
@@ -1670,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_paragraph_filter": _gen_paragraph_filter_sql(),
         "stream_line_dedup_mirror": _STREAM_LINE_DEDUP_MIRROR_SQL,
         "doc_token_budget": _DOC_TOKEN_BUDGET_SQL,
+        "doc_wet_roundtrip": _DOC_WET_ROUNDTRIP_SQL,
     }
 
 
@@ -5203,4 +5206,38 @@ c AS (
 )
 SELECT doc_id, n_toks, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 40000
+"""
+
+
+def _doc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive ingestion (`sources.webcrawl`): docs are packed into
+    one multi-record WET archive blob PER SOURCE (applyInPandas — the
+    Common Crawl file shape: many conversion records per archive), then
+    `extract_wet_records` fans the blobs back out to one row per record
+    and the doc id is recovered from the WARC-Target-URI. Exercises the
+    length-driven (Content-Length) record walk end-to-end; oracle = the
+    original documents table."""
+    import pandas as pd
+    from pipelinedp_spark.sources.webcrawl import (encode_wet,
+                                                   extract_wet_records)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = [(f"https://crawl.test/{int(d)}", t)
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+        return pd.DataFrame({"archive": [encode_wet(recs)]})
+
+    archives = docs.groupBy("source").applyInPandas(
+        pack, "archive binary")
+    out = extract_wet_records(archives, "archive")
+    return out.select(
+        F.regexp_extract(F.col("uri"), r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "text")
+
+
+_DOC_WET_ROUNDTRIP_SQL = """
+SELECT doc_id, text FROM documents
 """

@@ -881,3 +881,28 @@ def test_streaming_line_dedup_end_to_end(spark, tmp_path):
     got = {r["doc_id"]: r["clean_text"]
            for r in spark.read.parquet(outp).collect()}
     assert got == {0: "alpha", 1: "beta", 2: "gamma"}
+
+
+def test_wet_codec_and_extract(spark):
+    from pipelinedp_spark.sources.webcrawl import (encode_wet,
+                                                   extract_wet_records,
+                                                   parse_wet_records)
+    blob = encode_wet([("https://x/1", "hello world"),
+                       ("https://x/2", "WARC/1.0\r\nheader-lookalike"),
+                       ("https://x/3", "multi\nline")])
+    recs = parse_wet_records(blob)
+    assert [r[0] for r in recs] == [f"https://x/{i}" for i in (1, 2, 3)]
+    assert recs[1][2] == "WARC/1.0\r\nheader-lookalike"  # length-driven
+    assert parse_wet_records(b"not warc") == []
+    assert parse_wet_records(None) == []
+    assert parse_wet_records(blob[:40]) == []   # truncated header
+    # one partial record survives if the damage is after it
+    assert len(parse_wet_records(blob[: len(encode_wet(
+        [("https://x/1", "hello world")])) + 10])) == 1
+
+    df = spark.createDataFrame(
+        [(bytearray(blob),), (bytearray(b"junk"),), (None,)],
+        "archive binary")
+    out = extract_wet_records(df).collect()
+    assert sorted(r["uri"] for r in out) == [
+        "https://x/1", "https://x/2", "https://x/3"]
