@@ -1446,6 +1446,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "stream_line_dedup_mirror",
     "doc_token_budget",
     "doc_wet_roundtrip",
+    "doc_tar_shards",
 ]
 
 
@@ -1564,6 +1565,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_line_dedup_mirror": _stream_line_dedup_mirror,
         "doc_token_budget": _doc_token_budget,
         "doc_wet_roundtrip": _doc_wet_roundtrip,
+        "doc_tar_shards": _doc_tar_shards,
     }
 
 
@@ -1673,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_line_dedup_mirror": _STREAM_LINE_DEDUP_MIRROR_SQL,
         "doc_token_budget": _DOC_TOKEN_BUDGET_SQL,
         "doc_wet_roundtrip": _DOC_WET_ROUNDTRIP_SQL,
+        "doc_tar_shards": _DOC_TAR_SHARDS_SQL,
     }
 
 
@@ -5240,4 +5243,45 @@ def _doc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_WET_ROUNDTRIP_SQL = """
 SELECT doc_id, text FROM documents
+"""
+
+
+def _doc_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard ingestion (`sources.webcrawl.encode_tar`
+    / `extract_tar_members`): docs are packed as per-source tar shards
+    with two modalities per sample ({id}.txt = text, {id}.cls =
+    n_chars), exploded back to row-per-member, and the sample's
+    modalities regrouped by key with one groupBy (the WebDataset
+    pattern). Oracle = the original documents table."""
+    import pandas as pd
+    from pipelinedp_spark.sources.webcrawl import (encode_tar,
+                                                   extract_tar_members)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text", "n_chars")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = []
+        for d, t, nc in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+            members.append((f"s/{int(d)}.txt", str(t).encode("utf-8")))
+            members.append((f"s/{int(d)}.cls", str(int(nc)).encode()))
+        return pd.DataFrame({"shard": [encode_tar(members)]})
+
+    shards = docs.groupBy("source").applyInPandas(pack, "shard binary")
+    mem = extract_tar_members(shards, "shard")
+    sample = mem.groupBy("key").agg(
+        F.first(F.when(F.col("suffix") == "txt",
+                       F.decode(F.col("payload"), "UTF-8")),
+                ignorenulls=True).alias("text"),
+        F.first(F.when(F.col("suffix") == "cls",
+                       F.decode(F.col("payload"), "UTF-8")),
+                ignorenulls=True).cast("long").alias("n_chars"))
+    return sample.select(
+        F.regexp_extract(F.col("key"), r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "text", "n_chars")
+
+
+_DOC_TAR_SHARDS_SQL = """
+SELECT doc_id, text, n_chars FROM documents
 """

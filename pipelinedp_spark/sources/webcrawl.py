@@ -103,3 +103,74 @@ def extract_wet_records(df: DataFrame,
 
     return df.select(blob_col).mapInPandas(
         gen, "uri string, date string, text string")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards (ustar)
+# ---------------------------------------------------------------------------
+
+def encode_tar(members: "List[Tuple[str, bytes]]") -> bytes:
+    """Build an uncompressed POSIX ustar archive from (name, payload)
+    members — the WebDataset shard shape (sample.jpg / sample.txt /
+    sample.json grouped by basename). Stdlib tarfile, in-memory."""
+    import io
+    import tarfile
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def extract_tar_members(df: DataFrame,
+                        blob_col: str = "shard",
+                        suffixes: "Optional[List[str]]" = None
+                        ) -> DataFrame:
+    """Explode tar shard blobs into (key, suffix, payload) rows —
+    WebDataset semantics: a member ``dir/abc.txt`` yields key
+    ``dir/abc`` and suffix ``txt``, so one training sample's modalities
+    (same key, different suffixes) can be regrouped with one groupBy.
+    ``suffixes`` prunes members INSIDE the walk (a skipped member's
+    payload is never copied out — pushdown for "text only" readers).
+    Undecodable blobs produce no rows. One Arrow pass, exploded
+    row-per-member output (a multi-GB shard never becomes one cell).
+    """
+    import io
+    import tarfile
+
+    keep = set(suffixes) if suffixes is not None else None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, sufs, payloads = [], [], []
+            for blob in pdf[blob_col]:
+                if blob is None:
+                    continue
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(bytes(blob)),
+                                      mode="r")
+                except tarfile.TarError:
+                    continue
+                with tf:
+                    for info in tf:
+                        if not info.isfile():
+                            continue
+                        key, dot, suf = info.name.rpartition(".")
+                        if not dot:
+                            key, suf = info.name, ""
+                        if keep is not None and suf not in keep:
+                            continue
+                        member = tf.extractfile(info)
+                        if member is None:
+                            continue
+                        keys.append(key)
+                        sufs.append(suf)
+                        payloads.append(member.read())
+            yield pd.DataFrame({"key": keys, "suffix": sufs,
+                                "payload": payloads})
+
+    return df.select(blob_col).mapInPandas(
+        gen, "key string, suffix string, payload binary")

@@ -906,3 +906,21 @@ def test_wet_codec_and_extract(spark):
     out = extract_wet_records(df).collect()
     assert sorted(r["uri"] for r in out) == [
         "https://x/1", "https://x/2", "https://x/3"]
+
+
+def test_tar_shard_extract_and_suffix_pushdown(spark):
+    from pipelinedp_spark.sources.webcrawl import (encode_tar,
+                                                   extract_tar_members)
+    blob = encode_tar([("a/0.txt", b"hello"), ("a/0.cls", b"3"),
+                       ("a/1.txt", b"world"), ("plain", b"x")])
+    df = spark.createDataFrame(
+        [(bytearray(blob),), (bytearray(b"not a tar"),), (None,)],
+        "shard binary")
+    rows = {(r["key"], r["suffix"]): bytes(r["payload"])
+            for r in extract_tar_members(df).collect()}
+    assert rows[("a/0", "txt")] == b"hello"
+    assert rows[("a/0", "cls")] == b"3"
+    assert rows[("plain", "")] == b"x"
+    assert len(rows) == 4                   # junk + null blobs: no rows
+    only_txt = extract_tar_members(df, suffixes=["txt"]).collect()
+    assert sorted(r["key"] for r in only_txt) == ["a/0", "a/1"]
