@@ -52,6 +52,12 @@ def parse_wet_records(blob: Optional[bytes]
     non-WARC payloads return []."""
     if not blob:
         return []
+    if blob[:2] == b"\x1f\x8b":          # gzip member(s): .wet.gz
+        import gzip
+        try:
+            blob = gzip.decompress(blob)
+        except (OSError, EOFError):
+            return []
     records = []
     i, n = 0, len(blob)
     while i < n:

@@ -895,6 +895,9 @@ def test_wet_codec_and_extract(spark):
     assert recs[1][2] == "WARC/1.0\r\nheader-lookalike"  # length-driven
     assert parse_wet_records(b"not warc") == []
     assert parse_wet_records(None) == []
+    import gzip
+    assert parse_wet_records(gzip.compress(blob)) == recs  # .wet.gz
+    assert parse_wet_records(b"\x1f\x8btruncated") == []
     assert parse_wet_records(blob[:40]) == []   # truncated header
     # one partial record survives if the damage is after it
     assert len(parse_wet_records(blob[: len(encode_wet(
