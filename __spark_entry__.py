@@ -1447,6 +1447,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_token_budget",
     "doc_wet_roundtrip",
     "doc_tar_shards",
+    "multimodal_exif",
 ]
 
 
@@ -1566,6 +1567,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": _doc_token_budget,
         "doc_wet_roundtrip": _doc_wet_roundtrip,
         "doc_tar_shards": _doc_tar_shards,
+        "multimodal_exif": _multimodal_exif,
     }
 
 
@@ -1676,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_budget": _DOC_TOKEN_BUDGET_SQL,
         "doc_wet_roundtrip": _DOC_WET_ROUNDTRIP_SQL,
         "doc_tar_shards": _DOC_TAR_SHARDS_SQL,
+        "multimodal_exif": _MULTIMODAL_EXIF_SQL,
     }
 
 
@@ -5284,4 +5287,57 @@ def _doc_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_TAR_SHARDS_SQL = """
 SELECT doc_id, text, n_chars FROM documents
+"""
+
+
+def _multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction (`multimodal.parse_exif` / `extract_exif`): each
+    doc gets a real JPEG with a planted APP1 Exif segment (TIFF IFD0;
+    little-endian for even ids, big-endian MM for odd — both byte
+    orders walked), every 7th doc carries NO EXIF (nulls). Oracle =
+    the plant."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+    from pipelinedp_spark.operators.jpeg import encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        base = encode_jpeg(np.full((8, 8, 3), 120, dtype=np.uint8))
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            imgs = []
+            for d in ids:
+                d = int(d)
+                if d % 7 == 0:
+                    imgs.append(base)
+                    continue
+                app1 = MM.build_exif_app1(
+                    {"make": f"Cam{d % 5}",
+                     "orientation": 1 + d % 8,
+                     "datetime": f"2026:01:{1 + d % 28:02d} 00:00:00"},
+                    big_endian=bool(d % 2))
+                imgs.append(base[:2] + app1 + base[2:])
+            yield pd.DataFrame({"doc_id": ids, "image": imgs})
+
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    out = MM.extract_exif(imgs, "image")
+    return out.select("doc_id",
+                      F.col("exif.make").alias("make"),
+                      F.col("exif.orientation").alias("orientation"),
+                      F.col("exif.datetime").alias("exif_datetime"))
+
+
+_MULTIMODAL_EXIF_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                    2, '0') || ' 00:00:00'
+       END AS exif_datetime
+FROM documents
 """

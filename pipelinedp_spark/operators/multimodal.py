@@ -1268,3 +1268,119 @@ def audio_dedup(df: DataFrame, binary_col: str = "audio",
         .filter(F.col("afp").isNotNull())
     return _hash_dedup_flags(hashed, id_col, "afp", 63,
                              max_hamming, num_blocks)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF IFD walk)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+              0x0132: "datetime"}
+
+
+def build_exif_app1(entries: dict, big_endian: bool = False) -> bytes:
+    """Writer half (tests/sinks): an APP1 Exif segment with one IFD0
+    holding the supported tags. SHORT for orientation, ASCII for the
+    string tags."""
+    import struct as _s
+    bo = ">" if big_endian else "<"
+    tag_ids = sorted(t for t, name in _EXIF_TAGS.items()
+                     if name in entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(tag_ids) + 4
+    body, extra = b"", b""
+    for t in tag_ids:
+        v = entries[_EXIF_TAGS[t]]
+        if t == 0x0112:
+            body += _s.pack(bo + "HHI", t, 3, 1)
+            body += _s.pack(bo + "H", int(v)) + b"\x00\x00"
+        else:
+            raw = str(v).encode("ascii") + b"\x00"
+            body += _s.pack(bo + "HHI", t, 2, len(raw))
+            if len(raw) <= 4:
+                body += raw.ljust(4, b"\x00")
+            else:
+                body += _s.pack(bo + "I", data_off + len(extra))
+                extra += raw
+    tiff = ((b"MM" if big_endian else b"II")
+            + _s.pack(bo + "H", 42) + _s.pack(bo + "I", ifd_off)
+            + _s.pack(bo + "H", len(tag_ids)) + body
+            + _s.pack(bo + "I", 0) + extra)
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def parse_exif(data: Optional[bytes]) -> dict:
+    """Real EXIF extraction from a JPEG's APP1 segment: finds the
+    'Exif\\0\\0' APP1 marker, reads the TIFF header (II/MM byte order,
+    magic 42), and walks IFD0's 12-byte entries for the common tags
+    (make, model, orientation, datetime). Returns {} when absent or
+    malformed — EXIF is optional metadata, never a decode failure."""
+    if not data or data[:2] != b"\xff\xd8":
+        return {}
+    try:
+        i, n = 2, len(data)
+        while i + 4 <= n and data[i] == 0xFF:
+            marker, seglen = data[i + 1], struct.unpack(
+                ">H", data[i + 2:i + 4])[0]
+            if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+                return _parse_tiff_ifd0(data[i + 10:i + 2 + seglen])
+            if marker == 0xDA:           # start of scan: no EXIF ahead
+                break
+            i += 2 + seglen
+    except (struct.error, IndexError):
+        pass
+    return {}
+
+
+def _parse_tiff_ifd0(t: bytes) -> dict:
+    import struct as _s
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        return {}
+    bo = "<" if t[:2] == b"II" else ">"
+    if _s.unpack(bo + "H", t[2:4])[0] != 42:
+        return {}
+    ifd = _s.unpack(bo + "I", t[4:8])[0]
+    if ifd + 2 > len(t):
+        return {}
+    count = _s.unpack(bo + "H", t[ifd:ifd + 2])[0]
+    out = {}
+    for k in range(count):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(t):
+            break
+        tag, typ, cnt = _s.unpack(bo + "HHI", t[e:e + 8])
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        if typ == 3 and cnt == 1:                    # SHORT
+            out[name] = _s.unpack(bo + "H", t[e + 8:e + 10])[0]
+        elif typ == 2:                               # ASCII
+            raw = (t[e + 8:e + 8 + cnt] if cnt <= 4 else
+                   t[(o := _s.unpack(bo + "I", t[e + 8:e + 12])[0]):
+                     o + cnt])
+            out[name] = raw.split(b"\x00")[0].decode("ascii", "replace")
+    return out
+
+
+def extract_exif(df: DataFrame, binary_col: str = "image") -> DataFrame:
+    """(all input columns, exif struct<make,model,datetime:string,
+    orientation:int>) — one Arrow pass; nulls when absent."""
+    out_schema = StructType(df.schema.fields + [StructField(
+        "exif", StructType([StructField("make", StringType()),
+                            StructField("model", StringType()),
+                            StructField("datetime", StringType()),
+                            StructField("orientation", IntegerType())]))])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ex = []
+            for b in pdf[binary_col]:
+                d = parse_exif(bytes(b) if b is not None else None)
+                ex.append((d.get("make"), d.get("model"),
+                           d.get("datetime"), d.get("orientation")))
+            pdf = pdf.copy()
+            pdf["exif"] = ex
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)

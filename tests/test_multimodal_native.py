@@ -1088,3 +1088,41 @@ def test_video_phash_majority_vote_flips_minority_frame(spark):
     fps = {r["doc_id"]: r["vfp"] for r in
            video_phash(df, every_nth=1, max_frames=None).collect()}
     assert fps[0] == fps[1]                   # 4-of-5 majority wins
+
+
+# ---------------------------------------------------------------------------
+# EXIF
+# ---------------------------------------------------------------------------
+
+from pipelinedp_spark.operators.multimodal import (build_exif_app1,
+                                                   extract_exif,
+                                                   parse_exif)
+
+
+def _exif_jpeg(entries, big_endian=False):
+    base = encode_jpeg(np.full((8, 8, 3), 120, dtype=np.uint8))
+    return base[:2] + build_exif_app1(entries, big_endian) + base[2:]
+
+
+def test_parse_exif_both_byte_orders_and_absence():
+    want = {"make": "TestCam Industries", "model": "X1",
+            "orientation": 6, "datetime": "2026:01:01 00:00:00"}
+    assert parse_exif(_exif_jpeg(want)) == want
+    assert parse_exif(_exif_jpeg(want, big_endian=True)) == want
+    plain = encode_jpeg(np.full((8, 8, 3), 120, dtype=np.uint8))
+    assert parse_exif(plain) == {}
+    assert parse_exif(b"junk") == {} and parse_exif(None) == {}
+    # decode is unaffected by an APP1 segment
+    from pipelinedp_spark.operators.jpeg import decode_jpeg
+    assert decode_jpeg(_exif_jpeg(want)) is not None
+
+
+def test_extract_exif_df(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(_exif_jpeg({"make": "A", "orientation": 3}))),
+         (1, bytearray(b"junk"))],
+        "doc_id long, image binary")
+    got = {r["doc_id"]: r["exif"] for r in extract_exif(df).collect()}
+    assert got[0]["make"] == "A" and got[0]["orientation"] == 3
+    assert got[0]["model"] is None
+    assert got[1]["make"] is None and got[1]["orientation"] is None
