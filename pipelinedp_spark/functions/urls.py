@@ -5,8 +5,8 @@ filter per domain, dedup by canonical URL).
 Everything here is pure column expressions — regexp_extract / string
 ops that stay inside whole-stage codegen; no Python runs per row. The
 df-level helper aggregates domain counts with a map-side-combinable
-groupBy and joins them back broadcast (never a count-over-window,
-which would serialize a hot domain onto one task).
+groupBy and joins them back (never a count-over-window, which would
+serialize a hot domain onto one task).
 
 No reference counterpart (net-new per the project north star).
 """
@@ -104,12 +104,14 @@ def with_domain_counts(df: DataFrame, url_col: str = "url",
                        out_col: str = "n_in_domain") -> DataFrame:
     """Append the document count of each row's registered domain.
     One map-side-combinable groupBy builds the (domain, count) table —
-    registered-domain cardinality is far below row count, so AQE
-    broadcasts the join back; a hot domain costs nothing extra (its
-    count is one row, never a window partition)."""
+    registered-domain cardinality is far below row count, so AQE picks
+    a broadcast join when the table fits (and falls back to a shuffle
+    join for true web scale, ~10^8 registered domains, where a forced
+    broadcast would OOM the driver); a hot domain costs nothing extra
+    (its count is one row, never a window partition)."""
     dom = registered_domain(url_host(F.col(url_col))).alias("__dom__")
     tagged = df.withColumn("__dom__", dom)
     counts = tagged.groupBy("__dom__").agg(
         F.count(F.lit(1)).alias(out_col))
-    return (tagged.join(F.broadcast(counts), "__dom__")
+    return (tagged.join(counts, "__dom__")
             .withColumnRenamed("__dom__", "domain"))
