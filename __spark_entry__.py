@@ -1448,6 +1448,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_wet_roundtrip",
     "doc_tar_shards",
     "multimodal_exif",
+    "multimodal_mp3_meta",
 ]
 
 
@@ -1568,6 +1569,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_wet_roundtrip": _doc_wet_roundtrip,
         "doc_tar_shards": _doc_tar_shards,
         "multimodal_exif": _multimodal_exif,
+        "multimodal_mp3_meta": _multimodal_mp3_meta,
     }
 
 
@@ -1679,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_wet_roundtrip": _DOC_WET_ROUNDTRIP_SQL,
         "doc_tar_shards": _DOC_TAR_SHARDS_SQL,
         "multimodal_exif": _MULTIMODAL_EXIF_SQL,
+        "multimodal_mp3_meta": _MULTIMODAL_MP3_META_SQL,
     }
 
 
@@ -5340,4 +5343,62 @@ SELECT doc_id,
                                     2, '0') || ' 00:00:00'
        END AS exif_datetime
 FROM documents
+"""
+
+
+def _multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header metadata (`multimodal.parse_mp3_metadata`):
+    each doc renders a real MPEG-1 Layer III frame sequence (planted
+    frame count 20 + d%17, bitrate index 1 + d%14, samplerate index
+    d%3; every 11th doc gets an ID3v2 prefix the walker must skip) and
+    the walk recovers rate/bitrate/frames/duration. Oracle = the plant
+    (no 6dp rounding ties exist for these rationals — 44100 needs
+    49 | n_frames, out of range)."""
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                b = MM.build_mp3_frames(20 + d % 17,
+                                        bitrate_idx=1 + d % 14,
+                                        rate_idx=d % 3)
+                if d % 11 == 0:
+                    b = (b"ID3\x04\x00\x00\x00\x00\x00\x0a"
+                         + bytes(10) + b)
+                payloads.append(b)
+            yield pd.DataFrame({"doc_id": ids, "audio": payloads})
+
+    clips = docs.mapInPandas(gen, "doc_id long, audio binary")
+    out = MM.extract_mp3_metadata(clips, "audio")
+    return out.select(
+        "doc_id",
+        F.col("mp3.sample_rate").alias("sample_rate"),
+        F.col("mp3.bitrate_kbps").alias("bitrate_kbps"),
+        F.col("mp3.n_frames").cast("long").alias("n_frames"),
+        F.col("mp3.est_duration_s").alias("est_duration_s"))
+
+
+_MULTIMODAL_MP3_META_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         20 + doc_id % 17 AS nf,
+         1 + doc_id % 14 AS bi,
+         doc_id % 3 AS ri
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS INTEGER) AS sample_rate,
+       CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                         bi) AS INTEGER) AS bitrate_kbps,
+       CAST(nf AS BIGINT) AS n_frames,
+       ROUND(nf * 1152.0 / (CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                    ELSE 32000 END), 6) AS est_duration_s
+FROM p
 """

@@ -1384,3 +1384,89 @@ def extract_exif(df: DataFrame, binary_col: str = "image") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header metadata (no decode)
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320, 0)
+_MP3_RATES_V1 = (44100, 48000, 32000, 0)
+
+
+def build_mp3_frames(n_frames: int, bitrate_idx: int = 9,
+                     rate_idx: int = 0) -> bytes:
+    """Writer half (tests): a sequence of MPEG-1 Layer III frames with
+    correct sync/header fields and zeroed payloads."""
+    frames = []
+    for _ in range(n_frames):
+        br = _MP3_BITRATES_V1L3[bitrate_idx] * 1000
+        sr = _MP3_RATES_V1[rate_idx]
+        size = 144 * br // sr           # padding bit 0
+        hdr = (0xFFF << 20) | (0b11 << 19) | (0b01 << 17) | (1 << 16) \
+            | (bitrate_idx << 12) | (rate_idx << 10) | (0b00 << 6)
+        frames.append(hdr.to_bytes(4, "big") + bytes(size - 4))
+    return b"".join(frames)
+
+
+def parse_mp3_metadata(data: Optional[bytes]
+                       ) -> Tuple[Optional[int], Optional[int],
+                                  Optional[int], Optional[float]]:
+    """(sample_rate, bitrate_kbps, n_frames, est_duration_s) from a
+    real MPEG-1 Layer III frame-header walk (11-bit sync, version/layer
+    bits, bitrate + samplerate indexes; frame size = 144*bitrate/rate +
+    padding; 1152 samples per frame). Skips an ID3v2 prefix. Stops at
+    the first malformed header (truncated files report the valid
+    prefix); returns (None,)*4 for non-MP3 payloads."""
+    if not data or len(data) < 4:
+        return None, None, None, None
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:  # ID3v2: syncsafe size
+        i = 10 + ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                  | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    n_frames, sr, br = 0, None, None
+    while i + 4 <= len(data):
+        h = int.from_bytes(data[i:i + 4], "big")
+        if (h >> 21) != 0x7FF:
+            break
+        version, layer = (h >> 19) & 3, (h >> 17) & 3
+        if version != 0b11 or layer != 0b01:     # MPEG-1 Layer III only
+            break
+        br_i, sr_i, pad = (h >> 12) & 0xF, (h >> 10) & 3, (h >> 9) & 1
+        if br_i in (0, 15) or sr_i == 3:
+            break
+        fr_sr = _MP3_RATES_V1[sr_i]
+        fr_br = _MP3_BITRATES_V1L3[br_i] * 1000
+        size = 144 * fr_br // fr_sr + pad
+        if size < 4 or i + size > len(data):
+            break
+        if n_frames == 0:
+            sr, br = fr_sr, _MP3_BITRATES_V1L3[br_i]
+        n_frames += 1
+        i += size
+    if n_frames == 0:
+        return None, None, None, None
+    return sr, br, n_frames, round(n_frames * 1152 / sr, 6)
+
+
+def extract_mp3_metadata(df: DataFrame,
+                         binary_col: str = "audio") -> DataFrame:
+    """(all input columns, mp3 struct<sample_rate:int,bitrate_kbps:int,
+    n_frames:int,est_duration_s:double>) — frame-header walk only, no
+    decode; one Arrow pass, nulls for non-MP3 payloads."""
+    out_schema = StructType(df.schema.fields + [StructField(
+        "mp3", StructType([StructField("sample_rate", IntegerType()),
+                           StructField("bitrate_kbps", IntegerType()),
+                           StructField("n_frames", IntegerType()),
+                           StructField("est_duration_s", DoubleType())]))])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["mp3"] = [parse_mp3_metadata(
+                bytes(b) if b is not None else None)
+                for b in pdf[binary_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)

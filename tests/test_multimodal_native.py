@@ -1126,3 +1126,29 @@ def test_extract_exif_df(spark):
     assert got[0]["make"] == "A" and got[0]["orientation"] == 3
     assert got[0]["model"] is None
     assert got[1]["make"] is None and got[1]["orientation"] is None
+
+
+def test_mp3_frame_walk_and_id3_skip():
+    from pipelinedp_spark.operators.multimodal import (build_mp3_frames,
+                                                       parse_mp3_metadata)
+    b = build_mp3_frames(40, bitrate_idx=9, rate_idx=0)
+    assert parse_mp3_metadata(b) == (44100, 128, 40, 1.044898)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    assert parse_mp3_metadata(id3 + b)[2] == 40        # ID3v2 skipped
+    assert parse_mp3_metadata(b[: len(b) // 2])[2] == 20  # truncation
+    assert parse_mp3_metadata(b"not mp3") == (None,) * 4
+    assert parse_mp3_metadata(None) == (None,) * 4
+    b48 = build_mp3_frames(10, bitrate_idx=14, rate_idx=1)
+    assert parse_mp3_metadata(b48) == (48000, 320, 10, 0.24)
+
+
+def test_extract_mp3_metadata_df(spark):
+    from pipelinedp_spark.operators.multimodal import (build_mp3_frames,
+                                                       extract_mp3_metadata)
+    df = spark.createDataFrame(
+        [(0, bytearray(build_mp3_frames(5))), (1, bytearray(b"junk"))],
+        "doc_id long, audio binary")
+    got = {r["doc_id"]: r["mp3"] for r in
+           extract_mp3_metadata(df, "audio").collect()}
+    assert got[0]["n_frames"] == 5 and got[0]["sample_rate"] == 44100
+    assert got[1]["sample_rate"] is None
