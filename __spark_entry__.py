@@ -1449,6 +1449,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_tar_shards",
     "multimodal_exif",
     "multimodal_mp3_meta",
+    "doc_domain_cap",
 ]
 
 
@@ -1570,6 +1571,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tar_shards": _doc_tar_shards,
         "multimodal_exif": _multimodal_exif,
         "multimodal_mp3_meta": _multimodal_mp3_meta,
+        "doc_domain_cap": _doc_domain_cap,
     }
 
 
@@ -1682,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tar_shards": _DOC_TAR_SHARDS_SQL,
         "multimodal_exif": _MULTIMODAL_EXIF_SQL,
         "multimodal_mp3_meta": _MULTIMODAL_MP3_META_SQL,
+        "doc_domain_cap": _DOC_DOMAIN_CAP_SQL,
     }
 
 
@@ -5401,4 +5404,56 @@ SELECT doc_id,
        ROUND(nf * 1152.0 / (CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000
                                     ELSE 32000 END), 6) AS est_duration_s
 FROM p
+"""
+
+
+def _doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus cap — the full C4/RefinedWeb curation chain in
+    one plan: planted messy URL -> `urls.registered_domain` -> at most
+    3 docs kept per domain by md5 priority (`sampling.cap_per_key`,
+    which compiles to partial+final WindowGroupLimit — a hot domain
+    never concentrates on one task). Oracle replays the same domain
+    formula and row_number rule."""
+    from pipelinedp_spark.functions import urls as U
+    from pipelinedp_spark.functions.sampling import cap_per_key
+    from pipelinedp_spark.functions.text import hex_to_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 23).cast("string")
+    m3 = F.col("doc_id") % 3
+    host = (F.when(m3 == 0, F.concat(F.lit("www.site"), k,
+                                     F.lit(".com")))
+            .when(m3 == 1, F.concat(F.lit("site"), k, F.lit(".co.uk")))
+            .otherwise(F.concat(F.lit("m.site"), k, F.lit(".com"))))
+    pages = docs.withColumn(
+        "url", F.concat(F.lit("https://"), host, F.lit("/p/"),
+                        F.col("doc_id").cast("string")))
+    tagged = pages.withColumn(
+        "domain", U.registered_domain(U.url_host(F.col("url")))) \
+        .withColumn("__pri__",
+                    hex_to_long(F.md5(F.concat(F.lit("cap:"),
+                                               F.col("doc_id")
+                                               .cast("string")))))
+    capped = cap_per_key(tagged, "domain", 3, "__pri__")
+    return capped.select("doc_id", "domain")
+
+
+_DOC_DOMAIN_CAP_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 23 AS k, doc_id % 3 AS m3 FROM documents
+),
+d AS (
+  SELECT doc_id,
+         CASE m3 WHEN 1 THEN 'site' || k || '.co.uk'
+                 ELSE 'site' || k || '.com' END AS domain,
+         ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT AS pri
+  FROM p
+),
+r AS (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY pri ASC) AS rn
+  FROM d
+)
+SELECT doc_id, domain FROM r WHERE rn <= 3
 """
