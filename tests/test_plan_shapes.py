@@ -356,3 +356,44 @@ def test_line_dedup_no_window_partial_aggs(spark):
     assert P.has_partial_aggregation(out)
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+
+
+def test_keep_best_no_window(spark):
+    """Survivor selection is a max(struct) aggregation per cluster plus
+    a join back — no window, so a corpus-hot cluster is one
+    accumulator, not one task."""
+    from pipelinedp_spark.operators import graph
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    clusters = graph.near_dup_clusters(docs, pairs)
+    out = graph.keep_best_representative(docs, clusters, "n_chars")
+    plan = P.explain_str(out)
+    assert "Window" not in plan
+    assert P.has_partial_aggregation(out)
+
+
+def test_paragraph_filter_no_window_partial_aggs(spark):
+    from pipelinedp_spark.operators import quality
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = quality.paragraph_perplexity_filter(docs, max_ppl=60.0)
+    plan = P.explain_str(out)
+    assert "Window" not in plan
+    assert P.has_partial_aggregation(out)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+
+def test_url_canonicalize_pure_codegen(spark):
+    """Canonicalization + domain extraction are column expressions: no
+    Python evals, no exchanges, whole plan in one codegen span."""
+    from pipelinedp_spark.functions import urls as U
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = docs.select(
+        U.canonicalize_url(F.concat(F.lit("https://ex.com/"),
+                                    F.col("doc_id").cast("string")))
+        .alias("c"),
+        U.registered_domain(F.lit("a.b.co.uk")).alias("d"))
+    plan = P.explain_str(out)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Exchange"):
+        assert bad not in plan, bad
+    assert P.whole_stage_codegen_spans(out) >= 1
