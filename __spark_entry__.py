@@ -1450,6 +1450,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "multimodal_exif",
     "multimodal_mp3_meta",
     "doc_domain_cap",
+    "doc_corpus_diff",
 ]
 
 
@@ -1572,6 +1573,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exif": _multimodal_exif,
         "multimodal_mp3_meta": _multimodal_mp3_meta,
         "doc_domain_cap": _doc_domain_cap,
+        "doc_corpus_diff": _doc_corpus_diff,
     }
 
 
@@ -1685,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_exif": _MULTIMODAL_EXIF_SQL,
         "multimodal_mp3_meta": _MULTIMODAL_MP3_META_SQL,
         "doc_domain_cap": _DOC_DOMAIN_CAP_SQL,
+        "doc_corpus_diff": _DOC_CORPUS_DIFF_SQL,
     }
 
 
@@ -5456,4 +5459,39 @@ r AS (
   FROM d
 )
 SELECT doc_id, domain FROM r WHERE rn <= 3
+"""
+
+
+def _doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (`dedup.corpus_diff`): v2 of the documents
+    table drops every 7th doc (removed), rewrites every 5th surviving
+    text (changed), and appends 50 synthetic ids (added); the diff
+    labels all of it off ONE full-outer join on the 60-bit fingerprints
+    — text never shuffles. Oracle = the planted status formula."""
+    from pipelinedp_spark.operators.dedup import corpus_diff
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    surviving = old.filter(F.col("doc_id") % 7 != 0)
+    changed = surviving.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 5 == 0),
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"))
+    mx = 1_000_000_000
+    added = spark.range(mx, mx + 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("id").cast("string"))
+        .alias("text"))
+    new = changed.unionByName(added)
+    return corpus_diff(old, new)
+
+
+_DOC_CORPUS_DIFF_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'removed'
+            WHEN doc_id % 5 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM documents
+UNION ALL
+SELECT 1000000000 + r.range AS doc_id, 'added' AS status
+FROM range(0, 50) r
 """

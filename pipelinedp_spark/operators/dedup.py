@@ -874,3 +874,29 @@ def _rebuild_kept_lines(tagged: DataFrame, id_col: str,
         F.sum(F.col("__removed__").cast("long")).cast("long")
         .alias("n_removed")))
     return rebuilt.select(id_col, "clean_text", "n_lines", "n_removed")
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-ops
+    primitive behind incremental re-processing (re-run expensive
+    stages only on added/changed docs) and release auditing: returns
+    (id_col, status) with status in {'added', 'removed', 'changed',
+    'unchanged'}, comparing documents by the same normalized
+    fingerprint `exact_dedup` keys on.
+
+    Scale shape: two fingerprint projections (codegen) and ONE
+    full-outer equi-join on the id — no text ever shuffles (only the
+    60-bit fingerprints), no windows, no collects.
+    """
+    fp = T.rolling_fingerprint(F.col(text_col))
+    o = old.select(F.col(id_col), fp.alias("__old_fp__"))
+    n = new.select(F.col(id_col), fp.alias("__new_fp__"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("__old_fp__").isNull(), F.lit("added"))
+              .when(F.col("__new_fp__").isNull(), F.lit("removed"))
+              .when(F.col("__old_fp__") == F.col("__new_fp__"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return joined.select(id_col, status.alias("status"))

@@ -1088,3 +1088,18 @@ def test_select_to_token_budget_greedy_cut(spark):
            select_to_token_budget(df, 180, "n", "ord").collect()}
     assert got == {0: 100, 1: 150, 2: 180}     # doc 3 would hit 210
     assert select_to_token_budget(df, 99, "n", "ord").count() == 0
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "before"), (2, "gone"),
+         (3, "Same   Spacing")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "after"), (4, "brand new"),
+         (3, "same spacing")],          # normalization-equal -> unchanged
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in
+           dedup.corpus_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed",
+                   3: "unchanged", 4: "added"}
