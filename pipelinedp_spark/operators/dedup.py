@@ -19,6 +19,7 @@ No reference counterpart (net-new per project north star).
 
 from __future__ import annotations
 
+import re as _re
 from typing import Optional
 
 import numpy as np
@@ -834,7 +835,8 @@ def line_dedup(df: DataFrame,
     cols = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
     lines = df.select(
         *cols,
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        F.posexplode(F.split(F.col(text_col),
+                             _re.escape(delimiter)))
         .alias("__pos__", "__line__"))
     lh = T.hex_to_long(F.md5(F.col("__line__"))).alias("__lh__")
     nonblank = lines.filter(F.trim(F.col("__line__")) != "")

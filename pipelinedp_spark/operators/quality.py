@@ -15,6 +15,8 @@ WindowGroupLimit for the argmax — no driver participation.
 
 from __future__ import annotations
 
+import re as _re
+
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -269,7 +271,8 @@ def paragraph_perplexity_filter(df: DataFrame,
     import math
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        F.posexplode(F.split(F.col(text_col),
+                             _re.escape(delimiter)))
         .alias("__pos__", "__para__"))
     toks = paras.select(
         F.col(id_col), "__pos__",

@@ -39,6 +39,8 @@ explicitly; otherwise a pure-eps budget raises.
 
 from __future__ import annotations
 
+import re as _re
+
 from typing import Optional
 
 import pandas as pd
@@ -1171,7 +1173,8 @@ def line_dedup_batch(batch: DataFrame,
 
     lines = batch.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        F.posexplode(F.split(F.col(text_col),
+                             _re.escape(delimiter)))
         .alias("__pos__", "__line__"))
     lh = T.hex_to_long(F.md5(F.col("__line__"))).alias("__lh__")
     batch_counts = (lines.filter(F.trim(F.col("__line__")) != "")

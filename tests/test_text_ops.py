@@ -1103,3 +1103,20 @@ def test_corpus_diff_statuses(spark):
            dedup.corpus_diff(old, new).collect()}
     assert got == {0: "unchanged", 1: "changed", 2: "removed",
                    3: "unchanged", 4: "added"}
+
+
+def test_line_dedup_regex_metachar_delimiter(spark):
+    # delimiter is a LITERAL, not a regex: '||' and '.' must not be
+    # treated as alternation / any-char
+    df = spark.createDataFrame(
+        [(0, "promo||alpha.x"), (1, "promo||beta")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.line_dedup(df, min_docs=2, delimiter="||").collect()}
+    assert out[0]["clean_text"] == "alpha.x"
+    assert out[1]["clean_text"] == "beta"
+    df2 = spark.createDataFrame([(0, "a.b"), (1, "a.c")],
+                                "doc_id long, text string")
+    out2 = {r["doc_id"]: r["clean_text"] for r in
+            dedup.line_dedup(df2, min_docs=2, delimiter=".").collect()}
+    assert out2 == {0: "b", 1: "c"}
