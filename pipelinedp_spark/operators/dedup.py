@@ -886,7 +886,9 @@ def corpus_diff(old: DataFrame, new: DataFrame,
     stages only on added/changed docs) and release auditing: returns
     (id_col, status) with status in {'added', 'removed', 'changed',
     'unchanged'}, comparing documents by the same normalized
-    fingerprint `exact_dedup` keys on.
+    fingerprint `exact_dedup` keys on. Ids must be unique within each
+    snapshot (duplicate ids would cross-multiply in the join); run
+    `exact_dedup` first if they are not.
 
     Scale shape: two fingerprint projections (codegen) and ONE
     full-outer equi-join on the id — no text ever shuffles (only the

@@ -221,3 +221,57 @@ def test_packing_invariants_property(token_counts, seq_len):
             assert n_seqs >= 1
             assert (n_seqs - 1) * seq_len < start_off + n \
                 <= n_seqs * seq_len
+
+
+# ---------------------------------------------------------------------------
+# Property tests: web-corpus ingestion codecs (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+_uri_st = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=60)
+_body_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
+                           blacklist_characters="\r"),
+    max_size=200)
+
+
+@given(recs=st.lists(st.tuples(_uri_st, _body_st), min_size=0,
+                     max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_wet_roundtrip_property(recs):
+    from pipelinedp_spark.sources.webcrawl import (encode_wet,
+                                                   parse_wet_records)
+    got = parse_wet_records(encode_wet(recs))
+    assert [(u, t) for u, _, t in got] == recs
+
+
+@given(members=st.lists(
+    st.tuples(st.text(alphabet=st.characters(min_codepoint=48,
+                                             max_codepoint=122),
+                      min_size=1, max_size=40),
+              st.binary(max_size=300)),
+    min_size=0, max_size=6, unique_by=lambda m: m[0]))
+@settings(max_examples=60, deadline=None)
+def test_tar_roundtrip_property(members):
+    import io
+    import tarfile
+    from pipelinedp_spark.sources.webcrawl import encode_tar
+    blob = encode_tar(members)
+    got = []
+    if members:
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            for info in tf:
+                got.append((info.name, tf.extractfile(info).read()))
+    assert got == list(members)
+
+
+@given(n=st.integers(1, 200), bi=st.integers(1, 14), ri=st.integers(0, 2))
+@settings(max_examples=80, deadline=None)
+def test_mp3_walk_property(n, bi, ri):
+    from pipelinedp_spark.operators.multimodal import (
+        _MP3_BITRATES_V1L3, _MP3_RATES_V1, build_mp3_frames,
+        parse_mp3_metadata)
+    sr, br, nf, dur = parse_mp3_metadata(build_mp3_frames(n, bi, ri))
+    assert (sr, br, nf) == (_MP3_RATES_V1[ri], _MP3_BITRATES_V1L3[bi], n)
+    assert dur == round(n * 1152 / sr, 6)

@@ -1120,3 +1120,28 @@ def test_line_dedup_regex_metachar_delimiter(spark):
     out2 = {r["doc_id"]: r["clean_text"] for r in
             dedup.line_dedup(df2, min_docs=2, delimiter=".").collect()}
     assert out2 == {0: "b", 1: "c"}
+
+
+def test_canonicalize_url_idempotent_and_line_dedup_identity(spark):
+    from pipelinedp_spark.functions import urls as U
+    # idempotence: canon(canon(u)) == canon(u) over a messy URL grid
+    rows = []
+    i = 0
+    for scheme in ("http", "HTTPS"):
+        for host in ("Ex.COM", "a.b.co.uk:443", "x.y:8080"):
+            for q in ("", "?b=2&a=1", "?utm_source=z&k=v#f"):
+                rows.append((i, f"{scheme}://{host}/P/q{q}")); i += 1
+    df = spark.createDataFrame(rows, "i long, url string")
+    two = df.select(
+        U.canonicalize_url(F.col("url")).alias("c1")).select(
+        F.col("c1"), U.canonicalize_url(F.col("c1")).alias("c2"))
+    assert all(r["c1"] == r["c2"] for r in two.collect())
+    # line_dedup identity: a non-binding threshold must reconstruct
+    # every text byte-for-byte, including blank lines and odd spacing
+    texts = ["a\n\nb", "  lead\ntrail  ", "one", "\n", "x\nx\nx"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.line_dedup(docs, min_docs=10**6).collect()}
+    for d, t in enumerate(texts):
+        assert out[d]["clean_text"] == t and out[d]["n_removed"] == 0
