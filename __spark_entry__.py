@@ -1451,6 +1451,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "multimodal_mp3_meta",
     "doc_domain_cap",
     "doc_corpus_diff",
+    "doc_contamination_score",
 ]
 
 
@@ -1574,6 +1575,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp3_meta": _multimodal_mp3_meta,
         "doc_domain_cap": _doc_domain_cap,
         "doc_corpus_diff": _doc_corpus_diff,
+        "doc_contamination_score": _doc_contamination_score,
     }
 
 
@@ -1688,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_mp3_meta": _MULTIMODAL_MP3_META_SQL,
         "doc_domain_cap": _DOC_DOMAIN_CAP_SQL,
         "doc_corpus_diff": _DOC_CORPUS_DIFF_SQL,
+        "doc_contamination_score": _DOC_CONTAMINATION_SCORE_SQL,
     }
 
 
@@ -5494,4 +5497,51 @@ FROM documents
 UNION ALL
 SELECT 1000000000 + r.range AS doc_id, 'added' AS status
 FROM range(0, 50) r
+"""
+
+
+def _doc_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc contamination audit (`decontam.contamination_report`,
+    3-grams, eval = doc_id % 97 == 0): EVERY training doc reported with
+    its gram total, eval-overlap count, and fraction — the release-
+    review view where doc_decontaminate is the filter. Gram totals are
+    a codegen size(); hits reuse the broadcast semi-join."""
+    from pipelinedp_spark.operators.decontam import contamination_report
+    docs = _t(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, evald, n=3)
+
+
+_DOC_CONTAMINATION_SCORE_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ')
+                    for i in range(1, len(t) - 1)]
+              ELSE [array_to_string(t, ' ')] END AS grams
+  FROM tok),
+ev AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM gr, UNNEST(grams) AS u(g)
+  WHERE doc_id % 97 = 0),
+corpus AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM gr, UNNEST(grams) AS u(g)
+  WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM corpus JOIN ev USING (h)
+  GROUP BY 1),
+totals AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams
+  FROM gr WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CASE WHEN t.n_grams > 0
+            THEN ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                       / t.n_grams, 6)
+            ELSE 0.0 END AS contamination_frac
+FROM totals t LEFT JOIN hits h USING (doc_id)
 """

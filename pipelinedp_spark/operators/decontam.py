@@ -151,3 +151,28 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame,
            .filter(F.col("n_hits") > max_hits)
            .select(id_col))
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def contamination_report(docs: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         n: int = 5) -> DataFrame:
+    """Per-document contamination AUDIT — the reporting view release
+    reviews need, where `decontaminate` is the filter: EVERY document
+    gets (id_col, n_grams, n_hits, contamination_frac), zero-hit docs
+    included, with contamination_frac = n_hits / n_grams rounded to
+    6dp. Gram totals come from a codegen size() (no second explode);
+    hits reuse `contamination_hits` (broadcast eval set, one explode,
+    map-side-combinable count)."""
+    totals = docs.select(
+        F.col(id_col),
+        F.size(T._word_ngrams(F.col(text_col), n)).cast("long")
+        .alias("n_grams"))
+    hits = contamination_hits(docs, eval_df, text_col, id_col, n)
+    joined = totals.join(hits, id_col, "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return joined.select(
+        id_col, "n_grams", n_hits.alias("n_hits"),
+        F.when(F.col("n_grams") > 0,
+               F.round(n_hits.cast("double") / F.col("n_grams"), 6))
+        .otherwise(F.lit(0.0)).alias("contamination_frac"))

@@ -1145,3 +1145,18 @@ def test_canonicalize_url_idempotent_and_line_dedup_identity(spark):
            dedup.line_dedup(docs, min_docs=10**6).collect()}
     for d, t in enumerate(texts):
         assert out[d]["clean_text"] == t and out[d]["n_removed"] == 0
+
+
+def test_contamination_report_includes_zero_hit_docs(spark):
+    from pipelinedp_spark.operators.decontam import contamination_report
+    evald = spark.createDataFrame([(100, "a b c d e")],
+                                  "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, "a b c d e f"),      # grams: abc de? n=3 -> 4 grams, hits
+         (1, "x y z w")],         # zero hits
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           contamination_report(train, evald, n=3).collect()}
+    assert got[0]["n_grams"] == 4 and got[0]["n_hits"] == 3
+    assert got[0]["contamination_frac"] == pytest.approx(0.75)
+    assert got[1]["n_hits"] == 0 and got[1]["contamination_frac"] == 0.0
