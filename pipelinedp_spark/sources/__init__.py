@@ -15,6 +15,7 @@ from pipelinedp_spark.sources.catalog import (CANONICAL_TABLES, load_tables,
                                               write_bucketed_table,
                                               write_orc, write_parquet,
                                               write_stream)
+from pipelinedp_spark.sources import webcrawl  # noqa: F401
 
 __all__ = [
     "CANONICAL_TABLES",
