@@ -824,8 +824,8 @@ def line_dedup(df: DataFrame,
     Scale shape: one posexplode; duplicate detection is two map-side-
     combinable aggregations on a 60-bit md5 line hash (the line TEXT is
     never shuffled for counting — only its hash), then one equi-join of
-    the exploded lines against the duplicated-line table keyed by
-    (group, hash) — small at high ``min_docs`` (AQE broadcasts it) and
+    the exploded lines against the duplicated-line table keyed by the
+    group-folded hash — small at high ``min_docs`` (AQE broadcasts it) and
     skew-safe otherwise (AQE skew-join splits hot boilerplate hashes);
     the rebuild is one groupBy(doc) with an in-memory sort of that
     document's own lines (no window). Removal keys on the 60-bit hash,
@@ -838,17 +838,27 @@ def line_dedup(df: DataFrame,
         F.posexplode(F.split(F.col(text_col),
                              _re.escape(delimiter)))
         .alias("__pos__", "__line__"))
-    lh = T.hex_to_long(F.md5(F.col("__line__"))).alias("__lh__")
+    # The group is FOLDED INTO the hash (with a NULL sentinel) rather
+    # than used as a join key: NULL groups then dedup among themselves
+    # like any other group (a plain equi-join on a NULL key would never
+    # match), and the shuffle/join key stays one 60-bit long.
+    if group_col:
+        key = F.concat_ws("\x01",
+                          F.coalesce(F.col(group_col).cast("string"),
+                                     F.lit("\x00null")),
+                          F.col("__line__"))
+    else:
+        key = F.col("__line__")
+    lh = T.hex_to_long(F.md5(key)).alias("__lh__")
     nonblank = lines.filter(F.trim(F.col("__line__")) != "")
-    gkeys = ([group_col] if group_col else []) + ["__lh__"]
-    per_doc = (nonblank.select(*cols, lh)
-               .groupBy(*gkeys, id_col).agg(F.first(F.lit(1))))
-    dup = (per_doc.groupBy(*gkeys)
+    per_doc = (nonblank.select(F.col(id_col), lh)
+               .groupBy("__lh__", id_col).agg(F.first(F.lit(1))))
+    dup = (per_doc.groupBy("__lh__")
            .agg(F.count(F.lit(1)).alias("__nd__"))
            .filter(F.col("__nd__") >= min_docs)
-           .select(*gkeys, F.lit(True).alias("__boiler__")))
+           .select("__lh__", F.lit(True).alias("__boiler__")))
     tagged = (lines.withColumn("__lh__", lh)
-              .join(dup, on=gkeys, how="left")
+              .join(dup, on="__lh__", how="left")
               .withColumn(
                   "__removed__",
                   F.coalesce(F.col("__boiler__"), F.lit(False))

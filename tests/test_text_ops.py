@@ -1160,3 +1160,16 @@ def test_contamination_report_includes_zero_hit_docs(spark):
     assert got[0]["n_grams"] == 4 and got[0]["n_hits"] == 3
     assert got[0]["contamination_frac"] == pytest.approx(0.75)
     assert got[1]["n_hits"] == 0 and got[1]["contamination_frac"] == 0.0
+
+
+def test_line_dedup_null_group_still_dedups(spark):
+    # NULL groups form their own group (a plain equi-join on a NULL key
+    # would silently never dedup them)
+    df = spark.createDataFrame(
+        [(0, None, "promo\na"), (1, None, "promo\nb"),
+         (2, "s1", "promo\nc")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in
+           dedup.line_dedup(df, min_docs=2, group_col="source").collect()}
+    assert out[0] == "a" and out[1] == "b"   # null group deduped
+    assert out[2] == "promo\nc"              # s1 has only one copy
