@@ -160,21 +160,27 @@ def extract_tar_members(df: DataFrame,
                                       mode="r")
                 except tarfile.TarError:
                     continue
-                with tf:
-                    for info in tf:
-                        if not info.isfile():
-                            continue
-                        key, dot, suf = info.name.rpartition(".")
-                        if not dot:
-                            key, suf = info.name, ""
-                        if keep is not None and suf not in keep:
-                            continue
-                        member = tf.extractfile(info)
-                        if member is None:
-                            continue
-                        keys.append(key)
-                        sufs.append(suf)
-                        payloads.append(member.read())
+                # Corruption can also surface DURING iteration (a
+                # truncated shard) — parse up to the damage instead of
+                # failing the task.
+                try:
+                    with tf:
+                        for info in tf:
+                            if not info.isfile():
+                                continue
+                            key, dot, suf = info.name.rpartition(".")
+                            if not dot:
+                                key, suf = info.name, ""
+                            if keep is not None and suf not in keep:
+                                continue
+                            member = tf.extractfile(info)
+                            if member is None:
+                                continue
+                            keys.append(key)
+                            sufs.append(suf)
+                            payloads.append(member.read())
+                except (tarfile.TarError, EOFError, OSError):
+                    pass
             yield pd.DataFrame({"key": keys, "suffix": sufs,
                                 "payload": payloads})
 

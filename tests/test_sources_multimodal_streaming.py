@@ -927,3 +927,9 @@ def test_tar_shard_extract_and_suffix_pushdown(spark):
     assert len(rows) == 4                   # junk + null blobs: no rows
     only_txt = extract_tar_members(df, suffixes=["txt"]).collect()
     assert sorted(r["key"] for r in only_txt) == ["a/0", "a/1"]
+    # a shard truncated mid-archive parses up to the damage instead of
+    # failing the task (corruption surfaces DURING iteration)
+    big = encode_tar([("a.txt", b"x" * 600), ("b.txt", b"y" * 600)])
+    df2 = spark.createDataFrame([(bytearray(big[:1200]),)],
+                                "shard binary")
+    assert [r["key"] for r in extract_tar_members(df2).collect()] == ["a"]
