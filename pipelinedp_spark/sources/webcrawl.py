@@ -32,6 +32,9 @@ def encode_wet(records: List[Tuple[str, str]],
     pairs — the writer half used by tests and sinks."""
     out = []
     for uri, text in records:
+        if any(c in uri for c in "\r\n"):
+            raise ValueError(
+                f"WARC-Target-URI may not contain CR/LF: {uri!r}")
         payload = text.encode("utf-8")
         headers = (f"WARC/1.0\r\n"
                    f"WARC-Type: conversion\r\n"

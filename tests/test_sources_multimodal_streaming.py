@@ -898,6 +898,9 @@ def test_wet_codec_and_extract(spark):
     import gzip
     assert parse_wet_records(gzip.compress(blob)) == recs  # .wet.gz
     assert parse_wet_records(b"\x1f\x8btruncated") == []
+    import pytest as _pt
+    with _pt.raises(ValueError, match="CR/LF"):
+        encode_wet([("https://x/\r\nWARC-Type: evil", "body")])
     assert parse_wet_records(blob[:40]) == []   # truncated header
     # one partial record survives if the damage is after it
     assert len(parse_wet_records(blob[: len(encode_wet(
