@@ -146,7 +146,10 @@ class CorpusPipeline:
     def token_budget(self, budget: int) -> "CorpusPipeline":
         """Greedy keep-the-longest selection to a corpus token budget
         (whitespace tokens; distributed prefix sum, no global window).
-        Assumes ids below 2^40 for the fold-into-one-key tiebreak."""
+        The fold-into-one-key tiebreak assumes ids below 2^40 AND token
+        counts below 2^23 (~8M tokens/doc) — beyond either, build your
+        own unique order key and call
+        `mixing.select_to_token_budget` directly."""
         from pipelinedp_spark.operators.mixing import select_to_token_budget
         keyed = self.df.withColumn(
             "__nt__", F.size(F.split(F.col(self.text_col), " "))
