@@ -1452,6 +1452,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_domain_cap",
     "doc_corpus_diff",
     "doc_contamination_score",
+    "doc_normalize_text",
 ]
 
 
@@ -1576,6 +1577,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_cap": _doc_domain_cap,
         "doc_corpus_diff": _doc_corpus_diff,
         "doc_contamination_score": _doc_contamination_score,
+        "doc_normalize_text": _doc_normalize_text,
     }
 
 
@@ -1691,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_cap": _DOC_DOMAIN_CAP_SQL,
         "doc_corpus_diff": _DOC_CORPUS_DIFF_SQL,
         "doc_contamination_score": _DOC_CONTAMINATION_SCORE_SQL,
+        "doc_normalize_text": _DOC_NORMALIZE_TEXT_SQL,
     }
 
 
@@ -5544,4 +5547,27 @@ SELECT t.doc_id, t.n_grams,
                        / t.n_grams, 6)
             ELSE 0.0 END AS contamination_frac
 FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen text normalization (`text.normalize_text`): each doc is
+    made deterministically messy (tab/space padding, a BEL control
+    byte, CRLF line breaks injected at ' the ') and normalized back;
+    the expected output is a closed-form transform of the original
+    text. Pure regexp expressions — zero Python per row."""
+    from pipelinedp_spark.functions.text import normalize_text
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = F.concat(F.lit("\t  "),
+                     F.replace(F.col("text"), F.lit(" the "),
+                               F.lit(" \r\n the ")),
+                     F.lit("\x07"), F.lit("  "))
+    return docs.select(
+        "doc_id", normalize_text(messy).alias("clean_text"))
+
+
+_DOC_NORMALIZE_TEXT_SQL = """
+SELECT doc_id,
+       replace(text, ' the ', chr(10) || 'the ') AS clean_text
+FROM documents
 """

@@ -391,3 +391,27 @@ def pii_count(text: Column, kind: str) -> Column:
     """Number of matches of one PII kind (non-overlapping)."""
     pattern, _ = PII_PATTERNS[kind]
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def normalize_text(text: Column,
+                   lowercase: bool = False,
+                   keep_newlines: bool = True) -> Column:
+    """Corpus-standard text normalization as pure codegen expressions
+    (the cleanup pass run BEFORE dedup/quality so fingerprints compare
+    like-for-like): strip C0/C1 control characters (tab and — with
+    ``keep_newlines`` — newline survive as structure), normalize CRLF
+    to LF, collapse runs of spaces/tabs to one space, trim each line's
+    edges, and drop leading/trailing blank lines. ``lowercase`` folds
+    case last. Unicode normalization (NFKC) is intentionally NOT done
+    here — it needs a Python UDF; at 100 TB keep the hot path codegen
+    and reserve NFKC for a targeted pass.
+    """
+    t = F.regexp_replace(text, "\r\n?", "\n")
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")
+    if not keep_newlines:
+        t = F.regexp_replace(t, "\n", " ")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\n ?", "\n")        # trim line edges
+    t = F.regexp_replace(t, "^[\n ]+|[\n ]+$", "")  # outer blanks
+    return F.lower(t) if lowercase else t

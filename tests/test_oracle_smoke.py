@@ -35,7 +35,7 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "multimodal_video_frames", "doc_url_canonicalize",
          "multimodal_video_dedup", "multimodal_resize_stats",
          "dedup_keep_best", "stream_line_dedup_mirror", "doc_token_budget", "doc_wet_roundtrip", "doc_tar_shards", "multimodal_exif", "multimodal_mp3_meta", "doc_domain_cap", "doc_corpus_diff",
-         "doc_contamination_score"]
+         "doc_contamination_score", "doc_normalize_text"]
 
 
 @pytest.fixture(scope="module")

@@ -1173,3 +1173,27 @@ def test_line_dedup_null_group_still_dedups(spark):
            dedup.line_dedup(df, min_docs=2, group_col="source").collect()}
     assert out[0] == "a" and out[1] == "b"   # null group deduped
     assert out[2] == "promo\nc"              # s1 has only one copy
+
+
+def test_normalize_text_rules(spark):
+    from pipelinedp_spark.functions.text import normalize_text
+    cases = [
+        ("\t  a\x07b \r\n  c\rd  ", "ab\nc\nd"),
+        ("\n\n x \n\n", "x"),
+        ("AB", "ab"),                 # lowercase case below
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               "i long, t string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", normalize_text(F.col("t")).alias("c")).collect()}
+    assert got[0] == cases[0][1] and got[1] == cases[1][1]
+    assert got[3] == ""
+    low = df.select("i", normalize_text(F.col("t"), lowercase=True)
+                    .alias("c")).collect()
+    assert {r["i"]: r["c"] for r in low}[2] == "ab"
+    # newlines stripped too when structure is unwanted
+    flat = df.select("i", normalize_text(
+        F.col("t"), keep_newlines=False).alias("c")).collect()
+    assert {r["i"]: r["c"] for r in flat}[0] == "ab c d"
+    assert {r["i"]: r["c"] for r in flat}[1] == "x"
