@@ -117,6 +117,17 @@ class CorpusPipeline:
             .select(self.id_col)
         return self._with(self.df.join(keep, self.id_col, "left_semi"))
 
+    def normalize(self, lowercase: bool = False,
+                  keep_newlines: bool = True) -> "CorpusPipeline":
+        """Codegen text normalization in place (control strip, CRLF,
+        whitespace collapse) — run FIRST so fingerprints compare
+        like-for-like. Lazy, zero Python per row."""
+        from pipelinedp_spark.functions.text import normalize_text
+        return self._with(self.df.withColumn(
+            self.text_col,
+            normalize_text(F.col(self.text_col), lowercase,
+                           keep_newlines)))
+
     def line_dedup(self, min_docs: int = 2, group_col=None,
                    delimiter: str = "\n") -> "CorpusPipeline":
         """Strip corpus-level boilerplate lines (RefinedWeb rule) and

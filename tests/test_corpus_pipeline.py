@@ -152,3 +152,9 @@ def test_line_dedup_paragraph_filter_token_budget_stages(spark):
     docs3 = _docs(spark, ["a b c d", "e f g", "h i"])
     out3 = CorpusPipeline(docs3).token_budget(7).df
     assert sorted(r["doc_id"] for r in out3.collect()) == [0, 1]
+
+
+def test_normalize_stage(spark):
+    docs = _docs(spark, ["\t A\x07B \r\n c  "])
+    out = CorpusPipeline(docs).normalize(lowercase=True).df
+    assert out.collect()[0]["text"] == "ab\nc"
