@@ -1382,65 +1382,17 @@ FROM s GROUP BY doc_id
 
 
 # The round driver records only the FIRST 50 `queries()` entries in its
-# CORRECTNESS_r{N}.json artifact (observed: r04 and r05 both capped at 50
-# while this module grew to 76 entries). To get every query a driver-recorded
-# oracle row across rounds, entries that have never appeared in a driver
-# artifact (the round-5 batch plus round-6 additions) are ordered FIRST; the
-# remainder — all already green in CORRECTNESS_r01..r05 — follow in their
-# original order. `scripts/check_correctness.py` (same compare logic) covers
-# the full set regardless of order.
+# CORRECTNESS_r{N}.json artifact (observed: r04-r06 all capped at 50 while
+# this module grew past that). To get every query a driver-recorded oracle
+# row across rounds, entries that have never appeared in a driver artifact
+# are ordered FIRST; the remainder — all already green in
+# CORRECTNESS_r01..r06 — follow in their registry order. Round-7 rotation:
+# the 12 late-round-6 queries that sat past the 50-row cap now lead, and new
+# round-7 queries are appended to this front list as they land.
+# `scripts/check_correctness.py` (same compare logic) covers the full set
+# regardless of order and writes the complete CORRECTNESS_LOCAL.json.
 _DRIVER_ARTIFACT_FIRST = [
-    "dp_variance_selected",
-    "dp_windowed_percentile_events",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "doc_stratified_sample",
-    "asof_join_tolerance_events",
-    "range_join_keyed_events",
-    "dedup_cross_corpus",
-    "multimodal_mp4_meta",
-    "emb_semantic_dedup",
-    "doc_duplicate_spans",
-    "doc_unigram_ppl",
-    "doc_bm25_topk",
-    "doc_dsir_weights",
-    "doc_quality_classifier",
-    "doc_chunk_windows",
-    "doc_dsir_resample",
-    "emb_semantic_clusters",
-    "doc_corpus_report",
-    "dp_corpus_token_count",
-    "multimodal_audio_features",
-    "dedup_cross_corpus_near",
-    "doc_bigram_ppl",
-    "stream_near_dup_mirror",
-    "doc_hash_embeddings",
-    "doc_semantic_dedup_text",
-    # round-6 additions
-    "dp_count_no_cross_bounding",
-    "bpe_encode",
-    "dp_windowed_percentile_tree_events",
-    "doc_gram_novelty",
-    "doc_source_quota",
-    "doc_dup_rate_estimate",
-    "events_zorder_key",
-    "doc_vocab_estimate",
-    "doc_weighted_sample",
-    "dp_trending_bigrams",
-    "dp_vector_mean_public",
-    "doc_vocab_hll",
-    "token_freq_cms",
-    "doc_decontaminate_bloom",
-    "events_windowed_hll",
-    "vocab_overlap_kmv",
-    "doc_temperature_mix",
-    "multimodal_phash_dedup",
-    "multimodal_audio_dedup",
-    "doc_line_dedup",
-    "multimodal_video_frames",
-    "doc_url_canonicalize",
-    "multimodal_video_dedup",
-    "multimodal_resize_stats",
+    # never recorded in CORRECTNESS_r01..r06 (were positions 51-62)
     "dedup_keep_best",
     "doc_paragraph_filter",
     "stream_line_dedup_mirror",
@@ -1453,6 +1405,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_corpus_diff",
     "doc_contamination_score",
     "doc_normalize_text",
+    # round-7 additions land here (newest first after the backlog above)
 ]
 
 

@@ -1,12 +1,18 @@
 """Local mirror of the driver's t2 correctness gate: run each queries()
 entry on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count,
 column names, and an order-insensitive value hash (columns sorted by name,
-rows sorted, floats rounded)."""
+rows sorted, floats rounded).
+
+A full run (no name filter) also writes CORRECTNESS_LOCAL.json at the repo
+root — same row shape as the driver's CORRECTNESS_r{N}.json but covering
+EVERY query, so the repo's own record never depends on the driver's
+50-entry artifact cap."""
 
 from __future__ import annotations
 
 import hashlib
 import importlib.util
+import json
 import os
 import sys
 
@@ -63,6 +69,7 @@ def main() -> None:
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,15 +78,27 @@ def main() -> None:
         except Exception as e:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"spark {type(e).__name__}: {e}"[:500]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            results[name] = {"rows_match": len(sdf) > 0, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": None,
+                             "rows_only": True}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(sdf),
+                             "oracle_rows": None,
+                             "err": f"duckdb {type(e).__name__}: {e}"[:500]}
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
@@ -87,6 +106,9 @@ def main() -> None:
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": len(sdf),
+                         "oracle_rows": len(odf), "err": None}
         print(f"{status} {name}: rows {len(sdf)}/{len(odf)} "
               f"cols_match={ok_cols} hash_match={ok_hash}")
         if not ok_hash and ok_rows and ok_cols and len(sdf) <= 2000:
@@ -106,6 +128,12 @@ def main() -> None:
             print(f"     spark-only: {diff1}")
             print(f"     oracle-only: {diff2}")
     spark.stop()
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out}: {len(results)} entries, {failures} failures")
     sys.exit(1 if failures else 0)
 
 
