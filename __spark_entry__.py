@@ -1406,6 +1406,14 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_contamination_score",
     "doc_normalize_text",
     # round-7 additions land here (newest first after the backlog above)
+    "doc_language_id",
+    "doc_nfc_normalize",
+    "doc_gopher_filter",
+    "doc_tfidf_keywords",
+    "doc_pmi_collocations",
+    "doc_code_detect",
+    "doc_language_mix",
+    "doc_sentence_dedup",
 ]
 
 
@@ -1531,6 +1539,14 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_diff": _doc_corpus_diff,
         "doc_contamination_score": _doc_contamination_score,
         "doc_normalize_text": _doc_normalize_text,
+        "doc_language_id": _doc_language_id,
+        "doc_nfc_normalize": _doc_nfc_normalize,
+        "doc_gopher_filter": _doc_gopher_filter,
+        "doc_tfidf_keywords": _doc_tfidf_keywords,
+        "doc_pmi_collocations": _doc_pmi_collocations,
+        "doc_code_detect": _doc_code_detect,
+        "doc_language_mix": _doc_language_mix,
+        "doc_sentence_dedup": _doc_sentence_dedup,
     }
 
 
@@ -1647,6 +1663,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_corpus_diff": _DOC_CORPUS_DIFF_SQL,
         "doc_contamination_score": _DOC_CONTAMINATION_SCORE_SQL,
         "doc_normalize_text": _DOC_NORMALIZE_TEXT_SQL,
+        "doc_language_id": _gen_language_id_sql(),
+        "doc_nfc_normalize": _DOC_NFC_NORMALIZE_SQL,
+        "doc_gopher_filter": _DOC_GOPHER_FILTER_SQL,
+        "doc_tfidf_keywords": _DOC_TFIDF_KEYWORDS_SQL,
+        "doc_pmi_collocations": _DOC_PMI_COLLOCATIONS_SQL,
+        "doc_code_detect": _gen_code_detect_sql(),
+        "doc_language_mix": _gen_language_mix_sql(),
+        "doc_sentence_dedup": _DOC_SENTENCE_DEDUP_SQL,
     }
 
 
@@ -5523,4 +5547,457 @@ _DOC_NORMALIZE_TEXT_SQL = """
 SELECT doc_id,
        replace(text, ' the ', chr(10) || 'the ') AS clean_text
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 7: character n-gram language ID + Unicode normalization
+# ---------------------------------------------------------------------------
+
+# Planted multilingual snippets (pre-lowercased so lower() parity never
+# matters); odd doc_ids swap their English text for one of these, even
+# doc_ids keep the original — the classifier must get both right.
+_LANGID_SNIPPETS = [
+    ("en", "i think that we should go to the market in the morning "
+           "and buy some bread with the other people."),
+    ("es", "nosotros vamos a la ciudad para comprar comida y después "
+           "volvemos a casa con los niños pequeños."),
+    ("de", "ich möchte morgen in die schule gehen und danach mit "
+           "meinen freunden zusammen spielen."),
+    ("fr", "nous allons au marché pour acheter des légumes et ensuite "
+           "nous rentrons à la maison avec les enfants."),
+    ("ru", "мы идем в магазин чтобы купить хлеб и потом возвращаемся "
+           "домой вместе с детьми."),
+    ("zh", "我们明天去市场买一些水果和蔬菜然后回家吃饭。"),
+    ("ja", "私たちは明日市場へ行って果物を買います。それから家に帰ります。"),
+    ("th", "พรุ่งนี้เราจะไปตลาดเพื่อซื้อผลไม้และกลับบ้าน"),
+    ("ar", "نحن نذهب إلى السوق لشراء الخبز ثم نعود إلى البيت مع الأطفال."),
+]
+
+
+def _doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 1/2/3-gram language ID (`operators.langid`): script
+    blocks make CJK/Thai/Arabic/Cyrillic self-identifying, trigrams
+    disambiguate Latin languages. Odd doc_ids carry planted
+    multilingual snippets; even keep their English text. Exactly
+    mirrored in SQL (substring grams + VALUES profile table +
+    struct-max argmax)."""
+    from pipelinedp_spark.operators.langid import language_id_ngram
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snips = F.array(*[F.lit(s) for _, s in _LANGID_SNIPPETS])
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1,
+               F.element_at(
+                   snips,
+                   (F.col("doc_id") % len(_LANGID_SNIPPETS))
+                   .cast("int") + 1))
+        .otherwise(F.col("text")).alias("text"))
+    return language_id_ngram(planted)
+
+
+def _gen_language_id_sql() -> str:
+    from pipelinedp_spark.operators.langid import (MAX_GRAM,
+                                                   language_profiles)
+    prof = language_profiles()
+    vals = ", ".join(
+        "('{}', '{}', {!r})".format(lang, g.replace("'", "''"), w)
+        for lang, g, w in prof)
+    snip_list = ", ".join(
+        "'{}'".format(s.replace("'", "''")) for _, s in _LANGID_SNIPPETS)
+    k = len(_LANGID_SNIPPETS)
+    gram_lists = ", ".join(
+        f"[substring(t, i, {n}) for i in range(1, length(t) - {n} + 2)]"
+        for n in range(1, MAX_GRAM + 1))
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+              THEN ([{snip_list}])[(doc_id % {k})::INT + 1]
+              ELSE text END AS text
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(substring(text, 1, 512)), '\\s+', ' ', 'g'))
+             || ' ' AS t
+  FROM planted),
+g AS (
+  SELECT doc_id, length(t) * {MAX_GRAM} AS ng,
+         unnest(flatten([{gram_lists}])) AS gram
+  FROM norm),
+wt(lang, gram, w) AS (VALUES {vals}),
+hits AS (
+  SELECT g.doc_id, wt.lang, g.ng, SUM(wt.w) AS h
+  FROM g JOIN wt USING (gram)
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT doc_id,
+         max(struct_pack(score := ROUND(h / ng, 6),
+                         lang := lang)) AS b
+  FROM hits GROUP BY 1)
+SELECT n.doc_id,
+       COALESCE(b.b.lang, 'unknown') AS lang,
+       COALESCE(b.b.score, 0.0) AS score
+FROM norm n LEFT JOIN best b USING (doc_id)
+"""
+
+
+def _doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Unicode normalization (`text.unicode_normalize`,
+    form=NFC so DuckDB's nfc_normalize can oracle it; the NFKC
+    compatibility folding of the same UDF is pinned by pytest). Each
+    doc is decorated with decomposed accents (e + COMBINING ACUTE) and
+    the UDF must compose them."""
+    from pipelinedp_spark.functions.text import unicode_normalize
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # DECOMPOSED literals (e + U+0301, n + U+0303): the UDF must
+    # compose them or the value hash differs from the oracle's
+    # nfc_normalize output - an identity stand-in cannot pass.
+    deco = F.concat(F.lit("re\u0301sume\u0301: "), F.col("text"),
+                    F.lit(" cafe\u0301 n\u0303"))
+    return docs.select(
+        "doc_id", unicode_normalize(deco, "NFC").alias("ntext"))
+
+
+_DOC_NFC_NORMALIZE_SQL = """
+SELECT doc_id,
+       nfc_normalize('re' || chr(769) || 'sume' || chr(769) || ': '
+                     || text || ' cafe' || chr(769) || ' n'
+                     || chr(771)) AS ntext
+FROM documents
+"""
+
+
+def _doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality filter (Rae et al. 2021 Table A1
+    defaults): per-rule booleans + overall pass, every rule except the
+    top-2-gram shuffle a per-row codegen expression (the four line
+    rules share ONE split via `text.line_signals`)."""
+    from pipelinedp_spark.operators.quality import gopher_quality_filter
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs)
+
+
+_DOC_GOPHER_FILTER_SQL = """
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+                    string_split(text, chr(10)) AS ls
+             FROM documents),
+g5 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN [array_to_string(t[i:i+4], ' ')
+                    for i in range(1, len(t) - 3)]
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM tok),
+dup5 AS (
+  SELECT doc_id,
+         CASE WHEN list_aggregate([length(x) for x in g], 'sum') > 0
+              THEN ROUND(
+                (list_aggregate([length(x) for x in g], 'sum')
+                 - list_aggregate([length(x) for x in list_distinct(g)],
+                                  'sum'))::DOUBLE
+                / list_aggregate([length(x) for x in g], 'sum'), 6)
+              ELSE 0.0 END AS dup_5gram_frac
+  FROM g5),
+g2 AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(t) >= 2
+                     THEN [t[i] || ' ' || t[i+1]
+                           for i in range(1, len(t))]
+                     ELSE [array_to_string(t, ' ')] END) AS g
+  FROM tok),
+cnt2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+tot2 AS (SELECT doc_id, SUM(cnt * length(g)) AS total
+         FROM cnt2 GROUP BY 1),
+top2 AS (
+  SELECT doc_id, g, cnt FROM cnt2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, g ASC) = 1),
+sig AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         ROUND(list_aggregate([length(x) for x in t],
+                              'sum')::DOUBLE
+               / greatest(len(t), 1), 6) AS mwl,
+         CASE WHEN len(t) > 0
+              THEN ROUND(
+                (length(text) - length(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+                / len(t), 6)
+              ELSE 0.0 END AS sym,
+         CASE WHEN len(ls) > 0
+              THEN ROUND((len(ls) - len(list_distinct(ls)))::DOUBLE
+                         / len(ls), 6) ELSE 0.0 END AS dlf,
+         CASE WHEN list_aggregate([length(x) for x in ls], 'sum') > 0
+              THEN ROUND(
+                (list_aggregate([length(x) for x in ls], 'sum')
+                 - list_aggregate(
+                     [length(x) for x in list_distinct(ls)], 'sum')
+                 )::DOUBLE
+                / list_aggregate([length(x) for x in ls], 'sum'), 6)
+              ELSE 0.0 END AS dlcf,
+         CASE WHEN len(ls) > 0
+              THEN ROUND(len([x for x in ls
+                              if regexp_matches(trim(x), '^[-*•]')
+                              ])::DOUBLE / len(ls), 6)
+              ELSE 0.0 END AS bul,
+         CASE WHEN len(ls) > 0
+              THEN ROUND(len([x for x in ls
+                              if regexp_matches(trim(x),
+                                                '(\\.\\.\\.|…)$')
+                              ])::DOUBLE / len(ls), 6)
+              ELSE 0.0 END AS ell,
+         ROUND(len([x for x in t
+                    if regexp_matches(x, '[A-Za-z]')])::DOUBLE
+               / greatest(len(t), 1), 6) AS alpha,
+         len(list_intersect(list_distinct(t),
+                            ['the', 'be', 'to', 'of', 'and', 'that',
+                             'have', 'with'])) AS sw
+  FROM tok)
+SELECT s.doc_id,
+       s.n_words::BIGINT AS n_words,
+       (s.n_words >= 50 AND s.n_words <= 100000) AS ok_words,
+       (s.mwl >= 3.0 AND s.mwl <= 10.0) AS ok_word_len,
+       (s.sym <= 0.1) AS ok_symbol,
+       (s.bul <= 0.9 AND s.ell <= 0.3) AS ok_lines,
+       (s.dlf <= 0.3 AND s.dlcf <= 0.2) AS ok_dup_lines,
+       (ROUND((top2.cnt * length(top2.g))::DOUBLE / tot2.total, 6)
+            <= 0.2) AS ok_top2gram,
+       (dup5.dup_5gram_frac <= 0.15) AS ok_dup5gram,
+       (s.alpha >= 0.8) AS ok_alpha,
+       (s.sw >= 2) AS ok_stopwords,
+       ((s.n_words >= 50 AND s.n_words <= 100000)
+        AND (s.mwl >= 3.0 AND s.mwl <= 10.0)
+        AND (s.sym <= 0.1)
+        AND (s.bul <= 0.9 AND s.ell <= 0.3)
+        AND (s.dlf <= 0.3 AND s.dlcf <= 0.2)
+        AND (ROUND((top2.cnt * length(top2.g))::DOUBLE / tot2.total, 6)
+             <= 0.2)
+        AND (dup5.dup_5gram_frac <= 0.15)
+        AND (s.alpha >= 0.8)
+        AND (s.sw >= 2)) AS passes
+FROM sig s
+JOIN dup5 USING (doc_id)
+JOIN top2 USING (doc_id)
+JOIN tot2 USING (doc_id)
+"""
+
+
+def _doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (`retrieval.tfidf_keywords`):
+    one corpus explode (shared word-count plan), df off the tf table,
+    per-doc WindowGroupLimit top-k."""
+    from pipelinedp_spark.operators.retrieval import tfidf_keywords
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=5)
+
+
+_DOC_TFIDF_KEYWORDS_SQL = """
+WITH tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+s AS (SELECT doc_id, term,
+             tf * ln(nd::DOUBLE / df) AS score
+      FROM tfc JOIN dft USING (term), n)
+SELECT doc_id, term, rank, ROUND(score, 6) AS score
+FROM (SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+WHERE rank <= 5
+"""
+
+
+def _doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by PMI over adjacent word pairs
+    (`retrieval.pmi_collocations`): two word-count plans + a
+    vocabulary-sized join, global top-k sort of the min_count
+    survivors."""
+    from pipelinedp_spark.operators.retrieval import pmi_collocations
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=50, min_count=5)
+
+
+_DOC_PMI_COLLOCATIONS_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+pr AS (
+  SELECT unnest([{'x': t[i], 'y': t[i+1]}
+                 for i in range(1, len(t))], recursive := true)
+  FROM tok),
+big AS (SELECT x, y, COUNT(*) AS c FROM pr GROUP BY 1, 2),
+uni AS (SELECT w, COUNT(*) AS cw
+        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+tot AS (SELECT SUM(c) AS tt FROM big),
+s AS (
+  SELECT b.x, b.y, b.c,
+         ln(b.c::DOUBLE * tot.tt / (ux.cw * uy.cw)) AS pmi
+  FROM big b
+  JOIN uni ux ON b.x = ux.w
+  JOIN uni uy ON b.y = uy.w, tot
+  WHERE b.c >= 5)
+SELECT x || ' ' || y AS gram, c::BIGINT AS c, ROUND(pmi, 6) AS pmi
+FROM s ORDER BY pmi DESC, gram ASC LIMIT 50
+"""
+
+
+_CODE_SNIPPETS = [
+    ("def main(argv):\n    total = 0\n    for i in range(10):\n"
+     "        total += i * i\n    return total\n"
+     "if __name__ == '__main__':\n    print(main([]))"),
+    ("public static int sum(int[] xs) {\n    int acc = 0;\n"
+     "    for (int i = 0; i < xs.length; i++) { acc += xs[i]; }\n"
+     "    return acc;\n}"),
+    ("const f = (xs) => {\n    let acc = 0;\n"
+     "    xs.forEach((x) => { acc += x; });\n    return acc;\n};"),
+]
+
+
+def _doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signals (`text.code_signals` /
+    `code_score`): doc_ids divisible by 3 keep their prose, the rest
+    get a code snippet appended — the detector must separate them.
+    Pure codegen regexp counts, mirrored exactly in SQL."""
+    from pipelinedp_spark.functions.text import code_score, is_code
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snips = F.array(*[F.lit(s) for s in _CODE_SNIPPETS])
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(
+            F.col("text"), F.lit("\n"),
+            F.element_at(snips, (F.col("doc_id")
+                                 % len(_CODE_SNIPPETS)).cast("int") + 1)))
+        .alias("text"))
+    return planted.select(
+        "doc_id",
+        code_score(F.col("text")).alias("code_score"),
+        is_code(F.col("text")).alias("is_code"))
+
+
+def _gen_code_detect_sql() -> str:
+    from pipelinedp_spark.functions.text import _CODE_KEYWORD_PATTERN
+    snips = ", ".join("'{}'".format(
+        s.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for s in _CODE_SNIPPETS)
+    # DuckDB single-quoted strings do not process backslash escapes, so
+    # the Java-regex pattern passes through verbatim.
+    kw = _CODE_KEYWORD_PATTERN.replace("'", "''")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || chr(10)
+                   || ([{snips}])[(doc_id % 3)::INT + 1] END AS text
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         ROUND(len(regexp_extract_all(text,
+                   '[{{}}\\[\\]()]'))::DOUBLE
+               / greatest(length(text), 1), 6) AS brace_density,
+         ROUND(len([x for x in string_split(text, chr(10))
+                    if regexp_matches(x, ';\\s*$')])::DOUBLE
+               / greatest(len(string_split(text, chr(10))), 1), 6)
+             AS semicolon_line_frac,
+         ROUND(len([x for x in string_split(text, chr(10))
+                    if regexp_matches(x, '^(    |\\t)')])::DOUBLE
+               / greatest(len(string_split(text, chr(10))), 1), 6)
+             AS indent_line_frac,
+         ROUND(len(regexp_extract_all(text, '{kw}'))::DOUBLE
+               / greatest(len(string_split(text, ' ')), 1), 6)
+             AS keyword_density,
+         ROUND(len(regexp_extract_all(text,
+                   '(==|!=|<=|>=|->|=>|\\+=|-=|\\*=|/=|::|:=)'))::DOUBLE
+               / greatest(length(text), 1), 6) AS assign_density
+  FROM planted)
+SELECT doc_id,
+       ROUND(least(1.0, brace_density * 8.0
+                        + semicolon_line_frac * 1.2
+                        + indent_line_frac * 0.8
+                        + keyword_density * 3.0
+                        + assign_density * 10.0), 6) AS code_score,
+       (ROUND(least(1.0, brace_density * 8.0
+                         + semicolon_line_frac * 1.2
+                         + indent_line_frac * 0.8
+                         + keyword_density * 3.0
+                         + assign_density * 10.0), 6) >= 0.3) AS is_code
+FROM sig
+"""
+
+
+def _doc_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution off the n-gram language classifier:
+    per-language doc counts + share. The share window runs over the
+    ALREADY-AGGREGATED language table (tens of rows), not the corpus."""
+    from pyspark.sql import Window as W
+    counts = (_doc_language_id(spark, sf_dir)
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))
+    total = W.partitionBy()
+    return counts.select(
+        "lang", F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(total), 6).alias("share"))
+
+
+def _gen_language_mix_sql() -> str:
+    inner = _gen_language_id_sql()
+    return f"""
+WITH lid AS ({inner})
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (), 6) AS share
+FROM lid GROUP BY lang
+"""
+
+
+def _doc_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level corpus dedup (`dedup.sentence_dedup`): documents
+    get deterministic sentence boundaries on BOTH sides (five frequent
+    words become '. '), then any trimmed sentence shared by >= 2
+    distinct docs of the same source is stripped and the text rebuilt
+    in order. Same plan shape as line dedup — hash-only counting
+    shuffles, groupBy rebuild, no windows."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.regexp_replace(F.col("text"), " (the|a|data|value|row) ",
+                         ". ").alias("text"))
+    return dedup.sentence_dedup(docs, min_docs=2, group_col="source")
+
+
+_DOC_SENTENCE_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_replace(text, ' (the|a|data|value|row) ', '. ', 'g') AS t
+  FROM documents
+),
+sents AS (
+  SELECT doc_id, source,
+         UNNEST(regexp_extract_all(t, '[^.!?]+[.!?]*')) AS s,
+         generate_subscripts(regexp_extract_all(t, '[^.!?]+[.!?]*'), 1)
+             AS pos
+  FROM base
+),
+dup AS (
+  SELECT source, ts
+  FROM (SELECT source, trim(s) AS ts, COUNT(DISTINCT doc_id) AS nd
+        FROM sents WHERE trim(s) <> '' GROUP BY 1, 2)
+  WHERE nd >= 2
+),
+tagged AS (
+  SELECT se.doc_id, se.s, se.pos,
+         (d.ts IS NOT NULL AND trim(se.s) <> '') AS removed
+  FROM sents se
+  LEFT JOIN dup d ON se.source = d.source AND trim(se.s) = d.ts
+)
+SELECT doc_id,
+       COALESCE(string_agg(s, '' ORDER BY pos)
+                FILTER (WHERE NOT removed), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM tagged
+GROUP BY doc_id
 """

@@ -118,15 +118,22 @@ class CorpusPipeline:
         return self._with(self.df.join(keep, self.id_col, "left_semi"))
 
     def normalize(self, lowercase: bool = False,
-                  keep_newlines: bool = True) -> "CorpusPipeline":
+                  keep_newlines: bool = True,
+                  nfkc: bool = False) -> "CorpusPipeline":
         """Codegen text normalization in place (control strip, CRLF,
         whitespace collapse) — run FIRST so fingerprints compare
-        like-for-like. Lazy, zero Python per row."""
-        from pipelinedp_spark.functions.text import normalize_text
+        like-for-like. Lazy, zero Python per row. With ``nfkc``, an
+        Arrow-batched Unicode NFKC pass runs FIRST (fullwidth/ligature
+        folding so multilingual fingerprints converge) — the one
+        Python step in the text stack; still lazy."""
+        from pipelinedp_spark.functions.text import (normalize_text,
+                                                     unicode_normalize)
+        col = F.col(self.text_col)
+        if nfkc:
+            col = unicode_normalize(col, "NFKC")
         return self._with(self.df.withColumn(
             self.text_col,
-            normalize_text(F.col(self.text_col), lowercase,
-                           keep_newlines)))
+            normalize_text(col, lowercase, keep_newlines)))
 
     def line_dedup(self, min_docs: int = 2, group_col=None,
                    delimiter: str = "\n") -> "CorpusPipeline":
@@ -135,6 +142,20 @@ class CorpusPipeline:
         from pipelinedp_spark.operators.dedup import line_dedup
         cleaned = line_dedup(self.df, self.text_col, self.id_col,
                              min_docs, group_col, delimiter)
+        return self._with(self.df.drop(self.text_col).join(
+            cleaned.select(self.id_col,
+                           F.col("clean_text").alias(self.text_col)),
+            self.id_col))
+
+    def sentence_dedup(self, min_docs: int = 2, group_col=None,
+                       min_chars: int = 0) -> "CorpusPipeline":
+        """Strip sentences shared by >= min_docs docs (taglines and
+        disclaimers inside otherwise-unique paragraphs) and rebuild
+        each document's text in place. Lazy; same plan shape as
+        line_dedup."""
+        from pipelinedp_spark.operators.dedup import sentence_dedup
+        cleaned = sentence_dedup(self.df, self.text_col, self.id_col,
+                                 min_docs, group_col, min_chars)
         return self._with(self.df.drop(self.text_col).join(
             cleaned.select(self.id_col,
                            F.col("clean_text").alias(self.text_col)),
@@ -157,16 +178,33 @@ class CorpusPipeline:
     def token_budget(self, budget: int) -> "CorpusPipeline":
         """Greedy keep-the-longest selection to a corpus token budget
         (whitespace tokens; distributed prefix sum, no global window).
-        The fold-into-one-key tiebreak assumes ids below 2^40 AND token
-        counts below 2^23 (~8M tokens/doc) — beyond either, build your
-        own unique order key and call
-        `mixing.select_to_token_budget` directly."""
+        The fold-into-one-key tiebreak assumes non-negative ids below
+        2^40 AND token counts below 2^23 (~8M tokens/doc) — beyond
+        either, build your own unique order key and call
+        `mixing.select_to_token_budget` directly. The bounds are
+        enforced lazily in the plan (per-row assert_true — zero extra
+        scan): an out-of-range id/doc raises at execution instead of
+        producing a silently wrong order key."""
         from pipelinedp_spark.operators.mixing import select_to_token_budget
+        in_bounds = ((F.col(self.id_col) >= 0)
+                     & (F.col(self.id_col) < F.lit(1 << 40))
+                     & (F.col("__nt__") < F.lit(1 << 23)))
+        guard = F.assert_true(
+            in_bounds,
+            F.concat(
+                F.lit("CorpusPipeline.token_budget: key fold needs "
+                      "0 <= id < 2^40 and tokens/doc < 2^23; got id="),
+                F.col(self.id_col).cast("string"),
+                F.lit(" tokens="), F.col("__nt__").cast("string"),
+                F.lit(". Build a unique order key and call "
+                      "mixing.select_to_token_budget directly.")))
         keyed = self.df.withColumn(
             "__nt__", F.size(F.split(F.col(self.text_col), " "))
             .cast("long")).withColumn(
-            "__ord__", (-F.col("__nt__") * F.lit(1 << 40)
-                        + F.col(self.id_col)).cast("long"))
+            "__ord__", F.when(
+                guard.isNull(),
+                (-F.col("__nt__") * F.lit(1 << 40)
+                 + F.col(self.id_col))).cast("long"))
         out = select_to_token_budget(keyed, budget, "__nt__", "__ord__",
                                      self.id_col)
         return self._with(out.drop("__nt__", "__ord__", "cum_tokens"))

@@ -346,6 +346,39 @@ def ellipsis_line_fraction(text: Column) -> Column:
                                  6)).otherwise(F.lit(0.0))
 
 
+def line_signals(text: Column) -> Column:
+    """All four Gopher line signals from ONE split: a struct
+    (dup_line_frac, dup_line_char_frac, bullet_line_frac,
+    ellipsis_line_frac). The individual builders each inline their own
+    `split(text, '\\n')`; used together in one projection that is 4+
+    split trees in the plan (whole-stage codegen's subexpression
+    elimination usually collapses them, but it is best-effort and off
+    for interpreted fallbacks). This composes every signal over ONE
+    bound array so the plan is one-split by construction — prefer it
+    when deriving several line signals in the same select."""
+    def _ratio(num, den):
+        return (F.when(den > 0,
+                       F.round(num.cast("double") / den.cast("double"), 6))
+                .otherwise(F.lit(0.0)))
+
+    def _build(ls):  # ls is a BOUND lambda variable — split ran once
+        n = F.size(ls)
+        total = _char_sum(ls)
+        dls = F.array_distinct(ls)
+        bullets = F.size(F.filter(
+            ls, lambda x: F.trim(x).rlike(r"^[-*•]")))
+        ell = F.size(F.filter(
+            ls, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+        return F.struct(
+            _ratio(n - F.size(dls), n).alias("dup_line_frac"),
+            _ratio(total - _char_sum(dls), total)
+            .alias("dup_line_char_frac"),
+            _ratio(bullets, n).alias("bullet_line_frac"),
+            _ratio(ell, n).alias("ellipsis_line_frac"))
+
+    return F.transform(F.array(lines(text)), _build)[0]
+
+
 def symbol_word_ratio(text: Column) -> Column:
     """(# of '#' and ellipsis symbols) / word count (Gopher drops > 0.1)."""
     n = token_count(text)
@@ -415,3 +448,90 @@ def normalize_text(text: Column,
     t = F.regexp_replace(t, " ?\n ?", "\n")        # trim line edges
     t = F.regexp_replace(t, "^[\n ]+|[\n ]+$", "")  # outer blanks
     return F.lower(t) if lowercase else t
+
+
+def unicode_normalize(text: Column, form: str = "NFKC") -> Column:
+    """Unicode normalization (the targeted pass `normalize_text`
+    deliberately defers): NFKC folds compatibility characters
+    (fullwidth Latin, ligatures, superscripts) and canonically composes
+    combining marks, so a multilingual corpus fingerprints
+    like-for-like before dedup. This is the one Python step in the
+    text stack — an Arrow-batched pandas UDF (unicodedata.normalize is
+    C-speed per string; the batch transfer dominates), NOT a
+    row-at-a-time UDF. At 100 TB, run it once up front and persist the
+    normalized text rather than re-normalizing per downstream pass.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize(form, v))
+
+    return _norm(text)
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection (training-data routing: source code wants
+# different dedup/quality/tokenizer treatment than natural language).
+# Pure codegen regexp counts; thresholds engine-portable via 6dp rounds.
+# ---------------------------------------------------------------------------
+
+_CODE_KEYWORD_PATTERN = (
+    r"\b(def|return|import|class|function|var|const|let|void|int|"
+    r"public|private|static|if|else|for|while|printf|println|lambda|"
+    r"struct|enum|impl|fn|pub|use|package|namespace|template)\b")
+
+
+def code_signals(text: Column) -> Column:
+    """Struct of code-likeness signals per document (all per-char or
+    per-line ratios, 6dp): brace/bracket density, semicolon-line
+    fraction, indented-line fraction, keyword density per token, and
+    assignment-operator density."""
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    ls = lines(text)
+    n_lines = F.greatest(F.size(ls), F.lit(1))
+
+    def _count(pattern):
+        return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+    braces = _count(r"[{}\[\]()]")
+    semis = F.size(F.filter(ls, lambda x: x.rlike(";\\s*$")))
+    indented = F.size(F.filter(ls, lambda x: x.rlike("^(    |\\t)")))
+    keywords = _count(_CODE_KEYWORD_PATTERN)
+    assigns = _count(r"(==|!=|<=|>=|->|=>|\+=|-=|\*=|/=|::|:=)")
+    n_tok = F.greatest(token_count(text), F.lit(1))
+    return F.struct(
+        F.round(braces.cast("double") / n_chars, 6)
+        .alias("brace_density"),
+        F.round(semis.cast("double") / n_lines, 6)
+        .alias("semicolon_line_frac"),
+        F.round(indented.cast("double") / n_lines, 6)
+        .alias("indent_line_frac"),
+        F.round(keywords.cast("double") / n_tok, 6)
+        .alias("keyword_density"),
+        F.round(assigns.cast("double") / n_chars, 6)
+        .alias("assign_density"))
+
+
+def code_score(text: Column) -> Column:
+    """Weighted code-likeness score in [0, ~1]: a linear blend of the
+    `code_signals` ratios (weights chosen so idiomatic source scores
+    >0.5 and prose <0.1; it is a routing heuristic, not a classifier —
+    train `mixing.train_linear_classifier` on labels when you have
+    them)."""
+    s = code_signals(text)
+    return F.round(
+        F.least(F.lit(1.0),
+                s["brace_density"] * 8.0
+                + s["semicolon_line_frac"] * 1.2
+                + s["indent_line_frac"] * 0.8
+                + s["keyword_density"] * 3.0
+                + s["assign_density"] * 10.0), 6)
+
+
+def is_code(text: Column, threshold: float = 0.3) -> Column:
+    return code_score(text) >= threshold

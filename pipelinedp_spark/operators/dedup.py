@@ -809,7 +809,9 @@ def line_dedup(df: DataFrame,
                id_col: str = "doc_id",
                min_docs: int = 2,
                group_col: Optional[str] = None,
-               delimiter: str = "\n") -> DataFrame:
+               delimiter: str = "\n",
+               max_lines_per_doc: Optional[int] = 4_000_000,
+               on_oversize: str = "raise") -> DataFrame:
     """Corpus-wide line-level dedup (RefinedWeb / CCNet boilerplate
     removal): a line that appears in >= ``min_docs`` DISTINCT documents
     (within ``group_col`` when given — boilerplate is usually
@@ -831,12 +833,37 @@ def line_dedup(df: DataFrame,
     document's own lines (no window). Removal keys on the 60-bit hash,
     the standard trade at corpus scale (a cross-doc collision removing
     a wrong line has probability ~n_lines^2 / 2^61).
+
+    The rebuild's collect_list is bounded by DOCUMENT size, so a
+    pathological single mega-document (a 1 GB "doc" with 10^8 lines)
+    would blow one task's memory. ``max_lines_per_doc`` bounds that:
+    ``on_oversize="raise"`` (default) fails fast with a per-row plan
+    assertion naming the offending id; ``"truncate"`` keeps the first
+    ``max_lines_per_doc`` lines. ``max_lines_per_doc=None`` disables
+    the guard.
     """
+    if on_oversize not in ("raise", "truncate"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'truncate', got {on_oversize!r}")
+    arr = F.split(F.col(text_col), _re.escape(delimiter))
+    if max_lines_per_doc is not None:
+        if on_oversize == "truncate":
+            arr = F.slice(arr, 1, max_lines_per_doc)
+        else:
+            guard = F.assert_true(
+                F.size(arr) <= max_lines_per_doc,
+                F.concat(
+                    F.lit("line_dedup: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has "), F.size(arr).cast("string"),
+                    F.lit(f" lines > max_lines_per_doc="
+                          f"{max_lines_per_doc}; pass "
+                          f"on_oversize='truncate' or raise the cap.")))
+            arr = F.when(guard.isNull(), arr)
     cols = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
     lines = df.select(
         *cols,
-        F.posexplode(F.split(F.col(text_col),
-                             _re.escape(delimiter)))
+        F.posexplode(arr)
         .alias("__pos__", "__line__"))
     # The group is FOLDED INTO the hash (with a NULL sentinel) rather
     # than used as a join key: NULL groups then dedup among themselves
@@ -914,3 +941,83 @@ def corpus_diff(old: DataFrame, new: DataFrame,
                     F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return joined.select(id_col, status.alias("status"))
+
+
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def sentence_dedup(df: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_docs: int = 2,
+                   group_col: Optional[str] = None,
+                   min_chars: int = 0,
+                   max_sentences_per_doc: Optional[int] = 4_000_000,
+                   on_oversize: str = "raise") -> DataFrame:
+    """Corpus-wide SENTENCE-level dedup — `line_dedup`'s rule at
+    sentence granularity (boilerplate taglines/disclaimers repeat as
+    sentences inside otherwise-unique paragraphs, where line dedup
+    cannot see them). A sentence whose trimmed text appears in >=
+    ``min_docs`` distinct documents (within ``group_col`` when given)
+    is removed from every document; ``min_chars`` exempts short
+    sentences ("Yes." is not boilerplate evidence).
+
+    Sentences are `[^.!?]+[.!?]*` regexp matches — greedy runs ending
+    at sentence punctuation, leading whitespace attached — chosen over
+    lookbehind splits because the pattern behaves identically under
+    Java regex and RE2, so the DuckDB oracle mirrors it exactly. The
+    rebuild joins surviving matches with '' (each match carries its own
+    spacing), reconstructing the original text minus removed sentences;
+    stray punctuation with no preceding sentence body is not matched
+    and thus dropped (documented loss, the regexp-split trade).
+
+    Returns (id_col, clean_text, n_lines, n_removed) with n_lines =
+    sentence count. Scale shape identical to `line_dedup`: one
+    posexplode, hash-only counting shuffles, one equi-join, groupBy
+    rebuild, and the same ``max_sentences_per_doc`` mega-doc guard.
+    """
+    if on_oversize not in ("raise", "truncate"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'truncate', got {on_oversize!r}")
+    arr = F.regexp_extract_all(F.col(text_col),
+                               F.lit(SENTENCE_PATTERN), 0)
+    if max_sentences_per_doc is not None:
+        if on_oversize == "truncate":
+            arr = F.slice(arr, 1, max_sentences_per_doc)
+        else:
+            guard = F.assert_true(
+                F.size(arr) <= max_sentences_per_doc,
+                F.concat(
+                    F.lit("sentence_dedup: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has "), F.size(arr).cast("string"),
+                    F.lit(f" sentences > max_sentences_per_doc="
+                          f"{max_sentences_per_doc}; pass "
+                          f"on_oversize='truncate' or raise the cap.")))
+            arr = F.when(guard.isNull(), arr)
+    cols = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+    sents = df.select(
+        *cols, F.posexplode(arr).alias("__pos__", "__line__"))
+    norm = F.trim(F.col("__line__"))
+    if group_col:
+        key = F.concat_ws("\x01",
+                          F.coalesce(F.col(group_col).cast("string"),
+                                     F.lit("\x00null")),
+                          norm)
+    else:
+        key = norm
+    lh = T.hex_to_long(F.md5(key)).alias("__lh__")
+    countable = (norm != "") & (F.length(norm) >= min_chars)
+    per_doc = (sents.filter(countable).select(F.col(id_col), lh)
+               .groupBy("__lh__", id_col).agg(F.first(F.lit(1))))
+    dup = (per_doc.groupBy("__lh__")
+           .agg(F.count(F.lit(1)).alias("__nd__"))
+           .filter(F.col("__nd__") >= min_docs)
+           .select("__lh__", F.lit(True).alias("__boiler__")))
+    tagged = (sents.withColumn("__lh__", lh)
+              .join(dup, on="__lh__", how="left")
+              .withColumn(
+                  "__removed__",
+                  F.coalesce(F.col("__boiler__"), F.lit(False))
+                  & countable))
+    return _rebuild_kept_lines(tagged, id_col, "")

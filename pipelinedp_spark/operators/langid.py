@@ -1,0 +1,188 @@
+"""Character n-gram language identification (Cavnar-Trenkle style).
+
+Upgrades the stopword-overlap heuristic in `functions.text.language_id`
+(which returns "unknown" for unsegmented scripts — zh/ja/th have no
+whitespace-delimited stopword hits) to frequency-weighted character
+1/2/3-gram profiles: single-char grams make every script
+self-identifying (han/kana/hangul/thai/arabic/cyrillic characters only
+occur in their languages' profiles), bigrams/trigrams disambiguate
+Latin-script languages (en/es/de/fr/it/pt/nl share the alphabet but not
+"the"/"de "/"sch"/"ção").
+
+Profiles are fit at import time from small embedded seed texts
+(UDHR-Article-1-style sentences, public domain) — a few KB of driver
+work; the profile table is ~2k rows, always broadcast.
+
+Scale shape (100 TB): one normalized-text column, one explode of its
+1..3-grams (positions via sequence over a BOUND column attribute — the
+normalization expression is materialized first so the higher-order
+lambda does not re-evaluate it per element), an inner join against the
+broadcast profile table, one map-side-combinable groupBy(doc, lang)
+sum, and a max(struct) argmax per doc — no windows, no driver collects.
+
+No reference counterpart (net-new LLM-pipeline surface); semantics are
+exactly mirrorable in ANSI SQL (substring grams + VALUES profile table)
+for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+# Seed text per language: UDHR-Article-1-style sentences (public
+# domain). Profiles are frequency tables of their character 1/2/3-grams
+# — the exact wording only matters in that it is representative.
+LANG_SEEDS: Dict[str, str] = {
+    "en": ("All human beings are born free and equal in dignity and "
+           "rights. They are endowed with reason and conscience and "
+           "should act towards one another in a spirit of brotherhood."),
+    "es": ("Todos los seres humanos nacen libres e iguales en dignidad "
+           "y derechos y, dotados como están de razón y conciencia, "
+           "deben comportarse fraternalmente los unos con los otros."),
+    "de": ("Alle Menschen sind frei und gleich an Würde und Rechten "
+           "geboren. Sie sind mit Vernunft und Gewissen begabt und "
+           "sollen einander im Geist der Brüderlichkeit begegnen."),
+    "fr": ("Tous les êtres humains naissent libres et égaux en dignité "
+           "et en droits. Ils sont doués de raison et de conscience et "
+           "doivent agir les uns envers les autres dans un esprit de "
+           "fraternité."),
+    "it": ("Tutti gli esseri umani nascono liberi ed eguali in dignità "
+           "e diritti. Essi sono dotati di ragione e di coscienza e "
+           "devono agire gli uni verso gli altri in spirito di "
+           "fratellanza."),
+    "pt": ("Todos os seres humanos nascem livres e iguais em dignidade "
+           "e em direitos. Dotados de razão e de consciência, devem "
+           "agir uns para com os outros em espírito de fraternidade."),
+    "nl": ("Alle mensen worden vrij en gelijk in waardigheid en "
+           "rechten geboren. Zij zijn begiftigd met verstand en "
+           "geweten, en behoren zich jegens elkander in een geest van "
+           "broederschap te gedragen."),
+    "ru": ("Все люди рождаются свободными и равными в своем "
+           "достоинстве и правах. Они наделены разумом и совестью и "
+           "должны поступать в отношении друг друга в духе братства."),
+    "zh": "人人生而自由，在尊严和权利上一律平等。他们赋有理性和良心，并应以兄弟关系的精神相对待。",
+    "ja": ("すべての人間は、生まれながらにして自由であり、かつ、尊厳と権利とについて平等である。"
+           "人間は、理性と良心とを授けられており、互いに同胞の精神をもって行動しなければならない。"),
+    "ko": ("모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다. 인간은 "
+           "천부적으로 이성과 양심을 부여받았으며 서로 형제애의 정신으로 행동하여야 한다."),
+    "th": ("มนุษย์ทั้งปวงเกิดมามีอิสระและเสมอภาคกันในศักดิ์ศรีและสิทธิ "
+           "ต่างในตนมีเหตุผลและมโนธรรม และควรปฏิบัติต่อกันด้วยจิตวิญญาณแห่งภราดรภาพ"),
+    "ar": ("يولد جميع الناس أحرارا متساوين في الكرامة والحقوق. وقد "
+           "وهبوا عقلا وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء."),
+}
+
+MAX_GRAM = 3
+
+
+def _normalize_seed(text: str) -> str:
+    import re
+    return " " + re.sub(r"\s+", " ", text.lower()).strip() + " "
+
+
+@lru_cache(maxsize=None)
+def language_profiles(
+        top_k_per_n: int = 120,
+        languages: Optional[Tuple[str, ...]] = None,
+) -> Tuple[Tuple[str, str, float], ...]:
+    """Fit (lang, gram, weight) rows from the embedded seeds.
+
+    weight = n * count(gram) / total_n_grams — within-seed frequency so
+    seed length cancels out across languages, scaled by gram length so
+    a trigram hit ("the", "sch") outvotes the 1-gram noise every Latin
+    language shares. Top ``top_k_per_n`` grams per (language, n).
+    """
+    rows: List[Tuple[str, str, float]] = []
+    langs = languages or tuple(LANG_SEEDS)
+    for lang in langs:
+        t = _normalize_seed(LANG_SEEDS[lang])
+        for n in range(1, MAX_GRAM + 1):
+            grams = Counter(t[i:i + n] for i in range(len(t) - n + 1))
+            total = sum(grams.values())
+            for g, c in grams.most_common(top_k_per_n):
+                if g.strip() == "":          # pure-whitespace gram
+                    continue
+                rows.append((lang, g, round(n * c / total, 8)))
+    return tuple(rows)
+
+
+def _gram_expr(bound_text_col: str, n: int):
+    """All n-grams of a BOUND normalized-text column: substring over a
+    1..len-n+1 sequence. The column must be a materialized attribute
+    (not a nested expression) so codegen evaluates it once per row, not
+    once per sequence element. Guarded for len < n: Spark's
+    sequence(1, 0) counts DOWN ([1, 0]), so the short case must return
+    an empty array, not rely on an empty sequence."""
+    t = F.col(bound_text_col)
+    return F.when(
+        F.length(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                    lambda i: F.substring(t, i, n))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def language_id_ngram(df: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      default: str = "unknown",
+                      top_k_per_n: int = 120,
+                      max_chars: int = 512,
+                      languages: Optional[Tuple[str, ...]] = None
+                      ) -> DataFrame:
+    """Classify every document: returns (id_col, lang, score 6dp).
+
+    score = sum of matched profile weights / number of grams scored —
+    argmax over languages; ties break to the lexicographically LAST
+    language via max(struct(score, lang)) (deterministic, and exactly
+    mirrored by the oracle's struct-max). Documents with zero profile
+    hits get ``default`` with score 0.
+
+    ``max_chars``: only the first N characters are profiled (the
+    CLD/fastText design — a 512-char prefix identifies the language as
+    well as the whole document). This bounds the gram explode at
+    3 * max_chars rows per doc regardless of document size — the lever
+    that keeps the operator linear in DOCUMENT COUNT, not corpus bytes,
+    at 100 TB (dropping the cap made the sf0.1 sweep ~8x slower for no
+    accuracy gain). Pass 0/None to profile full documents.
+    """
+    sess = df.sparkSession
+    prof = language_profiles(top_k_per_n, languages)
+    import pandas as pd
+    wt = sess.createDataFrame(
+        pd.DataFrame(prof, columns=["lang", "gram", "w"]),
+        "lang string, gram string, w double")
+
+    raw = F.col(text_col)
+    if max_chars:
+        raw = F.substring(raw, 1, max_chars)
+    norm = df.select(
+        F.col(id_col),
+        F.concat(F.lit(" "),
+                 F.trim(F.regexp_replace(F.lower(raw),
+                                         "\\s+", " ")),
+                 F.lit(" ")).alias("__t__"))
+    grams = norm.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(
+            *[_gram_expr("__t__", n) for n in range(1, MAX_GRAM + 1)]
+        ))).alias("gram"),
+        (F.length("__t__") * MAX_GRAM).alias("__ng__"))
+    scored = (grams.join(F.broadcast(wt), "gram")
+              .groupBy(id_col, "lang", "__ng__")
+              .agg(F.sum("w").alias("hits"))
+              .groupBy(id_col)
+              .agg(F.max(F.struct(
+                  F.round((F.col("hits") / F.col("__ng__")), 6)
+                  .alias("score"),
+                  F.col("lang"))).alias("best")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(scored, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("best.lang"), F.lit(default))
+                .alias("lang"),
+                F.coalesce(F.col("best.score"), F.lit(0.0))
+                .alias("score")))

@@ -306,3 +306,82 @@ def paragraph_perplexity_filter(df: DataFrame,
         F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
         F.sum(F.col("__drop__").cast("long")).cast("long")
         .alias("n_dropped")))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_filter(df: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_words: int = 50,
+                          max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_word_ratio: float = 0.1,
+                          max_bullet_frac: float = 0.9,
+                          max_ellipsis_frac: float = 0.3,
+                          max_dup_line_frac: float = 0.3,
+                          max_dup_line_char_frac: float = 0.2,
+                          max_top2gram_frac: float = 0.2,
+                          max_dup5gram_frac: float = 0.15,
+                          min_alpha_word_frac: float = 0.8,
+                          min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher document-quality filter (Rae et al. 2021, Table A1
+    thresholds as defaults): per-doc boolean rule columns + an overall
+    ``passes``. Returns (id_col, n_words, ok_words, ok_word_len,
+    ok_symbol, ok_lines, ok_dup_lines, ok_top2gram, ok_dup5gram,
+    ok_alpha, ok_stopwords, passes). The stopword rule is Gopher's
+    "contains >= 2 of {the, be, to, of, and, that, have, with}"
+    (distinct hits).
+
+    Scale shape: every rule except the top-2-gram one is a pure
+    per-row codegen expression (the four line rules come from ONE
+    split via `text.line_signals`); the top-2-gram fraction is the one
+    corpus shuffle (word-count plan in `top_ngram_char_fraction`).
+    Thresholds compare 6dp-rounded signals so the decision is
+    engine-portable (the same comparison is expressible in ANSI SQL).
+    """
+    t = F.col(text_col)
+    n = T.token_count(t)
+    sig = T.line_signals(t)
+    alpha = (F.size(F.filter(T.tokens(t),
+                             lambda x: x.rlike("[A-Za-z]")))
+             .cast("double") / F.greatest(n, F.lit(1)))
+    base = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        ((n >= min_words) & (n <= max_words)).alias("ok_words"),
+        ((F.round(T.avg_token_length(t), 6) >= min_mean_word_len)
+         & (F.round(T.avg_token_length(t), 6) <= max_mean_word_len))
+        .alias("ok_word_len"),
+        (T.symbol_word_ratio(t) <= max_symbol_word_ratio)
+        .alias("ok_symbol"),
+        ((sig["bullet_line_frac"] <= max_bullet_frac)
+         & (sig["ellipsis_line_frac"] <= max_ellipsis_frac))
+        .alias("ok_lines"),
+        ((sig["dup_line_frac"] <= max_dup_line_frac)
+         & (sig["dup_line_char_frac"] <= max_dup_line_char_frac))
+        .alias("ok_dup_lines"),
+        (T.duplicate_ngram_char_fraction(t, 5) <= max_dup5gram_frac)
+        .alias("ok_dup5gram"),
+        (F.round(alpha, 6) >= min_alpha_word_frac).alias("ok_alpha"),
+        (F.size(F.array_intersect(
+            F.array_distinct(T.tokens(t)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+         >= min_stopword_hits).alias("ok_stopwords"))
+    top = top_ngram_char_fraction(df, text_col, id_col, ns=(2,))
+    out = base.join(
+        top.select(F.col(id_col),
+                   (F.col("top_2gram_frac") <= max_top2gram_frac)
+                   .alias("ok_top2gram")),
+        id_col)
+    rules = ["ok_words", "ok_word_len", "ok_symbol", "ok_lines",
+             "ok_dup_lines", "ok_top2gram", "ok_dup5gram", "ok_alpha",
+             "ok_stopwords"]
+    passes = rules[0]
+    acc = F.col(rules[0])
+    for r in rules[1:]:
+        acc = acc & F.col(r)
+    return out.select(id_col, "n_words", *rules, acc.alias("passes"))

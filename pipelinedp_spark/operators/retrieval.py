@@ -106,3 +106,86 @@ def bm25_topk(docs: DataFrame,
             .select(query_id, id_col,
                     F.col("rank").cast("long").alias("rank"),
                     F.round(F.col("score"), 6).alias("score")))
+
+
+def tfidf_keywords(docs: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id",
+                   k: int = 5,
+                   min_df: int = 1) -> DataFrame:
+    """Top-k TF-IDF keywords per document: score = tf * ln(N / df_t),
+    terms with df_t < ``min_df`` dropped. Returns (id_col, term, rank,
+    score 6dp) with rank 1..k ordered by (raw score desc, term asc) —
+    raw doubles are engine-portable (integer tf/N/df through ln), so
+    the order is deterministic across engines.
+
+    Scale shape: ONE corpus explode into the shared word-count plan
+    (`term_frequencies`), document frequencies off the tf table (no
+    rescan), N is one driver scalar, idf arithmetic is codegen, and the
+    top-k is a per-doc WindowGroupLimit (partitioned by doc — no hot
+    key: a doc's term set is bounded by the doc itself).
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    n_docs = docs.select(id_col).distinct().count()
+    df_t = (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df))
+    scored = (tf.join(df_t, "term")
+              .withColumn("score",
+                          F.col("tf")
+                          * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col(id_col), "term",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+def pmi_collocations(docs: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     k: int = 50,
+                     min_count: int = 5) -> DataFrame:
+    """Top-k corpus collocations by pointwise mutual information over
+    adjacent word pairs: pmi(x, y) = ln(c_xy * T / (c_x * c_y)) with T
+    the total bigram count; pairs seen < ``min_count`` times dropped.
+    Returns (gram, c 6dp-exact long, pmi 6dp) ordered by (raw pmi desc,
+    gram asc) — all-integer counts through ln keep the order
+    engine-portable.
+
+    Scale shape: one explode for bigrams + one for unigrams (both
+    word-count plans), the unigram table joins the bigram table TWICE
+    (left word, right word) — both joins are on the unigram table,
+    which is vocabulary-sized (AQE broadcasts it for real corpora);
+    T is one driver scalar off the aggregated bigram table; the global
+    top-k is a sort of the min_count-filtered survivors, LIMIT k.
+    """
+    t = T.tokens(F.col(text_col))
+    n = F.size(t)
+    left = F.slice(t, 1, F.greatest(n - 1, F.lit(0)))
+    right = F.slice(t, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = docs.select(
+        F.posexplode(F.arrays_zip(left.alias("x"), right.alias("y")))
+        .alias("_p", "pair")).select(
+        F.col("pair.x").alias("x"), F.col("pair.y").alias("y"))
+    big = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    uni = (docs.select(F.explode(t).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    total = big.agg(F.sum("c")).collect()[0][0] or 0
+    scored = (big.filter(F.col("c") >= min_count)
+              .join(uni.withColumnRenamed("w", "x")
+                    .withColumnRenamed("cw", "cx"), "x")
+              .join(uni.withColumnRenamed("w", "y")
+                    .withColumnRenamed("cw", "cy"), "y")
+              .withColumn("pmi",
+                          F.log(F.col("c").cast("double")
+                                * F.lit(float(total))
+                                / (F.col("cx") * F.col("cy")))))
+    return (scored
+            .orderBy(F.col("pmi").desc(), F.concat_ws(" ", "x", "y").asc())
+            .limit(k)
+            .select(F.concat_ws(" ", "x", "y").alias("gram"),
+                    F.col("c").cast("long").alias("c"),
+                    F.round("pmi", 6).alias("pmi")))

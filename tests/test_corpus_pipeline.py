@@ -158,3 +158,35 @@ def test_normalize_stage(spark):
     docs = _docs(spark, ["\t A\x07B \r\n c  "])
     out = CorpusPipeline(docs).normalize(lowercase=True).df
     assert out.collect()[0]["text"] == "ab\nc"
+
+
+def test_token_budget_out_of_bounds_id_raises(spark):
+    # The fold-into-one-key order assumes 0 <= id < 2^40; an
+    # out-of-range id must raise at execution, not produce a silently
+    # wrong order key.
+    from pyspark.sql import Row
+    docs = spark.createDataFrame(
+        [Row(doc_id=1 << 41, text="a b c"), Row(doc_id=1, text="d e")])
+    with pytest.raises(Exception, match="2\\^40"):
+        CorpusPipeline(docs).token_budget(100).df.collect()
+    neg = spark.createDataFrame(
+        [Row(doc_id=-5, text="a b c")])
+    with pytest.raises(Exception, match="2\\^40"):
+        CorpusPipeline(neg).token_budget(100).df.collect()
+    # In-bounds ids still work through the guarded expression.
+    ok = spark.createDataFrame(
+        [Row(doc_id=(1 << 40) - 1, text="a b c d"), Row(doc_id=3, text="e f")])
+    assert sorted(r["doc_id"] for r in
+                  CorpusPipeline(ok).token_budget(6).df.collect()) == [
+        3, (1 << 40) - 1]
+
+
+def test_sentence_dedup_stage(spark):
+    docs = _docs(spark, ["Buy now. alpha beta.",
+                         "Buy now. gamma delta.",
+                         "epsilon zeta."])
+    out = CorpusPipeline(docs).sentence_dedup(min_docs=2).df
+    got = {r["doc_id"]: r["text"].strip() for r in out.collect()}
+    assert got[0] == "alpha beta."
+    assert got[1] == "gamma delta."
+    assert got[2] == "epsilon zeta."

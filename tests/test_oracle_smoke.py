@@ -35,7 +35,11 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "multimodal_video_frames", "doc_url_canonicalize",
          "multimodal_video_dedup", "multimodal_resize_stats",
          "dedup_keep_best", "stream_line_dedup_mirror", "doc_token_budget", "doc_wet_roundtrip", "doc_tar_shards", "multimodal_exif", "multimodal_mp3_meta", "doc_domain_cap", "doc_corpus_diff",
-         "doc_contamination_score", "doc_normalize_text"]
+         "doc_contamination_score", "doc_normalize_text",
+         # round-7 (generated SQLs here are sf-agnostic)
+         "doc_language_id", "doc_nfc_normalize", "doc_gopher_filter",
+         "doc_tfidf_keywords", "doc_pmi_collocations",
+         "doc_code_detect", "doc_language_mix", "doc_sentence_dedup"]
 
 
 @pytest.fixture(scope="module")

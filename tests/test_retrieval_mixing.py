@@ -257,3 +257,55 @@ def test_importance_resample_empty_input_returns_empty(spark):
     from pipelinedp_spark.operators.mixing import importance_resample
     df = spark.createDataFrame([], "doc_id long, logw double")
     assert importance_resample(df, keep_fraction=0.3).count() == 0
+
+
+def test_tfidf_keywords_hand_values(spark):
+    from pipelinedp_spark.operators.retrieval import tfidf_keywords
+    import math
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string")
+    rows = {(r["doc_id"], r["term"]): (r["rank"], r["score"])
+            for r in tfidf_keywords(df, k=5).collect()}
+    # idf(a) = ln(2/2) = 0; idf(b) = idf(c) = ln 2
+    assert rows[(0, "b")] == (1, round(math.log(2), 6))
+    assert rows[(0, "a")] == (2, 0.0)
+    assert rows[(1, "c")] == (1, round(math.log(2), 6))
+    assert rows[(1, "a")] == (2, 0.0)
+
+
+def test_tfidf_keywords_k_and_min_df(spark):
+    from pipelinedp_spark.operators.retrieval import tfidf_keywords
+    df = spark.createDataFrame(
+        [(0, "q w e r t y"), (1, "q q")], "doc_id long, text string")
+    out = tfidf_keywords(df, k=2).collect()
+    assert all(r["rank"] <= 2 for r in out)
+    assert len([r for r in out if r["doc_id"] == 0]) == 2
+    # min_df=2 keeps only terms in both docs (just 'q')
+    only_q = tfidf_keywords(df, k=5, min_df=2).collect()
+    assert {r["term"] for r in only_q} == {"q"}
+
+
+def test_pmi_collocations_hand_values(spark):
+    from pipelinedp_spark.operators.retrieval import pmi_collocations
+    import math
+    df = spark.createDataFrame(
+        [(0, "x y x y")], "doc_id long, text string")
+    rows = {r["gram"]: (r["c"], r["pmi"]) for r in
+            pmi_collocations(df, k=10, min_count=1).collect()}
+    # pairs: (x,y) twice, (y,x) once; T=3; c_x = c_y = 2
+    assert rows["x y"] == (2, round(math.log(2 * 3 / 4), 6))
+    assert rows["y x"] == (1, round(math.log(1 * 3 / 4), 6))
+    # ordering: pmi desc
+    ordered = [r["gram"] for r in
+               pmi_collocations(df, k=10, min_count=1).collect()]
+    assert ordered == ["x y", "y x"]
+
+
+def test_pmi_collocations_min_count_and_limit(spark):
+    from pipelinedp_spark.operators.retrieval import pmi_collocations
+    df = spark.createDataFrame(
+        [(0, "a b a b a b c d")], "doc_id long, text string")
+    out = pmi_collocations(df, k=1, min_count=2)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["gram"] in ("a b", "b a")

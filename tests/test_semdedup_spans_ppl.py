@@ -520,3 +520,23 @@ def test_cap_per_key_compiles_to_window_group_limit(spark):
     plan = cap_per_key(df, "k", 2, "doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_gopher_quality_filter_rules(spark):
+    from pipelinedp_spark.operators.quality import gopher_quality_filter
+    good = ("the quick brown fox jumps over lazy dogs and rivers "
+            "flow to the distant valley of light with many bright "
+            "colors during early spring mornings")
+    bullets = "\n".join(["- item one two three"] * 20)
+    short = "too short"
+    reps = " ".join(["dup dup dup dup dup"] * 20)
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, short), (3, reps)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_filter(
+        df, min_words=10).collect()}
+    assert out[0]["passes"]
+    assert not out[1]["ok_lines"] and not out[1]["passes"]
+    assert not out[2]["ok_words"] and not out[2]["passes"]
+    assert not out[3]["ok_top2gram"] and not out[3]["passes"]
+    assert not out[3]["ok_stopwords"]      # 'dup' only, no stopwords

@@ -1197,3 +1197,163 @@ def test_normalize_text_rules(spark):
         F.col("t"), keep_newlines=False).alias("c")).collect()
     assert {r["i"]: r["c"] for r in flat}[0] == "ab c d"
     assert {r["i"]: r["c"] for r in flat}[1] == "x"
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFKC normalization (the pass normalize_text defers)
+# ---------------------------------------------------------------------------
+
+def test_unicode_normalize_forms(spark):
+    from pipelinedp_spark.functions.text import unicode_normalize
+    df = spark.createDataFrame(
+        [(0, "ﬁle"),          # LATIN SMALL LIGATURE FI
+         (1, "ＡＢＣ"),  # fullwidth ABC
+         (2, "éclair"),      # decomposed accent
+         (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", unicode_normalize(F.col("text"), "NFKC").alias("n"))
+        .collect()}
+    assert out[0] == "file"
+    assert out[1] == "ABC"
+    assert out[2] == "éclair"      # composed é
+    assert out[3] is None
+    # NFC keeps compatibility chars but composes marks.
+    nfc = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", unicode_normalize(F.col("text"), "NFC").alias("n"))
+        .collect()}
+    assert nfc[0] == "ﬁle"
+    assert nfc[2] == "éclair"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="NFC/NFD/NFKC/NFKD"):
+        unicode_normalize(F.col("text"), "NFX")
+
+
+def test_nfkc_converges_fingerprints_for_confusables(spark):
+    # Planted confusables: fullwidth/ligature variants of the same text
+    # fingerprint apart raw, together after the NFKC stage.
+    from pipelinedp_spark.corpus import CorpusPipeline
+    df = spark.createDataFrame(
+        [(0, "the ﬁle of ｗｏｒｋ"),
+         (1, "the file of work")],
+        "doc_id long, text string")
+    raw = CorpusPipeline(df).exact_dedup().df
+    assert raw.count() == 2               # distinct fingerprints raw
+    norm = CorpusPipeline(df).normalize(nfkc=True).exact_dedup().df
+    rows = norm.collect()
+    assert len(rows) == 1                 # converged post-NFKC
+    assert rows[0]["doc_id"] == 0         # keep-lowest-id survivor
+
+
+# ---------------------------------------------------------------------------
+# line_dedup mega-document guard
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_oversize_doc_raises(spark):
+    df = spark.createDataFrame(
+        [(0, "a\nb\nc\nd\ne"), (1, "x\ny")], "doc_id long, text string")
+    with pytest.raises(Exception, match="max_lines_per_doc"):
+        dedup.line_dedup(df, min_docs=2, max_lines_per_doc=3).collect()
+
+
+def test_line_dedup_oversize_doc_truncates(spark):
+    # Truncation keeps the first max_lines_per_doc lines; dedup then
+    # runs on the truncated view.
+    df = spark.createDataFrame(
+        [(0, "dup\na\nb\nc\nd"), (1, "dup\nz")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(
+        df, min_docs=2, max_lines_per_doc=3,
+        on_oversize="truncate").collect()}
+    assert out[0]["clean_text"] == "a\nb"
+    assert out[0]["n_lines"] == 3          # truncated before counting
+    assert out[1]["clean_text"] == "z"
+    with pytest.raises(ValueError, match="on_oversize"):
+        dedup.line_dedup(df, on_oversize="drop")
+
+
+def test_line_signals_matches_individual_builders_one_split(spark):
+    df = spark.createDataFrame(
+        [(1, "a\na\n- b\nc..."), (2, ""), (3, "x\n…\n* y\nx")],
+        "id long, text string")
+    combined = {r["id"]: r["s"] for r in df.select(
+        "id", T.line_signals(F.col("text")).alias("s")).collect()}
+    single = {r["id"]: r for r in df.select(
+        "id",
+        T.duplicate_line_fraction(F.col("text")).alias("a"),
+        T.duplicate_line_char_fraction(F.col("text")).alias("b"),
+        T.bullet_line_fraction(F.col("text")).alias("c"),
+        T.ellipsis_line_fraction(F.col("text")).alias("d")).collect()}
+    for i in combined:
+        s, r = combined[i], single[i]
+        assert (s["dup_line_frac"], s["dup_line_char_frac"],
+                s["bullet_line_frac"], s["ellipsis_line_frac"]) == \
+            (r["a"], r["b"], r["c"], r["d"])
+    # the whole point: exactly one split in the expression tree (the
+    # physical-plan string elides long expressions, so count on the
+    # untruncated column expression instead)
+    expr = str(T.line_signals(F.col("text"))._jc)
+    assert expr.count("split(") == 1
+    # vs 4+ for the individual builders in one projection
+    four = "".join(str(c._jc) for c in (
+        T.duplicate_line_fraction(F.col("text")),
+        T.duplicate_line_char_fraction(F.col("text")),
+        T.bullet_line_fraction(F.col("text")),
+        T.ellipsis_line_fraction(F.col("text"))))
+    assert four.count("split(") >= 4
+
+
+def test_code_detection_separates_code_from_prose(spark):
+    code = ("def main(argv):\n    total = 0\n    for i in range(10):\n"
+            "        total += i * i\n    return total")
+    prose = ("The morning light fell across the quiet valley and the "
+             "river moved slowly toward the distant sea.")
+    df = spark.createDataFrame(
+        [(0, code), (1, prose)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        T.code_score(F.col("text")).alias("s"),
+        T.is_code(F.col("text")).alias("c")).collect()}
+    assert out[0]["c"] and out[0]["s"] >= 0.3
+    assert not out[1]["c"] and out[1]["s"] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level corpus dedup
+# ---------------------------------------------------------------------------
+
+def test_sentence_dedup_removes_cross_doc_sentences(spark):
+    df = spark.createDataFrame(
+        [(0, "Visit our site. alpha beta gamma. More at example."),
+         (1, "Visit our site. delta epsilon zeta. More at example."),
+         (2, "unique sentence one. unique two.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.sentence_dedup(df, min_docs=2).collect()}
+    assert out[0]["clean_text"].strip() == "alpha beta gamma."
+    assert out[1]["clean_text"].strip() == "delta epsilon zeta."
+    assert out[2]["clean_text"] == "unique sentence one. unique two."
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 2
+    assert out[2]["n_removed"] == 0
+
+
+def test_sentence_dedup_min_chars_exempts_short(spark):
+    df = spark.createDataFrame(
+        [(0, "Yes. alpha beta gamma."), (1, "Yes. delta epsilon.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.sentence_dedup(df, min_docs=2, min_chars=5).collect()}
+    assert out[0]["n_removed"] == 0        # 'Yes.' exempt (4 < 5)
+    out2 = {r["doc_id"]: r for r in
+            dedup.sentence_dedup(df, min_docs=2).collect()}
+    assert out2[0]["n_removed"] == 1
+
+
+def test_sentence_dedup_oversize_guard(spark):
+    df = spark.createDataFrame(
+        [(0, "a. b. c. d."), (1, "x.")], "doc_id long, text string")
+    with pytest.raises(Exception, match="max_sentences_per_doc"):
+        dedup.sentence_dedup(df, max_sentences_per_doc=2).collect()
+    out = {r["doc_id"]: r for r in dedup.sentence_dedup(
+        df, max_sentences_per_doc=2, on_oversize="truncate").collect()}
+    assert out[0]["n_lines"] == 2
