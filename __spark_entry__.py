@@ -5618,7 +5618,7 @@ WITH planted AS (
   FROM documents),
 norm AS (
   SELECT doc_id,
-         ' ' || trim(regexp_replace(lower(substring(text, 1, 512)), '\\s+', ' ', 'g'))
+         ' ' || trim(regexp_replace(lower(substring(text, 1, 256)), '\\s+', ' ', 'g'))
              || ' ' AS t
   FROM planted),
 g AS (

