@@ -1414,6 +1414,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_code_detect",
     "doc_language_mix",
     "doc_sentence_dedup",
+    "stream_sentence_dedup_mirror",
 ]
 
 
@@ -1547,6 +1548,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_code_detect": _doc_code_detect,
         "doc_language_mix": _doc_language_mix,
         "doc_sentence_dedup": _doc_sentence_dedup,
+        "stream_sentence_dedup_mirror": _stream_sentence_dedup_mirror,
     }
 
 
@@ -1671,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_code_detect": _gen_code_detect_sql(),
         "doc_language_mix": _gen_language_mix_sql(),
         "doc_sentence_dedup": _DOC_SENTENCE_DEDUP_SQL,
+        "stream_sentence_dedup_mirror": _STREAM_SENTENCE_DEDUP_MIRROR_SQL,
     }
 
 
@@ -6000,4 +6003,68 @@ SELECT doc_id,
          AS n_removed
 FROM tagged
 GROUP BY doc_id
+"""
+
+
+def _stream_sentence_dedup_mirror(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_sentence_dedup` with exact
+    two-trigger semantics (same harness as stream_line_dedup_mirror):
+    batch 1 = even docs, batch 2 = odd docs counted against batch 1's
+    accumulated sentence state. Same '. ' sentence decoration as
+    doc_sentence_dedup."""
+    from pipelinedp_spark.streaming.dp_streaming import (
+        sentence_dedup_batch)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " (the|a|data|value|row) ",
+                         ". ").alias("text"))
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    cleaned1, state1 = sentence_dedup_batch(even, None, materialize=True)
+    cleaned2, _ = sentence_dedup_batch(odd, state1)
+    return (cleaned1.withColumn("batch", F.lit(0).cast("long"))
+            .unionByName(cleaned2.withColumn("batch",
+                                             F.lit(1).cast("long"))))
+
+
+_STREAM_SENTENCE_DEDUP_MIRROR_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a|data|value|row) ', '. ', 'g') AS t
+  FROM documents
+),
+sents AS (
+  SELECT doc_id, doc_id % 2 AS par,
+         UNNEST(regexp_extract_all(t, '[^.!?]+[.!?]*')) AS s,
+         generate_subscripts(regexp_extract_all(t, '[^.!?]+[.!?]*'), 1)
+             AS pos
+  FROM base
+),
+ce AS (
+  SELECT trim(s) AS ts, COUNT(DISTINCT doc_id) AS nd FROM sents
+  WHERE par = 0 AND trim(s) <> '' GROUP BY 1
+),
+co AS (
+  SELECT trim(s) AS ts, COUNT(DISTINCT doc_id) AS nd FROM sents
+  WHERE par = 1 AND trim(s) <> '' GROUP BY 1
+),
+tagged AS (
+  SELECT se.doc_id, se.par, se.s, se.pos,
+         (trim(se.s) <> '' AND
+          CASE WHEN se.par = 0 THEN COALESCE(ce.nd, 0) >= 2
+               ELSE COALESCE(ce.nd, 0) + COALESCE(co.nd, 0) >= 2
+          END) AS removed
+  FROM sents se
+  LEFT JOIN ce ON trim(se.s) = ce.ts
+  LEFT JOIN co ON trim(se.s) = co.ts
+)
+SELECT doc_id, par AS batch,
+       COALESCE(string_agg(s, '' ORDER BY pos)
+                FILTER (WHERE NOT removed), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM tagged
+GROUP BY doc_id, par
 """

@@ -1233,3 +1233,88 @@ def streaming_line_dedup(stream: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def sentence_dedup_batch(batch: DataFrame,
+                         state: Optional[DataFrame],
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_docs: int = 2,
+                         min_chars: int = 0,
+                         materialize: bool = False
+                         ) -> "tuple[DataFrame, DataFrame]":
+    """One micro-batch of incremental SENTENCE dedup (streaming twin of
+    `operators.dedup.sentence_dedup`, same one-pass semantics and state
+    contract as `line_dedup_batch`): a trimmed sentence is boilerplate
+    once its cumulative distinct-doc count reaches ``min_docs``;
+    sentences shorter than ``min_chars`` are exempt. State is the
+    accumulated (sentence hash -> distinct-doc count) table; returns
+    (cleaned_docs, new_state) with new_state REPLACING the old.
+
+    Scale shape identical to `line_dedup_batch` — the only differences
+    are the splitter (regexp sentence matches, see
+    `dedup.SENTENCE_PATTERN`), the trim-normalized hash key, and the
+    '' rebuild delimiter (each match carries its own spacing)."""
+    from pipelinedp_spark.functions import text as T
+    from pipelinedp_spark.operators.dedup import (SENTENCE_PATTERN,
+                                                  _rebuild_kept_lines)
+
+    sents = batch.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(F.col(text_col),
+                                          F.lit(SENTENCE_PATTERN), 0))
+        .alias("__pos__", "__line__"))
+    norm = F.trim(F.col("__line__"))
+    countable = (norm != "") & (F.length(norm) >= min_chars)
+    lh = T.hex_to_long(F.md5(norm)).alias("__lh__")
+    batch_counts = (sents.filter(countable)
+                    .select(F.col(id_col), lh)
+                    .groupBy("__lh__", id_col).agg(F.first(F.lit(1)))
+                    .groupBy("__lh__")
+                    .agg(F.count(F.lit(1)).alias("__nd__")))
+    merged = batch_counts if state is None else (
+        batch_counts.unionByName(state.select("__lh__", "__nd__"))
+        .groupBy("__lh__").agg(F.sum("__nd__").cast("long")
+                               .alias("__nd__")))
+    if materialize:
+        merged = merged.localCheckpoint()
+    boiler = (merged.filter(F.col("__nd__") >= min_docs)
+              .select("__lh__", F.lit(True).alias("__boiler__")))
+    tagged = (sents.withColumn("__lh__", lh)
+              .join(boiler, "__lh__", "left")
+              .withColumn(
+                  "__removed__",
+                  F.coalesce(F.col("__boiler__"), F.lit(False))
+                  & countable))
+    return _rebuild_kept_lines(tagged, id_col, ""), merged
+
+
+def streaming_sentence_dedup(stream: DataFrame,
+                             output_path: str,
+                             state_path: str,
+                             checkpoint_dir: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 2,
+                             min_chars: int = 0):
+    """Streaming ingest-time sentence-boilerplate removal via
+    foreachBatch — `streaming_line_dedup` with the sentence splitter;
+    same state overwrite contract and replay caveat. Returns the
+    started StreamingQuery."""
+    spark = stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            state = None
+        cleaned, new_state = sentence_dedup_batch(
+            batch_df, state, text_col, id_col, min_docs, min_chars,
+            materialize=True)
+        cleaned.write.mode("append").parquet(output_path)
+        new_state.write.mode("overwrite").parquet(state_path)
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

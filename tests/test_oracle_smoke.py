@@ -39,7 +39,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          # round-7 (generated SQLs here are sf-agnostic)
          "doc_language_id", "doc_nfc_normalize", "doc_gopher_filter",
          "doc_tfidf_keywords", "doc_pmi_collocations",
-         "doc_code_detect", "doc_language_mix", "doc_sentence_dedup"]
+         "doc_code_detect", "doc_language_mix", "doc_sentence_dedup",
+         "stream_sentence_dedup_mirror"]
 
 
 @pytest.fixture(scope="module")

@@ -936,3 +936,29 @@ def test_tar_shard_extract_and_suffix_pushdown(spark):
     df2 = spark.createDataFrame([(bytearray(big[:1200]),)],
                                 "shard binary")
     assert [r["key"] for r in extract_tar_members(df2).collect()] == ["a"]
+
+
+def test_streaming_sentence_dedup_end_to_end(spark, tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_sentence_dedup)
+    src = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    statep = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_docs(spark, [(0, "Buy now. alpha."),
+                     (1, "Buy now. beta.")]).write.parquet(
+        src + "/f1.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src + "/*"))
+    q = streaming_sentence_dedup(stream, outp, statep, ckpt)
+    q.awaitTermination(120)
+    # trigger 2: sentence known from state removes on FIRST sight here
+    _mk_docs(spark, [(2, "Buy now. gamma.")]).write.parquet(
+        src + "/f2.parquet")
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .parquet(src + "/*"))
+    q2 = streaming_sentence_dedup(stream2, outp, statep, ckpt)
+    q2.awaitTermination(120)
+    got = {r["doc_id"]: r["clean_text"].strip()
+           for r in spark.read.parquet(outp).collect()}
+    assert got == {0: "alpha.", 1: "beta.", 2: "gamma."}
