@@ -1415,6 +1415,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_language_mix",
     "doc_sentence_dedup",
     "stream_sentence_dedup_mirror",
+    "sim_ivf_pq_rerank_topk",
 ]
 
 
@@ -1549,6 +1550,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language_mix": _doc_language_mix,
         "doc_sentence_dedup": _doc_sentence_dedup,
         "stream_sentence_dedup_mirror": _stream_sentence_dedup_mirror,
+        "sim_ivf_pq_rerank_topk": _sim_ivf_pq_rerank_topk,
     }
 
 
@@ -1674,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_language_mix": _gen_language_mix_sql(),
         "doc_sentence_dedup": _DOC_SENTENCE_DEDUP_SQL,
         "stream_sentence_dedup_mirror": _STREAM_SENTENCE_DEDUP_MIRROR_SQL,
+        "sim_ivf_pq_rerank_topk": _gen_ivf_pq_rerank_sql(),
     }
 
 
@@ -6067,4 +6070,43 @@ SELECT doc_id, par AS batch,
          AS n_removed
 FROM tagged
 GROUP BY doc_id, par
+"""
+
+
+def _sim_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (`similarity.ivf_pq_rerank_topk`): IVF-PQ
+    40-candidate shortlist from compressed codes, exact-cosine re-rank
+    of only those rows — the production serving shape. Oracle = the
+    composed IVF-PQ SQL at k*mult re-ranked by true cosine."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = similarity.ivf_pq_rerank_topk(emb, q, k=10, shortlist_mult=4,
+                                        num_cells=8, nprobe=2,
+                                        m=4, ksub=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _gen_ivf_pq_rerank_sql(k: int = 10, mult: int = 4) -> str:
+    inner = _gen_ivf_pq_topk_sql(k=k * mult)
+    return f"""
+WITH short AS ({inner}),
+bv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+resc AS (
+  SELECT s.query_id, s.vec_id,
+         list_dot_product(c.v, q.v) /
+         (sqrt(list_dot_product(c.v, c.v))
+          * sqrt(list_dot_product(q.v, q.v))) AS cosine
+  FROM short s
+  JOIN bv c ON s.vec_id = c.vec_id
+  JOIN bv q ON s.query_id = q.vec_id)
+SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
+FROM (SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC)
+                 AS rank
+      FROM resc)
+WHERE rank <= {k}
 """

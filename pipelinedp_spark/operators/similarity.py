@@ -480,3 +480,54 @@ def ivf_pq_topk(corpus: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "rank",
                     F.round(F.col("adist"), 6).alias("adist")))
+
+
+def ivf_pq_rerank_topk(corpus: DataFrame,
+                       queries: DataFrame,
+                       k: int = 10,
+                       shortlist_mult: int = 4,
+                       num_cells: int = 8,
+                       nprobe: int = 2,
+                       m: int = 4,
+                       ksub: int = 16,
+                       corpus_id: str = "vec_id",
+                       corpus_vec: str = "embedding",
+                       query_id: str = "query_id",
+                       query_vec: str = "query_vec",
+                       seed: int = 7,
+                       centroids: Optional["np.ndarray"] = None,
+                       codebooks: Optional["np.ndarray"] = None,
+                       sample_size: int = 10_000) -> DataFrame:
+    """Two-stage retrieval — the production serving shape: IVF-PQ
+    produces a ``k * shortlist_mult`` shortlist from compressed codes
+    (never touching full vectors beyond the probed cells), then ONLY
+    the shortlist rows join back their exact vectors for a true-cosine
+    re-rank. Fixes PQ quantization error at the top of the ranking for
+    the cost of k*mult exact distances per query.
+
+    Scale shape: stage 1 is `ivf_pq_topk` (nprobe/num_cells of an ADC
+    scan over m-byte codes); stage 2's vector fetch is an equi-join of
+    a (n_queries x k*mult)-row table against the corpus — AQE
+    broadcasts the shortlist side — and the final top-k is a per-query
+    WindowGroupLimit. Returns (query_id, vec_id, rank, cosine).
+    """
+    shortlist = ivf_pq_topk(
+        corpus, queries, k * shortlist_mult, num_cells, nprobe, m, ksub,
+        corpus_id, corpus_vec, query_id, query_vec, seed,
+        centroids, codebooks, sample_size)
+    cos = cosine_pairs_udf()
+    withv = (shortlist.select(F.col(query_id), F.col(corpus_id))
+             .join(corpus.select(F.col(corpus_id), F.col(corpus_vec)),
+                   corpus_id)
+             .join(F.broadcast(queries.select(F.col(query_id),
+                                              F.col(query_vec))),
+                   query_id))
+    scored = withv.select(
+        F.col(query_id), F.col(corpus_id),
+        cos(F.col(corpus_vec), F.col(query_vec)).alias("cosine"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("cosine"), 6).alias("cosine")))

@@ -275,3 +275,34 @@ def test_mp3_walk_property(n, bi, ri):
     sr, br, nf, dur = parse_mp3_metadata(build_mp3_frames(n, bi, ri))
     assert (sr, br, nf) == (_MP3_RATES_V1[ri], _MP3_BITRATES_V1L3[bi], n)
     assert dur == round(n * 1152 / sr, 6)
+
+
+def test_ivf_pq_rerank_equals_bruteforce_on_shortlist(spark):
+    """The re-rank stage must be EXACT cosine over the shortlist: its
+    top-k equals brute-force cosine_topk restricted to the same
+    candidate set, and recall vs full brute force is >= plain IVF-PQ's
+    (quantization error can only be fixed, not introduced)."""
+    from pipelinedp_spark.operators import similarity as S
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    rer = S.ivf_pq_rerank_topk(emb, q, k=5, shortlist_mult=4,
+                               num_cells=4, nprobe=2)
+    short = S.ivf_pq_topk(emb, q, k=20, num_cells=4, nprobe=2)
+    cand = {(r["query_id"], r["vec_id"]) for r in short.collect()}
+    brute = S.cosine_topk(emb, q, k=10_000_000)
+    byq = {}
+    for r in brute.collect():
+        if (r["query_id"], r["vec_id"]) in cand:
+            byq.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["cosine"]))
+    got = {}
+    for r in rer.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    for qid, rows in got.items():
+        rows.sort()
+        expect = sorted(byq[qid], key=lambda t: (-t[1], t[0]))[:5]
+        assert [(v, c) for _, v, c in rows] == expect, qid
