@@ -1416,6 +1416,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_sentence_dedup",
     "stream_sentence_dedup_mirror",
     "sim_ivf_pq_rerank_topk",
+    "emb_kmeans_centroids",
 ]
 
 
@@ -1551,6 +1552,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentence_dedup": _doc_sentence_dedup,
         "stream_sentence_dedup_mirror": _stream_sentence_dedup_mirror,
         "sim_ivf_pq_rerank_topk": _sim_ivf_pq_rerank_topk,
+        "emb_kmeans_centroids": _emb_kmeans_centroids,
     }
 
 
@@ -1677,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sentence_dedup": _DOC_SENTENCE_DEDUP_SQL,
         "stream_sentence_dedup_mirror": _STREAM_SENTENCE_DEDUP_MIRROR_SQL,
         "sim_ivf_pq_rerank_topk": _gen_ivf_pq_rerank_sql(),
+        "emb_kmeans_centroids": _gen_kmeans_sql(),
     }
 
 
@@ -6110,3 +6113,71 @@ FROM (SELECT query_id, vec_id, cosine,
       FROM resc)
 WHERE rank <= {k}
 """
+
+
+def _emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means on the FULL embedding corpus
+    (`clustering.kmeans_fit`): codegen nearest-centroid assignment, one
+    map-side-combinable (cluster, pos) sum per iteration, exact
+    integer arithmetic on quantized inputs so the iterative fit is
+    bit-reproducible. Oracle = the same 3 iterations unrolled into
+    CTEs (assign / mean / carry) on the same quantized vectors."""
+    from pipelinedp_spark.operators import clustering
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, sizes = clustering.kmeans_fit(emb, k=8, iters=3)
+    return clustering.centroids_table(spark, cents, sizes)
+
+
+def _gen_kmeans_sql(k: int = 8, iters: int = 3, q: int = 1 << 20) -> str:
+    """Unrolled Lloyd iterations: a{i} assigns against c{i-1} (argmax of
+    dot(v, c) - ||c||^2/2, ties to lowest cluster), m{i} takes exact
+    integer-sum means per (cluster, pos), c{i} carries the previous
+    centroid for emptied clusters. Mirrors kmeans_fit step for step."""
+    sql = f"""
+WITH v AS (
+  SELECT vec_id,
+         [CAST(floor(x * {q}.0 + 0.5) AS BIGINT)
+          for x in embedding::DOUBLE[]] AS vq
+  FROM embeddings),
+vd AS (SELECT vec_id, vq::DOUBLE[] AS vdd FROM v),
+ex AS (
+  SELECT vec_id, UNNEST(vq) AS val,
+         generate_subscripts(vq, 1) - 1 AS pos
+  FROM v),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         vq::DOUBLE[] AS cent
+  FROM v ORDER BY vec_id LIMIT {k})"""
+    for i in range(1, iters + 1):
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT d.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.vdd, c.cent)
+                      - 0.5 * list_dot_product(c.cent, c.cent) DESC,
+                      c.cluster ASC) AS rn
+    FROM vd d CROSS JOIN c{i - 1} c) WHERE rn = 1),
+m{i} AS (
+  SELECT a.cluster, e.pos, SUM(e.val) / COUNT(*) AS cm
+  FROM a{i} a JOIN ex e USING (vec_id)
+  GROUP BY 1, 2),
+c{i} AS (
+  SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cluster, list(cm ORDER BY pos) AS cent
+    FROM m{i} GROUP BY 1) n USING (cluster))"""
+    sql += f""",
+sz AS (SELECT cluster, COUNT(*) AS members FROM a{iters} GROUP BY 1),
+fin AS (
+  SELECT cluster, UNNEST(cent) AS cm,
+         generate_subscripts(cent, 1) - 1 AS pos
+  FROM c{iters})
+SELECT CAST(f.cluster AS BIGINT) AS cluster,
+       CAST(f.pos AS BIGINT) AS pos,
+       ROUND(f.cm, 6) AS centroid,
+       CAST(COALESCE(s.members, 0) AS BIGINT) AS members
+FROM fin f LEFT JOIN sz s USING (cluster)
+"""
+    return sql

@@ -114,7 +114,8 @@ def kmeans_fit(df: DataFrame,
     base = (df.select(F.col(id_col).alias("_id"),
                       _quantize(F.col(vec_col), quant_scale).alias("_vq"))
             .localCheckpoint())
-    init_rows = base.orderBy("_id").limit(k).collect()
+    init_rows = sorted(base.orderBy("_id").limit(k).collect(),
+                       key=lambda r: r["_id"])
     if len(init_rows) < k:
         raise ValueError(f"k={k} but corpus has only {len(init_rows)} rows")
     cents: List[List[float]] = [[float(v) for v in r["_vq"]]

@@ -1,0 +1,106 @@
+"""Distributed k-means (`operators.clustering`): exact determinism
+across partition layouts (the oracle-checkability contract), Lloyd
+semantics (sizes, carry-on-empty, assignment/fit agreement), and the
+codegen plan shape of the assignment path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinedp_spark import plans as P
+from pipelinedp_spark.operators import clustering as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_fit_deterministic_across_partition_layouts(spark):
+    """Identical centroids and sizes from 1-partition and 13-partition
+    inputs: integer sums are order-independent, so the iterative fit
+    cannot depend on the physical layout."""
+    emb = _emb(spark)
+    a = C.kmeans_fit(emb.coalesce(1), k=4, iters=2)
+    b = C.kmeans_fit(emb.repartition(13), k=4, iters=2)
+    assert a == b
+
+
+def test_sizes_partition_the_corpus(spark):
+    emb = _emb(spark)
+    cents, sizes = C.kmeans_fit(emb, k=4, iters=2)
+    assert sum(sizes) == emb.count()
+    assert all(s >= 0 for s in sizes)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+
+
+def test_assign_matches_final_fit_assignment(spark):
+    """kmeans_assign against iters-1 centroids reproduces the sizes the
+    fit reported for its final iteration (the fit's last assignment is
+    made against the second-to-last centroids)."""
+    emb = _emb(spark)
+    cents1, _ = C.kmeans_fit(emb, k=4, iters=1)
+    cents2, sizes2 = C.kmeans_fit(emb, k=4, iters=2)
+    counts = dict(C.kmeans_assign(emb, cents1)
+                  .groupBy("cluster").count().collect())
+    assert [counts.get(c, 0) for c in range(4)] == sizes2
+
+
+def test_empty_cluster_carries_centroid(spark):
+    """A centroid that captures no rows keeps its previous value (the
+    standard Lloyd carry) and reports size 0. Seeds are ids 0,1,2;
+    ids 0 and 1 are IDENTICAL vectors, so every row that scores them
+    ties and breaks to cluster 0 — cluster 1 is orphaned forever."""
+    rows = []
+    for i in range(6):
+        base = [10.0] * 4 if i < 2 else [-10.0] * 4
+        rows.append((i, [b + (0.001 * i if i >= 2 else 0.0)
+                         for b in base]))
+    vals = ", ".join(
+        f"({i}, array({', '.join(str(x) for x in v)}))" for i, v in rows)
+    df = spark.sql(
+        f"SELECT col1 AS vec_id, CAST(col2 AS ARRAY<FLOAT>) AS embedding "
+        f"FROM VALUES {vals}")
+    cents, sizes = C.kmeans_fit(df, k=3, iters=2)
+    assert sizes == [2, 0, 4]
+    orphan = 1
+    init = sorted(df.collect(), key=lambda r: r["vec_id"])[orphan]
+    q = [float(round(x * (1 << 20) + 0.0)) for x in init["embedding"]]
+    assert [round(c) for c in cents[orphan]] == [round(x) for x in q]
+
+
+def test_assignment_is_codegen_no_python(spark):
+    """The assignment path must be pure column expressions — no
+    Arrow/Python eval nodes, no joins, no shuffles."""
+    emb = _emb(spark)
+    cents, _ = C.kmeans_fit(emb, k=4, iters=1)
+    out = C.kmeans_assign(emb, cents)
+    plan = P.explain_str(out)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_fit_update_has_partial_aggregation(spark):
+    """The (cluster, pos) centroid-update agg must map-side combine —
+    checked on the same plan the fit executes."""
+    emb = _emb(spark)
+    base = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(1 << 20)) +
+                                      F.lit(0.5)).cast("long"))
+        .alias("_vq"))
+    cents = [[0.0] * 64, [1.0] * 64]
+    vd = F.transform(F.col("_vq"), lambda x: x.cast("double"))
+    agg = (base.select(C.kmeans_assign_expr(vd, cents).alias("_c"), "_vq")
+           .select("_c", F.posexplode("_vq").alias("_p", "_v"))
+           .groupBy("_c", "_p").agg(F.sum("_v"), F.count(F.lit(1))))
+    assert P.has_partial_aggregation(agg)
+
+
+def test_k_larger_than_corpus_raises(spark):
+    df = _emb(spark).limit(3)
+    with pytest.raises(ValueError, match="only 3 rows"):
+        C.kmeans_fit(df, k=5, iters=1)

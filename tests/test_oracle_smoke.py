@@ -40,7 +40,10 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "doc_language_id", "doc_nfc_normalize", "doc_gopher_filter",
          "doc_tfidf_keywords", "doc_pmi_collocations",
          "doc_code_detect", "doc_language_mix", "doc_sentence_dedup",
-         "stream_sentence_dedup_mirror"]
+         "stream_sentence_dedup_mirror",
+         # sim_ivf_pq_rerank_topk composes the ivf_pq generator oracle
+         # (bakes sf0.01-trained quantizer literals) — cannot smoke here.
+         "emb_kmeans_centroids"]
 
 
 @pytest.fixture(scope="module")
