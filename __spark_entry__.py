@@ -1417,6 +1417,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "stream_sentence_dedup_mirror",
     "sim_ivf_pq_rerank_topk",
     "emb_kmeans_centroids",
+    "emb_cluster_balanced_sample",
 ]
 
 
@@ -1553,6 +1554,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sentence_dedup_mirror": _stream_sentence_dedup_mirror,
         "sim_ivf_pq_rerank_topk": _sim_ivf_pq_rerank_topk,
         "emb_kmeans_centroids": _emb_kmeans_centroids,
+        "emb_cluster_balanced_sample": _emb_cluster_balanced_sample,
     }
 
 
@@ -1680,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sentence_dedup_mirror": _STREAM_SENTENCE_DEDUP_MIRROR_SQL,
         "sim_ivf_pq_rerank_topk": _gen_ivf_pq_rerank_sql(),
         "emb_kmeans_centroids": _gen_kmeans_sql(),
+        "emb_cluster_balanced_sample": _gen_cluster_balanced_sql(),
     }
 
 
@@ -6128,11 +6131,12 @@ def _emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.centroids_table(spark, cents, sizes)
 
 
-def _gen_kmeans_sql(k: int = 8, iters: int = 3, q: int = 1 << 20) -> str:
+def _gen_kmeans_prefix(k: int, iters: int, q: int) -> str:
     """Unrolled Lloyd iterations: a{i} assigns against c{i-1} (argmax of
     dot(v, c) - ||c||^2/2, ties to lowest cluster), m{i} takes exact
     integer-sum means per (cluster, pos), c{i} carries the previous
-    centroid for emptied clusters. Mirrors kmeans_fit step for step."""
+    centroid for emptied clusters. Mirrors kmeans_fit step for step.
+    Returns the WITH body up to c{iters} for final-SELECTs to build on."""
     sql = f"""
 WITH v AS (
   SELECT vec_id,
@@ -6168,6 +6172,11 @@ c{i} AS (
   FROM c{i - 1} p LEFT JOIN (
     SELECT cluster, list(cm ORDER BY pos) AS cent
     FROM m{i} GROUP BY 1) n USING (cluster))"""
+    return sql
+
+
+def _gen_kmeans_sql(k: int = 8, iters: int = 3, q: int = 1 << 20) -> str:
+    sql = _gen_kmeans_prefix(k, iters, q)
     sql += f""",
 sz AS (SELECT cluster, COUNT(*) AS members FROM a{iters} GROUP BY 1),
 fin AS (
@@ -6179,5 +6188,49 @@ SELECT CAST(f.cluster AS BIGINT) AS cluster,
        ROUND(f.cm, 6) AS centroid,
        CAST(COALESCE(s.members, 0) AS BIGINT) AS members
 FROM fin f LEFT JOIN sz s USING (cluster)
+"""
+    return sql
+
+
+def _emb_cluster_balanced_sample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation subset
+    (`clustering.cluster_balanced_sample`): k-means topics capped at a
+    fixed per-cluster budget, rows picked in portable-hash order so the
+    subset is reproducible across engines and layouts. Oracle = the
+    unrolled-Lloyd prefix + final assignment + per-cluster
+    ROW_NUMBER over the same md5-derived order key."""
+    from pipelinedp_spark.operators import clustering
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.cluster_balanced_sample(emb, k=8, iters=2,
+                                              per_cluster=12)
+
+
+def _gen_cluster_balanced_sql(k: int = 8, iters: int = 2,
+                              per_cluster: int = 12,
+                              q: int = 1 << 20) -> str:
+    sql = _gen_kmeans_prefix(k, iters, q)
+    sql += f""",
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT d.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.vdd, c.cent)
+                      - 0.5 * list_dot_product(c.cent, c.cent) DESC,
+                      c.cluster ASC) AS rn
+    FROM vd d CROSS JOIN c{iters} c) WHERE rn = 1)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                        ::BIGINT ASC,
+                    vec_id ASC) AS rk
+  FROM af)
+WHERE rk <= {per_cluster}
 """
     return sql

@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["kmeans_fit", "kmeans_assign_expr", "kmeans_assign",
-           "centroids_table"]
+           "cluster_balanced_sample", "centroids_table"]
 
 
 def _score_structs(vd: Column, centroids: Sequence[Sequence[float]]
@@ -158,6 +158,47 @@ def kmeans_assign(df: DataFrame,
                      lambda x: x.cast("double"))
     return df.select(F.col(id_col),
                      kmeans_assign_expr(vd, centroids).alias("cluster"))
+
+
+def cluster_balanced_sample(df: DataFrame,
+                            k: int = 8,
+                            iters: int = 2,
+                            per_cluster: int = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            quant_scale: int = 1 << 20,
+                            centroids: Optional[Sequence[Sequence[float]]]
+                            = None) -> DataFrame:
+    """Cluster-balanced corpus subset (the cluster-then-sample curation
+    move: cap every topic at `per_cluster` rows so the head topic of a
+    web crawl cannot drown the tail): k-means assignment against
+    `centroids` (fit here when not passed), then the per-cluster
+    deterministic top-`per_cluster` in portable-hash order — a
+    content-independent shuffle order that is reproducible across
+    engines and partition layouts, unlike rand().
+
+    Scale shape: assignment is codegen (no shuffle); the per-cluster
+    cap compiles to WindowGroupLimit, whose partial map-side pass keeps
+    at most `per_cluster` rows per partition per cluster before the
+    k-way final — a hot cluster never funnels the corpus through one
+    task. Returns (id, cluster, rank)."""
+    from pyspark.sql import Window
+
+    from pipelinedp_spark.functions.text import hex_to_long
+
+    if centroids is None:
+        centroids, _ = kmeans_fit(df, k=k, iters=iters, id_col=id_col,
+                                  vec_col=vec_col,
+                                  quant_scale=quant_scale)
+    asg = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col,
+                        quant_scale=quant_scale)
+    order = hex_to_long(F.md5(F.col(id_col).cast("string")))
+    w = (Window.partitionBy("cluster")
+         .orderBy(order.asc(), F.col(id_col).asc()))
+    return (asg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= per_cluster)
+            .select(F.col(id_col), F.col("cluster"),
+                    F.col("rank").cast("long").alias("rank")))
 
 
 def centroids_table(spark: SparkSession,

@@ -100,6 +100,23 @@ def test_fit_update_has_partial_aggregation(spark):
     assert P.has_partial_aggregation(agg)
 
 
+def test_balanced_sample_caps_and_plan(spark):
+    """Every cluster is capped at per_cluster, ranks are 1..m dense,
+    and the cap compiles to WindowGroupLimit (partial map-side limit —
+    a hot cluster never funnels through one task)."""
+    emb = _emb(spark)
+    out = C.cluster_balanced_sample(emb, k=4, iters=1, per_cluster=7)
+    plan = P.explain_str(out)
+    assert "WindowGroupLimit" in plan
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster"], []).append(r["rank"])
+    for c, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 7
+
+
 def test_k_larger_than_corpus_raises(spark):
     df = _emb(spark).limit(3)
     with pytest.raises(ValueError, match="only 3 rows"):
