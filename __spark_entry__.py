@@ -1418,6 +1418,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "sim_ivf_pq_rerank_topk",
     "emb_kmeans_centroids",
     "emb_cluster_balanced_sample",
+    "emb_int8_roundtrip",
 ]
 
 
@@ -1555,6 +1556,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_pq_rerank_topk": _sim_ivf_pq_rerank_topk,
         "emb_kmeans_centroids": _emb_kmeans_centroids,
         "emb_cluster_balanced_sample": _emb_cluster_balanced_sample,
+        "emb_int8_roundtrip": _emb_int8_roundtrip,
     }
 
 
@@ -1683,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_pq_rerank_topk": _gen_ivf_pq_rerank_sql(),
         "emb_kmeans_centroids": _gen_kmeans_sql(),
         "emb_cluster_balanced_sample": _gen_cluster_balanced_sql(),
+        "emb_int8_roundtrip": _EMB_INT8_ROUNDTRIP_SQL,
     }
 
 
@@ -6234,3 +6237,58 @@ FROM (
 WHERE rk <= {per_cluster}
 """
     return sql
+
+
+def _emb_int8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization QA (`functions.embeddings.int8_*`):
+    per-dimension code range and reconstruction error for the 4x
+    storage cut. Errors are scaled to exact 1e-7 integer ticks so the
+    aggregation is order-independent (same trick as the k-means fit);
+    oracle recomputes the identical affine codes in SQL."""
+    from pipelinedp_spark.functions import embeddings as EMB
+    emb = _t(spark, sf_dir, "embeddings")
+    params = EMB.int8_quantize_params(emb, "embedding")
+    codes = EMB.int8_quantize_expr(F.col("embedding"), params)
+    deq = EMB.int8_dequantize_expr(codes, params)
+    errq = F.zip_with(
+        deq, F.col("embedding").cast("array<double>"),
+        lambda a, b: F.floor(F.abs(a - b) * F.lit(1e7) + F.lit(0.5))
+        .cast("long"))
+    pair = F.zip_with(codes, errq,
+                      lambda c, e: F.struct(c.alias("c"), e.alias("e")))
+    ex = emb.select(F.posexplode(pair).alias("pos", "s"))
+    return (ex.groupBy(F.col("pos").cast("long").alias("pos"))
+            .agg(F.min(F.col("s.c")).cast("long").alias("code_min"),
+                 F.max(F.col("s.c")).cast("long").alias("code_max"),
+                 F.max(F.col("s.e")).alias("max_err_e7"),
+                 F.round(F.sum(F.col("s.e")) / F.count(F.lit(1)), 6)
+                 .alias("mean_err_e7")))
+
+
+_EMB_INT8_ROUNDTRIP_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (
+  SELECT vec_id, UNNEST(e) AS x,
+         generate_subscripts(e, 1) - 1 AS pos
+  FROM v),
+mm AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY 1),
+q AS (
+  SELECT e.pos,
+         CAST(CASE WHEN (m.mx - m.mn) / 255.0 > 0
+                   THEN floor((e.x - m.mn) / ((m.mx - m.mn) / 255.0)
+                              + 0.5)
+                   ELSE 0 END - 128 AS BIGINT) AS code,
+         e.x, m.mn, m.mx
+  FROM ex e JOIN mm m USING (pos)),
+r AS (
+  SELECT pos, code,
+         CAST(floor(abs((code + 128) * ((mx - mn) / 255.0) + mn - x)
+                    * 10000000.0 + 0.5) AS BIGINT) AS eq
+  FROM q)
+SELECT CAST(pos AS BIGINT) AS pos,
+       CAST(MIN(code) AS BIGINT) AS code_min,
+       CAST(MAX(code) AS BIGINT) AS code_max,
+       CAST(MAX(eq) AS BIGINT) AS max_err_e7,
+       ROUND(SUM(eq) / COUNT(*), 6) AS mean_err_e7
+FROM r GROUP BY 1
+"""

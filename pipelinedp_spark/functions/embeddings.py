@@ -78,3 +78,52 @@ def hashed_embeddings(df: DataFrame,
         return pd.Series(out)
 
     return df.select(F.col(id_col), _embed(hexes).alias("embedding"))
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization — the 100 TB embedding-storage move: per-dim
+# min/max affine codes cut an array<float> column 4x (and more vs double)
+# before ANN indexing or shipping to a feature store. Everything below is
+# codegen column expressions against a bounded (2 x dim) parameter table;
+# rounding is floor(z + 0.5) so Spark and a SQL oracle agree bit-for-bit
+# (F.round is HALF_UP, DuckDB's is HALF_EVEN — floor sidesteps both).
+# ---------------------------------------------------------------------------
+
+
+def int8_quantize_params(df: DataFrame, vec_col: str = "embedding"
+                         ) -> list:
+    """Per-dimension (min, max) over the corpus: one posexplode →
+    groupBy(pos) min/max (map-side combinable; shuffles <= partitions x
+    dim rows) → a dim-sized driver collect (bounded model table)."""
+    rows = (df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                      .alias("_pos", "_val"))
+            .groupBy("_pos")
+            .agg(F.min("_val").alias("_mn"), F.max("_val").alias("_mx"))
+            .collect())
+    by_pos = {r["_pos"]: (r["_mn"], r["_mx"]) for r in rows}
+    return [by_pos[p] for p in range(len(by_pos))]
+
+
+def int8_quantize_expr(vec: Column, params: list) -> Column:
+    """array<tinyint> codes: floor((x - min) / scale + 0.5) - 128 with
+    scale = (max - min) / 255; a constant dimension (max == min) codes
+    to -128. Pure codegen (two zip_with passes over literal arrays)."""
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in params])
+    scales = F.array(*[F.lit((float(mx) - float(mn)) / 255.0)
+                       for mn, mx in params])
+    shifted = F.zip_with(vec.cast("array<double>"), mins,
+                         lambda x, mn: x - mn)
+    return F.zip_with(
+        shifted, scales,
+        lambda d, s: (F.when(s > 0.0, F.floor(d / s + F.lit(0.5)))
+                      .otherwise(F.lit(0)) - F.lit(128)).cast("tinyint"))
+
+
+def int8_dequantize_expr(codes: Column, params: list) -> Column:
+    """array<double> reconstruction: min + (code + 128) * scale."""
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in params])
+    scales = F.array(*[F.lit((float(mx) - float(mn)) / 255.0)
+                       for mn, mx in params])
+    unshift = F.zip_with(codes, scales,
+                         lambda c, s: (c.cast("double") + F.lit(128.0)) * s)
+    return F.zip_with(unshift, mins, lambda v, mn: v + mn)

@@ -121,3 +121,34 @@ def test_k_larger_than_corpus_raises(spark):
     df = _emb(spark).limit(3)
     with pytest.raises(ValueError, match="only 3 rows"):
         C.kmeans_fit(df, k=5, iters=1)
+
+
+def test_int8_quantize_roundtrip_bounds(spark):
+    """Codes stay in [-128, 127], every dimension's reconstruction
+    error is <= scale/2 (+ one e7 tick of slack), and the whole
+    quantize/dequantize path is codegen — no Python eval, no joins."""
+    from pipelinedp_spark.functions import embeddings as E
+    emb = _emb(spark)
+    params = E.int8_quantize_params(emb, "embedding")
+    assert len(params) == 64 and all(mx >= mn for mn, mx in params)
+    codes = E.int8_quantize_expr(F.col("embedding"), params)
+    deq = E.int8_dequantize_expr(codes, params)
+    err = F.zip_with(deq, F.col("embedding").cast("array<double>"),
+                     lambda a, b: F.abs(a - b))
+    out = emb.select(
+        F.array_min(codes).alias("cmin"), F.array_max(codes).alias("cmax"),
+        F.array_max(F.zip_with(
+            err,
+            F.array(*[F.lit((mx - mn) / 255.0 / 2 + 1e-7)
+                      for mn, mx in params]),
+            lambda e, bound: (e <= bound).cast("int"))).alias("ok_any"),
+        F.array_min(F.zip_with(
+            err,
+            F.array(*[F.lit((mx - mn) / 255.0 / 2 + 1e-7)
+                      for mn, mx in params]),
+            lambda e, bound: (e <= bound).cast("int"))).alias("ok_all"))
+    plan = P.explain_str(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    agg = out.agg(F.min("cmin"), F.max("cmax"), F.min("ok_all")).collect()[0]
+    assert agg[0] >= -128 and agg[1] <= 127 and agg[2] == 1

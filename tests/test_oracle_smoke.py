@@ -43,7 +43,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "stream_sentence_dedup_mirror",
          # sim_ivf_pq_rerank_topk composes the ivf_pq generator oracle
          # (bakes sf0.01-trained quantizer literals) — cannot smoke here.
-         "emb_kmeans_centroids", "emb_cluster_balanced_sample"]
+         "emb_kmeans_centroids", "emb_cluster_balanced_sample",
+         "emb_int8_roundtrip"]
 
 
 @pytest.fixture(scope="module")
