@@ -1419,6 +1419,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_kmeans_centroids",
     "emb_cluster_balanced_sample",
     "emb_int8_roundtrip",
+    "emb_covariance",
 ]
 
 
@@ -1557,6 +1558,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_centroids": _emb_kmeans_centroids,
         "emb_cluster_balanced_sample": _emb_cluster_balanced_sample,
         "emb_int8_roundtrip": _emb_int8_roundtrip,
+        "emb_covariance": _emb_covariance,
     }
 
 
@@ -1686,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_centroids": _gen_kmeans_sql(),
         "emb_cluster_balanced_sample": _gen_cluster_balanced_sql(),
         "emb_int8_roundtrip": _EMB_INT8_ROUNDTRIP_SQL,
+        "emb_covariance": _EMB_COVARIANCE_SQL,
     }
 
 
@@ -6291,4 +6294,53 @@ SELECT CAST(pos AS BIGINT) AS pos,
        CAST(MAX(eq) AS BIGINT) AS max_err_e7,
        ROUND(SUM(eq) / COUNT(*), 6) AS mean_err_e7
 FROM r GROUP BY 1
+"""
+
+
+def _emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance matrix (`functions.embeddings.gram_sums`):
+    per-partition numpy int64 Gram partials, O(partitions x dim^2)
+    shuffle, exact integer assembly (n*sxy - s_i*s_j) / n^2 with one
+    final division — the PCA/whitening input at any corpus size.
+    Oracle recomputes the pairwise-product sums by self-joining the
+    unnested quantized vectors."""
+    from pipelinedp_spark.functions import embeddings as EMB
+    emb = _t(spark, sf_dir, "embeddings")
+    g = EMB.gram_sums(emb, "embedding", 1 << 10).localCheckpoint()
+    n = int(g.filter((F.col("i") == -1) & (F.col("j") == -1))
+            .first()["sxy"])
+    lin = g.filter((F.col("i") == -1) & (F.col("j") >= 0)) \
+           .select(F.col("j").alias("pos"), F.col("sxy").alias("sv"))
+    pairs = g.filter(F.col("i") >= 0)
+    si = lin.select(F.col("pos").alias("i"), F.col("sv").alias("si"))
+    sj = lin.select(F.col("pos").alias("j"), F.col("sv").alias("sj"))
+    return (pairs.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+            .select("i", "j",
+                    F.round((F.lit(n) * F.col("sxy")
+                             - F.col("si") * F.col("sj"))
+                            / F.lit(n * n), 6).alias("cov")))
+
+
+_EMB_COVARIANCE_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         [CAST(floor(x * 1024.0 + 0.5) AS BIGINT)
+          for x in embedding::DOUBLE[]] AS vq
+  FROM embeddings),
+ex AS (
+  SELECT vec_id, UNNEST(vq) AS val,
+         generate_subscripts(vq, 1) - 1 AS pos
+  FROM v),
+pr AS (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.val * b.val) AS sxy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY 1, 2),
+s AS (SELECT pos, SUM(val) AS sv FROM ex GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM v)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       ROUND((nn.n * p.sxy - si.sv * sj.sv) / (nn.n * nn.n), 6) AS cov
+FROM pr p
+CROSS JOIN nn
+JOIN s si ON si.pos = p.i
+JOIN s sj ON sj.pos = p.j
 """

@@ -127,3 +127,54 @@ def int8_dequantize_expr(codes: Column, params: list) -> Column:
     unshift = F.zip_with(codes, scales,
                          lambda c, s: (c.cast("double") + F.lit(128.0)) * s)
     return F.zip_with(unshift, mins, lambda v, mn: v + mn)
+
+
+def gram_sums(df: DataFrame, vec_col: str = "embedding",
+              quant_scale: int = 1 << 10) -> DataFrame:
+    """Exact second-moment sums for covariance/PCA/whitening: one
+    Arrow-batched pass computes the per-partition int64 Gram matrix
+    ``X^T X`` with a numpy matmul (exact integer arithmetic on
+    ``floor(x * quant_scale + 0.5)`` codes), then a tiny
+    map-side-combinable groupBy folds partitions — the shuffle is
+    O(partitions x dim^2) regardless of corpus size. Returns
+    (i, j, sxy) for i <= j, plus linear sums as (-1, j, sum_j) and the
+    row count as (-1, -1, n), so covariance assembles downstream as
+    ``(n*sxy - s_i*s_j) / n^2`` in exact integer arithmetic until one
+    final division.
+
+    Overflow bound: ``quant_scale^2 * max|x|^2 * n_rows < 2^62`` — the
+    default 2^10 scale holds to ~4e12 unit-norm rows; this is the
+    covariance-grade quantization (coarser than the k-means 2^20
+    because products square the scale)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    q = float(quant_scale)
+
+    def _part(batches):
+        g = np.zeros((dim, dim), dtype=np.int64)
+        s = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(np.stack(pdf[vec_col].to_numpy())
+                         .astype("float64") * q + 0.5).astype(np.int64)
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        iu = np.triu_indices(dim)
+        out = pd.DataFrame({"i": iu[0].astype("int64"),
+                            "j": iu[1].astype("int64"),
+                            "sxy": g[iu]})
+        lin = pd.DataFrame({"i": np.full(dim, -1, dtype="int64"),
+                            "j": np.arange(dim, dtype="int64"),
+                            "sxy": s})
+        cnt = pd.DataFrame({"i": [-1], "j": [-1],
+                            "sxy": np.array([n], dtype="int64")})
+        yield pd.concat([out, lin, cnt], ignore_index=True)
+
+    part = df.select(vec_col).mapInPandas(_part,
+                                          "i long, j long, sxy long")
+    return part.groupBy("i", "j").agg(F.sum("sxy").alias("sxy"))

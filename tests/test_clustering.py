@@ -123,6 +123,31 @@ def test_k_larger_than_corpus_raises(spark):
         C.kmeans_fit(df, k=5, iters=1)
 
 
+def test_gram_sums_match_numpy_and_layout_invariant(spark):
+    """gram_sums equals a straight numpy X^T X on the quantized matrix,
+    and is bit-identical between 1-partition and 11-partition inputs
+    (int64 partials are order-independent)."""
+    import numpy as np
+    from pipelinedp_spark.functions import embeddings as E
+    emb = _emb(spark)
+    pdf = emb.select("embedding").toPandas()
+    x = np.floor(np.stack(pdf["embedding"].to_numpy())
+                 .astype("float64") * 1024.0 + 0.5).astype(np.int64)
+    g = x.T @ x
+    got = {(r["i"], r["j"]): r["sxy"]
+           for r in E.gram_sums(emb.repartition(11), "embedding",
+                                1 << 10).collect()}
+    one = {(r["i"], r["j"]): r["sxy"]
+           for r in E.gram_sums(emb.coalesce(1), "embedding",
+                                1 << 10).collect()}
+    assert got == one
+    assert got[(-1, -1)] == len(x)
+    for i in range(0, 64, 17):
+        for j in range(i, 64, 13):
+            assert got[(i, j)] == g[i, j]
+        assert got[(-1, i)] == x[:, i].sum()
+
+
 def test_int8_quantize_roundtrip_bounds(spark):
     """Codes stay in [-128, 127], every dimension's reconstruction
     error is <= scale/2 (+ one e7 tick of slack), and the whole
