@@ -1420,6 +1420,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_cluster_balanced_sample",
     "emb_int8_roundtrip",
     "emb_covariance",
+    "emb_pca_project",
 ]
 
 
@@ -1559,6 +1560,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_balanced_sample": _emb_cluster_balanced_sample,
         "emb_int8_roundtrip": _emb_int8_roundtrip,
         "emb_covariance": _emb_covariance,
+        "emb_pca_project": _emb_pca_project,
     }
 
 
@@ -1689,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cluster_balanced_sample": _gen_cluster_balanced_sql(),
         "emb_int8_roundtrip": _EMB_INT8_ROUNDTRIP_SQL,
         "emb_covariance": _EMB_COVARIANCE_SQL,
+        "emb_pca_project": _gen_pca_sql(),
     }
 
 
@@ -6343,4 +6346,57 @@ FROM pr p
 CROSS JOIN nn
 JOIN s si ON si.pos = p.i
 JOIN s sj ON sj.pos = p.j
+"""
+
+
+def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dim-reduction (`functions.embeddings.pca_*`): gram_sums →
+    driver eigh on the bounded covariance → pure-codegen projection
+    folds. Oracle re-derives the identical components from the same
+    parquet (shared pca_from_gram helper, same precedent as the IVF
+    quantizer oracles) and projects with list_dot_product."""
+    from pipelinedp_spark.functions import embeddings as EMB
+    emb = _t(spark, sf_dir, "embeddings")
+    comps, mean_dots, _ = EMB.pca_components(emb, "embedding", k=4)
+    pcs = EMB.pca_project_expr(F.col("embedding"), comps, mean_dots)
+    return emb.select("vec_id",
+                      *[F.round(pc, 6).alias(f"pc{i}")
+                        for i, pc in enumerate(pcs)])
+
+
+def _gen_pca_sql(k: int = 4, q: int = 1 << 10,
+                 sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import duckdb
+    import numpy as np
+
+    from pipelinedp_spark.functions.embeddings import pca_from_gram
+
+    sample = duckdb.sql(
+        f"SELECT embedding FROM read_parquet"
+        f"('{sf_dir}/embeddings.parquet')").fetchnumpy()["embedding"]
+    x = np.floor(np.stack([np.asarray(v, dtype="float64")
+                           for v in sample]) * float(q) + 0.5) \
+        .astype(np.int64)
+    g = x.T @ x
+    s = x.sum(axis=0)
+    dim = x.shape[1]
+    rows = [(-1, -1, len(x))]
+    rows += [(-1, j, int(s[j])) for j in range(dim)]
+    rows += [(i, j, int(g[i, j])) for i in range(dim)
+             for j in range(i, dim)]
+    comps, mean_dots, _ = pca_from_gram(rows, dim, k)
+    comp_lits = [
+        "[" + ", ".join(repr(float(c)) for c in comp) + "]"
+        for comp in comps]
+    sel = ",\n       ".join(
+        f"ROUND(list_dot_product(xq, {comp_lits[i]}) "
+        f"- {mean_dots[i]!r}, 6) AS pc{i}" for i in range(k))
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         [floor(x * {q}.0 + 0.5) for x in embedding::DOUBLE[]] AS xq
+  FROM embeddings)
+SELECT vec_id,
+       {sel}
+FROM v
 """

@@ -178,3 +178,73 @@ def gram_sums(df: DataFrame, vec_col: str = "embedding",
     part = df.select(vec_col).mapInPandas(_part,
                                           "i long, j long, sxy long")
     return part.groupBy("i", "j").agg(F.sum("sxy").alias("sxy"))
+
+
+def pca_from_gram(gram_rows, dim: int, k: int):
+    """Top-k principal directions from `gram_sums` output rows
+    ((i, j, sxy) tuples incl. the (-1, *) linear/count rows): builds the
+    exact-integer covariance (n*G - s s^T) / n^2, runs a driver-side
+    eigh on the bounded dim x dim matrix, fixes each eigenvector's sign
+    so its largest-|.| component is positive. Shared by the Spark
+    operator and the oracle generator so both derive bit-identical
+    components from the same sums. Returns (components k x dim,
+    mean_dots length-k, eigvals desc) where mean_dots[i] is the
+    sequential fold of mean . comp_i (the centering scalar)."""
+    import numpy as np
+
+    g = np.zeros((dim, dim), dtype=np.int64)
+    s = np.zeros(dim, dtype=np.int64)
+    n = 0
+    for i, j, sxy in gram_rows:
+        if i == -1 and j == -1:
+            n = int(sxy)
+        elif i == -1:
+            s[j] = sxy
+        else:
+            g[i, j] = sxy
+            g[j, i] = sxy
+    cov = (n * g - np.outer(s, s)).astype("float64") / float(n * n)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    mean = [s[p] / n for p in range(dim)]
+    mean_dots = []
+    for idx in order:
+        c = v[:, idx].copy()
+        top = int(np.argmax(np.abs(c)))
+        if c[top] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+        acc = 0.0
+        for p in range(dim):
+            acc += mean[p] * comps[-1][p]
+        mean_dots.append(acc)
+    return comps, mean_dots, [float(w[i]) for i in order]
+
+
+def pca_components(df: DataFrame, vec_col: str = "embedding", k: int = 4,
+                   quant_scale: int = 1 << 10):
+    """Fit: one gram_sums pass + driver eigh (see pca_from_gram)."""
+    g = gram_sums(df, vec_col, quant_scale)
+    rows = [(r["i"], r["j"], r["sxy"]) for r in g.collect()]
+    dim = max(j for i, j, _ in rows) + 1
+    return pca_from_gram(rows, dim, k)
+
+
+def pca_project_expr(vec: Column, comps, mean_dots,
+                     quant_scale: int = 1 << 10) -> list:
+    """k projection columns (quantized-unit scores): each is
+    fold(x_q * comp) - mean_dot — a sequential dot-product fold
+    (bit-identical to SQL list_dot_product) minus the precomputed
+    centering scalar. Pure codegen; inline after `pca_components` or a
+    stored fit."""
+    xq = F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(quant_scale)) + F.lit(0.5)))
+    out = []
+    for ci, (comp, md) in enumerate(zip(comps, mean_dots)):
+        lit_c = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(F.zip_with(xq, lit_c, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        out.append((dot - F.lit(float(md))).alias(f"pc{ci}"))
+    return out

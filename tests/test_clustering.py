@@ -148,6 +148,30 @@ def test_gram_sums_match_numpy_and_layout_invariant(spark):
         assert got[(-1, i)] == x[:, i].sum()
 
 
+def test_pca_orders_variance_and_is_codegen(spark):
+    """Eigenvalues come out descending, projections onto distinct
+    components are empirically uncorrelated (|corr| < 0.05 on real
+    data), and the projection path is codegen — no Python, no joins,
+    no shuffles."""
+    import numpy as np
+    from pipelinedp_spark.functions import embeddings as E
+    emb = _emb(spark)
+    comps, mean_dots, eigvals = E.pca_components(emb, "embedding", k=4)
+    assert eigvals == sorted(eigvals, reverse=True)
+    assert all(len(c) == 64 for c in comps)
+    out = emb.select(*E.pca_project_expr(F.col("embedding"), comps,
+                                         mean_dots))
+    plan = P.explain_str(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    pdf = out.toPandas()
+    assert np.var(pdf["pc0"]) >= np.var(pdf["pc1"]) - 1e-6
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert abs(np.corrcoef(pdf[f"pc{a}"], pdf[f"pc{b}"])[0, 1]) \
+                < 0.05
+
+
 def test_int8_quantize_roundtrip_bounds(spark):
     """Codes stay in [-128, 127], every dimension's reconstruction
     error is <= scale/2 (+ one e7 tick of slack), and the whole
