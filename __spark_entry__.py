@@ -1421,6 +1421,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_int8_roundtrip",
     "emb_covariance",
     "emb_pca_project",
+    "doc_length_buckets",
 ]
 
 
@@ -1561,6 +1562,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_int8_roundtrip": _emb_int8_roundtrip,
         "emb_covariance": _emb_covariance,
         "emb_pca_project": _emb_pca_project,
+        "doc_length_buckets": _doc_length_buckets,
     }
 
 
@@ -1692,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_int8_roundtrip": _EMB_INT8_ROUNDTRIP_SQL,
         "emb_covariance": _EMB_COVARIANCE_SQL,
         "emb_pca_project": _gen_pca_sql(),
+        "doc_length_buckets": _DOC_LENGTH_BUCKETS_SQL,
     }
 
 
@@ -6399,4 +6402,38 @@ WITH v AS (
 SELECT vec_id,
        {sel}
 FROM v
+"""
+
+
+def _doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report (`packing.length_buckets`):
+    price the padding cost of bucket boundaries before an SFT run.
+    Pure codegen ladder + a <=8-key groupBy; oracle mirrors the CASE
+    ladder on string_split token counts."""
+    from pipelinedp_spark.operators import packing
+    docs = _t(spark, sf_dir, "documents")
+    return packing.length_buckets(docs, "text",
+                                  boundaries=(32, 64, 128, 256, 512))
+
+
+_DOC_LENGTH_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+b AS (
+  SELECT n,
+         CASE WHEN n <= 32 THEN 32
+              WHEN n <= 64 THEN 64
+              WHEN n <= 128 THEN 128
+              WHEN n <= 256 THEN 256
+              ELSE 512 END AS bucket
+  FROM tok)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(LEAST(n, bucket)) AS BIGINT) AS kept_tokens,
+       CAST(COUNT(*) * bucket - SUM(LEAST(n, bucket)) AS BIGINT)
+           AS pad_tokens,
+       ROUND((COUNT(*) * bucket - SUM(LEAST(n, bucket)))
+             / (COUNT(*) * bucket), 6) AS pad_frac
+FROM b GROUP BY bucket
 """

@@ -94,3 +94,48 @@ def chunk_documents(docs: DataFrame,
         .alias("chunk"),
         F.least(F.lit(chunk_tokens), F.col("n") - start)
         .cast("long").alias("n_tokens"))
+
+
+def length_bucket_expr(n_tokens, boundaries) -> "F.Column":
+    """Smallest boundary >= n_tokens (overflow docs land in the top
+    bucket — they get truncated at batch time). A static CASE ladder of
+    integer comparisons: exactly portable to SQL, no log2 float edge
+    cases at power-of-two boundaries."""
+    expr = F.lit(int(boundaries[-1]))
+    for b in reversed(boundaries[:-1]):
+        expr = F.when(n_tokens <= int(b), F.lit(int(b))).otherwise(expr)
+    return expr.cast("long")
+
+
+def length_buckets(docs: DataFrame,
+                   text_col: str = "text",
+                   boundaries=(64, 128, 256, 512, 1024, 2048, 4096,
+                               8192)) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching (the
+    standard alternative to packing when documents must stay intact —
+    SFT, preference pairs, eval sets): each doc goes to the smallest
+    bucket holding it, and the report prices the padding that bucket
+    choice costs. Returns per bucket: n_docs, total_tokens (raw),
+    kept_tokens (after top-bucket truncation), pad_tokens
+    (n_docs * bucket - kept_tokens) and pad_frac.
+
+    Scale shape: per-row codegen bucket ladder + one
+    map-side-combinable groupBy over at most len(boundaries) keys —
+    nothing here is corpus-size-dependent except the single scan."""
+    bs = sorted(int(b) for b in boundaries)
+    n = T.token_count(F.col(text_col)).cast("long")
+    bucket = length_bucket_expr(n, bs)
+    kept = F.least(n, bucket)
+    return (docs.select(bucket.alias("bucket"), n.alias("_n"),
+                        kept.alias("_k"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_n").alias("total_tokens"),
+                 F.sum("_k").alias("kept_tokens"))
+            .select("bucket", "n_docs", "total_tokens", "kept_tokens",
+                    (F.col("n_docs") * F.col("bucket")
+                     - F.col("kept_tokens")).alias("pad_tokens"),
+                    F.round((F.col("n_docs") * F.col("bucket")
+                             - F.col("kept_tokens"))
+                            / (F.col("n_docs") * F.col("bucket")), 6)
+                    .alias("pad_frac")))

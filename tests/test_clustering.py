@@ -201,3 +201,22 @@ def test_int8_quantize_roundtrip_bounds(spark):
     assert "Join" not in plan
     agg = out.agg(F.min("cmin"), F.max("cmax"), F.min("ok_all")).collect()[0]
     assert agg[0] >= -128 and agg[1] <= 127 and agg[2] == 1
+
+
+def test_length_buckets_accounting(spark):
+    """Bucket totals exactly account for every doc; pad arithmetic is
+    self-consistent; overflow docs land in the top bucket truncated."""
+    docs = spark.sql(
+        "SELECT col1 AS doc_id, col2 AS text FROM VALUES "
+        "(1, 'a b c'), (2, 'a b c d e'), "
+        f"(3, '{' '.join(['w'] * 40)}')")
+    from pipelinedp_spark.operators.packing import length_buckets
+    out = {r["bucket"]: r for r in
+           length_buckets(docs, "text", boundaries=(4, 8, 16)).collect()}
+    assert set(out) == {4, 8, 16}
+    assert out[4]["n_docs"] == 1 and out[4]["pad_tokens"] == 1
+    assert out[8]["n_docs"] == 1 and out[8]["pad_tokens"] == 3
+    # 40-token doc overflows the 16 cap: kept 16, pad 0
+    assert out[16]["n_docs"] == 1 and out[16]["kept_tokens"] == 16
+    assert out[16]["pad_tokens"] == 0 and out[16]["total_tokens"] == 40
+    assert out[8]["pad_frac"] == 0.375
