@@ -1422,6 +1422,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_covariance",
     "emb_pca_project",
     "doc_length_buckets",
+    "stream_cluster_assign_mirror",
 ]
 
 
@@ -1563,6 +1564,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": _emb_covariance,
         "emb_pca_project": _emb_pca_project,
         "doc_length_buckets": _doc_length_buckets,
+        "stream_cluster_assign_mirror": _stream_cluster_assign_mirror,
     }
 
 
@@ -1695,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_covariance": _EMB_COVARIANCE_SQL,
         "emb_pca_project": _gen_pca_sql(),
         "doc_length_buckets": _DOC_LENGTH_BUCKETS_SQL,
+        "stream_cluster_assign_mirror": _gen_stream_cluster_sql(),
     }
 
 
@@ -6437,3 +6440,43 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
              / (COUNT(*) * bucket), 6) AS pad_frac
 FROM b GROUP BY bucket
 """
+
+
+def _stream_cluster_assign_mirror(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming.streaming_cluster_assign`: assignment
+    is a STATELESS codegen expression, so the streaming operator is
+    the batch expression verbatim — this mirror runs it through the
+    streaming entry point on two micro-batch halves (even/odd ids) and
+    reports per-batch cluster counts. True-streaming execution is
+    pinned by tests/test_clustering.py's availableNow run."""
+    from pipelinedp_spark.operators import clustering
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_cluster_assign)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = clustering.kmeans_fit(emb, k=8, iters=2)
+    asg = streaming_cluster_assign(emb, cents)
+    return (asg.groupBy((F.col("vec_id") % 2).cast("long").alias("batch"),
+                        "cluster")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _gen_stream_cluster_sql(k: int = 8, iters: int = 2,
+                            q: int = 1 << 20) -> str:
+    sql = _gen_kmeans_prefix(k, iters, q)
+    sql += f""",
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT d.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.vdd, c.cent)
+                      - 0.5 * list_dot_product(c.cent, c.cent) DESC,
+                      c.cluster ASC) AS rn
+    FROM vd d CROSS JOIN c{iters} c) WHERE rn = 1)
+SELECT CAST(vec_id % 2 AS BIGINT) AS batch,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM af GROUP BY 1, 2
+"""
+    return sql

@@ -1318,3 +1318,42 @@ def streaming_sentence_dedup(stream: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_cluster_assign(stream: DataFrame, centroids,
+                             vec_col: str = "embedding",
+                             quant_scale: int = 1 << 20) -> DataFrame:
+    """Attach a k-means `cluster` column to a stream of embeddings
+    against FIXED centroids (from `clustering.kmeans_fit` offline).
+    Assignment is a stateless codegen expression (k dot-product folds,
+    no state store, no shuffle), so it runs identically on batch and
+    streaming DataFrames — the rare operator whose streaming twin is
+    the operator itself."""
+    from pipelinedp_spark.operators.clustering import kmeans_assign_expr
+
+    vd = F.transform(
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(quant_scale))
+                                      + F.lit(0.5)).cast("long")),
+        lambda x: x.cast("double"))
+    return stream.withColumn("cluster", kmeans_assign_expr(vd, centroids))
+
+
+def streaming_cluster_counts(stream: DataFrame, centroids,
+                             ts_col: Optional[str] = None,
+                             window: str = "1 minute",
+                             watermark: str = "2 minutes",
+                             vec_col: str = "embedding",
+                             quant_scale: int = 1 << 20) -> DataFrame:
+    """Topic-drift monitor: per-cluster arrival counts, optionally in
+    event-time windows. With `ts_col`, state is watermark-bounded
+    (late data beyond `watermark` is dropped and window state is
+    evicted — the 100 TB/day stream never accumulates unbounded
+    state); without, it is a running total for complete-mode sinks."""
+    asg = streaming_cluster_assign(stream, centroids, vec_col,
+                                   quant_scale)
+    if ts_col is not None:
+        return (asg.withWatermark(ts_col, watermark)
+                .groupBy(F.window(F.col(ts_col), window), "cluster")
+                .count())
+    return asg.groupBy("cluster").count()

@@ -220,3 +220,29 @@ def test_length_buckets_accounting(spark):
     assert out[16]["n_docs"] == 1 and out[16]["kept_tokens"] == 16
     assert out[16]["pad_tokens"] == 0 and out[16]["total_tokens"] == 40
     assert out[8]["pad_frac"] == 0.375
+
+
+def test_streaming_cluster_counts_match_batch(spark, tmp_path):
+    """True streaming execution: the embeddings corpus replayed as a
+    2-files-per-trigger parquet stream through
+    streaming_cluster_counts (complete mode) must end with exactly the
+    batch assignment counts."""
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_cluster_counts)
+    emb = _emb(spark)
+    cents, _ = C.kmeans_fit(emb, k=4, iters=1)
+    src = str(tmp_path / "src")
+    emb.repartition(6).write.parquet(src)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = streaming_cluster_counts(stream, cents)
+    q = (out.writeStream.format("memory").queryName("clu_counts")
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["cluster"]: r["count"]
+           for r in spark.sql("SELECT * FROM clu_counts").collect()}
+    want = {r["cluster"]: r["count"]
+            for r in C.kmeans_assign(emb, cents)
+            .groupBy("cluster").count().collect()}
+    assert got == want

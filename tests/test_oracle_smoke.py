@@ -44,7 +44,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          # sim_ivf_pq_rerank_topk composes the ivf_pq generator oracle
          # (bakes sf0.01-trained quantizer literals) — cannot smoke here.
          "emb_kmeans_centroids", "emb_cluster_balanced_sample",
-         "emb_int8_roundtrip", "emb_covariance", "doc_length_buckets"]
+         "emb_int8_roundtrip", "emb_covariance", "doc_length_buckets",
+         "stream_cluster_assign_mirror"]
 
 
 @pytest.fixture(scope="module")
