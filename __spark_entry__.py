@@ -1423,6 +1423,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_pca_project",
     "doc_length_buckets",
     "stream_cluster_assign_mirror",
+    "emb_hard_negatives",
+    "emb_cluster_purity",
 ]
 
 
@@ -1565,6 +1567,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": _emb_pca_project,
         "doc_length_buckets": _doc_length_buckets,
         "stream_cluster_assign_mirror": _stream_cluster_assign_mirror,
+        "emb_hard_negatives": _emb_hard_negatives,
+        "emb_cluster_purity": _emb_cluster_purity,
     }
 
 
@@ -1698,6 +1702,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca_project": _gen_pca_sql(),
         "doc_length_buckets": _DOC_LENGTH_BUCKETS_SQL,
         "stream_cluster_assign_mirror": _gen_stream_cluster_sql(),
+        "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
+        "emb_cluster_purity": _gen_cluster_purity_sql(),
     }
 
 
@@ -6478,5 +6484,97 @@ SELECT CAST(vec_id % 2 AS BIGINT) AS batch,
        CAST(cluster AS BIGINT) AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM af GROUP BY 1, 2
+"""
+    return sql
+
+
+def _emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep (`similarity.hard_negatives`):
+    top-5 nearest different-label rows per anchor — the label filter
+    runs before scoring so same-label pairs never cost a cosine."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec"),
+                 F.col("label").alias("query_label")))
+    return similarity.hard_negatives(emb, q, k=5)
+
+
+_EMB_HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.ql),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank,
+         cosine
+  FROM scored)
+SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per k-means cluster, its size, majority
+    label, and purity (majority share). Reuses
+    `streaming_cluster_assign` on the batch frame (stateless codegen —
+    no join to re-attach labels) + one two-level agg with a
+    max(struct) argmax, no windows."""
+    from pipelinedp_spark.operators import clustering
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_cluster_assign)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = clustering.kmeans_fit(emb, k=8, iters=2)
+    asg = streaming_cluster_assign(emb, cents)
+    cnt = (asg.groupBy("cluster", F.col("label").cast("long")
+                       .alias("label"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (cnt.groupBy("cluster")
+            .agg(F.sum("c").alias("n"),
+                 F.max(F.struct(F.col("c"), (-F.col("label"))
+                                .alias("nl"))).alias("_m"))
+            .select("cluster", "n",
+                    (-F.col("_m.nl")).alias("top_label"),
+                    F.round(F.col("_m.c") / F.col("n"), 6)
+                    .alias("purity")))
+
+
+def _gen_cluster_purity_sql(k: int = 8, iters: int = 2,
+                            q: int = 1 << 20) -> str:
+    sql = _gen_kmeans_prefix(k, iters, q)
+    sql += f""",
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT d.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.vdd, c.cent)
+                      - 0.5 * list_dot_product(c.cent, c.cent) DESC,
+                      c.cluster ASC) AS rn
+    FROM vd d CROSS JOIN c{iters} c) WHERE rn = 1),
+lab AS (
+  SELECT af.cluster, CAST(e.label AS BIGINT) AS label
+  FROM af JOIN embeddings e USING (vec_id)),
+cnt AS (SELECT cluster, label, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+top AS (
+  SELECT cluster, label AS top_label, c FROM cnt
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                             ORDER BY c DESC, label ASC) = 1),
+tot AS (SELECT cluster, SUM(c) AS n FROM cnt GROUP BY 1)
+SELECT CAST(t.cluster AS BIGINT) AS cluster,
+       CAST(tot.n AS BIGINT) AS n,
+       CAST(t.top_label AS BIGINT) AS top_label,
+       ROUND(t.c / tot.n, 6) AS purity
+FROM top t JOIN tot USING (cluster)
 """
     return sql

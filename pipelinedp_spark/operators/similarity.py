@@ -531,3 +531,42 @@ def ivf_pq_rerank_topk(corpus: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "rank",
                     F.round(F.col("cosine"), 6).alias("cosine")))
+
+
+def hard_negatives(corpus: DataFrame,
+                   queries: DataFrame,
+                   k: int = 5,
+                   corpus_id: str = "vec_id",
+                   corpus_vec: str = "embedding",
+                   corpus_label: str = "label",
+                   query_id: str = "query_id",
+                   query_vec: str = "query_vec",
+                   query_label: str = "query_label") -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the top-k highest-cosine corpus rows whose label DIFFERS
+    from the anchor's — the near-miss negatives that carry the
+    gradient signal (in-batch random negatives are mostly easy).
+
+    Scale shape: corpus x broadcast(anchors) with the label-mismatch
+    filter applied BEFORE scoring (Catalyst pushes it into the
+    broadcast-join output, so same-label pairs are never scored);
+    Arrow-batched cosine; per-anchor top-k via WindowGroupLimit. For
+    web-scale corpora swap the scoring stage for `ivf_pq_rerank_topk`
+    over a label-partitioned index; this exact form is the oracle
+    baseline. Returns (query_id, vec_id, rank, cosine)."""
+    cos = cosine_pairs_udf()
+    q = queries.select(F.col(query_id), F.col(query_vec),
+                       F.col(query_label))
+    scored = (corpus.select(F.col(corpus_id), F.col(corpus_vec),
+                            F.col(corpus_label))
+              .crossJoin(F.broadcast(q))
+              .filter(F.col(corpus_label) != F.col(query_label))
+              .select(F.col(query_id), F.col(corpus_id),
+                      cos(F.col(corpus_vec), F.col(query_vec))
+                      .alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("cosine"), 6).alias("cosine")))

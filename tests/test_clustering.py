@@ -246,3 +246,42 @@ def test_streaming_cluster_counts_match_batch(spark, tmp_path):
             for r in C.kmeans_assign(emb, cents)
             .groupBy("cluster").count().collect()}
     assert got == want
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    """Every mined negative has a different label from its anchor, and
+    per-anchor ranks are dense from 1."""
+    from pipelinedp_spark.operators import similarity as S
+    emb = _emb(spark)
+    q = (emb.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec"),
+                 F.col("label").alias("query_label")))
+    out = S.hard_negatives(emb, q, k=6)
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    per = {}
+    for r in out.collect():
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per) == {0, 1, 2, 3}
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, 7))
+
+
+def test_cluster_purity_shapes(spark):
+    """Purity is in (0, 1], majority label is a real label, and sizes
+    partition the corpus — checked through the registry query at
+    sf0.001."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_purity", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.queries()["emb_cluster_purity"](spark, SF).collect()
+    emb = _emb(spark)
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert sum(r["n"] for r in out) == emb.count()
+    for r in out:
+        assert 0.0 < r["purity"] <= 1.0
+        assert r["top_label"] in labels

@@ -45,7 +45,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          # (bakes sf0.01-trained quantizer literals) — cannot smoke here.
          "emb_kmeans_centroids", "emb_cluster_balanced_sample",
          "emb_int8_roundtrip", "emb_covariance", "doc_length_buckets",
-         "stream_cluster_assign_mirror"]
+         "stream_cluster_assign_mirror", "emb_hard_negatives",
+         "emb_cluster_purity"]
 
 
 @pytest.fixture(scope="module")
