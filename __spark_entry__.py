@@ -1426,6 +1426,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_hard_negatives",
     "emb_cluster_purity",
     "emb_triplets",
+    "dp_cluster_counts",
+    "emb_int8_recall",
 ]
 
 
@@ -1571,6 +1573,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": _emb_hard_negatives,
         "emb_cluster_purity": _emb_cluster_purity,
         "emb_triplets": _emb_triplets,
+        "dp_cluster_counts": _dp_cluster_counts,
+        "emb_int8_recall": _emb_int8_recall,
     }
 
 
@@ -1707,6 +1711,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
         "emb_cluster_purity": _gen_cluster_purity_sql(),
         "emb_triplets": _EMB_TRIPLETS_SQL,
+        "dp_cluster_counts": _gen_dp_cluster_counts_sql(),
+        "emb_int8_recall": _EMB_INT8_RECALL_SQL,
     }
 
 
@@ -6621,4 +6627,146 @@ SELECT p.query_id, p.rank, p.pos_id, n.neg_id,
        ROUND(ROUND(p.pc, 6) - ROUND(n.nc, 6), 6) AS margin
 FROM pos p JOIN neg n USING (query_id, rank)
 WHERE p.rank <= 3 AND n.rank <= 3
+"""
+
+
+def _dp_cluster_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP + clustering integration: differentially-private release of
+    k-means topic sizes (privacy unit = vector id; each id contributes
+    to exactly its one cluster, so L0 = Linf = 1). Public partitions =
+    the k cluster ids (data-independent), zero-noise mode for the
+    oracle. The DP layer runs on the codegen assignment column — no
+    extra scan beyond the fit."""
+    from pipelinedp_spark.operators import clustering
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = clustering.kmeans_fit(emb, k=8, iters=2)
+    asg = clustering.kmeans_assign(emb, cents)
+    query = (pds.QueryBuilder(asg, "vec_id")
+             .groupby("cluster", max_groups_contributed=1,
+                      max_contributions_per_group=1,
+                      public_keys=list(range(8)))
+             .count()
+             .build_query())
+    return query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+
+
+def _gen_dp_cluster_counts_sql(k: int = 8, iters: int = 2,
+                               q: int = 1 << 20) -> str:
+    sql = _gen_kmeans_prefix(k, iters, q)
+    sql += f""",
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT d.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.vdd, c.cent)
+                      - 0.5 * list_dot_product(c.cent, c.cent) DESC,
+                      c.cluster ASC) AS rn
+    FROM vd d CROSS JOIN c{iters} c) WHERE rn = 1),
+pub AS (SELECT UNNEST(range({k})) AS cluster),
+agg AS (SELECT cluster, CAST(COUNT(*) AS DOUBLE) AS count
+        FROM af GROUP BY 1)
+SELECT CAST(pub.cluster AS BIGINT) AS cluster,
+       COALESCE(agg.count, 0.0) AS count
+FROM pub LEFT JOIN agg USING (cluster)
+"""
+    return sql
+
+
+def _emb_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality gate for int8 quantization: top-10 neighbors
+    computed on dequantized vectors vs the exact top-10, per query —
+    the acceptance metric before swapping a 4x-smaller index in.
+    Codegen fold cosine on BOTH rankings (bit-identical to the SQL
+    mirror's list_dot_product)."""
+    from pyspark.sql import Window
+
+    from pipelinedp_spark.functions import embeddings as EMB
+    from pipelinedp_spark.operators.similarity import cosine_expr
+    emb = _t(spark, sf_dir, "embeddings")
+    params = EMB.int8_quantize_params(emb, "embedding")
+
+    def deq(col):
+        return EMB.int8_dequantize_expr(
+            EMB.int8_quantize_expr(col, params), params)
+
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("ev"),
+                      deq(F.col("embedding")).alias("dv"))
+    q = (base.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("ev").alias("qe"), F.col("dv").alias("qd")))
+    scored = (base.crossJoin(F.broadcast(q))
+              .select("query_id", "vec_id",
+                      cosine_expr(F.col("ev"), F.col("qe")).alias("ce"),
+                      cosine_expr(F.col("dv"), F.col("qd")).alias("cd")))
+    we = Window.partitionBy("query_id").orderBy(F.col("ce").desc(),
+                                                F.col("vec_id").asc())
+    wd = Window.partitionBy("query_id").orderBy(F.col("cd").desc(),
+                                                F.col("vec_id").asc())
+    te = (scored.withColumn("r", F.row_number().over(we))
+          .filter(F.col("r") <= 10).select("query_id", "vec_id"))
+    td = (scored.withColumn("r", F.row_number().over(wd))
+          .filter(F.col("r") <= 10).select("query_id", "vec_id"))
+    hit = te.join(td, ["query_id", "vec_id"])
+    return (q.select("query_id")
+            .join(hit.groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n_overlap")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                    .cast("long").alias("n_overlap"))
+            .withColumn("recall",
+                        F.round(F.col("n_overlap") / F.lit(10), 6)))
+
+
+_EMB_INT8_RECALL_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (
+  SELECT vec_id, UNNEST(e) AS x,
+         generate_subscripts(e, 1) - 1 AS pos
+  FROM v),
+mm AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx,
+              (MAX(x) - MIN(x)) / 255.0 AS sc
+       FROM ex GROUP BY 1),
+qz AS (
+  SELECT e.vec_id, e.pos,
+         (CASE WHEN m.sc > 0
+               THEN floor((e.x - m.mn) / m.sc + 0.5) ELSE 0 END - 128)
+             AS code,
+         m.mn, m.sc
+  FROM ex e JOIN mm m USING (pos)),
+dq AS (
+  SELECT vec_id,
+         list((code + 128) * sc + mn ORDER BY pos) AS d
+  FROM qz GROUP BY vec_id),
+b AS (SELECT v.vec_id, v.e, dq.d FROM v JOIN dq USING (vec_id)),
+q AS (SELECT vec_id AS query_id, e AS qe, d AS qd FROM b
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(b.e, q.qe)
+           / (sqrt(list_dot_product(b.e, b.e))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS ce,
+         list_dot_product(b.d, q.qd)
+           / (sqrt(list_dot_product(b.d, b.d))
+              * sqrt(list_dot_product(q.qd, q.qd))) AS cd
+  FROM b CROSS JOIN q),
+te AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ce DESC, vec_id ASC) AS r
+         FROM scored) WHERE r <= 10),
+td AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cd DESC, vec_id ASC) AS r
+         FROM scored) WHERE r <= 10),
+hit AS (
+  SELECT te.query_id, COUNT(*) AS n_overlap
+  FROM te JOIN td USING (query_id, vec_id) GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(hit.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(hit.n_overlap, 0) / 10, 6) AS recall
+FROM q LEFT JOIN hit USING (query_id)
 """
