@@ -1428,6 +1428,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_triplets",
     "dp_cluster_counts",
     "emb_int8_recall",
+    "emb_mmr_rerank",
 ]
 
 
@@ -1575,6 +1576,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_triplets": _emb_triplets,
         "dp_cluster_counts": _dp_cluster_counts,
         "emb_int8_recall": _emb_int8_recall,
+        "emb_mmr_rerank": _emb_mmr_rerank,
     }
 
 
@@ -1713,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_triplets": _EMB_TRIPLETS_SQL,
         "dp_cluster_counts": _gen_dp_cluster_counts_sql(),
         "emb_int8_recall": _EMB_INT8_RECALL_SQL,
+        "emb_mmr_rerank": _gen_mmr_sql(),
     }
 
 
@@ -6770,3 +6773,78 @@ SELECT q.query_id,
        ROUND(COALESCE(hit.n_overlap, 0) / 10, 6) AS recall
 FROM q LEFT JOIN hit USING (query_id)
 """
+
+
+def _emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (`similarity.mmr_rerank`): greedy MMR over
+    a 20-candidate exact shortlist, lam = 0.5. Oracle = the greedy
+    trace unrolled into one CTE pair per selection step (the Lloyd
+    unroll discipline: 6dp-rounded inputs, exact literals, lowest-id
+    ties)."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.mmr_rerank(emb, q, k=5, shortlist=20, lam=0.5)
+
+
+def _gen_mmr_sql(k: int = 5, shortlist: int = 20) -> str:
+    sql = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+allsc AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(b.v, q.qv) /
+         (sqrt(list_dot_product(b.v, b.v))
+          * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM base b CROSS JOIN q),
+cand AS (
+  SELECT query_id, vec_id, ROUND(c, 6) AS rel FROM (
+    SELECT query_id, vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, vec_id ASC) AS r
+    FROM allsc) WHERE r <= {shortlist}),
+sim AS (
+  SELECT a.query_id, a.vec_id AS sa, b2.vec_id AS sb,
+         ROUND(list_dot_product(va.v, vb.v) /
+               (sqrt(list_dot_product(va.v, va.v))
+                * sqrt(list_dot_product(vb.v, vb.v))), 6) AS s
+  FROM cand a
+  JOIN cand b2 USING (query_id)
+  JOIN base va ON va.vec_id = a.vec_id
+  JOIN base vb ON vb.vec_id = b2.vec_id
+  WHERE a.vec_id <> b2.vec_id),
+sel1 AS (
+  SELECT query_id, vec_id, 1 AS mmr_rank, rel FROM (
+    SELECT query_id, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, vec_id ASC) AS r
+    FROM cand) WHERE r = 1)"""
+    for i in range(2, k + 1):
+        sql += f""",
+pen{i} AS (
+  SELECT c.query_id, c.vec_id, c.rel, MAX(sim.s) AS pen
+  FROM cand c
+  JOIN sim ON sim.query_id = c.query_id AND sim.sa = c.vec_id
+  JOIN sel{i - 1} s ON s.query_id = sim.query_id
+                   AND s.vec_id = sim.sb
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                    WHERE x.query_id = c.query_id
+                      AND x.vec_id = c.vec_id)
+  GROUP BY 1, 2, 3),
+pick{i} AS (
+  SELECT query_id, vec_id, {i} AS mmr_rank, rel FROM (
+    SELECT query_id, vec_id, rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY 0.5 * rel - 0.5 * pen DESC, vec_id ASC) AS r
+    FROM pen{i}) WHERE r = 1),
+sel{i} AS (SELECT * FROM sel{i - 1}
+           UNION ALL SELECT * FROM pick{i})"""
+    sql += f"""
+SELECT query_id, vec_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       rel AS relevance
+FROM sel{k}
+"""
+    return sql

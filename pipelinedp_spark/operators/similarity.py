@@ -627,3 +627,78 @@ def mine_triplets(corpus: DataFrame,
             .select(qid, "rank", "pos_id", "neg_id",
                     F.round(F.col("_pc") - F.col("_nc"), 6)
                     .alias("margin")))
+
+
+def mmr_rerank(corpus: DataFrame,
+               queries: DataFrame,
+               k: int = 5,
+               shortlist: int = 20,
+               lam: float = 0.5,
+               corpus_id: str = "vec_id",
+               corpus_vec: str = "embedding",
+               query_id: str = "query_id",
+               query_vec: str = "query_vec") -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank: greedily pick k
+    of the `shortlist` exact-cosine candidates per query, each step
+    maximizing ``lam * relevance - (1 - lam) * max_sim_to_selected`` —
+    the standard anti-redundancy re-rank for RAG context assembly.
+
+    Scale shape: all greedy state lives in tables bounded by
+    n_queries x shortlist (candidates) and n_queries x shortlist^2
+    (pairwise sims) — independent of corpus size once the shortlist
+    stage ran; the k-1 greedy steps are driver-composed joins over
+    those tiny tables (AQE broadcasts them). Determinism: relevance
+    and pairwise sims are rounded to 6dp before scoring, lam enters as
+    an exact literal, ties break to the lowest candidate id — the
+    greedy trace is engine-portable (unrolled-CTE SQL oracle).
+    Returns (query_id, vec_id, mmr_rank, relevance)."""
+    rel = (cosine_topk(corpus, queries, shortlist, corpus_id, corpus_vec,
+                       query_id, query_vec)
+           .select(F.col(query_id), F.col(corpus_id),
+                   F.col("cosine").alias("rel")))
+    withv = rel.join(corpus.select(F.col(corpus_id), F.col(corpus_vec)),
+                     corpus_id).localCheckpoint()
+    a = withv.select(F.col(query_id), F.col(corpus_id).alias("_a"),
+                     F.col(corpus_vec).alias("_va"))
+    b = withv.select(F.col(query_id), F.col(corpus_id).alias("_b"),
+                     F.col(corpus_vec).alias("_vb"))
+    sim = (a.join(b, query_id)
+           .filter(F.col("_a") != F.col("_b"))
+           .select(F.col(query_id), "_a", "_b",
+                   F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+                   .alias("_s"))
+           .localCheckpoint())
+    cand = withv.select(F.col(query_id), F.col(corpus_id), "rel")
+
+    w = Window.partitionBy(query_id).orderBy(F.col("rel").desc(),
+                                             F.col(corpus_id).asc())
+    selected = (cand.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select(F.col(query_id), F.col(corpus_id),
+                        F.lit(1).cast("long").alias("mmr_rank"),
+                        F.col("rel")))
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select(F.col(query_id), F.col(corpus_id)),
+            [query_id, corpus_id], "left_anti")
+        pen = (remaining
+               .join(sim.withColumnRenamed("_a", corpus_id),
+                     [query_id, corpus_id])
+               .join(selected.select(F.col(query_id),
+                                     F.col(corpus_id).alias("_b")),
+                     [query_id, "_b"])
+               .groupBy(query_id, corpus_id, "rel")
+               .agg(F.max("_s").alias("_pen")))
+        scored = pen.withColumn(
+            "_score", F.lit(float(lam)) * F.col("rel")
+            - F.lit(float(1.0 - lam)) * F.col("_pen"))
+        ws = Window.partitionBy(query_id).orderBy(
+            F.col("_score").desc(), F.col(corpus_id).asc())
+        pick = (scored.withColumn("_r", F.row_number().over(ws))
+                .filter(F.col("_r") == 1)
+                .select(F.col(query_id), F.col(corpus_id),
+                        F.lit(step).cast("long").alias("mmr_rank"),
+                        F.col("rel")))
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(query_id, corpus_id, "mmr_rank",
+                           F.col("rel").alias("relevance"))

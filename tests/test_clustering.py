@@ -304,3 +304,36 @@ def test_triplets_margin_and_pairing(spark):
         assert labels[r["pos_id"]] == labels[r["query_id"]]
         assert labels[r["neg_id"]] != labels[r["query_id"]]
         assert r["pos_id"] != r["query_id"]
+
+
+def test_mmr_diversifies_planted_redundancy(spark):
+    """Three near-identical top candidates + diverse tail: plain top-3
+    takes all three clones; MMR must pick one clone then diverge.
+    First pick always equals the relevance argmax; picks are unique."""
+    import numpy as np
+    from pipelinedp_spark.operators import similarity as S
+    rng = [0.0] * 8
+    base = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    mid = [0.7, 0.7, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(0, base), (1, [0.999, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            (2, [0.998, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            (3, mid), (4, ortho)]
+    vals = ", ".join(
+        f"({i}, array({', '.join(str(x) for x in v)}))" for i, v in rows)
+    df = spark.sql(
+        f"SELECT col1 AS vec_id, CAST(col2 AS ARRAY<FLOAT>) AS embedding "
+        f"FROM VALUES {vals}")
+    q = spark.sql(
+        "SELECT CAST(0 AS BIGINT) AS query_id, "
+        "CAST(array(1.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0) AS ARRAY<FLOAT>) "
+        "AS query_vec")
+    out = sorted(S.mmr_rerank(df, q, k=3, shortlist=5, lam=0.3).collect(),
+                 key=lambda r: r["mmr_rank"])
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 3
+    assert ids[0] == 0                      # relevance argmax
+    assert ids[1] == 4 and ids[2] == 3      # NOT clones 1/2: diversified
+    plain = [r["vec_id"] for r in
+             S.cosine_topk(df, q, k=3).orderBy("rank").collect()]
+    assert plain == [0, 1, 2]               # the redundant baseline
