@@ -152,6 +152,30 @@ def _skew_queries(spark, n: int = 2_000_000):
                               cosine_threshold=0.99,
                               max_cluster_rows=12_000)
 
+    def kmeans_hot_cluster():
+        # 95% of 200k vectors share one direction: a single k-means
+        # cluster owns the corpus. The centroid-update groupBy's hot
+        # key spreads over (cluster, pos) with map-side combine, so
+        # the shuffle stays partitions x k x dim rows and the hot
+        # cluster never funnels one task; assignment is codegen.
+        from pipelinedp_spark.operators.clustering import (kmeans_assign,
+                                                           kmeans_fit)
+        dim = 16
+        vecs = spark.range(200_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.when(
+                    F.pmod(F.col("id"), 20) < 19,
+                    F.when(j == 0, F.lit(1.0)).otherwise(
+                        F.pmod(F.abs(F.xxhash64(F.col("id"), j)),
+                               F.lit(100)) / 1000.0))
+                .otherwise(
+                    F.when(j == F.pmod(F.col("id"), dim), F.lit(1.0))
+                    .otherwise(F.lit(0.0)))).alias("embedding"))
+        cents, _ = kmeans_fit(vecs, k=8, iters=2, quant_scale=1 << 16)
+        return kmeans_assign(vecs, cents).groupBy("cluster").count()
+
     return {
         "skew_dp_count_bounded": dp_count_bounded,
         "skew_dp_mean_generous_cap": dp_mean_generous_cap,
@@ -160,6 +184,7 @@ def _skew_queries(spark, n: int = 2_000_000):
         "skew_dedup_simhash": dedup_simhash_hot_block,
         "skew_duplicate_spans": duplicate_spans_hot_span,
         "skew_semdedup_hot_cell": semdedup_hot_cell,
+        "skew_kmeans_hot_cluster": kmeans_hot_cluster,
     }
 
 
