@@ -45,7 +45,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["kmeans_fit", "kmeans_assign_expr", "kmeans_assign",
-           "cluster_balanced_sample", "centroids_table"]
+           "cluster_balanced_sample", "centroids_table",
+           "kmeans_partial_sums", "centroids_from_sums"]
 
 
 def _score_structs(vd: Column, centroids: Sequence[Sequence[float]]
@@ -224,3 +225,48 @@ def centroids_table(spark: SparkSession,
         + (", CAST(members AS BIGINT) AS members"
            if sizes is not None else "")
         + f" FROM VALUES {', '.join(rows)} AS t({cols})")
+
+
+def kmeans_partial_sums(df: DataFrame,
+                        centroids: Sequence[Sequence[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        quant_scale: int = 1 << 20) -> DataFrame:
+    """Mergeable update state for one Lloyd step against FIXED
+    centroids: (cluster, pos, s, n) integer sums. Because the sums are
+    exact 64-bit integers, partials from any corpus split merge
+    associatively (`groupBy(cluster, pos).sum`) to exactly the
+    full-corpus state — the sketch-style contract that lets incremental
+    snapshots, per-datacenter shards, or stream micro-batches maintain
+    one model without re-reading history. Feed the merged table to
+    `centroids_from_sums`."""
+    vq = _quantize(F.col(vec_col), quant_scale)
+    vd = F.transform(vq, lambda x: x.cast("double"))
+    return (df.select(kmeans_assign_expr(vd, centroids).alias("cluster"),
+                      vq.alias("_vq"))
+            .select("cluster", F.posexplode("_vq").alias("pos", "_v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("_v").alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def centroids_from_sums(sum_rows,
+                        centroids: Sequence[Sequence[float]]
+                        ) -> Tuple[List[List[float]], List[int]]:
+    """One Lloyd update from (cluster, pos, s, n) rows (collected
+    partial-sum state, possibly merged across shards/batches): mean
+    per dimension, previous centroid carried for empty clusters.
+    Identical arithmetic to `kmeans_fit`'s in-loop update."""
+    k = len(centroids)
+    by_cluster: dict = {}
+    counts = [0] * k
+    for r in sum_rows:
+        c, p = int(r["cluster"]), int(r["pos"])
+        by_cluster.setdefault(c, {})[p] = (int(r["s"]), int(r["n"]))
+        counts[c] = int(r["n"])
+    out = [list(map(float, cent)) for cent in centroids]
+    for c in range(k):
+        if c in by_cluster:
+            d = by_cluster[c]
+            out[c] = [d[p][0] / d[p][1] for p in range(len(d))]
+    return out, counts

@@ -337,3 +337,26 @@ def test_mmr_diversifies_planted_redundancy(spark):
     plain = [r["vec_id"] for r in
              S.cosine_topk(df, q, k=3).orderBy("rank").collect()]
     assert plain == [0, 1, 2]               # the redundant baseline
+
+
+def test_partial_sums_merge_exactly(spark):
+    """Partial-sum state from two disjoint halves, merged with a
+    groupBy sum, is EXACTLY the full-corpus state (integer
+    associativity), and centroids_from_sums reproduces kmeans_fit's
+    next iteration bit-for-bit."""
+    emb = _emb(spark)
+    cents0, _ = C.kmeans_fit(emb, k=4, iters=1)
+    full = C.kmeans_partial_sums(emb, cents0)
+    even = C.kmeans_partial_sums(emb.filter(F.col("vec_id") % 2 == 0),
+                                 cents0)
+    odd = C.kmeans_partial_sums(emb.filter(F.col("vec_id") % 2 == 1),
+                                cents0)
+    merged = (even.unionByName(odd)
+              .groupBy("cluster", "pos")
+              .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    key = lambda rows: {(r["cluster"], r["pos"]): (r["s"], r["n"])
+                        for r in rows}
+    assert key(merged.collect()) == key(full.collect())
+    next_cents, sizes = C.centroids_from_sums(full.collect(), cents0)
+    cents2, sizes2 = C.kmeans_fit(emb, k=4, iters=2)
+    assert next_cents == cents2 and sizes == sizes2
