@@ -1429,6 +1429,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "dp_cluster_counts",
     "emb_int8_recall",
     "emb_mmr_rerank",
+    "events_funnel",
 ]
 
 
@@ -1577,6 +1578,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_cluster_counts": _dp_cluster_counts,
         "emb_int8_recall": _emb_int8_recall,
         "emb_mmr_rerank": _emb_mmr_rerank,
+        "events_funnel": _events_funnel,
     }
 
 
@@ -1716,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_cluster_counts": _gen_dp_cluster_counts_sql(),
         "emb_int8_recall": _EMB_INT8_RECALL_SQL,
         "emb_mmr_rerank": _gen_mmr_sql(),
+        "events_funnel": _EVENTS_FUNNEL_SQL,
     }
 
 
@@ -6848,3 +6851,38 @@ SELECT query_id, vec_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
 FROM sel{k}
 """
     return sql
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase
+    (`funnel.funnel_report`): per-user strict-ordering matches via
+    type-pruned scans joined to the shrinking per-step state table."""
+    from pipelinedp_spark.operators.funnel import funnel_report
+    ev = _t(spark, sf_dir, "events")
+    return funnel_report(ev, ["view", "click", "purchase"])
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+u AS (
+  SELECT 1 AS step, 'view' AS step_name,
+         (SELECT COUNT(*) FROM s1) AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+SELECT CAST(step AS BIGINT) AS step, step_name,
+       CAST(users AS BIGINT) AS users,
+       ROUND(users / (SELECT COUNT(*) FROM s1), 6) AS conversion
+FROM u
+"""

@@ -1,0 +1,89 @@
+"""Ordered-funnel analysis over event streams (view -> click ->
+purchase): per user, each step must occur strictly after the user's
+match of the previous step; the report counts users surviving each
+step and the conversion vs step 1.
+
+No reference counterpart (net-new analytics op per project north
+star); semantics follow the standard product-analytics funnel
+(windowed variant via ``max_span``: all steps within a horizon of the
+user's FIRST-step time).
+
+Scale shape: step i is `events filtered to type_i` joined to the
+previous step's (user, t) table — the type filter prunes the scan
+(predicate pushdown) and the per-step state is one row per surviving
+user, which only shrinks down the funnel; each state table is
+localCheckpoint'd because it feeds BOTH the next step's join and the
+final count union (the recompute-per-consumer trap). No windows, no
+per-user event lists — a user with millions of events costs one MIN
+aggregation, never a sorted in-memory array.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_users", "funnel_report"]
+
+
+def funnel_users(events: DataFrame,
+                 steps: List[str],
+                 user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts",
+                 max_span: Optional[int] = None) -> List[DataFrame]:
+    """One (user, t) DataFrame per funnel step: t is the user's
+    earliest completion time of that step given strict ordering after
+    the previous step's t (and, with ``max_span``, within
+    first_step_t + max_span — same units as ts_col). Tables are
+    localCheckpoint'd; element i feeds both the report and step
+    i+1."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    first = (events.filter(F.col(type_col) == steps[0])
+             .groupBy(user_col)
+             .agg(F.min(ts_col).alias("t"))
+             .withColumn("t0", F.col("t"))
+             .localCheckpoint())
+    out = [first]
+    for s in steps[1:]:
+        prev = out[-1]
+        cand = (events.filter(F.col(type_col) == s)
+                .join(prev.select(user_col, F.col("t").alias("_pt"),
+                                  "t0"), user_col)
+                .filter(F.col(ts_col) > F.col("_pt")))
+        if max_span is not None:
+            cand = cand.filter(F.col(ts_col) <= F.col("t0") + max_span)
+        out.append(cand.groupBy(user_col, "t0")
+                   .agg(F.min(ts_col).alias("t"))
+                   .select(user_col, "t", "t0")
+                   .localCheckpoint())
+    return out
+
+
+def funnel_report(events: DataFrame,
+                  steps: List[str],
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  max_span: Optional[int] = None) -> DataFrame:
+    """(step, step_name, users, conversion): users surviving each
+    ordered step and the share of step-1 users still present."""
+    tables = funnel_users(events, steps, user_col, type_col, ts_col,
+                          max_span)
+    spark = events.sparkSession
+    sizes = [t.count() for t in tables]
+    rows = ", ".join(
+        f"({i + 1}, '{name}', {n})"
+        for i, (name, n) in enumerate(zip(steps, sizes)))
+    return spark.sql(
+        f"SELECT CAST(step AS BIGINT) AS step, step_name, "
+        f"CAST(users AS BIGINT) AS users, "
+        f"ROUND(users / CAST({sizes[0]} AS DOUBLE), 6) AS conversion "
+        f"FROM VALUES {rows} AS t(step, step_name, users)"
+        if sizes[0] > 0 else
+        f"SELECT CAST(step AS BIGINT) AS step, step_name, "
+        f"CAST(users AS BIGINT) AS users, 0.0 AS conversion "
+        f"FROM VALUES {rows} AS t(step, step_name, users)")

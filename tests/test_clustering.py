@@ -360,3 +360,37 @@ def test_partial_sums_merge_exactly(spark):
     next_cents, sizes = C.centroids_from_sums(full.collect(), cents0)
     cents2, sizes2 = C.kmeans_fit(emb, k=4, iters=2)
     assert next_cents == cents2 and sizes == sizes2
+
+
+def test_funnel_strict_order_and_span(spark):
+    """Hand-built event log: strict ordering (clicks before the first
+    view never count), max_span prunes late purchases, conversions are
+    users_i / users_1."""
+    from pipelinedp_spark.operators.funnel import (funnel_report,
+                                                   funnel_users)
+    rows = [
+        # u1: full funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE view -> stops at view
+        (2, 50, "click"), (2, 60, "view"),
+        # u3: view+click, purchase too late for span=100
+        (3, 10, "view"), (3, 40, "click"), (3, 500, "purchase"),
+        # u4: never views
+        (4, 10, "click"), (4, 20, "purchase"),
+    ]
+    vals = ", ".join(f"({u}, {t}, '{e}')" for u, t, e in rows)
+    ev = spark.sql(
+        f"SELECT col1 AS user_id, CAST(col2 AS BIGINT) AS ts, "
+        f"col3 AS event_type FROM VALUES {vals}")
+    rep = {r["step_name"]: r for r in
+           funnel_report(ev, ["view", "click", "purchase"]).collect()}
+    assert rep["view"]["users"] == 3
+    assert rep["click"]["users"] == 2          # u1, u3 (u2 clicked first)
+    assert rep["purchase"]["users"] == 2       # u1, u3 (unbounded span)
+    assert rep["click"]["conversion"] == round(2 / 3, 6)
+    spanned = {r["step_name"]: r["users"] for r in
+               funnel_report(ev, ["view", "click", "purchase"],
+                             max_span=100).collect()}
+    assert spanned["purchase"] == 1            # u3's purchase at 500 cut
+    t3 = funnel_users(ev, ["view", "click", "purchase"])[2].collect()
+    assert {(r["user_id"], r["t"]) for r in t3} == {(1, 30), (3, 500)}
