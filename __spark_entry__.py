@@ -1430,6 +1430,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_int8_recall",
     "emb_mmr_rerank",
     "events_funnel",
+    "events_retention",
 ]
 
 
@@ -1579,6 +1580,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_int8_recall": _emb_int8_recall,
         "emb_mmr_rerank": _emb_mmr_rerank,
         "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
     }
 
 
@@ -1719,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_int8_recall": _EMB_INT8_RECALL_SQL,
         "emb_mmr_rerank": _gen_mmr_sql(),
         "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_retention": _EVENTS_RETENTION_SQL,
     }
 
 
@@ -6885,4 +6888,35 @@ SELECT CAST(step AS BIGINT) AS step, step_name,
        CAST(users AS BIGINT) AS users,
        ROUND(users / (SELECT COUNT(*) FROM s1), 6) AS conversion
 FROM u
+"""
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid (`funnel.retention_cohorts`):
+    integer-DIV period bucketing, two map-side-combinable aggs, one
+    broadcast cohort-size join."""
+    from pipelinedp_spark.operators.funnel import retention_cohorts
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+_EVENTS_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tm FROM events),
+first AS (
+  SELECT user_id, MIN(tm) // 604800000000 AS cohort
+  FROM e GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, tm // 604800000000 AS p FROM e),
+grid AS (
+  SELECT f.cohort, a.p - f.cohort AS off, COUNT(*) AS users
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2),
+sz AS (SELECT cohort, COUNT(*) AS n FROM first GROUP BY 1)
+SELECT CAST(g.cohort AS BIGINT) AS cohort,
+       CAST(g.off AS BIGINT) AS offset,
+       CAST(g.users AS BIGINT) AS users,
+       ROUND(g.users / sz.n, 6) AS retention
+FROM grid g JOIN sz USING (cohort)
+WHERE g.off >= 0
 """

@@ -87,3 +87,42 @@ def funnel_report(events: DataFrame,
         f"SELECT CAST(step AS BIGINT) AS step, step_name, "
         f"CAST(users AS BIGINT) AS users, 0.0 AS conversion "
         f"FROM VALUES {rows} AS t(step, step_name, users)")
+
+
+def retention_cohorts(events: DataFrame,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period: int = 7 * 86_400 * 1_000_000
+                      ) -> DataFrame:
+    """Cohort retention grid: cohort = the user's first-activity
+    period (integer DIV of the epoch-micros timestamp, default weekly),
+    retention(cohort, offset) = share of the cohort active
+    ``offset`` periods later. Returns (cohort, offset, users,
+    retention).
+
+    Scale shape: one MIN-per-user agg (cohort assignment), one
+    distinct over (user, period) — both map-side combinable; the
+    cohort-size join is on the cohort-count table (periods x 1 rows,
+    broadcast). Integer DIV throughout — a 10^13-micros epoch never
+    touches double precision."""
+    first = (events.groupBy(user_col)
+             .agg(F.min(ts_col).alias("_t0"))
+             .select(user_col,
+                     F.expr(f"_t0 DIV {period}").alias("cohort")))
+    active = (events.select(user_col,
+                            F.expr(f"{ts_col} DIV {period}")
+                            .alias("_p"))
+              .distinct())
+    grid = (active.join(first, user_col)
+            .groupBy("cohort", (F.col("_p") - F.col("cohort"))
+                     .alias("offset"))
+            .agg(F.count(F.lit(1)).alias("users")))
+    size = (first.groupBy("cohort")
+            .agg(F.count(F.lit(1)).alias("_n")))
+    return (grid.join(F.broadcast(size), "cohort")
+            .filter(F.col("offset") >= 0)
+            .select(F.col("cohort").cast("long"),
+                    F.col("offset").cast("long"),
+                    F.col("users").cast("long"),
+                    F.round(F.col("users") / F.col("_n"), 6)
+                    .alias("retention")))

@@ -394,3 +394,23 @@ def test_funnel_strict_order_and_span(spark):
     assert spanned["purchase"] == 1            # u3's purchase at 500 cut
     t3 = funnel_users(ev, ["view", "click", "purchase"])[2].collect()
     assert {(r["user_id"], r["t"]) for r in t3} == {(1, 30), (3, 500)}
+
+
+def test_retention_cohorts_grid(spark):
+    """Hand-built log: offset-0 retention is 1.0 for every cohort,
+    later offsets count distinct users, pre-cohort activity can't
+    produce negative offsets."""
+    from pipelinedp_spark.operators.funnel import retention_cohorts
+    rows = [(1, 5), (1, 15), (1, 25),        # cohort 0, active 0/1/2
+            (2, 6), (2, 27),                 # cohort 0, active 0 and 2
+            (3, 14), (3, 16)]                # cohort 1, active 1 only
+    vals = ", ".join(f"({u}, {t})" for u, t in rows)
+    ev = spark.sql(f"SELECT col1 AS user_id, CAST(col2 AS BIGINT) AS ts "
+                   f"FROM VALUES {vals}")
+    out = {(r["cohort"], r["offset"]): (r["users"], r["retention"])
+           for r in retention_cohorts(ev, period=10).collect()}
+    assert out[(0, 0)] == (2, 1.0)
+    assert out[(0, 1)] == (1, 0.5)
+    assert out[(0, 2)] == (2, 1.0)
+    assert out[(1, 0)] == (1, 1.0)
+    assert all(off >= 0 for _, off in out)

@@ -47,7 +47,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "emb_int8_roundtrip", "emb_covariance", "doc_length_buckets",
          "stream_cluster_assign_mirror", "emb_hard_negatives",
          "emb_cluster_purity", "emb_triplets", "dp_cluster_counts",
-         "emb_int8_recall", "emb_mmr_rerank", "events_funnel"]
+         "emb_int8_recall", "emb_mmr_rerank", "events_funnel",
+         "events_retention"]
 
 
 @pytest.fixture(scope="module")
