@@ -1431,6 +1431,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_mmr_rerank",
     "events_funnel",
     "events_retention",
+    "events_json_stats",
+    "doc_textrank_keywords",
 ]
 
 
@@ -1581,6 +1583,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_rerank": _emb_mmr_rerank,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
+        "events_json_stats": _events_json_stats,
+        "doc_textrank_keywords": _doc_textrank_keywords,
     }
 
 
@@ -1722,6 +1726,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_mmr_rerank": _gen_mmr_sql(),
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_retention": _EVENTS_RETENTION_SQL,
+        "events_json_stats": _EVENTS_JSON_STATS_SQL,
+        "doc_textrank_keywords": _gen_textrank_sql(),
     }
 
 
@@ -6920,3 +6926,82 @@ SELECT CAST(g.cohort AS BIGINT) AS cohort,
 FROM grid g JOIN sz USING (cohort)
 WHERE g.off >= 0
 """
+
+
+def _events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column stats (`functions.semistructured`): the
+    JSON props field parsed ONCE per row (from_json, explicit schema —
+    no inference scan), integer-exact per-type aggregates."""
+    from pipelinedp_spark.functions.semistructured import json_fields
+    ev = _t(spark, sf_dir, "events")
+    withk = json_fields(ev, "props", "k BIGINT")
+    return (withk.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.sum("k") / F.count(F.lit(1)), 6)
+                 .alias("avg_k")))
+
+
+_EVENTS_JSON_STATS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       ROUND(SUM(k) / COUNT(*), 6) AS avg_k
+FROM e GROUP BY 1
+"""
+
+
+def _doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph keyword extraction (`retrieval.textrank_keywords`):
+    integer-arithmetic PageRank over the adjacent-word graph, 3
+    iterations unrolled in the oracle (integer DIV throughout — the
+    Lloyd discipline applied to a graph algorithm)."""
+    from pipelinedp_spark.operators.retrieval import textrank_keywords
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, iters=3, k=20, min_count=2)
+
+
+def _gen_textrank_sql(iters: int = 3, k: int = 20, min_count: int = 2,
+                      scale: int = 1_000_000, d_pct: int = 85) -> str:
+    base = (scale * (100 - d_pct)) // 100
+    sql = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi0 AS (
+  SELECT UNNEST(CASE WHEN len(t) >= 2
+                     THEN [t[i] || ' ' || t[i+1]
+                           for i in range(1, len(t))]
+                     ELSE [] END) AS g
+  FROM tok),
+bi AS (
+  SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b,
+         COUNT(*) AS cnt
+  FROM bi0 GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}),
+und AS (
+  SELECT v, w, SUM(cnt) AS cnt FROM (
+    SELECT a AS v, b AS w, cnt FROM bi
+    UNION ALL
+    SELECT b AS v, a AS w, cnt FROM bi) GROUP BY 1, 2),
+ow AS (SELECT v, SUM(cnt) AS outw FROM und GROUP BY 1),
+e AS (SELECT und.v, und.w, und.cnt, ow.outw
+      FROM und JOIN ow USING (v)),
+r0 AS (SELECT DISTINCT v AS word, CAST({scale} AS BIGINT) AS r FROM e)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT e.w AS word,
+         CAST({base} + ({d_pct} * SUM((r.r * e.cnt) // e.outw)) // 100
+              AS BIGINT) AS r
+  FROM e JOIN r{i - 1} r ON r.word = e.v GROUP BY 1)"""
+    sql += f"""
+SELECT word, r AS rank FROM r{iters}
+ORDER BY r DESC, word ASC LIMIT {k}
+"""
+    return sql

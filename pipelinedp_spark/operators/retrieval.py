@@ -193,3 +193,67 @@ def pmi_collocations(docs: DataFrame,
             .select(F.concat_ws(" ", "x", "y").alias("gram"),
                     F.col("c").cast("long").alias("c"),
                     F.round("pmi", 6).alias("pmi")))
+
+
+def textrank_keywords(docs: DataFrame,
+                      text_col: str = "text",
+                      iters: int = 3,
+                      k: int = 20,
+                      min_count: int = 2,
+                      scale: int = 1_000_000,
+                      d_pct: int = 85) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau 2004): PageRank over the
+    undirected adjacent-word graph picks the structurally central
+    vocabulary — the graph-based complement to `tfidf_keywords`.
+
+    Deterministic integer variant: ranks live in `scale` micro-units
+    and every update is exact integer arithmetic —
+    ``r'(w) = (1-d)*scale + (d_pct * inflow(w)) DIV 100`` with
+    ``inflow(w) = sum over edges (r(v) * cnt(v,w)) DIV outw(v)`` —
+    so the iteration is bit-reproducible across partition layouts and
+    unrolls into an integer-DIV SQL oracle (the Lloyd-unroll
+    discipline; floor losses vs float PageRank are bounded by one
+    micro-unit per edge and documented as the variant's definition).
+
+    Scale shape: the graph build is one explode into the bigram
+    word-count plan; per iteration, one join of the rank table
+    (vocabulary-sized — AQE broadcasts it) to the edge table + one
+    map-side-combinable groupBy; the edge table is localCheckpoint'd
+    once (it feeds every iteration). Top-k compiles to
+    TakeOrderedAndProject. Returns (word, rank) — rank in micro-units.
+    """
+    t = T.tokens(F.col(text_col))
+    n = F.size(t)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    ).otherwise(F.array())
+    bi = (docs.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .groupBy("a", "b")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .filter(F.col("cnt") >= min_count))
+    und = (bi.select(F.col("a").alias("v"), F.col("b").alias("w"), "cnt")
+           .unionByName(
+               bi.select(F.col("b").alias("v"), F.col("a").alias("w"),
+                         "cnt"))
+           .groupBy("v", "w")
+           .agg(F.sum("cnt").alias("cnt")))
+    outw = und.groupBy("v").agg(F.sum("cnt").alias("outw"))
+    edges = und.join(outw, "v").localCheckpoint()
+    base = (scale * (100 - d_pct)) // 100
+    rank = edges.select(F.col("v").alias("word")).distinct() \
+        .withColumn("r", F.lit(int(scale)).cast("long"))
+    for _ in range(iters):
+        inflow = (edges.join(rank.withColumnRenamed("word", "v"), "v")
+                  .groupBy(F.col("w").alias("word"))
+                  .agg(F.sum(F.expr("r * cnt DIV outw")).alias("_in")))
+        rank = (inflow.select(
+            "word",
+            (F.lit(int(base))
+             + F.expr(f"{d_pct} * _in DIV 100")).cast("long").alias("r"))
+            .localCheckpoint())
+    return (rank.orderBy(F.col("r").desc(), F.col("word").asc())
+            .limit(k)
+            .select("word", F.col("r").alias("rank")))

@@ -414,3 +414,45 @@ def test_retention_cohorts_grid(spark):
     assert out[(0, 2)] == (2, 1.0)
     assert out[(1, 0)] == (1, 1.0)
     assert all(off >= 0 for _, off in out)
+
+
+def test_json_fields_and_profile(spark):
+    """from_json single-parse extraction and the key-presence profile;
+    missing keys surface as NULLs, profile counts only rows carrying
+    the key; no Python eval nodes in either plan."""
+    from pipelinedp_spark.functions import semistructured as J
+    df = spark.sql(
+        "SELECT col1 AS id, col2 AS props FROM VALUES "
+        "(1, '{\"k\": 5, \"tag\": \"a\"}'), "
+        "(2, '{\"k\": 7}'), "
+        "(3, '{\"tag\": \"b\"}')")
+    out = J.json_fields(df, "props", "k BIGINT, tag STRING")
+    rows = {r["id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert rows == {1: (5, "a"), 2: (7, None), 3: (None, "b")}
+    plan = P.explain_str(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    prof = {r["key"]: r["rows"]
+            for r in J.json_key_profile(df, "props").collect()}
+    assert prof == {"k": 2, "tag": 2}
+
+
+def test_textrank_hub_word_wins(spark):
+    """A hub word adjacent to many distinct words must out-rank
+    peripheral words; ranks are layout-invariant (integer
+    arithmetic)."""
+    from pipelinedp_spark.operators.retrieval import textrank_keywords
+    docs = []
+    for i in range(6):
+        docs.append((i, f"hub word{i} hub word{i} hub word{i}"))
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    df = spark.sql(f"SELECT col1 AS doc_id, col2 AS text "
+                   f"FROM VALUES {vals}")
+    out = textrank_keywords(df, iters=2, k=3, min_count=1).collect()
+    assert out[0]["word"] == "hub"
+    a = [(r["word"], r["rank"]) for r in
+         textrank_keywords(df.coalesce(1), iters=2, k=3,
+                           min_count=1).collect()]
+    b = [(r["word"], r["rank"]) for r in
+         textrank_keywords(df.repartition(7), iters=2, k=3,
+                           min_count=1).collect()]
+    assert a == b
