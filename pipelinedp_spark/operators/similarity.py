@@ -568,7 +568,8 @@ def hard_negatives(corpus: DataFrame,
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(query_id, corpus_id, "rank",
+            .select(query_id, corpus_id,
+                    F.col("rank").cast("long").alias("rank"),
                     F.round(F.col("cosine"), 6).alias("cosine")))
 
 
@@ -600,7 +601,8 @@ def label_positives(corpus: DataFrame,
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(query_id, corpus_id, "rank",
+            .select(query_id, corpus_id,
+                    F.col("rank").cast("long").alias("rank"),
                     F.round(F.col("cosine"), 6).alias("cosine")))
 
 
