@@ -1433,6 +1433,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_retention",
     "events_json_stats",
     "doc_textrank_keywords",
+    "events_json_profile",
 ]
 
 
@@ -1585,6 +1586,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "events_json_stats": _events_json_stats,
         "doc_textrank_keywords": _doc_textrank_keywords,
+        "events_json_profile": _events_json_profile,
     }
 
 
@@ -1728,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": _EVENTS_RETENTION_SQL,
         "events_json_stats": _EVENTS_JSON_STATS_SQL,
         "doc_textrank_keywords": _gen_textrank_sql(),
+        "events_json_profile": _EVENTS_JSON_PROFILE_SQL,
     }
 
 
@@ -7005,3 +7008,19 @@ SELECT word, r AS rank FROM r{iters}
 ORDER BY r DESC, word ASC LIMIT {k}
 """
     return sql
+
+
+def _events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema discovery (`semistructured.json_key_profile`): per
+    top-level key, rows carrying it — the promote-to-column signal."""
+    from pipelinedp_spark.functions.semistructured import json_key_profile
+    ev = _t(spark, sf_dir, "events")
+    return json_key_profile(ev, "props")
+
+
+_EVENTS_JSON_PROFILE_SQL = """
+WITH k AS (
+  SELECT UNNEST(json_keys(props)) AS key FROM events)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS rows
+FROM k GROUP BY 1
+"""

@@ -48,7 +48,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "stream_cluster_assign_mirror", "emb_hard_negatives",
          "emb_cluster_purity", "emb_triplets", "dp_cluster_counts",
          "emb_int8_recall", "emb_mmr_rerank", "events_funnel",
-         "events_retention", "events_json_stats", "doc_textrank_keywords"]
+         "events_retention", "events_json_stats", "doc_textrank_keywords",
+         "events_json_profile"]
 
 
 @pytest.fixture(scope="module")
