@@ -1434,6 +1434,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_json_stats",
     "doc_textrank_keywords",
     "events_json_profile",
+    "events_time_to_convert",
 ]
 
 
@@ -1587,6 +1588,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": _events_json_stats,
         "doc_textrank_keywords": _doc_textrank_keywords,
         "events_json_profile": _events_json_profile,
+        "events_time_to_convert": _events_time_to_convert,
     }
 
 
@@ -1731,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": _EVENTS_JSON_STATS_SQL,
         "doc_textrank_keywords": _gen_textrank_sql(),
         "events_json_profile": _EVENTS_JSON_PROFILE_SQL,
+        "events_time_to_convert": _EVENTS_TIME_TO_CONVERT_SQL,
     }
 
 
@@ -7023,4 +7026,44 @@ WITH k AS (
   SELECT UNNEST(json_keys(props)) AS key FROM events)
 SELECT key, CAST(COUNT(*) AS BIGINT) AS rows
 FROM k GROUP BY 1
+"""
+
+
+def _events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency (`funnel.funnel_users`): micros from first view
+    to the funnel-completing purchase for converting users —
+    integer-exact min/max/avg (sum of micros stays in int64)."""
+    from pipelinedp_spark.operators.funnel import funnel_users
+    ev = _t(spark, sf_dir, "events")
+    tabs = funnel_users(ev, ["view", "click", "purchase"])
+    first = tabs[0].select("user_id", F.col("t").alias("_t1"))
+    last = tabs[2].select("user_id", F.col("t").alias("_t3"))
+    d = first.join(last, "user_id").select(
+        (F.col("_t3") - F.col("_t1")).alias("_d"))
+    return d.agg(F.count(F.lit(1)).alias("users"),
+                 F.min("_d").alias("min_us"),
+                 F.max("_d").alias("max_us"),
+                 F.round(F.sum("_d") / F.count(F.lit(1)), 6)
+                 .alias("avg_us"))
+
+
+_EVENTS_TIME_TO_CONVERT_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tm FROM events),
+s1 AS (
+  SELECT user_id, MIN(tm) AS t FROM e
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.tm) AS t
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.tm > s1.t GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(e.tm) AS t
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tm > s2.t GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(MIN(s3.t - s1.t) AS BIGINT) AS min_us,
+       CAST(MAX(s3.t - s1.t) AS BIGINT) AS max_us,
+       ROUND(SUM(s3.t - s1.t) / COUNT(*), 6) AS avg_us
+FROM s3 JOIN s1 USING (user_id)
 """
