@@ -1435,6 +1435,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_textrank_keywords",
     "events_json_profile",
     "events_time_to_convert",
+    "events_window_anomaly",
 ]
 
 
@@ -1589,6 +1590,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textrank_keywords": _doc_textrank_keywords,
         "events_json_profile": _events_json_profile,
         "events_time_to_convert": _events_time_to_convert,
+        "events_window_anomaly": _events_window_anomaly,
     }
 
 
@@ -1734,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_textrank_keywords": _gen_textrank_sql(),
         "events_json_profile": _EVENTS_JSON_PROFILE_SQL,
         "events_time_to_convert": _EVENTS_TIME_TO_CONVERT_SQL,
+        "events_window_anomaly": _EVENTS_WINDOW_ANOMALY_SQL,
     }
 
 
@@ -7066,4 +7069,55 @@ SELECT CAST(COUNT(*) AS BIGINT) AS users,
        CAST(MAX(s3.t - s1.t) AS BIGINT) AS max_us,
        ROUND(SUM(s3.t - s1.t) / COUNT(*), 6) AS avg_us
 FROM s3 JOIN s1 USING (user_id)
+"""
+
+
+def _events_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly scores per (event_type, hour window): signed
+    squared-z-score as the exact rational (c*n - S)^2 / (n*Sq - S^2) —
+    integer numerators/denominators on both engines until ONE final
+    division, so the anomaly ranking is bit-reproducible. Top-10 via
+    TakeOrderedAndProject; the per-type stats table is 5 rows
+    (broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    win = ev.select("event_type",
+                    F.expr("ts DIV 3600000000").alias("win"))
+    counts = (win.groupBy("event_type", "win")
+              .agg(F.count(F.lit(1)).alias("c")))
+    stats = (counts.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("c").alias("s"),
+                  F.sum(F.col("c") * F.col("c")).alias("sq")))
+    dev = F.col("c") * F.col("n") - F.col("s")
+    den = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    return (counts.join(F.broadcast(stats), "event_type")
+            .select("event_type", F.col("win").cast("long").alias("win"),
+                    F.col("c").cast("long").alias("c"),
+                    F.when(den > 0,
+                           F.round(F.signum(dev.cast("double"))
+                                   * (dev * dev) / den, 6))
+                    .otherwise(F.lit(0.0)).alias("score"))
+            .orderBy(F.col("score").desc(), "event_type", "win")
+            .limit(10))
+
+
+_EVENTS_WINDOW_ANOMALY_SQL = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS win FROM events),
+counts AS (
+  SELECT event_type, win, COUNT(*) AS c FROM w GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS sq
+  FROM counts GROUP BY 1),
+scored AS (
+  SELECT c.event_type, CAST(c.win AS BIGINT) AS win,
+         CAST(c.c AS BIGINT) AS c,
+         CASE WHEN t.n * t.sq - t.s * t.s > 0
+              THEN ROUND(sign(c.c * t.n - t.s)
+                         * ((c.c * t.n - t.s) * (c.c * t.n - t.s))
+                         / (t.n * t.sq - t.s * t.s), 6)
+              ELSE 0.0 END AS score
+  FROM counts c JOIN stats t USING (event_type))
+SELECT event_type, win, c, score FROM scored
+ORDER BY score DESC, event_type, win LIMIT 10
 """
