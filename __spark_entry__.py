@@ -1436,6 +1436,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_json_profile",
     "events_time_to_convert",
     "events_window_anomaly",
+    "doc_readability",
 ]
 
 
@@ -1591,6 +1592,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_profile": _events_json_profile,
         "events_time_to_convert": _events_time_to_convert,
         "events_window_anomaly": _events_window_anomaly,
+        "doc_readability": _doc_readability,
     }
 
 
@@ -1737,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_profile": _EVENTS_JSON_PROFILE_SQL,
         "events_time_to_convert": _EVENTS_TIME_TO_CONVERT_SQL,
         "events_window_anomaly": _EVENTS_WINDOW_ANOMALY_SQL,
+        "doc_readability": _DOC_READABILITY_SQL,
     }
 
 
@@ -7120,4 +7123,39 @@ scored AS (
   FROM counts c JOIN stats t USING (event_type))
 SELECT event_type, win, c, score FROM scored
 ORDER BY score DESC, event_type, win LIMIT 10
+"""
+
+
+def _doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per document
+    (`functions.text.flesch_kincaid_grade`): pure codegen regexp
+    counts — zero shuffles beyond the scan."""
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        TX.sentence_count(F.col("text")).cast("long").alias("sentences"),
+        TX.syllable_estimate(F.col("text")).cast("long")
+        .alias("syllables"),
+        TX.flesch_kincaid_grade(F.col("text")).alias("fk_grade"))
+
+
+_DOC_READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id, n_chars, text,
+         len(string_split(text, ' ')) AS w,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+         END AS s,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS sy
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(s AS BIGINT) AS sentences,
+       CAST(sy AS BIGINT) AS syllables,
+       CASE WHEN w > 0 AND s > 0
+            THEN ROUND(0.39 * (w::DOUBLE / s::DOUBLE)
+                       + 11.8 * (sy::DOUBLE / w::DOUBLE) - 15.59, 6)
+            ELSE 0.0 END AS fk_grade
+FROM base
 """

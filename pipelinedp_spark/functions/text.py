@@ -535,3 +535,40 @@ def code_score(text: Column) -> Column:
 
 def is_code(text: Column, threshold: float = 0.3) -> Column:
     return code_score(text) >= threshold
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch-Kincaid grade / Flesch reading-ease) — the classic
+# curation band filter ("drop below grade 3, flag above grade 16"). Pure
+# codegen regexp counts; the syllable count is the standard vowel-group
+# approximation, applied corpus-side where per-word dictionaries don't
+# scale. Regexes stay in the Java/RE2-common subset for SQL oracles.
+# ---------------------------------------------------------------------------
+
+
+def sentence_count(text: Column) -> Column:
+    """Number of [.!?]+ runs, floored at 1 for non-empty text."""
+    runs = F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+    return F.when(F.length(text) == 0, F.lit(0)) \
+        .otherwise(F.greatest(runs, F.lit(1)))
+
+
+def syllable_estimate(text: Column) -> Column:
+    """Vowel-group syllable approximation over the whole text (sum of
+    per-word vowel runs == text-level vowel runs for space-separated
+    words)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[aeiouyAEIOUY]+"),
+                                       0))
+
+
+def flesch_kincaid_grade(text: Column) -> Column:
+    """FK grade = 0.39*(words/sentences) + 11.8*(syllables/words)
+    - 15.59, NULL-safe to 0.0 on empty text. Fixed evaluation order so
+    a SQL mirror is bit-identical."""
+    w = token_count(text).cast("double")
+    s = sentence_count(text).cast("double")
+    sy = syllable_estimate(text).cast("double")
+    grade = (F.lit(0.39) * (w / s) + F.lit(11.8) * (sy / w)
+             - F.lit(15.59))
+    return F.when((w > 0) & (s > 0), F.round(grade, 6)) \
+        .otherwise(F.lit(0.0))

@@ -456,3 +456,16 @@ def test_textrank_hub_word_wins(spark):
          textrank_keywords(df.repartition(7), iters=2, k=3,
                            min_count=1).collect()]
     assert a == b
+
+
+def test_flesch_kincaid_known_values(spark):
+    """Known sentence: 'The cat sat on the mat.' = 6 words, 1 sentence,
+    6 vowel groups -> FK = 0.39*6 + 11.8*1 - 15.59 = -1.45; empty text
+    scores 0."""
+    from pipelinedp_spark.functions import text as TX
+    df = spark.sql("SELECT col1 AS text FROM VALUES "
+                   "('The cat sat on the mat.'), ('')")
+    out = [r[0] for r in
+           df.select(TX.flesch_kincaid_grade(F.col("text"))).collect()]
+    assert out[0] == round(0.39 * 6 + 11.8 * 1 - 15.59, 6)
+    assert out[1] == 0.0

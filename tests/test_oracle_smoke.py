@@ -50,7 +50,7 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "emb_int8_recall", "emb_mmr_rerank", "events_funnel",
          "events_retention", "events_json_stats", "doc_textrank_keywords",
          "events_json_profile", "events_time_to_convert",
-         "events_window_anomaly"]
+         "events_window_anomaly", "doc_readability"]
 
 
 @pytest.fixture(scope="module")
