@@ -1437,6 +1437,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_time_to_convert",
     "events_window_anomaly",
     "doc_readability",
+    "doc_source_quality_report",
 ]
 
 
@@ -1593,6 +1594,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": _events_time_to_convert,
         "events_window_anomaly": _events_window_anomaly,
         "doc_readability": _doc_readability,
+        "doc_source_quality_report": _doc_source_quality_report,
     }
 
 
@@ -1740,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_to_convert": _EVENTS_TIME_TO_CONVERT_SQL,
         "events_window_anomaly": _EVENTS_WINDOW_ANOMALY_SQL,
         "doc_readability": _DOC_READABILITY_SQL,
+        "doc_source_quality_report": _gen_source_quality_sql(),
     }
 
 
@@ -7159,3 +7162,60 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
             ELSE 0.0 END AS fk_grade
 FROM base
 """
+
+
+def _doc_source_quality_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Curation dashboard row: Gopher pass rate and mean FK grade per
+    source — the decide-what-to-recrawl report. Composes the gopher
+    filter (one corpus pass) with a source join and a
+    source-cardinality agg."""
+    from pipelinedp_spark.functions import text as TX
+    from pipelinedp_spark.operators.quality import gopher_quality_filter
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_quality_filter(docs).select("doc_id", "passes")
+    base = docs.select("doc_id", "source",
+                       TX.flesch_kincaid_grade(F.col("text"))
+                       .alias("fk"))
+    return (base.join(g, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("passes").cast("long")).alias("n_pass"),
+                 F.round(F.sum(F.col("passes").cast("long"))
+                         / F.count(F.lit(1)), 6).alias("pass_rate"),
+                 F.round(F.sum("fk") / F.count(F.lit(1)), 6)
+                 .alias("avg_fk")))
+
+
+def _gen_source_quality_sql() -> str:
+    gopher = _DOC_GOPHER_FILTER_SQL.strip()
+    assert gopher.startswith("WITH ")
+    fk = """
+SELECT d.source, g.passes, b.fk
+FROM documents d
+JOIN gph g USING (doc_id)
+JOIN (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) > 0
+                   AND (CASE WHEN length(text) = 0 THEN 0
+                        ELSE GREATEST(len(regexp_extract_all(
+                                 text, '[.!?]+')), 1) END) > 0
+                  THEN ROUND(0.39 * (len(string_split(text, ' '))::DOUBLE
+                             / (GREATEST(len(regexp_extract_all(
+                                  text, '[.!?]+')), 1))::DOUBLE)
+                        + 11.8 * (len(regexp_extract_all(
+                                  text, '[aeiouyAEIOUY]+'))::DOUBLE
+                             / (len(string_split(text, ' ')))::DOUBLE)
+                        - 15.59, 6)
+                  ELSE 0.0 END AS fk
+      FROM documents) b USING (doc_id)
+"""
+    return (gopher.replace("WITH ", "WITH gph AS (WITH ", 1)
+            .rsplit("FROM sig s", 1)[0]
+            + "FROM sig s JOIN dup5 USING (doc_id) "
+              "JOIN top2 USING (doc_id) JOIN tot2 USING (doc_id))\n"
+            + f"""SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(passes::INT) AS BIGINT) AS n_pass,
+       ROUND(SUM(passes::INT) / COUNT(*), 6) AS pass_rate,
+       ROUND(SUM(fk) / COUNT(*), 6) AS avg_fk
+FROM ({fk}) GROUP BY source""")

@@ -50,7 +50,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "emb_int8_recall", "emb_mmr_rerank", "events_funnel",
          "events_retention", "events_json_stats", "doc_textrank_keywords",
          "events_json_profile", "events_time_to_convert",
-         "events_window_anomaly", "doc_readability"]
+         "events_window_anomaly", "doc_readability",
+         "doc_source_quality_report"]
 
 
 @pytest.fixture(scope="module")
