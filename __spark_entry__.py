@@ -1438,6 +1438,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_window_anomaly",
     "doc_readability",
     "doc_source_quality_report",
+    "events_attribution",
 ]
 
 
@@ -1595,6 +1596,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_anomaly": _events_window_anomaly,
         "doc_readability": _doc_readability,
         "doc_source_quality_report": _doc_source_quality_report,
+        "events_attribution": _events_attribution,
     }
 
 
@@ -1743,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_anomaly": _EVENTS_WINDOW_ANOMALY_SQL,
         "doc_readability": _DOC_READABILITY_SQL,
         "doc_source_quality_report": _gen_source_quality_sql(),
+        "events_attribution": _EVENTS_ATTRIBUTION_SQL,
     }
 
 
@@ -7219,3 +7222,44 @@ JOIN (SELECT doc_id,
        ROUND(SUM(passes::INT) / COUNT(*), 6) AS pass_rate,
        ROUND(SUM(fk) / COUNT(*), 6) AS avg_fk
 FROM ({fk}) GROUP BY source""")
+
+
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase attributes its
+    value (exact integer cents) to the user's most recent prior click
+    via the as-of join; unattributed purchases land in bucket -1.
+    Composes `asof.asof_join` + integer-cent sums — no float
+    accumulation."""
+    from pipelinedp_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+        .cast("long")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts", cents.alias("cents")))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", "ts"))
+    j = asof_join(pur, clk, "ts", "user_id")
+    hour = (F.when(F.col("ts_right").isNull(), F.lit(-1))
+            .otherwise(F.expr("ts_right DIV 3600000000"))).cast("long")
+    return (j.groupBy(hour.alias("click_hour"))
+            .agg(F.count(F.lit(1)).alias("purchases"),
+                 F.sum("cents").alias("revenue_cents")))
+
+
+_EVENTS_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tm,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+p AS (SELECT user_id, tm, cents FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, tm FROM e WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.tm, p.cents, c.tm AS ctm
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.tm >= c.tm)
+SELECT CAST(CASE WHEN ctm IS NULL THEN -1
+            ELSE ctm // 3600000000 END AS BIGINT) AS click_hour,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1
+"""
