@@ -33,7 +33,8 @@ def funnel_users(events: DataFrame,
                  user_col: str = "user_id",
                  type_col: str = "event_type",
                  ts_col: str = "ts",
-                 max_span: Optional[int] = None) -> List[DataFrame]:
+                 max_span: Optional[int] = None,
+                 checkpoint: bool = True) -> List[DataFrame]:
     """One (user, t) DataFrame per funnel step: t is the user's
     earliest completion time of that step given strict ordering after
     the previous step's t (and, with ``max_span``, within
@@ -42,11 +43,13 @@ def funnel_users(events: DataFrame,
     i+1."""
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
-    first = (events.filter(F.col(type_col) == steps[0])
-             .groupBy(user_col)
-             .agg(F.min(ts_col).alias("t"))
-             .withColumn("t0", F.col("t"))
-             .localCheckpoint())
+    def _mat(df):
+        return df.localCheckpoint() if checkpoint else df
+
+    first = _mat(events.filter(F.col(type_col) == steps[0])
+                 .groupBy(user_col)
+                 .agg(F.min(ts_col).alias("t"))
+                 .withColumn("t0", F.col("t")))
     out = [first]
     for s in steps[1:]:
         prev = out[-1]
@@ -56,10 +59,9 @@ def funnel_users(events: DataFrame,
                 .filter(F.col(ts_col) > F.col("_pt")))
         if max_span is not None:
             cand = cand.filter(F.col(ts_col) <= F.col("t0") + max_span)
-        out.append(cand.groupBy(user_col, "t0")
-                   .agg(F.min(ts_col).alias("t"))
-                   .select(user_col, "t", "t0")
-                   .localCheckpoint())
+        out.append(_mat(cand.groupBy(user_col, "t0")
+                        .agg(F.min(ts_col).alias("t"))
+                        .select(user_col, "t", "t0")))
     return out
 
 

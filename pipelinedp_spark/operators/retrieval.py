@@ -201,7 +201,8 @@ def textrank_keywords(docs: DataFrame,
                       k: int = 20,
                       min_count: int = 2,
                       scale: int = 1_000_000,
-                      d_pct: int = 85) -> DataFrame:
+                      d_pct: int = 85,
+                      checkpoint: bool = True) -> DataFrame:
     """Corpus-level TextRank (Mihalcea & Tarau 2004): PageRank over the
     undirected adjacent-word graph picks the structurally central
     vocabulary — the graph-based complement to `tfidf_keywords`.
@@ -241,7 +242,9 @@ def textrank_keywords(docs: DataFrame,
            .groupBy("v", "w")
            .agg(F.sum("cnt").alias("cnt")))
     outw = und.groupBy("v").agg(F.sum("cnt").alias("outw"))
-    edges = und.join(outw, "v").localCheckpoint()
+    edges = und.join(outw, "v")
+    if checkpoint:
+        edges = edges.localCheckpoint()
     base = (scale * (100 - d_pct)) // 100
     rank = edges.select(F.col("v").alias("word")).distinct() \
         .withColumn("r", F.lit(int(scale)).cast("long"))
@@ -249,11 +252,12 @@ def textrank_keywords(docs: DataFrame,
         inflow = (edges.join(rank.withColumnRenamed("word", "v"), "v")
                   .groupBy(F.col("w").alias("word"))
                   .agg(F.sum(F.expr("r * cnt DIV outw")).alias("_in")))
-        rank = (inflow.select(
+        rank = inflow.select(
             "word",
             (F.lit(int(base))
              + F.expr(f"{d_pct} * _in DIV 100")).cast("long").alias("r"))
-            .localCheckpoint())
+        if checkpoint:
+            rank = rank.localCheckpoint()
     return (rank.orderBy(F.col("r").desc(), F.col("word").asc())
             .limit(k)
             .select("word", F.col("r").alias("rank")))

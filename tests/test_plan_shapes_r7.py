@@ -72,3 +72,44 @@ def test_sentence_dedup_hash_only_counting_no_windows(spark):
     assert "row_number" not in plan
     assert P.has_partial_aggregation(out)
     assert P.count_shuffles(out) <= 5
+
+
+def test_funnel_no_windows_no_nested_loop(spark):
+    """Funnel steps must be aggregations + equi-joins — no window
+    functions (a hot user never single-tasks) and no nested-loop
+    joins."""
+    from pipelinedp_spark.operators.funnel import funnel_users
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts", F.expr("unix_micros(cast(ts as timestamp))")))
+    tabs = funnel_users(ev, ["view", "click", "purchase"],
+                        checkpoint=False)
+    for t in tabs:
+        plan = P.explain_str(t)
+        assert "Window" not in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_retention_broadcasts_cohort_sizes(spark):
+    """The cohort-size join must broadcast and both aggs must map-side
+    combine."""
+    from pipelinedp_spark.operators.funnel import retention_cohorts
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts", F.expr("unix_micros(cast(ts as timestamp))")))
+    out = retention_cohorts(ev)
+    plan = P.explain_str(out)
+    assert P.has_broadcast_join(out)
+    assert P.has_partial_aggregation(out)
+    assert "Window" not in plan
+
+
+def test_textrank_iteration_no_nested_loop(spark):
+    """Each TextRank iteration is an equi-join + combinable groupBy;
+    the final top-k compiles to TakeOrderedAndProject."""
+    from pipelinedp_spark.operators.retrieval import textrank_keywords
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textrank_keywords(docs, iters=2, k=5, min_count=2,
+                            checkpoint=False)
+    plan = P.explain_str(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert P.has_partial_aggregation(out)
