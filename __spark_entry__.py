@@ -1439,6 +1439,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_readability",
     "doc_source_quality_report",
     "events_attribution",
+    "events_transitions",
 ]
 
 
@@ -1597,6 +1598,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": _doc_readability,
         "doc_source_quality_report": _doc_source_quality_report,
         "events_attribution": _events_attribution,
+        "events_transitions": _events_transitions,
     }
 
 
@@ -1746,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_readability": _DOC_READABILITY_SQL,
         "doc_source_quality_report": _gen_source_quality_sql(),
         "events_attribution": _EVENTS_ATTRIBUTION_SQL,
+        "events_transitions": _EVENTS_TRANSITIONS_SQL,
     }
 
 
@@ -7262,4 +7265,46 @@ SELECT CAST(CASE WHEN ctm IS NULL THEN -1
        CAST(COUNT(*) AS BIGINT) AS purchases,
        CAST(SUM(cents) AS BIGINT) AS revenue_cents
 FROM j GROUP BY 1
+"""
+
+
+def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event transition matrix (Markov view of user journeys):
+    consecutive event pairs per user via LEAD over (ts, event_id) —
+    the tiebreaker makes the sequence deterministic — then
+    P(next | current) from integer counts. The per-user window is
+    bounded by per-user activity (document: cap outliers upstream with
+    `sampling.cap_per_key` before sequence ops on adversarial data)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id", "event_type",
+                       F.lead("event_type").over(w).alias("nxt"))
+             .filter(F.col("nxt").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("nxt").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = pairs.groupBy("from_type").agg(F.sum("cnt").alias("_tot"))
+    return (pairs.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type",
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.round(F.col("cnt") / F.col("_tot"), 6)
+                    .alias("prob")))
+
+
+_EVENTS_TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tm, event_id, event_type FROM events),
+seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tm, event_id) AS nxt
+  FROM e),
+pairs AS (
+  SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS cnt
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(cnt) AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, CAST(p.cnt AS BIGINT) AS cnt,
+       ROUND(p.cnt / t.t, 6) AS prob
+FROM pairs p JOIN tot t USING (from_type)
 """

@@ -51,7 +51,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "events_retention", "events_json_stats", "doc_textrank_keywords",
          "events_json_profile", "events_time_to_convert",
          "events_window_anomaly", "doc_readability",
-         "doc_source_quality_report", "events_attribution"]
+         "doc_source_quality_report", "events_attribution",
+         "events_transitions"]
 
 
 @pytest.fixture(scope="module")
