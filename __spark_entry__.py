@@ -1440,6 +1440,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_source_quality_report",
     "events_attribution",
     "events_transitions",
+    "part_fuzzy_match",
 ]
 
 
@@ -1599,6 +1600,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_quality_report": _doc_source_quality_report,
         "events_attribution": _events_attribution,
         "events_transitions": _events_transitions,
+        "part_fuzzy_match": _part_fuzzy_match,
     }
 
 
@@ -1749,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_quality_report": _gen_source_quality_sql(),
         "events_attribution": _EVENTS_ATTRIBUTION_SQL,
         "events_transitions": _EVENTS_TRANSITIONS_SQL,
+        "part_fuzzy_match": _PART_FUZZY_MATCH_SQL,
     }
 
 
@@ -7307,4 +7310,54 @@ tot AS (SELECT from_type, SUM(cnt) AS t FROM pairs GROUP BY 1)
 SELECT p.from_type, p.to_type, CAST(p.cnt AS BIGINT) AS cnt,
        ROUND(p.cnt / t.t, 6) AS prob
 FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
+def _part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / fuzzy key join: 10 deterministically
+    corrupted part names (one char overwritten) matched back to the
+    catalog by Levenshtein <= 2 with length blocking. The length-delta
+    prefilter runs before the distance (Catalyst orders the cheap
+    predicate first); queries broadcast; per-query best match =
+    min(struct) argmax — no window. Levenshtein is codegen in BOTH
+    engines with the identical standard definition."""
+    part = _t(spark, sf_dir, "part")
+    q = (part.filter(F.col("p_partkey") <= 10)
+         .select(F.col("p_partkey").alias("query_id"),
+                 F.concat(F.substring("p_name", 1, 5), F.lit("#"),
+                          F.substring("p_name", 7, 10_000))
+                 .alias("q_name")))
+    cand = (part.select("p_partkey", "p_name")
+            .crossJoin(F.broadcast(q))
+            .filter((F.abs(F.length("p_name") - F.length("q_name"))
+                     <= 2)
+                    & (F.levenshtein("p_name", "q_name") <= 2)))
+    best = (cand.select("query_id",
+                        F.struct(F.levenshtein("p_name", "q_name")
+                                 .alias("d"),
+                                 F.col("p_partkey").alias("k"))
+                        .alias("s"))
+            .groupBy("query_id")
+            .agg(F.min("s").alias("m")))
+    return best.select("query_id",
+                       F.col("m.k").cast("long").alias("matched_key"),
+                       F.col("m.d").cast("long").alias("distance"))
+
+
+_PART_FUZZY_MATCH_SQL = """
+WITH q AS (
+  SELECT p_partkey AS query_id,
+         substr(p_name, 1, 5) || '#' || substr(p_name, 7) AS q_name
+  FROM part WHERE p_partkey <= 10),
+cand AS (
+  SELECT q.query_id, p.p_partkey,
+         levenshtein(p.p_name, q.q_name) AS d
+  FROM part p CROSS JOIN q
+  WHERE abs(length(p.p_name) - length(q.q_name)) <= 2
+    AND levenshtein(p.p_name, q.q_name) <= 2)
+SELECT query_id,
+       CAST(first(p_partkey ORDER BY d ASC, p_partkey ASC) AS BIGINT)
+           AS matched_key,
+       CAST(MIN(d) AS BIGINT) AS distance
+FROM cand GROUP BY 1
 """
