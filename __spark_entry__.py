@@ -1441,6 +1441,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_attribution",
     "events_transitions",
     "part_fuzzy_match",
+    "lineitem_order_stats",
 ]
 
 
@@ -1601,6 +1602,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _events_attribution,
         "events_transitions": _events_transitions,
         "part_fuzzy_match": _part_fuzzy_match,
+        "lineitem_order_stats": _lineitem_order_stats,
     }
 
 
@@ -1752,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": _EVENTS_ATTRIBUTION_SQL,
         "events_transitions": _EVENTS_TRANSITIONS_SQL,
         "part_fuzzy_match": _PART_FUZZY_MATCH_SQL,
+        "lineitem_order_stats": _LINEITEM_ORDER_STATS_SQL,
     }
 
 
@@ -7360,4 +7363,27 @@ SELECT query_id,
            AS matched_key,
        CAST(MIN(d) AS BIGINT) AS distance
 FROM cand GROUP BY 1
+"""
+
+
+def _lineitem_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (non-DP) per-group order statistics: median and p90 of
+    lineitem quantity per return flag — Spark's exact `median` /
+    `percentile` aggregates (sort-based within group, map-side
+    partial) vs DuckDB MEDIAN/QUANTILE_CONT. The non-private twin of
+    dp_percentile_*."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.median("l_quantity"), 6).alias("median_qty"),
+                 F.round(F.expr("percentile(l_quantity, 0.9)"), 6)
+                 .alias("p90_qty")))
+
+
+_LINEITEM_ORDER_STATS_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MEDIAN(l_quantity), 6) AS median_qty,
+       ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY 1
 """

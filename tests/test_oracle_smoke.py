@@ -52,7 +52,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "events_json_profile", "events_time_to_convert",
          "events_window_anomaly", "doc_readability",
          "doc_source_quality_report", "events_attribution",
-         "events_transitions", "part_fuzzy_match"]
+         "events_transitions", "part_fuzzy_match",
+         "lineitem_order_stats"]
 
 
 @pytest.fixture(scope="module")
