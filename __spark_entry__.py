@@ -1442,6 +1442,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_transitions",
     "part_fuzzy_match",
     "lineitem_order_stats",
+    "events_session_funnel",
 ]
 
 
@@ -1603,6 +1604,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _events_transitions,
         "part_fuzzy_match": _part_fuzzy_match,
         "lineitem_order_stats": _lineitem_order_stats,
+        "events_session_funnel": _events_session_funnel,
     }
 
 
@@ -1755,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": _EVENTS_TRANSITIONS_SQL,
         "part_fuzzy_match": _PART_FUZZY_MATCH_SQL,
         "lineitem_order_stats": _LINEITEM_ORDER_STATS_SQL,
+        "events_session_funnel": _EVENTS_SESSION_FUNNEL_SQL,
     }
 
 
@@ -7386,4 +7389,55 @@ SELECT l_returnflag,
        ROUND(MEDIAN(l_quantity), 6) AS median_qty,
        ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty
 FROM lineitem GROUP BY 1
+"""
+
+
+def _events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel: view -> click -> purchase must all occur
+    inside ONE gap-based session (1 h). Composes `sessions.sessionize`
+    with `funnel.funnel_report` over a folded (user, session) key
+    (user_id * 2^20 + session_id — session counts are bounded far
+    below 2^20 by the gap). The counting unit becomes the session."""
+    from pipelinedp_spark.operators.funnel import funnel_report
+    from pipelinedp_spark.operators.sessions import sessionize
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap=3_600_000_000)
+    s = s.withColumn(
+        "uk", F.col("user_id") * F.lit(1 << 20) + F.col("session_id"))
+    return (funnel_report(s, ["view", "click", "purchase"],
+                          user_col="uk")
+            .withColumnRenamed("users", "sessions"))
+
+
+_EVENTS_SESSION_FUNNEL_SQL = """
+WITH x AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+d AS (
+  SELECT user_id, event_type, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 3600000000 THEN 1 ELSE 0 END AS brk
+  FROM x),
+s AS (
+  SELECT event_type, t,
+         user_id * 1048576
+         + SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS uk
+  FROM d),
+s1 AS (SELECT uk, MIN(t) AS t FROM s
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT s.uk, MIN(s.t) AS t FROM s JOIN s1 USING (uk)
+       WHERE s.event_type = 'click' AND s.t > s1.t GROUP BY 1),
+s3 AS (SELECT s.uk, MIN(s.t) AS t FROM s JOIN s2 USING (uk)
+       WHERE s.event_type = 'purchase' AND s.t > s2.t GROUP BY 1),
+u AS (
+  SELECT 1 AS step, 'view' AS step_name,
+         (SELECT COUNT(*) FROM s1) AS c
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+SELECT CAST(step AS BIGINT) AS step, step_name,
+       CAST(c AS BIGINT) AS sessions,
+       ROUND(c / (SELECT COUNT(*) FROM s1), 6) AS conversion
+FROM u
 """
