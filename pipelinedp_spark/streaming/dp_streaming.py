@@ -1357,3 +1357,65 @@ def streaming_cluster_counts(stream: DataFrame, centroids,
                 .groupBy(F.window(F.col(ts_col), window), "cluster")
                 .count())
     return asg.groupBy("cluster").count()
+
+
+def streaming_funnel(stream: DataFrame,
+                     steps,
+                     user_col: str = "user_id",
+                     type_col: str = "event_type",
+                     ts_col: str = "ts") -> DataFrame:
+    """Custom stateful operator: online ordered-funnel tracking via
+    applyInPandasWithState. State per user = the completion times of
+    the steps reached so far; each micro-batch advances the greedy
+    state machine (earliest step-1 time, then earliest later step-2,
+    ...), which computes exactly the batch `funnel.funnel_users`
+    depths WHEN events arrive in per-user timestamp order across
+    batches (replay sorted backfills, or a watermark-reordered
+    upstream; out-of-order deliveries can only under-count — document
+    the contract, don't silently repair it). Emits (user, completed,
+    last_ts) in update mode; state is one small array per user,
+    partitioned by user hash — horizontally scalable, never a
+    per-user event list."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    steps = list(steps)
+    out_schema = StructType([
+        StructField(user_col, LongType()),
+        StructField("completed", IntegerType()),
+        StructField("last_ts", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("times", ArrayType(LongType())),
+    ])
+
+    def funnel_fn(key, pdfs, state: "GroupState"):
+        times = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            for t, ty in zip(pdf[ts_col].tolist(),
+                             pdf[type_col].tolist()):
+                rows.append((int(t), str(ty)))
+        rows.sort()
+        advanced = False
+        for t, ty in rows:
+            if (len(times) < len(steps) and ty == steps[len(times)]
+                    and (not times or t > times[-1])):
+                times.append(t)
+                advanced = True
+        if advanced:
+            state.update((times,))
+            yield pd.DataFrame({
+                user_col: [int(key[0])],
+                "completed": [len(times)],
+                "last_ts": [times[-1]],
+            })
+
+    return (stream.select(F.col(user_col), F.col(type_col),
+                          F.col(ts_col))
+            .groupBy(user_col)
+            .applyInPandasWithState(funnel_fn, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -469,3 +469,38 @@ def test_flesch_kincaid_known_values(spark):
            df.select(TX.flesch_kincaid_grade(F.col("text"))).collect()]
     assert out[0] == round(0.39 * 6 + 11.8 * 1 - 15.59, 6)
     assert out[1] == 0.0
+
+
+def test_streaming_funnel_matches_batch_depths(spark, tmp_path):
+    """True stateful streaming: events replayed in two ts-ordered
+    batches through streaming_funnel; each user's final completed
+    depth equals the batch funnel depth from funnel_users."""
+    from pipelinedp_spark.operators.funnel import funnel_users
+    from pipelinedp_spark.streaming.dp_streaming import streaming_funnel
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts", F.expr("unix_micros(cast(ts as timestamp))"))
+          .select("user_id", "event_type", "ts"))
+    mid = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    # two files in ts order: file names control trigger order with
+    # maxFilesPerTrigger=1 (lexicographic)
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(f"{src}/b=0")
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(f"{src}/b=1")
+    stream = (spark.readStream.schema("user_id long, event_type string, "
+                                      "ts long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/b=*"))
+    steps = ["view", "click", "purchase"]
+    q = (streaming_funnel(stream, steps)
+         .writeStream.format("memory").queryName("sfunnel")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM sfunnel").collect():
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["completed"])
+    tabs = funnel_users(ev, steps)
+    want = {}
+    for depth, t in enumerate(tabs, start=1):
+        for r in t.select("user_id").collect():
+            want[r["user_id"]] = depth
+    assert got == want
