@@ -1443,6 +1443,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "part_fuzzy_match",
     "lineitem_order_stats",
     "events_session_funnel",
+    "customer_scd2",
 ]
 
 
@@ -1605,6 +1606,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_fuzzy_match": _part_fuzzy_match,
         "lineitem_order_stats": _lineitem_order_stats,
         "events_session_funnel": _events_session_funnel,
+        "customer_scd2": _customer_scd2,
     }
 
 
@@ -1758,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "part_fuzzy_match": _PART_FUZZY_MATCH_SQL,
         "lineitem_order_stats": _LINEITEM_ORDER_STATS_SQL,
         "events_session_funnel": _EVENTS_SESSION_FUNNEL_SQL,
+        "customer_scd2": _CUSTOMER_SCD2_SQL,
     }
 
 
@@ -7440,4 +7443,53 @@ SELECT CAST(step AS BIGINT) AS step, step_name,
        CAST(c AS BIGINT) AS sessions,
        ROUND(c / (SELECT COUNT(*) FROM s1), 6) AS conversion
 FROM u
+"""
+
+
+def _customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge (`scd.scd2_apply`): every 10th
+    customer gets an address change at eff=1000 — expired version +
+    new open version + untouched rows, plain equi-joins (the MERGE an
+    ACID format would run)."""
+    from pipelinedp_spark.operators.scd import scd2_apply
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select("c_custkey", "c_mktsegment",
+                      F.lit(0).cast("long").alias("valid_from"),
+                      F.lit(None).cast("long").alias("valid_to"))
+    upd = (cust.filter(F.col("c_custkey") % 10 == 0)
+           .select("c_custkey",
+                   F.concat(F.col("c_mktsegment"), F.lit("-V2"))
+                   .alias("c_mktsegment"),
+                   F.lit(1000).cast("long").alias("eff_ts")))
+    out = scd2_apply(dim, upd, "c_custkey", ["c_mktsegment"])
+    return out.select(F.col("c_custkey").cast("long"), "c_mktsegment",
+                      "valid_from", "valid_to")
+
+
+_CUSTOMER_SCD2_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to
+  FROM customer),
+upd AS (
+  SELECT c_custkey, c_mktsegment || '-V2' AS new_seg,
+         CAST(1000 AS BIGINT) AS eff
+  FROM customer WHERE c_custkey % 10 = 0),
+j AS (
+  SELECT d.*, u.new_seg, u.eff,
+         (u.eff IS NOT NULL
+          AND NOT (d.c_mktsegment IS NOT DISTINCT FROM u.new_seg))
+             AS changed
+  FROM dim d LEFT JOIN upd u USING (c_custkey))
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+       valid_from, valid_to
+FROM j WHERE NOT changed
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), c_mktsegment, valid_from, eff
+FROM j WHERE changed
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), new_seg, eff,
+       CAST(NULL AS BIGINT)
+FROM j WHERE changed
 """

@@ -504,3 +504,28 @@ def test_streaming_funnel_matches_batch_depths(spark, tmp_path):
         for r in t.select("user_id").collect():
             want[r["user_id"]] = depth
     assert got == want
+
+
+def test_scd2_semantics(spark):
+    """Changed key: expired + new open version; unchanged-value update
+    is a no-op; brand-new key appends open; history rows untouched."""
+    from pipelinedp_spark.operators.scd import scd2_apply
+    dim = spark.sql(
+        "SELECT col1 AS k, col2 AS v, CAST(col3 AS BIGINT) AS valid_from,"
+        " CAST(col4 AS BIGINT) AS valid_to FROM VALUES "
+        "(1, 'a', 0, NULL), (2, 'b', 0, NULL), "
+        "(3, 'c', 0, NULL), (1, 'old', -5, 0)")
+    upd = spark.sql(
+        "SELECT col1 AS k, col2 AS v, CAST(col3 AS BIGINT) AS eff_ts "
+        "FROM VALUES (1, 'a2', 10), (2, 'b', 10), (9, 'z', 10)")
+    out = scd2_apply(dim, upd, "k", ["v"])
+    rows = {(r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in out.collect()}
+    assert rows == {
+        (1, "old", -5, 0),          # history untouched
+        (1, "a", 0, 10),            # expired
+        (1, "a2", 10, None),        # new version
+        (2, "b", 0, None),          # no-op update
+        (3, "c", 0, None),          # untouched
+        (9, "z", 10, None),         # brand-new key
+    }

@@ -53,7 +53,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "events_window_anomaly", "doc_readability",
          "doc_source_quality_report", "events_attribution",
          "events_transitions", "part_fuzzy_match",
-         "lineitem_order_stats", "events_session_funnel"]
+         "lineitem_order_stats", "events_session_funnel",
+         "customer_scd2"]
 
 
 @pytest.fixture(scope="module")
