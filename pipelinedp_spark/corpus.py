@@ -224,6 +224,41 @@ class CorpusPipeline:
                             id_col=self.id_col, **kw)
         return self._with(out.select(*self.df.columns))
 
+    # -- embedding-side curation ----------------------------------------
+
+    def embed(self, dim: int = 16) -> "CorpusPipeline":
+        """Attach a model-free hashed embedding column (md5 token
+        vectors, L2-normalized bag sums) — the embed stage feeding the
+        semantic stages below when no external encoder output exists."""
+        from pipelinedp_spark.functions.embeddings import (
+            hashed_embeddings)
+        emb = hashed_embeddings(self.df, text_col=self.text_col,
+                                id_col=self.id_col, dim=dim)
+        return self._with(self.df.join(emb, self.id_col))
+
+    def semantic_dedup(self, threshold: float = 0.95,
+                       **kw) -> "CorpusPipeline":
+        """SemDeDup over an `embedding` column (run `.embed()` first if
+        the corpus has none)."""
+        from pipelinedp_spark.operators.semdedup import semantic_dedup
+        kept = semantic_dedup(self.df.select(self.id_col, "embedding"),
+                              id_col=self.id_col,
+                              cosine_threshold=threshold, **kw)
+        keep_ids = kept.filter(~F.col("is_dup")).select(self.id_col)
+        return self._with(self.df.join(keep_ids, self.id_col))
+
+    def cluster_balance(self, k: int = 8, per_cluster: int = 1000,
+                        **kw) -> "CorpusPipeline":
+        """Cap every k-means topic at `per_cluster` docs (requires an
+        `embedding` column): the head topic of a crawl cannot drown
+        the tail. Eager stage — fits centroids at call time."""
+        from pipelinedp_spark.operators.clustering import (
+            cluster_balanced_sample)
+        keep = cluster_balanced_sample(
+            self.df, k=k, per_cluster=per_cluster, id_col=self.id_col,
+            vec_col="embedding", **kw).select(self.id_col)
+        return self._with(self.df.join(keep, self.id_col))
+
     # -- selection / mixing -------------------------------------------
 
     def sample(self, fraction: float,

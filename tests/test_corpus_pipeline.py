@@ -190,3 +190,18 @@ def test_sentence_dedup_stage(spark):
     assert got[0] == "alpha beta."
     assert got[1] == "gamma delta."
     assert got[2] == "epsilon zeta."
+
+
+def test_embedding_stages_chain(spark):
+    """embed -> semantic_dedup -> cluster_balance: the embedding column
+    attaches, semantic dups drop, topics cap, schema survives."""
+    from pipelinedp_spark.corpus import CorpusPipeline
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = CorpusPipeline(docs).embed(dim=16)
+    assert "embedding" in p.df.columns
+    n0 = p.df.count()
+    p2 = p.semantic_dedup(threshold=0.99, num_clusters=4)
+    assert 0 < p2.df.count() <= n0
+    p3 = p2.cluster_balance(k=4, per_cluster=30)
+    assert 0 < p3.df.count() <= min(p2.df.count(), 4 * 30)
+    assert set(docs.columns) < set(p3.df.columns)
