@@ -128,3 +128,30 @@ def retention_cohorts(events: DataFrame,
                     F.col("users").cast("long"),
                     F.round(F.col("users") / F.col("_n"), 6)
                     .alias("retention")))
+
+
+def anomaly_scores(counts: DataFrame,
+                   group_col: str = "event_type",
+                   win_col: str = "win",
+                   count_col: str = "c") -> DataFrame:
+    """Signed squared-z anomaly score per (group, window) from a
+    window-count table: (c*n - S)^2 / (n*Sq - S^2) with the sign of
+    the deviation — integer numerator/denominator, ONE final division,
+    so the ranking is bit-reproducible. Shared by the batch query and
+    the streaming monitor (score the sink's count table per trigger or
+    on a cadence — counting is the incremental part, scoring is a
+    cheap group-cardinality pass)."""
+    stats = (counts.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(count_col).alias("_s"),
+                  F.sum(F.col(count_col) * F.col(count_col))
+                  .alias("_sq")))
+    dev = F.col(count_col) * F.col("_n") - F.col("_s")
+    den = F.col("_n") * F.col("_sq") - F.col("_s") * F.col("_s")
+    return (counts.join(F.broadcast(stats), group_col)
+            .select(group_col, win_col,
+                    F.col(count_col).cast("long").alias(count_col),
+                    F.when(den > 0,
+                           F.round(F.signum(dev.cast("double"))
+                                   * (dev * dev) / den, 6))
+                    .otherwise(F.lit(0.0)).alias("score")))

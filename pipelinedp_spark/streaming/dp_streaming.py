@@ -1419,3 +1419,19 @@ def streaming_funnel(stream: DataFrame,
             .applyInPandasWithState(funnel_fn, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_window_counts(stream: DataFrame,
+                            ts_col: str = "ts",
+                            group_col: str = "event_type",
+                            window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Watermark-bounded per-(group, window) arrival counts — the
+    incremental half of the anomaly monitor (state evicts once the
+    watermark passes a window; a 100 TB/day stream holds only open
+    windows). Score the resulting count table with
+    `funnel.anomaly_scores` per trigger or on a cadence."""
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     F.col(group_col))
+            .count())

@@ -529,3 +529,45 @@ def test_scd2_semantics(spark):
         (3, "c", 0, None),          # untouched
         (9, "z", 10, None),         # brand-new key
     }
+
+
+def test_streaming_anomaly_counts_and_shared_scores(spark, tmp_path):
+    """Streaming windowed counts (availableNow, complete mode) equal
+    batch counts, and the shared anomaly_scores over them reproduces
+    the oracle-checked events_window_anomaly query's top rows."""
+    import importlib.util
+    from pipelinedp_spark.operators.funnel import anomaly_scores
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_window_counts)
+    SFD = "/root/testdata/sf0.001"
+    ev = (spark.read.parquet(f"{SFD}/events.parquet")
+          .select("event_type", F.col("ts").cast("timestamp").alias("ts")))
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (streaming_window_counts(stream)
+         .writeStream.format("memory").queryName("wc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, unix_micros(win.start) DIV 3600000000 "
+        "AS win, count AS c FROM wc").localCheckpoint()
+    want = (ev.groupBy("event_type",
+                       F.expr("unix_micros(ts) DIV 3600000000")
+                       .alias("win"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in want.collect()})
+    spec = importlib.util.spec_from_file_location(
+        "entry_anom", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    oracle_top = {(r["event_type"], r["win"], r["c"], r["score"])
+                  for r in mod.queries()["events_window_anomaly"](
+                      spark, SFD).collect()}
+    shared_top = {tuple(r) for r in
+                  (anomaly_scores(got, count_col="c")
+                   .orderBy(F.col("score").desc(), "event_type", "win")
+                   .limit(10).collect())}
+    assert shared_top == oracle_top
