@@ -571,3 +571,24 @@ def test_streaming_anomaly_counts_and_shared_scores(spark, tmp_path):
                    .orderBy(F.col("score").desc(), "event_type", "win")
                    .limit(10).collect())}
     assert shared_top == oracle_top
+
+
+def test_pack_bins_greedy_capacity_and_waste(spark):
+    """No bin exceeds capacity, every doc lands exactly once, oversize
+    docs get singleton bins, and FFD wastes less than naive one-doc-
+    per-bin padding."""
+    from pipelinedp_spark.operators.packing import pack_bins_greedy
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_bins_greedy(docs, seq_len=256).collect()
+    assert len(out) == docs.count()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+        assert r["bin_fill"] <= 256
+    for rows in by_bin.values():
+        fill = sum(min(r["n_tokens"], 256) for r in rows)
+        assert fill == rows[0]["bin_fill"] <= 256
+    n_bins = len(by_bin)
+    assert n_bins < len(out)            # beats one-doc-per-bin
+    total = sum(min(r["n_tokens"], 256) for r in out)
+    assert total <= n_bins * 256
