@@ -592,3 +592,24 @@ def test_pack_bins_greedy_capacity_and_waste(spark):
     assert n_bins < len(out)            # beats one-doc-per-bin
     total = sum(min(r["n_tokens"], 256) for r in out)
     assert total <= n_bins * 256
+def test_salted_join_equivalence(spark):
+    """Salted inner and left joins return exactly the plain join's
+    rows on a hot-key distribution (one key owns 90% of the big
+    side)."""
+    from pyspark.sql import functions as F
+    from pipelinedp_spark.operators.skew import salted_join
+    big = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id"))
+        .alias("k"))
+    small = spark.sql(
+        "SELECT col1 AS k, col2 AS v FROM VALUES (1, 'hot'), (17, 'c')")
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in
+                 big.join(small, ["k"], how).select("id", "k", "v")
+                 .collect()}
+        salted = {tuple(r) for r in
+                  salted_join(big, small, ["k"], factor=8, how=how,
+                              salt_src="id")
+                  .select("id", "k", "v").collect()}
+        assert salted == plain and len(plain) >= 9000
