@@ -613,3 +613,53 @@ def test_salted_join_equivalence(spark):
                               salt_src="id")
                   .select("id", "k", "v").collect()}
         assert salted == plain and len(plain) >= 9000
+
+
+def test_int8_roundtrip_property(spark):
+    """Property (hypothesis): for arbitrary finite float vectors, codes
+    stay in [-128, 127] and |dequant - x| <= scale/2 + eps per dim."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    from pipelinedp_spark.functions import embeddings as E
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False, width=32),
+        min_size=4, max_size=4), min_size=2, max_size=8))
+    def prop(vecs):
+        x = np.asarray(vecs, dtype="float64")
+        params = [(x[:, j].min(), x[:, j].max()) for j in range(4)]
+        for row in x:
+            for j, (mn, mx) in enumerate(params):
+                s = (mx - mn) / 255.0
+                code = (np.floor((row[j] - mn) / s + 0.5)
+                        if s > 0 else 0.0) - 128
+                assert -128 <= code <= 127
+                deq = (code + 128) * (s if s > 0 else 0.0) + mn
+                bound = (s / 2 if s > 0 else 0.0) + 1e-9 + abs(mn) * 1e-12
+                assert abs(deq - row[j]) <= bound
+
+    prop()
+
+
+def test_length_bucket_property(spark):
+    """Property: the CASE-ladder bucket is the smallest boundary >= n
+    (top bucket catches overflow) for arbitrary counts."""
+    from hypothesis import given, settings, strategies as st
+    from pipelinedp_spark.operators.packing import length_bucket_expr
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2000),
+                    min_size=1, max_size=20))
+    def prop(ns):
+        bs = (16, 64, 256, 1024)
+        vals = ", ".join(f"({n})" for n in ns)
+        df = spark.sql(f"SELECT col1 AS n FROM VALUES {vals}")
+        got = [r[0] for r in
+               df.select(length_bucket_expr(F.col("n"), bs)).collect()]
+        for n, b in zip(ns, got):
+            want = next((x for x in bs if n <= x), bs[-1])
+            assert b == want
+
+    prop()
