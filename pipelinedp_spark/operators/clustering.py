@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["kmeans_fit", "kmeans_assign_expr", "kmeans_assign",
            "cluster_balanced_sample", "centroids_table",
-           "kmeans_partial_sums", "centroids_from_sums"]
+           "kmeans_partial_sums", "centroids_from_sums",
+           "leakage_safe_split"]
 
 
 def _score_structs(vd: Column, centroids: Sequence[Sequence[float]]
@@ -270,3 +271,39 @@ def centroids_from_sums(sum_rows,
             d = by_cluster[c]
             out[c] = [d[p][0] / d[p][1] for p in range(len(d))]
     return out, counts
+
+
+def leakage_safe_split(df: DataFrame,
+                       cluster_col: str,
+                       fractions: Optional[dict] = None,
+                       salt: str = "split") -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the split is a deterministic hash of the CLUSTER id
+    (near-dup component, k-means cell, URL domain — whatever grouping
+    defines "same content"), so an entire cluster lands in one split.
+    Row-hash splits put one near-dup copy in train and its twin in
+    eval — silently inflating eval scores; this is the standard fix.
+
+    Pure codegen (md5-derived uniform in [0,1) on the cluster id, same
+    portable-hash idiom as `functions.sampling`); adds a `split`
+    column. Fractions must sum to 1 (default 80/10/10)."""
+    from pipelinedp_spark.functions.text import hex_to_long
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = (hex_to_long(F.md5(F.concat(
+        F.lit(salt + ":"), F.col(cluster_col).cast("string"))))
+        / F.lit(float(1 << 60)))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn("split", expr)

@@ -663,3 +663,21 @@ def test_length_bucket_property(spark):
             assert b == want
 
     prop()
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Every cluster lands wholly in one split; fractions roughly hold
+    over many clusters; bad fractions raise."""
+    import pytest as _pt
+    docs = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 500).alias("cl"))
+    out = C.leakage_safe_split(docs, "cl")
+    per = (out.groupBy("cl")
+           .agg(F.countDistinct("split").alias("d")).collect())
+    assert all(r["d"] == 1 for r in per)
+    frac = {r["split"]: r["count"] for r in
+            out.groupBy("split").count().collect()}
+    total = sum(frac.values())
+    assert 0.7 < frac.get("train", 0) / total < 0.9
+    with _pt.raises(ValueError, match="sum to 1"):
+        C.leakage_safe_split(docs, "cl", {"a": 0.5, "b": 0.4})
