@@ -45,3 +45,28 @@ def json_key_profile(df: DataFrame, col: str) -> DataFrame:
                       .alias("key"))
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("rows")))
+
+
+def parse_with_quarantine(df: DataFrame, col: str, schema: str):
+    """Production ingestion split: parse the JSON column with an
+    explicit schema and route rows to (good, quarantined) — a
+    malformed or schema-violating payload must never silently become
+    NULLs in the gold table NOR kill the job. Detection uses
+    PERMISSIVE mode's corrupt-record column (the parser writes the raw
+    payload there on failure), so malformed payloads quarantine while
+    well-formed rows with missing keys stay good. Both outputs share
+    one lazy parse expression; Catalyst prunes whichever side a
+    consumer doesn't read."""
+    full = schema + ", _corrupt STRING"
+    parsed = F.from_json(F.col(col), full,
+                         {"columnNameOfCorruptRecord": "_corrupt",
+                          "mode": "PERMISSIVE"})
+    tagged = df.withColumn("__parsed__", parsed)
+    bad_cond = (F.col(col).isNotNull()
+                & F.col("__parsed__._corrupt").isNotNull())
+    good = (tagged.filter(~bad_cond)
+            .select(*df.columns,
+                    F.col("__parsed__").dropFields("_corrupt")
+                    .alias("parsed")))
+    quarantined = tagged.filter(bad_cond).select(*df.columns)
+    return good, quarantined

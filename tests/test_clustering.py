@@ -681,3 +681,21 @@ def test_leakage_safe_split_cluster_atomicity(spark):
     assert 0.7 < frac.get("train", 0) / total < 0.9
     with _pt.raises(ValueError, match="sum to 1"):
         C.leakage_safe_split(docs, "cl", {"a": 0.5, "b": 0.4})
+
+
+def test_parse_with_quarantine_routes_bad_rows(spark):
+    """Malformed JSON rows land in quarantine, valid (and null-source)
+    rows in good with parsed struct; no row lost or duplicated."""
+    from pipelinedp_spark.functions.semistructured import (
+        parse_with_quarantine)
+    df = spark.sql(
+        "SELECT col1 AS id, col2 AS props FROM VALUES "
+        "(1, '{\"k\": 5}'), (2, 'not json'), (3, '{\"k\": bad}'), "
+        "(4, NULL), (5, '{\"k\": 7}')")
+    good, bad = parse_with_quarantine(df, "props", "k BIGINT")
+    g = {r["id"]: (r["parsed"]["k"] if r["parsed"] else None)
+         for r in good.collect()}
+    b = {r["id"] for r in bad.collect()}
+    assert b == {2, 3}
+    assert g == {1: 5, 4: None, 5: 7}
+    assert len(g) + len(b) == df.count()
