@@ -1435,3 +1435,34 @@ def streaming_window_counts(stream: DataFrame,
             .groupBy(F.window(F.col(ts_col), window).alias("win"),
                      F.col(group_col))
             .count())
+
+
+def streaming_interval_join(left: DataFrame,
+                            right: DataFrame,
+                            on: str,
+                            left_ts: str = "l_ts",
+                            right_ts: str = "r_ts",
+                            lower_s: int = 0,
+                            upper_s: int = 3600,
+                            watermark: str = "2 hours",
+                            how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the same key whose timestamp falls in
+    ``[left_ts - lower_s, left_ts + upper_s]`` (e.g. clicks joined to
+    the views they followed). Both sides carry a watermark AND the
+    join carries a time-range predicate — the two conditions Spark
+    needs to bound the join state (each side evicts rows older than
+    watermark + range; without them a stream-stream join buffers
+    forever). Timestamp columns must be real timestamps and distinct
+    names across the two sides."""
+    if left_ts == right_ts or on in (left_ts, right_ts):
+        raise ValueError("left_ts/right_ts must be distinct from each "
+                         "other and from the key column")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{right_ts} >= {left_ts} - INTERVAL {int(lower_s)} SECONDS "
+        f"AND {right_ts} <= {left_ts} + INTERVAL {int(upper_s)} SECONDS")
+    return (l.join(r.withColumnRenamed(on, "__rk__"),
+                   (F.col(on) == F.col("__rk__")) & cond, how)
+            .drop("__rk__"))
