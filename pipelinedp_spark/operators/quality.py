@@ -19,6 +19,8 @@ import re as _re
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -385,3 +387,42 @@ def gopher_quality_filter(df: DataFrame,
     for r in rules[1:]:
         acc = acc & F.col(r)
     return out.select(id_col, "n_words", *rules, acc.alias("passes"))
+
+
+def compression_ratio_udf():
+    """Arrow-batched zlib compression ratio (compressed/raw bytes):
+    templated or repetitive text compresses far below natural prose,
+    making this a cheap model-free boilerplate signal (used alongside
+    the Gopher rules in CCNet/RedPajama-style pipelines). Python is
+    unavoidable (no codegen deflate) but it is one stdlib C call per
+    row over Arrow batches — no row-at-a-time overhead. Empty text
+    scores 1.0."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(text: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8", "replace")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        return text.map(one)
+
+    return _ratio
+
+
+def compression_band_filter(df: DataFrame,
+                            text_col: str = "text",
+                            min_ratio: float = 0.25,
+                            max_ratio: float = 1.05) -> DataFrame:
+    """Keep docs whose compression ratio falls in the natural-text
+    band: below `min_ratio` is near-duplicate boilerplate/templating,
+    above `max_ratio` is binary-ish noise. Adds `compression_ratio`
+    and filters."""
+    ratio = compression_ratio_udf()
+    return (df.withColumn("compression_ratio",
+                          ratio(F.col(text_col)))
+            .filter((F.col("compression_ratio") >= min_ratio)
+                    & (F.col("compression_ratio") <= max_ratio)))

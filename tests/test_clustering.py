@@ -734,3 +734,27 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
                           + F.expr("INTERVAL 3600 SECONDS")))
             .select("user_id", "l_ts", "r_ts").collect()}
     assert got == want and len(want) > 0
+
+
+def test_compression_ratio_separates_boilerplate(spark):
+    """Repetitive text compresses far below varied prose; the band
+    filter drops the template and keeps the prose."""
+    from pipelinedp_spark.operators.quality import (
+        compression_band_filter, compression_ratio_udf)
+    import random
+    rng = random.Random(7)
+    prose = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                             for _ in range(rng.randint(3, 9)))
+                     for _ in range(300))
+    template = "click here to subscribe " * 100
+    df = spark.sql(
+        f"SELECT col1 AS doc_id, col2 AS text FROM VALUES "
+        f"(1, '{prose}'), (2, '{template.strip()}')")
+    ratio = compression_ratio_udf()
+    got = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", ratio(F.col("text")).alias("r"))
+           .collect()}
+    assert got[2] < 0.1 < got[1]
+    kept = [r["doc_id"] for r in
+            compression_band_filter(df).collect()]
+    assert kept == [1]
