@@ -758,3 +758,23 @@ def test_compression_ratio_separates_boilerplate(spark):
     kept = [r["doc_id"] for r in
             compression_band_filter(df).collect()]
     assert kept == [1]
+
+
+def test_tokenizer_fertility_report(spark):
+    """Fertility over a tiny trained tokenizer: per-language sums are
+    exact, ratios consistent, and a language the merges never saw
+    shows strictly higher tokens_per_word than the training
+    language."""
+    from pipelinedp_spark.operators.bpe import (tokenizer_fertility,
+                                                train_bpe_merges)
+    en = "the cat sat on the mat and the dog sat too " * 5
+    xx = "zqxv wvqz qzxw vxqz " * 10
+    df = spark.sql(
+        f"SELECT col1 AS doc_id, col2 AS lang, col3 AS text FROM VALUES "
+        f"(1, 'en', '{en.strip()}'), (2, 'xx', '{xx.strip()}')")
+    merges = train_bpe_merges(df.filter("lang = 'en'"), num_merges=30)
+    rep = {r["lang"]: r for r in
+           tokenizer_fertility(df, merges).collect()}
+    for lang, r in rep.items():
+        assert r["tokens_per_word"] == round(r["tokens"] / r["words"], 6)
+    assert rep["xx"]["tokens_per_word"] > rep["en"]["tokens_per_word"]
