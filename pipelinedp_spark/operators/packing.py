@@ -200,3 +200,49 @@ def pack_bins_greedy(docs: DataFrame,
     return with_n.mapInPandas(
         _pack, f"{id_col} long, n_tokens long, bin_id long, "
                f"bin_fill long")
+
+
+def length_match_resample(docs: DataFrame,
+                          target: dict,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          salt: str = "lenmatch") -> DataFrame:
+    """Deterministic downsample so the corpus's length-bucket
+    distribution matches `target` (bucket -> probability mass, same
+    boundaries as `length_bucket_expr`) — the long-context curation
+    move: a web crawl is short-doc-heavy, so hitting a target that
+    weights long docs means thinning the short buckets.
+
+    Every bucket keeps fraction ``(target_i / current_i) * s`` with
+    ``s = min_j current_j / target_j`` — the largest uniform scale at
+    which no bucket needs MORE docs than it has (pure thinning, no
+    duplication). Selection is the portable md5 hash on the doc id, so
+    the subset is reproducible across engines and layouts. Bucket
+    counts are one combinable agg + a bounded collect; the filter is
+    codegen."""
+    from pipelinedp_spark.functions.text import hex_to_long, token_count
+
+    bs = sorted(int(b) for b in target)
+    tot_t = float(sum(target.values()))
+    n = token_count(F.col(text_col)).cast("long")
+    bucket = length_bucket_expr(n, bs)
+    with_b = docs.withColumn("__bucket__", bucket)
+    cur = {r["__bucket__"]: r["cnt"] for r in
+           with_b.groupBy("__bucket__")
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(cur.values())
+    scale = min((cur.get(b, 0) / total) / (target[b] / tot_t)
+                for b in bs if target[b] > 0)
+    keep = {b: min(1.0, (target[b] / tot_t) * scale * total
+                   / max(cur.get(b, 1), 1)) for b in bs}
+    u = (hex_to_long(F.md5(F.concat(
+        F.lit(salt + ":"), F.col(id_col).cast("string"))))
+        / F.lit(float(1 << 60)))
+    thresh = F.lit(0.0)
+    for b in reversed(bs[:-1]):
+        thresh = F.when(F.col("__bucket__") == b,
+                        F.lit(keep[b])).otherwise(thresh)
+    thresh = F.when(F.col("__bucket__") == bs[-1],
+                    F.lit(keep[bs[-1]])).otherwise(thresh)
+    return (with_b.filter(u < thresh)
+            .drop("__bucket__"))

@@ -778,3 +778,34 @@ def test_tokenizer_fertility_report(spark):
     for lang, r in rep.items():
         assert r["tokens_per_word"] == round(r["tokens"] / r["words"], 6)
     assert rep["xx"]["tokens_per_word"] > rep["en"]["tokens_per_word"]
+
+
+def test_length_match_resample_hits_target(spark):
+    """A short-doc-heavy corpus resampled toward a long-heavy target:
+    the output bucket shares move to within a few points of target,
+    no bucket gains docs, and the selection is deterministic."""
+    from pipelinedp_spark.operators.packing import (length_bucket_expr,
+                                                    length_match_resample)
+    rows = []
+    rid = 0
+    for n_tok, count in ((5, 800), (40, 150), (200, 50)):
+        for _ in range(count):
+            rows.append((rid, " ".join(["w"] * n_tok)))
+            rid += 1
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    df = spark.sql(f"SELECT col1 AS doc_id, col2 AS text "
+                   f"FROM VALUES {vals}")
+    target = {8: 0.4, 64: 0.3, 256: 0.3}
+    out = length_match_resample(df, target)
+    n = F.size(F.split(F.col("text"), " "))
+    got = {r["b"]: r["cnt"] for r in
+           out.groupBy(length_bucket_expr(n, (8, 64, 256)).alias("b"))
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(got.values())
+    assert got[256] == 50                      # scarcest bucket kept whole
+    shares = {b: got.get(b, 0) / total for b in (8, 64, 256)}
+    for b, want in ((8, 0.4), (64, 0.3), (256, 0.3)):
+        assert abs(shares[b] - want) < 0.07
+    again = length_match_resample(df, target)
+    assert ({r["doc_id"] for r in out.select("doc_id").collect()}
+            == {r["doc_id"] for r in again.select("doc_id").collect()})
