@@ -264,3 +264,59 @@ def select_to_token_budget(df: DataFrame,
     from pipelinedp_spark.operators.running import running_sum
     rs = running_sum(df, order_col, token_col, "cum_tokens")
     return rs.filter(F.col("cum_tokens") <= budget)
+
+
+def epoch_schedule(docs: DataFrame,
+                   budget_tokens: int,
+                   temperature: float = 0.7,
+                   max_epochs: float = 4.0,
+                   source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Pretraining mixture plan: given per-source token counts, a
+    total token budget, and a temperature, emit each source's target
+    token share and the implied epoch (repeat) factor, capped at
+    ``max_epochs`` (past ~4 epochs repetition stops helping — Muennighoff
+    et al. 2023). Shares follow n_s^temperature renormalized, with cap
+    overflow redistributed proportionally to uncapped sources in one
+    driver pass over the source-cardinality table.
+
+    Returns (source, tokens, share, target_tokens, epochs) — the plan
+    a sampler (e.g. `temperature_mix` / `select_to_token_budget`)
+    executes. One combinable agg + a bounded collect; no corpus-size
+    driver work."""
+    from pipelinedp_spark.functions.text import token_count
+
+    counts = {r["source"]: r["t"] for r in
+              (docs.groupBy(F.col(source_col).alias("source"))
+               .agg(F.sum(token_count(F.col(text_col)).cast("long"))
+                    .alias("t"))).collect()}
+    raw = {s: float(t) ** temperature for s, t in counts.items()}
+    z = sum(raw.values())
+    share = {s: raw[s] / z for s in raw}
+    target = {s: share[s] * budget_tokens for s in raw}
+    # Cap epochs; redistribute overflow to uncapped sources until fixed.
+    for _ in range(len(raw)):
+        over = {s: target[s] - max_epochs * counts[s]
+                for s in target if target[s] > max_epochs * counts[s]}
+        if not over:
+            break
+        spill = sum(over.values())
+        for s in over:
+            target[s] = max_epochs * counts[s]
+        free = [s for s in target
+                if target[s] < max_epochs * counts[s]]
+        fz = sum(share[s] for s in free)
+        for s in free:
+            target[s] += spill * (share[s] / fz if fz else 0)
+    spark = docs.sparkSession
+    rows = ", ".join(
+        f"('{s}', {counts[s]}, {round(share[s], 6)!r}, "
+        f"{int(target[s])}, {round(target[s] / counts[s], 6)!r})"
+        for s in sorted(counts))
+    return spark.sql(
+        "SELECT source, CAST(tokens AS BIGINT) AS tokens, "
+        "CAST(share AS DOUBLE) AS share, "
+        "CAST(target_tokens AS BIGINT) AS target_tokens, "
+        "CAST(epochs AS DOUBLE) AS epochs "
+        f"FROM VALUES {rows} "
+        "AS t(source, tokens, share, target_tokens, epochs)")

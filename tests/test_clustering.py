@@ -809,3 +809,29 @@ def test_length_match_resample_hits_target(spark):
     again = length_match_resample(df, target)
     assert ({r["doc_id"] for r in out.select("doc_id").collect()}
             == {r["doc_id"] for r in again.select("doc_id").collect()})
+
+
+def test_epoch_schedule_caps_and_budget(spark):
+    """Epochs never exceed the cap, shares sum to ~1, target tokens
+    sum to ~budget (exact up to rounding), and temperature < 1 lifts
+    the smallest source's share above its natural share."""
+    from pipelinedp_spark.operators.mixing import epoch_schedule
+    rows = []
+    rid = 0
+    for src, n_docs, toks in (("web", 100, 50), ("books", 10, 50),
+                              ("code", 30, 50)):
+        for _ in range(n_docs):
+            rows.append((rid, src, " ".join(["w"] * toks)))
+            rid += 1
+    vals = ", ".join(f"({i}, '{s}', '{t}')" for i, s, t in rows)
+    df = spark.sql(f"SELECT col1 AS doc_id, col2 AS source, "
+                   f"col3 AS text FROM VALUES {vals}")
+    plan = {r["source"]: r for r in
+            epoch_schedule(df, budget_tokens=20_000,
+                           temperature=0.5, max_epochs=3.0).collect()}
+    assert abs(sum(r["share"] for r in plan.values()) - 1.0) < 1e-3
+    assert all(r["epochs"] <= 3.0 + 1e-9 for r in plan.values())
+    assert (sum(r["target_tokens"] for r in plan.values())
+            <= 20_000 + len(plan))
+    nat_books = 10 * 50 / (140 * 50)
+    assert plan["books"]["share"] > nat_books
