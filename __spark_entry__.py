@@ -1392,58 +1392,10 @@ FROM s GROUP BY doc_id
 # `scripts/check_correctness.py` (same compare logic) covers the full set
 # regardless of order and writes the complete CORRECTNESS_LOCAL.json.
 _DRIVER_ARTIFACT_FIRST = [
-    # never recorded in CORRECTNESS_r01..r06 (were positions 51-62)
-    "dedup_keep_best",
-    "doc_paragraph_filter",
-    "stream_line_dedup_mirror",
-    "doc_token_budget",
-    "doc_wet_roundtrip",
-    "doc_tar_shards",
-    "multimodal_exif",
-    "multimodal_mp3_meta",
-    "doc_domain_cap",
-    "doc_corpus_diff",
-    "doc_contamination_score",
-    "doc_normalize_text",
-    # round-7 additions land here (newest first after the backlog above)
-    "doc_language_id",
-    "doc_nfc_normalize",
-    "doc_gopher_filter",
-    "doc_tfidf_keywords",
-    "doc_pmi_collocations",
-    "doc_code_detect",
-    "doc_language_mix",
-    "doc_sentence_dedup",
-    "stream_sentence_dedup_mirror",
-    "sim_ivf_pq_rerank_topk",
-    "emb_kmeans_centroids",
-    "emb_cluster_balanced_sample",
-    "emb_int8_roundtrip",
-    "emb_covariance",
-    "emb_pca_project",
-    "doc_length_buckets",
-    "stream_cluster_assign_mirror",
-    "emb_hard_negatives",
-    "emb_cluster_purity",
-    "emb_triplets",
-    "dp_cluster_counts",
-    "emb_int8_recall",
-    "emb_mmr_rerank",
-    "events_funnel",
-    "events_retention",
-    "events_json_stats",
-    "doc_textrank_keywords",
-    "events_json_profile",
-    "events_time_to_convert",
-    "events_window_anomaly",
-    "doc_readability",
-    "doc_source_quality_report",
-    "events_attribution",
-    "events_transitions",
-    "part_fuzzy_match",
-    "lineitem_order_stats",
-    "events_session_funnel",
-    "customer_scd2",
+    # round-8 rotation: every query in the registry has now appeared in at
+    # least one driver CORRECTNESS_r*.json (r07 completed the backlog), so the
+    # front list resets. Append NEW round-8 query names here as they land so
+    # they fall inside the driver's 50-row artifact cap.
 ]
 
 
