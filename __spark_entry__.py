@@ -1396,6 +1396,7 @@ _DRIVER_ARTIFACT_FIRST = [
     # least one driver CORRECTNESS_r*.json (r07 completed the backlog), so the
     # front list resets. Append NEW round-8 query names here as they land so
     # they fall inside the driver's 50-row artifact cap.
+    "bpe_train_merges",  # upgraded rows-only -> hash oracle in r8
 ]
 
 
@@ -1641,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
         "doc_semantic_dedup_text": _gen_semantic_dedup_text_sql(),
         "bpe_encode": _gen_bpe_encode_sql(),
+        "bpe_train_merges": _gen_bpe_train_sql(),
         "dp_windowed_percentile_tree_events": _DP_WINDOWED_PCT_TREE_SQL,
         "doc_gram_novelty": _DOC_GRAM_NOVELTY_SQL,
         "doc_source_quota": _DOC_SOURCE_QUOTA_SQL,
@@ -2738,9 +2740,10 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training on the documents corpus (iterative
     pair-count/argmax/rewrite over the word-frequency table — corpus
     touched once, per-iteration cost is vocabulary-sized). Deterministic
-    tie-break, so output is stable; inherently iterative, hence no SQL
-    oracle (rows-only check) — tests/test_bpe.py pins the algorithm
-    against a from-first-principles reference implementation."""
+    tie-break, so output is stable; the oracle bakes the merge table
+    produced by the INDEPENDENT pure-Python trainer
+    (`_gen_bpe_train_sql`), and tests/test_bpe.py additionally pins the
+    algorithm against a from-first-principles reference."""
     from pipelinedp_spark.operators.bpe import train_bpe_merges
     docs = _t(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs, num_merges=20)
@@ -2825,6 +2828,26 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
 GROUP BY d.doc_id
 """
+
+
+def _gen_bpe_train_sql(sf_dir: str = "/root/testdata/sf0.01",
+                       num_merges: int = 20) -> str:
+    """Oracle for `bpe_train_merges`: the INDEPENDENT pure-Python
+    sequential trainer (`train_bpe_merges_local`, Counter-based — a
+    different formulation from the distributed pair-count/argmax/
+    fold-rewrite loop) runs on DuckDB-derived word counts and its merge
+    table is baked as a VALUES literal, upgrading the query from the
+    registry's one rows-only check to full schema+hash parity."""
+    from pipelinedp_spark.operators.bpe import train_bpe_merges_local
+    merges = train_bpe_merges_local(
+        _bpe_word_counts_from_parquet(sf_dir), num_merges=num_merges)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+    vals = ", ".join(f"({i}, '{q(a)}', '{q(b)}')"
+                     for i, (a, b) in enumerate(merges))
+    return (f'SELECT CAST(rank AS INTEGER) AS rank, "left", "right" '
+            f'FROM (VALUES {vals}) AS t(rank, "left", "right")')
 
 
 def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5792,9 +5815,11 @@ sig AS (
          ROUND(len([x for x in t
                     if regexp_matches(x, '[A-Za-z]')])::DOUBLE
                / greatest(len(t), 1), 6) AS alpha,
-         len(list_intersect(list_distinct(t),
-                            ['the', 'be', 'to', 'of', 'and', 'that',
-                             'have', 'with'])) AS sw
+         len(list_intersect(
+               list_distinct([regexp_replace(lower(x), '[^a-z]', '', 'g')
+                              for x in t]),
+               ['the', 'be', 'to', 'of', 'and', 'that',
+                'have', 'with'])) AS sw
   FROM tok)
 SELECT s.doc_id,
        s.n_words::BIGINT AS n_words,
@@ -6033,15 +6058,22 @@ tagged AS (
          (d.ts IS NOT NULL AND trim(se.s) <> '') AS removed
   FROM sents se
   LEFT JOIN dup d ON se.source = d.source AND trim(se.s) = d.ts
+),
+reb AS (
+  SELECT doc_id,
+         COALESCE(string_agg(s, '' ORDER BY pos)
+                  FILTER (WHERE NOT removed), '') AS clean_text,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM tagged
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       COALESCE(string_agg(s, '' ORDER BY pos)
-                FILTER (WHERE NOT removed), '') AS clean_text,
-       COUNT(*) AS n_lines,
-       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_removed
-FROM tagged
-GROUP BY doc_id
+SELECT b.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN reb r USING (doc_id)
 """
 
 
@@ -6097,15 +6129,23 @@ tagged AS (
   FROM sents se
   LEFT JOIN ce ON trim(se.s) = ce.ts
   LEFT JOIN co ON trim(se.s) = co.ts
+),
+reb AS (
+  SELECT doc_id, par AS batch,
+         COALESCE(string_agg(s, '' ORDER BY pos)
+                  FILTER (WHERE NOT removed), '') AS clean_text,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM tagged
+  GROUP BY doc_id, par
 )
-SELECT doc_id, par AS batch,
-       COALESCE(string_agg(s, '' ORDER BY pos)
-                FILTER (WHERE NOT removed), '') AS clean_text,
-       COUNT(*) AS n_lines,
-       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_removed
-FROM tagged
-GROUP BY doc_id, par
+SELECT b.doc_id,
+       b.doc_id % 2 AS batch,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN reb r USING (doc_id)
 """
 
 

@@ -107,7 +107,10 @@ def int8_quantize_params(df: DataFrame, vec_col: str = "embedding"
 def int8_quantize_expr(vec: Column, params: list) -> Column:
     """array<tinyint> codes: floor((x - min) / scale + 0.5) - 128 with
     scale = (max - min) / 255; a constant dimension (max == min) codes
-    to -128. Pure codegen (two zip_with passes over literal arrays)."""
+    to -128. Values outside the fitted per-dim [min, max] (stored
+    params applied to new data) clamp to the range edge rather than
+    wrapping in the tinyint cast. Pure codegen (two zip_with passes
+    over literal arrays)."""
     mins = F.array(*[F.lit(float(mn)) for mn, _ in params])
     scales = F.array(*[F.lit((float(mx) - float(mn)) / 255.0)
                        for mn, mx in params])
@@ -115,8 +118,9 @@ def int8_quantize_expr(vec: Column, params: list) -> Column:
                          lambda x, mn: x - mn)
     return F.zip_with(
         shifted, scales,
-        lambda d, s: (F.when(s > 0.0, F.floor(d / s + F.lit(0.5)))
-                      .otherwise(F.lit(0)) - F.lit(128)).cast("tinyint"))
+        lambda d, s: F.greatest(F.lit(-128), F.least(F.lit(127), (
+            F.when(s > 0.0, F.floor(d / s + F.lit(0.5)))
+            .otherwise(F.lit(0)) - F.lit(128)))).cast("tinyint"))
 
 
 def int8_dequantize_expr(codes: Column, params: list) -> Column:

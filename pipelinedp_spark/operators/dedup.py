@@ -1020,4 +1020,14 @@ def sentence_dedup(df: DataFrame,
                   "__removed__",
                   F.coalesce(F.col("__boiler__"), F.lit(False))
                   & countable))
-    return _rebuild_kept_lines(tagged, id_col, "")
+    rebuilt = _rebuild_kept_lines(tagged, id_col, "")
+    # Empty/NULL-text docs produce zero regexp matches, so they have no
+    # exploded rows at all — left-join the rebuild back onto the full id
+    # set so they survive as empty docs (line_dedup keeps them; the two
+    # stages must agree on corpus membership).
+    return (df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_removed", F.lit(0)).cast("long")
+        .alias("n_removed")))

@@ -306,11 +306,23 @@ def epoch_schedule(docs: DataFrame,
         free = [s for s in target
                 if target[s] < max_epochs * counts[s]]
         fz = sum(share[s] for s in free)
+        if not fz:
+            # Every source is at the epoch cap: the residual budget has
+            # nowhere to go. Surface it — silently under-filling the
+            # budget makes the downstream token accounting wrong.
+            import warnings
+            warnings.warn(
+                f"epoch_schedule: {int(spill)} budget tokens cannot be "
+                f"placed — all {len(target)} sources are at the "
+                f"max_epochs={max_epochs} cap; sum(target_tokens) will "
+                "be below budget_tokens", stacklevel=2)
+            break
         for s in free:
-            target[s] += spill * (share[s] / fz if fz else 0)
+            target[s] += spill * (share[s] / fz)
     spark = docs.sparkSession
     rows = ", ".join(
-        f"('{s}', {counts[s]}, {round(share[s], 6)!r}, "
+        f"('{s.replace(chr(39), chr(39) * 2)}', "
+        f"{counts[s]}, {round(share[s], 6)!r}, "
         f"{int(target[s])}, {round(target[s] / counts[s], 6)!r})"
         for s in sorted(counts))
     return spark.sql(

@@ -231,8 +231,20 @@ def length_match_resample(docs: DataFrame,
            with_b.groupBy("__bucket__")
            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     total = sum(cur.values())
-    scale = min((cur.get(b, 0) / total) / (target[b] / tot_t)
-                for b in bs if target[b] > 0)
+    if total == 0:
+        raise ValueError("length_match_resample: input corpus is empty")
+    # A target>0 bucket with zero current docs can never be supplied:
+    # it contributes 0 docs whatever the scale, so it must not drive
+    # scale to 0 and wipe the whole corpus. Best-effort: scale over
+    # the buckets that actually have docs.
+    supplied = [b for b in bs if target[b] > 0 and cur.get(b, 0) > 0]
+    if not supplied:
+        raise ValueError(
+            "length_match_resample: no bucket with target mass has any "
+            f"documents (empty target buckets: "
+            f"{[b for b in bs if target[b] > 0]})")
+    scale = min((cur[b] / total) / (target[b] / tot_t)
+                for b in supplied)
     keep = {b: min(1.0, (target[b] / tot_t) * scale * total
                    / max(cur.get(b, 1), 1)) for b in bs}
     u = (hex_to_long(F.md5(F.concat(

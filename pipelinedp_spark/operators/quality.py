@@ -336,7 +336,9 @@ def gopher_quality_filter(df: DataFrame,
     ok_symbol, ok_lines, ok_dup_lines, ok_top2gram, ok_dup5gram,
     ok_alpha, ok_stopwords, passes). The stopword rule is Gopher's
     "contains >= 2 of {the, be, to, of, and, that, have, with}"
-    (distinct hits).
+    (distinct hits), matched case-insensitively against
+    punctuation-stripped tokens so 'The' and 'the,' count (Rae et
+    al.'s rule on unnormalized text).
 
     Scale shape: every rule except the top-2-gram one is a pure
     per-row codegen expression (the four line rules come from ONE
@@ -370,7 +372,9 @@ def gopher_quality_filter(df: DataFrame,
         .alias("ok_dup5gram"),
         (F.round(alpha, 6) >= min_alpha_word_frac).alias("ok_alpha"),
         (F.size(F.array_intersect(
-            F.array_distinct(T.tokens(t)),
+            F.array_distinct(F.transform(
+                T.tokens(t),
+                lambda x: F.regexp_replace(F.lower(x), "[^a-z]", ""))),
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
          >= min_stopword_hits).alias("ok_stopwords"))
     top = top_ngram_char_fraction(df, text_col, id_col, ns=(2,))

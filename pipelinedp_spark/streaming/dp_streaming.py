@@ -1286,7 +1286,16 @@ def sentence_dedup_batch(batch: DataFrame,
                   "__removed__",
                   F.coalesce(F.col("__boiler__"), F.lit(False))
                   & countable))
-    return _rebuild_kept_lines(tagged, id_col, ""), merged
+    rebuilt = _rebuild_kept_lines(tagged, id_col, "")
+    # Keep empty/NULL-text docs (zero regexp matches → zero exploded
+    # rows) — same corpus-membership contract as the batch operator.
+    cleaned = (batch.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_removed", F.lit(0)).cast("long")
+        .alias("n_removed")))
+    return cleaned, merged
 
 
 def streaming_sentence_dedup(stream: DataFrame,
