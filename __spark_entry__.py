@@ -1397,6 +1397,7 @@ _DRIVER_ARTIFACT_FIRST = [
     # front list resets. Append NEW round-8 query names here as they land so
     # they fall inside the driver's 50-row artifact cap.
     "bpe_train_merges",  # upgraded rows-only -> hash oracle in r8
+    "doc_duplicate_spans_exact",
 ]
 
 
@@ -1472,6 +1473,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_meta": _multimodal_mp4_meta,
         "emb_semantic_dedup": _emb_semantic_dedup,
         "doc_duplicate_spans": _doc_duplicate_spans,
+        "doc_duplicate_spans_exact": _doc_duplicate_spans_exact,
         "doc_unigram_ppl": _doc_unigram_ppl,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_dsir_weights": _doc_dsir_weights,
@@ -1626,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_mp4_meta": _MULTIMODAL_MP4_SQL,
         "emb_semantic_dedup": _gen_semantic_dedup_sql(),
         "doc_duplicate_spans": _DOC_DUP_SPANS_SQL,
+        "doc_duplicate_spans_exact": _DOC_DUP_SPANS_EXACT_SQL,
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
         "doc_bm25_topk": _gen_bm25_sql(),
         "doc_dsir_weights": _gen_dsir_sql(),
@@ -3600,6 +3603,91 @@ dups AS (
                               ORDER BY doc_id, pos) AS rn
     FROM g) WHERE rn > 1),
 iv AS (SELECT doc_id, pos AS start, pos + 8 AS "end" FROM dups),
+m AS (
+  SELECT doc_id, start, "end",
+         MAX("end") OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+  FROM iv),
+grps AS (
+  SELECT doc_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR start > prev_end
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS grp
+  FROM m)
+SELECT doc_id,
+       CAST(MIN(start) AS BIGINT) AS span_start,
+       CAST(MAX("end") AS BIGINT) AS span_end
+FROM grps GROUP BY doc_id, grp
+"""
+
+
+# Planted boilerplate for doc_duplicate_spans_exact: three duplicated
+# runs of varying length and token shape. S1 is a 13-token sentence
+# (the token-window pass sees it too); S2 and S3 are single-token
+# runs (a tracking URL and a hyphenated notice) that a k-TOKEN window
+# pass is structurally blind to — only the character-level exact pass
+# cuts them.
+_SPAN_S1 = ("Subscribe to our newsletter for weekly updates and "
+            "exclusive member-only offers today.")
+_SPAN_S2 = ("https://cdn.example.com/t.gif?id=AAAABBBBCCCCDDDDEEEE"
+            "FFFF0000111122223333&campaign=footer")
+_SPAN_S3 = "COPYRIGHT-2026-ALL-RIGHTS-RESERVED-DO-NOT-REDISTRIBUTE!"
+
+
+def _doc_duplicate_spans_exact(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TRUE ExactSubstr duplicated-span cut ranges (Lee et al.,
+    arXiv:2107.06499) at CHARACTER granularity via the sorted-suffix
+    join (`dedup.duplicate_spans_exact`): seed-gram prefilter, verify
+    only candidates, keep the globally-first occurrence, merge
+    overlapping windows. Boilerplate of three shapes is planted so the
+    oracle exercises cross-doc, within-doc, and single-token repeats —
+    the last being spans the fixed-k token pass cannot see."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" " + _SPAN_S1)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" " + _SPAN_S2)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" " + _SPAN_S3 + " and then once more "
+                         + _SPAN_S3)).otherwise(F.lit("")),
+        ).alias("text"))
+    return dedup.duplicate_spans_exact(planted, min_len=48, seed_len=16)
+
+
+_DOC_DUP_SPANS_EXACT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' {_SPAN_S1}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' {_SPAN_S2}' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' {_SPAN_S3} and then once more {_SPAN_S3}'
+                 ELSE '' END AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(0, length(t) - 48 + 1)) AS p, t
+  FROM base WHERE length(t) >= 48),
+h AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         md5(substr(t, CAST(p AS INTEGER) + 1, 48)) AS h
+  FROM pos),
+firsts AS (
+  SELECT h, COUNT(*) AS n,
+         MIN(doc_id * 1073741824 + p) AS fk
+  FROM h GROUP BY h),
+dups AS (
+  SELECT doc_id, p FROM h JOIN firsts USING (h)
+  WHERE n >= 2 AND doc_id * 1073741824 + p <> fk),
+iv AS (SELECT doc_id, p AS start, p + 48 AS "end" FROM dups),
 m AS (
   SELECT doc_id, start, "end",
          MAX("end") OVER (PARTITION BY doc_id ORDER BY start

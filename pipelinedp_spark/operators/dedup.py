@@ -682,26 +682,131 @@ def duplicate_spans(df: DataFrame,
             .select(id_col, "pos"))
     if not merge:
         return dups
-    start = F.col("pos")
-    end = (F.col("pos") + k).alias("end")
-    iv = dups.select(F.col(id_col), start.alias("start"), end)
+    iv = dups.select(F.col(id_col), F.col("pos").alias("start"),
+                     (F.col("pos") + k).alias("end"))
+    return _merge_spans(iv, id_col)
+
+
+def _merge_spans(iv: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping/adjacent (start, end) intervals per document
+    into maximal cut ranges — the shared tail of the duplicate-span
+    detectors. One window per doc (doc-sized partitions — bounded);
+    emits (id_col, span_start, span_end), end-exclusive."""
     wprev = (Window.partitionBy(id_col).orderBy("start")
              .rowsBetween(Window.unboundedPreceding, -1))
     wgrp = (Window.partitionBy(id_col).orderBy("start")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    merged = (iv.withColumn("prev_end", F.max("end").over(wprev))
-              .withColumn("new_grp",
-                          F.when(F.col("prev_end").isNull()
-                                 | (F.col("start") > F.col("prev_end")),
-                                 F.lit(1)).otherwise(F.lit(0)))
-              .withColumn("grp", F.sum("new_grp").over(wgrp))
-              .groupBy(id_col, "grp")
-              .agg(F.min("start").alias("span_start"),
-                   F.max("end").alias("span_end"))
-              .select(id_col,
-                      F.col("span_start").cast("long").alias("span_start"),
-                      F.col("span_end").cast("long").alias("span_end")))
-    return merged
+    return (iv.withColumn("prev_end", F.max("end").over(wprev))
+            .withColumn("new_grp",
+                        F.when(F.col("prev_end").isNull()
+                               | (F.col("start") > F.col("prev_end")),
+                               F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("grp", F.sum("new_grp").over(wgrp))
+            .groupBy(id_col, "grp")
+            .agg(F.min("start").alias("span_start"),
+                 F.max("end").alias("span_end"))
+            .select(id_col,
+                    F.col("span_start").cast("long").alias("span_start"),
+                    F.col("span_end").cast("long").alias("span_end")))
+
+
+def duplicate_spans_exact(df: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_len: int = 50,
+                          seed_len: int = 16,
+                          merge: bool = True) -> DataFrame:
+    """EXACT character-level duplicated-substring detection — the
+    ExactSubstr algorithm of Lee et al. ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499) re-expressed as a
+    sorted-suffix join instead of a single-node suffix array: a
+    character position is marked iff it lies inside some substring of
+    length >= ``min_len`` characters that occurs at least twice in the
+    corpus (within- and cross-document), EXCEPT positions covered only
+    by the globally-first occurrence (min (doc, pos)) of each
+    duplicated window. This is exactly the suffix-array answer: a
+    substring of length L >= min_len repeats iff each of its
+    ``min_len``-char windows repeats, and the merged window ranges
+    reconstruct the maximal repeated runs — the suffix array is only a
+    single-machine device for grouping equal fixed-length prefixes of
+    suffixes, which IS a distributed group-by here.
+
+    Unlike the token-window `duplicate_spans` (fixed k TOKENS), the
+    character threshold also catches repeats that are long in bytes but
+    short in tokens (URLs, base64 blobs, CJK/agglutinative text) — the
+    one recall gap of the token pass.
+
+    Scale shape (two-phase, verify-only-candidates):
+
+    1. SEED phase: every window start emits (xxhash64 of its first
+       ``seed_len`` chars) — a cheap 8-byte JVM hash, no md5, payload
+       independent of min_len. Window starts whose seed hash occurs
+       >= 2 times are CANDIDATES; since a duplicated min_len-window's
+       seed prefix is itself duplicated, candidates are a superset of
+       true duplicates (xxhash64 collisions only add false candidates,
+       never lose true ones — exactness is preserved by phase 2). The
+       hot-seed count is a map-side-combined aggregate over the sh
+       column alone (Catalyst prunes id/pos on that side), so its
+       exchange carries per-partition partial counts, not positions;
+       only the join side streams the full position rows, exactly
+       once. The doc scan runs twice, both passes pure codegen.
+    2. VERIFY phase: candidate positions regroup per doc (one
+       equi-join back to the text — the text moves ONCE per doc, not
+       once per candidate) and only those positions pay the full
+       md5(min_len chars). Clean corpora verify almost nothing; a
+       pathological all-duplicate corpus degrades gracefully to the
+       one-md5-per-position cost a suffix array would also pay in
+       comparisons. First-occurrence exemption is the same
+       map-side-combinable min(struct) aggregate as the token pass —
+       never a row_number window on a corpus-hot span.
+
+    Returns merged (id_col, span_start, span_end) CHARACTER ranges,
+    end-exclusive; ``merge=False`` returns raw (id_col, pos) marked
+    window starts. Reference repo has no counterpart (net-new
+    LLM-pipeline op)."""
+    if seed_len > min_len:
+        raise ValueError(
+            f"seed_len ({seed_len}) must be <= min_len ({min_len}); the "
+            "seed is a prefix of the verified window")
+    t = F.col(text_col)
+    n = F.length(t)
+    eligible = df.filter(n >= min_len).select(F.col(id_col), t)
+    seeds = eligible.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(0, length({text_col}) - {min_len}), "
+            f"p -> struct(p AS pos, xxhash64(substring({text_col}, "
+            f"p + 1, {seed_len})) AS sh))")).alias("s")
+    ).select(id_col, F.col("s.pos").alias("pos"),
+             F.col("s.sh").alias("sh"))
+    hot = (seeds.groupBy("sh")
+           .agg(F.count(F.lit(1)).alias("__n__"))
+           .filter(F.col("__n__") >= 2)
+           .select("sh"))
+    cand = (seeds.join(hot, "sh")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("pos")).alias("ps")))
+    verify = (eligible.join(cand, id_col)
+              .select(F.col(id_col),
+                      F.explode(F.expr(
+                          f"transform(ps, p -> struct(p AS pos, "
+                          f"md5(substring({text_col}, p + 1, "
+                          f"{min_len})) AS h))")).alias("v"))
+              .select(id_col, F.col("v.pos").alias("pos"),
+                      F.col("v.h").alias("h")))
+    firsts = verify.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("f"))
+    dups = (verify.join(firsts.filter(F.col("__n__") >= 2), "h")
+            .filter((F.col(id_col) != F.col("f.i"))
+                    | (F.col("pos") != F.col("f.p")))
+            .select(id_col, "pos"))
+    if not merge:
+        return dups
+    iv = dups.select(F.col(id_col), F.col("pos").alias("start"),
+                     (F.col("pos") + min_len).alias("end"))
+    return _merge_spans(iv, id_col)
 
 
 def cross_corpus_near_dup(new_docs: DataFrame,

@@ -54,7 +54,9 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "doc_source_quality_report", "events_attribution",
          "events_transitions", "part_fuzzy_match",
          "lineitem_order_stats", "events_session_funnel",
-         "customer_scd2"]
+         "customer_scd2",
+         # round-8 (static oracles)
+         "doc_duplicate_spans_exact"]
 
 
 @pytest.fixture(scope="module")

@@ -540,3 +540,87 @@ def test_gopher_quality_filter_rules(spark):
     assert not out[2]["ok_words"] and not out[2]["passes"]
     assert not out[3]["ok_top2gram"] and not out[3]["passes"]
     assert not out[3]["ok_stopwords"]      # 'dup' only, no stopwords
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans_exact (character-level ExactSubstr, Lee et al. 2107.06499)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_exact_basic_and_first_kept(spark):
+    from pipelinedp_spark.operators.dedup import duplicate_spans_exact
+    shared = "The quick brown fox jumps over the lazy dog tonight."  # 53ch
+    df = _docs(spark, [shared + " And some trailing original text here.",
+                       "PREFIX: " + shared,
+                       "completely unrelated content with no repeats xyz"])
+    out = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicate_spans_exact(df, min_len=40).collect()}
+    # Doc 0 holds the globally-first occurrence; only doc 1's copy cut,
+    # covering the full 53-char shared run at offset 8.
+    assert out == {(1, 8, 8 + len(shared))}
+
+
+def test_duplicate_spans_exact_catches_single_token_repeat(spark):
+    from pipelinedp_spark.operators.dedup import (duplicate_spans,
+                                                  duplicate_spans_exact)
+    # A 60-char run with NO spaces: one token. The k=8 TOKEN window
+    # pass is blind to it; the character-level exact pass must cut it.
+    blob = "x" * 20 + "0123456789abcdefghij" * 2
+    assert " " not in blob and len(blob) == 60
+    df = _docs(spark, ["lead text then " + blob,
+                       "other document containing " + blob + " tail",
+                       "a third document with nothing shared at all ok"])
+    assert duplicate_spans(df, k=8).count() == 0
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicate_spans_exact(df, min_len=50).collect()}
+    # both occurrences are preceded by ' ', so the maximal duplicated
+    # run is ' ' + blob (61 chars) — the exact pass finds the true
+    # maximal extent, starting one char before the blob itself
+    assert got == {(1, 25, 25 + 61)}
+
+
+def test_duplicate_spans_exact_dominates_token_pass_recall(spark):
+    from pipelinedp_spark.operators.dedup import (duplicate_spans,
+                                                  duplicate_spans_exact)
+    # Every token >= 6 chars, so any duplicated 8-token window is a
+    # duplicated run of >= 8*6-1 = 47 > 40 chars: the exact pass must
+    # mark a char range wherever the token pass marks one, AND it also
+    # catches the no-space blob the token pass misses: strict recall
+    # domination on this corpus.
+    toks = ["alpha%02d" % i for i in range(12)]          # 7 chars each
+    run = " ".join(toks)                                  # 95 chars
+    blob = "Z" * 55
+    texts = [run + " unique0 suffix0been here",
+             "unique1 starter " + run + " end1",
+             "first blob " + blob + " mid filler words here",
+             "second blob " + blob + " other filler tokens",
+             "nothing shared in this last document at all okay"]
+    df = _docs(spark, texts)
+    tok_docs = {r["doc_id"]
+                for r in duplicate_spans(df, k=8).collect()}
+    exact = duplicate_spans_exact(df, min_len=40).collect()
+    exact_docs = {r["doc_id"] for r in exact}
+    assert tok_docs <= exact_docs          # everything token-found is found
+    assert 3 in exact_docs and 3 not in tok_docs   # and strictly more
+    # the duplicated-run cut in doc 1 covers the run's char range
+    spans1 = [(r["span_start"], r["span_end"])
+              for r in exact if r["doc_id"] == 1]
+    s, e = spans1[0]
+    assert s <= 16 and e >= 16 + len(run)
+
+
+def test_duplicate_spans_exact_within_doc_and_unmerged(spark):
+    from pipelinedp_spark.operators.dedup import duplicate_spans_exact
+    piece = "abcdefghij" * 5                     # 50 chars
+    df = _docs(spark, [piece + " --- " + piece])
+    out = duplicate_spans_exact(df, min_len=50).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"])
+            for r in out] == [(0, 55, 105)]
+    raw = duplicate_spans_exact(df, min_len=50, merge=False).collect()
+    assert (0, 55) in {(r["doc_id"], r["pos"]) for r in raw}
+
+
+def test_duplicate_spans_exact_seed_len_validation(spark):
+    from pipelinedp_spark.operators.dedup import duplicate_spans_exact
+    df = _docs(spark, ["whatever text"])
+    with pytest.raises(ValueError, match="seed_len"):
+        duplicate_spans_exact(df, min_len=10, seed_len=20)
