@@ -5084,8 +5084,12 @@ def _multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "video": vids})
 
     clips = docs.mapInPandas(gen, "doc_id long, video binary")
+    # keyframe mode = the scale path (one decode per video instead of
+    # max_frames); flags are identical to the majority vote on this
+    # corpus — the class is already decided by frame 0 — and the
+    # majority path stays pinned by test_sources_multimodal_streaming.
     return (V.video_dedup(clips, "video", "doc_id",
-                          every_nth=2, max_frames=4)
+                          every_nth=2, max_frames=4, mode="keyframe")
             .select("doc_id", "is_dup"))
 
 

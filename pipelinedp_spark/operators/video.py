@@ -205,7 +205,8 @@ def video_phash(df: DataFrame,
                 video_col: str = "video",
                 id_col: str = "doc_id",
                 every_nth: int = 2,
-                max_frames: Optional[int] = 8) -> DataFrame:
+                max_frames: Optional[int] = 8,
+                mode: str = "majority") -> DataFrame:
     """63-bit video fingerprint: per-frame perceptual hash
     (`multimodal.phash64`, DCT-sign) over the SAMPLED frames, combined
     by per-bit majority — the frame-set signature that survives
@@ -213,10 +214,22 @@ def video_phash(df: DataFrame,
     compared prefix) and single-frame corruption (majority vote).
     Returns (id_col, vfp, n_hashed); vfp is null when no sampled frame
     decodes. One Arrow pass; decode + pHash cost is per SAMPLED frame.
-    """
+
+    ``mode='keyframe'`` is the 100-TB scale path: hash only the FIRST
+    decodable sampled frame and stop demuxing — per-video decode cost
+    drops from max_frames JPEGs to one, and the demux walk ends at the
+    first hit instead of striding the whole container. The keyframe
+    hash loses the majority vote's single-frame-corruption tolerance
+    (a corrupt head frame falls through to the next sampled frame, but
+    a perturbed-yet-decodable one defines the fingerprint), which is
+    the standard trade video fingerprinting makes at fleet scale —
+    near-dup copies of the same cut share their opening frame."""
     from pipelinedp_spark.operators.multimodal import phash64
     if every_nth < 1:
         raise ValueError(f"every_nth={every_nth} must be >= 1")
+    if mode not in ("majority", "keyframe"):
+        raise ValueError(
+            f"mode must be 'majority' or 'keyframe', got {mode!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -237,6 +250,8 @@ def video_phash(df: DataFrame,
                     ph = phash64(decode_jpeg(fr))
                     if ph is not None:
                         hashes.append(ph)
+                        if mode == "keyframe":
+                            break
                 if not hashes:
                     vfp = None
                 else:
@@ -265,15 +280,19 @@ def video_dedup(df: DataFrame,
                 max_hamming: int = 0,
                 num_blocks: int = 4,
                 every_nth: int = 2,
-                max_frames: Optional[int] = 8) -> DataFrame:
+                max_frames: Optional[int] = 8,
+                mode: str = "majority") -> DataFrame:
     """Video near-dup flags from sampled-frame fingerprints — the same
     dedup machinery as image/audio (`multimodal._hash_dedup_flags`):
     exact mode is one groupBy on the fingerprint; near mode uses
     pigeonhole bit-block equi-joins (never all-pairs). Returns
-    (id_col, vfp, is_dup)."""
+    (id_col, vfp, is_dup). ``mode='keyframe'`` fingerprints only the
+    first decodable sampled frame (see `video_phash`) — the decode
+    cost per video becomes O(1) instead of O(max_frames), the right
+    default at corpus scale."""
     from pipelinedp_spark.operators.multimodal import _hash_dedup_flags
     hashed = video_phash(df, video_col, id_col, every_nth,
-                         max_frames).select(id_col, "vfp") \
+                         max_frames, mode).select(id_col, "vfp") \
         .filter(F.col("vfp").isNotNull())
     return _hash_dedup_flags(hashed, id_col, "vfp", 63,
                              max_hamming, num_blocks)

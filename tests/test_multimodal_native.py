@@ -1090,6 +1090,56 @@ def test_video_phash_majority_vote_flips_minority_frame(spark):
     assert fps[0] == fps[1]                   # 4-of-5 majority wins
 
 
+def test_video_phash_keyframe_mode_scale_path(spark):
+    from pipelinedp_spark.operators.video import video_dedup, video_phash
+    cls = [_texture_frame(j) for j in range(4)]
+
+    def clip(n_junk, doc):
+        frames = [cls[i % 4] for i in range(8)]
+        frames += [_texture_frame(1000 + doc * 16 + j)
+                   for j in range(n_junk)]
+        return bytearray(encode_avi_mjpeg(frames, 16, 16))
+
+    df = spark.createDataFrame(
+        [(0, clip(0, 0)), (1, clip(3, 1)), (2, clip(1, 2))],
+        "doc_id long, video binary")
+    kf = {r["doc_id"]: r for r in
+          video_phash(df, every_nth=2, max_frames=4,
+                      mode="keyframe").collect()}
+    mj = {r["doc_id"]: r for r in
+          video_phash(df, every_nth=2, max_frames=4).collect()}
+    # one decode per video, and the same dedup grouping as majority
+    assert all(kf[d]["n_hashed"] == 1 for d in kf)
+    assert (kf[0]["vfp"] == kf[1]["vfp"] == kf[2]["vfp"])
+    flags_kf = {r["doc_id"]: r["is_dup"] for r in
+                video_dedup(df, every_nth=2, max_frames=4,
+                            mode="keyframe").collect()}
+    flags_mj = {r["doc_id"]: r["is_dup"] for r in
+                video_dedup(df, every_nth=2, max_frames=4).collect()}
+    assert flags_kf == flags_mj == {0: False, 1: True, 2: True}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        video_phash(df, mode="nope")
+
+
+def test_video_phash_keyframe_falls_through_corrupt_head(spark):
+    from pipelinedp_spark.operators.video import video_phash
+    good = _texture_frame(7)
+    # frame 0 is undecodable garbage; keyframe mode must fall through
+    # to the next SAMPLED frame instead of emitting a null fingerprint
+    frames = [b"\xff\xd8 garbage not a jpeg", good, good, good]
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_avi_mjpeg(frames, 16, 16))),
+         (1, bytearray(encode_avi_mjpeg([good] * 4, 16, 16)))],
+        "doc_id long, video binary")
+    fps = {r["doc_id"]: r for r in
+           video_phash(df, every_nth=1, max_frames=None,
+                       mode="keyframe").collect()}
+    assert fps[0]["vfp"] is not None
+    assert fps[0]["vfp"] == fps[1]["vfp"]
+    assert fps[0]["n_hashed"] == 1
+
+
 # ---------------------------------------------------------------------------
 # EXIF
 # ---------------------------------------------------------------------------
