@@ -1398,6 +1398,7 @@ _DRIVER_ARTIFACT_FIRST = [
     # they fall inside the driver's 50-row artifact cap.
     "bpe_train_merges",  # upgraded rows-only -> hash oracle in r8
     "doc_duplicate_spans_exact",
+    "dedup_minhash_prod",
 ]
 
 
@@ -1413,6 +1414,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": _doc_text_stats,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_prod": _dedup_minhash_prod,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _dedup_simhash,
@@ -1570,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": _DOC_TEXT_STATS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+        "dedup_minhash_prod": _gen_minhash_prod_sql(),
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _gen_dedup_clusters_sql(),
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
@@ -1830,6 +1833,71 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinedp_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.7)
+
+
+def _dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at PRODUCTION signature width (64
+    hashes, 8 bands of 8 — the recall regime real pipelines run at
+    threshold ~0.7-0.8, pinned by
+    test_minhash_lsh_recall_production_settings). Same plan as
+    `dedup_minhash_lsh`: the signature pass is one Arrow numpy grid per
+    doc (cost linear in num_hashes, zero extra shuffles), so widening
+    8 -> 64 must NOT change the shuffle count — this query exists to
+    keep that claim benched, not just unit-tested."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=64, rows_per_band=8,
+                                   jaccard_threshold=0.7)
+
+
+def _gen_minhash_prod_sql(num_hashes: int = 64, rpb: int = 8,
+                          thr: float = 0.7) -> str:
+    """SQL mirror of `_dedup_minhash_prod` — the 8-hash oracle's
+    structure generated for any signature width (coefficients are the
+    same LCG family, computed inline from the band index). Static SQL:
+    no data-dependent literals, smokeable at any sf."""
+    nb = num_hashes // rpb
+    bands_md5 = ",\n                 ".join(
+        "md5(" + " || '|' || ".join(
+            f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)"
+            for r in range(rpb)) + ")"
+        for b in range(nb))
+    return f"""
+WITH {_SHINGLE_CTE},
+hm AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+          for s in shingles] AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_min([(((1103515245 * (i + 1) + 12345) % 2147483647) * h
+                     + ((2654435761 * i + 97) % 2147483647)) % 2147483647
+                    for h in hs])
+          for i in range(0, {num_hashes})] AS sig
+  FROM hm),
+bands AS (
+  SELECT doc_id,
+         UNNEST(range(0, {nb})) AS band_idx,
+         UNNEST([{bands_md5}])
+             AS band_hash
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      (len(sa.shingles) + len(sb.shingles)
+       - len(list_intersect(sa.shingles, sb.shingles))) >= {thr}
+"""
 
 
 _DEDUP_MINHASH_SQL = f"""
