@@ -1399,6 +1399,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "bpe_train_merges",  # upgraded rows-only -> hash oracle in r8
     "doc_duplicate_spans_exact",
     "dedup_minhash_prod",
+    "stream_semdedup_mirror",
 ]
 
 
@@ -1474,6 +1475,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": _dedup_cross_corpus,
         "multimodal_mp4_meta": _multimodal_mp4_meta,
         "emb_semantic_dedup": _emb_semantic_dedup,
+        "stream_semdedup_mirror": _stream_semdedup_mirror,
         "doc_duplicate_spans": _doc_duplicate_spans,
         "doc_duplicate_spans_exact": _doc_duplicate_spans_exact,
         "doc_unigram_ppl": _doc_unigram_ppl,
@@ -1630,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_corpus": _DEDUP_CROSS_CORPUS_SQL,
         "multimodal_mp4_meta": _MULTIMODAL_MP4_SQL,
         "emb_semantic_dedup": _gen_semantic_dedup_sql(),
+        "stream_semdedup_mirror": _gen_stream_semdedup_sql(),
         "doc_duplicate_spans": _DOC_DUP_SPANS_SQL,
         "doc_duplicate_spans_exact": _DOC_DUP_SPANS_EXACT_SQL,
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
@@ -3644,6 +3647,89 @@ dups AS (
                * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau})
 SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
 FROM ass a LEFT JOIN dups d USING (vec_id)
+"""
+
+
+def _stream_semdedup_mirror(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.semantic_dedup_batch` with exact
+    two-trigger semantics (same harness as the line/sentence/near-dup
+    mirrors): batch 0 = even vec_ids deduped among themselves, batch 1 =
+    odd vec_ids checked against batch 0's KEPT state then among
+    themselves by the earlier-id rule. Quantizer trained once on the
+    lowest-10k-id sample of the full table (the operator's required
+    fixed-centroids contract), identical to the oracle generator's."""
+    from pipelinedp_spark.operators.similarity import (
+        sample_corpus_matrix, train_ivf_centroids)
+    from pipelinedp_spark.streaming.dp_streaming import (
+        semantic_dedup_batch)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        sample_corpus_matrix(emb, "vec_id", "embedding", 10_000), 8, 7)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    f1, s1 = semantic_dedup_batch(even, None, cents,
+                                  cosine_threshold=0.4,
+                                  materialize=True)
+    f2, _ = semantic_dedup_batch(odd, s1, cents, cosine_threshold=0.4)
+    return (f1.withColumn("batch", F.lit(0).cast("long"))
+            .unionByName(f2.withColumn("batch",
+                                       F.lit(1).cast("long"))))
+
+
+def _gen_stream_semdedup_sql(num_clusters: int = 8, tau: float = 0.4,
+                             seed: int = 7,
+                             sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `_stream_semdedup_mirror`: same baked centroids as
+    `_gen_semantic_dedup_sql`; batch-0 dups by the earlier-id rule among
+    evens, kept evens form the state, batch-1 dups = cosine hit against
+    any kept even OR an earlier odd."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pipelinedp_spark.operators.similarity import train_ivf_centroids
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(10_000)
+    x = np.stack(t["embedding"].to_numpy()).astype("float64")
+    cents = train_ivf_centroids(x, num_clusters, seed)
+    cell_rows = ", ".join(f"({c}, {_plane_lit(cents[c])})"
+                          for c in range(len(cents)))
+    cos = ("ROUND(list_dot_product(a.v, b.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) "
+           "* sqrt(list_dot_product(b.v, b.v))), 6)")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells(cell, cv) AS (VALUES {cell_rows}),
+ass AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, cv) DESC,
+                                       cell ASC) AS rn
+    FROM base CROSS JOIN cells) WHERE rn = 1),
+d0 AS (
+  SELECT DISTINCT b.vec_id
+  FROM ass a JOIN ass b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND {cos} >= {tau}),
+k0 AS (
+  SELECT a.* FROM ass a
+  WHERE a.vec_id % 2 = 0
+    AND a.vec_id NOT IN (SELECT vec_id FROM d0)),
+d1 AS (
+  SELECT DISTINCT b.vec_id
+  FROM k0 a JOIN ass b ON a.cell = b.cell
+  WHERE b.vec_id % 2 = 1 AND {cos} >= {tau}
+  UNION
+  SELECT DISTINCT b.vec_id
+  FROM ass a JOIN ass b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 1 AND {cos} >= {tau})
+SELECT a.vec_id, a.cell,
+       CASE WHEN a.vec_id % 2 = 0 THEN (d0.vec_id IS NOT NULL)
+            ELSE (d1.vec_id IS NOT NULL) END AS is_dup,
+       a.vec_id % 2 AS batch
+FROM ass a
+LEFT JOIN d0 ON a.vec_id = d0.vec_id
+LEFT JOIN d1 ON a.vec_id = d1.vec_id
 """
 
 

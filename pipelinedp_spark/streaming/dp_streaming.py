@@ -1298,6 +1298,132 @@ def sentence_dedup_batch(batch: DataFrame,
     return cleaned, merged
 
 
+def semantic_dedup_batch(batch: DataFrame,
+                         state: Optional[DataFrame],
+                         centroids,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         cosine_threshold: float = 0.7,
+                         max_cluster_rows: int = 500_000,
+                         materialize: bool = False
+                         ) -> "tuple[DataFrame, DataFrame]":
+    """One micro-batch of incremental SEMANTIC dedup — the streaming
+    twin of `operators.semdedup.semantic_dedup` (same state contract as
+    `near_dup_dedup_batch`): a batch vector is a duplicate iff its
+    round(cosine, 6) >= ``cosine_threshold`` against (a) any previously
+    KEPT vector in the same quantizer cell (``state``) or (b) any
+    smaller-id same-cell vector of the same batch (kept or not — the
+    batch operator's earlier-id rule). ``centroids`` is REQUIRED: cells
+    must be stable across batches, so the quantizer trains offline (or
+    on the first batch) and is passed in — retraining per batch would
+    silently re-shard the state.
+
+    Returns (flags, new_state): flags = (id_col, cell, is_dup) for the
+    batch's rows; new_state = state plus the batch's kept
+    (id_col, cell, vec) rows, REPLACING the old state.
+
+    Scale shape: cell assignment is one Arrow pass; the comparison is
+    the same per-cell numpy mat-mul as the batch operator
+    (groupBy(cell).applyInPandas), sized by state+batch per cell and
+    guarded by ``max_cluster_rows``; state never joins corpus x corpus.
+    """
+    import numpy as np
+    from pipelinedp_spark.operators.semdedup import assign_cells_udf
+
+    if centroids is None:
+        raise ValueError(
+            "semantic_dedup_batch requires fixed centroids: train once "
+            "offline (train_ivf_centroids) so cells are stable across "
+            "batches")
+    src = batch.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"))
+    cells = src.withColumn("cell",
+                           assign_cells_udf(centroids)(F.col("_vec")))         .withColumn("__st__", F.lit(False))
+    if materialize:
+        cells = cells.localCheckpoint()
+    merged = cells if state is None else cells.unionByName(
+        state.select(F.col("_id"), F.col("_vec"), F.col("cell"),
+                     F.lit(True).alias("__st__")))
+
+    thr = float(cosine_threshold)
+    cap = int(max_cluster_rows)
+
+    def _mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:
+            raise ValueError(
+                f"cell {int(pdf['cell'].iloc[0])} has {len(pdf)} rows "
+                f"(state+batch) > max_cluster_rows={cap}; raise "
+                "num_clusters when training the quantizer")
+        # state rows first (they are always "earlier"), then batch
+        # rows by ascending id — the lower triangle then encodes
+        # exactly the vs-state + earlier-in-batch rule.
+        pdf = pdf.sort_values(["__st__", "_id"],
+                              ascending=[False, True])
+        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        cos = np.round(unit @ unit.T, 6)
+        hit = np.tril(cos >= thr, k=-1).any(axis=1)
+        keep = ~pdf["__st__"].to_numpy()
+        return pd.DataFrame({id_col: pdf["_id"].to_numpy()[keep],
+                             "cell": pdf["cell"].to_numpy()[keep],
+                             "is_dup": hit[keep]})
+
+    flags = (merged.groupBy("cell")
+             .applyInPandas(_mark,
+                            schema=f"{id_col} long, cell int, "
+                                   f"is_dup boolean"))
+    if materialize:
+        flags = flags.localCheckpoint()
+    kept = (cells.join(
+        flags.filter(~F.col("is_dup")).select(F.col(id_col).alias("_id")),
+        "_id").select("_id", "_vec", "cell"))
+    new_state = kept if state is None else state.select(
+        "_id", "_vec", "cell").unionByName(kept)
+    if materialize:
+        # Pins the old-state read: the streaming writer OVERWRITES the
+        # state path this plan reads from — unmaterialized, the write
+        # would delete the files mid-scan.
+        new_state = new_state.localCheckpoint()
+    return flags, new_state
+
+
+def streaming_semantic_dedup(stream: DataFrame,
+                             centroids,
+                             output_path: str,
+                             state_path: str,
+                             checkpoint_dir: str,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             cosine_threshold: float = 0.7,
+                             max_cluster_rows: int = 500_000):
+    """Streaming ingest-time semantic dedup via foreachBatch — the
+    SemDeDup twin of `streaming_near_dup_dedup`, with the same state
+    overwrite contract and replay caveat (an at-least-once retry of a
+    batch can double-append to the output; state stays correct because
+    it is rebuilt from scratch each write). Returns the started
+    StreamingQuery."""
+    spark = stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            state = None
+        flags, new_state = semantic_dedup_batch(
+            batch_df, state, centroids, vec_col, id_col,
+            cosine_threshold, max_cluster_rows, materialize=True)
+        flags.write.mode("append").parquet(output_path)
+        new_state.write.mode("overwrite").parquet(state_path)
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def streaming_sentence_dedup(stream: DataFrame,
                              output_path: str,
                              state_path: str,

@@ -962,3 +962,77 @@ def test_streaming_sentence_dedup_end_to_end(spark, tmp_path):
     got = {r["doc_id"]: r["clean_text"].strip()
            for r in spark.read.parquet(outp).collect()}
     assert got == {0: "alpha.", 1: "beta.", 2: "gamma."}
+
+
+# ---------------------------------------------------------------------------
+# streaming semantic dedup (SemDeDup twin)
+# ---------------------------------------------------------------------------
+
+def _mk_vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+
+def _axis_centroids():
+    import numpy as np
+    return np.eye(4, dtype="float64")[:2]     # cells = e0, e1
+
+
+def test_semantic_dedup_batch_state_and_in_batch_rules(spark):
+    from pipelinedp_spark.streaming.dp_streaming import semantic_dedup_batch
+    cents = _axis_centroids()
+    b1 = _mk_vecs(spark, [(1, [1, 0.1, 0, 0]),
+                          (2, [0.1, 1, 0, 0]),
+                          (3, [1, 0.11, 0, 0])])   # in-batch dup of 1
+    f1, s1 = semantic_dedup_batch(b1, None, cents,
+                                  cosine_threshold=0.9,
+                                  materialize=True)
+    flags1 = {r["vec_id"]: r["is_dup"] for r in f1.collect()}
+    assert flags1 == {1: False, 2: False, 3: True}
+    s1 = s1.localCheckpoint()
+    assert sorted(r["_id"] for r in s1.collect()) == [1, 2]  # kept only
+    # Batch 2: 4 matches state vec 1; 5 is novel; 6 matches 5 in-batch.
+    b2 = _mk_vecs(spark, [(4, [1, 0.09, 0, 0]),
+                          (5, [0, 1, 0.9, 0]),
+                          (6, [0, 1, 0.91, 0])])
+    f2, s2 = semantic_dedup_batch(b2, s1, cents, cosine_threshold=0.9)
+    flags2 = {r["vec_id"]: r["is_dup"] for r in f2.collect()}
+    assert flags2[4] is True and flags2[5] is False and flags2[6] is True
+    assert sorted(r["_id"] for r in s2.collect()) == [1, 2, 5]
+    # fixed-centroid contract
+    with pytest.raises(ValueError, match="centroids"):
+        semantic_dedup_batch(b2, s1, None)
+
+
+def test_streaming_semantic_dedup_end_to_end(spark, tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_semantic_dedup)
+    cents = _axis_centroids()
+    src = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    statep = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_vecs(spark, [(1, [1, 0.1, 0, 0]), (2, [0.1, 1, 0, 0])]) \
+        .write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .parquet(src + "/*"))
+    q = streaming_semantic_dedup(stream, cents, outp, statep, ckpt,
+                                 cosine_threshold=0.9)
+    q.awaitTermination(120)
+    _mk_vecs(spark, [(3, [1, 0.09, 0, 0]),      # dup of kept 1
+                     (4, [0, 1, 0.9, 0])]) \
+        .write.parquet(src + "/f2.parquet")
+    stream2 = (spark.readStream
+               .schema("vec_id long, embedding array<double>")
+               .parquet(src + "/*"))
+    q2 = streaming_semantic_dedup(stream2, cents, outp, statep, ckpt,
+                                  cosine_threshold=0.9)
+    q2.awaitTermination(120)
+    flags = {r["vec_id"]: r["is_dup"]
+             for r in spark.read.parquet(outp).collect()}
+    assert flags == {1: False, 2: False, 3: True, 4: False}
+    state_ids = sorted(r["_id"]
+                       for r in spark.read.parquet(statep).collect())
+    assert state_ids == [1, 2, 4]
