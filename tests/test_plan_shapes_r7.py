@@ -113,3 +113,65 @@ def test_textrank_iteration_no_nested_loop(spark):
     assert "TakeOrderedAndProject" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert P.has_partial_aggregation(out)
+
+
+# ---------------------------------------------------------------------------
+# round-8 pins: the three heaviest bench queries must keep their
+# hot-key-safe shapes (a refactor regressing any of these re-introduces
+# the single-task cliffs fixed in r6/r7)
+# ---------------------------------------------------------------------------
+
+def test_keep_best_survivors_no_window_argmax_agg(spark):
+    """keep_best_representative: the per-cluster survivor must be a
+    max(struct) AGGREGATE (map-side combinable), never a row_number
+    window — a corpus-hot cluster on a window partition serializes onto
+    one unsplittable task."""
+    from pipelinedp_spark.operators.graph import keep_best_representative
+    docs = _docs(spark).select("doc_id", "n_chars")
+    clusters = docs.select("doc_id",
+                           (F.col("doc_id") % 5).alias("cluster_id"))
+    out = keep_best_representative(docs, clusters, "n_chars")
+    plan = P.explain_str(out)
+    assert "Window" not in plan
+    assert P.has_partial_aggregation(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_near_dup_clusters_plan_rooted_at_checkpoints(spark):
+    """near_dup_clusters (pointer-jumping CC): the returned frame must
+    read from CHECKPOINTED iteration state (ExistingRDD scans), not drag
+    the whole iterative lineage; and the label fold is an aggregate,
+    not a window."""
+    from pipelinedp_spark.operators import dedup, graph
+    docs = _docs(spark).limit(200)
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    out = graph.near_dup_clusters(docs, pairs)
+    plan = P.explain_str(out)
+    assert "ExistingRDD" in plan          # checkpointed state, not lineage
+    assert "Window" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_source_quality_report_single_agg_no_windows_on_docs(spark):
+    """doc_source_quality_report: the per-source rollup must be ONE
+    map-side-combinable aggregate over the gopher+FK join; the only
+    window allowed in the whole plan is the bounded per-doc top-2-gram
+    argmax (WindowGroupLimit family), never a count/rank window over
+    the corpus-hot source key."""
+    from pipelinedp_spark.functions import text as TX
+    from pipelinedp_spark.operators.quality import gopher_quality_filter
+    docs = _docs(spark)
+    g = gopher_quality_filter(docs).select("doc_id", "passes")
+    base = docs.select("doc_id", "source",
+                       TX.flesch_kincaid_grade(F.col("text")).alias("fk"))
+    out = (base.join(g, "doc_id").groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("passes").cast("long")).alias("n_pass")))
+    plan = P.explain_str(out)
+    assert P.has_partial_aggregation(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # any Window node must be the per-doc top-gram one (partitioned by
+    # doc_id), never by source
+    import re
+    for m in re.finditer(r"Window.*?\[([^\]]*)\]", plan):
+        assert "source" not in m.group(1)
