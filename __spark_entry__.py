@@ -1400,6 +1400,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_duplicate_spans_exact",
     "dedup_minhash_prod",
     "stream_semdedup_mirror",
+    "doc_pii_audit",
 ]
 
 
@@ -1478,6 +1479,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_semdedup_mirror": _stream_semdedup_mirror,
         "doc_duplicate_spans": _doc_duplicate_spans,
         "doc_duplicate_spans_exact": _doc_duplicate_spans_exact,
+        "doc_pii_audit": _doc_pii_audit,
         "doc_unigram_ppl": _doc_unigram_ppl,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_dsir_weights": _doc_dsir_weights,
@@ -1635,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_semdedup_mirror": _gen_stream_semdedup_sql(),
         "doc_duplicate_spans": _DOC_DUP_SPANS_SQL,
         "doc_duplicate_spans_exact": _DOC_DUP_SPANS_EXACT_SQL,
+        "doc_pii_audit": _gen_pii_audit_sql(),
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
         "doc_bm25_topk": _gen_bm25_sql(),
         "doc_dsir_weights": _gen_dsir_sql(),
@@ -3730,6 +3733,112 @@ SELECT a.vec_id, a.cell,
 FROM ass a
 LEFT JOIN d0 ON a.vec_id = d0.vec_id
 LEFT JOIN d1 ON a.vec_id = d1.vec_id
+"""
+
+
+_PII_PLANT = (
+    " contact user@example-site.org now",      # email    (%5 == 0)
+    " card 4532015112830366 on file",          # Luhn-valid card (%7==3)
+    " card 1234567890123456 rejected",         # Luhn-invalid card (%7==4)
+    " ssn 987-65-4320 via 10.0.0.77",          # ssn + ip (%9 == 1)
+    " call 555-867-5309 today",                # phone    (%6 == 2)
+)
+
+
+def _doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + scrub (`functions.pii.pii_report`): detection counts
+    per type (credit cards Luhn-verified in pure integer codegen),
+    plus the placeholder-redacted text — the standard pre-release
+    corpus scrub. Deterministic PII of every type is planted by doc_id
+    residue so all detector branches and the redaction order are
+    exercised; patterns are the Java-regex/RE2 common subset so the
+    DuckDB mirror runs them VERBATIM. Map-only stage: no shuffle."""
+    from pipelinedp_spark.functions.pii import pii_report
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(_PII_PLANT[0])).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 3,
+                   F.lit(_PII_PLANT[1])).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 4,
+                   F.lit(_PII_PLANT[2])).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 1,
+                   F.lit(_PII_PLANT[3])).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 2,
+                   F.lit(_PII_PLANT[4])).otherwise(F.lit("")),
+        ).alias("text"))
+    rep = pii_report(planted)
+    return rep.select(
+        "doc_id", "n_email", "n_card", "n_ssn", "n_phone", "n_ipv4",
+        "n_card_luhn", "any_pii",
+        F.md5(F.col("clean_text")).alias("clean_md5"))
+
+
+def _gen_pii_audit_sql() -> str:
+    """SQL mirror of `_doc_pii_audit`: identical patterns (verbatim —
+    both engines treat the single-quoted pattern literally), identical
+    redaction order, and the same 0-based-odd Luhn double expressed
+    1-based. Static SQL, smokeable at any sf."""
+    from pipelinedp_spark.functions.pii import PII_PATTERNS
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    repl = ""
+    inner = "text"
+    for name, pat, placeholder in PII_PATTERNS:
+        inner = (f"regexp_replace({inner}, '{pat}', "
+                 f"'{placeholder}', 'g')")
+    repl = inner
+    plant = _PII_PLANT
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         documents.text
+         || CASE WHEN doc_id % 5 = 0 THEN '{plant[0]}' ELSE '' END
+         || CASE WHEN doc_id % 7 = 3 THEN '{plant[1]}' ELSE '' END
+         || CASE WHEN doc_id % 7 = 4 THEN '{plant[2]}' ELSE '' END
+         || CASE WHEN doc_id % 9 = 1 THEN '{plant[3]}' ELSE '' END
+         || CASE WHEN doc_id % 6 = 2 THEN '{plant[4]}' ELSE '' END
+             AS text
+  FROM documents),
+cards AS (
+  SELECT doc_id,
+         [x::INT for x in regexp_extract_all(reverse(c), '[0-9]')] AS dl
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{pats["card"]}'))
+               AS c
+        FROM base)),
+luhn AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE
+           list_sum([CASE WHEN i % 2 = 0
+                          THEN CASE WHEN dl[i] * 2 > 9
+                                    THEN dl[i] * 2 - 9
+                                    ELSE dl[i] * 2 END
+                          ELSE dl[i] END
+                     for i in range(1, len(dl) + 1)]) % 10 = 0)
+             AS n_luhn
+  FROM cards GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS INT)
+           AS n_email,
+       CAST(len(regexp_extract_all(text, '{pats["card"]}')) AS INT)
+           AS n_card,
+       CAST(len(regexp_extract_all(text, '{pats["ssn"]}')) AS INT)
+           AS n_ssn,
+       CAST(len(regexp_extract_all(text, '{pats["phone"]}')) AS INT)
+           AS n_phone,
+       CAST(len(regexp_extract_all(text, '{pats["ipv4"]}')) AS INT)
+           AS n_ipv4,
+       CAST(COALESCE(l.n_luhn, 0) AS INT) AS n_card_luhn,
+       (len(regexp_extract_all(text, '{pats["email"]}')) > 0
+        OR len(regexp_extract_all(text, '{pats["card"]}')) > 0
+        OR len(regexp_extract_all(text, '{pats["ssn"]}')) > 0
+        OR len(regexp_extract_all(text, '{pats["phone"]}')) > 0
+        OR len(regexp_extract_all(text, '{pats["ipv4"]}')) > 0)
+           AS any_pii,
+       md5({repl}) AS clean_md5
+FROM base b LEFT JOIN luhn l USING (doc_id)
 """
 
 

@@ -56,7 +56,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "lineitem_order_stats", "events_session_funnel",
          "customer_scd2",
          # round-8 (static oracles)
-         "doc_duplicate_spans_exact", "dedup_minhash_prod"]
+         "doc_duplicate_spans_exact", "dedup_minhash_prod",
+         "doc_pii_audit"]
 
 
 @pytest.fixture(scope="module")

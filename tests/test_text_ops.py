@@ -1357,3 +1357,55 @@ def test_sentence_dedup_oversize_guard(spark):
     out = {r["doc_id"]: r for r in dedup.sentence_dedup(
         df, max_sentences_per_doc=2, on_oversize="truncate").collect()}
     assert out[0]["n_lines"] == 2
+
+
+# ---------------------------------------------------------------------------
+# functions.pii (full audit/scrub surface)
+# ---------------------------------------------------------------------------
+
+def test_pii_report_counts_redaction_and_luhn(spark):
+    from pipelinedp_spark.functions.pii import pii_report
+    rows = [
+        (0, "mail jane.doe+x@example.co.uk or call 555-123-4567"),
+        (1, "card 4532015112830366 ok; fake 1234567890123456 here"),
+        (2, "ssn 123-45-6789 ip 192.168.10.250 done"),
+        (3, "nothing sensitive at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_report(df).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "[EMAIL]" in out[0]["clean_text"]
+    assert "[PHONE]" in out[0]["clean_text"]
+    # both digit runs redacted, only the Luhn-valid one counted
+    assert out[1]["n_card"] == 2 and out[1]["n_card_luhn"] == 1
+    assert out[1]["clean_text"].count("[CARD]") == 2
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
+    assert "[SSN]" in out[2]["clean_text"]
+    assert not out[3]["any_pii"]
+    assert out[3]["clean_text"] == "nothing sensitive at all"
+
+
+def test_pii_redact_type_subset_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from pipelinedp_spark.functions.pii import redact_pii
+    df = spark.createDataFrame(
+        [("a@b.io ssn 123-45-6789",)], "text string")
+    only_email = df.select(
+        redact_pii(F.col("text"), ["email"]).alias("t")).first()["t"]
+    assert only_email == "[EMAIL] ssn 123-45-6789"
+    with pytest.raises(ValueError, match="unknown PII types"):
+        redact_pii(F.col("text"), ["passport"])
+
+
+def test_pii_luhn_expr_known_vectors(spark):
+    from pyspark.sql import functions as F
+    from pipelinedp_spark.functions.pii import luhn_valid_expr
+    vec = [("4532015112830366", True),   # valid Visa test number
+           ("79927398713", True),        # classic Luhn example
+           ("79927398710", False),
+           ("1234567890123456", False)]
+    df = spark.createDataFrame([(d,) for d, _ in vec], "d string")
+    got = [r["ok"] for r in
+           df.select(luhn_valid_expr(F.col("d")).alias("ok")).collect()]
+    assert got == [want for _, want in vec]
