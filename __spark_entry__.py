@@ -1401,6 +1401,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "dedup_minhash_prod",
     "stream_semdedup_mirror",
     "doc_pii_audit",
+    "doc_decontaminate_spans",
 ]
 
 
@@ -1480,6 +1481,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_spans": _doc_duplicate_spans,
         "doc_duplicate_spans_exact": _doc_duplicate_spans_exact,
         "doc_pii_audit": _doc_pii_audit,
+        "doc_decontaminate_spans": _doc_decontaminate_spans,
         "doc_unigram_ppl": _doc_unigram_ppl,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_dsir_weights": _doc_dsir_weights,
@@ -1638,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_duplicate_spans": _DOC_DUP_SPANS_SQL,
         "doc_duplicate_spans_exact": _DOC_DUP_SPANS_EXACT_SQL,
         "doc_pii_audit": _gen_pii_audit_sql(),
+        "doc_decontaminate_spans": _DOC_DECON_SPANS_SQL,
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
         "doc_bm25_topk": _gen_bm25_sql(),
         "doc_dsir_weights": _gen_dsir_sql(),
@@ -3969,6 +3972,104 @@ SELECT doc_id,
        CAST(MIN(start) AS BIGINT) AS span_start,
        CAST(MAX("end") AS BIGINT) AS span_end
 FROM grps GROUP BY doc_id, grp
+"""
+
+
+_DECON_BENCH = ("Which river is the longest river flowing entirely "
+                "within the national borders, and why does it matter?")
+
+
+def _doc_decontaminate_spans(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination
+    (`dedup.cross_corpus_spans` + `dedup.cut_spans`): the benchmark
+    corpus is every doc with doc_id % 17 == 5 plus a fixed question
+    string; training docs with doc_id % 23 == 2 get that question
+    planted (a cross-corpus hit the cut must remove), and benchmark
+    members themselves appear verbatim in training (fully cut — the
+    leaked-benchmark case). Cuts are surgical character ranges, not
+    whole-document drops. Returns (doc_id, clean_md5, n_spans,
+    n_cut_chars)."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 23 == 2,
+                        F.lit(" " + _DECON_BENCH)).otherwise(F.lit("")))
+        .alias("text"))
+    ref = (docs.filter(F.col("doc_id") % 17 == 5)
+           .select("doc_id",
+                   F.concat(F.col("text"), F.lit(" " + _DECON_BENCH))
+                   .alias("text")))
+    spans = dedup.cross_corpus_spans(train, ref, min_len=48,
+                                     seed_len=16)
+    out = dedup.cut_spans(train, spans)
+    return out.select("doc_id",
+                      F.md5(F.col("clean_text")).alias("clean_md5"),
+                      "n_spans", "n_cut_chars")
+
+
+_DOC_DECON_SPANS_SQL = f"""
+WITH train AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 23 = 2 THEN ' {_DECON_BENCH}'
+                      ELSE '' END AS t
+  FROM documents),
+ref AS (
+  SELECT text || ' {_DECON_BENCH}' AS t
+  FROM documents WHERE doc_id % 17 = 5),
+dh AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         md5(substr(t, CAST(p AS INTEGER) + 1, 48)) AS h
+  FROM (SELECT doc_id, unnest(range(0, length(t) - 48 + 1)) AS p, t
+        FROM train WHERE length(t) >= 48)),
+rh AS (
+  SELECT DISTINCT md5(substr(t, CAST(p AS INTEGER) + 1, 48)) AS h
+  FROM (SELECT unnest(range(0, length(t) - 48 + 1)) AS p, t
+        FROM ref WHERE length(t) >= 48)),
+marked AS (SELECT doc_id, p FROM dh JOIN rh USING (h)),
+iv AS (SELECT doc_id, p AS start, p + 48 AS "end" FROM marked),
+m AS (
+  SELECT doc_id, start, "end",
+         MAX("end") OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+  FROM iv),
+grps AS (
+  SELECT doc_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR start > prev_end
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS grp
+  FROM m),
+spans AS (
+  SELECT doc_id, MIN(start) AS s, MAX("end") AS e
+  FROM grps GROUP BY doc_id, grp),
+packed AS (
+  SELECT doc_id,
+         list({{'s': s, 'e': e}} ORDER BY s) AS sp
+  FROM spans GROUP BY doc_id),
+cutdoc AS (
+  SELECT t.doc_id, t.t, COALESCE(p.sp, []) AS sp
+  FROM train t LEFT JOIN packed p USING (doc_id)),
+gaps AS (
+  SELECT doc_id, t,
+         list_prepend(CAST(0 AS BIGINT), [x.e for x in sp]) AS gs,
+         list_append([x.s for x in sp], CAST(length(t) AS BIGINT))
+             AS ge,
+         sp
+  FROM cutdoc)
+SELECT doc_id,
+       md5(array_to_string(
+         [substr(t, CAST(gs[i] AS INTEGER) + 1,
+                 CAST(ge[i] - gs[i] AS INTEGER))
+          for i in range(1, len(gs) + 1)], '')) AS clean_md5,
+       CAST(len(sp) AS BIGINT) AS n_spans,
+       CAST(COALESCE(list_sum([x.e - x.s for x in sp]), 0) AS BIGINT)
+           AS n_cut_chars
+FROM gaps
 """
 
 

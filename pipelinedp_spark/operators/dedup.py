@@ -1136,3 +1136,115 @@ def sentence_dedup(df: DataFrame,
         F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
         F.coalesce("n_removed", F.lit(0)).cast("long")
         .alias("n_removed")))
+
+
+def cross_corpus_spans(docs: DataFrame,
+                       reference: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_len: int = 50,
+                       seed_len: int = 16) -> DataFrame:
+    """Character ranges of ``docs`` that also occur in ``reference`` —
+    the span-level eval-set decontamination primitive (cut the
+    overlapping span, keep the document) used by modern pretraining
+    reports, and the cross-corpus sibling of `duplicate_spans_exact`:
+    a position is marked iff it lies inside a substring of length >=
+    ``min_len`` chars present anywhere in the reference corpus.
+
+    Same two-phase sorted-suffix-join shape as the within-corpus exact
+    pass, made asymmetric: both sides emit cheap xxhash64 seed grams,
+    only seeds present on BOTH sides survive (a semi-join on the
+    8-byte hash — the corpus-scale prefilter), and only those
+    candidate positions pay the md5(min_len)-window verify. Doc
+    windows then semi-join the DISTINCT reference window hashes. Never
+    doc x reference; every join is on a hash key.
+
+    Returns merged (id_col, span_start, span_end), end-exclusive.
+    Compose with `cut_spans` to rebuild the cleaned text."""
+    if seed_len > min_len:
+        raise ValueError(
+            f"seed_len ({seed_len}) must be <= min_len ({min_len})")
+
+    def _seeds(df: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        return (df.filter(F.length(t) >= min_len)
+                .select(F.col(id_col), t)
+                .select(F.col(id_col),
+                        F.explode(F.expr(
+                            f"transform(sequence(0, length({text_col})"
+                            f" - {min_len}), p -> struct(p AS pos, "
+                            f"xxhash64(substring({text_col}, p + 1, "
+                            f"{seed_len})) AS sh))")).alias("s"))
+                .select(id_col, F.col("s.pos").alias("pos"),
+                        F.col("s.sh").alias("sh")))
+
+    def _verify(df: DataFrame, cand: DataFrame) -> DataFrame:
+        pos_lists = cand.groupBy(id_col).agg(
+            F.array_sort(F.collect_list("pos")).alias("ps"))
+        return (df.filter(F.length(F.col(text_col)) >= min_len)
+                .join(pos_lists, id_col)
+                .select(F.col(id_col),
+                        F.explode(F.expr(
+                            f"transform(ps, p -> struct(p AS pos, "
+                            f"md5(substring({text_col}, p + 1, "
+                            f"{min_len})) AS h))")).alias("v"))
+                .select(id_col, F.col("v.pos").alias("pos"),
+                        F.col("v.h").alias("h")))
+
+    dseeds = _seeds(docs)
+    rseeds = _seeds(reference)
+    shared = (dseeds.select("sh").distinct()
+              .join(rseeds.select("sh").distinct(), "sh"))
+    dcand = dseeds.join(shared, "sh").select(id_col, "pos")
+    rcand = rseeds.join(shared, "sh").select(id_col, "pos")
+    ref_hashes = (_verify(reference, rcand)
+                  .select("h").distinct())
+    marked = (_verify(docs, dcand)
+              .join(ref_hashes, "h")
+              .select(id_col, "pos"))
+    iv = marked.select(F.col(id_col), F.col("pos").alias("start"),
+                       (F.col("pos") + min_len).alias("end"))
+    return _merge_spans(iv, id_col)
+
+
+def cut_spans(docs: DataFrame,
+              spans: DataFrame,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Rebuild each document's text with the given (span_start,
+    span_end) CHARACTER ranges removed — the execution half of
+    `duplicate_spans_exact` / `cross_corpus_spans`. Ranges must be
+    non-overlapping and end-exclusive (which the span detectors'
+    merge step guarantees). Documents with no spans pass through
+    unchanged.
+
+    One groupBy(doc) packs that document's spans into a sorted array
+    (bounded by doc size), one equi-join attaches them to the text,
+    and the splice is pure codegen: the kept text is the gap segments
+    between consecutive spans — zip([0] + span_ends, span_starts +
+    [len]) -> substrings -> join. No window, no Python. Returns
+    (id_col, clean_text, n_spans, n_cut_chars)."""
+    packed = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e")))).alias("__sp__"))
+    joined = docs.select(F.col(id_col), F.col(text_col)) \
+        .join(packed, id_col, "left")
+    sp = F.coalesce(F.col("__sp__"), F.array().cast(
+        "array<struct<s:bigint,e:bigint>>"))
+    t = F.col(text_col)
+    gap_starts = F.concat(F.array(F.lit(0).cast("long")),
+                          F.transform(sp, lambda x: x["e"]))
+    gap_ends = F.concat(F.transform(sp, lambda x: x["s"]),
+                        F.array(F.length(t).cast("long")))
+    pieces = F.zip_with(
+        gap_starts, gap_ends,
+        lambda a, b: F.substring(t, (a + 1).cast("int"),
+                                 (b - a).cast("int")))
+    n_cut = F.aggregate(sp, F.lit(0).cast("long"),
+                        lambda acc, x: acc + (x["e"] - x["s"]))
+    return joined.select(
+        id_col,
+        F.array_join(pieces, "").alias("clean_text"),
+        F.size(sp).cast("long").alias("n_spans"),
+        n_cut.alias("n_cut_chars"))

@@ -57,7 +57,7 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "customer_scd2",
          # round-8 (static oracles)
          "doc_duplicate_spans_exact", "dedup_minhash_prod",
-         "doc_pii_audit"]
+         "doc_pii_audit", "doc_decontaminate_spans"]
 
 
 @pytest.fixture(scope="module")

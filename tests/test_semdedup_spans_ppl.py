@@ -624,3 +624,43 @@ def test_duplicate_spans_exact_seed_len_validation(spark):
     df = _docs(spark, ["whatever text"])
     with pytest.raises(ValueError, match="seed_len"):
         duplicate_spans_exact(df, min_len=10, seed_len=20)
+
+
+def test_cross_corpus_spans_and_cut(spark):
+    from pipelinedp_spark.operators.dedup import (cross_corpus_spans,
+                                                  cut_spans)
+    bench = ("What is the capital of the largest country by land "
+             "area and when was it founded exactly?")
+    docs = _docs(spark, [
+        "intro words here. " + bench + " trailing original prose.",
+        "completely unrelated text with nothing shared at all okay",
+        bench,                                    # leaked benchmark doc
+    ])
+    ref = spark.createDataFrame([(100, bench)],
+                                "doc_id long, text string")
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in cross_corpus_spans(docs, ref,
+                                         min_len=40).collect()}
+    assert (2, 0, len(bench)) in spans            # full-doc cut
+    assert any(d == 0 for d, _, _ in spans)       # embedded hit cut
+    assert not any(d == 1 for d, _, _ in spans)   # clean doc untouched
+    out = {r["doc_id"]: r for r in
+           cut_spans(docs, cross_corpus_spans(
+               docs, ref, min_len=40)).collect()}
+    assert bench not in out[0]["clean_text"]
+    assert out[0]["clean_text"].startswith("intro words here.")
+    assert out[0]["clean_text"].endswith("trailing original prose.")
+    assert out[1]["clean_text"].startswith("completely unrelated")
+    assert out[1]["n_spans"] == 0 and out[1]["n_cut_chars"] == 0
+    assert out[2]["clean_text"] == ""
+
+
+def test_cut_spans_multiple_ranges_and_validation(spark):
+    from pipelinedp_spark.operators.dedup import cut_spans
+    docs = _docs(spark, ["0123456789abcdefghij"])
+    spans = spark.createDataFrame(
+        [(0, 2, 5), (0, 10, 13)],
+        "doc_id long, span_start long, span_end long")
+    out = cut_spans(docs, spans).collect()[0]
+    assert out["clean_text"] == "01" + "56789" + "defghij"
+    assert out["n_spans"] == 2 and out["n_cut_chars"] == 6
