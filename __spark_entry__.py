@@ -1402,6 +1402,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "stream_semdedup_mirror",
     "doc_pii_audit",
     "doc_decontaminate_spans",
+    "events_k_anonymity",
+    "events_pseudonymize",
 ]
 
 
@@ -1482,6 +1484,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_spans_exact": _doc_duplicate_spans_exact,
         "doc_pii_audit": _doc_pii_audit,
         "doc_decontaminate_spans": _doc_decontaminate_spans,
+        "events_k_anonymity": _events_k_anonymity,
+        "events_pseudonymize": _events_pseudonymize,
         "doc_unigram_ppl": _doc_unigram_ppl,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_dsir_weights": _doc_dsir_weights,
@@ -1641,6 +1645,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_duplicate_spans_exact": _DOC_DUP_SPANS_EXACT_SQL,
         "doc_pii_audit": _gen_pii_audit_sql(),
         "doc_decontaminate_spans": _DOC_DECON_SPANS_SQL,
+        "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
+        "events_pseudonymize": _EVENTS_PSEUDONYMIZE_SQL,
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
         "doc_bm25_topk": _gen_bm25_sql(),
         "doc_dsir_weights": _gen_dsir_sql(),
@@ -7341,6 +7347,65 @@ SELECT query_id, vec_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
 FROM sel{k}
 """
     return sql
+
+
+def _events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + distinct-l-diversity audit over events
+    (`anonymity.k_anonymity_report` / `l_diversity_report` combined):
+    quasi-identifiers = (event_type, value generalized to width-5
+    buckets, hour of day), sensitive attribute = user_id. One
+    combinable aggregate on the quasi tuple — the audit every release
+    pipeline runs before handing data to analysts."""
+    from pipelinedp_spark.operators.anonymity import (generalize_bucket,
+                                                      l_diversity_report)
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", "user_id",
+        generalize_bucket(F.col("value"), 5.0).alias("vbucket"),
+        ((F.col("ts") / 3600000000).cast("long") % 24).alias("hour"))
+    rep = l_diversity_report(q, ["event_type", "vbucket", "hour"],
+                             "user_id", l=3)
+    return rep.select(
+        "event_type", "vbucket", "hour",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("n_sensitive").cast("long").alias("n_users"),
+        (F.col("group_size") >= 5).alias("meets_k"),
+        F.col("meets_l").alias("meets_l"))
+
+
+_EVENTS_K_ANONYMITY_SQL = """
+SELECT event_type,
+       FLOOR(value / 5.0) * 5.0 AS vbucket,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       COUNT(*) >= 5 AS meets_k,
+       COUNT(DISTINCT user_id) >= 3 AS meets_l
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _events_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (`anonymity.pseudonymize`): user ids become
+    stable salted-hash surrogates (rotating the salt unlinks releases),
+    then a per-surrogate activity rollup proves joins/groupBys still
+    work on the pseudonymized table. Map-only hash + one aggregate."""
+    from pipelinedp_spark.operators.anonymity import pseudonymize
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    p = pseudonymize(ev, ["user_id"], salt="release-2026-08")
+    return (p.groupBy("user_id_pseudo")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value")))
+
+
+_EVENTS_PSEUDONYMIZE_SQL = """
+SELECT ('0x' || substr(md5('release-2026-08:' || user_id), 1, 15))::BIGINT
+           AS user_id_pseudo,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY 1
+"""
 
 
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,7 +57,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "customer_scd2",
          # round-8 (static oracles)
          "doc_duplicate_spans_exact", "dedup_minhash_prod",
-         "doc_pii_audit", "doc_decontaminate_spans"]
+         "doc_pii_audit", "doc_decontaminate_spans",
+         "events_k_anonymity", "events_pseudonymize"]
 
 
 @pytest.fixture(scope="module")
