@@ -1404,6 +1404,9 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_decontaminate_spans",
     "events_k_anonymity",
     "events_pseudonymize",
+    "doc_leakage_safe_split",
+    "events_parse_quarantine",
+    "events_salted_join",
 ]
 
 
@@ -1486,6 +1489,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_spans": _doc_decontaminate_spans,
         "events_k_anonymity": _events_k_anonymity,
         "events_pseudonymize": _events_pseudonymize,
+        "doc_leakage_safe_split": _doc_leakage_safe_split,
+        "events_parse_quarantine": _events_parse_quarantine,
+        "events_salted_join": _events_salted_join,
         "doc_unigram_ppl": _doc_unigram_ppl,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_dsir_weights": _doc_dsir_weights,
@@ -1647,6 +1653,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate_spans": _DOC_DECON_SPANS_SQL,
         "events_k_anonymity": _EVENTS_K_ANONYMITY_SQL,
         "events_pseudonymize": _EVENTS_PSEUDONYMIZE_SQL,
+        "doc_leakage_safe_split": _DOC_LEAKAGE_SPLIT_SQL,
+        "events_parse_quarantine": _EVENTS_PARSE_QUARANTINE_SQL,
+        "events_salted_join": _EVENTS_SALTED_JOIN_SQL,
         "doc_unigram_ppl": _gen_unigram_ppl_sql(),
         "doc_bm25_topk": _gen_bm25_sql(),
         "doc_dsir_weights": _gen_dsir_sql(),
@@ -7405,6 +7414,129 @@ SELECT ('0x' || substr(md5('release-2026-08:' || user_id), 1, 15))::BIGINT
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS total_value
 FROM events GROUP BY 1
+"""
+
+
+def _doc_leakage_safe_split(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment
+    (`clustering.leakage_safe_split`): the split hashes the SOURCE (the
+    same-content grouping), so every doc of a near-dup cluster lands in
+    one split — the row-hash alternative silently leaks eval twins into
+    train. Output is the per-(source, split) rollup; the oracle
+    recomputes the portable-hash bucket arithmetic."""
+    from pipelinedp_spark.operators.clustering import leakage_safe_split
+    docs = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(docs, "source")
+    return (out.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+_DOC_LEAKAGE_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT source,
+             ('0x' || substr(md5('split:' || source), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS u
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def _events_parse_quarantine(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Ingestion-integrity split (`semistructured.parse_with_quarantine`):
+    events.props parses against an explicit schema; malformed payloads
+    (planted: a leading stray brace when event_id % 13 == 7 — trailing
+    junk wouldn't do: Spark's JSON parser ignores it) route to
+    quarantine, VALID payloads missing the key (planted '{"other": 1}'
+    when event_id % 17 == 3) stay good with a NULL field — never silent
+    NULLs from corruption, never a killed job. One lazy parse shared by
+    both routes; output is the per-route rollup."""
+    from pipelinedp_spark.functions.semistructured import (
+        parse_with_quarantine)
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    planted = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 13 == 7,
+               F.concat(F.lit("{"), F.col("props")))
+        .when(F.col("event_id") % 17 == 3, F.lit('{"other": 1}'))
+        .otherwise(F.col("props")))
+    good, bad = parse_with_quarantine(planted, "props", "k INT")
+    g = good.select(
+        F.lit("good").alias("route"),
+        F.col("parsed.k").isNull().cast("long").alias("null_k"),
+        F.coalesce(F.col("parsed.k"), F.lit(0)).cast("long").alias("k"))
+    b = bad.select(F.lit("quarantine").alias("route"),
+                   F.lit(0).cast("long").alias("null_k"),
+                   F.lit(0).cast("long").alias("k"))
+    return (g.unionByName(b).groupBy("route")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("null_k").cast("long").alias("n_null_k"),
+                 F.sum("k").cast("long").alias("sum_k")))
+
+
+_EVENTS_PARSE_QUARANTINE_SQL = """
+WITH planted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 7 THEN '{' || props
+              WHEN event_id % 17 = 3 THEN '{"other": 1}'
+              ELSE props END AS props
+  FROM events),
+routed AS (
+  SELECT CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+              THEN 'quarantine' ELSE 'good' END AS route,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              ELSE NULL END AS k
+  FROM planted)
+SELECT route,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN route = 'good' AND k IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       CAST(COALESCE(SUM(CASE WHEN route = 'good' THEN k END), 0)
+            AS BIGINT) AS sum_k
+FROM routed GROUP BY 1
+"""
+
+
+def _events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted join (`skew.salted_join`): events (hot on
+    the handful of event types) join a small weight dim, salt factor 8
+    spread via the deterministic event_id hash — semantically identical
+    to the plain join, which is exactly what the oracle runs. Output is
+    the weighted per-type rollup."""
+    from pipelinedp_spark.operators.skew import salted_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    dim = spark.sql(
+        "SELECT * FROM VALUES ('click', 10), ('view', 1), "
+        "('purchase', 100), ('error', 0), ('signup', 50) "
+        "AS t(event_type, weight)")
+    j = salted_join(ev, dim, ["event_type"], factor=8,
+                    salt_src="event_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col("weight").cast("long")).alias("w_total"),
+                 F.sum(cents * F.col("weight").cast("long"))
+                 .alias("weighted_cents")))
+
+
+_EVENTS_SALTED_JOIN_SQL = """
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d.weight) AS BIGINT) AS w_total,
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * d.weight)
+            AS BIGINT) AS weighted_cents
+FROM events e
+JOIN (VALUES ('click', 10), ('view', 1), ('purchase', 100),
+             ('error', 0), ('signup', 50)) AS d(event_type, weight)
+  ON e.event_type = d.event_type
+GROUP BY 1
 """
 
 

@@ -58,7 +58,9 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          # round-8 (static oracles)
          "doc_duplicate_spans_exact", "dedup_minhash_prod",
          "doc_pii_audit", "doc_decontaminate_spans",
-         "events_k_anonymity", "events_pseudonymize"]
+         "events_k_anonymity", "events_pseudonymize",
+         "doc_leakage_safe_split", "events_parse_quarantine",
+         "events_salted_join"]
 
 
 @pytest.fixture(scope="module")
