@@ -1407,6 +1407,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_leakage_safe_split",
     "events_parse_quarantine",
     "events_salted_join",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
 ]
 
 
@@ -1476,6 +1478,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_windowed_percentile_events": _dp_windowed_percentile_events,
         "doc_decontaminate": _doc_decontaminate,
         "doc_pack_sequences": _doc_pack_sequences,
+        "tpch_q1_pricing": _tpch_q1_pricing,
+        "tpch_q3_priority": _tpch_q3_priority,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1640,6 +1644,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_windowed_percentile_events": _dp_windowed_percentile_events_sql(),
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
         "doc_pack_sequences": _DOC_PACK_SQL,
+        "tpch_q1_pricing": _TPCH_Q1_SQL,
+        "tpch_q3_priority": _TPCH_Q3_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -7537,6 +7543,123 @@ JOIN (VALUES ('click', 10), ('view', 1), ('purchase', 100),
              ('error', 0), ('signup', 50)) AS d(event_type, weight)
   ON e.event_type = d.event_type
 GROUP BY 1
+"""
+
+
+def _tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (adapted to this generator's schema) —
+    the canonical scan-heavy aggregate proving the relational path:
+    one parquet scan with the shipdate filter pushed down, one
+    map-side-combinable groupBy over 6 keys. Money stays EXACT: prices
+    as integer cents, discount/tax as basis points, the discounted and
+    charged amounts as per-row integer products (one deterministic
+    integer DIV rescale), so distributed partial sums are
+    order-independent and the oracle hash-matches bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-06-30"))
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))         .cast("long")
+    d_bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    t_bp = F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    disc_u = cents * (F.lit(10000) - d_bp)          # 1e-6 dollars
+    charge_u = F.expr(
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) "
+        "* (10000 - CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) "
+        "* (10000 + CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT)) "
+        "DIV 10000")                                # 1e-6 dollars
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(qty).alias("sum_qty"),
+                F.sum(cents).alias("sum_base_cents"),
+                F.sum(disc_u).alias("sum_disc_micro"),
+                F.sum(charge_u).alias("sum_charge_micro"),
+                F.sum(d_bp).alias("__dbp__"),
+                F.count(F.lit(1)).alias("n_rows")))
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+        "sum_disc_micro", "sum_charge_micro", "n_rows",
+        F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
+        F.round((F.col("sum_base_cents") / F.lit(100.0))
+                / F.col("n_rows"), 6).alias("avg_price"),
+        F.round((F.col("__dbp__") / F.lit(10000.0))
+                / F.col("n_rows"), 6).alias("avg_disc"))
+
+
+_TPCH_Q1_SQL = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS d_bp,
+         CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS t_bp
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-06-30')
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(cents) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(cents * (10000 - d_bp)) AS BIGINT) AS sum_disc_micro,
+       CAST(SUM(cents * (10000 - d_bp) * (10000 + t_bp) // 10000)
+            AS BIGINT) AS sum_charge_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(qty) / COUNT(*), 6) AS avg_qty,
+       ROUND((SUM(cents) / 100.0) / COUNT(*), 6) AS avg_price,
+       ROUND((SUM(d_bp) / 10000.0) / COUNT(*), 6) AS avg_disc
+FROM base GROUP BY 1, 2
+"""
+
+
+def _tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority (adapted): BUILDING-segment customers,
+    orders placed before the cutoff, lineitems shipped after it; top-10
+    orders by discounted revenue. The customer dim filters to ~1/5 of a
+    small table and must BROADCAST into the orders join; the top-10 is
+    TakeOrderedAndProject, never a global sort. Revenue in exact
+    integer micro-dollars; deterministic (revenue DESC, orderkey ASC)
+    tie-break."""
+    cutoff = "1998-06-30"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit(cutoff)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit(cutoff)).select(
+        "l_orderkey",
+        (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("long")
+         * (F.lit(10000)
+            - F.floor(F.col("l_discount") * 10000 + F.lit(0.5))
+            .cast("long"))).alias("rev_u"))
+    j = (li.join(orders.join(F.broadcast(cust),
+                             orders.o_custkey == cust.c_custkey),
+                 li.l_orderkey == orders.o_orderkey)
+         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+         .agg(F.sum("rev_u").alias("revenue_micro")))
+    return (j.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")
+        .alias("orderdate"),
+        F.col("o_orderpriority").alias("priority"),
+        "revenue_micro")
+        .orderBy(F.col("revenue_micro").desc(), F.col("orderkey").asc())
+        .limit(10))
+
+
+_TPCH_Q3_SQL = """
+SELECT l.l_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS priority,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-30'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-30'
+GROUP BY 1, 2, 3
+ORDER BY revenue_micro DESC, orderkey ASC
+LIMIT 10
 """
 
 
