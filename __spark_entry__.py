@@ -1409,6 +1409,9 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_salted_join",
     "tpch_q1_pricing",
     "tpch_q3_priority",
+    "tpch_q5_local_supplier",
+    "events_rolling_features",
+    "doc_exact_substr_cut",
 ]
 
 
@@ -1480,6 +1483,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": _doc_pack_sequences,
         "tpch_q1_pricing": _tpch_q1_pricing,
         "tpch_q3_priority": _tpch_q3_priority,
+        "tpch_q5_local_supplier": _tpch_q5_local_supplier,
+        "events_rolling_features": _events_rolling_features,
+        "doc_exact_substr_cut": _doc_exact_substr_cut,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1646,6 +1652,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": _DOC_PACK_SQL,
         "tpch_q1_pricing": _TPCH_Q1_SQL,
         "tpch_q3_priority": _TPCH_Q3_SQL,
+        "tpch_q5_local_supplier": _TPCH_Q5_SQL,
+        "events_rolling_features": _EVENTS_ROLLING_SQL,
+        "doc_exact_substr_cut": _DOC_EXACT_SUBSTR_CUT_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -7660,6 +7669,170 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 2, 3
 ORDER BY revenue_micro DESC, orderkey ASC
 LIMIT 10
+"""
+
+
+def _events_rolling_features(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour activity features (count + exact-cents
+    value sum) via a RANGE-frame window over the event time — the
+    time-series feature-engineering primitive (fraud/abuse velocity
+    counters, engagement features). RANGE (not ROWS) so ts ties are
+    frame-stable: the result is deterministic under any partition
+    layout. One shuffle on user_id; window state is one open frame per
+    user."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rangeBetween(-3600000000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(cents).over(w).cast("long").alias("cents_1h"))
+
+
+_EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _doc_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lee et al. ExactSubstr DEDUP pipeline composed end to
+    end: character-level exact duplicated-span detection
+    (`dedup.duplicate_spans_exact`) followed by the surgical text
+    splice (`dedup.cut_spans`) — every duplicated run of >= 64 chars
+    is removed from all but its globally-first occurrence and the
+    corpus text is rebuilt. Output is the per-doc scrub record."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans_exact(docs, min_len=64, seed_len=16)
+    out = dedup.cut_spans(docs, spans)
+    return out.select("doc_id",
+                      F.md5(F.col("clean_text")).alias("clean_md5"),
+                      "n_spans", "n_cut_chars")
+
+
+_DOC_EXACT_SUBSTR_CUT_SQL = """
+WITH pos AS (
+  SELECT doc_id, unnest(range(0, length(text) - 64 + 1)) AS p, text AS t
+  FROM documents WHERE length(text) >= 64),
+h AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         md5(substr(t, CAST(p AS INTEGER) + 1, 64)) AS h
+  FROM pos),
+firsts AS (
+  SELECT h, COUNT(*) AS n, MIN(doc_id * 1073741824 + p) AS fk
+  FROM h GROUP BY h),
+marked AS (
+  SELECT doc_id, p FROM h JOIN firsts USING (h)
+  WHERE n >= 2 AND doc_id * 1073741824 + p <> fk),
+iv AS (SELECT doc_id, p AS start, p + 64 AS "end" FROM marked),
+m AS (
+  SELECT doc_id, start, "end",
+         MAX("end") OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+  FROM iv),
+grps AS (
+  SELECT doc_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR start > prev_end
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS grp
+  FROM m),
+spans AS (
+  SELECT doc_id, MIN(start) AS s, MAX("end") AS e
+  FROM grps GROUP BY doc_id, grp),
+packed AS (
+  SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS sp
+  FROM spans GROUP BY doc_id),
+cutdoc AS (
+  SELECT d.doc_id, d.text AS t, COALESCE(p.sp, []) AS sp
+  FROM documents d LEFT JOIN packed p USING (doc_id)),
+gaps AS (
+  SELECT doc_id, t,
+         list_prepend(CAST(0 AS BIGINT), [x.e for x in sp]) AS gs,
+         list_append([x.s for x in sp], CAST(length(t) AS BIGINT))
+             AS ge,
+         sp
+  FROM cutdoc)
+SELECT doc_id,
+       md5(array_to_string(
+         [substr(t, CAST(gs[i] AS INTEGER) + 1,
+                 CAST(ge[i] - gs[i] AS INTEGER))
+          for i in range(1, len(gs) + 1)], '')) AS clean_md5,
+       CAST(len(sp) AS BIGINT) AS n_spans,
+       CAST(COALESCE(list_sum([x.e - x.s for x in sp]), 0) AS BIGINT)
+           AS n_cut_chars
+FROM gaps
+"""
+
+
+def _tpch_q5_local_supplier(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier revenue (adapted): per-nation revenue in
+    one region where the supplying and ordering nations coincide. The
+    snowflake dims (region -> nation, supplier) BROADCAST down the
+    chain; the only corpus-scale shuffles are lineitem x orders and the
+    final six-key aggregate. Revenue in exact integer micro-dollars."""
+    nat = (_t(spark, sf_dir, "nation")
+           .join(F.broadcast(_t(spark, sf_dir, "region")
+                             .filter(F.col("r_name") == "ASIA")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    sup = (_t(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_nationkey", "n_name"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey",
+                                                "c_nationkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate").cast("date")
+                       >= F.lit("1996-01-01"))
+                      & (F.col("o_orderdate").cast("date")
+                         < F.lit("1998-01-01")))
+              .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("long")
+         * (F.lit(10000)
+            - F.floor(F.col("l_discount") * 10000 + F.lit(0.5))
+            .cast("long"))).alias("rev_u"))
+    j = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .filter(F.col("c_nationkey") == F.col("s_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.sum("rev_u").alias("revenue_micro"),
+                 F.count(F.lit(1)).cast("long").alias("n_items")))
+
+
+_TPCH_Q5_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS revenue_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY 1
 """
 
 

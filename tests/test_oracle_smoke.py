@@ -60,7 +60,9 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "doc_pii_audit", "doc_decontaminate_spans",
          "events_k_anonymity", "events_pseudonymize",
          "doc_leakage_safe_split", "events_parse_quarantine",
-         "events_salted_join", "tpch_q1_pricing", "tpch_q3_priority"]
+         "events_salted_join", "tpch_q1_pricing", "tpch_q3_priority",
+         "tpch_q5_local_supplier", "events_rolling_features",
+         "doc_exact_substr_cut"]
 
 
 @pytest.fixture(scope="module")
