@@ -214,7 +214,49 @@ class CorpusPipeline:
         return self._with(self.df.withColumn(
             self.text_col, T.scrub_pii(F.col(self.text_col))))
 
+    def pii_audit_scrub(self, types=None) -> "CorpusPipeline":
+        """Full-surface PII scrub (`functions.pii.redact_pii`: email,
+        Luhn-gated card runs, SSN, phone, IPv4 — superset of
+        `scrub_pii`'s minimal pattern set), typed placeholders applied
+        in the module's fixed order. Map-only codegen; lazy."""
+        from pipelinedp_spark.functions.pii import redact_pii
+        return self._with(self.df.withColumn(
+            self.text_col, redact_pii(F.col(self.text_col), types)))
+
+    def exact_substr_dedup(self, min_len: int = 64,
+                           seed_len: int = 16) -> "CorpusPipeline":
+        """Lee et al. ExactSubstr dedup in place: every duplicated
+        character run of >= min_len is cut from all but its globally
+        first occurrence and the text rebuilt
+        (`dedup.duplicate_spans_exact` + `dedup.cut_spans`)."""
+        from pipelinedp_spark.operators.dedup import (cut_spans,
+                                                      duplicate_spans_exact)
+        spans = duplicate_spans_exact(self.df, self.text_col,
+                                      self.id_col, min_len, seed_len)
+        cleaned = cut_spans(self.df, spans, self.text_col, self.id_col)
+        return self._with(self.df.drop(self.text_col).join(
+            cleaned.select(self.id_col,
+                           F.col("clean_text").alias(self.text_col)),
+            self.id_col))
+
     # -- decontamination ----------------------------------------------
+
+    def decontaminate_spans(self, eval_df: DataFrame,
+                            min_len: int = 50,
+                            seed_len: int = 16) -> "CorpusPipeline":
+        """Span-level eval decontamination: cut the overlapping
+        character ranges, keep the document
+        (`dedup.cross_corpus_spans` + `cut_spans`) — the surgical
+        alternative to `decontaminate`'s whole-doc drop."""
+        from pipelinedp_spark.operators.dedup import (cross_corpus_spans,
+                                                      cut_spans)
+        spans = cross_corpus_spans(self.df, eval_df, self.text_col,
+                                   self.id_col, min_len, seed_len)
+        cleaned = cut_spans(self.df, spans, self.text_col, self.id_col)
+        return self._with(self.df.drop(self.text_col).join(
+            cleaned.select(self.id_col,
+                           F.col("clean_text").alias(self.text_col)),
+            self.id_col))
 
     def decontaminate(self, eval_df: DataFrame,
                       **kw) -> "CorpusPipeline":

@@ -205,3 +205,33 @@ def test_embedding_stages_chain(spark):
     p3 = p2.cluster_balance(k=4, per_cluster=30)
     assert 0 < p3.df.count() <= min(p2.df.count(), 4 * 30)
     assert set(docs.columns) < set(p3.df.columns)
+
+
+def test_pipeline_pii_audit_exact_substr_and_decon_spans(spark):
+    from pipelinedp_spark.corpus import CorpusPipeline
+    boiler = ("This exact disclaimer paragraph repeats verbatim across "
+              "many documents tonight, ok?")
+    bench = ("What is the airspeed velocity of an unladen swallow in "
+             "standardized benchmark units?")
+    rows = [
+        (0, "mail me a@b.io now. " + boiler),
+        (1, "other words here... " + boiler + " tail prose"),
+        (2, "quiz leak follows: " + bench),
+        (3, "totally clean document with unique content only okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame([(0, bench)], "doc_id long, text string")
+    out = (CorpusPipeline(df)
+           .pii_audit_scrub()
+           .exact_substr_dedup(min_len=60)
+           .decontaminate_spans(evals, min_len=60)
+           .df)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert len(got) == 4                       # no doc dropped
+    assert "[EMAIL]" in got[0]
+    assert boiler in got[0]                    # first occurrence kept
+    assert boiler not in got[1]                # later copy cut
+    assert "tail prose" in got[1]
+    assert bench not in got[2]                 # benchmark span cut
+    assert got[2].startswith("quiz leak follows:")
+    assert got[3].endswith("unique content only okay")
