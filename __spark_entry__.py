@@ -1412,6 +1412,9 @@ _DRIVER_ARTIFACT_FIRST = [
     "tpch_q5_local_supplier",
     "events_rolling_features",
     "doc_exact_substr_cut",
+    "doc_c4_filter",
+    "emb_matryoshka_recall",
+    "doc_jsonl_roundtrip",
 ]
 
 
@@ -1486,6 +1489,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": _tpch_q5_local_supplier,
         "events_rolling_features": _events_rolling_features,
         "doc_exact_substr_cut": _doc_exact_substr_cut,
+        "doc_c4_filter": _doc_c4_filter,
+        "emb_matryoshka_recall": _emb_matryoshka_recall,
+        "doc_jsonl_roundtrip": _doc_jsonl_roundtrip,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1655,6 +1661,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_local_supplier": _TPCH_Q5_SQL,
         "events_rolling_features": _EVENTS_ROLLING_SQL,
         "doc_exact_substr_cut": _DOC_EXACT_SUBSTR_CUT_SQL,
+        "doc_c4_filter": _DOC_C4_FILTER_SQL,
+        "emb_matryoshka_recall": _EMB_MATRYOSHKA_SQL,
+        "doc_jsonl_roundtrip": _DOC_JSONL_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -7833,6 +7842,190 @@ WHERE r.r_name = 'ASIA'
   AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
   AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
 GROUP BY 1
+"""
+
+
+def _doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning ruleset (`quality.c4_filter`): docs get deterministic
+    line structure (five frequent words become newlines), lines keep
+    only if terminal-punctuated with >= 3 words, pages pass on >= 3
+    retained sentence marks and no code-brace/lorem-ipsum boilerplate
+    (planted by doc_id residue so both doc-level rules fire). Pure
+    codegen, no shuffle."""
+    from pipelinedp_spark.operators.quality import c4_filter
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), " (the|a|data|value|row) ",
+                             ".\n"),
+            F.when(F.col("doc_id") % 19 == 4,
+                   F.lit("\nif (x) { lorem ipsum dolor sit. }"))
+            .otherwise(F.lit(""))).alias("text"))
+    out = c4_filter(docs)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                      "n_lines_kept", "n_lines_total", "n_sentences",
+                      "has_bad_substring", "passes")
+
+
+_DOC_C4_FILTER_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a|data|value|row) ', '.
+', 'g')
+         || CASE WHEN doc_id % 19 = 4
+                 THEN '
+if (x) { lorem ipsum dolor sit. }'
+                 ELSE '' END AS t
+  FROM documents),
+split AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM base),
+kept AS (
+  SELECT doc_id, t, len(ls) AS n_total,
+         [trim(x) for x in ls
+          if regexp_matches(trim(x), '[.!?]$')
+             AND len([w for w in string_split(trim(x), ' ')
+                      if w <> '']) >= 3] AS kl
+  FROM split),
+fin AS (
+  SELECT doc_id, t, n_total, kl,
+         COALESCE(array_to_string(kl, chr(10)), '') AS clean
+  FROM kept)
+SELECT doc_id,
+       md5(clean) AS clean_md5,
+       CAST(len(kl) AS BIGINT) AS n_lines_kept,
+       CAST(n_total AS BIGINT) AS n_lines_total,
+       CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+           AS n_sentences,
+       (contains(lower(t), 'lorem ipsum') OR contains(lower(t), '{')
+        OR contains(lower(t), 'javascript must be enabled'))
+           AS has_bad_substring,
+       (len(regexp_extract_all(clean, '[.!?]')) >= 3
+        AND NOT (contains(lower(t), 'lorem ipsum')
+                 OR contains(lower(t), '{')
+                 OR contains(lower(t), 'javascript must be enabled')))
+           AS passes
+FROM fin
+"""
+
+
+def _emb_matryoshka_recall(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval gate (Kusupati et al. 2022): the
+    top-10 cosine neighbors computed on the FIRST 16 of 64 dims vs the
+    exact full-dim top-10, per query — the acceptance metric before
+    shipping a 4x-cheaper truncated index. Same plan as
+    `emb_int8_recall`: broadcast query rows, codegen fold cosines,
+    WindowGroupLimit per ranking."""
+    from pyspark.sql import Window
+
+    from pipelinedp_spark.operators.similarity import cosine_expr
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+        .alias("tv"))
+    q = (base.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("ev").alias("qe"), F.col("tv").alias("qt")))
+    scored = (base.crossJoin(F.broadcast(q))
+              .select("query_id", "vec_id",
+                      cosine_expr(F.col("ev"), F.col("qe")).alias("ce"),
+                      cosine_expr(F.col("tv"), F.col("qt")).alias("ct")))
+    we = Window.partitionBy("query_id").orderBy(F.col("ce").desc(),
+                                                F.col("vec_id").asc())
+    wt = Window.partitionBy("query_id").orderBy(F.col("ct").desc(),
+                                                F.col("vec_id").asc())
+    te = (scored.withColumn("r", F.row_number().over(we))
+          .filter(F.col("r") <= 10).select("query_id", "vec_id"))
+    tt = (scored.withColumn("r", F.row_number().over(wt))
+          .filter(F.col("r") <= 10).select("query_id", "vec_id"))
+    hit = te.join(tt, ["query_id", "vec_id"])
+    return (q.select("query_id")
+            .join(hit.groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n_overlap")),
+                  "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                    .cast("long").alias("n_overlap"))
+            .withColumn("recall",
+                        F.round(F.col("n_overlap") / F.lit(10), 6)))
+
+
+_EMB_MATRYOSHKA_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  (embedding::DOUBLE[])[1:16] AS t
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe, t AS qt FROM v
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         ROUND(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS ce,
+         ROUND(list_dot_product(v.t, q.qt)
+               / (sqrt(list_dot_product(v.t, v.t))
+                  * sqrt(list_dot_product(q.qt, q.qt))), 6) AS ct
+  FROM v CROSS JOIN q),
+te AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ce DESC, vec_id ASC) AS r
+    FROM scored) WHERE r <= 10),
+tt AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ct DESC, vec_id ASC) AS r
+    FROM scored) WHERE r <= 10),
+hit AS (
+  SELECT te.query_id, COUNT(*) AS n
+  FROM te JOIN tt USING (query_id, vec_id) GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(h.n, 0) / 10, 6) AS recall
+FROM q LEFT JOIN hit h USING (query_id)
+"""
+
+
+def _doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip (`to_json` -> `from_json`): docs
+    serialize to JSON Lines records — the lingua franca of corpus
+    releases — and parse back; the check compares a stable digest of
+    each reserialized record plus the recovered fields, proving the
+    sink/source pair is lossless for the release schema. Pure codegen
+    both ways; the oracle reproduces DuckDB-side canonical JSON with
+    the same key order."""
+    docs = _t(spark, sf_dir, "documents")
+    rec = F.to_json(F.struct(
+        F.col("doc_id"), F.col("source"),
+        F.col("lang"), F.col("text")))
+    parsed = F.from_json(
+        rec, "doc_id long, source string, lang string, text string")
+    return docs.select(
+        "doc_id",
+        F.md5(rec).alias("record_md5"),
+        (parsed["doc_id"] == F.col("doc_id")).alias("id_ok"),
+        (parsed["text"] == F.col("text")).alias("text_ok"),
+        F.length(rec).cast("long").alias("record_len"))
+
+
+_DOC_JSONL_SQL = """
+WITH rec AS (
+  SELECT doc_id,
+         '{"doc_id":' || doc_id
+         || ',"source":' || to_json(source)
+         || ',"lang":' || to_json(lang)
+         || ',"text":' || to_json(text) || '}' AS r,
+         text
+  FROM documents)
+SELECT doc_id,
+       md5(r) AS record_md5,
+       (json_extract_string(r, '$.doc_id')::BIGINT = doc_id) AS id_ok,
+       (json_extract_string(r, '$.text') = text) AS text_ok,
+       CAST(length(r) AS BIGINT) AS record_len
+FROM rec
 """
 
 

@@ -430,3 +430,50 @@ def compression_band_filter(df: DataFrame,
                           ratio(F.col(text_col)))
             .filter((F.col("compression_ratio") >= min_ratio)
                     & (F.col("compression_ratio") <= max_ratio)))
+
+
+C4_BAD_SUBSTRINGS = ("lorem ipsum", "{", "javascript must be enabled")
+
+
+def c4_filter(df: DataFrame,
+              text_col: str = "text",
+              id_col: str = "doc_id",
+              min_line_words: int = 3,
+              min_sentences: int = 3,
+              delimiter: str = "\n") -> DataFrame:
+    """The C4 cleaning ruleset (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2) — the other canonical web-text
+    filter next to Gopher: LINE level, keep only lines that end in
+    terminal punctuation ('.', '!', '?') and have at least
+    ``min_line_words`` words; DOC level, a page passes only if its
+    RETAINED text still has >= ``min_sentences`` sentence terminators
+    and contains none of the `C4_BAD_SUBSTRINGS` (code braces, lorem
+    ipsum, JS-disabled boilerplate; matched case-insensitively on the
+    original text).
+
+    Returns (id_col, clean_text, n_lines_kept, n_lines_total,
+    n_sentences, has_bad_substring, passes). Pure per-row codegen —
+    one split, higher-order filter, regexp counts; no shuffle at all,
+    which is what makes C4-style cleaning free at 100 TB."""
+    t = F.col(text_col)
+    lines = F.split(t, delimiter)
+    keep_line = lambda x: (
+        F.trim(x).rlike("[.!?]$")
+        & (F.size(F.filter(F.split(F.trim(x), " "),
+                           lambda w: w != "")) >= min_line_words))
+    kept = F.filter(lines, keep_line)
+    clean = F.array_join(F.transform(kept, F.trim), delimiter)
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit("[.!?]"), 0))
+    low = F.lower(t)
+    bad = None
+    for s in C4_BAD_SUBSTRINGS:
+        c = low.contains(s.lower())
+        bad = c if bad is None else (bad | c)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        F.size(lines).cast("long").alias("n_lines_total"),
+        n_sent.cast("long").alias("n_sentences"),
+        bad.alias("has_bad_substring"),
+        ((n_sent >= min_sentences) & ~bad).alias("passes"))

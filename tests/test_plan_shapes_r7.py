@@ -175,3 +175,32 @@ def test_source_quality_report_single_agg_no_windows_on_docs(spark):
     import re
     for m in re.finditer(r"Window.*?\[([^\]]*)\]", plan):
         assert "source" not in m.group(1)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing is THE co-located-join tool at 100 TB: two tables
+    bucketed 8 ways on the join key must sort-merge-join with ZERO
+    shuffle exchanges (broadcast disabled to force the merge path).
+    Regression here means every repeated fact-fact join pays a full
+    corpus shuffle again."""
+    from pipelinedp_spark.plans import scoped_conf
+
+    docs = _docs(spark).select("doc_id", "source", "n_chars")
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    (docs.write.mode("overwrite").bucketBy(8, "doc_id")
+     .sortBy("doc_id").saveAsTable("bkt_a"))
+    (docs.selectExpr("doc_id", "n_chars * 2 AS twice")
+     .write.mode("overwrite").bucketBy(8, "doc_id")
+     .sortBy("doc_id").saveAsTable("bkt_b"))
+    with scoped_conf(spark,
+                     **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        j = (spark.table("bkt_a")
+             .join(spark.table("bkt_b"), "doc_id")
+             .select("doc_id", "n_chars", "twice"))
+        plan = P.explain_str(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # co-located: no shuffle
+        assert j.count() == docs.count()
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")

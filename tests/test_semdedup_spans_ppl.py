@@ -664,3 +664,28 @@ def test_cut_spans_multiple_ranges_and_validation(spark):
     out = cut_spans(docs, spans).collect()[0]
     assert out["clean_text"] == "01" + "56789" + "defghij"
     assert out["n_spans"] == 2 and out["n_cut_chars"] == 6
+
+
+def test_c4_filter_rules(spark):
+    from pipelinedp_spark.operators.quality import c4_filter
+    good = ("The first proper sentence ends here.\n"
+            "Another complete sentence follows right after it.\n"
+            "And a third one closes the page nicely.")
+    menu = "Home\nAbout\nContact us\nshort line"       # no terminal punct
+    code = ("One real sentence is here.\nif (x) { return; }\n"
+            "Second sentence stands alone fine.\n"
+            "Third sentence completes the minimum count.")
+    lorem = ("Lorem ipsum dolor sit amet tonight.\n"
+             "A second sentence appears here quickly.\n"
+             "A third sentence appears here too.")
+    df = spark.createDataFrame(
+        [(0, good), (1, menu), (2, code), (3, lorem)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_filter(df).collect()}
+    assert out[0]["passes"] and out[0]["n_lines_kept"] == 3
+    assert out[0]["clean_text"] == good
+    assert not out[1]["passes"] and out[1]["n_lines_kept"] == 0
+    assert out[1]["clean_text"] == ""
+    assert out[2]["has_bad_substring"] and not out[2]["passes"]
+    assert "if (x)" not in out[2]["clean_text"]        # brace line dropped
+    assert out[3]["has_bad_substring"] and not out[3]["passes"]
