@@ -779,13 +779,19 @@ def duplicate_spans_exact(df: DataFrame,
             f"p + 1, {seed_len})) AS sh))")).alias("s")
     ).select(id_col, F.col("s.pos").alias("pos"),
              F.col("s.sh").alias("sh"))
+    # The hot-seed set, candidate lists, and window-hash table all scale
+    # WITH THE CORPUS — none may ever broadcast (static size estimates
+    # under-guess post-aggregation sizes and the planner otherwise picks
+    # a driver-built broadcast that OOMs exactly when the corpus grows).
+    # shuffle_hash keeps every join a co-partitioned per-task hashmap.
     hot = (seeds.groupBy("sh")
            .agg(F.count(F.lit(1)).alias("__n__"))
            .filter(F.col("__n__") >= 2)
-           .select("sh"))
+           .select("sh").hint("shuffle_hash"))
     cand = (seeds.join(hot, "sh")
             .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list("pos")).alias("ps")))
+            .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+            .hint("shuffle_hash"))
     verify = (eligible.join(cand, id_col)
               .select(F.col(id_col),
                       F.explode(F.expr(
@@ -794,11 +800,16 @@ def duplicate_spans_exact(df: DataFrame,
                           f"{min_len})) AS h))")).alias("v"))
               .select(id_col, F.col("v.pos").alias("pos"),
                       F.col("v.h").alias("h")))
+    # Materialized once: `verify` feeds the first-occurrence aggregate
+    # AND the join back — un-checkpointed, the whole seed+candidate
+    # explode chain runs twice.
+    verify = verify.localCheckpoint()
     firsts = verify.groupBy("h").agg(
         F.count(F.lit(1)).alias("__n__"),
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col("pos").alias("p"))).alias("f"))
-    dups = (verify.join(firsts.filter(F.col("__n__") >= 2), "h")
+    dups = (verify.join(firsts.filter(F.col("__n__") >= 2)
+                        .hint("shuffle_hash"), "h")
             .filter((F.col(id_col) != F.col("f.i"))
                     | (F.col("pos") != F.col("f.p")))
             .select(id_col, "pos"))
@@ -1180,7 +1191,8 @@ def cross_corpus_spans(docs: DataFrame,
 
     def _verify(df: DataFrame, cand: DataFrame) -> DataFrame:
         pos_lists = cand.groupBy(id_col).agg(
-            F.array_sort(F.collect_list("pos")).alias("ps"))
+            F.array_sort(F.collect_list("pos")).alias("ps")) \
+            .hint("shuffle_hash")
         return (df.filter(F.length(F.col(text_col)) >= min_len)
                 .join(pos_lists, id_col)
                 .select(F.col(id_col),
@@ -1193,12 +1205,18 @@ def cross_corpus_spans(docs: DataFrame,
 
     dseeds = _seeds(docs)
     rseeds = _seeds(reference)
+    # Every intermediate here scales with a corpus — never broadcast
+    # (same reasoning as duplicate_spans_exact: post-agg size estimates
+    # under-guess and a driver-built broadcast dies exactly at scale).
+    # `shared` is materialized once: it feeds BOTH candidate joins.
     shared = (dseeds.select("sh").distinct()
-              .join(rseeds.select("sh").distinct(), "sh"))
+              .join(rseeds.select("sh").distinct().hint("shuffle_hash"),
+                    "sh")).localCheckpoint()
+    shared = shared.hint("shuffle_hash")
     dcand = dseeds.join(shared, "sh").select(id_col, "pos")
     rcand = rseeds.join(shared, "sh").select(id_col, "pos")
     ref_hashes = (_verify(reference, rcand)
-                  .select("h").distinct())
+                  .select("h").distinct().hint("shuffle_hash"))
     marked = (_verify(docs, dcand)
               .join(ref_hashes, "h")
               .select(id_col, "pos"))
