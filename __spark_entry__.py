@@ -1415,6 +1415,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_c4_filter",
     "emb_matryoshka_recall",
     "doc_jsonl_roundtrip",
+    "doc_fix_mojibake",
 ]
 
 
@@ -1492,6 +1493,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filter": _doc_c4_filter,
         "emb_matryoshka_recall": _emb_matryoshka_recall,
         "doc_jsonl_roundtrip": _doc_jsonl_roundtrip,
+        "doc_fix_mojibake": _doc_fix_mojibake,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1664,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_c4_filter": _DOC_C4_FILTER_SQL,
         "emb_matryoshka_recall": _EMB_MATRYOSHKA_SQL,
         "doc_jsonl_roundtrip": _DOC_JSONL_SQL,
+        "doc_fix_mojibake": _gen_fix_mojibake_sql(),
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8027,6 +8030,76 @@ SELECT doc_id,
        CAST(length(r) AS BIGINT) AS record_len
 FROM rec
 """
+
+
+def _doc_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (`text.fix_mojibake` / `mojibake_count`):
+    UTF-8-decoded-as-cp1252 artifacts are planted deterministically
+    (in-body accent corruption for doc_id % 5 == 1, an appended
+    smart-quote/dash/ellipsis tail for doc_id % 7 == 2), then counted
+    and repaired with the longest-first literal-replace chain. Pure
+    map stage; the oracle re-runs the identical chain."""
+    from pipelinedp_spark.functions.text import (MOJIBAKE_FIXES,
+                                                 fix_mojibake,
+                                                 mojibake_count)
+    acc = MOJIBAKE_FIXES[6][0]       # the e-acute artifact
+    tail = (MOJIBAKE_FIXES[1][0] + "quoted" + MOJIBAKE_FIXES[2][0]
+            + " " + MOJIBAKE_FIXES[4][0] + " dash"
+            + MOJIBAKE_FIXES[5][0])
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 1,
+                   F.replace(F.col("text"), F.lit(" the "),
+                             F.lit(" th" + acc + " ")))
+            .otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 7 == 2,
+                   F.lit(" " + tail)).otherwise(F.lit("")))
+        .alias("text"))
+    t = F.col("text")
+    return planted.select(
+        "doc_id",
+        mojibake_count(t).alias("n_artifacts"),
+        F.md5(fix_mojibake(t)).alias("fixed_md5"),
+        (fix_mojibake(t) != t).alias("changed"))
+
+
+def _gen_fix_mojibake_sql() -> str:
+    """SQL mirror of `_doc_fix_mojibake`: the artifact table renders as
+    a chain of CTEs (cur_k = replace(cur_{k-1}, bad_k, good_k), count
+    accumulated per stage) so the longest-first repair order and the
+    no-double-count rule replay exactly. Static apart from the
+    artifact literals themselves (engine-independent constants)."""
+    from pipelinedp_spark.functions.text import MOJIBAKE_FIXES
+    acc = MOJIBAKE_FIXES[6][0]
+    tail = (MOJIBAKE_FIXES[1][0] + "quoted" + MOJIBAKE_FIXES[2][0]
+            + " " + MOJIBAKE_FIXES[4][0] + " dash"
+            + MOJIBAKE_FIXES[5][0])
+    ctes = [f"""c0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1
+              THEN replace(text, ' the ', ' th{acc} ')
+              ELSE text END
+         || CASE WHEN doc_id % 7 = 2 THEN ' {tail}' ELSE '' END AS cur,
+         CAST(0 AS BIGINT) AS acc
+  FROM documents)"""]
+    for i, (bad, good) in enumerate(MOJIBAKE_FIXES, start=1):
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        ctes.append(f"""c{i} AS (
+  SELECT doc_id, replace(cur, '{b}', '{g}') AS cur,
+         acc + (length(cur) - length(replace(cur, '{b}', '')))
+               // {len(bad)} AS acc
+  FROM c{i - 1})""")
+    n = len(MOJIBAKE_FIXES)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT c0.doc_id,
+       CAST(c{n}.acc AS BIGINT) AS n_artifacts,
+       md5(c{n}.cur) AS fixed_md5,
+       (c{n}.cur <> c0.cur) AS changed
+FROM c0 JOIN c{n} USING (doc_id)
+""")
 
 
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

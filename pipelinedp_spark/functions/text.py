@@ -572,3 +572,56 @@ def flesch_kincaid_grade(text: Column) -> Column:
              - F.lit(15.59))
     return F.when((w > 0) & (s > 0), F.round(grade, 6)) \
         .otherwise(F.lit(0.0))
+
+
+# UTF-8 bytes mis-decoded as cp1252/latin-1 -- the classic web-crawl
+# mojibake artifacts (the most common of ftfy's fix table). Ordered
+# longest-first so three-byte artifacts repair before their two-byte
+# prefixes. Stored with explicit escapes: several artifacts contain
+# C1 control characters that must never appear raw in source.
+MOJIBAKE_FIXES = (
+    ("\u00e2\u20ac\u2122", "\u2019"),   # a-circ euro quote  -> '
+    ("\u00e2\u20ac\u0153", "\u201c"),   # -> left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),   # -> right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),   # -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),   # -> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),   # -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),          # -> e acute
+    ("\u00c3\u00a8", "\u00e8"),          # -> e grave
+    ("\u00c3\u00a4", "\u00e4"),          # -> a umlaut
+    ("\u00c3\u00b6", "\u00f6"),          # -> o umlaut
+    ("\u00c3\u00bc", "\u00fc"),          # -> u umlaut
+    ("\u00c3\u00b1", "\u00f1"),          # -> n tilde
+    ("\u00c3\u00a7", "\u00e7"),          # -> c cedilla
+    ("\u00c3\u00a0", "\u00e0"),          # -> a grave
+    ("\u00c2\u00a0", " "),                # A-circ + nbsp -> space
+)
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the common UTF-8-decoded-as-cp1252 double-encoding
+    artifacts (the high-frequency subset of ftfy's fix table -- the
+    full tool is heuristic; this is the deterministic, engine-portable
+    core a cleaning pipeline runs at scan speed). A chain of LITERAL
+    replaces (no regex), longest artifact first; mirrors into any SQL
+    engine's replace()."""
+    out = text
+    for bad, good in MOJIBAKE_FIXES:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_count(text: Column) -> Column:
+    """How many mojibake artifacts `fix_mojibake` would repair -- the
+    corpus-health metric to trend per source/snapshot. Counted on the
+    same longest-first chain (each artifact counts on text whose longer
+    artifacts are already repaired, so a 3-char artifact is never
+    double-counted through its suffix)."""
+    total = F.lit(0).cast("long")
+    cur = text
+    for bad, good in MOJIBAKE_FIXES:
+        removed = F.length(cur) - F.length(
+            F.replace(cur, F.lit(bad), F.lit("")))
+        total = total + (removed / len(bad)).cast("long")
+        cur = F.replace(cur, F.lit(bad), F.lit(good))
+    return total

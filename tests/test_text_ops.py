@@ -1409,3 +1409,26 @@ def test_pii_luhn_expr_known_vectors(spark):
     got = [r["ok"] for r in
            df.select(luhn_valid_expr(F.col("d")).alias("ok")).collect()]
     assert got == [want for _, want in vec]
+
+
+def test_fix_mojibake_and_count(spark):
+    from pyspark.sql import functions as F
+    from pipelinedp_spark.functions.text import (MOJIBAKE_FIXES,
+                                                 fix_mojibake,
+                                                 mojibake_count)
+    quote = MOJIBAKE_FIXES[0][0]          # smart-quote artifact
+    eac = MOJIBAKE_FIXES[6][0]            # e-acute artifact
+    rows = [
+        (0, f"caf{eac} latte and {quote}great{quote} vibes"),
+        (1, "perfectly clean ascii text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        fix_mojibake(F.col("text")).alias("fixed"),
+        mojibake_count(F.col("text")).alias("n")).collect()}
+    assert out[0]["fixed"] == ("caf\u00e9 latte and "
+                               "\u2019great\u2019 vibes")
+    assert out[0]["n"] == 3
+    assert out[1]["fixed"] == "perfectly clean ascii text"
+    assert out[1]["n"] == 0
