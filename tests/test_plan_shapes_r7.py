@@ -204,3 +204,35 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert j.count() == docs.count()
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_exact_span_joins_never_broadcast(spark):
+    """duplicate_spans_exact: the hot-seed, candidate-list, and
+    window-hash joins are corpus-scale — a driver-built broadcast there
+    OOMs exactly when the corpus grows (reproduced at sf1 in r8). The
+    plan must carry shuffle-hash joins, not BroadcastHashJoin, on every
+    corpus-side join."""
+    from pipelinedp_spark.operators.dedup import duplicate_spans_exact
+    out = duplicate_spans_exact(_docs(spark), min_len=48, seed_len=16)
+    plan = P.explain_str(out)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partition layout must actually prune: a scan filtered
+    on the partition column reads ONE partition directory (the plan's
+    partition count proves it) — the data-layout contract that turns a
+    100 TB scan into a 1 TB scan when queries filter by source/date."""
+    docs = _docs(spark).select("doc_id", "source", "n_chars")
+    path = str(tmp_path / "bysource")
+    docs.write.mode("overwrite").partitionBy("source").parquet(path)
+    one = spark.read.parquet(path).filter(F.col("source") == "src4")
+    plan = P.explain_str(one)
+    # partition filters reach the scan (not a post-scan Filter only)
+    assert "PartitionFilters" in plan
+    n_match = one.count()
+    full = spark.read.parquet(path).count()
+    n_expected = docs.filter(F.col("source") == "src4").count()
+    assert n_match == n_expected and full == docs.count()
