@@ -1416,6 +1416,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "emb_matryoshka_recall",
     "doc_jsonl_roundtrip",
     "doc_fix_mojibake",
+    "doc_release_manifest",
 ]
 
 
@@ -1494,6 +1495,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka_recall": _emb_matryoshka_recall,
         "doc_jsonl_roundtrip": _doc_jsonl_roundtrip,
         "doc_fix_mojibake": _doc_fix_mojibake,
+        "doc_release_manifest": _doc_release_manifest,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1667,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_matryoshka_recall": _EMB_MATRYOSHKA_SQL,
         "doc_jsonl_roundtrip": _DOC_JSONL_SQL,
         "doc_fix_mojibake": _gen_fix_mojibake_sql(),
+        "doc_release_manifest": _DOC_RELEASE_MANIFEST_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8100,6 +8103,29 @@ SELECT c0.doc_id,
        (c{n}.cur <> c0.cur) AS changed
 FROM c0 JOIN c{n} USING (doc_id)
 """)
+
+
+def _doc_release_manifest(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Per-source release manifest (`release.corpus_manifest`): doc and
+    token counts plus an order-insensitive BIT_XOR content checksum
+    over (id, text)-binding hashes — the artifact a consumer verifies a
+    snapshot against, incremental under single-doc updates. One
+    combinable aggregate."""
+    from pipelinedp_spark.operators.release import corpus_manifest
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_manifest(docs, "source")
+
+
+_DOC_RELEASE_MANIFEST_SQL = """
+SELECT source AS "group",
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       BIT_XOR(('0x' || substr(md5(doc_id || ':' || md5(text)), 1, 15))
+               ::BIGINT) AS content_xor
+FROM documents GROUP BY 1
+"""
 
 
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,3 +82,42 @@ def test_pseudonym_collision_audit_clean(spark):
     row = pseudonym_collision_audit(df, "uid", "s1").collect()[0]
     assert row["n_ids"] == 50 == row["n_pseudonyms"]
     assert row["collision_free"]
+
+
+# ---------------------------------------------------------------------------
+# release manifests
+# ---------------------------------------------------------------------------
+
+def test_corpus_manifest_detects_any_change_and_is_incremental(spark):
+    from pipelinedp_spark.operators.release import (corpus_manifest,
+                                                    doc_content_hash,
+                                                    schema_fingerprint)
+    rows = [(0, "alpha text", "a"), (1, "beta text", "a"),
+            (2, "gamma text", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    m = {r["group"]: r for r in corpus_manifest(df).collect()}
+    assert m["a"]["n_docs"] == 2 and m["b"]["n_docs"] == 1
+    # editing one doc changes exactly its group's checksum
+    df2 = spark.createDataFrame(
+        [(0, "alpha text EDITED", "a"), (1, "beta text", "a"),
+         (2, "gamma text", "b")],
+        "doc_id long, text string, source string")
+    m2 = {r["group"]: r for r in corpus_manifest(df2).collect()}
+    assert m2["a"]["content_xor"] != m["a"]["content_xor"]
+    assert m2["b"]["content_xor"] == m["b"]["content_xor"]
+    # swapping texts between ids changes the checksum even though the
+    # text multiset is identical (the hash binds id AND text)
+    df3 = spark.createDataFrame(
+        [(0, "beta text", "a"), (1, "alpha text", "a"),
+         (2, "gamma text", "b")],
+        "doc_id long, text string, source string")
+    m3 = {r["group"]: r for r in corpus_manifest(df3).collect()}
+    assert m3["a"]["content_xor"] != m["a"]["content_xor"]
+    # incremental patch: XOR of old and new doc-hash updates the group
+    old_h = df.select(doc_content_hash()).collect()[0][0]
+    new_h = df2.select(doc_content_hash()).collect()[0][0]
+    assert m["a"]["content_xor"] ^ old_h ^ new_h == m2["a"]["content_xor"]
+    # schema drift alarm
+    assert schema_fingerprint(df) == schema_fingerprint(df2)
+    assert schema_fingerprint(df) != schema_fingerprint(
+        df.withColumn("extra", df.doc_id))
