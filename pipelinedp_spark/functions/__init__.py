@@ -1,2 +1,3 @@
-from pipelinedp_spark.functions import (embeddings, layout, sampling,
+from pipelinedp_spark.functions import (embeddings, layout, pii,
+                                        sampling, semistructured,
                                         sketches, text, urls)  # noqa: F401

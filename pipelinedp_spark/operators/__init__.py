@@ -1,7 +1,7 @@
-from pipelinedp_spark.operators import (asof, bpe, clustering, decontam,
-                                        dedup, funnel, graph, jpeg,
-                                        langid, mixing, multimodal,
-                                        packing, quality, ranges,
+from pipelinedp_spark.operators import (anonymity, asof, bpe, clustering,
+                                        decontam, dedup, funnel, graph,
+                                        jpeg, langid, mixing, multimodal,
+                                        packing, quality, ranges, release,
                                         retrieval, running, scd,
                                         semdedup, sessions, similarity,
                                         skew, video)  # noqa: F401
