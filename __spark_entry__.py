@@ -1417,6 +1417,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_jsonl_roundtrip",
     "doc_fix_mojibake",
     "doc_release_manifest",
+    "doc_chat_render",
 ]
 
 
@@ -1496,6 +1497,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jsonl_roundtrip": _doc_jsonl_roundtrip,
         "doc_fix_mojibake": _doc_fix_mojibake,
         "doc_release_manifest": _doc_release_manifest,
+        "doc_chat_render": _doc_chat_render,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1670,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_jsonl_roundtrip": _DOC_JSONL_SQL,
         "doc_fix_mojibake": _gen_fix_mojibake_sql(),
         "doc_release_manifest": _DOC_RELEASE_MANIFEST_SQL,
+        "doc_chat_render": _DOC_CHAT_RENDER_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8125,6 +8128,98 @@ SELECT source AS "group",
        BIT_XOR(('0x' || substr(md5(doc_id || ':' || md5(text)), 1, 15))
                ::BIGINT) AS content_xor
 FROM documents GROUP BY 1
+"""
+
+
+def _doc_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering (`chat.render_chat` +
+    `chat.conversation_stats`): each document becomes a synthetic
+    conversation (its first four sentences as alternating
+    user/assistant turns, a system turn planted when doc_id % 3 == 0),
+    rendered flat under ChatML with the assistant-content loss-mask
+    spans. The oracle reconstructs the rendering and the span
+    arithmetic algebraically — every offset is plain string length
+    math, so a template drift or an off-by-one in the mask fails the
+    hash."""
+    from pipelinedp_spark.operators.chat import (conversation_stats,
+                                                 render_chat)
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all(F.col("text"),
+                               F.lit(r"[^.!?]+[.!?]*"), 0)
+    sent = [F.coalesce(F.trim(F.get(arr, i)), F.lit(f"filler {i}"))
+            for i in range(4)]
+    turn = lambda r, c: F.struct(F.lit(r).alias("role"),
+                                 c.alias("content"))
+    base = F.array(turn("user", sent[0]), turn("assistant", sent[1]),
+                   turn("user", sent[2]), turn("assistant", sent[3]))
+    msgs = F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(F.array(turn("system", F.lit("be concise"))),
+                           base)).otherwise(base)
+    conv = docs.select("doc_id", msgs.alias("messages"))
+    r = render_chat(conv)
+    s = conversation_stats(conv)
+    return (r.join(s, "doc_id")
+            .select("doc_id", "n_chars",
+                    F.md5(F.col("text")).alias("rendered_md5"),
+                    F.array_join(
+                        F.transform(
+                            F.col("assistant_spans"),
+                            lambda x: F.concat(x["s"].cast("string"),
+                                               F.lit(":"),
+                                               x["e"].cast("string"))),
+                        ",").alias("spans"),
+                    "n_turns", "n_assistant", "alternation_ok",
+                    "ends_assistant"))
+
+
+_DOC_CHAT_RENDER_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[^.!?]+[.!?]*') AS a,
+         doc_id % 3 = 0 AS has_sys
+  FROM documents),
+c AS (
+  SELECT doc_id, has_sys,
+         COALESCE(trim(a[1]), 'filler 0') AS c1,
+         COALESCE(trim(a[2]), 'filler 1') AS c2,
+         COALESCE(trim(a[3]), 'filler 2') AS c3,
+         COALESCE(trim(a[4]), 'filler 3') AS c4,
+         CASE WHEN doc_id % 3 = 0
+              THEN '<|im_start|>system' || chr(10) || 'be concise'
+                   || '<|im_end|>' || chr(10) ELSE '' END AS p0
+  FROM s),
+r AS (
+  SELECT doc_id, has_sys, c2, c4, p0,
+         p0 || '<|im_start|>user' || chr(10) || c1 || '<|im_end|>'
+            || chr(10)
+            || '<|im_start|>assistant' || chr(10) || c2 || '<|im_end|>'
+            || chr(10)
+            || '<|im_start|>user' || chr(10) || c3 || '<|im_end|>'
+            || chr(10)
+            || '<|im_start|>assistant' || chr(10) || c4 || '<|im_end|>'
+            || chr(10) AS txt,
+         -- user piece: 12 + 4 + 1 + len(c) + 10 + 1 = 28 + len(c)
+         -- assistant header = 12 + 9 + 1 = 22
+         length(p0) + 28 + length(c1) + 22 AS a1s
+  FROM c),
+sp AS (
+  SELECT doc_id, has_sys, txt, a1s,
+         a1s + length(c2) AS a1e,
+         a1s + length(c2) + 11 + 28
+             + (SELECT length(cc.c3) FROM c cc
+                WHERE cc.doc_id = r.doc_id) + 22 AS a2s,
+         length(c4) AS lc4
+  FROM r)
+SELECT doc_id,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       md5(txt) AS rendered_md5,
+       a1s::VARCHAR || ':' || a1e::VARCHAR || ','
+           || a2s::VARCHAR || ':' || (a2s + lc4)::VARCHAR AS spans,
+       CAST(CASE WHEN has_sys THEN 5 ELSE 4 END AS BIGINT) AS n_turns,
+       CAST(2 AS BIGINT) AS n_assistant,
+       TRUE AS alternation_ok,
+       TRUE AS ends_assistant
+FROM sp
 """
 
 

@@ -1,4 +1,5 @@
-from pipelinedp_spark.operators import (anonymity, asof, bpe, clustering,
+from pipelinedp_spark.operators import (anonymity, asof, bpe, chat,
+                                        clustering,
                                         decontam, dedup, funnel, graph,
                                         jpeg, langid, mixing, multimodal,
                                         packing, quality, ranges, release,

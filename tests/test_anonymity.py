@@ -121,3 +121,36 @@ def test_corpus_manifest_detects_any_change_and_is_incremental(spark):
     assert schema_fingerprint(df) == schema_fingerprint(df2)
     assert schema_fingerprint(df) != schema_fingerprint(
         df.withColumn("extra", df.doc_id))
+
+
+# ---------------------------------------------------------------------------
+# chat rendering (SFT prep)
+# ---------------------------------------------------------------------------
+
+def test_render_chat_spans_and_stats(spark):
+    from pipelinedp_spark.operators.chat import (conversation_stats,
+                                                 render_chat)
+    rows = [
+        (0, [("system", "be brief"), ("user", "hi"),
+             ("assistant", "hello"), ("user", "bye"),
+             ("assistant", "later")]),
+        (1, [("user", "a"), ("user", "b"), ("assistant", "c")]),
+        (2, [("user", "only a question")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, messages array<struct<"
+              "role string, content string>>")
+    out = {r["doc_id"]: r for r in render_chat(df).collect()}
+    t0 = out[0]["text"]
+    # every assistant span slices exactly the assistant content
+    got = [t0[s["s"]:s["e"]] for s in out[0]["assistant_spans"]]
+    assert got == ["hello", "later"]
+    assert t0.startswith("<|im_start|>system\nbe brief<|im_end|>\n")
+    assert out[0]["n_chars"] == len(t0)
+    assert out[2]["assistant_spans"] == []
+    st = {r["doc_id"]: r for r in conversation_stats(df).collect()}
+    assert st[0]["alternation_ok"] and st[0]["ends_assistant"]
+    assert st[0]["n_turns"] == 5 and st[0]["n_system"] == 1
+    assert not st[1]["alternation_ok"]          # user,user repeats
+    assert st[1]["ends_assistant"]
+    assert not st[2]["ends_assistant"] and st[2]["n_assistant"] == 0

@@ -63,7 +63,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "events_salted_join", "tpch_q1_pricing", "tpch_q3_priority",
          "tpch_q5_local_supplier", "events_rolling_features",
          "doc_exact_substr_cut", "doc_c4_filter", "emb_matryoshka_recall",
-         "doc_jsonl_roundtrip", "doc_fix_mojibake", "doc_release_manifest"]
+         "doc_jsonl_roundtrip", "doc_fix_mojibake", "doc_release_manifest",
+         "doc_chat_render"]
 
 
 @pytest.fixture(scope="module")
