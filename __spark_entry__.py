@@ -1418,6 +1418,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_fix_mojibake",
     "doc_release_manifest",
     "doc_chat_render",
+    "doc_preference_pairs",
 ]
 
 
@@ -1498,6 +1499,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fix_mojibake": _doc_fix_mojibake,
         "doc_release_manifest": _doc_release_manifest,
         "doc_chat_render": _doc_chat_render,
+        "doc_preference_pairs": _doc_preference_pairs,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1673,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fix_mojibake": _gen_fix_mojibake_sql(),
         "doc_release_manifest": _DOC_RELEASE_MANIFEST_SQL,
         "doc_chat_render": _DOC_CHAT_RENDER_SQL,
+        "doc_preference_pairs": _DOC_PREFERENCE_PAIRS_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8220,6 +8223,61 @@ SELECT doc_id,
        TRUE AS alternation_ok,
        TRUE AS ends_assistant
 FROM sp
+"""
+
+
+def _doc_preference_pairs(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (`chat.preference_pairs`):
+    documents become scored responses to 50 synthetic prompts
+    (prompt = doc_id % 50, response = the doc's first sentence,
+    score = n_chars % 97, rid = doc_id), pairs = per-prompt argmax vs
+    argmin with deterministic tie-breaks and a margin floor. One
+    groupBy with two max(struct) argm* folds, no windows."""
+    from pipelinedp_spark.operators.chat import preference_pairs
+    docs = _t(spark, sf_dir, "documents")
+    resp = docs.select(
+        F.concat(F.lit("prompt-"),
+                 (F.col("doc_id") % 50).cast("string")).alias("prompt"),
+        F.trim(F.regexp_extract(F.col("text"),
+                                r"[^.!?]+[.!?]*", 0)).alias("response"),
+        (F.col("n_chars") % 97).cast("double").alias("score"),
+        F.col("doc_id").alias("resp_id"))
+    out = preference_pairs(resp, min_margin=2.0)
+    return out.select(
+        "prompt", F.md5("chosen").alias("chosen_md5"),
+        F.md5("rejected").alias("rejected_md5"),
+        F.round("chosen_score", 6).alias("chosen_score"),
+        F.round("rejected_score", 6).alias("rejected_score"),
+        F.round("margin", 6).alias("margin"))
+
+
+_DOC_PREFERENCE_PAIRS_SQL = """
+WITH resp AS (
+  SELECT 'prompt-' || (doc_id % 50) AS prompt,
+         trim(regexp_extract(text, '[^.!?]+[.!?]*', 0)) AS response,
+         CAST(n_chars % 97 AS DOUBLE) AS score,
+         doc_id AS rid
+  FROM documents),
+picked AS (
+  SELECT prompt,
+         COUNT(*) AS n,
+         first(response ORDER BY score DESC, rid ASC) AS chosen,
+         first(score ORDER BY score DESC, rid ASC) AS chosen_score,
+         first(rid ORDER BY score DESC, rid ASC) AS hi_rid,
+         first(response ORDER BY score ASC, rid DESC) AS rejected,
+         first(score ORDER BY score ASC, rid DESC) AS rejected_score,
+         first(rid ORDER BY score ASC, rid DESC) AS lo_rid
+  FROM resp GROUP BY prompt)
+SELECT prompt,
+       md5(chosen) AS chosen_md5,
+       md5(rejected) AS rejected_md5,
+       ROUND(chosen_score, 6) AS chosen_score,
+       ROUND(rejected_score, 6) AS rejected_score,
+       ROUND(chosen_score - rejected_score, 6) AS margin
+FROM picked
+WHERE n >= 2 AND hi_rid <> lo_rid
+  AND chosen_score - rejected_score >= 2.0
 """
 
 

@@ -100,3 +100,51 @@ def conversation_stats(df: DataFrame,
         ((F.size(body) > 0) & (F.element_at(body, 1) == "user")
          & pairs_ok).alias("alternation_ok"),
         (F.element_at(roles, -1) == "assistant").alias("ends_assistant"))
+
+
+def preference_pairs(df: DataFrame,
+                     prompt_col: str = "prompt",
+                     response_col: str = "response",
+                     score_col: str = "score",
+                     id_col: str = "resp_id",
+                     min_margin: float = 0.0) -> DataFrame:
+    """DPO/RLHF preference-pair construction from scored responses: per
+    prompt, chosen = argmax score (ties to the smallest id), rejected =
+    argmin score (ties to the LARGEST id, so a full tie still yields a
+    distinct pair under min_margin=0);
+    prompts with fewer than two responses, identical chosen/rejected
+    rows, or a score margin below ``min_margin`` are dropped.
+
+    Plan: ONE groupBy(prompt) with two max(struct) argm* aggregates —
+    map-side combinable, no windows (a popular prompt with millions of
+    responses never lands on one task) — then one join back per side to
+    fetch the response text. Returns (prompt, chosen, rejected,
+    chosen_score, rejected_score, margin)."""
+    src = df.select(F.col(prompt_col).alias("prompt"),
+                    F.col(response_col).alias("response"),
+                    F.col(score_col).cast("double").alias("score"),
+                    F.col(id_col).cast("long").alias("rid"))
+    best = src.groupBy("prompt").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.max(F.struct(F.col("score"), (-F.col("rid")).alias("nid")))
+        .alias("__hi__"),
+        F.min(F.struct(F.col("score"), (-F.col("rid")).alias("nid")))
+        .alias("__lo__"))
+    picked = (best.filter(F.col("__n__") >= 2)
+              .select("prompt",
+                      (-F.col("__hi__.nid")).alias("hi_rid"),
+                      F.col("__hi__.score").alias("chosen_score"),
+                      (-F.col("__lo__.nid")).alias("lo_rid"),
+                      F.col("__lo__.score").alias("rejected_score"))
+              .filter(F.col("hi_rid") != F.col("lo_rid"))
+              .filter(F.col("chosen_score") - F.col("rejected_score")
+                      >= min_margin))
+    hi = src.select(F.col("rid").alias("hi_rid"),
+                    F.col("response").alias("chosen"))
+    lo = src.select(F.col("rid").alias("lo_rid"),
+                    F.col("response").alias("rejected"))
+    return (picked.join(hi, "hi_rid").join(lo, "lo_rid")
+            .select("prompt", "chosen", "rejected", "chosen_score",
+                    "rejected_score",
+                    (F.col("chosen_score") - F.col("rejected_score"))
+                    .alias("margin")))

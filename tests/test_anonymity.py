@@ -154,3 +154,27 @@ def test_render_chat_spans_and_stats(spark):
     assert not st[1]["alternation_ok"]          # user,user repeats
     assert st[1]["ends_assistant"]
     assert not st[2]["ends_assistant"] and st[2]["n_assistant"] == 0
+
+
+def test_preference_pairs_rules(spark):
+    from pipelinedp_spark.operators.chat import preference_pairs
+    rows = [
+        ("p1", "weak answer", 1.0, 10),
+        ("p1", "strong answer", 9.0, 11),
+        ("p1", "middle answer", 5.0, 12),
+        ("p2", "only response", 4.0, 20),          # singleton: dropped
+        ("p3", "tie a", 3.0, 30), ("p3", "tie b", 3.0, 31),  # margin 0
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt string, response string, score double, "
+              "resp_id long")
+    out = {r["prompt"]: r for r in
+           preference_pairs(df, min_margin=1.0).collect()}
+    assert set(out) == {"p1"}                      # p2 singleton, p3 margin
+    assert out["p1"]["chosen"] == "strong answer"
+    assert out["p1"]["rejected"] == "weak answer"
+    assert out["p1"]["margin"] == 8.0
+    # margin 0 allowed when min_margin=0, but identical rows never pair
+    out0 = {r["prompt"]: r for r in preference_pairs(df).collect()}
+    assert out0["p3"]["chosen"] == "tie a"         # min id wins the tie
+    assert out0["p3"]["rejected"] == "tie b"
