@@ -357,6 +357,15 @@ class CorpusPipeline:
 
     # -- introspection -------------------------------------------------
 
+    def manifest(self, group_col: str = "source") -> DataFrame:
+        """Per-group release manifest (counts + order-insensitive XOR
+        content checksum) for the CURRENT pipeline state — emit once
+        per published snapshot (`operators.release.corpus_manifest`).
+        Terminal (returns the manifest DataFrame, not a pipeline)."""
+        from pipelinedp_spark.operators.release import corpus_manifest
+        return corpus_manifest(self.df, group_col, self.text_col,
+                               self.id_col)
+
     def count(self) -> int:
         return self.df.count()
 

@@ -1036,3 +1036,24 @@ def test_streaming_semantic_dedup_end_to_end(spark, tmp_path):
     state_ids = sorted(r["_id"]
                        for r in spark.read.parquet(statep).collect())
     assert state_ids == [1, 2, 4]
+
+
+def test_streaming_stateless_pii_scrub(spark, tmp_path):
+    """Stateless codegen ops (the PII scrub) run unchanged inside
+    Structured Streaming — no foreachBatch, no state store: the same
+    pii_report projection is the streaming transform."""
+    from pipelinedp_spark.functions.pii import pii_report
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "mail a@b.io now"), (2, "clean text only")],
+        "doc_id long, text string").write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src + "/*"))
+    q = (pii_report(stream).writeStream.format("memory")
+         .queryName("pii_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in
+            spark.sql("SELECT * FROM pii_stream").collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["clean_text"]
+    assert not rows[2]["any_pii"]
