@@ -689,3 +689,54 @@ def test_c4_filter_rules(spark):
     assert out[2]["has_bad_substring"] and not out[2]["passes"]
     assert "if (x)" not in out[2]["clean_text"]        # brace line dropped
     assert out[3]["has_bad_substring"] and not out[3]["passes"]
+
+
+# ---------------------------------------------------------------------------
+# property tests: span merge / cut machinery
+# ---------------------------------------------------------------------------
+
+def test_merge_and_cut_spans_properties(spark):
+    """Property (hypothesis): for ARBITRARY raw window marks, the merged
+    spans are sorted, disjoint, non-adjacent, cover exactly the marked
+    positions, and cut_spans removes exactly the covered characters
+    while preserving every uncovered one in order."""
+    from hypothesis import given, settings, strategies as st
+    from pipelinedp_spark.operators.dedup import _merge_spans, cut_spans
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=40),
+                    min_size=1, max_size=25),
+           st.integers(min_value=2, max_value=7))
+    def prop(positions, k):
+        text = "".join(chr(ord("a") + (i * 7) % 26) for i in range(60))
+        vals = ", ".join(f"(0, {p}, {p + k})" for p in positions)
+        iv = spark.sql(
+            f"SELECT col1 AS doc_id, CAST(col2 AS BIGINT) AS start, "
+            f"CAST(col3 AS BIGINT) AS `end` FROM VALUES {vals}")
+        spans = sorted((r["span_start"], r["span_end"]) for r in
+                       _merge_spans(iv, "doc_id").collect())
+        covered = set()
+        for p in positions:
+            covered.update(range(p, p + k))
+        got_cov = set()
+        prev_end = None
+        for s, e in spans:
+            assert s < e
+            if prev_end is not None:
+                assert s > prev_end          # disjoint AND non-adjacent
+            prev_end = e
+            got_cov.update(range(s, e))
+        assert got_cov == covered
+        docs = spark.createDataFrame([(0, text)],
+                                     "doc_id long, text string")
+        sp = spark.createDataFrame(
+            [(0, s, e) for s, e in spans],
+            "doc_id long, span_start long, span_end long")
+        out = cut_spans(docs, sp).collect()[0]
+        expect = "".join(c for i, c in enumerate(text)
+                         if i not in covered)
+        assert out["clean_text"] == expect
+        # positions <= 40, k <= 7: every span lies inside the text
+        assert out["n_cut_chars"] == len(covered)
+
+    prop()
