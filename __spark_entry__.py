@@ -1419,6 +1419,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_release_manifest",
     "doc_chat_render",
     "doc_preference_pairs",
+    "dedup_lsh_plan",
 ]
 
 
@@ -1500,6 +1501,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_release_manifest": _doc_release_manifest,
         "doc_chat_render": _doc_chat_render,
         "doc_preference_pairs": _doc_preference_pairs,
+        "dedup_lsh_plan": _dedup_lsh_plan,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1676,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_release_manifest": _DOC_RELEASE_MANIFEST_SQL,
         "doc_chat_render": _DOC_CHAT_RENDER_SQL,
         "doc_preference_pairs": _DOC_PREFERENCE_PAIRS_SQL,
+        "dedup_lsh_plan": _DEDUP_LSH_PLAN_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8278,6 +8281,63 @@ SELECT prompt,
 FROM picked
 WHERE n >= 2 AND hi_rid <> lo_rid
   AND chosen_score - rejected_score >= 2.0
+"""
+
+
+def _dedup_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic MinHash-LSH banding plan grid (the math behind
+    `dedup.plan_lsh_params`): for each rows-per-band option, the
+    minimal band count meeting 95% recall at threshold 0.8 via the
+    closed form b = ceil(ln(1-R) / ln(1-t^r)), with the S-curve recall
+    and the false-candidate rate at background similarity 0.2; the
+    selected row minimizes (num_hashes, fp, bands). Pure arithmetic —
+    no table scan at all — kept as an oracle query because the planner
+    must agree with any engine that re-derives it."""
+    t, R, bg = 0.8, 0.95, 0.2
+    rows = spark.sql(
+        "SELECT col1 AS r FROM VALUES (2), (3), (4), (5), (6), (8)")
+    b = F.ceil(F.log(F.lit(1.0) - F.lit(R))
+               / F.log(F.lit(1.0) - F.pow(F.lit(t), F.col("r"))))
+    g = rows.select(
+        F.col("r").cast("long").alias("rows_per_band"),
+        b.cast("long").alias("bands"))
+    g = g.withColumn("num_hashes",
+                     (F.col("bands") * F.col("rows_per_band"))
+                     .cast("long"))
+    recall = (F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.lit(t), F.col("rows_per_band")),
+        F.col("bands")))
+    fp = (F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.lit(bg), F.col("rows_per_band")),
+        F.col("bands")))
+    g = g.select("rows_per_band", "bands", "num_hashes",
+                 F.round(recall, 6).alias("recall"),
+                 F.round(fp, 6).alias("fp_rate"))
+    from pyspark.sql import Window
+    w = Window.orderBy("num_hashes", "fp_rate", "bands")
+    return (g.withColumn("selected", F.row_number().over(w) == 1)
+            .select("rows_per_band", "bands", "num_hashes", "recall",
+                    "fp_rate", "selected"))
+
+
+_DEDUP_LSH_PLAN_SQL = """
+WITH g AS (
+  SELECT CAST(r AS BIGINT) AS rows_per_band,
+         CAST(CEIL(LN(1.0 - 0.95) / LN(1.0 - POW(0.8, r))) AS BIGINT)
+             AS bands
+  FROM (VALUES (2), (3), (4), (5), (6), (8)) AS t(r)),
+e AS (
+  SELECT rows_per_band, bands,
+         CAST(bands * rows_per_band AS BIGINT) AS num_hashes,
+         ROUND(1.0 - POW(1.0 - POW(0.8, rows_per_band), bands), 6)
+             AS recall,
+         ROUND(1.0 - POW(1.0 - POW(0.2, rows_per_band), bands), 6)
+             AS fp_rate
+  FROM g)
+SELECT rows_per_band, bands, num_hashes, recall, fp_rate,
+       ROW_NUMBER() OVER (ORDER BY num_hashes, fp_rate, bands) = 1
+           AS selected
+FROM e
 """
 
 

@@ -1266,3 +1266,43 @@ def cut_spans(docs: DataFrame,
         F.array_join(pieces, "").alias("clean_text"),
         F.size(sp).cast("long").alias("n_spans"),
         n_cut.alias("n_cut_chars"))
+
+
+def plan_lsh_params(jaccard_threshold: float,
+                    target_recall: float = 0.95,
+                    max_hashes: int = 256,
+                    background_sim: float = 0.2,
+                    rows_options=(2, 3, 4, 5, 6, 8)):
+    """Analytic MinHash-LSH banding planner: for bands x rows grids
+    within ``max_hashes``, the S-curve gives recall at the target
+    threshold, recall(t) = 1 - (1 - t^r)^b, and the false-candidate
+    rate at a background similarity. Returns (bands, rows_per_band,
+    num_hashes, recall, fp_rate) for the CHEAPEST plan meeting
+    ``target_recall`` (ties to lower fp_rate) — the knob-picking step
+    before `minhash_lsh_pairs`, driver-side math (no Spark job).
+
+    Raises if no plan within max_hashes reaches the target (the honest
+    failure: lowering rows_per_band below 2 would meet recall by
+    flooding candidates)."""
+    if not 0 < jaccard_threshold < 1:
+        raise ValueError(f"jaccard_threshold must be in (0, 1), got "
+                         f"{jaccard_threshold}")
+    best = None
+    for r in rows_options:
+        for b in range(1, max_hashes // r + 1):
+            recall = 1.0 - (1.0 - jaccard_threshold ** r) ** b
+            if recall < target_recall:
+                continue
+            fp = 1.0 - (1.0 - background_sim ** r) ** b
+            key = (b * r, fp, b)
+            if best is None or key < best[0]:
+                best = (key, {"bands": b, "rows_per_band": r,
+                              "num_hashes": b * r,
+                              "recall": recall, "fp_rate": fp})
+            break   # larger b only costs more at same r
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) plan within max_hashes={max_hashes} "
+            f"reaches recall {target_recall} at threshold "
+            f"{jaccard_threshold}")
+    return best[1]

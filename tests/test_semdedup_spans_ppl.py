@@ -740,3 +740,23 @@ def test_merge_and_cut_spans_properties(spark):
         assert out["n_cut_chars"] == len(covered)
 
     prop()
+
+
+def test_plan_lsh_params_analytics(spark):
+    from pipelinedp_spark.operators.dedup import plan_lsh_params
+    import pytest as _pt
+    p = plan_lsh_params(0.8, target_recall=0.95)
+    assert p["recall"] >= 0.95
+    assert p["num_hashes"] == p["bands"] * p["rows_per_band"]
+    # recall is the S-curve value it claims
+    t, b, r = 0.8, p["bands"], p["rows_per_band"]
+    assert abs(p["recall"] - (1 - (1 - t ** r) ** b)) < 1e-12
+    # the production 8-rows-per-band regime is plannable within 64
+    p64 = plan_lsh_params(0.85, target_recall=0.9, max_hashes=64,
+                          rows_options=(8,))
+    assert p64["num_hashes"] <= 64 and p64["recall"] >= 0.9
+    assert p64["rows_per_band"] == 8
+    with _pt.raises(ValueError, match="no \\(bands, rows\\) plan"):
+        plan_lsh_params(0.95, 0.999999, max_hashes=4)
+    with _pt.raises(ValueError, match="threshold"):
+        plan_lsh_params(1.5)
