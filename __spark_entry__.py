@@ -1420,6 +1420,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_chat_render",
     "doc_preference_pairs",
     "dedup_lsh_plan",
+    "events_dau_wau",
 ]
 
 
@@ -1502,6 +1503,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chat_render": _doc_chat_render,
         "doc_preference_pairs": _doc_preference_pairs,
         "dedup_lsh_plan": _dedup_lsh_plan,
+        "events_dau_wau": _events_dau_wau,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1679,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chat_render": _DOC_CHAT_RENDER_SQL,
         "doc_preference_pairs": _DOC_PREFERENCE_PAIRS_SQL,
         "dedup_lsh_plan": _DEDUP_LSH_PLAN_SQL,
+        "events_dau_wau": _EVENTS_DAU_WAU_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8338,6 +8341,50 @@ SELECT rows_per_band, bands, num_hashes, recall, fp_rate,
        ROW_NUMBER() OVER (ORDER BY num_hashes, fp_rate, bands) = 1
            AS selected
 FROM e
+"""
+
+
+def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics headline metric. DAU is one distinct-count aggregate; WAU
+    re-aggregates the (day, user) pairs over a 7-day integer-DIV-free
+    range join expressed as a self-join on day distance (days are a
+    tiny dimension — broadcast). Stickiness = DAU/WAU, one final
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.col("ts") / F.lit(86400000000)).cast("long")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau"))
+    days = dau.select("day")
+    wau = (du.join(F.broadcast(days.select(F.col("day").alias("d"))),
+                   (F.col("day") <= F.col("d"))
+                   & (F.col("day") > F.col("d") - 7))
+           .groupBy("d")
+           .agg(F.countDistinct("user_id").alias("wau")))
+    return (dau.join(wau, dau.day == wau.d)
+            .select("day",
+                    F.col("dau").cast("long").alias("dau"),
+                    F.col("wau").cast("long").alias("wau"),
+                    F.round(F.col("dau") / F.col("wau"), 6)
+                    .alias("stickiness")))
+
+
+_EVENTS_DAU_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+wau AS (
+  SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS wau
+  FROM (SELECT DISTINCT day FROM du) d
+  JOIN du u ON u.day <= d.day AND u.day > d.day - 7
+  GROUP BY 1)
+SELECT dau.day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       ROUND(dau.dau / wau.wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
 """
 
 

@@ -64,7 +64,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "tpch_q5_local_supplier", "events_rolling_features",
          "doc_exact_substr_cut", "doc_c4_filter", "emb_matryoshka_recall",
          "doc_jsonl_roundtrip", "doc_fix_mojibake", "doc_release_manifest",
-         "doc_chat_render", "doc_preference_pairs", "dedup_lsh_plan"]
+         "doc_chat_render", "doc_preference_pairs", "dedup_lsh_plan",
+         "events_dau_wau"]
 
 
 @pytest.fixture(scope="module")
