@@ -1421,6 +1421,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_preference_pairs",
     "dedup_lsh_plan",
     "events_dau_wau",
+    "customer_upsert",
 ]
 
 
@@ -1504,6 +1505,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_preference_pairs": _doc_preference_pairs,
         "dedup_lsh_plan": _dedup_lsh_plan,
         "events_dau_wau": _events_dau_wau,
+        "customer_upsert": _customer_upsert,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1682,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_preference_pairs": _DOC_PREFERENCE_PAIRS_SQL,
         "dedup_lsh_plan": _DEDUP_LSH_PLAN_SQL,
         "events_dau_wau": _EVENTS_DAU_WAU_SQL,
+        "customer_upsert": _CUSTOMER_UPSERT_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8385,6 +8388,73 @@ SELECT dau.day,
        CAST(wau.wau AS BIGINT) AS wau,
        ROUND(dau.dau / wau.wau, 6) AS stickiness
 FROM dau JOIN wau USING (day)
+"""
+
+
+def _customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style latest-wins upsert (`scd.apply_changes`): the base
+    customer table (version 0) absorbs a synthetic change batch —
+    balance updates for custkey % 7 == 1 (version 2), segment updates
+    for custkey % 11 == 3 (version 1, LOSES to the balance update on
+    overlapping keys), tombstones for custkey % 13 == 5 (version 3,
+    wins over everything) — producing the current snapshot with one
+    argmax fold per key, no window."""
+    from pipelinedp_spark.operators.scd import apply_changes
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")         .withColumn("version", F.lit(0).cast("long"))
+    upd_bal = (cust.filter(F.col("c_custkey") % 7 == 1)
+               .select("c_custkey", "c_name",
+                       (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                       "c_mktsegment")
+               .withColumn("version", F.lit(2).cast("long"))
+               .withColumn("_deleted", F.lit(False)))
+    upd_seg = (cust.filter(F.col("c_custkey") % 11 == 3)
+               .select("c_custkey", "c_name", "c_acctbal",
+                       F.lit("REASSIGNED").alias("c_mktsegment"))
+               .withColumn("version", F.lit(1).cast("long"))
+               .withColumn("_deleted", F.lit(False)))
+    dels = (cust.filter(F.col("c_custkey") % 13 == 5)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            .withColumn("version", F.lit(3).cast("long"))
+            .withColumn("_deleted", F.lit(True)))
+    updates = upd_bal.unionByName(upd_seg).unionByName(dels)
+    out = apply_changes(cust, updates, "c_custkey", "version")
+    return out.select("c_custkey", "c_name",
+                      F.round("c_acctbal", 2).alias("c_acctbal"),
+                      "c_mktsegment", "version")
+
+
+_CUSTOMER_UPSERT_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CAST(0 AS BIGINT) AS version, FALSE AS del
+  FROM customer),
+ub AS (
+  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+         c_mktsegment, CAST(2 AS BIGINT) AS version, FALSE AS del
+  FROM customer WHERE c_custkey % 7 = 1),
+us AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         'REASSIGNED' AS c_mktsegment, CAST(1 AS BIGINT) AS version,
+         FALSE AS del
+  FROM customer WHERE c_custkey % 11 = 3),
+ud AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CAST(3 AS BIGINT) AS version, TRUE AS del
+  FROM customer WHERE c_custkey % 13 = 5),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM ub
+         UNION ALL SELECT * FROM us UNION ALL SELECT * FROM ud),
+win AS (
+  SELECT c_custkey,
+         first(c_name ORDER BY version DESC) AS c_name,
+         first(c_acctbal ORDER BY version DESC) AS c_acctbal,
+         first(c_mktsegment ORDER BY version DESC) AS c_mktsegment,
+         first(version ORDER BY version DESC) AS version,
+         first(del ORDER BY version DESC) AS del
+  FROM allr GROUP BY c_custkey)
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+       c_mktsegment, version
+FROM win WHERE NOT del
 """
 
 

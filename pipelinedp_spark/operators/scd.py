@@ -72,3 +72,39 @@ def scd2_apply(dim: DataFrame,
             .unionByName(expired)
             .unionByName(new_versions)
             .unionByName(brand_new))
+
+
+def apply_changes(base: DataFrame,
+                  updates: DataFrame,
+                  key_col: str,
+                  version_col: str,
+                  delete_col: str = "_deleted") -> DataFrame:
+    """MERGE-style latest-wins upsert producing the CURRENT snapshot
+    (the type-1 companion to `scd2_apply`'s history table): union the
+    base rows (version as-is) with the change batch, keep each key's
+    highest-version row (ties to the change batch are the caller's
+    contract: versions must be unique per key), and drop keys whose
+    winning row is a tombstone (``delete_col`` true).
+
+    Plan: ONE unionByName + one max(struct) argmax per key — map-side
+    combinable, no window, so a hot key (one entity updated millions of
+    times in a batch) never serializes onto a single task. The struct
+    packs the full row, so no join-back is needed."""
+    if delete_col not in updates.columns:
+        updates = updates.withColumn(delete_col, F.lit(False))
+    if delete_col not in base.columns:
+        base = base.withColumn(delete_col, F.lit(False))
+    cols = base.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            f"base and updates schemas differ: {sorted(cols)} vs "
+            f"{sorted(updates.columns)}")
+    both = base.select(*cols).unionByName(updates.select(*cols))
+    payload = [c for c in cols if c != key_col]
+    win = both.groupBy(key_col).agg(
+        F.max(F.struct(F.col(version_col).alias("__v__"),
+                       *[F.col(c).alias(c) for c in payload]))
+        .alias("__w__"))
+    out = win.select(key_col,
+                     *[F.col(f"__w__.{c}").alias(c) for c in payload])
+    return out.filter(~F.col(delete_col)).drop(delete_col)

@@ -178,3 +178,24 @@ def test_preference_pairs_rules(spark):
     out0 = {r["prompt"]: r for r in preference_pairs(df).collect()}
     assert out0["p3"]["chosen"] == "tie a"         # min id wins the tie
     assert out0["p3"]["rejected"] == "tie b"
+
+
+def test_apply_changes_latest_wins_and_tombstones(spark):
+    from pipelinedp_spark.operators.scd import apply_changes
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+        "k long, v string, version long")
+    upd = spark.createDataFrame(
+        [(1, "a2", 2, False), (1, "a1", 1, False),   # 2 updates: max wins
+         (2, "dead", 3, True),                        # tombstone
+         (4, "new", 1, False)],                       # insert
+        "k long, v string, version long, _deleted boolean")
+    out = {r["k"]: r for r in
+           apply_changes(base, upd, "k", "version").collect()}
+    assert set(out) == {1, 3, 4}                      # 2 deleted
+    assert out[1]["v"] == "a2" and out[1]["version"] == 2
+    assert out[3]["v"] == "c"                         # untouched base row
+    assert out[4]["v"] == "new"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="schemas differ"):
+        apply_changes(base, upd.drop("v"), "k", "version")
