@@ -1601,3 +1601,42 @@ def streaming_interval_join(left: DataFrame,
     return (l.join(r.withColumnRenamed(on, "__rk__"),
                    (F.col(on) == F.col("__rk__")) & cond, how)
             .drop("__rk__"))
+
+
+def streaming_apply_changes(stream: DataFrame,
+                            snapshot_path: str,
+                            checkpoint_dir: str,
+                            key_col: str,
+                            version_col: str,
+                            delete_col: str = "_deleted"):
+    """Streaming CDC maintenance via foreachBatch: each micro-batch of
+    change rows MERGEs into the parquet current-snapshot table with
+    `operators.scd.apply_changes` (latest version wins, tombstones
+    delete). The snapshot is rebuilt and overwritten per batch —
+    checkpointed first so the writer never deletes files mid-scan (the
+    same pin as the dedup-state twins); at-least-once replay of a batch
+    is idempotent because versions are absolute, not incremental.
+    Returns the started StreamingQuery."""
+    from pipelinedp_spark.operators.scd import apply_changes
+    spark = stream.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if delete_col not in batch_df.columns:
+            batch_df = batch_df.withColumn(delete_col, F.lit(False))
+        try:
+            state = spark.read.parquet(snapshot_path)
+            if delete_col not in state.columns:
+                state = state.withColumn(delete_col, F.lit(False))
+            merged = apply_changes(state, batch_df, key_col,
+                                   version_col, delete_col)
+        except Exception:
+            merged = apply_changes(
+                batch_df.filter(~F.col(delete_col)).limit(0),
+                batch_df, key_col, version_col, delete_col)
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(snapshot_path)
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

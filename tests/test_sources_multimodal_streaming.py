@@ -1057,3 +1057,33 @@ def test_streaming_stateless_pii_scrub(spark, tmp_path):
             spark.sql("SELECT * FROM pii_stream").collect()}
     assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["clean_text"]
     assert not rows[2]["any_pii"]
+
+
+def test_streaming_apply_changes_end_to_end(spark, tmp_path):
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_apply_changes)
+    src = str(tmp_path / "in")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a", 0, False), (2, "b", 0, False)],
+        "k long, v string, version long, _deleted boolean") \
+        .write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream
+              .schema("k long, v string, version long, _deleted boolean")
+              .parquet(src + "/*"))
+    q = streaming_apply_changes(stream, snap, ckpt, "k", "version")
+    q.awaitTermination(120)
+    # second batch: update k=1, tombstone k=2, insert k=3
+    spark.createDataFrame(
+        [(1, "a2", 2, False), (2, "dead", 3, True), (3, "c", 1, False)],
+        "k long, v string, version long, _deleted boolean") \
+        .write.parquet(src + "/f2.parquet")
+    stream2 = (spark.readStream
+               .schema("k long, v string, version long, "
+                       "_deleted boolean")
+               .parquet(src + "/*"))
+    q2 = streaming_apply_changes(stream2, snap, ckpt, "k", "version")
+    q2.awaitTermination(120)
+    out = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
+    assert out == {1: "a2", 3: "c"}
