@@ -1422,6 +1422,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "dedup_lsh_plan",
     "events_dau_wau",
     "customer_upsert",
+    "stream_upsert_mirror",
 ]
 
 
@@ -1506,6 +1507,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_plan": _dedup_lsh_plan,
         "events_dau_wau": _events_dau_wau,
         "customer_upsert": _customer_upsert,
+        "stream_upsert_mirror": _stream_upsert_mirror,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1685,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_plan": _DEDUP_LSH_PLAN_SQL,
         "events_dau_wau": _EVENTS_DAU_WAU_SQL,
         "customer_upsert": _CUSTOMER_UPSERT_SQL,
+        "stream_upsert_mirror": _STREAM_UPSERT_MIRROR_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8455,6 +8458,85 @@ win AS (
 SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
        c_mktsegment, version
 FROM win WHERE NOT del
+"""
+
+
+def _stream_upsert_mirror(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_apply_changes` with exact
+    two-trigger semantics: trigger 0 merges the base customer rows into
+    an empty snapshot, trigger 1 merges the synthetic change batch
+    (balance updates, losing segment updates, tombstones — the
+    customer_upsert plant). Output = the snapshot AFTER EACH trigger,
+    tagged by batch, proving the per-batch merge contract rather than
+    only the final state."""
+    from pipelinedp_spark.operators.scd import apply_changes
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")         .withColumn("version", F.lit(0).cast("long"))         .withColumn("_deleted", F.lit(False))
+    snap0 = apply_changes(cust.limit(0), cust, "c_custkey", "version")         .localCheckpoint()
+    upd = (cust.filter(F.col("c_custkey") % 7 == 1)
+           .select("c_custkey", "c_name",
+                   (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                   "c_mktsegment",
+                   F.lit(2).cast("long").alias("version"),
+                   F.lit(False).alias("_deleted"))
+           .unionByName(
+               cust.filter(F.col("c_custkey") % 11 == 3)
+               .select("c_custkey", "c_name", "c_acctbal",
+                       F.lit("REASSIGNED").alias("c_mktsegment"),
+                       F.lit(1).cast("long").alias("version"),
+                       F.lit(False).alias("_deleted")))
+           .unionByName(
+               cust.filter(F.col("c_custkey") % 13 == 5)
+               .select("c_custkey", "c_name", "c_acctbal",
+                       "c_mktsegment",
+                       F.lit(3).cast("long").alias("version"),
+                       F.lit(True).alias("_deleted"))))
+    snap1 = apply_changes(
+        snap0.withColumn("_deleted", F.lit(False)), upd,
+        "c_custkey", "version")
+    tag = lambda df, b: df.select(
+        F.lit(b).cast("long").alias("batch"), "c_custkey", "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment",
+        "version")
+    return tag(snap0, 0).unionByName(tag(snap1, 1))
+
+
+_STREAM_UPSERT_MIRROR_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CAST(0 AS BIGINT) AS version, FALSE AS del
+  FROM customer),
+ub AS (
+  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+         c_mktsegment, CAST(2 AS BIGINT) AS version, FALSE AS del
+  FROM customer WHERE c_custkey % 7 = 1),
+us AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         'REASSIGNED' AS c_mktsegment, CAST(1 AS BIGINT) AS version,
+         FALSE AS del
+  FROM customer WHERE c_custkey % 11 = 3),
+ud AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         CAST(3 AS BIGINT) AS version, TRUE AS del
+  FROM customer WHERE c_custkey % 13 = 5),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM ub
+         UNION ALL SELECT * FROM us UNION ALL SELECT * FROM ud),
+fin AS (
+  SELECT c_custkey,
+         first(c_name ORDER BY version DESC) AS c_name,
+         first(c_acctbal ORDER BY version DESC) AS c_acctbal,
+         first(c_mktsegment ORDER BY version DESC) AS c_mktsegment,
+         first(version ORDER BY version DESC) AS version,
+         first(del ORDER BY version DESC) AS del
+  FROM allr GROUP BY c_custkey)
+SELECT CAST(0 AS BIGINT) AS batch, c_custkey, c_name,
+       ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment, version
+FROM base
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, c_custkey, c_name,
+       ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment, version
+FROM fin WHERE NOT del
 """
 
 
