@@ -1423,6 +1423,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "events_dau_wau",
     "customer_upsert",
     "stream_upsert_mirror",
+    "doc_head_coverage",
 ]
 
 
@@ -1508,6 +1509,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau": _events_dau_wau,
         "customer_upsert": _customer_upsert,
         "stream_upsert_mirror": _stream_upsert_mirror,
+        "doc_head_coverage": _doc_head_coverage,
         "doc_stratified_sample": _doc_stratified_sample,
         "asof_join_tolerance_events": _asof_join_tolerance_events,
         "range_join_keyed_events": _range_join_keyed_events,
@@ -1688,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_wau": _EVENTS_DAU_WAU_SQL,
         "customer_upsert": _CUSTOMER_UPSERT_SQL,
         "stream_upsert_mirror": _STREAM_UPSERT_MIRROR_SQL,
+        "doc_head_coverage": _DOC_HEAD_COVERAGE_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "asof_join_tolerance_events": _ASOF_TOLERANCE_SQL,
         "range_join_keyed_events": _RANGE_JOIN_KEYED_SQL,
@@ -8537,6 +8540,53 @@ UNION ALL
 SELECT CAST(1 AS BIGINT) AS batch, c_custkey, c_name,
        ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment, version
 FROM fin WHERE NOT del
+"""
+
+
+def _doc_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head-coverage curve (the Zipf check that sizes
+    tokenizer vocabularies): for k in {10, 100, 1000}, the fraction of
+    all corpus token occurrences covered by the k most frequent types
+    (ties broken by token ascending). One word-count aggregate; the
+    top-k mass comes from a WindowGroupLimit over the already-tiny
+    count table, never a corpus sort."""
+    from pyspark.sql import Window
+    from pipelinedp_spark.functions import text as TX
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))         .filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.localCheckpoint()
+    total = counts.agg(F.sum("c")).collect()[0][0]
+    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))         .filter(F.col("rank") <= 1000)
+    out = None
+    for k in (10, 100, 1000):
+        o = (ranked.filter(F.col("rank") <= k)
+             .agg(F.lit(k).cast("long").alias("k"),
+                  F.sum("c").cast("long").alias("head_tokens"),
+                  F.round(F.sum("c") / F.lit(float(total)), 6)
+                  .alias("coverage")))
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+_DOC_HEAD_COVERAGE_SQL = """
+WITH counts AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+tot AS (SELECT SUM(c) AS t FROM counts),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank
+  FROM counts),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (10), (100), (1000))
+       AS v(k))
+SELECT ks.k,
+       CAST(SUM(r.c) AS BIGINT) AS head_tokens,
+       ROUND(SUM(r.c) / (SELECT CAST(t AS DOUBLE) FROM tot), 6)
+           AS coverage
+FROM ks JOIN ranked r ON r.rank <= ks.k
+GROUP BY ks.k
 """
 
 

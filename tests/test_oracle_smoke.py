@@ -65,7 +65,8 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "doc_exact_substr_cut", "doc_c4_filter", "emb_matryoshka_recall",
          "doc_jsonl_roundtrip", "doc_fix_mojibake", "doc_release_manifest",
          "doc_chat_render", "doc_preference_pairs", "dedup_lsh_plan",
-         "events_dau_wau", "customer_upsert", "stream_upsert_mirror"]
+         "events_dau_wau", "customer_upsert", "stream_upsert_mirror",
+         "doc_head_coverage"]
 
 
 @pytest.fixture(scope="module")
