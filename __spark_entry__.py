@@ -1392,38 +1392,57 @@ FROM s GROUP BY doc_id
 # `scripts/check_correctness.py` (same compare logic) covers the full set
 # regardless of order and writes the complete CORRECTNESS_LOCAL.json.
 _DRIVER_ARTIFACT_FIRST = [
-    # round-8 rotation: every query in the registry has now appeared in at
-    # least one driver CORRECTNESS_r*.json (r07 completed the backlog), so the
-    # front list resets. Append NEW round-8 query names here as they land so
-    # they fall inside the driver's 50-row artifact cap.
-    "bpe_train_merges",  # upgraded rows-only -> hash oracle in r8
-    "doc_duplicate_spans_exact",
-    "dedup_minhash_prod",
-    "stream_semdedup_mirror",
-    "doc_pii_audit",
-    "doc_decontaminate_spans",
-    "events_k_anonymity",
-    "events_pseudonymize",
-    "doc_leakage_safe_split",
-    "events_parse_quarantine",
-    "events_salted_join",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q5_local_supplier",
-    "events_rolling_features",
-    "doc_exact_substr_cut",
-    "doc_c4_filter",
-    "emb_matryoshka_recall",
-    "doc_jsonl_roundtrip",
-    "doc_fix_mojibake",
-    "doc_release_manifest",
-    "doc_chat_render",
-    "doc_preference_pairs",
-    "dedup_lsh_plan",
-    "events_dau_wau",
-    "customer_upsert",
-    "stream_upsert_mirror",
-    "doc_head_coverage",
+    # round-9 rotation: ordered by STALENESS — these are the ~50 queries
+    # whose most recent driver CORRECTNESS_r*.json record is oldest (the
+    # 27 last recorded in r05, then 23 from r06), so driver rows keep
+    # tracking current implementations as they evolve. New round-9 query
+    # names are PREPENDED above this block as they land so they fall
+    # inside the driver's 50-row artifact cap.
+    "analysis_histograms",
+    "asof_join_events",
+    "doc_containment",
+    "doc_pii_scrub",
+    "doc_prep_pipeline",
+    "doc_quality_signals",
+    "doc_split",
+    "dp_count_composite_key",
+    "dp_count_join_nation",
+    "dp_count_max_contributions",
+    "dp_gaussian_threshold",
+    "dp_post_agg_threshold",
+    "dp_select_partitions_tg",
+    "dp_select_weighted_gaussian",
+    "dp_session_count_events",
+    "dp_windowed_count_events",
+    "dp_windowed_variance_events",
+    "multimodal_bmp_decode",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "range_join_events",
+    "sessionize_events",
+    "sim_ivf_pq_topk",
+    "sim_pq_topk",
+    "token_topk",
+    "utility_analysis_count_sum",
+    "utility_analysis_variance",
+    # r06-era below
+    "asof_join_tolerance_events",
+    "bpe_encode",
+    "dedup_cross_corpus",
+    "dedup_cross_corpus_near",
+    "doc_bigram_ppl",
+    "doc_bm25_topk",
+    "doc_chunk_windows",
+    "doc_corpus_report",
+    "doc_decontaminate",
+    "doc_decontaminate_bloom",
+    "doc_dsir_resample",
+    "doc_dsir_weights",
+    "doc_dup_rate_estimate",
+    "doc_duplicate_spans",
+    "doc_gram_novelty",
+    "doc_hash_embeddings",
+    "doc_line_dedup",
 ]
 
 
@@ -7905,11 +7924,11 @@ if (x) { lorem ipsum dolor sit. }'
                  ELSE '' END AS t
   FROM documents),
 split AS (
-  SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM base),
+  SELECT doc_id, t, regexp_split_to_array(t, '\r?\n') AS ls FROM base),
 kept AS (
   SELECT doc_id, t, len(ls) AS n_total,
-         [trim(x) for x in ls
-          if regexp_matches(trim(x), '[.!?]$')
+         [trim(replace(x, chr(13), '')) for x in ls
+          if regexp_matches(trim(x), '[.!?"”’'']$')
              AND len([w for w in string_split(trim(x), ' ')
                       if w <> '']) >= 3] AS kl
   FROM split),

@@ -370,6 +370,25 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError:
         pass
+    # LAST line: a compact summary that fits in any stdout tail, so the
+    # driver's capture always ends with one parseable JSON object even
+    # when the full per-query line above is truncated mid-object.
+    # Same contract keys; "queries" holds the top-10 slowest (the full
+    # per-query map is the previous line and BENCH_LOCAL.json).
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": dict(sorted(times.items(),
+                               key=lambda kv: -kv[1])[:10]),
+    }
+    if times_sf1:
+        summary["value_sf1"] = out["value_sf1"]
+        summary["worst5_scaling"] = dict(sorted(scaling.items(),
+                                                key=lambda kv: -kv[1])[:5])
+    print(json.dumps(summary))
     spark.stop()
 
 

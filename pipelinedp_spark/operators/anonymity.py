@@ -72,12 +72,18 @@ def suppress_small_groups(df: DataFrame,
     alongside. Plan: the class-size aggregate re-joins the input on the
     quasi tuple — two hash exchanges on the same key, which AQE plans as
     one co-partitioned join (broadcast when the violating set is
-    small)."""
+    small). NULL quasi values form their own class (null-safe join
+    keys), matching `k_anonymity_report`'s groupBy semantics — the
+    audit and the suppressor agree on NULL classes."""
     sizes = (df.groupBy(*quasi_cols)
              .agg(F.count(F.lit(1)).alias("__gs__"))
              .filter(F.col("__gs__") >= k)
-             .drop("__gs__"))
-    return df.join(sizes, list(quasi_cols), "left_semi")
+             .select(*[F.col(c).alias(f"__q_{c}") for c in quasi_cols]))
+    cond = None
+    for c in quasi_cols:
+        e = df[c].eqNullSafe(sizes[f"__q_{c}"])
+        cond = e if cond is None else (cond & e)
+    return df.join(sizes, cond, "left_semi")
 
 
 def generalize_bucket(col: Column, width: float) -> Column:

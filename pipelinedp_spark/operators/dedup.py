@@ -710,6 +710,63 @@ def _merge_spans(iv: DataFrame, id_col: str) -> DataFrame:
                     F.col("span_end").cast("long").alias("span_end")))
 
 
+def _winnow_anchors(df: DataFrame,
+                    text_col: str,
+                    id_col: str,
+                    min_len: int,
+                    seed_len: int) -> DataFrame:
+    """Content-defined anchor positions via robust winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): over the per-doc sequence of
+    xxhash64 seed-gram hashes, each sliding window of w = min_len -
+    seed_len + 1 consecutive k-gram positions selects its LEFTMOST
+    minimal hash. Guarantee: any duplicated substring of >= min_len
+    chars contains one full window of w k-grams with an identical hash
+    sequence on both copies, so both copies select the same-content
+    anchor — every true duplicate is reachable from a shared anchor
+    hash. Expected anchor density ~2/(w+1) of positions, which is what
+    cuts the exact-span family's first shuffle from one row per
+    CHARACTER to one row per ~(w/2) characters (~18x at the default
+    min_len=50/seed_len=16) while the md5 verify phase keeps the
+    result exact.
+
+    The hash array is bound ONCE per doc via the single-element-array
+    lambda trick (transform(array(hs), hs -> ...)[0]) so projection
+    collapse can't duplicate the O(n) xxhash64 pass into each use.
+    Pure codegen expression — the O(n*w) argmin is JVM compute with no
+    shuffle, the cheap side of the trade at 100 TB.
+
+    Returns (id_col, pos, ah): k-gram position and its anchor hash."""
+    w = min_len - seed_len + 1
+    c = text_col
+    anchor_expr = (
+        f"transform(array(transform(sequence(0, length({c}) - "
+        f"{seed_len}), p -> xxhash64(substring({c}, p + 1, "
+        f"{seed_len})))), hs -> transform(array_distinct(transform("
+        f"sequence(0, length({c}) - {min_len}), s -> s + "
+        f"aggregate(sequence(1, {w - 1}), 0, (best, i) -> "
+        f"IF(element_at(hs, s + i + 1) < element_at(hs, s + best + 1), "
+        f"i, best)))), q -> struct(q AS pos, element_at(hs, q + 1) "
+        f"AS ah)))[0]")
+    return (df.select(F.col(id_col),
+                      F.explode(F.expr(anchor_expr)).alias("a"))
+            .select(id_col, F.col("a.pos").alias("pos"),
+                    F.col("a.ah").alias("ah")))
+
+
+def _expand_anchor_candidates(qs_col: str, text_col: str,
+                              min_len: int, seed_len: int) -> str:
+    """SQL expr: the sorted distinct window STARTS reachable from the
+    anchor positions in ``qs_col`` — a window start p can own anchor q
+    iff p <= q <= p + w - 1, so each anchor expands to starts
+    [max(0, q - w + 1), min(q, len - min_len)]. These are the only
+    positions that can be true duplicates (winnowing guarantee), and
+    each pays the exact md5 verify."""
+    w = min_len - seed_len + 1
+    return (f"array_sort(array_distinct(flatten(transform({qs_col}, "
+            f"q -> sequence(greatest(0, q - {w - 1}), "
+            f"least(q, length({text_col}) - {min_len}))))))")
+
+
 def duplicate_spans_exact(df: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id",

@@ -440,16 +440,21 @@ def c4_filter(df: DataFrame,
               id_col: str = "doc_id",
               min_line_words: int = 3,
               min_sentences: int = 3,
-              delimiter: str = "\n") -> DataFrame:
+              delimiter: str = r"\r?\n") -> DataFrame:
     """The C4 cleaning ruleset (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning", §2.2) — the other canonical web-text
     filter next to Gopher: LINE level, keep only lines that end in
-    terminal punctuation ('.', '!', '?') and have at least
-    ``min_line_words`` words; DOC level, a page passes only if its
-    RETAINED text still has >= ``min_sentences`` sentence terminators
-    and contains none of the `C4_BAD_SUBSTRINGS` (code braces, lorem
-    ipsum, JS-disabled boilerplate; matched case-insensitively on the
-    original text).
+    terminal punctuation per Raffel et al.'s rule ('.', '!', '?', or a
+    closing quotation mark — tensorflow_datasets c4_utils' _END_MARKS)
+    and have at least ``min_line_words`` words; DOC level, a page
+    passes only if its RETAINED text still has >= ``min_sentences``
+    sentence terminators and contains none of the `C4_BAD_SUBSTRINGS`
+    (code braces, lorem ipsum, JS-disabled boilerplate; matched
+    case-insensitively on the original text).
+
+    ``delimiter`` is a Java REGEX; the default splits '\\r?\\n' so CRLF
+    corpora don't leave a trailing '\\r' that defeats the terminal-
+    punctuation test (which would empty whole documents).
 
     Returns (id_col, clean_text, n_lines_kept, n_lines_total,
     n_sentences, has_bad_substring, passes). Pure per-row codegen —
@@ -458,11 +463,15 @@ def c4_filter(df: DataFrame,
     t = F.col(text_col)
     lines = F.split(t, delimiter)
     keep_line = lambda x: (
-        F.trim(x).rlike("[.!?]$")
+        F.trim(x).rlike("[.!?\"”’']$")
         & (F.size(F.filter(F.split(F.trim(x), " "),
                            lambda w: w != "")) >= min_line_words))
     kept = F.filter(lines, keep_line)
-    clean = F.array_join(F.transform(kept, F.trim), delimiter)
+    # Rejoin with a normalized '\n' (delimiter is a split REGEX, not a
+    # join literal); trim also strips any '\r' a CRLF split left behind.
+    clean = F.array_join(
+        F.transform(kept, lambda x: F.trim(F.regexp_replace(
+            x, "\r", ""))), "\n")
     n_sent = F.size(F.regexp_extract_all(clean, F.lit("[.!?]"), 0))
     low = F.lower(t)
     bad = None

@@ -82,9 +82,13 @@ def apply_changes(base: DataFrame,
     """MERGE-style latest-wins upsert producing the CURRENT snapshot
     (the type-1 companion to `scd2_apply`'s history table): union the
     base rows (version as-is) with the change batch, keep each key's
-    highest-version row (ties to the change batch are the caller's
-    contract: versions must be unique per key), and drop keys whose
-    winning row is a tombstone (``delete_col`` true).
+    highest-version row — a version TIE goes to the change batch (an
+    explicit source-priority field right after the version in the
+    ordering struct, base=0 / updates=1, makes the rule real rather
+    than falling through to arbitrary payload comparison) — and drop
+    keys whose winning row is a tombstone (``delete_col`` true).
+    Payload columns must be orderable types (no map columns): the
+    argmax struct compares them as the final tie-break.
 
     Plan: ONE unionByName + one max(struct) argmax per key — map-side
     combinable, no window, so a hot key (one entity updated millions of
@@ -99,10 +103,13 @@ def apply_changes(base: DataFrame,
         raise ValueError(
             f"base and updates schemas differ: {sorted(cols)} vs "
             f"{sorted(updates.columns)}")
-    both = base.select(*cols).unionByName(updates.select(*cols))
+    both = (base.select(*cols).withColumn("__src__", F.lit(0))
+            .unionByName(
+                updates.select(*cols).withColumn("__src__", F.lit(1))))
     payload = [c for c in cols if c != key_col]
     win = both.groupBy(key_col).agg(
         F.max(F.struct(F.col(version_col).alias("__v__"),
+                       F.col("__src__").alias("__src__"),
                        *[F.col(c).alias(c) for c in payload]))
         .alias("__w__"))
     out = win.select(key_col,

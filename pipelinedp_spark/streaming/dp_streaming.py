@@ -1342,9 +1342,16 @@ def semantic_dedup_batch(batch: DataFrame,
                            assign_cells_udf(centroids)(F.col("_vec")))         .withColumn("__st__", F.lit(False))
     if materialize:
         cells = cells.localCheckpoint()
+    # Only state rows in cells the BATCH touches can influence a batch
+    # flag; a cell with no batch row would run its O(n^2) mat-mul just
+    # to discard every result. Semi-join the state to the batch's cell
+    # set first so per-batch cost scales with the batch's footprint,
+    # not the full accumulated state.
     merged = cells if state is None else cells.unionByName(
         state.select(F.col("_id"), F.col("_vec"), F.col("cell"),
-                     F.lit(True).alias("__st__")))
+                     F.lit(True).alias("__st__"))
+        .join(cells.select("cell").distinct(), "cell", "left_semi")
+        .select("_id", "_vec", "cell", "__st__"))
 
     thr = float(cosine_threshold)
     cap = int(max_cluster_rows)
@@ -1621,15 +1628,25 @@ def streaming_apply_changes(stream: DataFrame,
     spark = stream.sparkSession
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
         if delete_col not in batch_df.columns:
             batch_df = batch_df.withColumn(delete_col, F.lit(False))
+        # Only the missing-snapshot case (first batch) falls back to an
+        # empty base; a merge-time error (schema drift, transient read
+        # failure mid-merge) must propagate and fail the micro-batch —
+        # swallowing it here would rebuild the snapshot from the batch
+        # alone and mode('overwrite') would destroy every previously
+        # merged key silently.
         try:
             state = spark.read.parquet(snapshot_path)
+        except AnalysisException:
+            state = None
+        if state is not None:
             if delete_col not in state.columns:
                 state = state.withColumn(delete_col, F.lit(False))
             merged = apply_changes(state, batch_df, key_col,
                                    version_col, delete_col)
-        except Exception:
+        else:
             merged = apply_changes(
                 batch_df.filter(~F.col(delete_col)).limit(0),
                 batch_df, key_col, version_col, delete_col)
