@@ -1392,6 +1392,9 @@ FROM s GROUP BY doc_id
 # `scripts/check_correctness.py` (same compare logic) covers the full set
 # regardless of order and writes the complete CORRECTNESS_LOCAL.json.
 _DRIVER_ARTIFACT_FIRST = [
+    # new round-9 queries first (must land inside the 50-row cap)
+    "dedup_incremental",
+    "tpch_q18_large_orders",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1515,6 +1518,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": _tpch_q1_pricing,
         "tpch_q3_priority": _tpch_q3_priority,
         "tpch_q5_local_supplier": _tpch_q5_local_supplier,
+        "tpch_q18_large_orders": _tpch_q18_large_orders,
         "events_rolling_features": _events_rolling_features,
         "doc_exact_substr_cut": _doc_exact_substr_cut,
         "doc_c4_filter": _doc_c4_filter,
@@ -1556,6 +1560,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_corpus_token_count": _dp_corpus_token_count,
         "multimodal_audio_features": _multimodal_audio_features,
         "dedup_cross_corpus_near": _dedup_cross_corpus_near,
+        "dedup_incremental": _dedup_incremental,
         "doc_bigram_ppl": _doc_bigram_ppl,
         "stream_near_dup_mirror": _stream_near_dup_mirror,
         "doc_hash_embeddings": _doc_hash_embeddings,
@@ -1696,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing": _TPCH_Q1_SQL,
         "tpch_q3_priority": _TPCH_Q3_SQL,
         "tpch_q5_local_supplier": _TPCH_Q5_SQL,
+        "tpch_q18_large_orders": _TPCH_Q18_SQL,
         "events_rolling_features": _EVENTS_ROLLING_SQL,
         "doc_exact_substr_cut": _DOC_EXACT_SUBSTR_CUT_SQL,
         "doc_c4_filter": _DOC_C4_FILTER_SQL,
@@ -1737,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_corpus_token_count": _DP_CORPUS_TOKEN_SQL,
         "multimodal_audio_features": _MULTIMODAL_AUDIO_FEATURES_SQL,
         "dedup_cross_corpus_near": _DEDUP_CROSS_NEAR_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
@@ -4011,7 +4018,7 @@ def _doc_duplicate_spans_exact(spark: SparkSession,
                    F.lit(" " + _SPAN_S3 + " and then once more "
                          + _SPAN_S3)).otherwise(F.lit("")),
         ).alias("text"))
-    return dedup.duplicate_spans_exact(planted, min_len=48, seed_len=16)
+    return dedup.duplicate_spans_exact(planted, min_len=48)
 
 
 _DOC_DUP_SPANS_EXACT_SQL = f"""
@@ -4087,8 +4094,7 @@ def _doc_decontaminate_spans(spark: SparkSession,
            .select("doc_id",
                    F.concat(F.col("text"), F.lit(" " + _DECON_BENCH))
                    .alias("text")))
-    spans = dedup.cross_corpus_spans(train, ref, min_len=48,
-                                     seed_len=16)
+    spans = dedup.cross_corpus_spans(train, ref, min_len=48)
     out = dedup.cut_spans(train, spans)
     return out.select("doc_id",
                       F.md5(F.col("clean_text")).alias("clean_md5"),
@@ -4698,6 +4704,82 @@ dups AS (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.7)
 SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT id_a FROM dups)
+"""
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED fingerprint store
+    (`dedup.build_minhash_store` + `incremental_near_dup`): the even-id
+    docs become the bucketed reference index (bands bucketed by band
+    key, shingles by id — zero Exchange on the store side of both
+    joins, pinned in test_plan_shapes_r9), then the odd-id 'new crawl'
+    batch is deduped against it WITHOUT recomputing reference
+    fingerprints. k=4 shingles / Jaccard 0.6 distinguish the knobs from
+    `dedup_cross_corpus_near`'s k=3/0.7. The result is checkpointed and
+    the store tables dropped so the query is self-contained."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    dedup.build_minhash_store(ref, "incr_store_r9", k=4)
+    out = (dedup.incremental_near_dup(new, "incr_store_r9",
+                                      jaccard_threshold=0.6)
+           .select("doc_id", "source").localCheckpoint())
+    for t in ("incr_store_r9_bands", "incr_store_r9_shingles",
+              "incr_store_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 4
+                   THEN list_distinct([t[i] || ' ' || t[i+1] || ' '
+                                       || t[i+2] || ' ' || t[i+3]
+                                       for i in range(1, len(t) - 2)])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM tok),
+hm AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+          for s in shingles] AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_min([(((1103515245 * (i + 1) + 12345) % 2147483647) * h
+                     + ((2654435761 * i + 97) % 2147483647)) % 2147483647
+                    for h in hs])
+          for i in range(0, 8)] AS sig
+  FROM hm),
+bands AS (
+  SELECT doc_id,
+         UNNEST(range(0, 2)) AS band_idx,
+         UNNEST([md5(CAST(sig[1] AS VARCHAR) || '|' || CAST(sig[2] AS VARCHAR)
+                     || '|' || CAST(sig[3] AS VARCHAR) || '|'
+                     || CAST(sig[4] AS VARCHAR)),
+                 md5(CAST(sig[5] AS VARCHAR) || '|' || CAST(sig[6] AS VARCHAR)
+                     || '|' || CAST(sig[7] AS VARCHAR) || '|'
+                     || CAST(sig[8] AS VARCHAR))])
+             AS band_hash
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+dups AS (
+  SELECT DISTINCT c.id_a
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.6)
+SELECT d.doc_id, d.source
 FROM documents d
 WHERE d.doc_id % 2 = 1
   AND d.doc_id NOT IN (SELECT id_a FROM dups)
@@ -7767,7 +7849,7 @@ def _doc_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus text is rebuilt. Output is the per-doc scrub record."""
     from pipelinedp_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
-    spans = dedup.duplicate_spans_exact(docs, min_len=64, seed_len=16)
+    spans = dedup.duplicate_spans_exact(docs, min_len=64)
     out = dedup.cut_spans(docs, spans)
     return out.select("doc_id",
                       F.md5(F.col("clean_text")).alias("clean_md5"),
@@ -7888,6 +7970,60 @@ WHERE r.r_name = 'ASIA'
   AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
   AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
 GROUP BY 1
+"""
+
+
+def _tpch_q18_large_orders(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers), adapted: orders whose total
+    lineitem quantity exceeds 150, joined back to customer, global
+    top-100 by (totalprice desc, orderdate, orderkey — fully
+    deterministic tie-break). The skew-heavy relational shape: the
+    HAVING subquery is a map-side-combinable aggregate over the hot
+    l_orderkey (a popular order's lines partial-combine before the
+    exchange, so no single task serializes a hot key), the qualifying
+    set semi-joins lineitem (AQE can skew-split it), customer
+    broadcasts, and the top-100 compiles to TakeOrderedAndProject —
+    never a global sort. Money exact as integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(qty).alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    tp_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    out = (orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+           .join(F.broadcast(cust),
+                 orders["o_custkey"] == cust["c_custkey"])
+           .select("c_name", "c_custkey", "o_orderkey",
+                   F.col("o_orderdate").cast("string")
+                   .alias("o_orderdate"),
+                   tp_cents.alias("totalprice_cents"), "total_qty"))
+    return (out.orderBy(F.col("totalprice_cents").desc(),
+                        "o_orderdate", "o_orderkey")
+            .limit(100))
+
+
+_TPCH_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 150)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+           AS totalprice_cents,
+       b.total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice_cents DESC, o_orderdate, o.o_orderkey
+LIMIT 100
 """
 
 

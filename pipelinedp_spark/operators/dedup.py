@@ -729,26 +729,43 @@ def _winnow_anchors(df: DataFrame,
     min_len=50/seed_len=16) while the md5 verify phase keeps the
     result exact.
 
-    The hash array is bound ONCE per doc via the single-element-array
-    lambda trick (transform(array(hs), hs -> ...)[0]) so projection
-    collapse can't duplicate the O(n) xxhash64 pass into each use.
-    Pure codegen expression — the O(n*w) argmin is JVM compute with no
-    shuffle, the cheap side of the trade at 100 TB.
+    The anchor hash is INTERNAL: it is only ever compared to other
+    anchor hashes computed by this same function (never to an SQL
+    oracle), so the whole pass runs as ONE vectorized Arrow/numpy step
+    per document — a uint64 polynomial rolling hash over the UTF-32
+    code points (character-indexed, so positions line up with Spark's
+    character-based substring in the verify phase even for non-ASCII
+    text), then a sliding-window argmin (numpy picks the FIRST minimum
+    — the leftmost rule, identical on both copies of any shared
+    window). An interpreted higher-order-lambda formulation of the
+    same argmin was 4-7x SLOWER end-to-end than the every-position
+    seeds it replaced; the numpy pass is ~ns/char and shuffles ~18x
+    fewer rows. Collisions only add verify work, never wrong output.
 
     Returns (id_col, pos, ah): k-gram position and its anchor hash."""
     w = min_len - seed_len + 1
-    c = text_col
-    anchor_expr = (
-        f"transform(array(transform(sequence(0, length({c}) - "
-        f"{seed_len}), p -> xxhash64(substring({c}, p + 1, "
-        f"{seed_len})))), hs -> transform(array_distinct(transform("
-        f"sequence(0, length({c}) - {min_len}), s -> s + "
-        f"aggregate(sequence(1, {w - 1}), 0, (best, i) -> "
-        f"IF(element_at(hs, s + i + 1) < element_at(hs, s + best + 1), "
-        f"i, best)))), q -> struct(q AS pos, element_at(hs, q + 1) "
-        f"AS ah)))[0]")
+    B = np.uint64(1000003)
+
+    @F.pandas_udf("array<struct<pos:long, ah:long>>")
+    def _anchors(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            codes = np.frombuffer(s.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
+            n_k = codes.size - seed_len + 1
+            h = np.zeros(n_k, dtype=np.uint64)
+            for j in range(seed_len):
+                h = h * B + codes[j:j + n_k]
+            sw = np.lib.stride_tricks.sliding_window_view(h, w)
+            qs = np.unique(np.arange(sw.shape[0], dtype=np.int64)
+                           + sw.argmin(axis=1))
+            ah = h[qs].view(np.int64)
+            out.append([{"pos": int(q), "ah": int(a)}
+                        for q, a in zip(qs, ah)])
+        return pd.Series(out)
+
     return (df.select(F.col(id_col),
-                      F.explode(F.expr(anchor_expr)).alias("a"))
+                      F.explode(_anchors(F.col(text_col))).alias("a"))
             .select(id_col, F.col("a.pos").alias("pos"),
                     F.col("a.ah").alias("ah")))
 
@@ -767,11 +784,26 @@ def _expand_anchor_candidates(qs_col: str, text_col: str,
             f"least(q, length({text_col}) - {min_len}))))))")
 
 
+def _auto_seed_len(min_len: int, seed_len) -> int:
+    """Default anchor-gram length: min_len - 10 (floor 16, cap
+    min_len), i.e. winnowing window w = 11 at the standard min_len=50.
+    The tradeoff: small seeds (16) give sparse anchors (density
+    2/(w+1) ~ 5%) but every shared anchor expands to w candidate
+    window starts AND short grams repeat spuriously in natural text,
+    so verify volume balloons (measured 21M verify rows vs 2M true
+    dups at sf1); long seeds make spurious anchor matches rare and the
+    expansion narrow at the cost of ~17% anchor density — 2-4x faster
+    end-to-end on both dup-heavy and clean corpora."""
+    if seed_len is None:
+        return min(min_len, max(16, min_len - 10))
+    return seed_len
+
+
 def duplicate_spans_exact(df: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id",
                           min_len: int = 50,
-                          seed_len: int = 16,
+                          seed_len: int | None = None,
                           merge: bool = True) -> DataFrame:
     """EXACT character-level duplicated-substring detection — the
     ExactSubstr algorithm of Lee et al. ("Deduplicating Training Data
@@ -793,34 +825,35 @@ def duplicate_spans_exact(df: DataFrame,
     short in tokens (URLs, base64 blobs, CJK/agglutinative text) — the
     one recall gap of the token pass.
 
-    Scale shape (two-phase, verify-only-candidates):
+    Scale shape (two-phase, winnowing anchors + verify-only-candidates):
 
-    1. SEED phase: every window start emits (xxhash64 of its first
-       ``seed_len`` chars) — a cheap 8-byte JVM hash, no md5, payload
-       independent of min_len. Window starts whose seed hash occurs
-       >= 2 times are CANDIDATES; since a duplicated min_len-window's
-       seed prefix is itself duplicated, candidates are a superset of
-       true duplicates (xxhash64 collisions only add false candidates,
-       never lose true ones — exactness is preserved by phase 2). The
-       hot-seed count is a map-side-combined aggregate over the sh
-       column alone (Catalyst prunes id/pos on that side), so its
-       exchange carries per-partition partial counts, not positions;
-       only the join side streams the full position rows, exactly
-       once. The doc scan runs twice, both passes pure codegen.
-    2. VERIFY phase: candidate positions regroup per doc (one
-       equi-join back to the text — the text moves ONCE per doc, not
-       once per candidate) and only those positions pay the full
-       md5(min_len chars). Clean corpora verify almost nothing; a
-       pathological all-duplicate corpus degrades gracefully to the
-       one-md5-per-position cost a suffix array would also pay in
-       comparisons. First-occurrence exemption is the same
-       map-side-combinable min(struct) aggregate as the token pass —
-       never a row_number window on a corpus-hot span.
+    1. ANCHOR phase: instead of one seed row per CHARACTER position
+       (~min_len x corpus-byte amplification through the first
+       shuffle), each doc emits only its robust-winnowing anchors
+       (`_winnow_anchors`: leftmost-minimal xxhash64 seed-gram per
+       sliding window of w = min_len - seed_len + 1 k-gram positions,
+       ~2/(w+1) density — ~18x fewer shuffled rows at the defaults).
+       Winnowing guarantee: both copies of any duplicated
+       min_len-window select the same-content anchor, so anchor hashes
+       occurring >= 2 times reach every true duplicate (overlapping
+       same-doc copies still yield two DISTINCT anchor positions —
+       p+delta vs p'+delta — so the row count test holds). The
+       hot-anchor count is a map-side-combined aggregate over the ah
+       column alone; only anchor rows stream through the join, once.
+    2. VERIFY phase: shared anchors regroup per doc and expand to the
+       window starts that can own them ([q-w+1, q] clamped — see
+       `_expand_anchor_candidates`); only those positions pay the full
+       md5(min_len chars). A position is marked iff its md5 window
+       occurs >= 2 times, so xxhash64 collisions or false anchors only
+       add verify work, never wrong output. First-occurrence exemption
+       is the same map-side-combinable min(struct) aggregate as the
+       token pass — never a row_number window on a corpus-hot span.
 
     Returns merged (id_col, span_start, span_end) CHARACTER ranges,
     end-exclusive; ``merge=False`` returns raw (id_col, pos) marked
     window starts. Reference repo has no counterpart (net-new
     LLM-pipeline op)."""
+    seed_len = _auto_seed_len(min_len, seed_len)
     if seed_len > min_len:
         raise ValueError(
             f"seed_len ({seed_len}) must be <= min_len ({min_len}); the "
@@ -828,31 +861,27 @@ def duplicate_spans_exact(df: DataFrame,
     t = F.col(text_col)
     n = F.length(t)
     eligible = df.filter(n >= min_len).select(F.col(id_col), t)
-    seeds = eligible.select(
-        F.col(id_col),
-        F.explode(F.expr(
-            f"transform(sequence(0, length({text_col}) - {min_len}), "
-            f"p -> struct(p AS pos, xxhash64(substring({text_col}, "
-            f"p + 1, {seed_len})) AS sh))")).alias("s")
-    ).select(id_col, F.col("s.pos").alias("pos"),
-             F.col("s.sh").alias("sh"))
-    # The hot-seed set, candidate lists, and window-hash table all scale
-    # WITH THE CORPUS — none may ever broadcast (static size estimates
-    # under-guess post-aggregation sizes and the planner otherwise picks
-    # a driver-built broadcast that OOMs exactly when the corpus grows).
-    # shuffle_hash keeps every join a co-partitioned per-task hashmap.
-    hot = (seeds.groupBy("sh")
+    anchors = _winnow_anchors(eligible, text_col, id_col,
+                              min_len, seed_len)
+    # The hot-anchor set, candidate lists, and window-hash table all
+    # scale WITH THE CORPUS — none may ever broadcast (static size
+    # estimates under-guess post-aggregation sizes and the planner
+    # otherwise picks a driver-built broadcast that OOMs exactly when
+    # the corpus grows). shuffle_hash keeps every join a co-partitioned
+    # per-task hashmap.
+    hot = (anchors.groupBy("ah")
            .agg(F.count(F.lit(1)).alias("__n__"))
            .filter(F.col("__n__") >= 2)
-           .select("sh").hint("shuffle_hash"))
-    cand = (seeds.join(hot, "sh")
+           .select("ah").hint("shuffle_hash"))
+    cand = (anchors.join(hot, "ah")
             .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+            .agg(F.array_sort(F.collect_list("pos")).alias("qs"))
             .hint("shuffle_hash"))
+    ps = _expand_anchor_candidates("qs", text_col, min_len, seed_len)
     verify = (eligible.join(cand, id_col)
               .select(F.col(id_col),
                       F.explode(F.expr(
-                          f"transform(ps, p -> struct(p AS pos, "
+                          f"transform({ps}, p -> struct(p AS pos, "
                           f"md5(substring({text_col}, p + 1, "
                           f"{min_len})) AS h))")).alias("v"))
               .select(id_col, F.col("v.pos").alias("pos"),
@@ -1206,12 +1235,128 @@ def sentence_dedup(df: DataFrame,
         .alias("n_removed")))
 
 
+def build_minhash_store(reference: DataFrame,
+                        store_name: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 3,
+                        num_hashes: int = 8,
+                        rows_per_band: int = 4,
+                        num_buckets: int = 8,
+                        max_bucket_size: int = 1000,
+                        mode: str = "overwrite") -> None:
+    """Persist a reference corpus's dedup index as BUCKETED tables so
+    later ingest batches join it with ZERO shuffle on the store side —
+    the incremental-dedup flow real pipelines run: dedup each new crawl
+    against an ever-growing reference WITHOUT recomputing the
+    reference's fingerprints.
+
+    Writes three tables under ``store_name``:
+
+    * ``{store}_bands`` (id, bh) — the MinHash band table, band_idx
+      folded into the key (``bh = band_idx || ':' || band_hash`` — one
+      join column, injective, so the bucketed join needs a single key).
+      Bucketed AND sorted by bh: `spark.table` scans restore the hash
+      partitioning, so the candidate join never exchanges this side
+      (pinned in tests/test_plan_shapes_r9.py). Degenerate buckets
+      (> ``max_bucket_size`` ids for one bh) are dropped at BUILD time
+      — the cap is paid once per build, not per batch.
+    * ``{store}_shingles`` (id, shingles) — the exact-verify side,
+      bucketed by id so candidate verification also reads the store
+      without a shuffle on it.
+    * ``{store}_meta`` — one row of the fingerprint knobs
+      (k, num_hashes, rows_per_band); `incremental_near_dup` reads it
+      so batch fingerprints can never silently diverge from the store.
+
+    ``mode='append'`` grows the store with a new reference increment
+    (Spark appends to bucketed tables bucket-aligned); the bucket-size
+    cap is enforced per increment, so periodic compaction (re-build)
+    re-applies it globally. Reference repo has no counterpart (net-new
+    LLM-pipeline op)."""
+    spark = reference.sparkSession
+    if mode == "append":
+        m = spark.table(f"{store_name}_meta").collect()[0]
+        if (m["k"], m["num_hashes"], m["rows_per_band"]) != (
+                k, num_hashes, rows_per_band):
+            raise ValueError(
+                f"store {store_name} was built with k={m['k']}, "
+                f"num_hashes={m['num_hashes']}, "
+                f"rows_per_band={m['rows_per_band']}; appending with "
+                f"({k}, {num_hashes}, {rows_per_band}) would corrupt it")
+    bands = (minhash_bands(reference, text_col, id_col, k, num_hashes,
+                           rows_per_band)
+             .select(F.col(id_col).alias("id"),
+                     F.concat_ws(":", F.col("band_idx").cast("string"),
+                                 F.col("band_hash")).alias("bh")))
+    sizes = (bands.groupBy("bh")
+             .agg(F.count(F.lit(1)).alias("__n__"))
+             .filter(F.col("__n__") <= max_bucket_size)
+             .select("bh").hint("shuffle_hash"))
+    bands = bands.join(sizes, "bh").select("id", "bh")
+    (bands.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, "bh").sortBy("bh")
+     .saveAsTable(f"{store_name}_bands"))
+    sh = (shingle_docs(reference, text_col, id_col, k)
+          .select(F.col(id_col).alias("id"), "shingles"))
+    (sh.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, "id").sortBy("id")
+     .saveAsTable(f"{store_name}_shingles"))
+    if mode != "append":
+        spark.sql(
+            f"SELECT {int(k)} AS k, {int(num_hashes)} AS num_hashes, "
+            f"{int(rows_per_band)} AS rows_per_band"
+        ).write.mode("overwrite").format("parquet") \
+            .saveAsTable(f"{store_name}_meta")
+
+
+def incremental_near_dup(new_docs: DataFrame,
+                         store_name: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         jaccard_threshold: float = 0.8) -> DataFrame:
+    """Dedup an ingest batch against a persisted `build_minhash_store`
+    index: drop new documents whose exact shingle Jaccard against some
+    stored reference document meets the threshold. Same semantics as
+    `cross_corpus_near_dup`, but the reference side is NEVER
+    recomputed — its bands and shingles stream out of the bucketed
+    store with zero Exchange on the store side of both joins (the
+    batch side shuffles into the store's bucket count; the batch is
+    the small side by construction).
+
+    Fingerprint knobs come from ``{store}_meta`` so a batch can't
+    silently hash differently from the index. Returns the surviving
+    new rows (original columns)."""
+    spark = new_docs.sparkSession
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
+                          int(m["rows_per_band"]))
+    nb = (minhash_bands(new_docs, text_col, id_col, k, num_hashes, rpb)
+          .select(F.col(id_col).alias("id_a"),
+                  F.concat_ws(":", F.col("band_idx").cast("string"),
+                              F.col("band_hash")).alias("bh")))
+    sb = spark.table(f"{store_name}_bands").select(
+        F.col("id").alias("id_b"), "bh")
+    cand = nb.join(sb, "bh").select("id_a", "id_b").distinct()
+    sh_ref = spark.table(f"{store_name}_shingles").select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_new = shingle_docs(new_docs, text_col, id_col, k).select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    joined = cand.join(sh_ref, "id_b").join(sh_new, "id_a")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    dup_ids = (joined
+               .filter(F.round(inter.cast("double") / union, 6)
+                       >= jaccard_threshold)
+               .select(F.col("id_a").alias(id_col)).distinct())
+    return new_docs.join(dup_ids, id_col, "left_anti")
+
+
 def cross_corpus_spans(docs: DataFrame,
                        reference: DataFrame,
                        text_col: str = "text",
                        id_col: str = "doc_id",
                        min_len: int = 50,
-                       seed_len: int = 16) -> DataFrame:
+                       seed_len: int | None = None) -> DataFrame:
     """Character ranges of ``docs`` that also occur in ``reference`` —
     the span-level eval-set decontamination primitive (cut the
     overlapping span, keep the document) used by modern pretraining
@@ -1219,59 +1364,60 @@ def cross_corpus_spans(docs: DataFrame,
     a position is marked iff it lies inside a substring of length >=
     ``min_len`` chars present anywhere in the reference corpus.
 
-    Same two-phase sorted-suffix-join shape as the within-corpus exact
-    pass, made asymmetric: both sides emit cheap xxhash64 seed grams,
-    only seeds present on BOTH sides survive (a semi-join on the
-    8-byte hash — the corpus-scale prefilter), and only those
-    candidate positions pay the md5(min_len)-window verify. Doc
-    windows then semi-join the DISTINCT reference window hashes. Never
-    doc x reference; every join is on a hash key.
+    Same two-phase winnowing-anchor shape as the within-corpus exact
+    pass (`_winnow_anchors`), made asymmetric: both sides emit only
+    their content-defined anchors (~2/(w+1) of positions, not one row
+    per character), only anchor hashes present on BOTH sides survive
+    (a semi-join on the 8-byte hash — the corpus-scale prefilter), and
+    only the window starts reachable from a shared anchor pay the
+    md5(min_len)-window verify. The winnowing guarantee makes both
+    copies of any shared min_len-window select the same-content
+    anchor, so no true overlap is missed; the md5 verify keeps the
+    output exact. Doc windows then semi-join the DISTINCT reference
+    window hashes. Never doc x reference; every join is on a hash key.
 
     Returns merged (id_col, span_start, span_end), end-exclusive.
     Compose with `cut_spans` to rebuild the cleaned text."""
+    seed_len = _auto_seed_len(min_len, seed_len)
     if seed_len > min_len:
         raise ValueError(
             f"seed_len ({seed_len}) must be <= min_len ({min_len})")
 
-    def _seeds(df: DataFrame) -> DataFrame:
+    def _anchors(df: DataFrame) -> DataFrame:
         t = F.col(text_col)
-        return (df.filter(F.length(t) >= min_len)
-                .select(F.col(id_col), t)
-                .select(F.col(id_col),
-                        F.explode(F.expr(
-                            f"transform(sequence(0, length({text_col})"
-                            f" - {min_len}), p -> struct(p AS pos, "
-                            f"xxhash64(substring({text_col}, p + 1, "
-                            f"{seed_len})) AS sh))")).alias("s"))
-                .select(id_col, F.col("s.pos").alias("pos"),
-                        F.col("s.sh").alias("sh")))
+        return _winnow_anchors(
+            df.filter(F.length(t) >= min_len).select(F.col(id_col), t),
+            text_col, id_col, min_len, seed_len)
 
     def _verify(df: DataFrame, cand: DataFrame) -> DataFrame:
         pos_lists = cand.groupBy(id_col).agg(
-            F.array_sort(F.collect_list("pos")).alias("ps")) \
+            F.array_sort(F.collect_list("pos")).alias("qs")) \
             .hint("shuffle_hash")
+        ps = _expand_anchor_candidates("qs", text_col, min_len,
+                                       seed_len)
         return (df.filter(F.length(F.col(text_col)) >= min_len)
                 .join(pos_lists, id_col)
                 .select(F.col(id_col),
                         F.explode(F.expr(
-                            f"transform(ps, p -> struct(p AS pos, "
+                            f"transform({ps}, p -> struct(p AS pos, "
                             f"md5(substring({text_col}, p + 1, "
                             f"{min_len})) AS h))")).alias("v"))
                 .select(id_col, F.col("v.pos").alias("pos"),
                         F.col("v.h").alias("h")))
 
-    dseeds = _seeds(docs)
-    rseeds = _seeds(reference)
+    danchors = _anchors(docs)
+    ranchors = _anchors(reference)
     # Every intermediate here scales with a corpus — never broadcast
     # (same reasoning as duplicate_spans_exact: post-agg size estimates
     # under-guess and a driver-built broadcast dies exactly at scale).
     # `shared` is materialized once: it feeds BOTH candidate joins.
-    shared = (dseeds.select("sh").distinct()
-              .join(rseeds.select("sh").distinct().hint("shuffle_hash"),
-                    "sh")).localCheckpoint()
+    shared = (danchors.select("ah").distinct()
+              .join(ranchors.select("ah").distinct()
+                    .hint("shuffle_hash"),
+                    "ah")).localCheckpoint()
     shared = shared.hint("shuffle_hash")
-    dcand = dseeds.join(shared, "sh").select(id_col, "pos")
-    rcand = rseeds.join(shared, "sh").select(id_col, "pos")
+    dcand = danchors.join(shared, "ah").select(id_col, "pos")
+    rcand = ranchors.join(shared, "ah").select(id_col, "pos")
     ref_hashes = (_verify(reference, rcand)
                   .select("h").distinct().hint("shuffle_hash"))
     marked = (_verify(docs, dcand)

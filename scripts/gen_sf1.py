@@ -75,11 +75,11 @@ def _max_keys(spark) -> dict:
     return out
 
 
-def _replicate(df, key_offsets, rep_col_exprs=None):
-    """Explode df x REPLICAS, offsetting key cols; rep_col_exprs maps
+def _replicate(df, key_offsets, rep_col_exprs=None, replicas=REPLICAS):
+    """Explode df x replicas, offsetting key cols; rep_col_exprs maps
     column name -> fn(col, rep_col) for custom per-replica transforms."""
     from pyspark.sql import functions as F
-    rep = F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias(
+    rep = F.explode(F.array(*[F.lit(i) for i in range(replicas)])).alias(
         "__rep__")
     df = df.select("*", rep)
     r = F.col("__rep__")
@@ -99,10 +99,10 @@ def _replicate(df, key_offsets, rep_col_exprs=None):
     return df.select(*exprs)
 
 
-def generate(spark) -> str:
+def generate(spark, replicas=REPLICAS, dst=DST, tables=None) -> str:
     from pyspark.sql import functions as F
 
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     maxes = _max_keys(spark)
 
     # The sf0.1 parquet files are single-partition; repartition on read so
@@ -110,8 +110,8 @@ def generate(spark) -> str:
     _parts = {"lineitem": 16, "orders": 8, "events": 8, "documents": 8,
               "embeddings": 4, "customer": 4, "part": 2, "supplier": 1}
 
-    for table in TABLES:
-        out = os.path.join(DST, f"{table}.parquet")
+    for table in (tables or TABLES):
+        out = os.path.join(dst, f"{table}.parquet")
         src_df = spark.read.parquet(f"{SRC}/{table}.parquet")
         if table in ("region", "nation"):
             dst_df = src_df
@@ -144,11 +144,12 @@ def generate(spark) -> str:
                         return (x * sign).cast("float")
                     return F.transform(c, flip)
                 custom = {"embedding": _sign_flip}
-            dst_df = _replicate(src_df, offsets, custom)
+            dst_df = _replicate(src_df, offsets, custom,
+                                replicas=replicas)
             if table == "documents":
                 dst_df = dst_df.withColumn("n_chars", F.length("text"))
         dst_df.write.mode("overwrite").parquet(out)
-    return DST
+    return dst
 
 
 def ensure_sf1(spark) -> str:
@@ -157,6 +158,20 @@ def ensure_sf1(spark) -> str:
     if os.path.isdir(marker):
         return DST
     return generate(spark)
+
+
+DST10 = os.path.join(os.path.dirname(DST), "testdata_sf10")
+
+
+def ensure_sf10_documents(spark) -> str:
+    """documents-only sf10 (100 replicas of sf0.1) for the second-decade
+    scaling probe of the top document-heavy queries; ~1 GB, generated
+    lazily, gitignored like sf1."""
+    marker = os.path.join(DST10, "documents.parquet")
+    if os.path.isdir(marker):
+        return DST10
+    return generate(spark, replicas=100, dst=DST10,
+                    tables=["documents"])
 
 
 if __name__ == "__main__":

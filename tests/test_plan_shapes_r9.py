@@ -1,0 +1,185 @@
+"""Plan-shape pins for the round-9 operators: the persisted-fingerprint
+incremental dedup store (zero Exchange on the store side of both joins)
+and the TPC-H relational posture (pushed-down filters, broadcast dims,
+TakeOrderedAndProject top-k) that was builder-verified in r8 but not
+regression-pinned."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from pipelinedp_spark import plans as P
+from pipelinedp_spark.plans import scoped_conf
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _tree(plan: str) -> list[str]:
+    """The indented physical-plan tree section of a formatted explain."""
+    lines = plan.splitlines()
+    out, started = [], False
+    for ln in lines:
+        if ln.startswith("== Physical Plan =="):
+            started = True
+            continue
+        if started:
+            if ln.strip() == "" or re.match(r"^\(\d+\)", ln.strip()):
+                break
+            out.append(ln)
+    return out
+
+
+def _ancestors_until_join(plan: str, scan_marker: str) -> list[str]:
+    """Node names on the path from the scan containing ``scan_marker``
+    up to (exclusive) its nearest Join ancestor, via indentation walk
+    over the tree section."""
+    tree = _tree(plan)
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    idx = next(i for i, ln in enumerate(tree) if scan_marker in ln)
+    cur = indent(tree[idx])
+    chain = []
+    for i in range(idx - 1, -1, -1):
+        ind = indent(tree[i])
+        if ind < cur:
+            cur = ind
+            name = tree[i].strip(" :+-").split("(")[0].strip()
+            if "Join" in name:
+                return chain
+            chain.append(name)
+    return chain
+
+
+def test_incremental_store_joins_never_exchange_store_side(spark):
+    """`incremental_near_dup` against a `build_minhash_store` index:
+    the bands scan and the shingles scan must reach their joins with
+    ZERO Exchange on the store side (the whole point of persisting the
+    index bucketed — the ever-growing reference never reshuffles), and
+    both scans must be bucketed reads. Broadcast disabled to force the
+    merge path the 100-TB store would take."""
+    from pipelinedp_spark.operators import dedup
+
+    docs = _docs(spark).limit(120)
+    for t in ("pin9_store_bands", "pin9_store_shingles",
+              "pin9_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup.build_minhash_store(docs.filter(F.col("doc_id") % 2 == 0),
+                              "pin9_store", k=3, num_buckets=4)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    with scoped_conf(spark,
+                     **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        out = dedup.incremental_near_dup(new, "pin9_store",
+                                         jaccard_threshold=0.7)
+        plan = P.explain_str(out)
+        for store_scan in ("pin9_store_bands", "pin9_store_shingles"):
+            chain = _ancestors_until_join(plan, store_scan)
+            assert chain, f"no join ancestor found for {store_scan}"
+            assert not any("Exchange" in n for n in chain), \
+                f"{store_scan} shuffles before its join: {chain}"
+        assert plan.count("Bucketed: true") >= 2
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        # semantics: identical to the recompute-everything path
+        expected = dedup.cross_corpus_near_dup(
+            new, docs.filter(F.col("doc_id") % 2 == 0),
+            jaccard_threshold=0.7)
+        got = {r["doc_id"] for r in out.select("doc_id").collect()}
+        want = {r["doc_id"] for r in expected.select("doc_id").collect()}
+        assert got == want
+    for t in ("pin9_store_bands", "pin9_store_shingles",
+              "pin9_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_store_append_grows_index(spark):
+    """mode='append' must extend the store (new reference docs become
+    matchable) and reject mismatched fingerprint knobs."""
+    import pytest
+
+    from pipelinedp_spark.operators import dedup
+
+    docs = _docs(spark).limit(90)
+    for t in ("pin9a_store_bands", "pin9a_store_shingles",
+              "pin9a_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    second = docs.filter(F.col("doc_id") % 3 == 1)
+    dedup.build_minhash_store(first, "pin9a_store", k=3, num_buckets=4)
+    # a batch equal to `second` survives fully against first alone...
+    batch = second
+    before = dedup.incremental_near_dup(
+        batch, "pin9a_store", jaccard_threshold=0.99).count()
+    assert before == batch.count()
+    # ...but after appending `second` to the store, every batch doc has
+    # an exact twin (jaccard 1.0) and is dropped
+    dedup.build_minhash_store(second, "pin9a_store", k=3, num_buckets=4,
+                              mode="append")
+    after = dedup.incremental_near_dup(
+        batch, "pin9a_store", jaccard_threshold=0.99).count()
+    assert after == 0
+    with pytest.raises(ValueError, match="was built with"):
+        dedup.build_minhash_store(second, "pin9a_store", k=4,
+                                  num_buckets=4, mode="append")
+    for t in ("pin9a_store_bands", "pin9a_store_shingles",
+              "pin9a_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _entry():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_r9", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark):
+    """Q1: the shipdate filter must reach the parquet scan and the
+    6-metric aggregate must have a map-side partial; no joins at all."""
+    out = _entry()._tpch_q1_pricing(spark, SF)
+    plan = P.explain_str(out)
+    assert "PushedFilters:" in plan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+    assert P.has_partial_aggregation(out)
+    assert "Join" not in plan
+
+
+def test_tpch_q3_broadcast_dim_and_topk(spark):
+    """Q3: customer (filtered dim) must broadcast into the orders join
+    — never a shuffle of the fact side for a dim lookup — and the
+    top-k must compile to TakeOrderedAndProject, not a global sort."""
+    out = _entry()._tpch_q3_priority(spark, SF)
+    plan = P.explain_str(out)
+    assert P.has_broadcast_join(out)
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"PushedFilters:.*(o_orderdate|c_mktsegment)", plan)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q18_partial_agg_broadcast_topk(spark):
+    """Q18: the hot-orderkey HAVING aggregate must partial-combine
+    map-side (a popular order never serializes onto one task), customer
+    must broadcast, and the top-100 must be TakeOrderedAndProject."""
+    out = _entry()._tpch_q18_large_orders(spark, SF)
+    plan = P.explain_str(out)
+    assert P.has_partial_aggregation(out)
+    assert P.has_broadcast_join(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q5_broadcast_dims(spark):
+    """Q5: region/nation (and the small dim chain) broadcast; the only
+    shuffle-scale joins are fact-fact; date filter pushed down."""
+    out = _entry()._tpch_q5_local_supplier(spark, SF)
+    plan = P.explain_str(out)
+    assert P.has_broadcast_join(out)
+    assert re.search(r"PushedFilters:.*o_orderdate", plan)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert P.has_partial_aggregation(out)
