@@ -1180,6 +1180,41 @@ ORDER BY doc_id
 """
 
 
+def _dedup_exact_incremental(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Exact dedup against a PERSISTED fingerprint store
+    (`dedup.build_exact_store` + `incremental_exact_dedup`): docs with
+    doc_id % 5 == 0 are indexed once as a bucketed distinct-fingerprint
+    table; the remaining docs anti-join it with zero store-side
+    shuffle. Residue 5 distinguishes the result from
+    `dedup_cross_corpus`'s residue-3 split; store dropped after
+    checkpointing."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    dedup.build_exact_store(ref, "exact_store_r9")
+    out = (dedup.incremental_exact_dedup(new, "exact_store_r9")
+           .select("doc_id", "fingerprint").localCheckpoint())
+    for t in ("exact_store_r9_fps", "exact_store_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+_DEDUP_EXACT_INCR_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+             AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint
+FROM fp
+WHERE doc_id % 5 <> 0
+  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 5 = 0)
+ORDER BY doc_id
+"""
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user (1-hour gap): event count and duration
     per session — the batch mirror of the streaming session windows."""
@@ -1395,6 +1430,10 @@ _DRIVER_ARTIFACT_FIRST = [
     # new round-9 queries first (must land inside the 50-row cap)
     "dedup_incremental",
     "tpch_q18_large_orders",
+    "doc_decontam_incremental",
+    "doc_hybrid_rrf",
+    "doc_bm25_incremental",
+    "dedup_exact_incremental",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1561,6 +1600,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _multimodal_audio_features,
         "dedup_cross_corpus_near": _dedup_cross_corpus_near,
         "dedup_incremental": _dedup_incremental,
+        "doc_decontam_incremental": _doc_decontam_incremental,
+        "doc_hybrid_rrf": _doc_hybrid_rrf,
+        "doc_bm25_incremental": _doc_bm25_incremental,
+        "dedup_exact_incremental": _dedup_exact_incremental,
         "doc_bigram_ppl": _doc_bigram_ppl,
         "stream_near_dup_mirror": _stream_near_dup_mirror,
         "doc_hash_embeddings": _doc_hash_embeddings,
@@ -1744,6 +1787,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": _MULTIMODAL_AUDIO_FEATURES_SQL,
         "dedup_cross_corpus_near": _DEDUP_CROSS_NEAR_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "doc_decontam_incremental": _DOC_DECONTAM_INCR_SQL,
+        "doc_hybrid_rrf": _gen_hybrid_rrf_sql(),
+        "doc_bm25_incremental": _gen_bm25_sql(k=15),
+        "dedup_exact_incremental": _DEDUP_EXACT_INCR_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
@@ -4164,6 +4211,105 @@ FROM gaps
 """
 
 
+def _doc_decontam_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Span decontamination against a PERSISTED reference index
+    (`dedup.build_span_store` + `incremental_decontaminate_spans`):
+    the benchmark corpus (docs with doc_id % 19 == 7 plus the fixed
+    question string) is indexed ONCE as bucketed winnowing anchors +
+    bucketed text; the training batch (docs % 29 == 3 get the question
+    planted) is span-cut against it with zero store-side shuffle and
+    no reference fingerprint recompute. Result semantics identical to
+    `cross_corpus_spans` (the oracle recomputes ground truth from
+    scratch). Store tables are dropped after checkpointing the
+    result."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 29 == 3,
+                        F.lit(" " + _DECON_BENCH)).otherwise(F.lit("")))
+        .alias("text"))
+    ref = (docs.filter(F.col("doc_id") % 19 == 7)
+           .select("doc_id",
+                   F.concat(F.col("text"), F.lit(" " + _DECON_BENCH))
+                   .alias("text")))
+    dedup.build_span_store(ref, "decon_store_r9", min_len=48)
+    spans = dedup.incremental_decontaminate_spans(train,
+                                                  "decon_store_r9")
+    out = (dedup.cut_spans(train, spans)
+           .select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+                   "n_spans", "n_cut_chars").localCheckpoint())
+    for t in ("decon_store_r9_anchors", "decon_store_r9_texts",
+              "decon_store_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+_DOC_DECONTAM_INCR_SQL = f"""
+WITH train AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 29 = 3 THEN ' {_DECON_BENCH}'
+                      ELSE '' END AS t
+  FROM documents),
+ref AS (
+  SELECT text || ' {_DECON_BENCH}' AS t
+  FROM documents WHERE doc_id % 19 = 7),
+dh AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         md5(substr(t, CAST(p AS INTEGER) + 1, 48)) AS h
+  FROM (SELECT doc_id, unnest(range(0, length(t) - 48 + 1)) AS p, t
+        FROM train WHERE length(t) >= 48)),
+rh AS (
+  SELECT DISTINCT md5(substr(t, CAST(p AS INTEGER) + 1, 48)) AS h
+  FROM (SELECT unnest(range(0, length(t) - 48 + 1)) AS p, t
+        FROM ref WHERE length(t) >= 48)),
+marked AS (SELECT doc_id, p FROM dh JOIN rh USING (h)),
+iv AS (SELECT doc_id, p AS start, p + 48 AS "end" FROM marked),
+m AS (
+  SELECT doc_id, start, "end",
+         MAX("end") OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+  FROM iv),
+grps AS (
+  SELECT doc_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR start > prev_end
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS grp
+  FROM m),
+spans AS (
+  SELECT doc_id, MIN(start) AS s, MAX("end") AS e
+  FROM grps GROUP BY doc_id, grp),
+packed AS (
+  SELECT doc_id,
+         list({{'s': s, 'e': e}} ORDER BY s) AS sp
+  FROM spans GROUP BY doc_id),
+cutdoc AS (
+  SELECT t.doc_id, t.t, COALESCE(p.sp, []) AS sp
+  FROM train t LEFT JOIN packed p USING (doc_id)),
+gaps AS (
+  SELECT doc_id, t,
+         list_prepend(CAST(0 AS BIGINT), [x.e for x in sp]) AS gs,
+         list_append([x.s for x in sp], CAST(length(t) AS BIGINT))
+             AS ge,
+         sp
+  FROM cutdoc)
+SELECT doc_id,
+       md5(array_to_string(
+         [substr(t, CAST(gs[i] AS INTEGER) + 1,
+                 CAST(ge[i] - gs[i] AS INTEGER))
+          for i in range(1, len(gs) + 1)], '')) AS clean_md5,
+       CAST(len(sp) AS BIGINT) AS n_spans,
+       CAST(COALESCE(list_sum([x.e - x.s for x in sp]), 0) AS BIGINT)
+           AS n_cut_chars
+FROM gaps
+"""
+
+
 def _doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc perplexity under a corpus-fit unigram LM (CCNet-style
     quality signal, exact-SQL-expressible unigram variant)."""
@@ -4254,6 +4400,127 @@ FROM (SELECT query_id, doc_id,
              score
       FROM scored)
 WHERE rank <= {k}
+"""
+
+
+def _doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (`retrieval.rrf_fuse`): BM25 top-20 (lexical) and exact-cosine
+    top-20 over the embeddings (dense, query vector = the query's own
+    embedding row) fused with the standard 1/(60+rank) rule, final
+    top-10 per query. The fusion itself touches only the two tiny rank
+    tables — one union + one combinable groupBy + WindowGroupLimit."""
+    from pipelinedp_spark.operators import retrieval, similarity
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    lex = retrieval.bm25_topk(docs, q, k=20) \
+        .select("query_id", "doc_id", "rank")
+    qv = (emb.filter(F.col("vec_id") < len(_BM25_QUERIES))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    dense = (similarity.cosine_topk(emb, qv, k=20)
+             .select("query_id", F.col("vec_id").alias("doc_id"),
+                     "rank"))
+    return retrieval.rrf_fuse([lex, dense], k=10)
+
+
+def _doc_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED inverted index
+    (`retrieval.build_bm25_index` + `bm25_topk_from_index`): the corpus
+    tokenizes once at build into bucketed postings/terms tables; the
+    query joins them with zero Exchange on the index side and cost
+    proportional to the touched postings. k=15 distinguishes the
+    result set from `doc_bm25_topk`'s k=10; the oracle is the same
+    proven BM25 SQL at k=15. Store tables are dropped after
+    checkpointing."""
+    from pipelinedp_spark.operators import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    retrieval.build_bm25_index(docs, "bm25_idx_r9")
+    out = retrieval.bm25_topk_from_index(q, "bm25_idx_r9", k=15) \
+        .localCheckpoint()
+    for t in ("bm25_idx_r9_postings", "bm25_idx_r9_terms",
+              "bm25_idx_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def _gen_hybrid_rrf_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """SQL mirror of `_doc_hybrid_rrf`: the BM25 CTE is the proven
+    `_gen_bm25_sql` body at k=20, the dense CTE the proven
+    `_SIM_COSINE_TOPK_SQL` shape at k=20, fused with the identical
+    1/(60+rank) sum (two-term double adds are order-independent, and
+    reciprocal gaps >> the 6dp rounding)."""
+    import duckdb
+    n, tot = duckdb.sql(
+        f"SELECT COUNT(*), SUM(len(string_split(text, ' ')))"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')").fetchone()
+    avgdl = repr(float(tot) / float(n))
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    nq = len(_BM25_QUERIES)
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {vals}),
+qterms AS (
+  SELECT query_id,
+         unnest(list_distinct(string_split(query_text, ' '))) AS term
+  FROM q),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+post AS (
+  SELECT qt.query_id, tf.doc_id, tf.tf, dft.df, dl.dl
+  FROM tf JOIN qterms qt USING (term)
+          JOIN dft USING (term)
+          JOIN dl USING (doc_id)),
+lexscore AS (
+  SELECT query_id, doc_id,
+         SUM(LN(1.0 + ({float(n)} - df + 0.5) / (df + 0.5))
+             * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / {avgdl}))))
+             AS score
+  FROM post GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM lexscore)
+  WHERE rank <= 20),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {nq}),
+densescore AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], qv.v) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(qv.v, qv.v))) AS cosine
+  FROM embeddings e CROSS JOIN qv),
+dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM densescore)
+  WHERE rank <= 20),
+uni AS (
+  SELECT * FROM lex UNION ALL SELECT * FROM dense),
+fused AS (
+  SELECT query_id, doc_id,
+         SUM(1.0 / (60.0 + rank)) AS s,
+         COUNT(*) AS n_lists
+  FROM uni GROUP BY 1, 2)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(s, 6) AS rrf_score, CAST(n_lists AS BIGINT) AS n_lists
+FROM (SELECT query_id, doc_id, n_lists, s,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= 10
 """
 
 

@@ -352,6 +352,16 @@ def main() -> None:
         "skew": skew,
         "sf": sf,
     }
+    # second-decade (sf1 -> sf10) probe results, if the one-off
+    # scripts/scaling_probe.py sf10 run has been recorded
+    s100 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING100_LOCAL.json")
+    if os.path.exists(s100):
+        try:
+            with open(s100) as f:
+                out["scaling_100x"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     if times_sf1:
         out["queries_sf1"] = times_sf1
         out["value_sf1"] = round(sum(times_sf1.values()), 3)

@@ -19,6 +19,7 @@ No reference counterpart (net-new per project north star).
 
 from __future__ import annotations
 
+import os
 import re as _re
 from typing import Optional
 
@@ -60,6 +61,58 @@ def cross_corpus_dedup(new_docs: DataFrame, reference: DataFrame,
     ref = (reference.select(fp.alias("fingerprint")).distinct())
     return (new_docs.withColumn("fingerprint", fp)
             .join(ref, "fingerprint", "left_anti"))
+
+
+def build_exact_store(reference: DataFrame,
+                      store_name: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_buckets: int = 8,
+                      mode: str = "overwrite") -> None:
+    """Persist the reference corpus's EXACT-dedup fingerprint set as a
+    bucketed table (``{store}_fps``: distinct normalized rolling
+    fingerprints, bucketed AND sorted by fingerprint) plus a
+    ``{store}_meta`` row carrying the bucket count — the exact-match
+    member of the incremental-store family (near-dup:
+    `build_minhash_store`; spans: `build_span_store`). Each ingest
+    batch anti-joins it with zero Exchange on the store side;
+    ``mode='append'`` grows the set bucket-aligned (appends may
+    re-introduce duplicate fingerprint rows across increments — an
+    anti-join is insensitive to multiplicity, so correctness holds and
+    periodic compaction only saves space)."""
+    spark = reference.sparkSession
+    if mode != "append":
+        for suffix in ("_fps", "_meta"):
+            _drop_store_table(spark, store_name + suffix)
+    fp = T.rolling_fingerprint(F.col(text_col))
+    fps = reference.select(fp.alias("fingerprint")).distinct()
+    (fps.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, "fingerprint").sortBy("fingerprint")
+     .saveAsTable(f"{store_name}_fps"))
+    if mode != "append":
+        spark.sql(f"SELECT {int(num_buckets)} AS num_buckets") \
+            .write.mode("overwrite").format("parquet") \
+            .saveAsTable(f"{store_name}_meta")
+
+
+def incremental_exact_dedup(new_docs: DataFrame,
+                            store_name: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """`cross_corpus_dedup` semantics against a persisted
+    `build_exact_store` index: drop new documents whose normalized
+    fingerprint is already in the store. The batch pre-partitions to
+    the store's bucket count so the anti-join never exchanges the
+    store side. Returns the surviving new rows with their fingerprint
+    attached."""
+    spark = new_docs.sparkSession
+    nbuck = int(spark.table(f"{store_name}_meta")
+                .collect()[0]["num_buckets"])
+    fp = T.rolling_fingerprint(F.col(text_col))
+    batch = (new_docs.withColumn("fingerprint", fp)
+             .repartition(nbuck, "fingerprint"))
+    return batch.join(spark.table(f"{store_name}_fps"),
+                      "fingerprint", "left_anti")
 
 
 def shingle_docs(df: DataFrame, text_col: str = "text",
@@ -1235,6 +1288,24 @@ def sentence_dedup(df: DataFrame,
         .alias("n_removed")))
 
 
+def _drop_store_table(spark, name: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of an ORPHANED managed-table
+    location (a crashed prior session can leave the warehouse directory
+    behind with no catalog entry; saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode). Local-filesystem
+    warehouses only — on cluster storage the catalog owns the
+    location."""
+    import shutil
+    import urllib.parse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        p = urllib.parse.urlparse(wh).path
+        shutil.rmtree(os.path.join(p, name.lower()),
+                      ignore_errors=True)
+
+
 def build_minhash_store(reference: DataFrame,
                         store_name: str,
                         text_col: str = "text",
@@ -1283,6 +1354,9 @@ def build_minhash_store(reference: DataFrame,
                 f"num_hashes={m['num_hashes']}, "
                 f"rows_per_band={m['rows_per_band']}; appending with "
                 f"({k}, {num_hashes}, {rows_per_band}) would corrupt it")
+    else:
+        for suffix in ("_bands", "_shingles", "_meta"):
+            _drop_store_table(spark, store_name + suffix)
     bands = (minhash_bands(reference, text_col, id_col, k, num_hashes,
                            rows_per_band)
              .select(F.col(id_col).alias("id"),
@@ -1304,7 +1378,8 @@ def build_minhash_store(reference: DataFrame,
     if mode != "append":
         spark.sql(
             f"SELECT {int(k)} AS k, {int(num_hashes)} AS num_hashes, "
-            f"{int(rows_per_band)} AS rows_per_band"
+            f"{int(rows_per_band)} AS rows_per_band, "
+            f"{int(num_buckets)} AS num_buckets"
         ).write.mode("overwrite").format("parquet") \
             .saveAsTable(f"{store_name}_meta")
 
@@ -1330,13 +1405,22 @@ def incremental_near_dup(new_docs: DataFrame,
     m = spark.table(f"{store_name}_meta").collect()[0]
     k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
                           int(m["rows_per_band"]))
+    nbuck = int(m["num_buckets"])
+    # Batch-side inputs are PRE-partitioned to the store's bucket count:
+    # when both join children satisfy the clustering but with mismatched
+    # partition counts (bucketed scan vs a groupBy at
+    # spark.sql.shuffle.partitions), Spark re-shuffles the BUCKETED
+    # side — exactly the exchange the store exists to avoid. Matching
+    # the count up front makes the store side always win (plan-pinned).
     nb = (minhash_bands(new_docs, text_col, id_col, k, num_hashes, rpb)
           .select(F.col(id_col).alias("id_a"),
                   F.concat_ws(":", F.col("band_idx").cast("string"),
-                              F.col("band_hash")).alias("bh")))
+                              F.col("band_hash")).alias("bh"))
+          .repartition(nbuck, "bh"))
     sb = spark.table(f"{store_name}_bands").select(
         F.col("id").alias("id_b"), "bh")
-    cand = nb.join(sb, "bh").select("id_a", "id_b").distinct()
+    cand = (nb.join(sb, "bh").select("id_a", "id_b").distinct()
+            .repartition(nbuck, "id_b"))
     sh_ref = spark.table(f"{store_name}_shingles").select(
         F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     sh_new = shingle_docs(new_docs, text_col, id_col, k).select(
@@ -1423,6 +1507,131 @@ def cross_corpus_spans(docs: DataFrame,
     marked = (_verify(docs, dcand)
               .join(ref_hashes, "h")
               .select(id_col, "pos"))
+    iv = marked.select(F.col(id_col), F.col("pos").alias("start"),
+                       (F.col("pos") + min_len).alias("end"))
+    return _merge_spans(iv, id_col)
+
+
+def build_span_store(reference: DataFrame,
+                     store_name: str,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_len: int = 50,
+                     seed_len: int | None = None,
+                     num_buckets: int = 8,
+                     mode: str = "overwrite") -> None:
+    """Persist a benchmark/eval corpus as a SPAN-DECONTAMINATION index
+    so every new training batch can be span-cut against it without
+    recomputing the reference's fingerprints — the decontamination twin
+    of `build_minhash_store`. Three bucketed tables:
+
+    * ``{store}_anchors`` (id, pos, ah) — the reference's winnowing
+      anchors (`_winnow_anchors`), bucketed AND sorted by ah: both the
+      shared-anchor semi-join and the reference-candidate join read
+      this side with ZERO Exchange.
+    * ``{store}_texts`` (id, text) — bucketed by id, so attaching
+      candidate positions back to reference text for the md5 verify
+      never shuffles the store either.
+    * ``{store}_meta`` — (min_len, seed_len): batches can't silently
+      fingerprint differently from the index.
+
+    Build cost is one anchor pass over the reference, paid once;
+    ``mode='append'`` adds a reference increment bucket-aligned."""
+    spark = reference.sparkSession
+    seed_len = _auto_seed_len(min_len, seed_len)
+    if mode == "append":
+        m = spark.table(f"{store_name}_meta").collect()[0]
+        if (int(m["min_len"]), int(m["seed_len"])) != (min_len,
+                                                       seed_len):
+            raise ValueError(
+                f"store {store_name} was built with min_len="
+                f"{m['min_len']}, seed_len={m['seed_len']}; appending "
+                f"with ({min_len}, {seed_len}) would corrupt it")
+    else:
+        for suffix in ("_anchors", "_texts", "_meta"):
+            _drop_store_table(spark, store_name + suffix)
+    eligible = (reference
+                .filter(F.length(F.col(text_col)) >= min_len)
+                .select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("text")))
+    anchors = _winnow_anchors(eligible, "text", "id", min_len, seed_len)
+    (anchors.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, "ah").sortBy("ah")
+     .saveAsTable(f"{store_name}_anchors"))
+    (eligible.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, "id").sortBy("id")
+     .saveAsTable(f"{store_name}_texts"))
+    if mode != "append":
+        spark.sql(
+            f"SELECT {int(min_len)} AS min_len, {int(seed_len)} AS "
+            f"seed_len, {int(num_buckets)} AS num_buckets"
+        ).write.mode("overwrite").format("parquet") \
+            .saveAsTable(f"{store_name}_meta")
+
+
+def incremental_decontaminate_spans(docs: DataFrame,
+                                    store_name: str,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id"
+                                    ) -> DataFrame:
+    """Character ranges of ``docs`` that occur anywhere in a persisted
+    `build_span_store` reference — `cross_corpus_spans` semantics with
+    the reference side never recomputed: its anchors and text stream
+    out of the bucketed store with zero Exchange on the store side of
+    every join; only anchor-reachable candidate windows (on BOTH
+    sides) pay the md5 verify, so per-batch cost scales with the batch
+    and the overlap, not the reference. Returns merged
+    (id_col, span_start, span_end), end-exclusive; compose with
+    `cut_spans`."""
+    spark = docs.sparkSession
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    min_len, seed_len = int(m["min_len"]), int(m["seed_len"])
+    nbuck = int(m["num_buckets"])
+    danchors = _winnow_anchors(
+        docs.filter(F.length(F.col(text_col)) >= min_len)
+        .select(F.col(id_col), F.col(text_col)),
+        text_col, id_col, min_len, seed_len)
+    sanchors = spark.table(f"{store_name}_anchors")
+    # shared anchor hashes: batch side distinct (small), store side
+    # bucketed — no exchange, no broadcast of anything corpus-scale.
+    # Batch-side join inputs are PRE-partitioned to the store's bucket
+    # count (same reasoning as incremental_near_dup: a partition-count
+    # mismatch makes Spark re-shuffle the bucketed side).
+    shared = (danchors.select("ah").distinct()
+              .repartition(nbuck, "ah")
+              .join(sanchors.select("ah"), "ah")
+              .distinct().localCheckpoint())
+    shared = shared.repartition(nbuck, "ah")
+    dcand = danchors.join(shared.hint("shuffle_hash"), "ah") \
+        .select(id_col, "pos")
+    rcand = (sanchors.join(shared, "ah")
+             .select(F.col("id"), F.col("pos")))
+
+    # doc-side verify keeps (id, pos, h); ref side only needs DISTINCT h
+    dlists = dcand.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("qs")) \
+        .hint("shuffle_hash")
+    dps = _expand_anchor_candidates("qs", text_col, min_len, seed_len)
+    dverify = (docs.select(F.col(id_col), F.col(text_col))
+               .join(dlists, id_col)
+               .select(F.col(id_col),
+                       F.explode(F.expr(
+                           f"transform({dps}, p -> struct(p AS pos, "
+                           f"md5(substring({text_col}, p + 1, "
+                           f"{min_len})) AS h))")).alias("v"))
+               .select(id_col, F.col("v.pos").alias("pos"),
+                       F.col("v.h").alias("h")))
+    rlists = rcand.repartition(nbuck, "id").groupBy("id").agg(
+        F.array_sort(F.collect_list("pos")).alias("qs")) \
+        .hint("shuffle_hash")
+    rps = _expand_anchor_candidates("qs", "text", min_len, seed_len)
+    ref_hashes = (spark.table(f"{store_name}_texts")
+                  .join(rlists, "id")
+                  .select(F.explode(F.expr(
+                      f"transform({rps}, p -> md5(substring(text, "
+                      f"p + 1, {min_len})))")).alias("h"))
+                  .distinct().hint("shuffle_hash"))
+    marked = dverify.join(ref_hashes, "h").select(id_col, "pos")
     iv = marked.select(F.col(id_col), F.col("pos").alias("start"),
                        (F.col("pos") + min_len).alias("end"))
     return _merge_spans(iv, id_col)

@@ -261,3 +261,134 @@ def textrank_keywords(docs: DataFrame,
     return (rank.orderBy(F.col("r").desc(), F.col("word").asc())
             .limit(k)
             .select("word", F.col("r").alias("rank")))
+
+
+def rrf_fuse(rankings: "list[DataFrame]",
+             k: int = 10,
+             rrf_k: int = 60,
+             query_col: str = "query_id",
+             id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N per-query rankings — the standard hybrid-retrieval combiner
+    (BM25 + dense ANN, or any ranker mix) because it needs no score
+    calibration: fused(q, d) = sum over lists of 1 / (rrf_k + rank),
+    a document missing from a list contributing 0.
+
+    Plan: one unionByName of the (already top-k'd, so tiny relative to
+    the corpus) rank tables, one map-side-combinable groupBy(query,
+    doc), one per-query WindowGroupLimit for the final top-k — no
+    corpus-scale work at all; the rankers did that. Ties break by
+    ascending doc id. Returns (query_col, id_col, rank, rrf_score
+    rounded 6dp, n_lists).
+
+    Determinism note: each (query, doc) sums at most N=len(rankings)
+    doubles; for the common N=2 the sum is order-independent
+    bit-for-bit, and reciprocal gaps between distinct rank pairs are
+    >= ~1e-4 at rrf_k=60 with ranks <= ~40 — far above the 6dp
+    rounding, so an SQL oracle hash-matches exactly."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    uni = rankings[0].select(query_col, id_col, rank_col)
+    for r in rankings[1:]:
+        uni = uni.unionByName(r.select(query_col, id_col, rank_col))
+    scored = (uni.groupBy(query_col, id_col)
+              .agg(F.sum(F.lit(1.0) / (F.lit(float(rrf_k))
+                                       + F.col(rank_col)))
+                   .alias("__s__"),
+                   F.count(F.lit(1)).alias("n_lists")))
+    w = Window.partitionBy(query_col).orderBy(F.col("__s__").desc(),
+                                              F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_col, id_col,
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round(F.col("__s__"), 6).alias("rrf_score"),
+                    F.col("n_lists").cast("long").alias("n_lists")))
+
+
+def build_bm25_index(docs: DataFrame,
+                     store_name: str,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: int = 8) -> None:
+    """Persist the corpus's BM25 inverted index as bucketed tables so
+    queries never re-tokenize the corpus — the offline-index flow
+    `bm25_topk`'s docstring promises:
+
+    * ``{store}_postings`` (term, id, tf, dl) — the postings list with
+      the doc length denormalized in (one fewer query-time join),
+      bucketed AND sorted by term: the query-terms join streams only
+      the touched buckets with zero Exchange on the index side.
+    * ``{store}_terms`` (term, df) — document frequencies, same
+      bucketing.
+    * ``{store}_meta`` — (n_docs, avgdl, num_buckets): the two corpus
+      scalars the score needs, computed once at build.
+
+    Build = the word-count shuffle paid once. Queries against a 100-TB
+    corpus then cost only the postings of their terms — the serving
+    shape of a real inverted index."""
+    from pipelinedp_spark.operators.dedup import _drop_store_table
+    spark = docs.sparkSession
+    for suffix in ("_postings", "_terms", "_meta"):
+        _drop_store_table(spark, store_name + suffix)
+    tf = term_frequencies(docs, text_col, id_col).localCheckpoint()
+    dl = doc_lengths(tf, id_col)
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("tot")).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = float(stats["tot"]) / float(n_docs)
+    post = (tf.join(dl, id_col)
+            .select("term", F.col(id_col).alias("id"), "tf", "dl"))
+    (post.write.mode("overwrite").format("parquet")
+     .bucketBy(num_buckets, "term").sortBy("term")
+     .saveAsTable(f"{store_name}_postings"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    (dft.write.mode("overwrite").format("parquet")
+     .bucketBy(num_buckets, "term").sortBy("term")
+     .saveAsTable(f"{store_name}_terms"))
+    spark.sql(
+        f"SELECT {n_docs} AS n_docs, CAST({avgdl!r} AS DOUBLE) AS "
+        f"avgdl, {int(num_buckets)} AS num_buckets"
+    ).write.mode("overwrite").format("parquet") \
+        .saveAsTable(f"{store_name}_meta")
+
+
+def bm25_topk_from_index(queries: DataFrame,
+                         store_name: str,
+                         k: int = 10,
+                         k1: float = 1.2,
+                         b: float = 0.75,
+                         id_col: str = "doc_id",
+                         query_id: str = "query_id",
+                         query_text: str = "query_text") -> DataFrame:
+    """`bm25_topk` semantics served from a persisted `build_bm25_index`
+    store: the corpus is never re-tokenized; the query terms (a tiny
+    broadcast) join the bucketed postings and term tables with zero
+    Exchange on the index side, so per-query cost is proportional to
+    the touched postings — identical scores, ranks, and tie-breaks to
+    the from-scratch operator (pinned by equality test)."""
+    spark = queries.sparkSession
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    n_docs, avgdl = int(m["n_docs"]), float(m["avgdl"])
+    post = spark.table(f"{store_name}_postings")
+    dft = spark.table(f"{store_name}_terms")
+    qterms = queries.select(
+        F.col(query_id),
+        F.explode(F.array_distinct(T.tokens(F.col(query_text))))
+        .alias("term"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)
+               / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    scored = (post.join(F.broadcast(qterms), "term")
+              .join(dft, "term")
+              .groupBy(query_id, "id")
+              .agg(F.sum(idf * tf_part).alias("score")))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
+                                             F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col("id").alias(id_col),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round(F.col("score"), 6).alias("score")))

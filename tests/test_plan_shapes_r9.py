@@ -33,27 +33,32 @@ def _tree(plan: str) -> list[str]:
     return out
 
 
-def _ancestors_until_join(plan: str, scan_marker: str) -> list[str]:
-    """Node names on the path from the scan containing ``scan_marker``
-    up to (exclusive) its nearest Join ancestor, via indentation walk
-    over the tree section."""
+def _ancestor_chains_until_join(plan: str,
+                                scan_marker: str) -> list[list[str]]:
+    """For EVERY scan containing ``scan_marker`` in the plan tree, the
+    node names on the path up to (exclusive) its nearest Join ancestor,
+    via indentation walk over the tree section."""
     tree = _tree(plan)
 
     def indent(ln: str) -> int:
         return len(ln) - len(ln.lstrip(" :+-"))
 
-    idx = next(i for i, ln in enumerate(tree) if scan_marker in ln)
-    cur = indent(tree[idx])
-    chain = []
-    for i in range(idx - 1, -1, -1):
-        ind = indent(tree[i])
-        if ind < cur:
-            cur = ind
-            name = tree[i].strip(" :+-").split("(")[0].strip()
-            if "Join" in name:
-                return chain
-            chain.append(name)
-    return chain
+    chains = []
+    for idx, ln in enumerate(tree):
+        if scan_marker not in ln:
+            continue
+        cur = indent(tree[idx])
+        chain = []
+        for i in range(idx - 1, -1, -1):
+            ind = indent(tree[i])
+            if ind < cur:
+                cur = ind
+                name = tree[i].strip(" :+-").split("(")[0].strip()
+                if "Join" in name:
+                    break
+                chain.append(name)
+        chains.append(chain)
+    return chains
 
 
 def test_incremental_store_joins_never_exchange_store_side(spark):
@@ -78,10 +83,11 @@ def test_incremental_store_joins_never_exchange_store_side(spark):
                                          jaccard_threshold=0.7)
         plan = P.explain_str(out)
         for store_scan in ("pin9_store_bands", "pin9_store_shingles"):
-            chain = _ancestors_until_join(plan, store_scan)
-            assert chain, f"no join ancestor found for {store_scan}"
-            assert not any("Exchange" in n for n in chain), \
-                f"{store_scan} shuffles before its join: {chain}"
+            chains = _ancestor_chains_until_join(plan, store_scan)
+            assert chains, f"no scan found for {store_scan}"
+            for chain in chains:
+                assert not any("Exchange" in n for n in chain), \
+                    f"{store_scan} shuffles before its join: {chain}"
         assert plan.count("Bucketed: true") >= 2
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
         # semantics: identical to the recompute-everything path
@@ -93,6 +99,47 @@ def test_incremental_store_joins_never_exchange_store_side(spark):
         assert got == want
     for t in ("pin9_store_bands", "pin9_store_shingles",
               "pin9_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_store_joins_never_exchange_store_side(spark):
+    """`incremental_decontaminate_spans` against a `build_span_store`
+    index: the anchors scan (joined twice — shared-anchor semi-join and
+    reference-candidate lookup) and the texts scan must reach their
+    joins with zero Exchange on the store side, and the result must
+    equal the recompute-everything `cross_corpus_spans`."""
+    from pipelinedp_spark.operators import dedup
+
+    docs = _docs(spark).limit(120).select(
+        "doc_id", F.concat(F.col("text"),
+                           F.lit(" the planted benchmark question "
+                                 "sentence for span store pin test"))
+        .alias("text"))
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    for t in ("pin9s_store_anchors", "pin9s_store_texts",
+              "pin9s_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup.build_span_store(ref, "pin9s_store", min_len=48,
+                           num_buckets=4)
+    with scoped_conf(spark,
+                     **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        out = dedup.incremental_decontaminate_spans(new, "pin9s_store")
+        plan = P.explain_str(out)
+        for store_scan in ("pin9s_store_anchors", "pin9s_store_texts"):
+            chains = _ancestor_chains_until_join(plan, store_scan)
+            assert chains, f"{store_scan} scan not in plan"
+            for chain in chains:
+                assert not any("Exchange" in n for n in chain), \
+                    f"{store_scan} shuffles before its join: {chain}"
+        got = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in out.collect()}
+        want = {(r["doc_id"], r["span_start"], r["span_end"])
+                for r in dedup.cross_corpus_spans(
+                    new, ref, min_len=48).collect()}
+        assert got == want and got
+    for t in ("pin9s_store_anchors", "pin9s_store_texts",
+              "pin9s_store_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -127,6 +174,64 @@ def test_incremental_store_append_grows_index(spark):
                                   num_buckets=4, mode="append")
     for t in ("pin9a_store_bands", "pin9a_store_shingles",
               "pin9a_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exact_store_anti_join_never_exchanges_store_side(spark):
+    """`incremental_exact_dedup`: the fingerprint-store scan must reach
+    the anti-join with zero Exchange, and results must equal
+    `cross_corpus_dedup` on the same split."""
+    from pipelinedp_spark.operators import dedup
+
+    docs = _docs(spark).limit(100)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    dedup.build_exact_store(ref, "pin9e_store", num_buckets=4)
+    with scoped_conf(spark,
+                     **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        out = dedup.incremental_exact_dedup(new, "pin9e_store")
+        plan = P.explain_str(out)
+        chains = _ancestor_chains_until_join(plan, "pin9e_store_fps")
+        assert chains
+        for chain in chains:
+            assert not any("Exchange" in n for n in chain), \
+                f"store shuffles before its anti-join: {chain}"
+        got = {r["doc_id"] for r in out.select("doc_id").collect()}
+        want = {r["doc_id"] for r in dedup.cross_corpus_dedup(new, ref)
+                .select("doc_id").collect()}
+        assert got == want
+    for t in ("pin9e_store_fps", "pin9e_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_index_joins_never_exchange_index_side(spark):
+    """`bm25_topk_from_index`: postings and terms scans must reach
+    their joins with zero Exchange on the index side (postings joins
+    the broadcast query terms; terms co-partitions with the bucketed
+    postings), and results must equal the from-scratch `bm25_topk`
+    exactly (scores, ranks, tie-breaks)."""
+    from pipelinedp_spark.operators import retrieval
+
+    docs = _docs(spark).limit(150)
+    q = spark.sql("SELECT * FROM VALUES (0, 'hash join merge'), "
+                  "(1, 'scan filter column') AS t(query_id, query_text)")
+    retrieval.build_bm25_index(docs, "pin9b_idx", num_buckets=4)
+    with scoped_conf(spark,
+                     **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        out = retrieval.bm25_topk_from_index(q, "pin9b_idx", k=10)
+        plan = P.explain_str(out)
+        for scan in ("pin9b_idx_postings", "pin9b_idx_terms"):
+            chains = _ancestor_chains_until_join(plan, scan)
+            assert chains, f"{scan} scan not in plan"
+            for chain in chains:
+                assert not any("Exchange" in n for n in chain), \
+                    f"{scan} shuffles before its join: {chain}"
+        got = [(r["query_id"], r["doc_id"], r["rank"], r["score"])
+               for r in out.collect()]
+        want = [(r["query_id"], r["doc_id"], r["rank"], r["score"])
+                for r in retrieval.bm25_topk(docs, q, k=10).collect()]
+        assert sorted(got) == sorted(want) and got
+    for t in ("pin9b_idx_postings", "pin9b_idx_terms", "pin9b_idx_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -309,3 +309,35 @@ def test_pmi_collocations_min_count_and_limit(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["gram"] in ("a b", "b a")
+
+
+def test_rrf_fuse_scores_ranks_and_missing_lists(spark):
+    """RRF: fused score = sum of 1/(60+rank) over the lists a doc
+    appears in; docs missing from one list still fuse (n_lists=1);
+    ties break by ascending doc id."""
+    from pipelinedp_spark.operators.retrieval import rrf_fuse
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long")
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc_id long, rank long")
+    out = {r["doc_id"]: (r["rank"], r["rrf_score"], r["n_lists"])
+           for r in rrf_fuse([lex, dense], k=10).collect()}
+    # doc 11: 1/62 + 1/61; doc 10: 1/61; doc 13: 1/62; doc 12: 1/63
+    assert out[11] == (1, round(1 / 62 + 1 / 61, 6), 2)
+    assert out[10] == (2, round(1 / 61, 6), 1)
+    assert out[13] == (3, round(1 / 62, 6), 1)
+    assert out[12] == (4, round(1 / 63, 6), 1)
+
+
+def test_rrf_fuse_tie_breaks_by_doc_id(spark):
+    from pipelinedp_spark.operators.retrieval import rrf_fuse
+    a = spark.createDataFrame([(0, 5, 1), (0, 3, 2)],
+                              "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame([(0, 3, 1), (0, 5, 2)],
+                              "query_id long, doc_id long, rank long")
+    rows = rrf_fuse([a, b], k=10).collect()
+    # symmetric ranks -> identical scores; doc 3 wins rank 1 by id
+    assert [(r["doc_id"], r["rank"]) for r in
+            sorted(rows, key=lambda r: r["rank"])] == [(3, 1), (5, 2)]
