@@ -1180,6 +1180,63 @@ ORDER BY doc_id
 """
 
 
+def _stream_exact_store_mirror(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_exact_dedup_store` with
+    exact two-trigger semantics: the store starts EMPTY; trigger 0
+    ingests docs with doc_id % 3 == 0 (within-batch first occurrence
+    per fingerprint, anti-join the empty store, fingerprints appended);
+    trigger 1 ingests the rest and is deduped against trigger 0's
+    accumulated store. Output = survivors per trigger tagged by batch —
+    proving the cross-batch store contract, not just final state."""
+    from pipelinedp_spark.functions import text as TX
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    fp = TX.rolling_fingerprint(F.col("text"))
+    dedup.build_exact_store(docs.limit(0), "stream_exact_r9",
+                            num_buckets=4)
+    outs = []
+    for b, batch in enumerate([docs.filter(F.col("doc_id") % 3 == 0),
+                               docs.filter(F.col("doc_id") % 3 != 0)]):
+        firsts = (batch.withColumn("fingerprint", fp)
+                  .groupBy("fingerprint")
+                  .agg(F.min("doc_id").alias("doc_id")))
+        survivors = (firsts.repartition(4, "fingerprint")
+                     .join(spark.table("stream_exact_r9_fps"),
+                           "fingerprint", "left_anti")
+                     .localCheckpoint())
+        (survivors.select("fingerprint")
+         .write.mode("append").format("parquet")
+         .bucketBy(4, "fingerprint").sortBy("fingerprint")
+         .saveAsTable("stream_exact_r9_fps"))
+        outs.append(survivors.select(
+            F.lit(b).cast("long").alias("batch"), "doc_id",
+            "fingerprint"))
+    result = outs[0].unionByName(outs[1]).localCheckpoint()
+    for t in ("stream_exact_r9_fps", "stream_exact_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return result
+
+
+_STREAM_EXACT_STORE_MIRROR_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+             AS fingerprint
+  FROM documents),
+b0 AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id
+  FROM fp WHERE doc_id % 3 = 0 GROUP BY fingerprint),
+b1 AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id
+  FROM fp WHERE doc_id % 3 <> 0 GROUP BY fingerprint)
+SELECT CAST(0 AS BIGINT) AS batch, doc_id, fingerprint FROM b0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, doc_id, fingerprint
+FROM b1 WHERE fingerprint NOT IN (SELECT fingerprint FROM b0)
+"""
+
+
 def _dedup_exact_incremental(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Exact dedup against a PERSISTED fingerprint store
@@ -1434,6 +1491,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_hybrid_rrf",
     "doc_bm25_incremental",
     "dedup_exact_incremental",
+    "stream_exact_store_mirror",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1604,6 +1662,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "doc_bm25_incremental": _doc_bm25_incremental,
         "dedup_exact_incremental": _dedup_exact_incremental,
+        "stream_exact_store_mirror": _stream_exact_store_mirror,
         "doc_bigram_ppl": _doc_bigram_ppl,
         "stream_near_dup_mirror": _stream_near_dup_mirror,
         "doc_hash_embeddings": _doc_hash_embeddings,
@@ -1791,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hybrid_rrf": _gen_hybrid_rrf_sql(),
         "doc_bm25_incremental": _gen_bm25_sql(k=15),
         "dedup_exact_incremental": _DEDUP_EXACT_INCR_SQL,
+        "stream_exact_store_mirror": _STREAM_EXACT_STORE_MIRROR_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,

@@ -1462,6 +1462,62 @@ def streaming_sentence_dedup(stream: DataFrame,
             .start())
 
 
+def streaming_exact_dedup_store(stream: DataFrame,
+                                store_name: str,
+                                output_path: str,
+                                checkpoint_dir: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id"):
+    """Streaming ingest-time EXACT dedup against the persisted bucketed
+    fingerprint store (`operators.dedup.build_exact_store`) — unlike
+    `streaming_exact_dedup` (applyInPandasWithState, state dies with
+    the query), the store outlives the stream, is shared with batch
+    jobs (`incremental_exact_dedup`), and anti-joins each micro-batch
+    with zero Exchange on the store side.
+
+    Per batch: first occurrence per fingerprint WITHIN the batch
+    (min id — map-side-combinable argmin, no window), anti-join the
+    store, append survivors to ``output_path`` and their fingerprints
+    to the store (bucket-aligned append; an anti-join is insensitive
+    to the duplicate fingerprint rows an at-least-once replay can
+    introduce, so state stays correct — the output append can
+    double-write on replay, the same caveat as every foreachBatch
+    twin). The caller builds the store first (possibly from an empty
+    reference). Returns the started StreamingQuery."""
+    from pipelinedp_spark.functions import text as TX
+    spark = stream.sparkSession
+    nbuck = int(spark.table(f"{store_name}_meta")
+                .collect()[0]["num_buckets"])
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # Each micro-batch runs in a CLONED session with its own
+        # table-relation cache; resolve the store through the batch's
+        # session and refresh first, or the file listing cached at
+        # trigger 1 hides every later append (reproduced: cross-batch
+        # duplicates silently survived).
+        s = batch_df.sparkSession
+        s.catalog.refreshTable(f"{store_name}_fps")
+        fp = TX.rolling_fingerprint(F.col(text_col))
+        firsts = (batch_df.withColumn("fingerprint", fp)
+                  .groupBy("fingerprint")
+                  .agg(F.min(id_col).alias(id_col)))
+        survivors = (firsts.repartition(nbuck, "fingerprint")
+                     .join(s.table(f"{store_name}_fps"),
+                           "fingerprint", "left_anti")
+                     .localCheckpoint())
+        survivors.select(id_col, "fingerprint") \
+            .write.mode("append").parquet(output_path)
+        (survivors.select("fingerprint")
+         .write.mode("append").format("parquet")
+         .bucketBy(nbuck, "fingerprint").sortBy("fingerprint")
+         .saveAsTable(f"{store_name}_fps"))
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def streaming_cluster_assign(stream: DataFrame, centroids,
                              vec_col: str = "embedding",
                              quant_scale: int = 1 << 20) -> DataFrame:

@@ -1087,3 +1087,46 @@ def test_streaming_apply_changes_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     out = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
     assert out == {1: "a2", 3: "c"}
+
+
+def test_streaming_exact_dedup_store_end_to_end(spark, tmp_path):
+    """Two real availableNow triggers against the persisted bucketed
+    fingerprint store: within-batch first occurrence wins, cross-batch
+    duplicates are dropped via the store, and the store (shared with
+    batch jobs) accumulates across queries."""
+    from pipelinedp_spark.operators.dedup import (build_exact_store,
+                                                  incremental_exact_dedup)
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_exact_dedup_store)
+    src = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for t in ("e2e_exact_store_fps", "e2e_exact_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs0 = _mk_docs(spark, [(0, "alpha text"), (1, "alpha text"),
+                             (2, "beta text")])
+    build_exact_store(docs0.limit(0), "e2e_exact_store", num_buckets=2)
+    docs0.write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src + "/*"))
+    q = streaming_exact_dedup_store(stream, "e2e_exact_store", outp,
+                                    ckpt)
+    q.awaitTermination(120)
+    # trigger 2: 3 duplicates batch-1's alpha via the STORE; 4 is new
+    _mk_docs(spark, [(3, "alpha text"), (4, "gamma text")]).write \
+        .parquet(src + "/f2.parquet")
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .parquet(src + "/*"))
+    q2 = streaming_exact_dedup_store(stream2, "e2e_exact_store", outp,
+                                     ckpt)
+    q2.awaitTermination(120)
+    got = sorted(r["doc_id"]
+                 for r in spark.read.parquet(outp).collect())
+    assert got == [0, 2, 4]
+    # the store is shared state: a BATCH job against it sees the
+    # accumulated fingerprints
+    batch_new = _mk_docs(spark, [(9, "beta text"), (10, "delta text")])
+    left = incremental_exact_dedup(batch_new, "e2e_exact_store")
+    assert [r["doc_id"] for r in left.select("doc_id").collect()] == [10]
+    for t in ("e2e_exact_store_fps", "e2e_exact_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
