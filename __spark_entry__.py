@@ -1237,6 +1237,112 @@ FROM b1 WHERE fingerprint NOT IN (SELECT fingerprint FROM b0)
 """
 
 
+def _stream_near_dup_store_mirror(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_near_dup_store` with exact
+    two-trigger semantics (store starts EMPTY; trigger 0 = docs with
+    doc_id % 3 == 0, trigger 1 = the rest): within each trigger,
+    MinHash+LSH near-dups (k=3, Jaccard >= 0.7) lose to the smaller
+    id; survivors anti-match the accumulated store and append their
+    fingerprints. Output = surviving (batch, doc_id). The oracle
+    replays bands, both within-trigger pair sets, and the cross-trigger
+    store match in SQL."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup.build_minhash_store(docs.limit(0), "stream_nd_r9",
+                              num_buckets=4)
+    outs = []
+    for b, batch in enumerate([docs.filter(F.col("doc_id") % 3 == 0),
+                               docs.filter(F.col("doc_id") % 3 != 0)]):
+        pairs = dedup.minhash_lsh_pairs(batch, jaccard_threshold=0.7)
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        within = batch.join(losers, "doc_id", "left_anti")
+        surv = dedup.incremental_near_dup(
+            within, "stream_nd_r9",
+            jaccard_threshold=0.7).localCheckpoint()
+        dedup.build_minhash_store(surv, "stream_nd_r9", num_buckets=4,
+                                  mode="append")
+        outs.append(surv.select(F.lit(b).cast("long").alias("batch"),
+                                "doc_id"))
+    result = outs[0].unionByName(outs[1]).localCheckpoint()
+    for t in ("stream_nd_r9_bands", "stream_nd_r9_shingles",
+              "stream_nd_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return result
+
+
+_STREAM_ND_STORE_MIRROR_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       for i in range(1, len(t) - 1)])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM tok),
+hm AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+          for s in shingles] AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_min([(((1103515245 * (i + 1) + 12345) % 2147483647) * h
+                     + ((2654435761 * i + 97) % 2147483647)) % 2147483647
+                    for h in hs])
+          for i in range(0, 8)] AS sig
+  FROM hm),
+bands AS (
+  SELECT doc_id,
+         UNNEST(range(0, 2)) AS band_idx,
+         UNNEST([md5(CAST(sig[1] AS VARCHAR) || '|' || CAST(sig[2] AS VARCHAR)
+                     || '|' || CAST(sig[3] AS VARCHAR) || '|'
+                     || CAST(sig[4] AS VARCHAR)),
+                 md5(CAST(sig[5] AS VARCHAR) || '|' || CAST(sig[6] AS VARCHAR)
+                     || '|' || CAST(sig[7] AS VARCHAR) || '|'
+                     || CAST(sig[8] AS VARCHAR))])
+             AS band_hash
+  FROM sig),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6)
+             AS j
+  FROM cand_pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b),
+losers0 AS (
+  SELECT DISTINCT id_b FROM jac
+  WHERE j >= 0.7 AND id_a % 3 = 0 AND id_b % 3 = 0),
+surv0 AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_b FROM losers0)),
+losers1 AS (
+  SELECT DISTINCT id_b FROM jac
+  WHERE j >= 0.7 AND id_a % 3 <> 0 AND id_b % 3 <> 0),
+within1 AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT id_b FROM losers1)),
+crossdrop AS (
+  SELECT DISTINCT w.doc_id
+  FROM within1 w
+  JOIN jac ON (jac.id_a = w.doc_id AND jac.id_b IN
+               (SELECT doc_id FROM surv0))
+           OR (jac.id_b = w.doc_id AND jac.id_a IN
+               (SELECT doc_id FROM surv0))
+  WHERE jac.j >= 0.7)
+SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM surv0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM within1
+WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)
+"""
+
+
 def _dedup_exact_incremental(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Exact dedup against a PERSISTED fingerprint store
@@ -1492,6 +1598,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_bm25_incremental",
     "dedup_exact_incremental",
     "stream_exact_store_mirror",
+    "multimodal_phash_incremental",
+    "stream_near_dup_store_mirror",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1663,6 +1771,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_incremental": _doc_bm25_incremental,
         "dedup_exact_incremental": _dedup_exact_incremental,
         "stream_exact_store_mirror": _stream_exact_store_mirror,
+        "multimodal_phash_incremental": _multimodal_phash_incremental,
+        "stream_near_dup_store_mirror": _stream_near_dup_store_mirror,
         "doc_bigram_ppl": _doc_bigram_ppl,
         "stream_near_dup_mirror": _stream_near_dup_mirror,
         "doc_hash_embeddings": _doc_hash_embeddings,
@@ -1851,6 +1961,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_incremental": _gen_bm25_sql(k=15),
         "dedup_exact_incremental": _DEDUP_EXACT_INCR_SQL,
         "stream_exact_store_mirror": _STREAM_EXACT_STORE_MIRROR_SQL,
+        "multimodal_phash_incremental": _MULTIMODAL_PHASH_INCR_SQL,
+        "stream_near_dup_store_mirror": _STREAM_ND_STORE_MIRROR_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
         "doc_hash_embeddings": _DOC_HASH_EMB_SQL,
@@ -5685,6 +5797,60 @@ _MULTIMODAL_PHASH_SQL = """
 SELECT doc_id,
        doc_id > MIN(doc_id) OVER (PARTITION BY doc_id % 17) AS is_dup
 FROM documents
+ORDER BY doc_id
+"""
+
+
+def _multimodal_phash_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental image dedup against a PERSISTED pHash index
+    (`multimodal.build_phash_store` + `incremental_phash_dedup`): the
+    reference corpus = even-id docs whose pattern class (doc_id % 17)
+    is < 12, indexed once as bucketed bit-blocks + hashes; the odd-id
+    'new crawl' batch renders the same 17 brightness-shifted BMP
+    patterns and is flagged against the store with zero store-side
+    shuffle and no reference re-decode. Planted truth: an odd doc is a
+    dup iff its class is < 12 (classes 12-16 exist only outside the
+    reference). max_hamming=2 exercises the pigeonhole block join
+    (planted matches are Hamming 0, cross-class >= 20)."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                g = int(d) % 17
+                base = (11 * ((i * i * (g + 2) + 3 * j) % 29)
+                        + 5 * ((7 * i + (g + 5) * j * j) % 31)
+                        + g * 17) % 200
+                px = (base + (int(d) % 9) * 5).astype(np.uint8)
+                payloads.append(MM.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "image": payloads})
+
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    ref = imgs.filter((F.col("doc_id") % 2 == 0)
+                      & (F.col("doc_id") % 17 < 12))
+    batch = imgs.filter(F.col("doc_id") % 2 == 1)
+    MM.build_phash_store(ref, "phash_store_r9", max_hamming=2,
+                         num_blocks=4)
+    out = (MM.incremental_phash_dedup(batch, "phash_store_r9")
+           .select("doc_id", "is_dup").localCheckpoint())
+    for t in ("phash_store_r9_blocks", "phash_store_r9_hashes",
+              "phash_store_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+_MULTIMODAL_PHASH_INCR_SQL = """
+SELECT doc_id, (doc_id % 17) < 12 AS is_dup
+FROM documents
+WHERE doc_id % 2 = 1
 ORDER BY doc_id
 """
 

@@ -1718,3 +1718,46 @@ def plan_lsh_params(jaccard_threshold: float,
             f"reaches recall {target_recall} at threshold "
             f"{jaccard_threshold}")
     return best[1]
+
+
+def compact_store(spark, store_name: str, kind: str) -> None:
+    """Periodic compaction for the incremental-store family: appends
+    accumulate duplicate rows (exact/phash fingerprints, span anchors)
+    and apply the minhash bucket-size cap only per increment; compaction
+    rewrites each bucketed table deduplicated (and, for minhash,
+    re-applies the cap globally) with bucketing preserved. Results are
+    unchanged by construction — anti-joins and semi-joins are
+    multiplicity-insensitive — so compaction is purely a storage/scan
+    optimization, safe to run any time no ingest is active.
+
+    ``kind`` is one of 'exact', 'minhash', 'span', 'phash'."""
+    meta = spark.table(f"{store_name}_meta").collect()[0]
+    nbuck = int(meta["num_buckets"])
+
+    def rewrite(table: str, df, bucket_col: str) -> None:
+        df = df.localCheckpoint()   # the write replaces what it reads
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(nbuck, bucket_col).sortBy(bucket_col)
+         .saveAsTable(table))
+
+    if kind == "exact":
+        t = f"{store_name}_fps"
+        rewrite(t, spark.table(t).distinct(), "fingerprint")
+    elif kind == "minhash":
+        t = f"{store_name}_bands"
+        bands = spark.table(t).distinct()
+        rewrite(t, bands, "bh")
+        t = f"{store_name}_shingles"
+        rewrite(t, spark.table(t).dropDuplicates(["id"]), "id")
+    elif kind == "span":
+        t = f"{store_name}_anchors"
+        rewrite(t, spark.table(t).distinct(), "ah")
+        t = f"{store_name}_texts"
+        rewrite(t, spark.table(t).dropDuplicates(["id"]), "id")
+    elif kind == "phash":
+        t = f"{store_name}_blocks"
+        rewrite(t, spark.table(t).distinct(), "bk")
+        t = f"{store_name}_hashes"
+        rewrite(t, spark.table(t).dropDuplicates(["id"]), "id")
+    else:
+        raise ValueError(f"unknown store kind: {kind}")

@@ -1470,3 +1470,117 @@ def extract_mp3_metadata(df: DataFrame,
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
+
+
+def build_phash_store(reference: DataFrame,
+                      store_name: str,
+                      binary_col: str = "image",
+                      id_col: str = "doc_id",
+                      max_hamming: int = 0,
+                      num_blocks: int = 4,
+                      num_buckets: int = 8,
+                      mode: str = "overwrite") -> None:
+    """Persist a reference image corpus's perceptual-hash dedup index —
+    the MULTIMODAL member of the bucketed incremental-store family
+    (text twins: `dedup.build_exact_store` / `build_minhash_store` /
+    `build_span_store`). Reference images decode + pHash ONCE at build;
+    ingest batches then dedup against the index with zero Exchange on
+    the store side and no re-decode of the reference.
+
+    Tables: ``{store}_blocks`` (id, bk) — pigeonhole bit-blocks with
+    the block index folded into the key, bucketed by bk (candidate
+    join side); ``{store}_hashes`` (id, phash) bucketed by id (the
+    Hamming verify side); ``{store}_meta`` (max_hamming, num_blocks,
+    num_buckets). ``mode='append'`` grows the index bucket-aligned
+    after a knob check."""
+    from pipelinedp_spark.operators.dedup import _drop_store_table
+    spark = reference.sparkSession
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_blocks >= "
+            f"{max_hamming + 1} (pigeonhole recall bound)")
+    if mode == "append":
+        m = spark.table(f"{store_name}_meta").collect()[0]
+        if (int(m["max_hamming"]), int(m["num_blocks"])) != (
+                max_hamming, num_blocks):
+            raise ValueError(
+                f"store {store_name} was built with max_hamming="
+                f"{m['max_hamming']}, num_blocks={m['num_blocks']}; "
+                f"appending with ({max_hamming}, {num_blocks}) would "
+                "corrupt it")
+    else:
+        for suffix in ("_blocks", "_hashes", "_meta"):
+            _drop_store_table(spark, store_name + suffix)
+    hashed = (image_phash(reference, binary_col)
+              .select(F.col(id_col).alias("id"), "phash")
+              .filter(F.col("phash").isNotNull())
+              .localCheckpoint())
+    (hashed.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, "id").sortBy("id")
+     .saveAsTable(f"{store_name}_hashes"))
+    blocks = hashed.select("id", F.explode(_phash_blocks(
+        "phash", num_blocks)).alias("bk"))
+    (blocks.write.mode(mode).format("parquet")
+     .bucketBy(num_buckets, "bk").sortBy("bk")
+     .saveAsTable(f"{store_name}_blocks"))
+    if mode != "append":
+        spark.sql(
+            f"SELECT {int(max_hamming)} AS max_hamming, "
+            f"{int(num_blocks)} AS num_blocks, "
+            f"{int(num_buckets)} AS num_buckets"
+        ).write.mode("overwrite").format("parquet") \
+            .saveAsTable(f"{store_name}_meta")
+
+
+def _phash_blocks(hash_col: str, num_blocks: int):
+    """Pigeonhole bit-block keys 'b:v' for a 63-bit fingerprint column
+    — hashes within Hamming h share >= 1 block when num_blocks > h."""
+    total_bits = _PHASH_BLOCK * _PHASH_BLOCK - 1
+    width = -(-total_bits // num_blocks)
+    return F.array(*[
+        F.concat_ws(":", F.lit(str(b)),
+                    F.shiftright(F.col(hash_col), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+        for b in range(num_blocks)])
+
+
+def incremental_phash_dedup(new_images: DataFrame,
+                            store_name: str,
+                            binary_col: str = "image",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Flag ingest-batch images whose pHash is within the store's
+    ``max_hamming`` bits of any indexed reference image — the
+    incremental-crawl image dedup flow: batch images decode + hash
+    once, candidate pairs come from the bucketed block join (zero
+    Exchange on the store side), and only candidates pay the
+    bit_count(xor) Hamming verify against the bucketed hash table
+    (also zero store-side Exchange). Returns (id_col, phash, is_dup);
+    null-phash rows (undecodable payloads) pass through with
+    is_dup = false."""
+    spark = new_images.sparkSession
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    max_hamming = int(m["max_hamming"])
+    num_blocks = int(m["num_blocks"])
+    nbuck = int(m["num_buckets"])
+    hashed = (image_phash(new_images, binary_col)
+              .select(F.col(id_col), "phash").localCheckpoint())
+    bblocks = (hashed.filter(F.col("phash").isNotNull())
+               .select(id_col, F.col("phash").alias("__h__"),
+                       F.explode(_phash_blocks("phash", num_blocks))
+                       .alias("bk"))
+               .repartition(nbuck, "bk"))
+    cand = (bblocks.join(spark.table(f"{store_name}_blocks"), "bk")
+            .select(F.col(id_col), F.col("__h__"),
+                    F.col("id").alias("__rid__"))
+            .distinct()
+            .repartition(nbuck, "__rid__"))
+    sh = spark.table(f"{store_name}_hashes").select(
+        F.col("id").alias("__rid__"), F.col("phash").alias("__rh__"))
+    hits = (cand.join(sh, "__rid__")
+            .filter(F.bit_count(F.col("__h__").bitwiseXOR(
+                F.col("__rh__"))) <= max_hamming)
+            .select(id_col).distinct())
+    return (hashed.join(hits.withColumn("__dup__", F.lit(True)),
+                        id_col, "left")
+            .select(id_col, "phash",
+                    F.coalesce("__dup__", F.lit(False)).alias("is_dup")))

@@ -1518,6 +1518,58 @@ def streaming_exact_dedup_store(stream: DataFrame,
             .start())
 
 
+def streaming_near_dup_store(stream: DataFrame,
+                             store_name: str,
+                             output_path: str,
+                             checkpoint_dir: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             jaccard_threshold: float = 0.8):
+    """Streaming NEAR-dup ingest dedup against the persisted bucketed
+    MinHash store (`operators.dedup.build_minhash_store`) — the
+    near-dup sibling of `streaming_exact_dedup_store` and the
+    store-backed alternative to `streaming_near_dup_dedup` (whose
+    simhash-block state is private to the stream; this store is shared
+    with batch `incremental_near_dup` jobs and outlives the query).
+
+    Per batch: (1) within-batch near-dups drop (MinHash+LSH pairs with
+    the STORE's fingerprint knobs, exact-Jaccard verified, larger id
+    loses), (2) survivors anti-match the store (zero store-side
+    Exchange), (3) survivors append to the output AND their bands +
+    shingles append to the store bucket-aligned via
+    `build_minhash_store(mode='append')`. Candidate joins and dup-id
+    sets are distinct-reduced, so the duplicate rows an at-least-once
+    replay appends never change results (output can double-write — the
+    standard foreachBatch caveat). Returns the started
+    StreamingQuery."""
+    from pipelinedp_spark.operators import dedup as D
+    spark = stream.sparkSession
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
+                          int(m["rows_per_band"]))
+    nbuck = int(m["num_buckets"])
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        for t in (f"{store_name}_bands", f"{store_name}_shingles"):
+            s.catalog.refreshTable(t)
+        pairs = D.minhash_lsh_pairs(batch_df, text_col, id_col, k,
+                                    num_hashes, rpb, jaccard_threshold)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        within = batch_df.join(losers, id_col, "left_anti")
+        survivors = D.incremental_near_dup(
+            within, store_name, text_col, id_col,
+            jaccard_threshold).localCheckpoint()
+        survivors.write.mode("append").parquet(output_path)
+        D.build_minhash_store(survivors, store_name, text_col, id_col,
+                              k, num_hashes, rpb, nbuck, mode="append")
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def streaming_cluster_assign(stream: DataFrame, centroids,
                              vec_col: str = "embedding",
                              quant_scale: int = 1 << 20) -> DataFrame:

@@ -143,6 +143,41 @@ def test_span_store_joins_never_exchange_store_side(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_store_compaction_dedupes_and_preserves_results(spark):
+    """compact_store: after a duplicate-introducing append, the exact
+    store's fps table shrinks to distinct rows, stays bucketed (joins
+    still exchange-free), and dedup results are unchanged."""
+    from pipelinedp_spark.operators import dedup
+
+    docs = _docs(spark).limit(80)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    for t in ("pin9c_store_fps", "pin9c_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup.build_exact_store(ref, "pin9c_store", num_buckets=4)
+    before = dedup.incremental_exact_dedup(new, "pin9c_store")
+    want = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+    # duplicate-introducing append (same reference again)
+    dedup.build_exact_store(ref, "pin9c_store", num_buckets=4,
+                            mode="append")
+    n_raw = spark.table("pin9c_store_fps").count()
+    dedup.compact_store(spark, "pin9c_store", "exact")
+    n_compact = spark.table("pin9c_store_fps").count()
+    assert n_compact * 2 == n_raw
+    with scoped_conf(spark,
+                     **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        after = dedup.incremental_exact_dedup(new, "pin9c_store")
+        plan = P.explain_str(after)
+        for chain in _ancestor_chains_until_join(plan,
+                                                 "pin9c_store_fps"):
+            assert not any("Exchange" in n for n in chain)
+        got = sorted(r["doc_id"]
+                     for r in after.select("doc_id").collect())
+        assert got == want
+    for t in ("pin9c_store_fps", "pin9c_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_incremental_store_append_grows_index(spark):
     """mode='append' must extend the store (new reference docs become
     matchable) and reject mismatched fingerprint knobs."""
@@ -174,6 +209,54 @@ def test_incremental_store_append_grows_index(spark):
                                   num_buckets=4, mode="append")
     for t in ("pin9a_store_bands", "pin9a_store_shingles",
               "pin9a_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_phash_store_joins_never_exchange_store_side(spark):
+    """`incremental_phash_dedup`: blocks and hashes scans must reach
+    their joins with zero store-side Exchange, and flags must match
+    the from-scratch `phash_dedup` ground truth on a planted set."""
+    import numpy as np
+    import pandas as pd
+
+    from pipelinedp_spark.operators import multimodal as MM
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+
+    def gen(it):
+        i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        for pdf in it:
+            vals = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in vals:
+                g = int(d) % 7
+                px = ((13 * ((i * (g + 3) + j) % 23)
+                       + g * 29) % 200 + (int(d) % 4) * 5) \
+                    .astype(np.uint8)
+                payloads.append(MM.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": vals, "image": payloads})
+
+    imgs = ids.mapInPandas(gen, "doc_id long, image binary")
+    ref = imgs.filter((F.col("doc_id") % 2 == 0)
+                      & (F.col("doc_id") % 7 < 5))
+    batch = imgs.filter(F.col("doc_id") % 2 == 1)
+    MM.build_phash_store(ref, "pin9p_store", max_hamming=1,
+                         num_blocks=4, num_buckets=4)
+    with scoped_conf(spark,
+                     **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        out = MM.incremental_phash_dedup(batch, "pin9p_store")
+        plan = P.explain_str(out)
+        for scan in ("pin9p_store_blocks", "pin9p_store_hashes"):
+            chains = _ancestor_chains_until_join(plan, scan)
+            assert chains, f"{scan} scan not in plan"
+            for chain in chains:
+                assert not any("Exchange" in n for n in chain), \
+                    f"{scan} shuffles before its join: {chain}"
+        got = {r["doc_id"]: r["is_dup"] for r in out.collect()}
+        # planted truth: odd doc dup iff its class (mod 7) is < 5
+        assert got == {d: (d % 7) < 5 for d in range(1, 60, 2)}
+    for t in ("pin9p_store_blocks", "pin9p_store_hashes",
+              "pin9p_store_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -1130,3 +1130,41 @@ def test_streaming_exact_dedup_store_end_to_end(spark, tmp_path):
     assert [r["doc_id"] for r in left.select("doc_id").collect()] == [10]
     for t in ("e2e_exact_store_fps", "e2e_exact_store_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_near_dup_store_end_to_end(spark, tmp_path):
+    """Two availableNow triggers against the persisted MinHash store:
+    within-batch near-dups lose to the smaller id, cross-batch
+    near-dups drop via the store, survivors' fingerprints accumulate."""
+    from pipelinedp_spark.operators.dedup import build_minhash_store
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_near_dup_store)
+    src = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for t in ("e2e_nd_store_bands", "e2e_nd_store_shingles",
+              "e2e_nd_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    alpha = "the quick brown fox jumps over the lazy dog again"
+    beta = "a completely different document about spark physical plans"
+    gamma = "yet another text on bucketed joins and shuffle exchanges"
+    docs0 = _mk_docs(spark, [(0, alpha), (1, alpha), (2, beta)])
+    build_minhash_store(docs0.limit(0), "e2e_nd_store", num_buckets=2)
+    docs0.write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src + "/*"))
+    q = streaming_near_dup_store(stream, "e2e_nd_store", outp, ckpt)
+    q.awaitTermination(120)
+    # trigger 2: 3 duplicates trigger-1's alpha via the STORE; 4 novel
+    _mk_docs(spark, [(3, alpha), (4, gamma)]).write.parquet(
+        src + "/f2.parquet")
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .parquet(src + "/*"))
+    q2 = streaming_near_dup_store(stream2, "e2e_nd_store", outp, ckpt)
+    q2.awaitTermination(120)
+    got = sorted(r["doc_id"]
+                 for r in spark.read.parquet(outp).collect())
+    assert got == [0, 2, 4]
+    for t in ("e2e_nd_store_bands", "e2e_nd_store_shingles",
+              "e2e_nd_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
