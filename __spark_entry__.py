@@ -5817,7 +5817,10 @@ def _multimodal_phash_incremental(spark: SparkSession,
     import pandas as pd
     from pipelinedp_spark.operators import multimodal as MM
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # the render + pHash pass is Python-bound: spread it over all
+    # cores, not the source parquet's file-partition count
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .repartition(32))
 
     def gen(it):
         i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
@@ -5841,8 +5844,7 @@ def _multimodal_phash_incremental(spark: SparkSession,
                          num_blocks=4)
     out = (MM.incremental_phash_dedup(batch, "phash_store_r9")
            .select("doc_id", "is_dup").localCheckpoint())
-    for t in ("phash_store_r9_blocks", "phash_store_r9_hashes",
-              "phash_store_r9_meta"):
+    for t in ("phash_store_r9_blocks", "phash_store_r9_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 

@@ -1757,7 +1757,5 @@ def compact_store(spark, store_name: str, kind: str) -> None:
     elif kind == "phash":
         t = f"{store_name}_blocks"
         rewrite(t, spark.table(t).distinct(), "bk")
-        t = f"{store_name}_hashes"
-        rewrite(t, spark.table(t).dropDuplicates(["id"]), "id")
     else:
         raise ValueError(f"unknown store kind: {kind}")

@@ -1487,12 +1487,18 @@ def build_phash_store(reference: DataFrame,
     ingest batches then dedup against the index with zero Exchange on
     the store side and no re-decode of the reference.
 
-    Tables: ``{store}_blocks`` (id, bk) — pigeonhole bit-blocks with
-    the block index folded into the key, bucketed by bk (candidate
-    join side); ``{store}_hashes`` (id, phash) bucketed by id (the
-    Hamming verify side); ``{store}_meta`` (max_hamming, num_blocks,
-    num_buckets). ``mode='append'`` grows the index bucket-aligned
-    after a knob check."""
+    The index is over DISTINCT reference pHashes, not image ids — the
+    dedup verdict only needs "is some reference hash within
+    max_hamming bits", and distinct-level candidates keep degenerate
+    corpora (thousands of images sharing one hash — planted dup
+    families, solid-color frames) from exploding the block join
+    quadratically at the id level (measured 104M candidate rows vs
+    ~200 on the same planted corpus). One table: ``{store}_blocks``
+    (ph, bk) — the full hash carried alongside each pigeonhole
+    bit-block key, bucketed by bk, so candidates arrive verify-ready
+    with zero Exchange on the store side; plus ``{store}_meta``
+    (max_hamming, num_blocks, num_buckets). ``mode='append'`` grows
+    the index bucket-aligned after a knob check."""
     from pipelinedp_spark.operators.dedup import _drop_store_table
     spark = reference.sparkSession
     if max_hamming > num_blocks - 1:
@@ -1509,17 +1515,14 @@ def build_phash_store(reference: DataFrame,
                 f"appending with ({max_hamming}, {num_blocks}) would "
                 "corrupt it")
     else:
-        for suffix in ("_blocks", "_hashes", "_meta"):
+        for suffix in ("_blocks", "_meta"):
             _drop_store_table(spark, store_name + suffix)
-    hashed = (image_phash(reference, binary_col)
-              .select(F.col(id_col).alias("id"), "phash")
-              .filter(F.col("phash").isNotNull())
-              .localCheckpoint())
-    (hashed.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "id").sortBy("id")
-     .saveAsTable(f"{store_name}_hashes"))
-    blocks = hashed.select("id", F.explode(_phash_blocks(
-        "phash", num_blocks)).alias("bk"))
+    hashes = (image_phash(reference, binary_col)
+              .select(F.col("phash").alias("ph"))
+              .filter(F.col("ph").isNotNull())
+              .distinct())
+    blocks = hashes.select("ph", F.explode(_phash_blocks(
+        "ph", num_blocks)).alias("bk"))
     (blocks.write.mode(mode).format("parquet")
      .bucketBy(num_buckets, "bk").sortBy("bk")
      .saveAsTable(f"{store_name}_blocks"))
@@ -1549,14 +1552,15 @@ def incremental_phash_dedup(new_images: DataFrame,
                             binary_col: str = "image",
                             id_col: str = "doc_id") -> DataFrame:
     """Flag ingest-batch images whose pHash is within the store's
-    ``max_hamming`` bits of any indexed reference image — the
+    ``max_hamming`` bits of any indexed reference hash — the
     incremental-crawl image dedup flow: batch images decode + hash
-    once, candidate pairs come from the bucketed block join (zero
-    Exchange on the store side), and only candidates pay the
-    bit_count(xor) Hamming verify against the bucketed hash table
-    (also zero store-side Exchange). Returns (id_col, phash, is_dup);
-    null-phash rows (undecodable payloads) pass through with
-    is_dup = false."""
+    once, the comparison runs at the DISTINCT-hash level (batch hash x
+    reference hash — degenerate-corpus-proof, see `build_phash_store`),
+    candidates come from the bucketed block join with zero Exchange on
+    the store side and arrive verify-ready (the store row carries the
+    full hash), and verdicts map back to image ids by one small join.
+    Returns (id_col, phash, is_dup); null-phash rows (undecodable
+    payloads) pass through with is_dup = false."""
     spark = new_images.sparkSession
     m = spark.table(f"{store_name}_meta").collect()[0]
     max_hamming = int(m["max_hamming"])
@@ -1565,22 +1569,17 @@ def incremental_phash_dedup(new_images: DataFrame,
     hashed = (image_phash(new_images, binary_col)
               .select(F.col(id_col), "phash").localCheckpoint())
     bblocks = (hashed.filter(F.col("phash").isNotNull())
-               .select(id_col, F.col("phash").alias("__h__"),
+               .select("phash").distinct()
+               .select(F.col("phash").alias("__h__"),
                        F.explode(_phash_blocks("phash", num_blocks))
                        .alias("bk"))
                .repartition(nbuck, "bk"))
-    cand = (bblocks.join(spark.table(f"{store_name}_blocks"), "bk")
-            .select(F.col(id_col), F.col("__h__"),
-                    F.col("id").alias("__rid__"))
-            .distinct()
-            .repartition(nbuck, "__rid__"))
-    sh = spark.table(f"{store_name}_hashes").select(
-        F.col("id").alias("__rid__"), F.col("phash").alias("__rh__"))
-    hits = (cand.join(sh, "__rid__")
-            .filter(F.bit_count(F.col("__h__").bitwiseXOR(
-                F.col("__rh__"))) <= max_hamming)
-            .select(id_col).distinct())
-    return (hashed.join(hits.withColumn("__dup__", F.lit(True)),
-                        id_col, "left")
+    dup_hashes = (bblocks.join(spark.table(f"{store_name}_blocks"),
+                               "bk")
+                  .filter(F.bit_count(F.col("__h__").bitwiseXOR(
+                      F.col("ph"))) <= max_hamming)
+                  .select(F.col("__h__").alias("phash")).distinct())
+    return (hashed.join(dup_hashes.withColumn("__dup__", F.lit(True)),
+                        "phash", "left")
             .select(id_col, "phash",
                     F.coalesce("__dup__", F.lit(False)).alias("is_dup")))

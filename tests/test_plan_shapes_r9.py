@@ -246,17 +246,15 @@ def test_phash_store_joins_never_exchange_store_side(spark):
                      **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
         out = MM.incremental_phash_dedup(batch, "pin9p_store")
         plan = P.explain_str(out)
-        for scan in ("pin9p_store_blocks", "pin9p_store_hashes"):
-            chains = _ancestor_chains_until_join(plan, scan)
-            assert chains, f"{scan} scan not in plan"
-            for chain in chains:
-                assert not any("Exchange" in n for n in chain), \
-                    f"{scan} shuffles before its join: {chain}"
+        chains = _ancestor_chains_until_join(plan, "pin9p_store_blocks")
+        assert chains, "pin9p_store_blocks scan not in plan"
+        for chain in chains:
+            assert not any("Exchange" in n for n in chain), \
+                f"store shuffles before its join: {chain}"
         got = {r["doc_id"]: r["is_dup"] for r in out.collect()}
         # planted truth: odd doc dup iff its class (mod 7) is < 5
         assert got == {d: (d % 7) < 5 for d in range(1, 60, 2)}
-    for t in ("pin9p_store_blocks", "pin9p_store_hashes",
-              "pin9p_store_meta"):
+    for t in ("pin9p_store_blocks", "pin9p_store_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
