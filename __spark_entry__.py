@@ -1600,6 +1600,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "stream_exact_store_mirror",
     "multimodal_phash_incremental",
     "stream_near_dup_store_mirror",
+    "tpch_q10_returned_items",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1724,6 +1725,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_priority": _tpch_q3_priority,
         "tpch_q5_local_supplier": _tpch_q5_local_supplier,
         "tpch_q18_large_orders": _tpch_q18_large_orders,
+        "tpch_q10_returned_items": _tpch_q10_returned_items,
         "events_rolling_features": _events_rolling_features,
         "doc_exact_substr_cut": _doc_exact_substr_cut,
         "doc_c4_filter": _doc_c4_filter,
@@ -1914,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_priority": _TPCH_Q3_SQL,
         "tpch_q5_local_supplier": _TPCH_Q5_SQL,
         "tpch_q18_large_orders": _TPCH_Q18_SQL,
+        "tpch_q10_returned_items": _TPCH_Q10_SQL,
         "events_rolling_features": _EVENTS_ROLLING_SQL,
         "doc_exact_substr_cut": _DOC_EXACT_SUBSTR_CUT_SQL,
         "doc_c4_filter": _DOC_C4_FILTER_SQL,
@@ -8519,6 +8522,61 @@ JOIN big b ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY totalprice_cents DESC, o_orderdate, o.o_orderkey
 LIMIT 100
+"""
+
+
+def _tpch_q10_returned_items(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting), adapted: revenue lost to
+    returned lineitems ('R' returnflag) over one quarter, grouped by
+    customer with nation attached, top-20 by revenue. Plan posture:
+    both date bounds and the returnflag filter push into the scans,
+    customer and nation broadcast (dim lookups never shuffle the fact
+    side), revenue is the exact integer micro-dollar product (cents x
+    basis points), and the top-20 compiles to TakeOrderedAndProject
+    with a fully deterministic (revenue desc, custkey) tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01")))
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev_u = F.expr(
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) "
+        "* (10000 - CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))")
+    agg = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .join(F.broadcast(cust),
+                 orders["o_custkey"] == cust["c_custkey"])
+           .join(F.broadcast(nation),
+                 cust["c_nationkey"] == nation["n_nationkey"])
+           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.sum(rev_u).alias("revenue_micro"),
+                F.count(F.lit(1)).alias("n_items")))
+    return (agg.select("c_custkey", "c_name",
+                       F.round("c_acctbal", 2).alias("c_acctbal"),
+                       "n_name", "revenue_micro", "n_items")
+            .orderBy(F.col("revenue_micro").desc(), "c_custkey")
+            .limit(20))
+
+
+_TPCH_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS c_acctbal,
+       n.n_name,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS revenue_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_micro DESC, c_custkey
+LIMIT 20
 """
 
 

@@ -360,6 +360,19 @@ def test_tpch_q18_partial_agg_broadcast_topk(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_tpch_q10_pushdown_broadcast_topk(spark):
+    """Q10: returnflag + both date bounds pushed to the scans, customer
+    and nation broadcast, top-20 as TakeOrderedAndProject."""
+    out = _entry()._tpch_q10_returned_items(spark, SF)
+    plan = P.explain_str(out)
+    assert re.search(r"PushedFilters:.*l_returnflag", plan)
+    assert re.search(r"PushedFilters:.*o_orderdate", plan)
+    assert P.has_broadcast_join(out)
+    assert "TakeOrderedAndProject" in plan
+    assert P.has_partial_aggregation(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_tpch_q5_broadcast_dims(spark):
     """Q5: region/nation (and the small dim chain) broadcast; the only
     shuffle-scale joins are fact-fact; date filter pushed down."""
