@@ -1601,6 +1601,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "multimodal_phash_incremental",
     "stream_near_dup_store_mirror",
     "tpch_q10_returned_items",
+    "sim_ann_store",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1717,6 +1718,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "sim_pq_topk": _sim_pq_topk,
         "sim_ivf_pq_topk": _sim_ivf_pq_topk,
+        "sim_ann_store": _sim_ann_store,
         "dp_variance_selected": _dp_variance_selected,
         "dp_windowed_percentile_events": _dp_windowed_percentile_events,
         "doc_decontaminate": _doc_decontaminate,
@@ -1908,6 +1910,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _doc_pii_scrub_sql(),
         "sim_pq_topk": _gen_pq_topk_sql(),
         "sim_ivf_pq_topk": _gen_ivf_pq_topk_sql(),
+        "sim_ann_store": _gen_ivf_pq_topk_sql(nprobe=3, k=8),
         "dp_variance_selected": _dp_variance_selected_sql(),
         "dp_windowed_percentile_events": _dp_windowed_percentile_events_sql(),
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
@@ -3337,6 +3340,33 @@ def _sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_pq_topk(emb, q, k=10, num_cells=8, nprobe=2,
                                  m=4, ksub=16)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sim_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search served from a PERSISTED vector index
+    (`similarity.build_ann_index` + `ann_search_from_index`): the
+    embeddings encode once into a codes table PARTITIONED BY cell plus
+    persisted quantizer models; the search prunes the scan to the
+    queries' nprobe=3 partitions and never re-encodes the corpus.
+    Results are exactly `ivf_pq_topk` at the same models (k=8/nprobe=3
+    distinguish the rows from sim_ivf_pq_topk's k=10/nprobe=2); the
+    oracle re-trains both quantizers and replays the whole scoring in
+    SQL. Store tables dropped after checkpointing."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    similarity.build_ann_index(emb, "ann_idx_r9", num_cells=8, m=4,
+                               ksub=16)
+    out = (similarity.ann_search_from_index(q, "ann_idx_r9", k=8,
+                                            nprobe=3)
+           .withColumn("rank", F.col("rank").cast("long"))
+           .localCheckpoint())
+    for t in ("ann_idx_r9_codes", "ann_idx_r9_centroids",
+              "ann_idx_r9_codebooks", "ann_idx_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
 
 
 def _gen_ivf_pq_topk_sql(num_cells: int = 8, nprobe: int = 2, m: int = 4,

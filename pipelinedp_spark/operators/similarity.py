@@ -704,3 +704,166 @@ def mmr_rerank(corpus: DataFrame,
         selected = selected.unionByName(pick).localCheckpoint()
     return selected.select(query_id, corpus_id, "mmr_rank",
                            F.col("rel").alias("relevance"))
+
+
+def build_ann_index(corpus: DataFrame,
+                    store_name: str,
+                    num_cells: int = 8,
+                    m: int = 4,
+                    ksub: int = 16,
+                    corpus_id: str = "vec_id",
+                    corpus_vec: str = "embedding",
+                    seed: int = 7,
+                    centroids: Optional["np.ndarray"] = None,
+                    codebooks: Optional["np.ndarray"] = None,
+                    sample_size: int = 10_000) -> None:
+    """Persist an IVF-PQ vector index — the ANN member of the bucketed/
+    partitioned incremental-store family, and the vector-database-on-
+    Spark shape: the corpus is encoded ONCE (cell assignment + m-byte
+    PQ codes, one Arrow pass) into ``{store}_codes`` PARTITIONED BY
+    cell, so a search at nprobe cells prunes the scan to
+    nprobe/num_cells of the files (PartitionFilters, pinned) — the IVF
+    property realized as partition pruning instead of an in-query
+    filter. Quantizer models persist alongside (``{store}_centroids``,
+    ``{store}_codebooks``, ``{store}_meta``) so searches can never
+    silently encode differently from the index.
+
+    Quantizers train on the same deterministic sample as `ivf_pq_topk`
+    (pass ``centroids``/``codebooks`` to reuse offline models);
+    `ann_search_from_index` returns exactly `ivf_pq_topk`'s results
+    for the same models (equality-pinned)."""
+    from pipelinedp_spark.operators.dedup import _drop_store_table
+    spark = corpus.sparkSession
+    if centroids is None or codebooks is None:
+        x = sample_corpus_matrix(corpus, corpus_id, corpus_vec,
+                                 sample_size)
+        if centroids is None:
+            centroids = train_ivf_centroids(x, num_cells, seed)
+        if codebooks is None:
+            codebooks = train_pq_codebooks(x, m, ksub, seed)
+    cts = np.asarray(centroids, dtype="float64")
+    cb = np.asarray(codebooks, dtype="float64")
+    m_, ksub_, sub = cb.shape
+    for suffix in ("_codes", "_centroids", "_codebooks", "_meta"):
+        _drop_store_table(spark, store_name + suffix)
+
+    @pandas_udf("int")
+    def _cell(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(vec.to_numpy()).astype("float64")
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                           1e-12)
+        return pd.Series((v @ cts.T).argmax(axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def _encode(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        v = np.stack(vec.to_numpy()).astype("float64")
+        codes = np.empty((len(v), m_), dtype="int32")
+        for j in range(m_):
+            vs = v[:, j * sub:(j + 1) * sub]
+            d = ((vs * vs).sum(axis=1, keepdims=True)
+                 - 2.0 * vs @ cb[j].T
+                 + (cb[j] * cb[j]).sum(axis=1)[None, :])
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    coded = corpus.select(
+        F.col(corpus_id).alias("id"),
+        _cell(F.col(corpus_vec)).alias("cell"),
+        _encode(F.col(corpus_vec)).alias("codes"))
+    (coded.write.mode("overwrite").format("parquet")
+     .partitionBy("cell").saveAsTable(f"{store_name}_codes"))
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cts[i]]) for i in range(len(cts))],
+        "cell int, cv array<double>") \
+        .write.mode("overwrite").format("parquet") \
+        .saveAsTable(f"{store_name}_centroids")
+    spark.createDataFrame(
+        [(int(j), int(i), [float(x) for x in cb[j, i]])
+         for j in range(m_) for i in range(ksub_)],
+        "sub int, idx int, c array<double>") \
+        .write.mode("overwrite").format("parquet") \
+        .saveAsTable(f"{store_name}_codebooks")
+    spark.sql(
+        f"SELECT {int(len(cts))} AS num_cells, {int(m_)} AS m, "
+        f"{int(ksub_)} AS ksub, {int(sub)} AS subdim"
+    ).write.mode("overwrite").format("parquet") \
+        .saveAsTable(f"{store_name}_meta")
+
+
+def ann_search_from_index(queries: DataFrame,
+                          store_name: str,
+                          k: int = 10,
+                          nprobe: int = 2,
+                          query_id: str = "query_id",
+                          query_vec: str = "query_vec",
+                          corpus_id: str = "vec_id") -> DataFrame:
+    """IVF-PQ search served from a persisted `build_ann_index` store:
+    the query's nprobe cells become an IN-list PARTITION filter on the
+    codes table (only nprobe/num_cells of the index files are read —
+    PartitionFilters pinned), queries broadcast into the pruned scan,
+    and ADC scoring/ranking/tie-breaks are identical to `ivf_pq_topk`
+    (equality-pinned). The corpus is never re-encoded.
+    Returns (query_id, corpus_id, rank, adist)."""
+    spark = queries.sparkSession
+    meta = spark.table(f"{store_name}_meta").collect()[0]
+    m_, ksub_, sub = int(meta["m"]), int(meta["ksub"]), \
+        int(meta["subdim"])
+    cts_rows = spark.table(f"{store_name}_centroids") \
+        .orderBy("cell").collect()
+    cts = np.array([r["cv"] for r in cts_rows], dtype="float64")
+    cb_rows = spark.table(f"{store_name}_codebooks") \
+        .orderBy("sub", "idx").collect()
+    cb = np.array([r["c"] for r in cb_rows],
+                  dtype="float64").reshape(m_, ksub_, sub)
+
+    @pandas_udf("array<int>")
+    def _qcells(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        v = np.stack(vec.to_numpy()).astype("float64")
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                           1e-12)
+        order = np.argsort(-(v @ cts.T), axis=1)[:, :nprobe].astype(
+            "int32")
+        return pd.Series(list(order))
+
+    @pandas_udf("double")
+    def _adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        q = np.stack(qv.to_numpy()).astype("float64")
+        c = np.stack(codes.to_numpy()).astype("int64")
+        out = np.zeros(len(c))
+        uniq, inv = np.unique(q, axis=0, return_inverse=True)
+        for ui, qrow in enumerate(uniq):
+            tbl = np.empty((m_, ksub_))
+            for j in range(m_):
+                qs = qrow[j * sub:(j + 1) * sub]
+                tbl[j] = ((qs * qs).sum() - 2.0 * cb[j] @ qs
+                          + (cb[j] * cb[j]).sum(axis=1))
+            mask = inv == ui
+            out[mask] = tbl[np.arange(m_)[None, :], c[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    q = (queries.select(F.col(query_id), F.col(query_vec),
+                        F.explode(_qcells(F.col(query_vec)))
+                        .alias("cell"))
+         .localCheckpoint())
+    probe = sorted({r["cell"] for r in q.select("cell")
+                    .distinct().collect()})
+    codes = spark.table(f"{store_name}_codes") \
+        .filter(F.col("cell").isin(probe))
+    scored = codes.join(F.broadcast(q), "cell").select(
+        F.col(query_id), F.col("id").alias(corpus_id),
+        _adc(F.col("codes"), F.col(query_vec)).alias("adist"))
+    w = Window.partitionBy(query_id).orderBy(F.col("adist").asc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id,
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round(F.col("adist"), 6).alias("adist")))

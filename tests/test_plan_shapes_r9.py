@@ -285,6 +285,49 @@ def test_exact_store_anti_join_never_exchanges_store_side(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ann_index_partition_prunes_and_matches_ivf_pq(spark):
+    """`ann_search_from_index`: the codes scan must carry a cell
+    PartitionFilter (only nprobe/num_cells of the index partitions are
+    read — the IVF property as partition pruning), queries must
+    broadcast into the pruned scan, and results must equal
+    `ivf_pq_topk` with the same persisted models."""
+    import re as _re
+
+    from pipelinedp_spark.operators import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    similarity.build_ann_index(emb, "pin9v_idx", num_cells=8, m=4,
+                               ksub=16)
+    out = similarity.ann_search_from_index(q, "pin9v_idx", k=5,
+                                           nprobe=2)
+    plan = P.explain_str(out)
+    mm = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mm and "cell" in mm.group(1), plan[:2000]
+    assert P.has_broadcast_join(out)
+    got = [(r["query_id"], r["vec_id"], r["rank"], r["adist"])
+           for r in out.collect()]
+    # shared models: read them back from the store
+    import numpy as np
+    cts = np.array([r["cv"] for r in spark.table("pin9v_idx_centroids")
+                    .orderBy("cell").collect()])
+    meta = spark.table("pin9v_idx_meta").collect()[0]
+    cb = np.array([r["c"] for r in spark.table("pin9v_idx_codebooks")
+                   .orderBy("sub", "idx").collect()]).reshape(
+        int(meta["m"]), int(meta["ksub"]), int(meta["subdim"]))
+    want = [(r["query_id"], r["vec_id"], r["rank"], r["adist"])
+            for r in similarity.ivf_pq_topk(
+                emb, q, k=5, nprobe=2, centroids=cts,
+                codebooks=cb).collect()]
+    assert sorted(got) == sorted(want) and got
+    for t in ("pin9v_idx_codes", "pin9v_idx_centroids",
+              "pin9v_idx_codebooks", "pin9v_idx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bm25_index_joins_never_exchange_index_side(spark):
     """`bm25_topk_from_index`: postings and terms scans must reach
     their joins with zero Exchange on the index side (postings joins
