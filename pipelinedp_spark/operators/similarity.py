@@ -716,7 +716,8 @@ def build_ann_index(corpus: DataFrame,
                     seed: int = 7,
                     centroids: Optional["np.ndarray"] = None,
                     codebooks: Optional["np.ndarray"] = None,
-                    sample_size: int = 10_000) -> None:
+                    sample_size: int = 10_000,
+                    mode: str = "overwrite") -> None:
     """Persist an IVF-PQ vector index — the ANN member of the bucketed/
     partitioned incremental-store family, and the vector-database-on-
     Spark shape: the corpus is encoded ONCE (cell assignment + m-byte
@@ -731,21 +732,38 @@ def build_ann_index(corpus: DataFrame,
     Quantizers train on the same deterministic sample as `ivf_pq_topk`
     (pass ``centroids``/``codebooks`` to reuse offline models);
     `ann_search_from_index` returns exactly `ivf_pq_topk`'s results
-    for the same models (equality-pinned)."""
+    for the same models (equality-pinned).
+
+    ``mode='append'`` adds a vector increment to an existing index:
+    the PERSISTED models are loaded and reused (training is skipped —
+    retraining would silently re-shard the existing codes), and the
+    new codes land in their cell partitions."""
     from pipelinedp_spark.operators.dedup import _drop_store_table
     spark = corpus.sparkSession
-    if centroids is None or codebooks is None:
-        x = sample_corpus_matrix(corpus, corpus_id, corpus_vec,
-                                 sample_size)
-        if centroids is None:
-            centroids = train_ivf_centroids(x, num_cells, seed)
-        if codebooks is None:
-            codebooks = train_pq_codebooks(x, m, ksub, seed)
-    cts = np.asarray(centroids, dtype="float64")
-    cb = np.asarray(codebooks, dtype="float64")
-    m_, ksub_, sub = cb.shape
-    for suffix in ("_codes", "_centroids", "_codebooks", "_meta"):
-        _drop_store_table(spark, store_name + suffix)
+    if mode == "append":
+        meta = spark.table(f"{store_name}_meta").collect()[0]
+        m_, ksub_, sub = (int(meta["m"]), int(meta["ksub"]),
+                          int(meta["subdim"]))
+        cts = np.array([r["cv"] for r in
+                        spark.table(f"{store_name}_centroids")
+                        .orderBy("cell").collect()], dtype="float64")
+        cb = np.array([r["c"] for r in
+                       spark.table(f"{store_name}_codebooks")
+                       .orderBy("sub", "idx").collect()],
+                      dtype="float64").reshape(m_, ksub_, sub)
+    else:
+        if centroids is None or codebooks is None:
+            x = sample_corpus_matrix(corpus, corpus_id, corpus_vec,
+                                     sample_size)
+            if centroids is None:
+                centroids = train_ivf_centroids(x, num_cells, seed)
+            if codebooks is None:
+                codebooks = train_pq_codebooks(x, m, ksub, seed)
+        cts = np.asarray(centroids, dtype="float64")
+        cb = np.asarray(codebooks, dtype="float64")
+        m_, ksub_, sub = cb.shape
+        for suffix in ("_codes", "_centroids", "_codebooks", "_meta"):
+            _drop_store_table(spark, store_name + suffix)
 
     @pandas_udf("int")
     def _cell(vec: pd.Series) -> pd.Series:
@@ -774,8 +792,10 @@ def build_ann_index(corpus: DataFrame,
         F.col(corpus_id).alias("id"),
         _cell(F.col(corpus_vec)).alias("cell"),
         _encode(F.col(corpus_vec)).alias("codes"))
-    (coded.write.mode("overwrite").format("parquet")
+    (coded.write.mode(mode).format("parquet")
      .partitionBy("cell").saveAsTable(f"{store_name}_codes"))
+    if mode == "append":
+        return
     spark.createDataFrame(
         [(int(i), [float(x) for x in cts[i]]) for i in range(len(cts))],
         "cell int, cv array<double>") \

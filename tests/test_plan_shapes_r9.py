@@ -323,6 +323,19 @@ def test_ann_index_partition_prunes_and_matches_ivf_pq(spark):
                 emb, q, k=5, nprobe=2, centroids=cts,
                 codebooks=cb).collect()]
     assert sorted(got) == sorted(want) and got
+    # append an increment: the new vectors become findable with the
+    # SAME models (no retraining, codes land in their cell partitions)
+    extra = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)) \
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    similarity.build_ann_index(extra, "pin9v_idx", mode="append")
+    q2 = (extra.limit(1)
+          .select(F.lit(99).alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    res2 = similarity.ann_search_from_index(q2, "pin9v_idx", k=2,
+                                            nprobe=2).collect()
+    # both the original and the appended copy carry identical codes:
+    # the appended id must now be findable (top-2 with its original)
+    assert any(r["vec_id"] >= 100000 for r in res2), res2
     for t in ("pin9v_idx_codes", "pin9v_idx_centroids",
               "pin9v_idx_codebooks", "pin9v_idx_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
