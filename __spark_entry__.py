@@ -98,6 +98,60 @@ ORDER BY o_orderpriority
 """
 
 
+def _dp_count_dedup_corpus(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Composition showcase: EXACT dedup feeds a DP release in one
+    lazy plan — survivors (min doc_id per normalized fingerprint, via
+    `dedup.exact_dedup`) joined back to their rows, then a DP count +
+    privacy-id count per language with privacy unit = SOURCE (the
+    crawl feed), Linf cap 4 binding, public language partitions, zero
+    noise for the oracle. The pattern a real release runs: dedup the
+    corpus, then publish per-language volume stats with source-level
+    DP. Catalyst fuses both stages — the dedup's groupBy feeds the
+    bounding window without materialization."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup(docs).select("doc_id")
+    survivors = docs.join(keep, "doc_id").select(
+        "doc_id", "lang", "source")
+    query = (pds.QueryBuilder(survivors, "source")
+             .groupby("lang", max_groups_contributed=5,
+                      max_contributions_per_group=4,
+                      public_keys=["de", "en", "es", "fr", "zh"])
+             .count()
+             .privacy_id_count()
+             .build_query())
+    return query.run_query(pds.Budget(1.0, 1e-6), noise_mode="zero")
+
+
+_DP_COUNT_DEDUP_SQL = """
+WITH pub(lang) AS (
+    VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')),
+fp AS (
+    SELECT doc_id, lang, source,
+           md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+               AS fingerprint
+    FROM documents),
+keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+survivors AS (
+    SELECT f.lang, f.source FROM fp f JOIN keep k USING (doc_id)),
+per_source AS (
+    SELECT source, lang, LEAST(COUNT(*), 4) AS capped_cnt
+    FROM survivors GROUP BY source, lang),
+agg AS (
+    SELECT lang,
+           CAST(SUM(capped_cnt) AS DOUBLE) AS count,
+           CAST(COUNT(*) AS DOUBLE) AS privacy_id_count
+    FROM per_source GROUP BY lang)
+SELECT pub.lang,
+       COALESCE(agg.count, 0.0) AS count,
+       COALESCE(agg.privacy_id_count, 0.0) AS privacy_id_count
+FROM pub LEFT JOIN agg USING (lang)
+ORDER BY lang
+"""
+
+
 def _dp_sum_clip_per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP sum of lineitem quantity per return flag; per-partition clip of each
     supplier's per-flag quantity sum to [0, 100]; zero noise."""
@@ -1602,6 +1656,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "stream_near_dup_store_mirror",
     "tpch_q10_returned_items",
     "sim_ann_store",
+    "dp_count_dedup_corpus",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1678,6 +1733,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_exact": _emb_near_dup_exact,
         "dp_count_public": _dp_count_public,
+        "dp_count_dedup_corpus": _dp_count_dedup_corpus,
         "dp_sum_clip_per_partition": _dp_sum_clip_per_partition,
         "dp_sum_clip_per_contribution": _dp_sum_clip_per_contribution,
         "dp_multi_sum_public": _dp_multi_sum_public,
@@ -1911,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_topk": _gen_pq_topk_sql(),
         "sim_ivf_pq_topk": _gen_ivf_pq_topk_sql(),
         "sim_ann_store": _gen_ivf_pq_topk_sql(nprobe=3, k=8),
+        "dp_count_dedup_corpus": _DP_COUNT_DEDUP_SQL,
         "dp_variance_selected": _dp_variance_selected_sql(),
         "dp_windowed_percentile_events": _dp_windowed_percentile_events_sql(),
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,

@@ -1570,6 +1570,38 @@ def streaming_near_dup_store(stream: DataFrame,
             .start())
 
 
+def streaming_ann_ingest(stream: DataFrame,
+                         store_name: str,
+                         checkpoint_dir: str,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id"):
+    """Streaming ingest into the persisted IVF-PQ vector index
+    (`operators.similarity.build_ann_index`): each micro-batch encodes
+    its vectors with the store's PERSISTED models (mode='append' —
+    never retrains, so existing codes keep their cells) and lands them
+    in their cell partitions; `ann_search_from_index` sees them on its
+    next run. The caller builds the index first (training on a
+    representative sample). At-least-once replay can append duplicate
+    code rows — they only re-rank as their own ties and an id-distinct
+    downstream handles exact replays; run `compact` (dropDuplicates on
+    id) if exactness of stored row counts matters. Returns the started
+    StreamingQuery."""
+    from pipelinedp_spark.operators.similarity import build_ann_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        for t in (f"{store_name}_meta", f"{store_name}_centroids",
+                  f"{store_name}_codebooks"):
+            s.catalog.refreshTable(t)
+        build_ann_index(batch_df, store_name, corpus_id=id_col,
+                        corpus_vec=vec_col, mode="append")
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def streaming_cluster_assign(stream: DataFrame, centroids,
                              vec_col: str = "embedding",
                              quant_scale: int = 1 << 20) -> DataFrame:

@@ -1168,3 +1168,43 @@ def test_streaming_near_dup_store_end_to_end(spark, tmp_path):
     for t in ("e2e_nd_store_bands", "e2e_nd_store_shingles",
               "e2e_nd_store_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_ann_ingest_end_to_end(spark, tmp_path):
+    """Vectors streamed into the persisted IVF-PQ index become
+    searchable with the models trained at build time."""
+    from pyspark.sql import functions as F
+
+    from pipelinedp_spark.operators.similarity import (
+        ann_search_from_index, build_ann_index)
+    from pipelinedp_spark.streaming.dp_streaming import (
+        streaming_ann_ingest)
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    for t in ("e2e_ann_codes", "e2e_ann_centroids", "e2e_ann_codebooks",
+              "e2e_ann_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 200)
+    build_ann_index(base, "e2e_ann", num_cells=4, m=4, ksub=16)
+    # stream in vec_ids 200.. with an id offset so they're identifiable
+    inc = (emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 230))
+           .select((F.col("vec_id") + 500000).alias("vec_id"),
+                   "embedding"))
+    inc.write.parquet(src + "/f1.parquet")
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .parquet(src + "/*"))
+    q = streaming_ann_ingest(stream, "e2e_ann", ckpt)
+    q.awaitTermination(120)
+    # a streamed vector's own copy must now be findable
+    probe = (emb.filter(F.col("vec_id") == 205)
+             .select(F.lit(1).alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+    res = ann_search_from_index(probe, "e2e_ann", k=3,
+                                nprobe=2).collect()
+    assert any(r["vec_id"] == 500205 for r in res), res
+    for t in ("e2e_ann_codes", "e2e_ann_centroids", "e2e_ann_codebooks",
+              "e2e_ann_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
