@@ -81,7 +81,11 @@ def build_exact_store(reference: DataFrame,
     anti-join is insensitive to multiplicity, so correctness holds and
     periodic compaction only saves space)."""
     spark = reference.sparkSession
-    if mode != "append":
+    if mode == "append":
+        # appends stay aligned with the existing bucket spec
+        num_buckets = int(spark.table(f"{store_name}_meta")
+                          .collect()[0]["num_buckets"])
+    else:
         for suffix in ("_fps", "_meta"):
             _drop_store_table(spark, store_name + suffix)
     fp = T.rolling_fingerprint(F.col(text_col))
@@ -1354,6 +1358,7 @@ def build_minhash_store(reference: DataFrame,
                 f"num_hashes={m['num_hashes']}, "
                 f"rows_per_band={m['rows_per_band']}; appending with "
                 f"({k}, {num_hashes}, {rows_per_band}) would corrupt it")
+        num_buckets = int(m["num_buckets"])   # appends stay aligned
     else:
         for suffix in ("_bands", "_shingles", "_meta"):
             _drop_store_table(spark, store_name + suffix)
@@ -1547,6 +1552,7 @@ def build_span_store(reference: DataFrame,
                 f"store {store_name} was built with min_len="
                 f"{m['min_len']}, seed_len={m['seed_len']}; appending "
                 f"with ({min_len}, {seed_len}) would corrupt it")
+        num_buckets = int(m["num_buckets"])   # appends stay aligned
     else:
         for suffix in ("_anchors", "_texts", "_meta"):
             _drop_store_table(spark, store_name + suffix)

@@ -1514,6 +1514,7 @@ def build_phash_store(reference: DataFrame,
                 f"{m['max_hamming']}, num_blocks={m['num_blocks']}; "
                 f"appending with ({max_hamming}, {num_blocks}) would "
                 "corrupt it")
+        num_buckets = int(m["num_buckets"])   # appends stay aligned
     else:
         for suffix in ("_blocks", "_meta"):
             _drop_store_table(spark, store_name + suffix)
