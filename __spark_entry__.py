@@ -1657,6 +1657,7 @@ _DRIVER_ARTIFACT_FIRST = [
     "tpch_q10_returned_items",
     "sim_ann_store",
     "dp_count_dedup_corpus",
+    "tpch_q16_supplier_variety",
     # round-9 rotation: ordered by STALENESS — these are the ~50 queries
     # whose most recent driver CORRECTNESS_r*.json record is oldest (the
     # 27 last recorded in r05, then 23 from r06), so driver rows keep
@@ -1784,6 +1785,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": _tpch_q5_local_supplier,
         "tpch_q18_large_orders": _tpch_q18_large_orders,
         "tpch_q10_returned_items": _tpch_q10_returned_items,
+        "tpch_q16_supplier_variety": _tpch_q16_supplier_variety,
         "events_rolling_features": _events_rolling_features,
         "doc_exact_substr_cut": _doc_exact_substr_cut,
         "doc_c4_filter": _doc_c4_filter,
@@ -1977,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_local_supplier": _TPCH_Q5_SQL,
         "tpch_q18_large_orders": _TPCH_Q18_SQL,
         "tpch_q10_returned_items": _TPCH_Q10_SQL,
+        "tpch_q16_supplier_variety": _TPCH_Q16_SQL,
         "events_rolling_features": _EVENTS_ROLLING_SQL,
         "doc_exact_substr_cut": _DOC_EXACT_SUBSTR_CUT_SQL,
         "doc_c4_filter": _DOC_C4_FILTER_SQL,
@@ -8664,6 +8667,45 @@ WHERE l.l_returnflag = 'R'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue_micro DESC, c_custkey
 LIMIT 20
+"""
+
+
+def _tpch_q16_supplier_variety(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted to this
+    generator (lineitem's part-supplier edges stand in for partsupp):
+    distinct supplier count per (brand, type, size) for parts outside
+    an excluded brand and type, top-40. The COUNT DISTINCT workhorse:
+    the edge set dedupes FIRST (one (part,supp) row regardless of how
+    many lineitems share it — partial-combinable), the filtered part
+    dim broadcasts with both predicates pushed to its scan, and the
+    top-40 is TakeOrderedAndProject with full tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").startswith("PROMO")))
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    agg = (edges.join(F.broadcast(part),
+                      edges["l_partkey"] == part["p_partkey"])
+           .groupBy("p_brand", "p_type", "p_size")
+           .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+    return (agg.orderBy(F.col("supplier_cnt").desc(), "p_brand",
+                        "p_type", "p_size")
+            .limit(40))
+
+
+_TPCH_Q16_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT e.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM edges e
+JOIN part p ON e.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND p.p_type NOT LIKE 'PROMO%'
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
 """
 
 

@@ -429,6 +429,19 @@ def test_tpch_q10_pushdown_broadcast_topk(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_tpch_q16_distinct_edges_broadcast_topk(spark):
+    """Q16: part predicates pushed to its scan, the filtered dim
+    broadcasts, the (part, supp) edge dedup partial-combines, top-40 is
+    TakeOrderedAndProject."""
+    out = _entry()._tpch_q16_supplier_variety(spark, SF)
+    plan = P.explain_str(out)
+    assert re.search(r"PushedFilters:.*(p_brand|p_type)", plan)
+    assert P.has_broadcast_join(out)
+    assert P.has_partial_aggregation(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_tpch_q5_broadcast_dims(spark):
     """Q5: region/nation (and the small dim chain) broadcast; the only
     shuffle-scale joins are fact-fact; date filter pushed down."""
