@@ -178,6 +178,69 @@ def test_store_compaction_dedupes_and_preserves_results(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_store_compaction_minhash_and_span_kinds(spark):
+    """compact_store on the minhash and span stores: a duplicate-
+    introducing append doubles the table rows, compaction restores the
+    distinct counts, and incremental results are unchanged."""
+    from pipelinedp_spark.operators import dedup
+
+    docs = _docs(spark).limit(60)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    # minhash kind
+    for t in ("pin9m_store_bands", "pin9m_store_shingles",
+              "pin9m_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup.build_minhash_store(ref, "pin9m_store", num_buckets=4)
+    want = sorted(r["doc_id"] for r in dedup.incremental_near_dup(
+        new, "pin9m_store", jaccard_threshold=0.7)
+        .select("doc_id").collect())
+    n0 = spark.table("pin9m_store_bands").count()
+    dedup.build_minhash_store(ref, "pin9m_store", mode="append")
+    assert spark.table("pin9m_store_bands").count() == 2 * n0
+    dedup.compact_store(spark, "pin9m_store", "minhash")
+    assert spark.table("pin9m_store_bands").count() == n0
+    got = sorted(r["doc_id"] for r in dedup.incremental_near_dup(
+        new, "pin9m_store", jaccard_threshold=0.7)
+        .select("doc_id").collect())
+    assert got == want
+    for t in ("pin9m_store_bands", "pin9m_store_shingles",
+              "pin9m_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # span kind
+    for t in ("pin9sp_store_anchors", "pin9sp_store_texts",
+              "pin9sp_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    refs = ref.select("doc_id", F.concat(
+        F.col("text"), F.lit(" a shared benchmark sentence long "
+                             "enough to be a duplicated span"))
+        .alias("text"))
+    news = new.select("doc_id", F.concat(
+        F.col("text"), F.lit(" a shared benchmark sentence long "
+                             "enough to be a duplicated span"))
+        .alias("text"))
+    dedup.build_span_store(refs, "pin9sp_store", min_len=48,
+                           num_buckets=4)
+    want_sp = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in
+        dedup.incremental_decontaminate_spans(news, "pin9sp_store")
+        .collect())
+    a0 = spark.table("pin9sp_store_anchors").count()
+    dedup.build_span_store(refs, "pin9sp_store", min_len=48,
+                           mode="append")
+    assert spark.table("pin9sp_store_anchors").count() == 2 * a0
+    dedup.compact_store(spark, "pin9sp_store", "span")
+    assert spark.table("pin9sp_store_anchors").count() == a0
+    got_sp = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in
+        dedup.incremental_decontaminate_spans(news, "pin9sp_store")
+        .collect())
+    assert got_sp == want_sp and want_sp
+    for t in ("pin9sp_store_anchors", "pin9sp_store_texts",
+              "pin9sp_store_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_incremental_store_append_grows_index(spark):
     """mode='append' must extend the store (new reference docs become
     matchable) and reject mismatched fingerprint knobs."""
