@@ -1831,6 +1831,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam_incremental": _doc_decontam_incremental,
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "doc_bm25_incremental": _doc_bm25_incremental,
+        "doc_bm25_append": _doc_bm25_append,
         "dedup_exact_incremental": _dedup_exact_incremental,
         "stream_exact_store_mirror": _stream_exact_store_mirror,
         "multimodal_phash_incremental": _multimodal_phash_incremental,
@@ -2025,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontam_incremental": _DOC_DECONTAM_INCR_SQL,
         "doc_hybrid_rrf": _gen_hybrid_rrf_sql(),
         "doc_bm25_incremental": _gen_bm25_sql(k=15),
+        "doc_bm25_append": _gen_bm25_sql(k=12),
         "dedup_exact_incremental": _DEDUP_EXACT_INCR_SQL,
         "stream_exact_store_mirror": _STREAM_EXACT_STORE_MIRROR_SQL,
         "multimodal_phash_incremental": _MULTIMODAL_PHASH_INCR_SQL,
@@ -4709,6 +4711,31 @@ def _doc_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     for t in ("bm25_idx_r9_postings", "bm25_idx_r9_terms",
               "bm25_idx_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def _doc_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index APPEND mode (`build_bm25_index(mode='append')`): the
+    index is built from the even-doc_id half of the corpus, the odd
+    half is appended — postings and df segments land bucket-aligned
+    (cost proportional to the increment) and the n_docs/total_dl/avgdl
+    scalars refresh exactly, so the served scores are bit-identical to
+    a build-once index over the whole corpus. The oracle is therefore
+    the same proven whole-corpus BM25 SQL, at k=12 to distinguish the
+    result set from the k=10/k=15 siblings."""
+    from pipelinedp_spark.operators import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    retrieval.build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0),
+                               "bm25_idx_r10a")
+    retrieval.build_bm25_index(docs.filter(F.col("doc_id") % 2 == 1),
+                               "bm25_idx_r10a", mode="append")
+    out = retrieval.bm25_topk_from_index(q, "bm25_idx_r10a", k=12) \
+        .localCheckpoint()
+    for t in ("bm25_idx_r10a_postings", "bm25_idx_r10a_terms",
+              "bm25_idx_r10a_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 

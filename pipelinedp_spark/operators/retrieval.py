@@ -311,7 +311,8 @@ def build_bm25_index(docs: DataFrame,
                      store_name: str,
                      text_col: str = "text",
                      id_col: str = "doc_id",
-                     num_buckets: int = 8) -> None:
+                     num_buckets: int = 8,
+                     mode: str = "overwrite") -> None:
     """Persist the corpus's BM25 inverted index as bucketed tables so
     queries never re-tokenize the corpus — the offline-index flow
     `bm25_topk`'s docstring promises:
@@ -320,38 +321,66 @@ def build_bm25_index(docs: DataFrame,
       the doc length denormalized in (one fewer query-time join),
       bucketed AND sorted by term: the query-terms join streams only
       the touched buckets with zero Exchange on the index side.
-    * ``{store}_terms`` (term, df) — document frequencies, same
-      bucketing.
-    * ``{store}_meta`` — (n_docs, avgdl, num_buckets): the two corpus
-      scalars the score needs, computed once at build.
+    * ``{store}_terms`` (term, df) — document-frequency SEGMENTS, same
+      bucketing. Each build/append writes its batch's df rows; readers
+      sum df per term (merge-on-read, the Lucene-segment shape), so an
+      append never rewrites the vocabulary table.
+    * ``{store}_meta`` — (n_docs, total_dl, avgdl, num_buckets): the
+      corpus scalars the score needs. ``total_dl`` is kept as an exact
+      integer so appends refresh ``avgdl`` with the same arithmetic a
+      from-scratch build uses (bit-identical scores).
+
+    ``mode='append'`` ingests a document increment: postings and df
+    deltas land bucket-aligned (cost proportional to the batch), and
+    the meta scalars are recomputed from the stored exact totals — the
+    staleness trap of frozen N/avgdl cannot occur. Callers must not
+    re-append ids already in the store (same contract as
+    `build_minhash_store`). An empty corpus builds an empty, queryable
+    index (avgdl = 0.0).
 
     Build = the word-count shuffle paid once. Queries against a 100-TB
     corpus then cost only the postings of their terms — the serving
     shape of a real inverted index."""
     from pipelinedp_spark.operators.dedup import _drop_store_table
     spark = docs.sparkSession
-    for suffix in ("_postings", "_terms", "_meta"):
-        _drop_store_table(spark, store_name + suffix)
+    if mode == "append":
+        m = spark.table(f"{store_name}_meta").collect()[0]
+        prev_n = int(m["n_docs"])
+        prev_tot = (int(m["total_dl"]) if "total_dl" in m.__fields__
+                    else int(round(float(m["avgdl"]) * prev_n)))
+        num_buckets = int(m["num_buckets"])   # appends stay aligned
+    else:
+        prev_n = prev_tot = 0
+        for suffix in ("_postings", "_terms", "_meta"):
+            _drop_store_table(spark, store_name + suffix)
     tf = term_frequencies(docs, text_col, id_col).localCheckpoint()
     dl = doc_lengths(tf, id_col)
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.sum("dl").alias("tot")).collect()[0]
-    n_docs = int(stats["n"])
-    avgdl = float(stats["tot"]) / float(n_docs)
+    n_docs = prev_n + int(stats["n"])
+    total_dl = prev_tot + int(stats["tot"] or 0)
+    avgdl = float(total_dl) / float(n_docs) if n_docs else 0.0
     post = (tf.join(dl, id_col)
             .select("term", F.col(id_col).alias("id"), "tf", "dl"))
-    (post.write.mode("overwrite").format("parquet")
+    (post.write.mode(mode).format("parquet")
      .bucketBy(num_buckets, "term").sortBy("term")
      .saveAsTable(f"{store_name}_postings"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    (dft.write.mode("overwrite").format("parquet")
+    (dft.write.mode(mode).format("parquet")
      .bucketBy(num_buckets, "term").sortBy("term")
      .saveAsTable(f"{store_name}_terms"))
     spark.sql(
-        f"SELECT {n_docs} AS n_docs, CAST({avgdl!r} AS DOUBLE) AS "
-        f"avgdl, {int(num_buckets)} AS num_buckets"
+        f"SELECT {n_docs} AS n_docs, CAST({total_dl} AS BIGINT) AS "
+        f"total_dl, CAST({avgdl!r} AS DOUBLE) AS avgdl, "
+        f"{int(num_buckets)} AS num_buckets"
     ).write.mode("overwrite").format("parquet") \
         .saveAsTable(f"{store_name}_meta")
+    if mode == "append":
+        # Appends invalidate any relation cached from a pre-append read
+        # in this session (the stale-relation gotcha found on the exact
+        # store, pinned in tests).
+        for suffix in ("_postings", "_terms", "_meta"):
+            spark.catalog.refreshTable(store_name + suffix)
 
 
 def bm25_topk_from_index(queries: DataFrame,
@@ -372,7 +401,12 @@ def bm25_topk_from_index(queries: DataFrame,
     m = spark.table(f"{store_name}_meta").collect()[0]
     n_docs, avgdl = int(m["n_docs"]), float(m["avgdl"])
     post = spark.table(f"{store_name}_postings")
-    dft = spark.table(f"{store_name}_terms")
+    # The terms table holds one df SEGMENT per build/append; sum per
+    # term on read. The scan is bucketed by term, so the aggregation
+    # runs partial+final with no Exchange; for a build-once store the
+    # sum is the identity.
+    dft = (spark.table(f"{store_name}_terms")
+           .groupBy("term").agg(F.sum("df").alias("df")))
     qterms = queries.select(
         F.col(query_id),
         F.explode(F.array_distinct(T.tokens(F.col(query_text))))

