@@ -1635,80 +1635,69 @@ FROM s GROUP BY doc_id
 
 # The round driver records only the FIRST 50 `queries()` entries in its
 # CORRECTNESS_r{N}.json artifact (observed: r04-r06 all capped at 50 while
-# this module grew past that). To get every query a driver-recorded oracle
-# row across rounds, entries that have never appeared in a driver artifact
-# are ordered FIRST; the remainder — all already green in
-# CORRECTNESS_r01..r06 — follow in their registry order. Round-7 rotation:
-# the 12 late-round-6 queries that sat past the 50-row cap now lead, and new
-# round-7 queries are appended to this front list as they land.
+# this module grew past that). To keep every query's driver-recorded oracle
+# row tracking its CURRENT implementation, new queries lead and the rest
+# rotate oldest-record-first each round.
 # `scripts/check_correctness.py` (same compare logic) covers the full set
 # regardless of order and writes the complete CORRECTNESS_LOCAL.json.
 _DRIVER_ARTIFACT_FIRST = [
-    # new round-9 queries first (must land inside the 50-row cap)
-    "dedup_incremental",
-    "tpch_q18_large_orders",
-    "doc_decontam_incremental",
-    "doc_hybrid_rrf",
-    "doc_bm25_incremental",
-    "dedup_exact_incremental",
-    "stream_exact_store_mirror",
-    "multimodal_phash_incremental",
-    "stream_near_dup_store_mirror",
-    "tpch_q10_returned_items",
-    "sim_ann_store",
-    "dp_count_dedup_corpus",
-    "tpch_q16_supplier_variety",
-    # round-9 rotation: ordered by STALENESS — these are the ~50 queries
-    # whose most recent driver CORRECTNESS_r*.json record is oldest (the
-    # 27 last recorded in r05, then 23 from r06), so driver rows keep
-    # tracking current implementations as they evolve. New round-9 query
-    # names are PREPENDED above this block as they land so they fall
-    # inside the driver's 50-row artifact cap.
-    "analysis_histograms",
-    "asof_join_events",
-    "doc_containment",
-    "doc_pii_scrub",
-    "doc_prep_pipeline",
-    "doc_quality_signals",
-    "doc_split",
-    "dp_count_composite_key",
-    "dp_count_join_nation",
-    "dp_count_max_contributions",
-    "dp_gaussian_threshold",
-    "dp_post_agg_threshold",
-    "dp_select_partitions_tg",
-    "dp_select_weighted_gaussian",
-    "dp_session_count_events",
-    "dp_windowed_count_events",
-    "dp_windowed_variance_events",
-    "multimodal_bmp_decode",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
-    "range_join_events",
-    "sessionize_events",
-    "sim_ivf_pq_topk",
-    "sim_pq_topk",
-    "token_topk",
-    "utility_analysis_count_sum",
-    "utility_analysis_variance",
-    # r06-era below
-    "asof_join_tolerance_events",
-    "bpe_encode",
-    "dedup_cross_corpus",
-    "dedup_cross_corpus_near",
-    "doc_bigram_ppl",
-    "doc_bm25_topk",
-    "doc_chunk_windows",
-    "doc_corpus_report",
-    "doc_decontaminate",
-    "doc_decontaminate_bloom",
-    "doc_dsir_resample",
-    "doc_dsir_weights",
-    "doc_dup_rate_estimate",
+    # new round-10 queries first (must land inside the 50-row cap)
+    "doc_bm25_append",
+    "stream_ann_store_mirror",
+    # round-10 rotation, ordered by STALENESS: the driver records
+    # only the first 50 queries() entries per round, so the front
+    # list cycles through the registry oldest-record-first. These
+    # 40 queries' latest driver record is CORRECTNESS_r06 and the
+    # final 8 are the oldest r07-era records — zero overlap with
+    # r09's 50 and none with r08's (VERDICT r9 task 6).
+    "dp_count_no_cross_bounding",
+    "dp_variance_selected",
+    "dp_windowed_percentile_events",
+    "doc_pack_sequences",
+    "doc_stratified_sample",
+    "range_join_keyed_events",
+    "multimodal_mp4_meta",
+    "emb_semantic_dedup",
     "doc_duplicate_spans",
-    "doc_gram_novelty",
+    "doc_unigram_ppl",
+    "doc_dsir_weights",
+    "doc_quality_classifier",
+    "doc_dsir_resample",
+    "emb_semantic_clusters",
+    "dp_corpus_token_count",
+    "multimodal_audio_features",
+    "stream_near_dup_mirror",
     "doc_hash_embeddings",
+    "doc_semantic_dedup_text",
+    "dp_windowed_percentile_tree_events",
+    "doc_gram_novelty",
+    "doc_source_quota",
+    "doc_dup_rate_estimate",
+    "events_zorder_key",
+    "doc_vocab_estimate",
+    "doc_weighted_sample",
+    "dp_trending_bigrams",
+    "dp_vector_mean_public",
+    "doc_vocab_hll",
+    "token_freq_cms",
+    "events_windowed_hll",
+    "vocab_overlap_kmv",
+    "doc_temperature_mix",
+    "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
     "doc_line_dedup",
+    "multimodal_video_frames",
+    "doc_url_canonicalize",
+    "multimodal_video_dedup",
+    "multimodal_resize_stats",
+    "dedup_keep_best",
+    "doc_paragraph_filter",
+    "stream_line_dedup_mirror",
+    "doc_token_budget",
+    "doc_wet_roundtrip",
+    "doc_tar_shards",
+    "multimodal_exif",
+    "multimodal_mp3_meta",
 ]
 
 
@@ -1834,6 +1823,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_append": _doc_bm25_append,
         "dedup_exact_incremental": _dedup_exact_incremental,
         "stream_exact_store_mirror": _stream_exact_store_mirror,
+        "stream_ann_store_mirror": _stream_ann_store_mirror,
         "multimodal_phash_incremental": _multimodal_phash_incremental,
         "stream_near_dup_store_mirror": _stream_near_dup_store_mirror,
         "doc_bigram_ppl": _doc_bigram_ppl,
@@ -2029,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_append": _gen_bm25_sql(k=12),
         "dedup_exact_incremental": _DEDUP_EXACT_INCR_SQL,
         "stream_exact_store_mirror": _STREAM_EXACT_STORE_MIRROR_SQL,
+        "stream_ann_store_mirror": _gen_ivf_pq_topk_sql(nprobe=4, k=6),
         "multimodal_phash_incremental": _MULTIMODAL_PHASH_INCR_SQL,
         "stream_near_dup_store_mirror": _STREAM_ND_STORE_MIRROR_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
@@ -3427,6 +3418,47 @@ def _sim_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint())
     for t in ("ann_idx_r9_codes", "ann_idx_r9_centroids",
               "ann_idx_r9_codebooks", "ann_idx_r9_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def _stream_ann_store_mirror(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_ann_ingest` with exact
+    two-trigger semantics: the index bootstraps EMPTY with persisted
+    quantizer models (trained on the standard deterministic sample);
+    trigger 0 ingests embeddings with vec_id % 3 == 0, trigger 1 the
+    rest — each append refreshes the model tables and encodes with the
+    PERSISTED models, exactly the foreachBatch body. The post-ingest
+    `ann_search_from_index` (k=6/nprobe=4 distinguish the rows from
+    the sim_* siblings) must therefore equal a whole-corpus IVF-PQ
+    scoring — the oracle replays it in SQL with the same retrained
+    quantizer literals. Store tables dropped after checkpointing."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    x = similarity.sample_corpus_matrix(emb, "vec_id", "embedding",
+                                        10_000)
+    cents = similarity.train_ivf_centroids(x, 8, 7)
+    cb = similarity.train_pq_codebooks(x, 4, 16, 7)
+    similarity.build_ann_index(emb.limit(0), "ann_idx_r10s",
+                               num_cells=8, m=4, ksub=16,
+                               centroids=cents, codebooks=cb)
+    for batch in (emb.filter(F.col("vec_id") % 3 == 0),
+                  emb.filter(F.col("vec_id") % 3 != 0)):
+        # the foreachBatch body of streaming_ann_ingest
+        for t in ("ann_idx_r10s_meta", "ann_idx_r10s_centroids",
+                  "ann_idx_r10s_codebooks"):
+            spark.catalog.refreshTable(t)
+        similarity.build_ann_index(batch, "ann_idx_r10s", mode="append")
+    out = (similarity.ann_search_from_index(q, "ann_idx_r10s", k=6,
+                                            nprobe=4)
+           .withColumn("rank", F.col("rank").cast("long"))
+           .localCheckpoint())
+    for t in ("ann_idx_r10s_codes", "ann_idx_r10s_centroids",
+              "ann_idx_r10s_codebooks", "ann_idx_r10s_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 

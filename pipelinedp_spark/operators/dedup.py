@@ -1306,8 +1306,14 @@ def _drop_store_table(spark, name: str) -> None:
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if wh.startswith("file:"):
         p = urllib.parse.urlparse(wh).path
-        shutil.rmtree(os.path.join(p, name.lower()),
-                      ignore_errors=True)
+        # Managed-table layout: default-database tables live directly
+        # under the warehouse root; '<db>.<table>' lives under
+        # '<db>.db/<table>'. (Deeper catalog.db.table names fall back
+        # to the last two parts.)
+        parts = name.lower().split(".")
+        rel = (parts[-1] if len(parts) == 1
+               else os.path.join(f"{parts[-2]}.db", parts[-1]))
+        shutil.rmtree(os.path.join(p, rel), ignore_errors=True)
 
 
 def build_minhash_store(reference: DataFrame,
@@ -1340,14 +1346,16 @@ def build_minhash_store(reference: DataFrame,
       bucketed by id so candidate verification also reads the store
       without a shuffle on it.
     * ``{store}_meta`` — one row of the fingerprint knobs
-      (k, num_hashes, rows_per_band); `incremental_near_dup` reads it
-      so batch fingerprints can never silently diverge from the store.
+      (k, num_hashes, rows_per_band, max_bucket_size);
+      `incremental_near_dup` reads it so batch fingerprints can never
+      silently diverge from the store.
 
     ``mode='append'`` grows the store with a new reference increment
     (Spark appends to bucketed tables bucket-aligned); the bucket-size
-    cap is enforced per increment, so periodic compaction (re-build)
-    re-applies it globally. Reference repo has no counterpart (net-new
-    LLM-pipeline op)."""
+    cap is enforced per increment, and the BUILD-time cap persists in
+    meta so `compact_store(kind='minhash')` re-applies it globally,
+    dropping buckets that grew past it across appends. Reference repo
+    has no counterpart (net-new LLM-pipeline op)."""
     spark = reference.sparkSession
     if mode == "append":
         m = spark.table(f"{store_name}_meta").collect()[0]
@@ -1384,7 +1392,8 @@ def build_minhash_store(reference: DataFrame,
         spark.sql(
             f"SELECT {int(k)} AS k, {int(num_hashes)} AS num_hashes, "
             f"{int(rows_per_band)} AS rows_per_band, "
-            f"{int(num_buckets)} AS num_buckets"
+            f"{int(num_buckets)} AS num_buckets, "
+            f"{int(max_bucket_size)} AS max_bucket_size"
         ).write.mode("overwrite").format("parquet") \
             .saveAsTable(f"{store_name}_meta")
 
@@ -1728,19 +1737,27 @@ def plan_lsh_params(jaccard_threshold: float,
 
 def compact_store(spark, store_name: str, kind: str) -> None:
     """Periodic compaction for the incremental-store family: appends
-    accumulate duplicate rows (exact/phash fingerprints, span anchors)
-    and apply the minhash bucket-size cap only per increment; compaction
-    rewrites each bucketed table deduplicated (and, for minhash,
-    re-applies the cap globally) with bucketing preserved. Results are
-    unchanged by construction — anti-joins and semi-joins are
-    multiplicity-insensitive — so compaction is purely a storage/scan
-    optimization, safe to run any time no ingest is active.
+    accumulate duplicate rows (exact/phash fingerprints, span anchors,
+    replayed ANN code rows), small files (one per append — the classic
+    vector-index fragmentation problem for the cell-partitioned codes
+    table), df segments (bm25 terms), and apply the minhash bucket-size
+    cap only per increment. Compaction rewrites each table deduplicated
+    / merged with its bucketing or partitioning preserved, and for
+    minhash RE-APPLIES the build-time ``max_bucket_size`` cap globally
+    (persisted in ``{store}_meta``), dropping degenerate buckets that
+    grew past the cap across appends. Results are unchanged by
+    construction — anti-joins and semi-joins are multiplicity-
+    insensitive, bm25 readers sum df segments, ANN duplicate ids carry
+    identical codes — except that minhash bands past the cap stop
+    generating candidates, which is the cap's contract. Safe to run any
+    time no ingest is active.
 
-    ``kind`` is one of 'exact', 'minhash', 'span', 'phash'."""
+    ``kind`` is one of 'exact', 'minhash', 'span', 'phash', 'bm25',
+    'ann'."""
     meta = spark.table(f"{store_name}_meta").collect()[0]
-    nbuck = int(meta["num_buckets"])
 
     def rewrite(table: str, df, bucket_col: str) -> None:
+        nbuck = int(meta["num_buckets"])
         df = df.localCheckpoint()   # the write replaces what it reads
         (df.write.mode("overwrite").format("parquet")
          .bucketBy(nbuck, bucket_col).sortBy(bucket_col)
@@ -1752,6 +1769,16 @@ def compact_store(spark, store_name: str, kind: str) -> None:
     elif kind == "minhash":
         t = f"{store_name}_bands"
         bands = spark.table(t).distinct()
+        if "max_bucket_size" in meta.__fields__:
+            # Re-apply the build-time cap GLOBALLY: a bucket that grew
+            # past it across per-increment-capped appends would blow up
+            # the candidate join — exactly what the cap exists to stop.
+            cap = int(meta["max_bucket_size"])
+            keep = (bands.groupBy("bh")
+                    .agg(F.count(F.lit(1)).alias("__n__"))
+                    .filter(F.col("__n__") <= cap)
+                    .select("bh").hint("shuffle_hash"))
+            bands = bands.join(keep, "bh").select("id", "bh")
         rewrite(t, bands, "bh")
         t = f"{store_name}_shingles"
         rewrite(t, spark.table(t).dropDuplicates(["id"]), "id")
@@ -1763,5 +1790,25 @@ def compact_store(spark, store_name: str, kind: str) -> None:
     elif kind == "phash":
         t = f"{store_name}_blocks"
         rewrite(t, spark.table(t).distinct(), "bk")
+    elif kind == "bm25":
+        # postings rows are unique per (doc, term) by the append
+        # contract — rewrite merges the per-append small files; the
+        # terms segments collapse to one df row per term (what readers
+        # compute on the fly).
+        t = f"{store_name}_postings"
+        rewrite(t, spark.table(t), "term")
+        t = f"{store_name}_terms"
+        rewrite(t, spark.table(t).groupBy("term")
+                .agg(F.sum("df").alias("df")), "term")
+    elif kind == "ann":
+        # The codes table is PARTITIONED by cell (not bucketed):
+        # replayed ingest rows duplicate ids (each consumes a top-k
+        # slot in ann_search_from_index) and every append adds one
+        # small file per touched cell. Rewrite dedups on id and merges
+        # files, partitioning preserved.
+        t = f"{store_name}_codes"
+        df = spark.table(t).dropDuplicates(["id"]).localCheckpoint()
+        (df.write.mode("overwrite").format("parquet")
+         .partitionBy("cell").saveAsTable(t))
     else:
         raise ValueError(f"unknown store kind: {kind}")

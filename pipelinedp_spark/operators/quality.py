@@ -440,7 +440,7 @@ def c4_filter(df: DataFrame,
               id_col: str = "doc_id",
               min_line_words: int = 3,
               min_sentences: int = 3,
-              delimiter: str = r"\r?\n") -> DataFrame:
+              delimiter_regex: str = r"\r?\n") -> DataFrame:
     """The C4 cleaning ruleset (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning", §2.2) — the other canonical web-text
     filter next to Gopher: LINE level, keep only lines that end in
@@ -452,23 +452,26 @@ def c4_filter(df: DataFrame,
     (code braces, lorem ipsum, JS-disabled boilerplate; matched
     case-insensitively on the original text).
 
-    ``delimiter`` is a Java REGEX; the default splits '\\r?\\n' so CRLF
-    corpora don't leave a trailing '\\r' that defeats the terminal-
-    punctuation test (which would empty whole documents).
+    ``delimiter_regex`` is a Java REGEX (named so call sites can't
+    mistake it for a literal — '|' or '.' must be escaped); the default
+    splits '\\r?\\n' so CRLF corpora don't leave a trailing '\\r' that
+    defeats the terminal-punctuation test (which would empty whole
+    documents). Retained lines always rejoin with '\\n'.
 
     Returns (id_col, clean_text, n_lines_kept, n_lines_total,
     n_sentences, has_bad_substring, passes). Pure per-row codegen —
     one split, higher-order filter, regexp counts; no shuffle at all,
     which is what makes C4-style cleaning free at 100 TB."""
     t = F.col(text_col)
-    lines = F.split(t, delimiter)
+    lines = F.split(t, delimiter_regex)
     keep_line = lambda x: (
         F.trim(x).rlike("[.!?\"”’']$")
         & (F.size(F.filter(F.split(F.trim(x), " "),
                            lambda w: w != "")) >= min_line_words))
     kept = F.filter(lines, keep_line)
-    # Rejoin with a normalized '\n' (delimiter is a split REGEX, not a
-    # join literal); trim also strips any '\r' a CRLF split left behind.
+    # Rejoin with a normalized '\n' (delimiter_regex is a split REGEX,
+    # not a join literal); trim also strips any '\r' a CRLF split left
+    # behind.
     clean = F.array_join(
         F.transform(kept, lambda x: F.trim(F.regexp_replace(
             x, "\r", ""))), "\n")

@@ -1582,10 +1582,12 @@ def streaming_ann_ingest(stream: DataFrame,
     in their cell partitions; `ann_search_from_index` sees them on its
     next run. The caller builds the index first (training on a
     representative sample). At-least-once replay can append duplicate
-    code rows — they only re-rank as their own ties and an id-distinct
-    downstream handles exact replays; run `compact` (dropDuplicates on
-    id) if exactness of stored row counts matters. Returns the started
-    StreamingQuery."""
+    code rows; a duplicated id occupies extra top-k slots in
+    `ann_search_from_index` (row_number ranks the copies adjacently),
+    so run `operators.dedup.compact_store(kind='ann')` after a replay
+    window — it dropDuplicates on id and rewrites the codes table with
+    its cell partitioning (and per-append small files) merged. Returns
+    the started StreamingQuery."""
     from pipelinedp_spark.operators.similarity import build_ann_index
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -79,8 +79,14 @@ def main() -> None:
 
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Old-code legs can't run every cohort query (e.g. the r01 snapshot
+    # predates the events-ts normalization the current testdata needs).
+    skip = set(filter(None, os.environ.get(
+        "SPARK_GRAFT_COHORT_SKIP", "").split(",")))
     times: dict[str, float] = {}
     for name in R01_TIMES:
+        if name in skip or name not in reg:
+            continue
         fn = reg[name]
         best = float("inf")
         for _ in range(2):
@@ -90,7 +96,7 @@ def main() -> None:
             spark.catalog.clearCache()
         times[name] = round(best, 3)
 
-    ratios = {n: round(times[n] / R01_TIMES[n], 2) for n in R01_TIMES}
+    ratios = {n: round(times[n] / R01_TIMES[n], 2) for n in times}
     out = {
         "metric": "r01_cohort_fresh",
         "value": round(sum(times.values()), 3),
@@ -117,7 +123,7 @@ def main() -> None:
                 for n in times:
                     times[n] = min(times[n], prev["queries"][n])
                 ratios = {n: round(times[n] / R01_TIMES[n], 2)
-                          for n in R01_TIMES}
+                          for n in times}
                 out.update(
                     value=round(sum(times.values()), 3), queries=times,
                     ratios_vs_r01=ratios,

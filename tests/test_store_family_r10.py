@@ -96,6 +96,150 @@ class TestBM25Append:
         finally:
             _drop(spark, *(f"r10bm_bk{s}" for s in BM25_TABLES))
 
+    def test_compact_bm25_merges_df_segments(self, spark):
+        """compact_store('bm25') collapses the per-append df segments
+        to one row per term and rewrites postings bucketed; served
+        results are invariant."""
+        from pipelinedp_spark.operators import retrieval
+        from pipelinedp_spark.operators.dedup import compact_store
+
+        docs = _docs(spark).limit(200)
+        retrieval.build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0),
+                                   "r10bm_cp", num_buckets=4)
+        retrieval.build_bm25_index(docs.filter(F.col("doc_id") % 2 == 1),
+                                   "r10bm_cp", mode="append")
+        try:
+            before = _bm25_results(spark, "r10bm_cp")
+            seg_terms = spark.table("r10bm_cp_terms")
+            assert (seg_terms.groupBy("term").count()
+                    .filter("count > 1").count() > 0), \
+                "test needs terms spanning both halves"
+            compact_store(spark, "r10bm_cp", "bm25")
+            assert (spark.table("r10bm_cp_terms").groupBy("term").count()
+                    .filter("count > 1").count() == 0)
+            ddl = spark.sql(
+                "SHOW CREATE TABLE r10bm_cp_postings").collect()[0][0]
+            assert "4 BUCKETS" in ddl
+            assert _bm25_results(spark, "r10bm_cp") == before and before
+        finally:
+            _drop(spark, *(f"r10bm_cp{s}" for s in BM25_TABLES))
+
+    def test_compact_ann_drops_replayed_ids(self, spark):
+        """compact_store('ann'): a replayed append duplicates id rows
+        (each occupies a top-k slot); compaction dedups on id with the
+        cell partitioning preserved, and search then matches a
+        never-replayed index exactly."""
+        from pipelinedp_spark.operators import similarity
+        from pipelinedp_spark.operators.dedup import compact_store
+
+        emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+               .filter(F.col("vec_id") < 200))
+        q = (emb.filter(F.col("vec_id") < 2)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+        similarity.build_ann_index(emb, "r10ann_cp", num_cells=4, m=4,
+                                   ksub=16)
+        try:
+            clean = sorted(
+                (r["query_id"], r["vec_id"], r["rank"], r["adist"])
+                for r in similarity.ann_search_from_index(
+                    q, "r10ann_cp", k=5, nprobe=4).collect())
+            # replay: the same rows appended again
+            similarity.build_ann_index(emb.limit(50), "r10ann_cp",
+                                       mode="append")
+            n_total = emb.count()
+            codes = spark.table("r10ann_cp_codes")
+            assert codes.count() == n_total + 50
+            compact_store(spark, "r10ann_cp", "ann")
+            codes = spark.table("r10ann_cp_codes")
+            assert codes.count() == n_total
+            assert codes.select("id").distinct().count() == n_total
+            ddl = spark.sql(
+                "SHOW CREATE TABLE r10ann_cp_codes").collect()[0][0]
+            assert "PARTITIONED BY (cell)" in ddl, ddl
+            after = sorted(
+                (r["query_id"], r["vec_id"], r["rank"], r["adist"])
+                for r in similarity.ann_search_from_index(
+                    q, "r10ann_cp", k=5, nprobe=4).collect())
+            assert after == clean and clean
+        finally:
+            _drop(spark, "r10ann_cp_codes", "r10ann_cp_centroids",
+                  "r10ann_cp_codebooks", "r10ann_cp_meta")
+
+    def test_ann_two_trigger_ingest_search_partition_prunes(self, spark):
+        """The stream_ann_store_mirror flow: bootstrap an EMPTY index
+        with persisted models, append two increments (the foreachBatch
+        body of streaming_ann_ingest), and the post-ingest search must
+        still carry a cell PartitionFilter (the IVF pruning survives
+        per-append partition writes)."""
+        import re as _re
+
+        from pipelinedp_spark import plans as P
+        from pipelinedp_spark.operators import similarity
+
+        emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+               .filter(F.col("vec_id") < 300))
+        x = similarity.sample_corpus_matrix(emb, "vec_id", "embedding",
+                                            10_000)
+        similarity.build_ann_index(
+            emb.limit(0), "r10ann_st", num_cells=4, m=4, ksub=16,
+            centroids=similarity.train_ivf_centroids(x, 4, 7),
+            codebooks=similarity.train_pq_codebooks(x, 4, 16, 7))
+        try:
+            for batch in (emb.filter(F.col("vec_id") % 2 == 0),
+                          emb.filter(F.col("vec_id") % 2 == 1)):
+                for t in ("r10ann_st_meta", "r10ann_st_centroids",
+                          "r10ann_st_codebooks"):
+                    spark.catalog.refreshTable(t)
+                similarity.build_ann_index(batch, "r10ann_st",
+                                           mode="append")
+            q = (emb.filter(F.col("vec_id") < 2)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("query_vec")))
+            out = similarity.ann_search_from_index(q, "r10ann_st", k=5,
+                                                   nprobe=2)
+            plan = P.explain_str(out)
+            mm = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+            assert mm and "cell" in mm.group(1), plan[:2000]
+            assert len(out.collect()) == 10
+        finally:
+            _drop(spark, "r10ann_st_codes", "r10ann_st_centroids",
+                  "r10ann_st_codebooks", "r10ann_st_meta")
+
+    def test_compact_minhash_reapplies_global_cap(self, spark):
+        """The build-time max_bucket_size persists in meta and
+        compact_store('minhash') re-applies it globally: a band bucket
+        that stayed under the cap in each increment but exceeds it in
+        union is dropped at compaction."""
+        from pipelinedp_spark.operators.dedup import (build_minhash_store,
+                                                      compact_store)
+
+        def clones(lo, hi):
+            return (spark.range(lo, hi)
+                    .select(F.col("id").alias("doc_id"),
+                            F.lit("identical text shared by every "
+                                  "clone in this corpus").alias("text")))
+
+        build_minhash_store(clones(0, 2), "r10mh_cap",
+                            max_bucket_size=3, num_buckets=4)
+        build_minhash_store(clones(2, 4), "r10mh_cap",
+                            max_bucket_size=3, mode="append")
+        try:
+            m = spark.table("r10mh_cap_meta").collect()[0]
+            assert int(m["max_bucket_size"]) == 3
+            # each increment passed the per-batch cap (2 <= 3) so the
+            # union holds 4 ids per band bucket — over the cap
+            per_bh = (spark.table("r10mh_cap_bands").groupBy("bh")
+                      .count().agg(F.max("count")).collect()[0][0])
+            assert per_bh == 4
+            compact_store(spark, "r10mh_cap", "minhash")
+            assert spark.table("r10mh_cap_bands").count() == 0
+            # shingles (the verify side) keep all docs
+            assert spark.table("r10mh_cap_shingles").count() == 4
+        finally:
+            _drop(spark, "r10mh_cap_bands", "r10mh_cap_shingles",
+                  "r10mh_cap_meta")
+
     def test_empty_corpus_builds_queryable_index(self, spark):
         """An empty reference bootstraps the incremental flow (same
         contract as the dedup stores): build empty, query empty,
