@@ -34,15 +34,18 @@ def _skew_df(spark, n: int):
         (F.col("id") * 1_000).alias("ts"))
 
 
-def _skew_queries(spark, n: int = 2_000_000):
-    """name -> thunk returning a DataFrame to collect."""
+def _skew_queries(spark, n: int = 2_000_000, scale: int = 1):
+    """name -> thunk returning a DataFrame to collect. ``scale``
+    multiplies every synthetic row count (the skew suite's own
+    second-decade knob: scale=10 is the 10x step used by
+    scripts/scaling100_probe.py)."""
     from pyspark.sql import functions as F
 
     import pipelinedp_spark as pds
     from pipelinedp_spark.operators.asof import asof_join
     from pipelinedp_spark.operators.sessions import session_stats
 
-    df = _skew_df(spark, n)
+    df = _skew_df(spark, n * scale)
 
     def dp_count_bounded():
         acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
@@ -95,7 +98,7 @@ def _skew_queries(spark, n: int = 2_000_000):
         # pigeonhole) that unit tests otherwise exercise at toy scale.
         from pipelinedp_spark.operators.dedup import simhash_pairs
         template = " ".join(f"boiler{i}" for i in range(24))
-        docs = spark.range(60_000).select(
+        docs = spark.range(60_000 * scale).select(
             F.col("id").alias("doc_id"),
             F.when(
                 F.pmod(F.col("id"), 3) == 0,
@@ -119,7 +122,7 @@ def _skew_queries(spark, n: int = 2_000_000):
         # and lets AQE split the residual join.
         from pipelinedp_spark.operators.dedup import duplicate_spans
         hot = " ".join(f"hot{i}" for i in range(8))
-        docs = spark.range(60_000).select(
+        docs = spark.range(60_000 * scale).select(
             F.col("id").alias("doc_id"),
             F.concat(
                 F.lit(hot + " "),
@@ -141,7 +144,7 @@ def _skew_queries(spark, n: int = 2_000_000):
         import numpy as np
         from pipelinedp_spark.operators.semdedup import semantic_dedup
         dim = 16
-        vecs = spark.range(40_000).select(
+        vecs = spark.range(40_000 * scale).select(
             F.col("id").alias("vec_id"),
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -161,7 +164,7 @@ def _skew_queries(spark, n: int = 2_000_000):
         from pipelinedp_spark.operators.clustering import (kmeans_assign,
                                                            kmeans_fit)
         dim = 16
-        vecs = spark.range(200_000).select(
+        vecs = spark.range(200_000 * scale).select(
             F.col("id").alias("vec_id"),
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),

@@ -19,7 +19,6 @@ No reference counterpart (net-new per project north star).
 
 from __future__ import annotations
 
-import os
 import re as _re
 from typing import Optional
 
@@ -29,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipelinedp_spark import store
 from pipelinedp_spark.functions import text as T
 
 
@@ -81,22 +81,15 @@ def build_exact_store(reference: DataFrame,
     anti-join is insensitive to multiplicity, so correctness holds and
     periodic compaction only saves space)."""
     spark = reference.sparkSession
-    if mode == "append":
-        # appends stay aligned with the existing bucket spec
-        num_buckets = int(spark.table(f"{store_name}_meta")
-                          .collect()[0]["num_buckets"])
-    else:
-        for suffix in ("_fps", "_meta"):
-            _drop_store_table(spark, store_name + suffix)
+    m = store.begin_build(spark, store_name, mode, ("_fps", "_meta"))
+    if m is not None:
+        num_buckets = int(m["num_buckets"])   # appends stay aligned
     fp = T.rolling_fingerprint(F.col(text_col))
     fps = reference.select(fp.alias("fingerprint")).distinct()
-    (fps.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "fingerprint").sortBy("fingerprint")
-     .saveAsTable(f"{store_name}_fps"))
+    store.write_bucketed(fps, f"{store_name}_fps", "fingerprint",
+                         num_buckets, mode)
     if mode != "append":
-        spark.sql(f"SELECT {int(num_buckets)} AS num_buckets") \
-            .write.mode("overwrite").format("parquet") \
-            .saveAsTable(f"{store_name}_meta")
+        store.write_meta(spark, store_name, num_buckets=int(num_buckets))
 
 
 def incremental_exact_dedup(new_docs: DataFrame,
@@ -1292,30 +1285,6 @@ def sentence_dedup(df: DataFrame,
         .alias("n_removed")))
 
 
-def _drop_store_table(spark, name: str) -> None:
-    """DROP TABLE IF EXISTS plus removal of an ORPHANED managed-table
-    location (a crashed prior session can leave the warehouse directory
-    behind with no catalog entry; saveAsTable then fails with
-    LOCATION_ALREADY_EXISTS even in overwrite mode). Local-filesystem
-    warehouses only — on cluster storage the catalog owns the
-    location."""
-    import shutil
-    import urllib.parse
-
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        p = urllib.parse.urlparse(wh).path
-        # Managed-table layout: default-database tables live directly
-        # under the warehouse root; '<db>.<table>' lives under
-        # '<db>.db/<table>'. (Deeper catalog.db.table names fall back
-        # to the last two parts.)
-        parts = name.lower().split(".")
-        rel = (parts[-1] if len(parts) == 1
-               else os.path.join(f"{parts[-2]}.db", parts[-1]))
-        shutil.rmtree(os.path.join(p, rel), ignore_errors=True)
-
-
 def build_minhash_store(reference: DataFrame,
                         store_name: str,
                         text_col: str = "text",
@@ -1357,19 +1326,12 @@ def build_minhash_store(reference: DataFrame,
     dropping buckets that grew past it across appends. Reference repo
     has no counterpart (net-new LLM-pipeline op)."""
     spark = reference.sparkSession
-    if mode == "append":
-        m = spark.table(f"{store_name}_meta").collect()[0]
-        if (m["k"], m["num_hashes"], m["rows_per_band"]) != (
-                k, num_hashes, rows_per_band):
-            raise ValueError(
-                f"store {store_name} was built with k={m['k']}, "
-                f"num_hashes={m['num_hashes']}, "
-                f"rows_per_band={m['rows_per_band']}; appending with "
-                f"({k}, {num_hashes}, {rows_per_band}) would corrupt it")
+    m = store.begin_build(spark, store_name, mode,
+                          ("_bands", "_shingles", "_meta"),
+                          validate={"k": k, "num_hashes": num_hashes,
+                                    "rows_per_band": rows_per_band})
+    if m is not None:
         num_buckets = int(m["num_buckets"])   # appends stay aligned
-    else:
-        for suffix in ("_bands", "_shingles", "_meta"):
-            _drop_store_table(spark, store_name + suffix)
     bands = (minhash_bands(reference, text_col, id_col, k, num_hashes,
                            rows_per_band)
              .select(F.col(id_col).alias("id"),
@@ -1380,22 +1342,18 @@ def build_minhash_store(reference: DataFrame,
              .filter(F.col("__n__") <= max_bucket_size)
              .select("bh").hint("shuffle_hash"))
     bands = bands.join(sizes, "bh").select("id", "bh")
-    (bands.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "bh").sortBy("bh")
-     .saveAsTable(f"{store_name}_bands"))
+    store.write_bucketed(bands, f"{store_name}_bands", "bh",
+                         num_buckets, mode)
     sh = (shingle_docs(reference, text_col, id_col, k)
           .select(F.col(id_col).alias("id"), "shingles"))
-    (sh.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "id").sortBy("id")
-     .saveAsTable(f"{store_name}_shingles"))
+    store.write_bucketed(sh, f"{store_name}_shingles", "id",
+                         num_buckets, mode)
     if mode != "append":
-        spark.sql(
-            f"SELECT {int(k)} AS k, {int(num_hashes)} AS num_hashes, "
-            f"{int(rows_per_band)} AS rows_per_band, "
-            f"{int(num_buckets)} AS num_buckets, "
-            f"{int(max_bucket_size)} AS max_bucket_size"
-        ).write.mode("overwrite").format("parquet") \
-            .saveAsTable(f"{store_name}_meta")
+        store.write_meta(spark, store_name, k=int(k),
+                         num_hashes=int(num_hashes),
+                         rows_per_band=int(rows_per_band),
+                         num_buckets=int(num_buckets),
+                         max_bucket_size=int(max_bucket_size))
 
 
 def incremental_near_dup(new_docs: DataFrame,
@@ -1553,35 +1511,25 @@ def build_span_store(reference: DataFrame,
     ``mode='append'`` adds a reference increment bucket-aligned."""
     spark = reference.sparkSession
     seed_len = _auto_seed_len(min_len, seed_len)
-    if mode == "append":
-        m = spark.table(f"{store_name}_meta").collect()[0]
-        if (int(m["min_len"]), int(m["seed_len"])) != (min_len,
-                                                       seed_len):
-            raise ValueError(
-                f"store {store_name} was built with min_len="
-                f"{m['min_len']}, seed_len={m['seed_len']}; appending "
-                f"with ({min_len}, {seed_len}) would corrupt it")
+    m = store.begin_build(spark, store_name, mode,
+                          ("_anchors", "_texts", "_meta"),
+                          validate={"min_len": min_len,
+                                    "seed_len": seed_len})
+    if m is not None:
         num_buckets = int(m["num_buckets"])   # appends stay aligned
-    else:
-        for suffix in ("_anchors", "_texts", "_meta"):
-            _drop_store_table(spark, store_name + suffix)
     eligible = (reference
                 .filter(F.length(F.col(text_col)) >= min_len)
                 .select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("text")))
     anchors = _winnow_anchors(eligible, "text", "id", min_len, seed_len)
-    (anchors.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "ah").sortBy("ah")
-     .saveAsTable(f"{store_name}_anchors"))
-    (eligible.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "id").sortBy("id")
-     .saveAsTable(f"{store_name}_texts"))
+    store.write_bucketed(anchors, f"{store_name}_anchors", "ah",
+                         num_buckets, mode)
+    store.write_bucketed(eligible, f"{store_name}_texts", "id",
+                         num_buckets, mode)
     if mode != "append":
-        spark.sql(
-            f"SELECT {int(min_len)} AS min_len, {int(seed_len)} AS "
-            f"seed_len, {int(num_buckets)} AS num_buckets"
-        ).write.mode("overwrite").format("parquet") \
-            .saveAsTable(f"{store_name}_meta")
+        store.write_meta(spark, store_name, min_len=int(min_len),
+                         seed_len=int(seed_len),
+                         num_buckets=int(num_buckets))
 
 
 def incremental_decontaminate_spans(docs: DataFrame,
@@ -1757,11 +1705,9 @@ def compact_store(spark, store_name: str, kind: str) -> None:
     meta = spark.table(f"{store_name}_meta").collect()[0]
 
     def rewrite(table: str, df, bucket_col: str) -> None:
-        nbuck = int(meta["num_buckets"])
         df = df.localCheckpoint()   # the write replaces what it reads
-        (df.write.mode("overwrite").format("parquet")
-         .bucketBy(nbuck, bucket_col).sortBy(bucket_col)
-         .saveAsTable(table))
+        store.write_bucketed(df, table, bucket_col,
+                             int(meta["num_buckets"]), "overwrite")
 
     if kind == "exact":
         t = f"{store_name}_fps"

@@ -1499,41 +1499,31 @@ def build_phash_store(reference: DataFrame,
     with zero Exchange on the store side; plus ``{store}_meta``
     (max_hamming, num_blocks, num_buckets). ``mode='append'`` grows
     the index bucket-aligned after a knob check."""
-    from pipelinedp_spark.operators.dedup import _drop_store_table
+    from pipelinedp_spark import store
     spark = reference.sparkSession
     if max_hamming > num_blocks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs num_blocks >= "
             f"{max_hamming + 1} (pigeonhole recall bound)")
-    if mode == "append":
-        m = spark.table(f"{store_name}_meta").collect()[0]
-        if (int(m["max_hamming"]), int(m["num_blocks"])) != (
-                max_hamming, num_blocks):
-            raise ValueError(
-                f"store {store_name} was built with max_hamming="
-                f"{m['max_hamming']}, num_blocks={m['num_blocks']}; "
-                f"appending with ({max_hamming}, {num_blocks}) would "
-                "corrupt it")
+    m = store.begin_build(spark, store_name, mode,
+                          ("_blocks", "_meta"),
+                          validate={"max_hamming": max_hamming,
+                                    "num_blocks": num_blocks})
+    if m is not None:
         num_buckets = int(m["num_buckets"])   # appends stay aligned
-    else:
-        for suffix in ("_blocks", "_meta"):
-            _drop_store_table(spark, store_name + suffix)
     hashes = (image_phash(reference, binary_col)
               .select(F.col("phash").alias("ph"))
               .filter(F.col("ph").isNotNull())
               .distinct())
     blocks = hashes.select("ph", F.explode(_phash_blocks(
         "ph", num_blocks)).alias("bk"))
-    (blocks.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "bk").sortBy("bk")
-     .saveAsTable(f"{store_name}_blocks"))
+    store.write_bucketed(blocks, f"{store_name}_blocks", "bk",
+                         num_buckets, mode)
     if mode != "append":
-        spark.sql(
-            f"SELECT {int(max_hamming)} AS max_hamming, "
-            f"{int(num_blocks)} AS num_blocks, "
-            f"{int(num_buckets)} AS num_buckets"
-        ).write.mode("overwrite").format("parquet") \
-            .saveAsTable(f"{store_name}_meta")
+        store.write_meta(spark, store_name,
+                         max_hamming=int(max_hamming),
+                         num_blocks=int(num_blocks),
+                         num_buckets=int(num_buckets))
 
 
 def _phash_blocks(hash_col: str, num_blocks: int):

@@ -341,18 +341,17 @@ def build_bm25_index(docs: DataFrame,
     Build = the word-count shuffle paid once. Queries against a 100-TB
     corpus then cost only the postings of their terms — the serving
     shape of a real inverted index."""
-    from pipelinedp_spark.operators.dedup import _drop_store_table
+    from pipelinedp_spark import store
     spark = docs.sparkSession
-    if mode == "append":
-        m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.begin_build(spark, store_name, mode,
+                          ("_postings", "_terms", "_meta"))
+    if m is not None:
         prev_n = int(m["n_docs"])
         prev_tot = (int(m["total_dl"]) if "total_dl" in m.__fields__
                     else int(round(float(m["avgdl"]) * prev_n)))
         num_buckets = int(m["num_buckets"])   # appends stay aligned
     else:
         prev_n = prev_tot = 0
-        for suffix in ("_postings", "_terms", "_meta"):
-            _drop_store_table(spark, store_name + suffix)
     tf = term_frequencies(docs, text_col, id_col).localCheckpoint()
     dl = doc_lengths(tf, id_col)
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
@@ -362,25 +361,17 @@ def build_bm25_index(docs: DataFrame,
     avgdl = float(total_dl) / float(n_docs) if n_docs else 0.0
     post = (tf.join(dl, id_col)
             .select("term", F.col(id_col).alias("id"), "tf", "dl"))
-    (post.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "term").sortBy("term")
-     .saveAsTable(f"{store_name}_postings"))
+    store.write_bucketed(post, f"{store_name}_postings", "term",
+                         num_buckets, mode)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    (dft.write.mode(mode).format("parquet")
-     .bucketBy(num_buckets, "term").sortBy("term")
-     .saveAsTable(f"{store_name}_terms"))
-    spark.sql(
-        f"SELECT {n_docs} AS n_docs, CAST({total_dl} AS BIGINT) AS "
-        f"total_dl, CAST({avgdl!r} AS DOUBLE) AS avgdl, "
-        f"{int(num_buckets)} AS num_buckets"
-    ).write.mode("overwrite").format("parquet") \
-        .saveAsTable(f"{store_name}_meta")
+    store.write_bucketed(dft, f"{store_name}_terms", "term",
+                         num_buckets, mode)
+    store.write_meta(spark, store_name, n_docs=int(n_docs),
+                     total_dl=int(total_dl), avgdl=float(avgdl),
+                     num_buckets=int(num_buckets))
     if mode == "append":
-        # Appends invalidate any relation cached from a pre-append read
-        # in this session (the stale-relation gotcha found on the exact
-        # store, pinned in tests).
-        for suffix in ("_postings", "_terms", "_meta"):
-            spark.catalog.refreshTable(store_name + suffix)
+        store.refresh_store(spark, store_name,
+                            ("_postings", "_terms", "_meta"))
 
 
 def bm25_topk_from_index(queries: DataFrame,

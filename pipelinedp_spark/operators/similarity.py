@@ -738,10 +738,12 @@ def build_ann_index(corpus: DataFrame,
     the PERSISTED models are loaded and reused (training is skipped —
     retraining would silently re-shard the existing codes), and the
     new codes land in their cell partitions."""
-    from pipelinedp_spark.operators.dedup import _drop_store_table
+    from pipelinedp_spark import store
     spark = corpus.sparkSession
-    if mode == "append":
-        meta = spark.table(f"{store_name}_meta").collect()[0]
+    meta = store.begin_build(
+        spark, store_name, mode,
+        ("_codes", "_centroids", "_codebooks", "_meta"))
+    if meta is not None:
         m_, ksub_, sub = (int(meta["m"]), int(meta["ksub"]),
                           int(meta["subdim"]))
         cts = np.array([r["cv"] for r in
@@ -762,8 +764,6 @@ def build_ann_index(corpus: DataFrame,
         cts = np.asarray(centroids, dtype="float64")
         cb = np.asarray(codebooks, dtype="float64")
         m_, ksub_, sub = cb.shape
-        for suffix in ("_codes", "_centroids", "_codebooks", "_meta"):
-            _drop_store_table(spark, store_name + suffix)
 
     @pandas_udf("int")
     def _cell(vec: pd.Series) -> pd.Series:
@@ -807,11 +807,8 @@ def build_ann_index(corpus: DataFrame,
         "sub int, idx int, c array<double>") \
         .write.mode("overwrite").format("parquet") \
         .saveAsTable(f"{store_name}_codebooks")
-    spark.sql(
-        f"SELECT {int(len(cts))} AS num_cells, {int(m_)} AS m, "
-        f"{int(ksub_)} AS ksub, {int(sub)} AS subdim"
-    ).write.mode("overwrite").format("parquet") \
-        .saveAsTable(f"{store_name}_meta")
+    store.write_meta(spark, store_name, num_cells=int(len(cts)),
+                     m=int(m_), ksub=int(ksub_), subdim=int(sub))
 
 
 def ann_search_from_index(queries: DataFrame,

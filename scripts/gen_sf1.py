@@ -174,6 +174,19 @@ def ensure_sf10_documents(spark) -> str:
                     tables=["documents"])
 
 
+def ensure_sf10_dp(spark) -> str:
+    """orders/events sf10 (plus the tiny dims the DP queries join) for
+    the second-decade probe of the DP-engine bounding pipeline and the
+    events-window paths (VERDICT r9 task 5); ~250 MB, generated lazily,
+    gitignored like sf1."""
+    marker = os.path.join(DST10, "events.parquet")
+    if os.path.isdir(marker):
+        return DST10
+    return generate(spark, replicas=100, dst=DST10,
+                    tables=["region", "nation", "customer", "orders",
+                            "events"])
+
+
 if __name__ == "__main__":
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[32]")
