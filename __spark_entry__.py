@@ -1644,6 +1644,7 @@ _DRIVER_ARTIFACT_FIRST = [
     # new round-10 queries first (must land inside the 50-row cap)
     "doc_bm25_append",
     "stream_ann_store_mirror",
+    "stream_bm25_store_mirror",
     # round-10 rotation, ordered by STALENESS: the driver records
     # only the first 50 queries() entries per round, so the front
     # list cycles through the registry oldest-record-first. These
@@ -1697,7 +1698,6 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_wet_roundtrip",
     "doc_tar_shards",
     "multimodal_exif",
-    "multimodal_mp3_meta",
 ]
 
 
@@ -1821,6 +1821,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf": _doc_hybrid_rrf,
         "doc_bm25_incremental": _doc_bm25_incremental,
         "doc_bm25_append": _doc_bm25_append,
+        "stream_bm25_store_mirror": _stream_bm25_store_mirror,
         "dedup_exact_incremental": _dedup_exact_incremental,
         "stream_exact_store_mirror": _stream_exact_store_mirror,
         "stream_ann_store_mirror": _stream_ann_store_mirror,
@@ -2017,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hybrid_rrf": _gen_hybrid_rrf_sql(),
         "doc_bm25_incremental": _gen_bm25_sql(k=15),
         "doc_bm25_append": _gen_bm25_sql(k=12),
+        "stream_bm25_store_mirror": _gen_bm25_sql(k=9),
         "dedup_exact_incremental": _DEDUP_EXACT_INCR_SQL,
         "stream_exact_store_mirror": _STREAM_EXACT_STORE_MIRROR_SQL,
         "stream_ann_store_mirror": _gen_ivf_pq_topk_sql(nprobe=4, k=6),
@@ -4768,6 +4770,38 @@ def _doc_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     for t in ("bm25_idx_r10a_postings", "bm25_idx_r10a_terms",
               "bm25_idx_r10a_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def _stream_bm25_store_mirror(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Batch mirror of `streaming.streaming_bm25_ingest` with exact
+    two-trigger-plus-replay semantics: the index bootstraps EMPTY;
+    trigger 0 appends docs with doc_id % 3 == 0, trigger 1 the rest,
+    then trigger 1 REPLAYS (at-least-once delivery) and must be
+    suppressed by the ingest-log batch-id guard — BM25 appends, unlike
+    the anti-join stores, double-count tf/df/scalars on replay, so the
+    oracle equality below is itself the idempotence proof. Serving at
+    k=9 (distinguishing the rows from the k=10/12/15 siblings) must
+    equal the whole-corpus BM25 SQL."""
+    from pipelinedp_spark.operators import retrieval
+    from pipelinedp_spark.streaming.dp_streaming import (
+        append_bm25_batch_idempotent)
+    docs = _t(spark, sf_dir, "documents")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    retrieval.build_bm25_index(docs.limit(0), "bm25_idx_r10st",
+                               num_buckets=4)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    assert append_bm25_batch_idempotent(b0, "bm25_idx_r10st", 0)
+    assert append_bm25_batch_idempotent(b1, "bm25_idx_r10st", 1)
+    assert not append_bm25_batch_idempotent(b1, "bm25_idx_r10st", 1)
+    out = retrieval.bm25_topk_from_index(q, "bm25_idx_r10st", k=9) \
+        .localCheckpoint()
+    for t in ("bm25_idx_r10st_postings", "bm25_idx_r10st_terms",
+              "bm25_idx_r10st_meta", "bm25_idx_r10st_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 

@@ -1604,6 +1604,72 @@ def streaming_ann_ingest(stream: DataFrame,
             .start())
 
 
+def append_bm25_batch_idempotent(batch_df: DataFrame,
+                                 store_name: str,
+                                 batch_id: int,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> bool:
+    """Append one micro-batch to a persisted BM25 index EXACTLY ONCE.
+
+    Unlike the anti-join stores (exact/minhash/span/phash — replay-safe
+    because duplicate index rows can't change a semi/anti-join) and the
+    ANN store (duplicates compactable by id), BM25 appends are NOT
+    multiplicity-insensitive: a replayed batch double-counts tf, df and
+    the n_docs/total_dl scalars, silently corrupting every score. The
+    guard is the standard transactional-sink emulation: a
+    ``{store}_ingest_log`` table records processed batch ids; a replay
+    of a logged id is a no-op. Returns True if the batch was applied,
+    False if skipped as a replay. (The log row lands after the append,
+    so a crash BETWEEN append and log can still double-apply — the
+    window is one batch and a `build_bm25_index` rebuild recovers;
+    closing it fully needs an atomic multi-table commit no plain
+    parquet catalog offers.)"""
+    from pipelinedp_spark.operators.retrieval import build_bm25_index
+    s = batch_df.sparkSession
+    log_table = f"{store_name}_ingest_log"
+    if s.catalog.tableExists(log_table):
+        s.catalog.refreshTable(log_table)
+        done = s.table(log_table).filter(
+            F.col("batch_id") == int(batch_id)).limit(1).count()
+        if done:
+            return False
+    for t in (f"{store_name}_postings", f"{store_name}_terms",
+              f"{store_name}_meta"):
+        s.catalog.refreshTable(t)
+    build_bm25_index(batch_df, store_name, text_col=text_col,
+                     id_col=id_col, mode="append")
+    s.sql(f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id") \
+        .write.mode("append").format("parquet").saveAsTable(log_table)
+    return True
+
+
+def streaming_bm25_ingest(stream: DataFrame,
+                          store_name: str,
+                          checkpoint_dir: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Streaming ingest into the persisted BM25 inverted index
+    (`operators.retrieval.build_bm25_index`) — the last store-family
+    member to get a streaming face: each micro-batch appends its
+    postings and df segment bucket-aligned and refreshes the
+    n_docs/total_dl/avgdl scalars exactly, so `bm25_topk_from_index`
+    between triggers always serves scores identical to a from-scratch
+    index over everything ingested so far. At-least-once replays are
+    suppressed by the ``{store}_ingest_log`` batch-id guard
+    (`append_bm25_batch_idempotent`) because BM25 appends, unlike the
+    anti-join stores, are corrupted by duplicates. The caller builds
+    the index first (possibly from an empty corpus). Returns the
+    started StreamingQuery."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        append_bm25_batch_idempotent(batch_df, store_name, batch_id,
+                                     text_col, id_col)
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def streaming_cluster_assign(stream: DataFrame, centroids,
                              vec_col: str = "embedding",
                              quant_scale: int = 1 << 20) -> DataFrame:

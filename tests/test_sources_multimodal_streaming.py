@@ -1208,3 +1208,51 @@ def test_streaming_ann_ingest_end_to_end(spark, tmp_path):
     for t in ("e2e_ann_codes", "e2e_ann_centroids", "e2e_ann_codebooks",
               "e2e_ann_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_bm25_ingest_end_to_end(spark, tmp_path):
+    """Documents streamed into the persisted BM25 index serve scores
+    identical to a from-scratch index over everything ingested, and
+    the ingest-log guard makes a replayed batch a no-op (BM25 appends
+    double-count tf/df on replay, unlike the anti-join stores)."""
+    from pyspark.sql import functions as F
+
+    from pipelinedp_spark.operators.retrieval import (bm25_topk,
+                                                      build_bm25_index,
+                                                      bm25_topk_from_index)
+    from pipelinedp_spark.streaming.dp_streaming import (
+        append_bm25_batch_idempotent, streaming_bm25_ingest)
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    tables = ("e2e_bm25_postings", "e2e_bm25_terms", "e2e_bm25_meta",
+              "e2e_bm25_ingest_log")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(120))
+    build_bm25_index(docs.limit(0), "e2e_bm25", num_buckets=4)
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src + "/f1.parquet")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(src + "/f2.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string, "
+                                      "n_chars long")
+              .parquet(src + "/*").select("doc_id", "text"))
+    q = streaming_bm25_ingest(stream, "e2e_bm25", ckpt)
+    q.awaitTermination(120)
+    qdf = spark.sql("SELECT * FROM VALUES (0, 'hash join merge'), "
+                    "(1, 'scan filter') AS t(query_id, query_text)")
+    got = sorted((r["query_id"], r["doc_id"], r["rank"], r["score"])
+                 for r in bm25_topk_from_index(qdf, "e2e_bm25",
+                                               k=10).collect())
+    want = sorted((r["query_id"], r["doc_id"], r["rank"], r["score"])
+                  for r in bm25_topk(docs, qdf, k=10).collect())
+    assert got == want and got
+    # replay guard: re-applying a logged batch id changes nothing
+    n_log = spark.table("e2e_bm25_ingest_log").count()
+    assert not append_bm25_batch_idempotent(
+        docs.filter(F.col("doc_id") % 2 == 0), "e2e_bm25", 0)
+    assert spark.table("e2e_bm25_ingest_log").count() == n_log
+    assert sorted((r["query_id"], r["doc_id"], r["rank"], r["score"])
+                  for r in bm25_topk_from_index(qdf, "e2e_bm25",
+                                                k=10).collect()) == want
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
