@@ -295,6 +295,57 @@ class TestBM25Append:
             _drop(spark, "r10mh_hot_bands", "r10mh_hot_shingles",
                   "r10mh_hot_meta")
 
+    def test_random_batch_splits_equal_build_once(self, spark):
+        """Property: for ANY partition of the corpus into ingest
+        batches (random assignment, several seeds), building a store
+        from batch 0 and appending the rest serves results identical
+        to a build-once store over the whole corpus — the invariant
+        the entire incremental-store family rests on, checked here for
+        the two kinds where appends touch DERIVED global state (bm25:
+        df segments + n_docs/total_dl scalars; exact: fingerprint set
+        union)."""
+        from pipelinedp_spark.operators import retrieval
+        from pipelinedp_spark.operators.dedup import (build_exact_store,
+                                                      incremental_exact_dedup)
+
+        docs = _docs(spark).limit(150).localCheckpoint()
+        retrieval.build_bm25_index(docs, "r10bm_prop_once", num_buckets=4)
+        once = _bm25_results(spark, "r10bm_prop_once")
+        probe = (_docs(spark).limit(200)
+                 .filter(F.col("doc_id") >= 150)
+                 .select((F.col("doc_id") + 70000).alias("doc_id"),
+                         "text")
+                 .unionByName(docs.limit(3).select(
+                     (F.col("doc_id") + 80000).alias("doc_id"), "text"))
+                 .localCheckpoint())
+        build_exact_store(docs, "r10ex_prop_once", num_buckets=4)
+        exact_once = {r["doc_id"] for r in incremental_exact_dedup(
+            probe, "r10ex_prop_once").select("doc_id").collect()}
+        try:
+            for seed, nbatches in ((11, 2), (23, 3), (37, 4)):
+                part = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)),
+                              F.lit(nbatches))
+                retrieval.build_bm25_index(
+                    docs.filter(part == 0), "r10bm_prop", num_buckets=4)
+                build_exact_store(docs.filter(part == 0), "r10ex_prop",
+                                  num_buckets=4)
+                for b in range(1, nbatches):
+                    retrieval.build_bm25_index(
+                        docs.filter(part == b), "r10bm_prop",
+                        mode="append")
+                    build_exact_store(docs.filter(part == b),
+                                      "r10ex_prop", mode="append")
+                assert _bm25_results(spark, "r10bm_prop") == once, \
+                    (seed, nbatches)
+                got = {r["doc_id"] for r in incremental_exact_dedup(
+                    probe, "r10ex_prop").select("doc_id").collect()}
+                assert got == exact_once, (seed, nbatches)
+        finally:
+            _drop(spark, *(f"r10bm_prop_once{s}" for s in BM25_TABLES),
+                  *(f"r10bm_prop{s}" for s in BM25_TABLES),
+                  "r10ex_prop_once_fps", "r10ex_prop_once_meta",
+                  "r10ex_prop_fps", "r10ex_prop_meta")
+
     def test_empty_corpus_builds_queryable_index(self, spark):
         """An empty reference bootstraps the incremental flow (same
         contract as the dedup stores): build empty, query empty,
