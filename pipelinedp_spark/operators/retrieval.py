@@ -381,13 +381,24 @@ def bm25_topk_from_index(queries: DataFrame,
                          b: float = 0.75,
                          id_col: str = "doc_id",
                          query_id: str = "query_id",
-                         query_text: str = "query_text") -> DataFrame:
+                         query_text: str = "query_text",
+                         max_df_ratio: float | None = None) -> DataFrame:
     """`bm25_topk` semantics served from a persisted `build_bm25_index`
     store: the corpus is never re-tokenized; the query terms (a tiny
     broadcast) join the bucketed postings and term tables with zero
     Exchange on the index side, so per-query cost is proportional to
     the touched postings — identical scores, ranks, and tie-breaks to
-    the from-scratch operator (pinned by equality test)."""
+    the from-scratch operator (pinned by equality test).
+
+    The per-query-term df lookup happens BEFORE the postings join (the
+    bucketed terms scan joins the broadcast query terms, and the tiny
+    result broadcasts into the postings scan), which enables
+    ``max_df_ratio``: the stopword guard of a production index. A
+    query term present in more than ``max_df_ratio * n_docs`` documents
+    drags a corpus-sized postings slice through the per-query
+    aggregation while contributing near-zero idf — with the guard it is
+    dropped before its postings are ever probed. Default None = score
+    every term exactly (the oracle-checked mode)."""
     spark = queries.sparkSession
     m = spark.table(f"{store_name}_meta").collect()[0]
     n_docs, avgdl = int(m["n_docs"]), float(m["avgdl"])
@@ -402,12 +413,16 @@ def bm25_topk_from_index(queries: DataFrame,
         F.col(query_id),
         F.explode(F.array_distinct(T.tokens(F.col(query_text))))
         .alias("term"))
+    # (query_id, term, df): one row per query term — tiny by
+    # construction, so it broadcasts into the postings scan.
+    qt = dft.join(F.broadcast(qterms), "term")
+    if max_df_ratio is not None:
+        qt = qt.filter(F.col("df") <= float(max_df_ratio) * n_docs)
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1)
                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
-    scored = (post.join(F.broadcast(qterms), "term")
-              .join(dft, "term")
+    scored = (post.join(F.broadcast(qt), "term")
               .groupBy(query_id, "id")
               .agg(F.sum(idf * tf_part).alias("score")))
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),

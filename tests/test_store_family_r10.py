@@ -346,6 +346,45 @@ class TestBM25Append:
                   "r10ex_prop_once_fps", "r10ex_prop_once_meta",
                   "r10ex_prop_fps", "r10ex_prop_meta")
 
+    def test_max_df_ratio_stopword_guard(self, spark):
+        """The production-index stopword guard: a query term present in
+        > max_df_ratio of documents is dropped BEFORE its postings are
+        probed — results equal scoring the query without that term
+        (and default None keeps exact full scoring)."""
+        from pipelinedp_spark.operators import retrieval
+
+        docs = (_docs(spark).limit(120)
+                .select("doc_id",
+                        F.concat(F.lit("the "), F.col("text"))
+                        .alias("text")))
+        retrieval.build_bm25_index(docs, "r10bm_sw", num_buckets=4)
+        try:
+            q_with = spark.sql("SELECT 0 AS query_id, "
+                               "'the hash join' AS query_text")
+            q_without = spark.sql("SELECT 0 AS query_id, "
+                                  "'hash join' AS query_text")
+            guarded = sorted(
+                (r["query_id"], r["doc_id"], r["rank"], r["score"])
+                for r in retrieval.bm25_topk_from_index(
+                    q_with, "r10bm_sw", k=10,
+                    # the planted 'the' has df ratio exactly 1.0; the
+                    # synthetic corpus is keyword-dense ('hash' 0.73,
+                    # 'join' 0.79 at sf0.001), so guard just above them
+                    max_df_ratio=0.99).collect())
+            want = sorted(
+                (r["query_id"], r["doc_id"], r["rank"], r["score"])
+                for r in retrieval.bm25_topk_from_index(
+                    q_without, "r10bm_sw", k=10).collect())
+            assert guarded == want and guarded
+            # default None scores the stopword too (exact mode differs)
+            full = sorted(
+                (r["query_id"], r["doc_id"], r["rank"], r["score"])
+                for r in retrieval.bm25_topk_from_index(
+                    q_with, "r10bm_sw", k=10).collect())
+            assert full != want
+        finally:
+            _drop(spark, *(f"r10bm_sw{s}" for s in BM25_TABLES))
+
     def test_empty_corpus_builds_queryable_index(self, spark):
         """An empty reference bootstraps the incremental flow (same
         contract as the dedup stores): build empty, query empty,
