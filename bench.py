@@ -179,6 +179,67 @@ def _skew_queries(spark, n: int = 2_000_000, scale: int = 1):
         cents, _ = kmeans_fit(vecs, k=8, iters=2, quant_scale=1 << 16)
         return kmeans_assign(vecs, cents).groupBy("cluster").count()
 
+    def store_hot_band():
+        # Half the reference is ONE identical document family: every
+        # band bucket of that family holds 50% of the corpus — the
+        # adversarial case for the bucketed store join (AQE cannot
+        # re-split a bucketed scan). The max_bucket_size cap drops the
+        # degenerate buckets at build, bounding per-task candidate work
+        # to cap x batch; this measures the whole build+ingest flow
+        # under that skew.
+        from pipelinedp_spark.operators.dedup import (build_minhash_store,
+                                                      incremental_near_dup)
+        n = 100_000 * scale
+        ref = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.pmod(F.col("id"), 2) == 0,
+                   F.lit("identical boilerplate page repeated across "
+                         "half the crawl corpus"))
+            .otherwise(F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.conv(F.abs(F.xxhash64(F.col("id"), i))
+                                 .cast("string"), 10, 36))))
+            .alias("text"))
+        build_minhash_store(ref, "skew_mh_store", max_bucket_size=200,
+                            num_buckets=8)
+        batch = spark.range(n, n + n // 10).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.pmod(F.col("id"), 2) == 0,
+                   F.lit("identical boilerplate page repeated across "
+                         "half the crawl corpus"))
+            .otherwise(F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.conv(F.abs(F.xxhash64(F.col("id"), i,
+                                                  F.lit(9)))
+                                 .cast("string"), 10, 36))))
+            .alias("text"))
+        return incremental_near_dup(batch, "skew_mh_store")
+
+    def bm25_hot_term():
+        # Every document contains the stopword 'the': a query touching
+        # it would aggregate a corpus-sized postings slice per query.
+        # Measures the served path WITH the max_df_ratio guard — the
+        # production mitigation (drop near-zero-idf over-ratio terms
+        # before their postings are probed).
+        from pipelinedp_spark.operators.retrieval import (
+            bm25_topk_from_index, build_bm25_index)
+        n = 100_000 * scale
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("the "), F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(10)),
+                lambda i: F.conv(F.abs(F.xxhash64(F.col("id"), i))
+                                 .cast("string"), 10, 36))))
+            .alias("text"))
+        build_bm25_index(docs, "skew_bm25_store", num_buckets=8)
+        # queries = the stopword + a real (rare) corpus token each
+        q = docs.limit(2).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat(F.lit("the "), F.split(F.col("text"), " ")[1])
+            .alias("query_text"))
+        return bm25_topk_from_index(q, "skew_bm25_store", k=10,
+                                    max_df_ratio=0.9)
+
     return {
         "skew_dp_count_bounded": dp_count_bounded,
         "skew_dp_mean_generous_cap": dp_mean_generous_cap,
@@ -188,6 +249,8 @@ def _skew_queries(spark, n: int = 2_000_000, scale: int = 1):
         "skew_duplicate_spans": duplicate_spans_hot_span,
         "skew_semdedup_hot_cell": semdedup_hot_cell,
         "skew_kmeans_hot_cluster": kmeans_hot_cluster,
+        "skew_store_hot_band": store_hot_band,
+        "skew_bm25_hot_term": bm25_hot_term,
     }
 
 
