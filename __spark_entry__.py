@@ -1645,6 +1645,8 @@ _DRIVER_ARTIFACT_FIRST = [
     "doc_bm25_append",
     "stream_ann_store_mirror",
     "stream_bm25_store_mirror",
+    "doc_bm25_takedown",
+    "sim_ann_takedown",
     # round-10 rotation, ordered by STALENESS: the driver records
     # only the first 50 queries() entries per round, so the front
     # list cycles through the registry oldest-record-first. These
@@ -1696,8 +1698,6 @@ _DRIVER_ARTIFACT_FIRST = [
     "stream_line_dedup_mirror",
     "doc_token_budget",
     "doc_wet_roundtrip",
-    "doc_tar_shards",
-    "multimodal_exif",
 ]
 
 
@@ -1822,6 +1822,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_incremental": _doc_bm25_incremental,
         "doc_bm25_append": _doc_bm25_append,
         "stream_bm25_store_mirror": _stream_bm25_store_mirror,
+        "doc_bm25_takedown": _doc_bm25_takedown,
+        "sim_ann_takedown": _sim_ann_takedown,
         "dedup_exact_incremental": _dedup_exact_incremental,
         "stream_exact_store_mirror": _stream_exact_store_mirror,
         "stream_ann_store_mirror": _stream_ann_store_mirror,
@@ -2019,6 +2021,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_incremental": _gen_bm25_sql(k=15),
         "doc_bm25_append": _gen_bm25_sql(k=12),
         "stream_bm25_store_mirror": _gen_bm25_sql(k=9),
+        "doc_bm25_takedown": _gen_bm25_sql(k=13, where="doc_id % 5 <> 0"),
+        "sim_ann_takedown": _gen_ivf_pq_topk_sql(
+            nprobe=3, k=7, corpus_where="vec_id % 4 <> 0"),
         "dedup_exact_incremental": _DEDUP_EXACT_INCR_SQL,
         "stream_exact_store_mirror": _STREAM_EXACT_STORE_MIRROR_SQL,
         "stream_ann_store_mirror": _gen_ivf_pq_topk_sql(nprobe=4, k=6),
@@ -3467,7 +3472,8 @@ def _stream_ann_store_mirror(spark: SparkSession,
 
 def _gen_ivf_pq_topk_sql(num_cells: int = 8, nprobe: int = 2, m: int = 4,
                          ksub: int = 16, k: int = 10, seed: int = 7,
-                         sf_dir: str = "/root/testdata/sf0.01") -> str:
+                         sf_dir: str = "/root/testdata/sf0.01",
+                         corpus_where: str = "TRUE") -> str:
     """SQL mirror of `similarity.ivf_pq_topk`: both quantizers re-trained
     from the same parquet sample, centroid AND codebook literals
     injected; candidates = corpus cells joined to each query's nprobe
@@ -3502,7 +3508,7 @@ ass AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY list_dot_product(v, cv) DESC,
                                        cell ASC) AS rn
-    FROM base CROSS JOIN cells) WHERE rn = 1),
+    FROM base CROSS JOIN cells WHERE {corpus_where}) WHERE rn = 1),
 qcells AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT vec_id, cell,
@@ -4659,16 +4665,19 @@ def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(docs, q, k=10)
 
 
-def _gen_bm25_sql(k: int = 10, sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _gen_bm25_sql(k: int = 10, sf_dir: str = "/root/testdata/sf0.01",
+                  where: str = "TRUE") -> str:
     """SQL mirror of `retrieval.bm25_topk`: N and avgdl are computed once
     in Python from the parquet (exactly as the operator computes them)
     and injected as literals; the score expression mirrors the Column
     arithmetic term-for-term (same association, same Python-folded
-    constants for k1=1.2, b=0.75)."""
+    constants for k1=1.2, b=0.75). ``where`` restricts the corpus (the
+    takedown oracle scores `documents WHERE <where>`)."""
     import duckdb
     n, tot = duckdb.sql(
         f"SELECT COUNT(*), SUM(len(string_split(text, ' ')))"
-        f" FROM read_parquet('{sf_dir}/documents.parquet')").fetchone()
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+        f" WHERE {where}").fetchone()
     avgdl = repr(float(tot) / float(n))
     vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
     return f"""
@@ -4678,7 +4687,7 @@ qterms AS (
          unnest(list_distinct(string_split(query_text, ' '))) AS term
   FROM q),
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         FROM documents),
+         FROM documents WHERE {where}),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
 dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -4770,6 +4779,58 @@ def _doc_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     for t in ("bm25_idx_r10a_postings", "bm25_idx_r10a_terms",
               "bm25_idx_r10a_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def _doc_bm25_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the persisted BM25 index
+    (`retrieval.remove_from_bm25_index`): build over the whole corpus,
+    logically remove every doc_id % 5 == 0 (tombstones + negative df
+    segments + exact scalar corrections — O(removed), no rebuild), and
+    serve at k=13. The oracle scores `documents WHERE doc_id % 5 <> 0`
+    from scratch — equality proves the takedown is exact, not
+    approximate. Store tables dropped after checkpointing."""
+    from pipelinedp_spark.operators import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    retrieval.build_bm25_index(docs, "bm25_idx_r10tk")
+    retrieval.remove_from_bm25_index(
+        docs.filter(F.col("doc_id") % 5 == 0), "bm25_idx_r10tk")
+    out = retrieval.bm25_topk_from_index(q, "bm25_idx_r10tk", k=13) \
+        .localCheckpoint()
+    for t in ("bm25_idx_r10tk_postings", "bm25_idx_r10tk_terms",
+              "bm25_idx_r10tk_meta", "bm25_idx_r10tk_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def _sim_ann_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown on the persisted IVF-PQ index
+    (`similarity.remove_from_ann_index`): build over all embeddings
+    with the standard deterministic models, logically remove every
+    vec_id % 4 == 0 (tombstones, O(removed), no rebuild or
+    retraining), and search k=7/nprobe=3. The oracle replays IVF-PQ in
+    SQL over the corpus WHERE vec_id % 4 <> 0 with the same retrained
+    quantizer literals — equality proves removed vectors are exactly
+    invisible. Store tables dropped after checkpointing."""
+    from pipelinedp_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    similarity.build_ann_index(emb, "ann_idx_r10tk", num_cells=8, m=4,
+                               ksub=16)
+    similarity.remove_from_ann_index(
+        emb.filter(F.col("vec_id") % 4 == 0), "ann_idx_r10tk")
+    out = (similarity.ann_search_from_index(q, "ann_idx_r10tk", k=7,
+                                            nprobe=3)
+           .withColumn("rank", F.col("rank").cast("long"))
+           .localCheckpoint())
+    for t in ("ann_idx_r10tk_codes", "ann_idx_r10tk_centroids",
+              "ann_idx_r10tk_codebooks", "ann_idx_r10tk_meta",
+              "ann_idx_r10tk_tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 

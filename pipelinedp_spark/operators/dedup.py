@@ -108,8 +108,44 @@ def incremental_exact_dedup(new_docs: DataFrame,
     fp = T.rolling_fingerprint(F.col(text_col))
     batch = (new_docs.withColumn("fingerprint", fp)
              .repartition(nbuck, "fingerprint"))
-    return batch.join(spark.table(f"{store_name}_fps"),
-                      "fingerprint", "left_anti")
+    fps = spark.table(f"{store_name}_fps")
+    # Logical takedowns (`remove_from_exact_store`): a tombstoned
+    # fingerprint no longer dedups future batches (its reference copy
+    # was removed); compact_store('exact') applies them physically.
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        fps = fps.join(F.broadcast(spark.table(ts_table)),
+                       "fingerprint", "left_anti")
+    return batch.join(fps, "fingerprint", "left_anti")
+
+
+def remove_from_exact_store(docs: DataFrame,
+                            store_name: str,
+                            text_col: str = "text") -> None:
+    """Takedown from a persisted exact-dedup fingerprint store: the
+    removed documents' normalized fingerprints append to
+    ``{store}_tombstones``; `incremental_exact_dedup` (and the
+    streaming twin) then stop treating them as reference members, so
+    the removed text is admissible again — the contract when a
+    reference copy is deleted for licensing/takedown reasons.
+    O(removed) bookkeeping, idempotent; `compact_store(kind='exact')`
+    deletes the fingerprints physically and clears the tombstones.
+    Re-adding the same text to the store requires that compaction
+    first."""
+    from pipelinedp_spark import store as _store
+    spark = docs.sparkSession
+    nbuck = int(spark.table(f"{store_name}_meta")
+                .collect()[0]["num_buckets"])
+    fps = docs.select(
+        T.rolling_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        fps = fps.join(spark.table(ts_table), "fingerprint",
+                       "left_anti")
+    _store.write_bucketed(fps.localCheckpoint(), ts_table,
+                          "fingerprint", nbuck, "append")
+    spark.catalog.refreshTable(ts_table)
 
 
 def shingle_docs(df: DataFrame, text_col: str = "text",
@@ -1711,7 +1747,16 @@ def compact_store(spark, store_name: str, kind: str) -> None:
 
     if kind == "exact":
         t = f"{store_name}_fps"
-        rewrite(t, spark.table(t).distinct(), "fingerprint")
+        fps = spark.table(t).distinct()
+        ts_table = f"{store_name}_tombstones"
+        had_ts = spark.catalog.tableExists(ts_table)
+        if had_ts:
+            fps = fps.join(F.broadcast(spark.table(ts_table)),
+                           "fingerprint", "left_anti")
+        rewrite(t, fps, "fingerprint")
+        if had_ts:
+            from pipelinedp_spark.store import drop_store_table
+            drop_store_table(spark, ts_table)
     elif kind == "minhash":
         t = f"{store_name}_bands"
         bands = spark.table(t).distinct()
@@ -1738,23 +1783,44 @@ def compact_store(spark, store_name: str, kind: str) -> None:
         rewrite(t, spark.table(t).distinct(), "bk")
     elif kind == "bm25":
         # postings rows are unique per (doc, term) by the append
-        # contract — rewrite merges the per-append small files; the
-        # terms segments collapse to one df row per term (what readers
-        # compute on the fly).
+        # contract — rewrite merges the per-append small files and
+        # applies tombstoned takedowns physically; the terms segments
+        # (negative removal segments included) collapse to one df row
+        # per term (what readers compute on the fly).
         t = f"{store_name}_postings"
-        rewrite(t, spark.table(t), "term")
+        post = spark.table(t)
+        ts_table = f"{store_name}_tombstones"
+        had_ts = spark.catalog.tableExists(ts_table)
+        if had_ts:
+            post = post.join(F.broadcast(spark.table(ts_table)), "id",
+                             "left_anti")
+        rewrite(t, post, "term")
         t = f"{store_name}_terms"
         rewrite(t, spark.table(t).groupBy("term")
-                .agg(F.sum("df").alias("df")), "term")
+                .agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0), "term")
+        if had_ts:
+            from pipelinedp_spark.store import drop_store_table
+            drop_store_table(spark, ts_table)
     elif kind == "ann":
         # The codes table is PARTITIONED by cell (not bucketed):
         # replayed ingest rows duplicate ids (each consumes a top-k
         # slot in ann_search_from_index) and every append adds one
-        # small file per touched cell. Rewrite dedups on id and merges
-        # files, partitioning preserved.
+        # small file per touched cell. Rewrite dedups on id, applies
+        # tombstoned takedowns physically, and merges files,
+        # partitioning preserved.
         t = f"{store_name}_codes"
-        df = spark.table(t).dropDuplicates(["id"]).localCheckpoint()
+        df = spark.table(t).dropDuplicates(["id"])
+        ts_table = f"{store_name}_tombstones"
+        had_ts = spark.catalog.tableExists(ts_table)
+        if had_ts:
+            df = df.join(F.broadcast(spark.table(ts_table)), "id",
+                         "left_anti")
+        df = df.localCheckpoint()
         (df.write.mode("overwrite").format("parquet")
          .partitionBy("cell").saveAsTable(t))
+        if had_ts:
+            from pipelinedp_spark.store import drop_store_table
+            drop_store_table(spark, ts_table)
     else:
         raise ValueError(f"unknown store kind: {kind}")

@@ -403,12 +403,21 @@ def bm25_topk_from_index(queries: DataFrame,
     m = spark.table(f"{store_name}_meta").collect()[0]
     n_docs, avgdl = int(m["n_docs"]), float(m["avgdl"])
     post = spark.table(f"{store_name}_postings")
-    # The terms table holds one df SEGMENT per build/append; sum per
-    # term on read. The scan is bucketed by term, so the aggregation
-    # runs partial+final with no Exchange; for a build-once store the
-    # sum is the identity.
+    # Logical takedowns (`remove_from_bm25_index`): tombstoned docs'
+    # postings drop via a broadcast anti-join (tombstones stay small
+    # between compactions); their df/scalar corrections already live
+    # in the terms segments and meta.
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        post = post.join(F.broadcast(spark.table(ts_table)), "id",
+                         "left_anti")
+    # The terms table holds one df SEGMENT per build/append (negative
+    # segments for removals); sum per term on read. The scan is
+    # bucketed by term, so the aggregation runs partial+final with no
+    # Exchange; for a build-once store the sum is the identity.
     dft = (spark.table(f"{store_name}_terms")
-           .groupBy("term").agg(F.sum("df").alias("df")))
+           .groupBy("term").agg(F.sum("df").alias("df"))
+           .filter(F.col("df") > 0))
     qterms = queries.select(
         F.col(query_id),
         F.explode(F.array_distinct(T.tokens(F.col(query_text))))
@@ -432,3 +441,62 @@ def bm25_topk_from_index(queries: DataFrame,
             .select(query_id, F.col("id").alias(id_col),
                     F.col("rank").cast("long").alias("rank"),
                     F.round(F.col("score"), 6).alias("score")))
+
+
+def remove_from_bm25_index(doc_ids: DataFrame,
+                           store_name: str,
+                           id_col: str = "doc_id") -> None:
+    """EXACT takedown from a persisted BM25 index — the
+    right-to-be-forgotten / licensing-removal operation a production
+    corpus index must support without a rebuild. Removal is logical
+    and O(removed docs), not O(corpus):
+
+    * the removed ids append to ``{store}_tombstones`` (bucketed by
+      id); readers drop their postings with a broadcast anti-join —
+      the postings table is never rewritten here;
+    * the df decrement per term is computed FROM the removed postings
+      rows themselves (one row per (term, id) — the count per term IS
+      the df delta) and appended as a NEGATIVE df segment to
+      ``{store}_terms``, so the segment-summing reader needs no new
+      code path;
+    * n_docs / total_dl corrections come from the removed docs'
+      denormalized dl (exact integers), and meta rewrites with
+      build-once arithmetic — served scores are bit-identical to an
+      index built without the removed docs (oracle-checked).
+
+    Idempotent: already-tombstoned ids are excluded before corrections
+    are computed, so re-removing is a no-op (never double-subtracts).
+    `compact_store(kind='bm25')` later applies tombstones physically
+    (drops their postings rows, cancels the negative segments) and
+    clears the tombstone table. Re-ADDING a removed id requires that
+    compaction first — while its tombstone stands, the reader's
+    anti-join would hide the re-appended postings too."""
+    from pipelinedp_spark import store
+    spark = doc_ids.sparkSession
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    nbuck = int(m["num_buckets"])
+    ids = doc_ids.select(F.col(id_col).alias("id")).distinct()
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        ids = ids.join(spark.table(ts_table), "id", "left_anti")
+    ids = ids.localCheckpoint()
+    removed = (spark.table(f"{store_name}_postings")
+               .join(F.broadcast(ids), "id").localCheckpoint())
+    neg = (removed.groupBy("term")
+           .agg((-F.count(F.lit(1))).alias("df")))
+    store.write_bucketed(neg, f"{store_name}_terms", "term", nbuck,
+                         "append")
+    stats = (removed.select("id", "dl").distinct()
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("dl").alias("tot")).collect()[0])
+    prev_tot = (int(m["total_dl"]) if "total_dl" in m.__fields__
+                else int(round(float(m["avgdl"]) * int(m["n_docs"]))))
+    n_docs = int(m["n_docs"]) - int(stats["n"])
+    total_dl = prev_tot - int(stats["tot"] or 0)
+    avgdl = float(total_dl) / float(n_docs) if n_docs else 0.0
+    store.write_meta(spark, store_name, n_docs=n_docs,
+                     total_dl=total_dl, avgdl=float(avgdl),
+                     num_buckets=nbuck)
+    store.write_bucketed(ids, ts_table, "id", nbuck, "append")
+    store.refresh_store(spark, store_name,
+                        ("_postings", "_terms", "_meta", "_tombstones"))

@@ -874,6 +874,13 @@ def ann_search_from_index(queries: DataFrame,
                     .distinct().collect()})
     codes = spark.table(f"{store_name}_codes") \
         .filter(F.col("cell").isin(probe))
+    # Logical takedowns (`remove_from_ann_index`): tombstoned vectors
+    # drop via a broadcast anti-join on the already-pruned scan;
+    # compact_store('ann') applies them physically.
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        codes = codes.join(F.broadcast(spark.table(ts_table)), "id",
+                           "left_anti")
     scored = codes.join(F.broadcast(q), "cell").select(
         F.col(query_id), F.col("id").alias(corpus_id),
         _adc(F.col("codes"), F.col(query_vec)).alias("adist"))
@@ -884,3 +891,26 @@ def ann_search_from_index(queries: DataFrame,
             .select(query_id, corpus_id,
                     F.col("rank").cast("long").alias("rank"),
                     F.round(F.col("adist"), 6).alias("adist")))
+
+
+def remove_from_ann_index(vec_ids: DataFrame,
+                          store_name: str,
+                          corpus_id: str = "vec_id") -> None:
+    """Takedown from a persisted IVF-PQ index: the removed ids append
+    to ``{store}_tombstones`` and every `ann_search_from_index` drops
+    them with a broadcast anti-join on the partition-pruned scan —
+    O(removed) bookkeeping, no rebuild, no model retraining (the
+    quantizers are data-independent once trained). Idempotent
+    (already-tombstoned ids are skipped). `compact_store(kind='ann')`
+    applies tombstones physically (rewrites the codes table without
+    them, cell partitioning preserved) and clears the table. Re-adding
+    a removed id requires that compaction first."""
+    from pipelinedp_spark import store as _store
+    spark = vec_ids.sparkSession
+    ids = vec_ids.select(F.col(corpus_id).alias("id")).distinct()
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        ids = ids.join(spark.table(ts_table), "id", "left_anti")
+    _store.write_bucketed(ids.localCheckpoint(), ts_table, "id", 4,
+                          "append")
+    spark.catalog.refreshTable(ts_table)

@@ -1501,9 +1501,15 @@ def streaming_exact_dedup_store(stream: DataFrame,
         firsts = (batch_df.withColumn("fingerprint", fp)
                   .groupBy("fingerprint")
                   .agg(F.min(id_col).alias(id_col)))
-        survivors = (firsts.repartition(nbuck, "fingerprint")
-                     .join(s.table(f"{store_name}_fps"),
+        fps = s.table(f"{store_name}_fps")
+        # honor logical takedowns (remove_from_exact_store) exactly
+        # like the batch reader
+        ts_table = f"{store_name}_tombstones"
+        if s.catalog.tableExists(ts_table):
+            fps = fps.join(F.broadcast(s.table(ts_table)),
                            "fingerprint", "left_anti")
+        survivors = (firsts.repartition(nbuck, "fingerprint")
+                     .join(fps, "fingerprint", "left_anti")
                      .localCheckpoint())
         survivors.select(id_col, "fingerprint") \
             .write.mode("append").parquet(output_path)

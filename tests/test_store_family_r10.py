@@ -385,6 +385,127 @@ class TestBM25Append:
         finally:
             _drop(spark, *(f"r10bm_sw{s}" for s in BM25_TABLES))
 
+    def test_takedown_equals_fresh_build(self, spark):
+        """remove_from_bm25_index: after removing a doc subset, served
+        scores (and the n_docs/total_dl/avgdl scalars) must equal an
+        index built fresh WITHOUT those docs — the exact
+        right-to-be-forgotten contract; removal is logical (tombstones
+        + negative df segments), compaction applies it physically with
+        results invariant, and double-removal is a no-op."""
+        from pipelinedp_spark.operators import retrieval
+        from pipelinedp_spark.operators.dedup import compact_store
+
+        docs = _docs(spark).limit(200)
+        gone = docs.filter(F.col("doc_id") % 5 == 0)
+        keep = docs.filter(F.col("doc_id") % 5 != 0)
+        retrieval.build_bm25_index(keep, "r10bm_tk_want", num_buckets=4)
+        retrieval.build_bm25_index(docs, "r10bm_tk", num_buckets=4)
+        try:
+            want = _bm25_results(spark, "r10bm_tk_want")
+            retrieval.remove_from_bm25_index(gone, "r10bm_tk")
+            assert _bm25_results(spark, "r10bm_tk") == want and want
+            m_w = spark.table("r10bm_tk_want_meta").collect()[0]
+            m_g = spark.table("r10bm_tk_meta").collect()[0]
+            assert (m_w["n_docs"], m_w["total_dl"], m_w["avgdl"]) == \
+                   (m_g["n_docs"], m_g["total_dl"], m_g["avgdl"])
+            # idempotent: removing the same ids again changes nothing
+            retrieval.remove_from_bm25_index(gone, "r10bm_tk")
+            assert _bm25_results(spark, "r10bm_tk") == want
+            m_g2 = spark.table("r10bm_tk_meta").collect()[0]
+            assert m_g2["n_docs"] == m_g["n_docs"]
+            assert m_g2["total_dl"] == m_g["total_dl"]
+            # physical apply: postings rows gone, tombstones cleared,
+            # results invariant
+            compact_store(spark, "r10bm_tk", "bm25")
+            assert not spark.catalog.tableExists("r10bm_tk_tombstones")
+            removed_ids = {r["doc_id"] for r in gone.select("doc_id")
+                           .collect()}
+            left = {r["id"] for r in spark.table("r10bm_tk_postings")
+                    .select("id").distinct().collect()}
+            assert not (left & removed_ids)
+            assert _bm25_results(spark, "r10bm_tk") == want
+        finally:
+            _drop(spark, *(f"r10bm_tk_want{s}" for s in BM25_TABLES),
+                  *(f"r10bm_tk{s}" for s in BM25_TABLES),
+                  "r10bm_tk_tombstones")
+
+    def test_ann_takedown_and_compaction(self, spark):
+        """remove_from_ann_index: removed vectors vanish from search
+        results (anti-join on the pruned scan); compaction deletes
+        their codes physically and clears tombstones; results equal a
+        store never containing them."""
+        from pipelinedp_spark.operators import similarity
+        from pipelinedp_spark.operators.dedup import compact_store
+
+        emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+               .filter(F.col("vec_id") < 200))
+        keep = emb.filter(F.col("vec_id") % 4 != 0)
+        gone = emb.filter(F.col("vec_id") % 4 == 0)
+        x = similarity.sample_corpus_matrix(emb, "vec_id", "embedding",
+                                            10_000)
+        cts = similarity.train_ivf_centroids(x, 4, 7)
+        cb = similarity.train_pq_codebooks(x, 4, 16, 7)
+        q = (emb.filter(F.col("vec_id") < 2)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+        similarity.build_ann_index(keep, "r10ann_tkw", num_cells=4,
+                                   m=4, ksub=16, centroids=cts,
+                                   codebooks=cb)
+        similarity.build_ann_index(emb, "r10ann_tk", num_cells=4,
+                                   m=4, ksub=16, centroids=cts,
+                                   codebooks=cb)
+        try:
+            def res(store):
+                return sorted(
+                    (r["query_id"], r["vec_id"], r["rank"], r["adist"])
+                    for r in similarity.ann_search_from_index(
+                        q, store, k=5, nprobe=4).collect())
+            want = res("r10ann_tkw")
+            similarity.remove_from_ann_index(gone, "r10ann_tk")
+            assert res("r10ann_tk") == want and want
+            compact_store(spark, "r10ann_tk", "ann")
+            assert not spark.catalog.tableExists("r10ann_tk_tombstones")
+            assert res("r10ann_tk") == want
+            assert spark.table("r10ann_tk_codes").count() == keep.count()
+        finally:
+            for s in ("r10ann_tkw", "r10ann_tk"):
+                _drop(spark, f"{s}_codes", f"{s}_centroids",
+                      f"{s}_codebooks", f"{s}_meta", f"{s}_tombstones")
+
+    def test_exact_store_takedown(self, spark):
+        """remove_from_exact_store: a tombstoned fingerprint stops
+        deduping future batches (its reference copy was taken down);
+        compaction applies physically; results equal a store never
+        containing the removed docs."""
+        from pipelinedp_spark.operators.dedup import (build_exact_store,
+                                                      compact_store,
+                                                      incremental_exact_dedup,
+                                                      remove_from_exact_store)
+
+        docs = _docs(spark).limit(100).localCheckpoint()
+        gone = docs.filter(F.col("doc_id") % 3 == 0)
+        build_exact_store(docs, "r10ex_tk", num_buckets=4)
+        try:
+            batch = docs.select((F.col("doc_id") + 50000)
+                                .alias("doc_id"), "text")
+            # before removal: every batch doc is a copy -> all dropped
+            assert incremental_exact_dedup(batch, "r10ex_tk").count() == 0
+            remove_from_exact_store(gone, "r10ex_tk")
+            survivors = {r["doc_id"] for r in incremental_exact_dedup(
+                batch, "r10ex_tk").select("doc_id").collect()}
+            want = {r["doc_id"] + 50000 for r in gone.select("doc_id")
+                    .collect()}
+            assert survivors == want and want
+            n_before = spark.table("r10ex_tk_fps").count()
+            compact_store(spark, "r10ex_tk", "exact")
+            assert not spark.catalog.tableExists("r10ex_tk_tombstones")
+            assert spark.table("r10ex_tk_fps").count() < n_before
+            assert {r["doc_id"] for r in incremental_exact_dedup(
+                batch, "r10ex_tk").select("doc_id").collect()} == want
+        finally:
+            _drop(spark, "r10ex_tk_fps", "r10ex_tk_meta",
+                  "r10ex_tk_tombstones")
+
     def test_empty_corpus_builds_queryable_index(self, spark):
         """An empty reference bootstraps the incremental flow (same
         contract as the dedup stores): build empty, query empty,
