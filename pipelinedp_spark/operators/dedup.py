@@ -1425,8 +1425,15 @@ def incremental_near_dup(new_docs: DataFrame,
                   F.concat_ws(":", F.col("band_idx").cast("string"),
                               F.col("band_hash")).alias("bh"))
           .repartition(nbuck, "bh"))
-    sb = spark.table(f"{store_name}_bands").select(
-        F.col("id").alias("id_b"), "bh")
+    sb = spark.table(f"{store_name}_bands")
+    # Logical takedowns (`remove_from_minhash_store`): tombstoned
+    # reference ids stop generating candidates; the broadcast anti-join
+    # sits on the bucketed scan side without exchanging it.
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        sb = sb.join(F.broadcast(spark.table(ts_table)), "id",
+                     "left_anti")
+    sb = sb.select(F.col("id").alias("id_b"), "bh")
     cand = (nb.join(sb, "bh").select("id_a", "id_b").distinct()
             .repartition(nbuck, "id_b"))
     sh_ref = spark.table(f"{store_name}_shingles").select(
@@ -1591,6 +1598,13 @@ def incremental_decontaminate_spans(docs: DataFrame,
         .select(F.col(id_col), F.col(text_col)),
         text_col, id_col, min_len, seed_len)
     sanchors = spark.table(f"{store_name}_anchors")
+    # Logical takedowns (`remove_from_span_store`): tombstoned
+    # reference ids stop contributing anchors (broadcast anti-join on
+    # the bucketed scan — no exchange).
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        sanchors = sanchors.join(
+            F.broadcast(spark.table(ts_table)), "id", "left_anti")
     # shared anchor hashes: batch side distinct (small), store side
     # bucketed — no exchange, no broadcast of anything corpus-scale.
     # Batch-side join inputs are PRE-partitioned to the store's bucket
@@ -1719,6 +1733,57 @@ def plan_lsh_params(jaccard_threshold: float,
     return best[1]
 
 
+def _remove_ids_from_store(ids: DataFrame, store_name: str,
+                           num_buckets: int) -> None:
+    """Shared id-tombstone writer for the id-keyed store kinds:
+    dedups against existing tombstones (idempotent) and appends
+    bucket-aligned."""
+    from pipelinedp_spark import store as _store
+    spark = ids.sparkSession
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        ids = ids.join(spark.table(ts_table), "id", "left_anti")
+    _store.write_bucketed(ids.localCheckpoint(), ts_table, "id",
+                          num_buckets, "append")
+    spark.catalog.refreshTable(ts_table)
+
+
+def remove_from_minhash_store(docs: DataFrame,
+                              store_name: str,
+                              id_col: str = "doc_id") -> None:
+    """Takedown from a persisted MinHash near-dup index: the removed
+    reference ids append to ``{store}_tombstones``;
+    `incremental_near_dup` then stops generating candidates from their
+    bands, so batches are no longer deduped against the removed
+    reference documents. O(removed) bookkeeping, idempotent;
+    `compact_store(kind='minhash')` deletes their bands and shingles
+    physically and clears the tombstones. Re-adding a removed id
+    requires that compaction first."""
+    spark = docs.sparkSession
+    nbuck = int(spark.table(f"{store_name}_meta")
+                .collect()[0]["num_buckets"])
+    _remove_ids_from_store(
+        docs.select(F.col(id_col).alias("id")).distinct(),
+        store_name, nbuck)
+
+
+def remove_from_span_store(docs: DataFrame,
+                           store_name: str,
+                           id_col: str = "doc_id") -> None:
+    """Takedown from a persisted span-decontamination index: the
+    removed reference ids append to ``{store}_tombstones``;
+    `incremental_decontaminate_spans` then stops cutting spans that
+    matched only the removed reference documents (their anchors and
+    texts are dropped with broadcast anti-joins). O(removed),
+    idempotent; `compact_store(kind='span')` applies physically."""
+    spark = docs.sparkSession
+    nbuck = int(spark.table(f"{store_name}_meta")
+                .collect()[0]["num_buckets"])
+    _remove_ids_from_store(
+        docs.select(F.col(id_col).alias("id")).distinct(),
+        store_name, nbuck)
+
+
 def compact_store(spark, store_name: str, kind: str) -> None:
     """Periodic compaction for the incremental-store family: appends
     accumulate duplicate rows (exact/phash fingerprints, span anchors,
@@ -1758,8 +1823,13 @@ def compact_store(spark, store_name: str, kind: str) -> None:
             from pipelinedp_spark.store import drop_store_table
             drop_store_table(spark, ts_table)
     elif kind == "minhash":
+        ts_table = f"{store_name}_tombstones"
+        had_ts = spark.catalog.tableExists(ts_table)
+        ts = F.broadcast(spark.table(ts_table)) if had_ts else None
         t = f"{store_name}_bands"
         bands = spark.table(t).distinct()
+        if had_ts:
+            bands = bands.join(ts, "id", "left_anti")
         if "max_bucket_size" in meta.__fields__:
             # Re-apply the build-time cap GLOBALLY: a bucket that grew
             # past it across per-increment-capped appends would blow up
@@ -1772,15 +1842,42 @@ def compact_store(spark, store_name: str, kind: str) -> None:
             bands = bands.join(keep, "bh").select("id", "bh")
         rewrite(t, bands, "bh")
         t = f"{store_name}_shingles"
-        rewrite(t, spark.table(t).dropDuplicates(["id"]), "id")
+        sh = spark.table(t).dropDuplicates(["id"])
+        if had_ts:
+            sh = sh.join(ts, "id", "left_anti")
+        rewrite(t, sh, "id")
+        if had_ts:
+            from pipelinedp_spark.store import drop_store_table
+            drop_store_table(spark, ts_table)
     elif kind == "span":
+        ts_table = f"{store_name}_tombstones"
+        had_ts = spark.catalog.tableExists(ts_table)
+        ts = F.broadcast(spark.table(ts_table)) if had_ts else None
         t = f"{store_name}_anchors"
-        rewrite(t, spark.table(t).distinct(), "ah")
+        an = spark.table(t).distinct()
+        if had_ts:
+            an = an.join(ts, "id", "left_anti")
+        rewrite(t, an, "ah")
         t = f"{store_name}_texts"
-        rewrite(t, spark.table(t).dropDuplicates(["id"]), "id")
+        tx = spark.table(t).dropDuplicates(["id"])
+        if had_ts:
+            tx = tx.join(ts, "id", "left_anti")
+        rewrite(t, tx, "id")
+        if had_ts:
+            from pipelinedp_spark.store import drop_store_table
+            drop_store_table(spark, ts_table)
     elif kind == "phash":
         t = f"{store_name}_blocks"
-        rewrite(t, spark.table(t).distinct(), "bk")
+        bl = spark.table(t).distinct()
+        ts_table = f"{store_name}_tombstones"
+        had_ts = spark.catalog.tableExists(ts_table)
+        if had_ts:
+            bl = bl.join(F.broadcast(spark.table(ts_table)), "ph",
+                         "left_anti")
+        rewrite(t, bl, "bk")
+        if had_ts:
+            from pipelinedp_spark.store import drop_store_table
+            drop_store_table(spark, ts_table)
     elif kind == "bm25":
         # postings rows are unique per (doc, term) by the append
         # contract — rewrite merges the per-append small files and

@@ -1526,6 +1526,33 @@ def build_phash_store(reference: DataFrame,
                          num_buckets=int(num_buckets))
 
 
+def remove_from_phash_store(images: DataFrame,
+                            store_name: str,
+                            binary_col: str = "image") -> None:
+    """Takedown from a persisted pHash dedup index. The index is keyed
+    by DISTINCT perceptual hash, not image id, so removal is by HASH:
+    the removed images decode + pHash once and their hashes append to
+    ``{store}_tombstones``; `incremental_phash_dedup` then stops
+    flagging batch images within max_hamming of them. NOTE the
+    hash-level contract: removing one image of a visually-identical
+    family removes the whole family's fingerprint. O(removed),
+    idempotent; `compact_store(kind='phash')` deletes the block rows
+    physically and clears the tombstones."""
+    from pipelinedp_spark import store as _store
+    spark = images.sparkSession
+    nbuck = int(spark.table(f"{store_name}_meta")
+                .collect()[0]["num_buckets"])
+    hashes = (image_phash(images, binary_col)
+              .select(F.col("phash").alias("ph"))
+              .filter(F.col("ph").isNotNull()).distinct())
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        hashes = hashes.join(spark.table(ts_table), "ph", "left_anti")
+    _store.write_bucketed(hashes.localCheckpoint(), ts_table, "ph",
+                          nbuck, "append")
+    spark.catalog.refreshTable(ts_table)
+
+
 def _phash_blocks(hash_col: str, num_blocks: int):
     """Pigeonhole bit-block keys 'b:v' for a 63-bit fingerprint column
     — hashes within Hamming h share >= 1 block when num_blocks > h."""
@@ -1565,8 +1592,15 @@ def incremental_phash_dedup(new_images: DataFrame,
                        F.explode(_phash_blocks("phash", num_blocks))
                        .alias("bk"))
                .repartition(nbuck, "bk"))
-    dup_hashes = (bblocks.join(spark.table(f"{store_name}_blocks"),
-                               "bk")
+    sblocks = spark.table(f"{store_name}_blocks")
+    # Logical takedowns (`remove_from_phash_store`): tombstoned hashes
+    # stop flagging batch images (broadcast anti-join on the bucketed
+    # scan — no exchange).
+    ts_table = f"{store_name}_tombstones"
+    if spark.catalog.tableExists(ts_table):
+        sblocks = sblocks.join(
+            F.broadcast(spark.table(ts_table)), "ph", "left_anti")
+    dup_hashes = (bblocks.join(sblocks, "bk")
                   .filter(F.bit_count(F.col("__h__").bitwiseXOR(
                       F.col("ph"))) <= max_hamming)
                   .select(F.col("__h__").alias("phash")).distinct())

@@ -506,6 +506,108 @@ class TestBM25Append:
             _drop(spark, "r10ex_tk_fps", "r10ex_tk_meta",
                   "r10ex_tk_tombstones")
 
+    def test_minhash_span_phash_takedowns(self, spark):
+        """Takedowns for the remaining store kinds: a removed
+        reference doc stops deduping (minhash) / span-cutting (span) /
+        flagging (phash) future batches, both logically and after
+        physical compaction."""
+        from pipelinedp_spark.operators.dedup import (
+            build_minhash_store, build_span_store, compact_store,
+            incremental_decontaminate_spans, incremental_near_dup,
+            remove_from_minhash_store, remove_from_span_store)
+        from pipelinedp_spark.operators import multimodal as MM
+
+        docs = _docs(spark).limit(60).localCheckpoint()
+        gone = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.select((F.col("doc_id") + 50000).alias("doc_id"),
+                            "text")
+        gone_batch_ids = {r["doc_id"] + 50000
+                          for r in gone.select("doc_id").collect()}
+
+        # minhash: exact copies of removed refs must survive post-removal
+        build_minhash_store(docs, "r10mh_tk", num_buckets=4)
+        try:
+            assert incremental_near_dup(batch, "r10mh_tk").count() == 0
+            remove_from_minhash_store(gone, "r10mh_tk")
+            got = {r["doc_id"] for r in incremental_near_dup(
+                batch, "r10mh_tk").select("doc_id").collect()}
+            assert got == gone_batch_ids
+            compact_store(spark, "r10mh_tk", "minhash")
+            assert not spark.catalog.tableExists("r10mh_tk_tombstones")
+            assert {r["doc_id"] for r in incremental_near_dup(
+                batch, "r10mh_tk").select("doc_id").collect()} == got
+        finally:
+            _drop(spark, "r10mh_tk_bands", "r10mh_tk_shingles",
+                  "r10mh_tk_meta", "r10mh_tk_tombstones")
+
+        # span: batch copies of removed refs stop producing spans
+        long_docs = docs.filter(F.length("text") >= 80).localCheckpoint()
+        gone_s = long_docs.filter(F.col("doc_id") % 2 == 0)
+        batch_s = long_docs.select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text")
+        build_span_store(long_docs, "r10sp_tk", min_len=50,
+                         num_buckets=4)
+        try:
+            before = {r["doc_id"] for r in incremental_decontaminate_spans(
+                batch_s, "r10sp_tk").select("doc_id").distinct()
+                .collect()}
+            assert before  # every batch doc is a full copy
+            remove_from_span_store(gone_s, "r10sp_tk")
+            after = {r["doc_id"] for r in incremental_decontaminate_spans(
+                batch_s, "r10sp_tk").select("doc_id").distinct()
+                .collect()}
+            removed_ids = {r["doc_id"] + 50000
+                           for r in gone_s.select("doc_id").collect()}
+            assert after == before - removed_ids
+            compact_store(spark, "r10sp_tk", "span")
+            assert not spark.catalog.tableExists("r10sp_tk_tombstones")
+            assert {r["doc_id"] for r in incremental_decontaminate_spans(
+                batch_s, "r10sp_tk").select("doc_id").distinct()
+                .collect()} == after
+        finally:
+            _drop(spark, "r10sp_tk_anchors", "r10sp_tk_texts",
+                  "r10sp_tk_meta", "r10sp_tk_tombstones")
+
+        # phash: removal is by HASH — removed images' visually
+        # identical batch copies stop being flagged
+        import numpy as np
+        import pandas as pd
+
+        def gen(it):
+            i, j = np.meshgrid(np.arange(32), np.arange(32),
+                               indexing="ij")
+            for pdf in it:
+                vals = pdf["doc_id"].astype("int64")
+                payloads = []
+                for d in vals:
+                    g = int(d) % 8
+                    px = ((13 * ((i * (g + 3) + j) % 23) + g * 29)
+                          % 200).astype(np.uint8)
+                    payloads.append(MM.encode_bmp(px))
+                yield pd.DataFrame({"doc_id": vals, "image": payloads})
+
+        imgs = (spark.range(40).select(F.col("id").alias("doc_id"))
+                .mapInPandas(gen, "doc_id long, image binary")
+                .localCheckpoint())
+        gone_i = imgs.filter(F.pmod(F.col("doc_id"), 8) < 4)
+        MM.build_phash_store(imgs, "r10ph_tk", num_buckets=4)
+        try:
+            batch_i = imgs.select((F.col("doc_id") + 900).alias("doc_id"),
+                                  "image")
+            assert (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
+                    .filter("is_dup").count() == 40)
+            MM.remove_from_phash_store(gone_i, "r10ph_tk")
+            flagged = (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
+                       .filter("is_dup").count())
+            assert flagged == 20, flagged
+            compact_store(spark, "r10ph_tk", "phash")
+            assert not spark.catalog.tableExists("r10ph_tk_tombstones")
+            assert (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
+                    .filter("is_dup").count() == 20)
+        finally:
+            _drop(spark, "r10ph_tk_blocks", "r10ph_tk_meta",
+                  "r10ph_tk_tombstones")
+
     def test_empty_corpus_builds_queryable_index(self, spark):
         """An empty reference bootstraps the incremental flow (same
         contract as the dedup stores): build empty, query empty,
