@@ -1237,37 +1237,42 @@ ORDER BY doc_id
 def _stream_exact_store_mirror(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Batch mirror of `streaming.streaming_exact_dedup_store` with
-    exact two-trigger semantics: the store starts EMPTY; trigger 0
-    ingests docs with doc_id % 3 == 0 (within-batch first occurrence
-    per fingerprint, anti-join the empty store, fingerprints appended);
-    trigger 1 ingests the rest and is deduped against trigger 0's
-    accumulated store. Output = survivors per trigger tagged by batch —
-    proving the cross-batch store contract, not just final state."""
-    from pipelinedp_spark.functions import text as TX
+    exact two-trigger-PLUS-REPLAY semantics, driving the REAL
+    foreachBatch body (`ingest_exact_batch_idempotent`): the store
+    starts EMPTY; trigger 0 ingests docs with doc_id % 3 == 0
+    (within-batch first occurrence per fingerprint, anti-join the
+    empty store, fingerprints appended); trigger 1 ingests the rest,
+    deduped against trigger 0's accumulated store; then trigger 1
+    REPLAYS (at-least-once delivery) and must be fully suppressed by
+    the ingest-log guard — a leak would append its sink output twice
+    and break the oracle equality. Output = survivors per trigger
+    tagged by batch — proving the cross-batch store contract AND
+    exactly-once, not just final state."""
     from pipelinedp_spark.operators import dedup
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_exact_batch_idempotent)
     docs = _t(spark, sf_dir, "documents")
-    fp = TX.rolling_fingerprint(F.col("text"))
     dedup.build_exact_store(docs.limit(0), "stream_exact_r9",
                             num_buckets=4)
-    outs = []
-    for b, batch in enumerate([docs.filter(F.col("doc_id") % 3 == 0),
-                               docs.filter(F.col("doc_id") % 3 != 0)]):
-        firsts = (batch.withColumn("fingerprint", fp)
-                  .groupBy("fingerprint")
-                  .agg(F.min("doc_id").alias("doc_id")))
-        survivors = (firsts.repartition(4, "fingerprint")
-                     .join(spark.table("stream_exact_r9_fps"),
-                           "fingerprint", "left_anti")
-                     .localCheckpoint())
-        (survivors.select("fingerprint")
-         .write.mode("append").format("parquet")
-         .bucketBy(4, "fingerprint").sortBy("fingerprint")
-         .saveAsTable("stream_exact_r9_fps"))
-        outs.append(survivors.select(
-            F.lit(b).cast("long").alias("batch"), "doc_id",
-            "fingerprint"))
+    outs: list = []
+    batches = [docs.filter(F.col("doc_id") % 3 == 0),
+               docs.filter(F.col("doc_id") % 3 != 0)]
+    for b, batch in enumerate(batches):
+        applied = ingest_exact_batch_idempotent(
+            batch, "stream_exact_r9", b,
+            sink=lambda surv, b=b: outs.append(surv.select(
+                F.lit(b).cast("long").alias("batch"), "doc_id",
+                "fingerprint")))
+        if not applied:
+            raise AssertionError("fresh batch wrongly skipped")
+    replayed = ingest_exact_batch_idempotent(
+        batches[1], "stream_exact_r9", 1,
+        sink=lambda surv: outs.append(surv))
+    if replayed or len(outs) != 2:
+        raise AssertionError("exact-store ingest-log guard broke")
     result = outs[0].unionByName(outs[1]).localCheckpoint()
-    for t in ("stream_exact_r9_fps", "stream_exact_r9_meta"):
+    for t in ("stream_exact_r9_fps", "stream_exact_r9_meta",
+              "stream_exact_r9_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return result
 
@@ -1300,27 +1305,34 @@ def _stream_near_dup_store_mirror(spark: SparkSession,
     id; survivors anti-match the accumulated store and append their
     fingerprints. Output = surviving (batch, doc_id). The oracle
     replays bands, both within-trigger pair sets, and the cross-trigger
-    store match in SQL."""
+    store match in SQL. Drives the REAL foreachBatch body
+    (`ingest_near_dup_batch_idempotent`), then REPLAYS trigger 1 — the
+    ingest-log guard must suppress it or the sink doubles and the
+    oracle equality breaks."""
     from pipelinedp_spark.operators import dedup
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_near_dup_batch_idempotent)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dedup.build_minhash_store(docs.limit(0), "stream_nd_r9",
                               num_buckets=4)
-    outs = []
-    for b, batch in enumerate([docs.filter(F.col("doc_id") % 3 == 0),
-                               docs.filter(F.col("doc_id") % 3 != 0)]):
-        pairs = dedup.minhash_lsh_pairs(batch, jaccard_threshold=0.7)
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        within = batch.join(losers, "doc_id", "left_anti")
-        surv = dedup.incremental_near_dup(
-            within, "stream_nd_r9",
-            jaccard_threshold=0.7).localCheckpoint()
-        dedup.build_minhash_store(surv, "stream_nd_r9", num_buckets=4,
-                                  mode="append")
-        outs.append(surv.select(F.lit(b).cast("long").alias("batch"),
-                                "doc_id"))
+    outs: list = []
+    batches = [docs.filter(F.col("doc_id") % 3 == 0),
+               docs.filter(F.col("doc_id") % 3 != 0)]
+    for b, batch in enumerate(batches):
+        applied = ingest_near_dup_batch_idempotent(
+            batch, "stream_nd_r9", b, jaccard_threshold=0.7,
+            sink=lambda surv, b=b: outs.append(surv.select(
+                F.lit(b).cast("long").alias("batch"), "doc_id")))
+        if not applied:
+            raise AssertionError("fresh batch wrongly skipped")
+    replayed = ingest_near_dup_batch_idempotent(
+        batches[1], "stream_nd_r9", 1, jaccard_threshold=0.7,
+        sink=lambda surv: outs.append(surv))
+    if replayed or len(outs) != 2:
+        raise AssertionError("near-dup-store ingest-log guard broke")
     result = outs[0].unionByName(outs[1]).localCheckpoint()
     for t in ("stream_nd_r9_bands", "stream_nd_r9_shingles",
-              "stream_nd_r9_meta"):
+              "stream_nd_r9_meta", "stream_nd_r9_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return result
 
@@ -3453,19 +3465,27 @@ def _stream_ann_store_mirror(spark: SparkSession,
     similarity.build_ann_index(emb.limit(0), "ann_idx_r10s",
                                num_cells=8, m=4, ksub=16,
                                centroids=cents, codebooks=cb)
-    for batch in (emb.filter(F.col("vec_id") % 3 == 0),
-                  emb.filter(F.col("vec_id") % 3 != 0)):
-        # the foreachBatch body of streaming_ann_ingest
-        for t in ("ann_idx_r10s_meta", "ann_idx_r10s_centroids",
-                  "ann_idx_r10s_codebooks"):
-            spark.catalog.refreshTable(t)
-        similarity.build_ann_index(batch, "ann_idx_r10s", mode="append")
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_ann_batch_idempotent)
+    batches = (emb.filter(F.col("vec_id") % 3 == 0),
+               emb.filter(F.col("vec_id") % 3 != 0))
+    # the REAL foreachBatch body of streaming_ann_ingest, plus an
+    # at-least-once REPLAY of trigger 1: without the ingest-log guard
+    # the replay appends duplicate code rows that occupy extra top-k
+    # slots (row_number ranks the copies adjacently) and the oracle
+    # equality below breaks — the serve IS the idempotence proof.
+    applied0 = ingest_ann_batch_idempotent(batches[0], "ann_idx_r10s", 0)
+    applied1 = ingest_ann_batch_idempotent(batches[1], "ann_idx_r10s", 1)
+    replayed = ingest_ann_batch_idempotent(batches[1], "ann_idx_r10s", 1)
+    if not (applied0 and applied1 and not replayed):
+        raise AssertionError("ann ingest-log guard broke")
     out = (similarity.ann_search_from_index(q, "ann_idx_r10s", k=6,
                                             nprobe=4)
            .withColumn("rank", F.col("rank").cast("long"))
            .localCheckpoint())
     for t in ("ann_idx_r10s_codes", "ann_idx_r10s_centroids",
-              "ann_idx_r10s_codebooks", "ann_idx_r10s_meta"):
+              "ann_idx_r10s_codebooks", "ann_idx_r10s_meta",
+              "ann_idx_r10s_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 
@@ -4856,9 +4876,13 @@ def _stream_bm25_store_mirror(spark: SparkSession,
                                num_buckets=4)
     b0 = docs.filter(F.col("doc_id") % 3 == 0)
     b1 = docs.filter(F.col("doc_id") % 3 != 0)
-    assert append_bm25_batch_idempotent(b0, "bm25_idx_r10st", 0)
-    assert append_bm25_batch_idempotent(b1, "bm25_idx_r10st", 1)
-    assert not append_bm25_batch_idempotent(b1, "bm25_idx_r10st", 1)
+    # The appends are load-bearing — never inside `assert` (python -O
+    # would strip them and serve an empty index); bind, then check.
+    applied0 = append_bm25_batch_idempotent(b0, "bm25_idx_r10st", 0)
+    applied1 = append_bm25_batch_idempotent(b1, "bm25_idx_r10st", 1)
+    replayed = append_bm25_batch_idempotent(b1, "bm25_idx_r10st", 1)
+    if not (applied0 and applied1 and not replayed):
+        raise AssertionError("bm25 ingest-log idempotency guard broke")
     out = retrieval.bm25_topk_from_index(q, "bm25_idx_r10st", k=9) \
         .localCheckpoint()
     for t in ("bm25_idx_r10st_postings", "bm25_idx_r10st_terms",

@@ -112,10 +112,10 @@ def incremental_exact_dedup(new_docs: DataFrame,
     # Logical takedowns (`remove_from_exact_store`): a tombstoned
     # fingerprint no longer dedups future batches (its reference copy
     # was removed); compact_store('exact') applies them physically.
-    ts_table = f"{store_name}_tombstones"
-    if spark.catalog.tableExists(ts_table):
-        fps = fps.join(F.broadcast(spark.table(ts_table)),
-                       "fingerprint", "left_anti")
+    # store.tombstones broadcast-hints only while the table is small.
+    ts = store.tombstones(spark, store_name)
+    if ts is not None:
+        fps = fps.join(ts, "fingerprint", "left_anti")
     return batch.join(fps, "fingerprint", "left_anti")
 
 
@@ -1427,12 +1427,12 @@ def incremental_near_dup(new_docs: DataFrame,
           .repartition(nbuck, "bh"))
     sb = spark.table(f"{store_name}_bands")
     # Logical takedowns (`remove_from_minhash_store`): tombstoned
-    # reference ids stop generating candidates; the broadcast anti-join
-    # sits on the bucketed scan side without exchanging it.
-    ts_table = f"{store_name}_tombstones"
-    if spark.catalog.tableExists(ts_table):
-        sb = sb.join(F.broadcast(spark.table(ts_table)), "id",
-                     "left_anti")
+    # reference ids stop generating candidates; the (size-guarded
+    # broadcast) anti-join sits on the bucketed scan side without
+    # exchanging it.
+    ts = store.tombstones(spark, store_name)
+    if ts is not None:
+        sb = sb.join(ts, "id", "left_anti")
     sb = sb.select(F.col("id").alias("id_b"), "bh")
     cand = (nb.join(sb, "bh").select("id_a", "id_b").distinct()
             .repartition(nbuck, "id_b"))
@@ -1599,12 +1599,11 @@ def incremental_decontaminate_spans(docs: DataFrame,
         text_col, id_col, min_len, seed_len)
     sanchors = spark.table(f"{store_name}_anchors")
     # Logical takedowns (`remove_from_span_store`): tombstoned
-    # reference ids stop contributing anchors (broadcast anti-join on
-    # the bucketed scan — no exchange).
-    ts_table = f"{store_name}_tombstones"
-    if spark.catalog.tableExists(ts_table):
-        sanchors = sanchors.join(
-            F.broadcast(spark.table(ts_table)), "id", "left_anti")
+    # reference ids stop contributing anchors (size-guarded broadcast
+    # anti-join on the bucketed scan — no exchange).
+    ts = store.tombstones(spark, store_name)
+    if ts is not None:
+        sanchors = sanchors.join(ts, "id", "left_anti")
     # shared anchor hashes: batch side distinct (small), store side
     # bucketed — no exchange, no broadcast of anything corpus-scale.
     # Batch-side join inputs are PRE-partitioned to the store's bucket

@@ -1594,12 +1594,12 @@ def incremental_phash_dedup(new_images: DataFrame,
                .repartition(nbuck, "bk"))
     sblocks = spark.table(f"{store_name}_blocks")
     # Logical takedowns (`remove_from_phash_store`): tombstoned hashes
-    # stop flagging batch images (broadcast anti-join on the bucketed
-    # scan — no exchange).
-    ts_table = f"{store_name}_tombstones"
-    if spark.catalog.tableExists(ts_table):
-        sblocks = sblocks.join(
-            F.broadcast(spark.table(ts_table)), "ph", "left_anti")
+    # stop flagging batch images (size-guarded broadcast anti-join on
+    # the bucketed scan — no exchange).
+    from pipelinedp_spark import store as _store
+    ts = _store.tombstones(spark, store_name)
+    if ts is not None:
+        sblocks = sblocks.join(ts, "ph", "left_anti")
     dup_hashes = (bblocks.join(sblocks, "bk")
                   .filter(F.bit_count(F.col("__h__").bitwiseXOR(
                       F.col("ph"))) <= max_hamming)

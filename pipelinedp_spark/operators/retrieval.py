@@ -404,13 +404,14 @@ def bm25_topk_from_index(queries: DataFrame,
     n_docs, avgdl = int(m["n_docs"]), float(m["avgdl"])
     post = spark.table(f"{store_name}_postings")
     # Logical takedowns (`remove_from_bm25_index`): tombstoned docs'
-    # postings drop via a broadcast anti-join (tombstones stay small
-    # between compactions); their df/scalar corrections already live
-    # in the terms segments and meta.
-    ts_table = f"{store_name}_tombstones"
-    if spark.catalog.tableExists(ts_table):
-        post = post.join(F.broadcast(spark.table(ts_table)), "id",
-                         "left_anti")
+    # postings drop via an anti-join (broadcast while the tombstone
+    # table is small — the guarded hint lives in store.tombstones);
+    # their df/scalar corrections already live in the terms segments
+    # and meta.
+    from pipelinedp_spark import store as _store
+    ts = _store.tombstones(spark, store_name)
+    if ts is not None:
+        post = post.join(ts, "id", "left_anti")
     # The terms table holds one df SEGMENT per build/append (negative
     # segments for removals); sum per term on read. The scan is
     # bucketed by term, so the aggregation runs partial+final with no
@@ -482,13 +483,24 @@ def remove_from_bm25_index(doc_ids: DataFrame,
     ids = ids.localCheckpoint()
     removed = (spark.table(f"{store_name}_postings")
                .join(F.broadcast(ids), "id").localCheckpoint())
+    stats = (removed.select("id", "dl").distinct()
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("dl").alias("tot")).collect()[0])
+    # The three writes below are not atomic. Tombstones go FIRST so
+    # every intermediate state is conservative: once they land, readers
+    # already hide the removed docs' postings (the takedown is honored
+    # immediately); a crash before the df-segment / meta corrections
+    # leaves served idf slightly understated (df still counts hidden
+    # docs) — never a resurrected document. Recovery from that window
+    # is a rebuild or `compact_store` (NOT a re-run: the idempotency
+    # anti-join above sees the tombstones and skips the corrections),
+    # the same one-batch crash contract `append_bm25_batch_idempotent`
+    # documents for ingest.
+    store.write_bucketed(ids, ts_table, "id", nbuck, "append")
     neg = (removed.groupBy("term")
            .agg((-F.count(F.lit(1))).alias("df")))
     store.write_bucketed(neg, f"{store_name}_terms", "term", nbuck,
                          "append")
-    stats = (removed.select("id", "dl").distinct()
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum("dl").alias("tot")).collect()[0])
     prev_tot = (int(m["total_dl"]) if "total_dl" in m.__fields__
                 else int(round(float(m["avgdl"]) * int(m["n_docs"]))))
     n_docs = int(m["n_docs"]) - int(stats["n"])
@@ -497,6 +509,5 @@ def remove_from_bm25_index(doc_ids: DataFrame,
     store.write_meta(spark, store_name, n_docs=n_docs,
                      total_dl=total_dl, avgdl=float(avgdl),
                      num_buckets=nbuck)
-    store.write_bucketed(ids, ts_table, "id", nbuck, "append")
     store.refresh_store(spark, store_name,
                         ("_postings", "_terms", "_meta", "_tombstones"))

@@ -807,8 +807,14 @@ def build_ann_index(corpus: DataFrame,
         "sub int, idx int, c array<double>") \
         .write.mode("overwrite").format("parquet") \
         .saveAsTable(f"{store_name}_codebooks")
+    # ts_num_buckets: bucket count for the (id-keyed) tombstone table
+    # only — the codes table itself is cell-PARTITIONED, not bucketed,
+    # so unlike the other store kinds this knob doesn't describe the
+    # index layout; it's persisted so takedowns across sessions append
+    # bucket-aligned instead of hardcoding a constant.
     store.write_meta(spark, store_name, num_cells=int(len(cts)),
-                     m=int(m_), ksub=int(ksub_), subdim=int(sub))
+                     m=int(m_), ksub=int(ksub_), subdim=int(sub),
+                     ts_num_buckets=4)
 
 
 def ann_search_from_index(queries: DataFrame,
@@ -875,12 +881,13 @@ def ann_search_from_index(queries: DataFrame,
     codes = spark.table(f"{store_name}_codes") \
         .filter(F.col("cell").isin(probe))
     # Logical takedowns (`remove_from_ann_index`): tombstoned vectors
-    # drop via a broadcast anti-join on the already-pruned scan;
-    # compact_store('ann') applies them physically.
-    ts_table = f"{store_name}_tombstones"
-    if spark.catalog.tableExists(ts_table):
-        codes = codes.join(F.broadcast(spark.table(ts_table)), "id",
-                           "left_anti")
+    # drop via an anti-join on the already-pruned scan (broadcast only
+    # while the tombstone table is small — store.tombstones guards the
+    # hint); compact_store('ann') applies them physically.
+    from pipelinedp_spark import store as _store
+    ts = _store.tombstones(spark, store_name)
+    if ts is not None:
+        codes = codes.join(ts, "id", "left_anti")
     scored = codes.join(F.broadcast(q), "cell").select(
         F.col(query_id), F.col("id").alias(corpus_id),
         _adc(F.col("codes"), F.col(query_vec)).alias("adist"))
@@ -907,10 +914,16 @@ def remove_from_ann_index(vec_ids: DataFrame,
     a removed id requires that compaction first."""
     from pipelinedp_spark import store as _store
     spark = vec_ids.sparkSession
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    # Pre-ts_num_buckets metas fall back to the old constant 4 (the
+    # tombstone join is a guarded broadcast anti-join, so the bucket
+    # count is about append alignment, not join co-location).
+    nbuck = (int(m["ts_num_buckets"])
+             if "ts_num_buckets" in m.__fields__ else 4)
     ids = vec_ids.select(F.col(corpus_id).alias("id")).distinct()
     ts_table = f"{store_name}_tombstones"
     if spark.catalog.tableExists(ts_table):
         ids = ids.join(spark.table(ts_table), "id", "left_anti")
-    _store.write_bucketed(ids.localCheckpoint(), ts_table, "id", 4,
+    _store.write_bucketed(ids.localCheckpoint(), ts_table, "id", nbuck,
                           "append")
     spark.catalog.refreshTable(ts_table)

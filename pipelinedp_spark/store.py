@@ -61,8 +61,21 @@ def begin_build(spark, store_name: str, mode: str,
     model shapes)."""
     if mode == "append":
         m = spark.table(f"{store_name}_meta").collect()[0]
+        # A knob MISSING from the meta row is a mismatch, not a skip:
+        # it means the store predates the knob (built by older code),
+        # so this build cannot prove the append fingerprints the same
+        # way — silently accepting it is exactly the corruption this
+        # validation exists to prevent. Rebuild (or compact with
+        # current code, which rewrites meta) before appending.
+        missing = [k for k in (validate or {}) if k not in m.__fields__]
+        if missing:
+            raise ValueError(
+                f"store {store_name} meta predates knob(s) "
+                f"{', '.join(sorted(missing))}; rebuild the store "
+                f"before appending (cannot verify the append matches "
+                f"the build)")
         bad = {k: (m[k], v) for k, v in (validate or {}).items()
-               if k in m.__fields__ and int(m[k]) != int(v)}
+               if int(m[k]) != int(v)}
         if bad:
             built = ", ".join(f"{k}={m[k]}" for k in bad)
             asked = ", ".join(f"{k}={v}" for k, (_, v) in bad.items())
@@ -103,6 +116,64 @@ def write_meta(spark, store_name: str, **values) -> None:
     spark.sql("SELECT " + ", ".join(cols)) \
         .write.mode("overwrite").format("parquet") \
         .saveAsTable(f"{store_name}_meta")
+
+
+def apply_batch_once(spark, store_name: str, batch_id: int,
+                     apply_fn) -> bool:
+    """Run ``apply_fn()`` (a micro-batch's store mutation) EXACTLY
+    ONCE per ``batch_id`` — the transactional-sink emulation every
+    foreachBatch ingest needs under Structured Streaming's
+    at-least-once replay. A ``{store}_ingest_log`` table records
+    applied batch ids; a replayed id is a no-op (returns False).
+
+    Even for the anti-join store kinds (exact/minhash/span/phash),
+    whose STATE is multiplicity-insensitive, the guard matters: their
+    output-path appends and per-increment caps are not — a replayed
+    batch double-writes survivors to the sink. For BM25 it is
+    correctness-critical (tf/df/scalars double-count), for ANN it
+    prevents duplicate code rows occupying top-k slots until
+    compaction.
+
+    The log row lands AFTER the apply, so a crash between apply and
+    log can still double-apply — the window is one batch and a rebuild
+    or `compact_store` recovers; closing it fully needs an atomic
+    multi-table commit no plain parquet catalog offers."""
+    from pyspark.sql import functions as F
+    log_table = f"{store_name}_ingest_log"
+    if spark.catalog.tableExists(log_table):
+        spark.catalog.refreshTable(log_table)
+        done = spark.table(log_table).filter(
+            F.col("batch_id") == int(batch_id)).limit(1).count()
+        if done:
+            return False
+    apply_fn()
+    spark.sql(f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id") \
+        .write.mode("append").format("parquet").saveAsTable(log_table)
+    return True
+
+
+def tombstones(spark, store_name: str,
+               broadcast_rows: int = 2_000_000):
+    """Read ``{store}_tombstones`` for a reader-side anti-join, or
+    None when no takedown was ever issued. The normal contract is
+    that tombstones stay SMALL between compactions, so the table is
+    broadcast-hinted and the anti-join never exchanges the bucketed /
+    partition-pruned store scan — but that assumption is enforced, not
+    assumed: the row count (a metadata-cheap job on a tiny parquet
+    table) gates the hint, and a jumbo takedown (e.g. a licensing
+    removal of a whole corpus slice, before its compaction) falls back
+    to a plain shuffled anti-join instead of force-broadcasting a
+    corpus-scale table into every executor. 2M ids ≈ tens of MB
+    broadcast — comfortably under executor headroom; past that,
+    `compact_store` is overdue anyway."""
+    from pyspark.sql import functions as F
+    ts_table = f"{store_name}_tombstones"
+    if not spark.catalog.tableExists(ts_table):
+        return None
+    ts = spark.table(ts_table)
+    if ts.count() <= int(broadcast_rows):
+        ts = F.broadcast(ts)
+    return ts
 
 
 def refresh_store(spark, store_name: str,

@@ -1478,50 +1478,79 @@ def streaming_exact_dedup_store(stream: DataFrame,
     Per batch: first occurrence per fingerprint WITHIN the batch
     (min id — map-side-combinable argmin, no window), anti-join the
     store, append survivors to ``output_path`` and their fingerprints
-    to the store (bucket-aligned append; an anti-join is insensitive
-    to the duplicate fingerprint rows an at-least-once replay can
-    introduce, so state stays correct — the output append can
-    double-write on replay, the same caveat as every foreachBatch
-    twin). The caller builds the store first (possibly from an empty
+    to the store (bucket-aligned append). EXACTLY-ONCE: an
+    at-least-once replay of a micro-batch is suppressed by the
+    ``{store}_ingest_log`` batch-id guard (`store.apply_batch_once`),
+    so neither the output nor the fps table double-writes (the
+    anti-join state was already replay-insensitive; the OUTPUT append
+    was not, until the guard). Takedowns issued mid-stream
+    (`remove_from_exact_store` between triggers) take effect at the
+    next trigger — the tombstone table is refreshed per batch. The
+    caller builds the store first (possibly from an empty
     reference). Returns the started StreamingQuery."""
-    from pipelinedp_spark.functions import text as TX
-    spark = stream.sparkSession
-    nbuck = int(spark.table(f"{store_name}_meta")
-                .collect()[0]["num_buckets"])
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        # Each micro-batch runs in a CLONED session with its own
-        # table-relation cache; resolve the store through the batch's
-        # session and refresh first, or the file listing cached at
-        # trigger 1 hides every later append (reproduced: cross-batch
-        # duplicates silently survived).
-        s = batch_df.sparkSession
-        s.catalog.refreshTable(f"{store_name}_fps")
-        fp = TX.rolling_fingerprint(F.col(text_col))
-        firsts = (batch_df.withColumn("fingerprint", fp)
-                  .groupBy("fingerprint")
-                  .agg(F.min(id_col).alias(id_col)))
-        fps = s.table(f"{store_name}_fps")
-        # honor logical takedowns (remove_from_exact_store) exactly
-        # like the batch reader
-        ts_table = f"{store_name}_tombstones"
-        if s.catalog.tableExists(ts_table):
-            fps = fps.join(F.broadcast(s.table(ts_table)),
-                           "fingerprint", "left_anti")
-        survivors = (firsts.repartition(nbuck, "fingerprint")
-                     .join(fps, "fingerprint", "left_anti")
-                     .localCheckpoint())
-        survivors.select(id_col, "fingerprint") \
-            .write.mode("append").parquet(output_path)
-        (survivors.select("fingerprint")
-         .write.mode("append").format("parquet")
-         .bucketBy(nbuck, "fingerprint").sortBy("fingerprint")
-         .saveAsTable(f"{store_name}_fps"))
+        ingest_exact_batch_idempotent(
+            batch_df, store_name, batch_id, text_col, id_col,
+            sink=lambda surv: surv.select(id_col, "fingerprint")
+            .write.mode("append").parquet(output_path))
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def ingest_exact_batch_idempotent(batch_df: DataFrame,
+                                  store_name: str,
+                                  batch_id: int,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  sink=None) -> bool:
+    """One exact-store ingest micro-batch, applied EXACTLY ONCE — the
+    foreachBatch body of `streaming_exact_dedup_store`, shared so
+    batch replays (and the oracle mirrors) drive the identical path.
+    Dedups within the batch (first doc_id per fingerprint), anti-joins
+    the accumulated store (honoring tombstoned takedowns — the
+    tombstone table is refreshed per batch, so a mid-stream
+    `remove_from_exact_store` takes effect at the next trigger),
+    calls ``sink(survivors)`` INSIDE the guarded apply (so a replay
+    skips the output write too), then appends the survivors'
+    fingerprints bucket-aligned. Returns True if applied, False if
+    skipped as an ingest-log replay (`store.apply_batch_once`)."""
+    from pipelinedp_spark import store as _store
+    from pipelinedp_spark.functions import text as TX
+    s = batch_df.sparkSession
+    # Each micro-batch runs in a CLONED session with its own
+    # table-relation cache; resolve the store through the batch's
+    # session and refresh first, or the file listing cached at
+    # trigger 1 hides every later append (reproduced: cross-batch
+    # duplicates silently survived).
+    s.catalog.refreshTable(f"{store_name}_fps")
+    if s.catalog.tableExists(f"{store_name}_tombstones"):
+        s.catalog.refreshTable(f"{store_name}_tombstones")
+    nbuck = int(s.table(f"{store_name}_meta").collect()[0]
+                ["num_buckets"])
+
+    def _apply() -> None:
+        fp = TX.rolling_fingerprint(F.col(text_col))
+        firsts = (batch_df.withColumn("fingerprint", fp)
+                  .groupBy("fingerprint")
+                  .agg(F.min(id_col).alias(id_col)))
+        fps = s.table(f"{store_name}_fps")
+        ts = _store.tombstones(s, store_name)
+        if ts is not None:
+            fps = fps.join(ts, "fingerprint", "left_anti")
+        survivors = (firsts.repartition(nbuck, "fingerprint")
+                     .join(fps, "fingerprint", "left_anti")
+                     .localCheckpoint())
+        if sink is not None:
+            sink(survivors)
+        (survivors.select("fingerprint")
+         .write.mode("append").format("parquet")
+         .bucketBy(nbuck, "fingerprint").sortBy("fingerprint")
+         .saveAsTable(f"{store_name}_fps"))
+
+    return _store.apply_batch_once(s, store_name, batch_id, _apply)
 
 
 def streaming_near_dup_store(stream: DataFrame,
@@ -1543,22 +1572,59 @@ def streaming_near_dup_store(stream: DataFrame,
     loses), (2) survivors anti-match the store (zero store-side
     Exchange), (3) survivors append to the output AND their bands +
     shingles append to the store bucket-aligned via
-    `build_minhash_store(mode='append')`. Candidate joins and dup-id
-    sets are distinct-reduced, so the duplicate rows an at-least-once
-    replay appends never change results (output can double-write — the
-    standard foreachBatch caveat). Returns the started
+    `build_minhash_store(mode='append')`. EXACTLY-ONCE: replayed
+    micro-batches are suppressed by the ``{store}_ingest_log``
+    batch-id guard (`store.apply_batch_once`) — candidate joins were
+    already duplicate-insensitive, but the output append and the
+    per-increment bucket cap were not. Mid-stream takedowns
+    (`remove_from_minhash_store` between triggers) take effect at the
+    next trigger (per-batch tombstone refresh). Returns the started
     StreamingQuery."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_near_dup_batch_idempotent(
+            batch_df, store_name, batch_id, text_col, id_col,
+            jaccard_threshold,
+            sink=lambda surv: surv.write.mode("append")
+            .parquet(output_path))
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
+                                     store_name: str,
+                                     batch_id: int,
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id",
+                                     jaccard_threshold: float = 0.8,
+                                     sink=None) -> bool:
+    """One near-dup-store ingest micro-batch, applied EXACTLY ONCE —
+    the foreachBatch body of `streaming_near_dup_store`, shared so
+    batch replays (and the oracle mirrors) drive the identical path.
+    Within-batch MinHash+LSH losers drop, survivors anti-match the
+    accumulated store with the STORE's fingerprint knobs (honoring
+    tombstoned takedowns — refreshed per batch, so a mid-stream
+    `remove_from_minhash_store` takes effect at the next trigger),
+    ``sink(survivors)`` runs INSIDE the guarded apply, and survivors'
+    bands + shingles append bucket-aligned. Returns True if applied,
+    False if skipped as an ingest-log replay — the output append and
+    the per-increment max_bucket_size cap are NOT
+    multiplicity-insensitive, even though the candidate joins are."""
+    from pipelinedp_spark import store as _store
     from pipelinedp_spark.operators import dedup as D
-    spark = stream.sparkSession
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    s = batch_df.sparkSession
+    for t in (f"{store_name}_bands", f"{store_name}_shingles"):
+        s.catalog.refreshTable(t)
+    if s.catalog.tableExists(f"{store_name}_tombstones"):
+        s.catalog.refreshTable(f"{store_name}_tombstones")
+    m = s.table(f"{store_name}_meta").collect()[0]
     k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
                           int(m["rows_per_band"]))
     nbuck = int(m["num_buckets"])
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        for t in (f"{store_name}_bands", f"{store_name}_shingles"):
-            s.catalog.refreshTable(t)
+    def _apply() -> None:
         pairs = D.minhash_lsh_pairs(batch_df, text_col, id_col, k,
                                     num_hashes, rpb, jaccard_threshold)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -1566,14 +1632,12 @@ def streaming_near_dup_store(stream: DataFrame,
         survivors = D.incremental_near_dup(
             within, store_name, text_col, id_col,
             jaccard_threshold).localCheckpoint()
-        survivors.write.mode("append").parquet(output_path)
+        if sink is not None:
+            sink(survivors)
         D.build_minhash_store(survivors, store_name, text_col, id_col,
                               k, num_hashes, rpb, nbuck, mode="append")
 
-    return (stream.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+    return _store.apply_batch_once(s, store_name, batch_id, _apply)
 
 
 def streaming_ann_ingest(stream: DataFrame,
@@ -1587,27 +1651,48 @@ def streaming_ann_ingest(stream: DataFrame,
     never retrains, so existing codes keep their cells) and lands them
     in their cell partitions; `ann_search_from_index` sees them on its
     next run. The caller builds the index first (training on a
-    representative sample). At-least-once replay can append duplicate
-    code rows; a duplicated id occupies extra top-k slots in
-    `ann_search_from_index` (row_number ranks the copies adjacently),
-    so run `operators.dedup.compact_store(kind='ann')` after a replay
-    window — it dropDuplicates on id and rewrites the codes table with
-    its cell partitioning (and per-append small files) merged. Returns
-    the started StreamingQuery."""
-    from pipelinedp_spark.operators.similarity import build_ann_index
-
+    representative sample). EXACTLY-ONCE: an at-least-once replay is
+    suppressed by the ``{store}_ingest_log`` batch-id guard
+    (`store.apply_batch_once`) — without it a replayed batch appends
+    duplicate code rows that occupy extra top-k slots in
+    `ann_search_from_index` until `compact_store(kind='ann')` drops
+    them (compaction remains the recovery for the one-batch
+    crash-between-apply-and-log window). Returns the started
+    StreamingQuery."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        for t in (f"{store_name}_meta", f"{store_name}_centroids",
-                  f"{store_name}_codebooks"):
-            s.catalog.refreshTable(t)
-        build_ann_index(batch_df, store_name, corpus_id=id_col,
-                        corpus_vec=vec_col, mode="append")
+        ingest_ann_batch_idempotent(batch_df, store_name, batch_id,
+                                    vec_col, id_col)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def ingest_ann_batch_idempotent(batch_df: DataFrame,
+                                store_name: str,
+                                batch_id: int,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> bool:
+    """One IVF-PQ index ingest micro-batch, applied EXACTLY ONCE — the
+    foreachBatch body of `streaming_ann_ingest`, shared so batch
+    replays (and the oracle mirrors) drive the identical path: refresh
+    the model tables, encode with the PERSISTED quantizers
+    (mode='append', never retrains), land codes in their cell
+    partitions. Returns True if applied, False if skipped as an
+    ingest-log replay (`store.apply_batch_once`) — without the guard a
+    replayed batch appends duplicate code rows that occupy extra top-k
+    slots until compaction."""
+    from pipelinedp_spark import store as _store
+    from pipelinedp_spark.operators.similarity import build_ann_index
+    s = batch_df.sparkSession
+    for t in (f"{store_name}_meta", f"{store_name}_centroids",
+              f"{store_name}_codebooks"):
+        s.catalog.refreshTable(t)
+    return _store.apply_batch_once(
+        s, store_name, batch_id,
+        lambda: build_ann_index(batch_df, store_name, corpus_id=id_col,
+                                corpus_vec=vec_col, mode="append"))
 
 
 def append_bm25_batch_idempotent(batch_df: DataFrame,
@@ -1622,7 +1707,8 @@ def append_bm25_batch_idempotent(batch_df: DataFrame,
     ANN store (duplicates compactable by id), BM25 appends are NOT
     multiplicity-insensitive: a replayed batch double-counts tf, df and
     the n_docs/total_dl scalars, silently corrupting every score. The
-    guard is the standard transactional-sink emulation: a
+    guard is the standard transactional-sink emulation, shared by the
+    whole store family since round 11 (`store.apply_batch_once`): a
     ``{store}_ingest_log`` table records processed batch ids; a replay
     of a logged id is a no-op. Returns True if the batch was applied,
     False if skipped as a replay. (The log row lands after the append,
@@ -1630,23 +1716,18 @@ def append_bm25_batch_idempotent(batch_df: DataFrame,
     window is one batch and a `build_bm25_index` rebuild recovers;
     closing it fully needs an atomic multi-table commit no plain
     parquet catalog offers.)"""
+    from pipelinedp_spark import store as _store
     from pipelinedp_spark.operators.retrieval import build_bm25_index
     s = batch_df.sparkSession
-    log_table = f"{store_name}_ingest_log"
-    if s.catalog.tableExists(log_table):
-        s.catalog.refreshTable(log_table)
-        done = s.table(log_table).filter(
-            F.col("batch_id") == int(batch_id)).limit(1).count()
-        if done:
-            return False
-    for t in (f"{store_name}_postings", f"{store_name}_terms",
-              f"{store_name}_meta"):
-        s.catalog.refreshTable(t)
-    build_bm25_index(batch_df, store_name, text_col=text_col,
-                     id_col=id_col, mode="append")
-    s.sql(f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id") \
-        .write.mode("append").format("parquet").saveAsTable(log_table)
-    return True
+
+    def _apply() -> None:
+        for t in (f"{store_name}_postings", f"{store_name}_terms",
+                  f"{store_name}_meta"):
+            s.catalog.refreshTable(t)
+        build_bm25_index(batch_df, store_name, text_col=text_col,
+                         id_col=id_col, mode="append")
+
+    return _store.apply_batch_once(s, store_name, batch_id, _apply)
 
 
 def streaming_bm25_ingest(stream: DataFrame,

@@ -1101,7 +1101,8 @@ def test_streaming_exact_dedup_store_end_to_end(spark, tmp_path):
     src = str(tmp_path / "in")
     outp = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    for t in ("e2e_exact_store_fps", "e2e_exact_store_meta"):
+    for t in ("e2e_exact_store_fps", "e2e_exact_store_meta",
+              "e2e_exact_store_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     docs0 = _mk_docs(spark, [(0, "alpha text"), (1, "alpha text"),
                              (2, "beta text")])
@@ -1128,7 +1129,8 @@ def test_streaming_exact_dedup_store_end_to_end(spark, tmp_path):
     batch_new = _mk_docs(spark, [(9, "beta text"), (10, "delta text")])
     left = incremental_exact_dedup(batch_new, "e2e_exact_store")
     assert [r["doc_id"] for r in left.select("doc_id").collect()] == [10]
-    for t in ("e2e_exact_store_fps", "e2e_exact_store_meta"):
+    for t in ("e2e_exact_store_fps", "e2e_exact_store_meta",
+              "e2e_exact_store_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -1143,7 +1145,7 @@ def test_streaming_near_dup_store_end_to_end(spark, tmp_path):
     outp = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     for t in ("e2e_nd_store_bands", "e2e_nd_store_shingles",
-              "e2e_nd_store_meta"):
+              "e2e_nd_store_meta", "e2e_nd_store_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     alpha = "the quick brown fox jumps over the lazy dog again"
     beta = "a completely different document about spark physical plans"
@@ -1166,7 +1168,7 @@ def test_streaming_near_dup_store_end_to_end(spark, tmp_path):
                  for r in spark.read.parquet(outp).collect())
     assert got == [0, 2, 4]
     for t in ("e2e_nd_store_bands", "e2e_nd_store_shingles",
-              "e2e_nd_store_meta"):
+              "e2e_nd_store_meta", "e2e_nd_store_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -1182,7 +1184,7 @@ def test_streaming_ann_ingest_end_to_end(spark, tmp_path):
     src = str(tmp_path / "in")
     ckpt = str(tmp_path / "ckpt")
     for t in ("e2e_ann_codes", "e2e_ann_centroids", "e2e_ann_codebooks",
-              "e2e_ann_meta"):
+              "e2e_ann_meta", "e2e_ann_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     emb = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet")
@@ -1206,7 +1208,7 @@ def test_streaming_ann_ingest_end_to_end(spark, tmp_path):
                                 nprobe=2).collect()
     assert any(r["vec_id"] == 500205 for r in res), res
     for t in ("e2e_ann_codes", "e2e_ann_centroids", "e2e_ann_codebooks",
-              "e2e_ann_meta"):
+              "e2e_ann_meta", "e2e_ann_ingest_log"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

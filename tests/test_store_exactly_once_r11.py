@@ -1,0 +1,145 @@
+"""Round-11 exactly-once + mid-stream-takedown contracts for the
+store-family streaming ingests (VERDICT r10 tasks 2 and 3).
+
+Every store kind's foreachBatch body is a shared, batch-callable
+``ingest_*_batch_idempotent`` function guarded by the
+``{store}_ingest_log`` batch-id table (`store.apply_batch_once`):
+
+* an at-least-once REPLAY of a micro-batch must be a complete no-op —
+  no sink call, no index append;
+* a takedown issued BETWEEN triggers (`remove_from_*`) must change the
+  NEXT trigger's output (the removed reference stops deduping /
+  serving) without a stream restart.
+"""
+
+from pyspark.sql import functions as F
+
+from pipelinedp_spark.operators.dedup import (build_exact_store,
+                                              build_minhash_store,
+                                              remove_from_exact_store,
+                                              remove_from_minhash_store)
+from pipelinedp_spark.streaming.dp_streaming import (
+    ingest_ann_batch_idempotent, ingest_exact_batch_idempotent,
+    ingest_near_dup_batch_idempotent)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _drop(spark, names):
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+EXACT_TABLES = ("xo_exact_fps", "xo_exact_meta", "xo_exact_tombstones",
+                "xo_exact_ingest_log")
+
+
+def test_exact_ingest_exactly_once_and_mid_stream_takedown(spark):
+    _drop(spark, EXACT_TABLES)
+    build_exact_store(_docs(spark, []).limit(0), "xo_exact",
+                      num_buckets=2)
+    outs = []
+    b0 = _docs(spark, [(0, "alpha text"), (1, "beta text")])
+    assert ingest_exact_batch_idempotent(
+        b0, "xo_exact", 0, sink=lambda s: outs.append(s))
+    assert len(outs) == 1
+    n_fps = spark.table("xo_exact_fps").count()
+    assert n_fps == 2
+    # replay of batch 0: suppressed END TO END — the sink is never
+    # called and the fps table does not grow
+    assert not ingest_exact_batch_idempotent(
+        b0, "xo_exact", 0, sink=lambda s: outs.append(s))
+    assert len(outs) == 1
+    spark.catalog.refreshTable("xo_exact_fps")
+    assert spark.table("xo_exact_fps").count() == n_fps
+    # takedown BETWEEN triggers: alpha's reference copy is removed, so
+    # the next trigger must re-admit alpha text while beta still dedups
+    remove_from_exact_store(_docs(spark, [(0, "alpha text")]),
+                            "xo_exact")
+    got = []
+    assert ingest_exact_batch_idempotent(
+        b0.sparkSession.createDataFrame(
+            [(5, "alpha text"), (6, "beta text")],
+            "doc_id long, text string"),
+        "xo_exact", 1,
+        sink=lambda s: got.append(sorted(
+            r["doc_id"] for r in s.select("doc_id").collect())))
+    assert got == [[5]]
+    _drop(spark, EXACT_TABLES)
+
+
+ND_TABLES = ("xo_nd_bands", "xo_nd_shingles", "xo_nd_meta",
+             "xo_nd_tombstones", "xo_nd_ingest_log")
+
+
+def test_near_dup_ingest_exactly_once_and_mid_stream_takedown(spark):
+    _drop(spark, ND_TABLES)
+    alpha = "the quick brown fox jumps over the lazy dog again"
+    beta = "a completely different document about spark physical plans"
+    build_minhash_store(_docs(spark, []).limit(0), "xo_nd",
+                        num_buckets=2)
+    outs = []
+    b0 = _docs(spark, [(0, alpha), (2, beta)])
+    assert ingest_near_dup_batch_idempotent(
+        b0, "xo_nd", 0, sink=lambda s: outs.append(s))
+    assert len(outs) == 1
+    n_bands = spark.table("xo_nd_bands").count()
+    # replay: no sink call, no bands append
+    assert not ingest_near_dup_batch_idempotent(
+        b0, "xo_nd", 0, sink=lambda s: outs.append(s))
+    assert len(outs) == 1
+    spark.catalog.refreshTable("xo_nd_bands")
+    assert spark.table("xo_nd_bands").count() == n_bands
+    # takedown of reference doc 0 between triggers: trigger 1's copy of
+    # alpha must now SURVIVE, while beta (doc 2 still referenced) drops
+    remove_from_minhash_store(_docs(spark, [(0, alpha)]), "xo_nd")
+    got = []
+    assert ingest_near_dup_batch_idempotent(
+        _docs(spark, [(7, alpha), (8, beta)]), "xo_nd", 1,
+        sink=lambda s: got.append(sorted(
+            r["doc_id"] for r in s.select("doc_id").collect())))
+    assert got == [[7]]
+    _drop(spark, ND_TABLES)
+
+
+ANN_TABLES = ("xo_ann_codes", "xo_ann_centroids", "xo_ann_codebooks",
+              "xo_ann_meta", "xo_ann_tombstones", "xo_ann_ingest_log")
+
+
+def test_ann_ingest_exactly_once_and_mid_stream_takedown(spark):
+    from pipelinedp_spark.operators.similarity import (
+        ann_search_from_index, build_ann_index, remove_from_ann_index)
+    _drop(spark, ANN_TABLES)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 200)
+    build_ann_index(base, "xo_ann", num_cells=4, m=4, ksub=16)
+    inc = (emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 230))
+           .select((F.col("vec_id") + 500000).alias("vec_id"),
+                   "embedding"))
+    assert ingest_ann_batch_idempotent(inc, "xo_ann", 0)
+    spark.catalog.refreshTable("xo_ann_codes")
+    n_codes = spark.table("xo_ann_codes").count()
+    # replay: no duplicate code rows (they would occupy top-k slots)
+    assert not ingest_ann_batch_idempotent(inc, "xo_ann", 0)
+    spark.catalog.refreshTable("xo_ann_codes")
+    assert spark.table("xo_ann_codes").count() == n_codes
+    probe = (emb.filter(F.col("vec_id") == 205)
+             .select(F.lit(1).alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+    res = ann_search_from_index(probe, "xo_ann", k=3, nprobe=2).collect()
+    assert any(r["vec_id"] == 500205 for r in res), res
+    # takedown between triggers: the ingested vector disappears from
+    # serving without restart or rebuild
+    remove_from_ann_index(
+        spark.sql("SELECT CAST(500205 AS BIGINT) AS vec_id"), "xo_ann")
+    res2 = ann_search_from_index(probe, "xo_ann", k=3,
+                                 nprobe=2).collect()
+    assert not any(r["vec_id"] == 500205 for r in res2), res2
+    # and the next ingest batch still applies normally after a takedown
+    inc2 = (emb.filter((F.col("vec_id") >= 230) & (F.col("vec_id") < 240))
+            .select((F.col("vec_id") + 500000).alias("vec_id"),
+                    "embedding"))
+    assert ingest_ann_batch_idempotent(inc2, "xo_ann", 1)
+    _drop(spark, ANN_TABLES)
