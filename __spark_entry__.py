@@ -1840,6 +1840,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_store_mirror": _stream_exact_store_mirror,
         "stream_ann_store_mirror": _stream_ann_store_mirror,
         "multimodal_phash_incremental": _multimodal_phash_incremental,
+        "multimodal_phash_takedown": _multimodal_phash_takedown,
         "stream_near_dup_store_mirror": _stream_near_dup_store_mirror,
         "doc_bigram_ppl": _doc_bigram_ppl,
         "stream_near_dup_mirror": _stream_near_dup_mirror,
@@ -2040,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_exact_store_mirror": _STREAM_EXACT_STORE_MIRROR_SQL,
         "stream_ann_store_mirror": _gen_ivf_pq_topk_sql(nprobe=4, k=6),
         "multimodal_phash_incremental": _MULTIMODAL_PHASH_INCR_SQL,
+        "multimodal_phash_takedown": _MULTIMODAL_PHASH_TAKEDOWN_SQL,
         "stream_near_dup_store_mirror": _STREAM_ND_STORE_MIRROR_SQL,
         "doc_bigram_ppl": _gen_bigram_ppl_sql(),
         "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
@@ -6115,13 +6117,84 @@ def _multimodal_phash_incremental(spark: SparkSession,
                          num_blocks=4)
     out = (MM.incremental_phash_dedup(batch, "phash_store_r9")
            .select("doc_id", "is_dup").localCheckpoint())
-    for t in ("phash_store_r9_blocks", "phash_store_r9_meta"):
+    for t in ("phash_store_r9_blocks", "phash_store_r9_members",
+              "phash_store_r9_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 
 
 _MULTIMODAL_PHASH_INCR_SQL = """
 SELECT doc_id, (doc_id % 17) < 12 AS is_dup
+FROM documents
+WHERE doc_id % 2 = 1
+ORDER BY doc_id
+"""
+
+
+def _multimodal_phash_takedown(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PER-IMAGE right-to-be-forgotten on the persisted pHash index
+    (`multimodal.remove_from_phash_store`, r11 semantics): same 17
+    planted visual classes as `multimodal_phash_incremental` (ref =
+    even ids, class < 12; batch = odd ids). Takedown: ALL reference
+    members of classes 6-8 (their family fingerprints must die) and
+    all-but-the-minimum-id member of classes 0-5 (a PARTIAL removal —
+    one survivor keeps each family's fingerprint alive). Planted
+    truth, mirrored by the oracle: an odd doc is flagged iff its class
+    is < 12 and not in {6,7,8} — exactly a fresh index built without
+    the removed images. Idempotency is exercised in-query: the partial
+    set is removed twice."""
+    import numpy as np
+    import pandas as pd
+    from pipelinedp_spark.operators import multimodal as MM
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .repartition(32))
+
+    def gen(it):
+        i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                g = int(d) % 17
+                base = (11 * ((i * i * (g + 2) + 3 * j) % 29)
+                        + 5 * ((7 * i + (g + 5) * j * j) % 31)
+                        + g * 17) % 200
+                px = (base + (int(d) % 9) * 5).astype(np.uint8)
+                payloads.append(MM.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "image": payloads})
+
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    ref = imgs.filter((F.col("doc_id") % 2 == 0)
+                      & (F.col("doc_id") % 17 < 12))
+    batch = imgs.filter(F.col("doc_id") % 2 == 1)
+    MM.build_phash_store(ref, "phash_tk_r11", max_hamming=2,
+                         num_blocks=4)
+    cand = ref.withColumn("cls", F.col("doc_id") % 17) \
+        .filter(F.col("cls") < 9)
+    keep = (cand.filter(F.col("cls") < 6).groupBy("cls")
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    rm = cand.join(keep, "doc_id", "left_anti").select("doc_id",
+                                                       "image")
+    partial = rm.filter(F.col("doc_id") % 17 < 6).localCheckpoint()
+    MM.remove_from_phash_store(partial, "phash_tk_r11")
+    MM.remove_from_phash_store(
+        rm.filter(F.col("doc_id") % 17 >= 6), "phash_tk_r11")
+    # re-removing already-removed images must be a no-op
+    MM.remove_from_phash_store(partial, "phash_tk_r11")
+    out = (MM.incremental_phash_dedup(batch, "phash_tk_r11")
+           .select("doc_id", "is_dup").localCheckpoint())
+    for t in ("phash_tk_r11_blocks", "phash_tk_r11_members",
+              "phash_tk_r11_meta", "phash_tk_r11_tombstones",
+              "phash_tk_r11_removed_ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+_MULTIMODAL_PHASH_TAKEDOWN_SQL = """
+SELECT doc_id,
+       ((doc_id % 17) < 12 AND (doc_id % 17) NOT IN (6, 7, 8)) AS is_dup
 FROM documents
 WHERE doc_id % 2 = 1
 ORDER BY doc_id

@@ -1874,9 +1874,28 @@ def compact_store(spark, store_name: str, kind: str) -> None:
             bl = bl.join(F.broadcast(spark.table(ts_table)), "ph",
                          "left_anti")
         rewrite(t, bl, "bk")
-        if had_ts:
+        # per-image takedown bookkeeping: members lose the removed ids
+        # (and any dead family's rows); the removed-ids log clears —
+        # after compaction the members table IS the survivor set again
+        mt = f"{store_name}_members"
+        rm_table = f"{store_name}_removed_ids"
+        had_rm = spark.catalog.tableExists(rm_table)
+        if spark.catalog.tableExists(mt):
+            mem = spark.table(mt).dropDuplicates(["id"])
+            if had_rm:
+                mem = mem.join(
+                    F.broadcast(spark.table(rm_table).select("id")),
+                    "id", "left_anti")
+            if had_ts:
+                mem = mem.join(F.broadcast(spark.table(ts_table)),
+                               "ph", "left_anti")
+            rewrite(mt, mem, "ph")
+        if had_ts or had_rm:
             from pipelinedp_spark.store import drop_store_table
-            drop_store_table(spark, ts_table)
+            if had_ts:
+                drop_store_table(spark, ts_table)
+            if had_rm:
+                drop_store_table(spark, rm_table)
     elif kind == "bm25":
         # postings rows are unique per (doc, term) by the append
         # contract — rewrite merges the per-append small files and

@@ -1493,10 +1493,14 @@ def build_phash_store(reference: DataFrame,
     corpora (thousands of images sharing one hash — planted dup
     families, solid-color frames) from exploding the block join
     quadratically at the id level (measured 104M candidate rows vs
-    ~200 on the same planted corpus). One table: ``{store}_blocks``
+    ~200 on the same planted corpus). Tables: ``{store}_blocks``
     (ph, bk) — the full hash carried alongside each pigeonhole
     bit-block key, bucketed by bk, so candidates arrive verify-ready
-    with zero Exchange on the store side; plus ``{store}_meta``
+    with zero Exchange on the store side; ``{store}_members``
+    (ph, id) — which reference images carry each hash, consulted ONLY
+    by `remove_from_phash_store` so a per-image takedown retires a
+    family fingerprint exactly when its LAST member is removed (the
+    serving path never reads it); plus ``{store}_meta``
     (max_hamming, num_blocks, num_buckets). ``mode='append'`` grows
     the index bucket-aligned after a knob check."""
     from pipelinedp_spark import store
@@ -1506,19 +1510,24 @@ def build_phash_store(reference: DataFrame,
             f"max_hamming={max_hamming} needs num_blocks >= "
             f"{max_hamming + 1} (pigeonhole recall bound)")
     m = store.begin_build(spark, store_name, mode,
-                          ("_blocks", "_meta"),
+                          ("_blocks", "_members", "_meta"),
                           validate={"max_hamming": max_hamming,
                                     "num_blocks": num_blocks})
     if m is not None:
         num_buckets = int(m["num_buckets"])   # appends stay aligned
-    hashes = (image_phash(reference, binary_col)
-              .select(F.col("phash").alias("ph"))
+    hashed = (image_phash(reference, binary_col)
+              .select(F.col("phash").alias("ph"),
+                      F.col(id_col).alias("id"))
               .filter(F.col("ph").isNotNull())
-              .distinct())
-    blocks = hashes.select("ph", F.explode(_phash_blocks(
-        "ph", num_blocks)).alias("bk"))
+              .localCheckpoint())
+    blocks = (hashed.select("ph").distinct()
+              .select("ph", F.explode(_phash_blocks(
+                  "ph", num_blocks)).alias("bk")))
     store.write_bucketed(blocks, f"{store_name}_blocks", "bk",
                          num_buckets, mode)
+    store.write_bucketed(hashed.dropDuplicates(["id"]),
+                         f"{store_name}_members", "ph", num_buckets,
+                         mode)
     if mode != "append":
         store.write_meta(spark, store_name,
                          max_hamming=int(max_hamming),
@@ -1528,27 +1537,68 @@ def build_phash_store(reference: DataFrame,
 
 def remove_from_phash_store(images: DataFrame,
                             store_name: str,
-                            binary_col: str = "image") -> None:
-    """Takedown from a persisted pHash dedup index. The index is keyed
-    by DISTINCT perceptual hash, not image id, so removal is by HASH:
-    the removed images decode + pHash once and their hashes append to
-    ``{store}_tombstones``; `incremental_phash_dedup` then stops
-    flagging batch images within max_hamming of them. NOTE the
-    hash-level contract: removing one image of a visually-identical
-    family removes the whole family's fingerprint. O(removed),
-    idempotent; `compact_store(kind='phash')` deletes the block rows
-    physically and clears the tombstones."""
+                            binary_col: str = "image",
+                            id_col: str = "doc_id") -> None:
+    """PER-IMAGE takedown from a persisted pHash dedup index — the
+    GDPR-shaped contract: removing one image of a visually-identical
+    family decrements that family's membership; the family fingerprint
+    (its distinct hash) is tombstoned only when its LAST member is
+    removed, so the surviving copies keep deduping future crawls.
+    (Before round 11 removal was by HASH and retired the whole family
+    on the first member's takedown — correct for dedup bookkeeping,
+    surprising for per-image removal requests.)
+
+    Mechanics, all O(removed ∪ their families), no rebuild: the
+    removed images decode + pHash once; their (id, ph) rows append to
+    ``{store}_removed_ids`` (idempotent — already-removed ids are
+    skipped); then, for exactly the REQUESTED hashes, survivorship is
+    recomputed from ``{store}_members`` minus all removed ids, and
+    hashes with zero survivors append to ``{store}_tombstones`` (which
+    `incremental_phash_dedup` anti-joins). Deadness is recomputed from
+    the full tables on every call — not carried incrementally — so
+    re-running after a crash between the two appends heals the
+    tombstone side. `compact_store(kind='phash')` applies everything
+    physically (drops dead block rows and removed member rows) and
+    clears both bookkeeping tables."""
     from pipelinedp_spark import store as _store
     spark = images.sparkSession
+    if not spark.catalog.tableExists(f"{store_name}_members"):
+        raise ValueError(
+            f"store {store_name} predates per-image takedowns (no "
+            f"_members table); rebuild it with the current "
+            f"build_phash_store before removing images")
     nbuck = int(spark.table(f"{store_name}_meta")
                 .collect()[0]["num_buckets"])
-    hashes = (image_phash(images, binary_col)
-              .select(F.col("phash").alias("ph"))
-              .filter(F.col("ph").isNotNull()).distinct())
+    hashed = (image_phash(images, binary_col)
+              .select(F.col(id_col).alias("id"),
+                      F.col("phash").alias("ph"))
+              .filter(F.col("ph").isNotNull())
+              .dropDuplicates(["id"]).localCheckpoint())
+    rm_table = f"{store_name}_removed_ids"
+    new_rm = hashed
+    if spark.catalog.tableExists(rm_table):
+        new_rm = new_rm.join(spark.table(rm_table), "id", "left_anti")
+    _store.write_bucketed(new_rm.localCheckpoint(), rm_table, "ph",
+                          nbuck, "append")
+    spark.catalog.refreshTable(rm_table)
+    # A requested family is dead iff it IS indexed and NO member
+    # survives the full removed-ids set ("present minus survivors" —
+    # never tombstone a hash the index doesn't hold, or a future
+    # append of identical content would be silently hidden until
+    # compaction). `affected` is tiny (the takedown batch), so it
+    # broadcasts into the bucketed members scan.
+    affected = hashed.select("ph").distinct()
+    fam = (spark.table(f"{store_name}_members")
+           .join(F.broadcast(affected), "ph").localCheckpoint())
+    survivors = (fam.join(spark.table(rm_table).select("id"), "id",
+                          "left_anti")
+                 .select("ph").distinct())
+    dead = fam.select("ph").distinct().join(survivors, "ph",
+                                            "left_anti")
     ts_table = f"{store_name}_tombstones"
     if spark.catalog.tableExists(ts_table):
-        hashes = hashes.join(spark.table(ts_table), "ph", "left_anti")
-    _store.write_bucketed(hashes.localCheckpoint(), ts_table, "ph",
+        dead = dead.join(spark.table(ts_table), "ph", "left_anti")
+    _store.write_bucketed(dead.localCheckpoint(), ts_table, "ph",
                           nbuck, "append")
     spark.catalog.refreshTable(ts_table)
 

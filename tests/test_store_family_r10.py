@@ -568,8 +568,9 @@ class TestBM25Append:
             _drop(spark, "r10sp_tk_anchors", "r10sp_tk_texts",
                   "r10sp_tk_meta", "r10sp_tk_tombstones")
 
-        # phash: removal is by HASH — removed images' visually
-        # identical batch copies stop being flagged
+        # phash: removal is PER-IMAGE (r11) — a family fingerprint
+        # dies only when its LAST member is removed, so a partial
+        # takedown keeps flagging, a full-family takedown stops
         import numpy as np
         import pandas as pd
 
@@ -596,16 +597,35 @@ class TestBM25Append:
                                   "image")
             assert (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
                     .filter("is_dup").count() == 40)
+            # PARTIAL takedown first: one member of family 4 (which has
+            # 5 members: ids 4,12,20,28,36) — survivors keep the
+            # family's fingerprint alive, all 40 batch copies still flag
+            MM.remove_from_phash_store(
+                imgs.filter(F.col("doc_id") == 4), "r10ph_tk")
+            assert (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
+                    .filter("is_dup").count() == 40)
+            # idempotent: re-removing the same image changes nothing
+            MM.remove_from_phash_store(
+                imgs.filter(F.col("doc_id") == 4), "r10ph_tk")
+            assert (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
+                    .filter("is_dup").count() == 40)
+            # FULL-family takedown: every member of families 0-3 goes —
+            # those fingerprints die, families 4-7 keep flagging
             MM.remove_from_phash_store(gone_i, "r10ph_tk")
             flagged = (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
                        .filter("is_dup").count())
             assert flagged == 20, flagged
             compact_store(spark, "r10ph_tk", "phash")
             assert not spark.catalog.tableExists("r10ph_tk_tombstones")
+            assert not spark.catalog.tableExists("r10ph_tk_removed_ids")
             assert (MM.incremental_phash_dedup(batch_i, "r10ph_tk")
                     .filter("is_dup").count() == 20)
+            # members compacted to the survivor set: 40 - 20 full-family
+            # - 1 partial (doc 4)
+            assert spark.table("r10ph_tk_members").count() == 19
         finally:
             _drop(spark, "r10ph_tk_blocks", "r10ph_tk_meta",
+                  "r10ph_tk_members", "r10ph_tk_removed_ids",
                   "r10ph_tk_tombstones")
 
     def test_empty_corpus_builds_queryable_index(self, spark):
