@@ -829,6 +829,74 @@ ORDER BY 1, 2
 """
 
 
+def _dp_private_l0_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP choice of max_partitions_contributed via the exponential
+    mechanism (`DPEngine.calculate_private_contribution_bounds`,
+    reference pipeline_dp/private_contribution_bounds.py:27-195) in
+    zero-noise mode, where the mechanism degenerates to the score
+    argmax: score(k) = -(0.5 * P * laplace_std(k) + 0.5 *
+    sum_bins max(min(bin_lower, B) - k, 0) * count) over candidates
+    1..B, B = min(150, P); pid = user_id, pk = (event_type, day).
+    The oracle replays the L0 histogram (3-significant-digit log
+    binning), the candidate scores, and the argmax in SQL. Output:
+    the chosen bound plus the inputs that determine it."""
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    ev = ev.withColumn(
+        "day", F.floor(F.col("ts") / F.lit(day_us)).cast("long"))
+    acct = pds.NaiveBudgetAccountant(1.0, 1e-6)
+    engine = pds.DPEngine(acct, noise_mode="zero")
+    params = pds.CalculatePrivateContributionBoundsParams(
+        aggregation_noise_kind=pds.NoiseKind.LAPLACE,
+        aggregation_eps=1.0, aggregation_delta=0.0,
+        calculation_eps=1.0,
+        max_partitions_contributed_upper_bound=150)
+    bounds = engine.calculate_private_contribution_bounds(
+        ev, params, pds.DataFrameExtractors("user_id",
+                                            ["event_type", "day"]))
+    n_partitions = ev.select("event_type", "day").distinct().count()
+    return spark.sql(
+        f"SELECT CAST({bounds.max_partitions_contributed} AS BIGINT)"
+        f"       AS max_partitions_contributed,"
+        f"       CAST({n_partitions} AS BIGINT) AS n_partitions")
+
+
+_DP_PRIVATE_L0_BOUNDS_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events),
+l0 AS (
+    SELECT user_id,
+           COUNT(DISTINCT event_type || '|' || CAST(day AS VARCHAR))
+               AS n
+    FROM ev GROUP BY user_id),
+binned AS (
+    SELECT CAST(FLOOR(n / POW(10, GREATEST(FLOOR(LOG10(n)) - 2, 0)))
+                * POW(10, GREATEST(FLOOR(LOG10(n)) - 2, 0)) AS BIGINT)
+               AS lower,
+           COUNT(*) AS cnt
+    FROM l0 GROUP BY 1),
+np AS (
+    SELECT COUNT(DISTINCT event_type || '|' || CAST(day AS VARCHAR))
+               AS p
+    FROM ev),
+cands AS (
+    SELECT UNNEST(range(1, LEAST(150, p) + 1)) AS k FROM np),
+scores AS (
+    SELECT c.k,
+           -(0.5 * np.p * sqrt(2) * c.k / 1.0
+             + 0.5 * (SELECT COALESCE(SUM(GREATEST(
+                          LEAST(b.lower, LEAST(150, np.p)) - c.k, 0)
+                          * b.cnt), 0)
+                      FROM binned b)) AS score
+    FROM cands c, np)
+SELECT (SELECT k FROM scores ORDER BY score DESC, k ASC LIMIT 1)
+           AS max_partitions_contributed,
+       (SELECT p FROM np) AS n_partitions
+"""
+
+
 def _dp_windowed_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP count of events per (event_type, tumbling 1-day event-time
     window) with private Laplace-thresholding partition selection — the
@@ -1754,6 +1822,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_count_no_cross_bounding": _dp_count_no_cross_bounding,
         "dp_count_composite_key": _dp_count_composite_key,
         "dp_windowed_count_events": _dp_windowed_count_events,
+        "dp_private_l0_bounds": _dp_private_l0_bounds,
         "dp_session_count_events": _dp_session_count_events,
         "doc_prep_pipeline": _doc_prep_pipeline,
         "asof_join_events": _asof_join_events,
@@ -1955,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_count_no_cross_bounding": _DP_NO_CROSS_BOUNDING_SQL,
         "dp_count_composite_key": _dp_count_composite_key_sql(),
         "dp_windowed_count_events": _dp_windowed_count_events_sql(),
+        "dp_private_l0_bounds": _DP_PRIVATE_L0_BOUNDS_SQL,
         "dp_session_count_events": _dp_session_count_events_sql(),
         "doc_prep_pipeline": _DOC_PREP_PIPELINE_SQL,
         "asof_join_events": _ASOF_JOIN_EVENTS_SQL,

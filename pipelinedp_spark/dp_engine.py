@@ -1322,6 +1322,13 @@ class DPEngine:
             *extractors.partition_key_columns).distinct().count()
         calc = PrivateL0Calculator(params, n_partitions,
                                    histograms.l0_contributions_histogram)
+        if self._noise_mode == "zero":
+            # deterministic mode: the exponential mechanism degenerates
+            # to the score argmax (what it converges to as
+            # calculation_eps -> inf) — same contract as every other
+            # zero-noise path, and the oracle-checkable one
+            return PrivateContributionBounds(
+                max_partitions_contributed=calc.calculate_deterministic())
         return PrivateContributionBounds(
             max_partitions_contributed=calc.calculate(rng=rng))
 

@@ -117,3 +117,16 @@ class PrivateL0Calculator:
             scoring._upper_bound())
         return int(dp.ExponentialMechanism(scoring).apply(
             self._params.calculation_eps, candidates, rng=rng))
+
+    def calculate_deterministic(self) -> int:
+        """Zero-noise twin of `calculate`: the score argmax (smallest
+        candidate on ties) — the value the exponential mechanism
+        converges to as calculation_eps -> inf. Used by the engine's
+        noise_mode='zero' so the DP bound choice is reproducible and
+        SQL-mirrorable, like every other zero-noise path."""
+        scoring = L0ScoringFunction(self._params, self._n_partitions,
+                                    self._l0_histogram)
+        candidates = generate_possible_contribution_bounds(
+            scoring._upper_bound())
+        return int(max(candidates,
+                       key=lambda k: (scoring.score(k), -k)))

@@ -147,3 +147,25 @@ def test_engine_calculate_private_contribution_bounds(spark):
         df, params, DataFrameExtractors("uid", "pk", None),
         rng=np.random.default_rng(3))
     assert out.max_partitions_contributed == 5
+
+
+def test_engine_private_l0_bounds_zero_mode_is_argmax(spark):
+    """noise_mode='zero' degenerates the exponential mechanism to the
+    deterministic score argmax — the high-eps limit of the stochastic
+    path (so the two agree on a clear-winner dataset), and the behavior
+    the dp_private_l0_bounds oracle query mirrors in SQL."""
+    rows = [(u, f"p{p}") for u in range(50) for p in range(5)]
+    df = spark.createDataFrame(rows, "uid int, pk string")
+    params = CalculatePrivateContributionBoundsParams(
+        aggregation_noise_kind=NoiseKind.LAPLACE,
+        aggregation_eps=1.0, aggregation_delta=0.0,
+        calculation_eps=1.0,   # unused in zero mode
+        max_partitions_contributed_upper_bound=10)
+    engine = DPEngine(pds.NaiveBudgetAccountant(1.0, 1e-6),
+                      noise_mode="zero")
+    out1 = engine.calculate_private_contribution_bounds(
+        df, params, DataFrameExtractors("uid", "pk", None))
+    out2 = engine.calculate_private_contribution_bounds(
+        df, params, DataFrameExtractors("uid", "pk", None))
+    assert out1.max_partitions_contributed == 5
+    assert out2.max_partitions_contributed == 5

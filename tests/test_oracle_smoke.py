@@ -66,7 +66,9 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "doc_jsonl_roundtrip", "doc_fix_mojibake", "doc_release_manifest",
          "doc_chat_render", "doc_preference_pairs", "dedup_lsh_plan",
          "events_dau_wau", "customer_upsert", "stream_upsert_mirror",
-         "doc_head_coverage"]
+         "doc_head_coverage",
+         # round-11 (static oracles)
+         "multimodal_phash_takedown", "dp_private_l0_bounds"]
 
 
 @pytest.fixture(scope="module")
