@@ -312,6 +312,46 @@ def main() -> None:
         # fresh session for the main loop: the cohort above ran ~60
         # executions; the timed sequence below starts clean.
         spark.stop()
+        # HOST-CALIBRATION leg (VERDICT r10 task 1): the raw cohort
+        # ratio above is dominated by host drift — the round-10
+        # controlled A/B showed the literal round-1 code reads ~1.9x
+        # against its own artifact on today's host while HEAD is 0.86x
+        # of that same code. Re-measure the r01-era code (worktree at
+        # its final commit) in a subprocess EVERY bench run, so the
+        # artifact always carries the same-run normalization and the
+        # gate can be read host-free. Runs between sessions (no
+        # concurrent Spark). Best-effort: any failure just omits the
+        # calibration keys.
+        r01_calib = None
+        try:
+            import subprocess
+            repo = os.path.dirname(os.path.abspath(__file__))
+            ab = os.path.join(repo, ".ab_r01")
+            if not os.path.isdir(ab):
+                subprocess.run(["git", "-C", repo, "worktree", "add",
+                                ab, "614a573"], check=True, timeout=120,
+                               capture_output=True)
+            env = dict(os.environ,
+                       SPARK_GRAFT_ENTRY_DIR=ab,
+                       SPARK_GRAFT_SF_DIR=sf_dir,
+                       SPARK_GRAFT_CPUS=cpus,
+                       SPARK_GRAFT_COHORT_SKIP=(
+                           "asof_join_events,dp_windowed_count_events,"
+                           "range_join_events,sessionize_events"),
+                       SPARK_GRAFT_COHORT_OUT=os.path.join(
+                           repo, "R01_COHORT_R01CODE.json"))
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(repo, "scripts", "bench_r01_cohort.py")],
+                env=env, timeout=600, capture_output=True, text=True)
+            # the script prints THIS run's numbers before min-merging
+            # into the long-term artifact — same-run values are the
+            # ones that cancel today's host state
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    r01_calib = json.loads(line)["median_ratio_vs_r01"]
+        except Exception:
+            r01_calib = None
         spark = _make_spark()
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
@@ -465,6 +505,15 @@ def main() -> None:
             "median_ratio_vs_r01": r01_median,
             "queries": r01_cohort,
         }
+        if r01_calib:
+            # raw = HEAD vs the round-1 artifact (host drift included);
+            # calibration = the LITERAL round-1 code vs its own artifact
+            # on today's host (pure host term); normalized = raw /
+            # calibration ≈ HEAD vs round-1 code, host-free.
+            out["r01_cohort_fresh"]["r01_code_calibration_median"] = \
+                r01_calib
+            out["r01_cohort_fresh"]["median_ratio_normalized"] = round(
+                r01_median / r01_calib, 3)
     # second-decade (sf1 -> sf10) probe results, if the one-off
     # scripts/scaling_probe.py sf10 run has been recorded
     s100 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -513,6 +562,10 @@ def main() -> None:
                                                 key=lambda kv: -kv[1])[:5])
     if r01_cohort:
         summary["r01_cohort_median_ratio"] = r01_median
+        if r01_calib:
+            summary["r01_code_calibration_median"] = r01_calib
+            summary["r01_cohort_median_ratio_normalized"] = round(
+                r01_median / r01_calib, 3)
     print(json.dumps(summary))
     spark.stop()
 
