@@ -1734,63 +1734,63 @@ FROM s GROUP BY doc_id
 # `scripts/check_correctness.py` (same compare logic) covers the full set
 # regardless of order and writes the complete CORRECTNESS_LOCAL.json.
 _DRIVER_ARTIFACT_FIRST = [
-    # new round-10 queries first (must land inside the 50-row cap)
-    "doc_bm25_append",
-    "stream_ann_store_mirror",
-    "stream_bm25_store_mirror",
-    "doc_bm25_takedown",
-    "sim_ann_takedown",
-    # round-10 rotation, ordered by STALENESS: the driver records
-    # only the first 50 queries() entries per round, so the front
-    # list cycles through the registry oldest-record-first. These
-    # 40 queries' latest driver record is CORRECTNESS_r06 and the
-    # final 8 are the oldest r07-era records — zero overlap with
-    # r09's 50 and none with r08's (VERDICT r9 task 6).
-    "dp_count_no_cross_bounding",
-    "dp_variance_selected",
-    "dp_windowed_percentile_events",
-    "doc_pack_sequences",
-    "doc_stratified_sample",
-    "range_join_keyed_events",
-    "multimodal_mp4_meta",
-    "emb_semantic_dedup",
-    "doc_duplicate_spans",
-    "doc_unigram_ppl",
-    "doc_dsir_weights",
-    "doc_quality_classifier",
-    "doc_dsir_resample",
-    "emb_semantic_clusters",
-    "dp_corpus_token_count",
-    "multimodal_audio_features",
-    "stream_near_dup_mirror",
-    "doc_hash_embeddings",
-    "doc_semantic_dedup_text",
-    "dp_windowed_percentile_tree_events",
-    "doc_gram_novelty",
-    "doc_source_quota",
-    "doc_dup_rate_estimate",
-    "events_zorder_key",
-    "doc_vocab_estimate",
-    "doc_weighted_sample",
-    "dp_trending_bigrams",
-    "dp_vector_mean_public",
-    "doc_vocab_hll",
-    "token_freq_cms",
-    "events_windowed_hll",
-    "vocab_overlap_kmv",
-    "doc_temperature_mix",
-    "multimodal_phash_dedup",
-    "multimodal_audio_dedup",
-    "doc_line_dedup",
-    "multimodal_video_frames",
-    "doc_url_canonicalize",
-    "multimodal_video_dedup",
-    "multimodal_resize_stats",
-    "dedup_keep_best",
-    "doc_paragraph_filter",
-    "stream_line_dedup_mirror",
-    "doc_token_budget",
-    "doc_wet_roundtrip",
+    # new round-11 queries first (must land inside the 50-row cap)
+    "dp_private_l0_bounds",
+    "multimodal_phash_takedown",
+    # round-11 rotation, ordered by STALENESS (latest driver record
+    # per name): the driver records only the first 50 queries()
+    # entries per round. These 45 names were last recorded in
+    # CORRECTNESS_r07 and the final 3 are the alphabetically
+    # first of the r08-era records — zero overlap with r10 AND r09
+    # (VERDICT r10 task 7).
+    "customer_scd2",
+    "doc_code_detect",
+    "doc_contamination_score",
+    "doc_corpus_diff",
+    "doc_domain_cap",
+    "doc_gopher_filter",
+    "doc_language_id",
+    "doc_language_mix",
+    "doc_length_buckets",
+    "doc_nfc_normalize",
+    "doc_normalize_text",
+    "doc_pmi_collocations",
+    "doc_readability",
+    "doc_sentence_dedup",
+    "doc_source_quality_report",
+    "doc_tar_shards",
+    "doc_textrank_keywords",
+    "doc_tfidf_keywords",
+    "dp_cluster_counts",
+    "emb_cluster_balanced_sample",
+    "emb_cluster_purity",
+    "emb_covariance",
+    "emb_hard_negatives",
+    "emb_int8_recall",
+    "emb_int8_roundtrip",
+    "emb_kmeans_centroids",
+    "emb_mmr_rerank",
+    "emb_pca_project",
+    "emb_triplets",
+    "events_attribution",
+    "events_funnel",
+    "events_json_profile",
+    "events_json_stats",
+    "events_retention",
+    "events_session_funnel",
+    "events_time_to_convert",
+    "events_transitions",
+    "events_window_anomaly",
+    "lineitem_order_stats",
+    "multimodal_exif",
+    "multimodal_mp3_meta",
+    "part_fuzzy_match",
+    "sim_ivf_pq_rerank_topk",
+    "stream_cluster_assign_mirror",
+    "stream_sentence_dedup_mirror",
+    "bpe_train_merges",
+    "customer_upsert",
+    "dedup_clusters",
 ]
 
 
