@@ -412,17 +412,37 @@ def bm25_topk_from_index(queries: DataFrame,
     ts = _store.tombstones(spark, store_name)
     if ts is not None:
         post = post.join(ts, "id", "left_anti")
-    # The terms table holds one df SEGMENT per build/append (negative
-    # segments for removals); sum per term on read. The scan is
-    # bucketed by term, so the aggregation runs partial+final with no
-    # Exchange; for a build-once store the sum is the identity.
-    dft = (spark.table(f"{store_name}_terms")
-           .groupBy("term").agg(F.sum("df").alias("df"))
-           .filter(F.col("df") > 0))
-    qterms = queries.select(
+    qterms = (queries.select(
         F.col(query_id),
         F.explode(F.array_distinct(T.tokens(F.col(query_text))))
-        .alias("term"))
+        .alias("term")).localCheckpoint())
+    # Index-style pruning (same design as ann_search_from_index's
+    # collected probe cells): the distinct query-term list is tiny and
+    # driver-known, so push it as an isin() LITERAL into both scans —
+    # the terms and postings tables are bucketed AND sorted by term,
+    # so parquet row-group min/max stats skip everything the queries
+    # never touch. Without this, serving scans O(|vocab|) terms rows
+    # and O(corpus) postings rows per query batch (a join cannot be
+    # pushed below a scan or an aggregation; measured 3.6-5.6x per 10x
+    # corpus decade on a unique-token corpus, ~1x after). Degenerate
+    # mega-batches (> 10k distinct terms) skip the literal pushdown to
+    # keep the plan small and fall back to the broadcast joins below.
+    terms_list = [r["term"] for r in
+                  qterms.select("term").distinct().collect()]
+    if len(terms_list) <= 10_000:
+        post = post.filter(F.col("term").isin(terms_list))
+        terms_scan = (spark.table(f"{store_name}_terms")
+                      .filter(F.col("term").isin(terms_list)))
+    else:
+        terms_scan = (spark.table(f"{store_name}_terms")
+                      .join(F.broadcast(qterms.select("term")
+                                        .distinct()), "term"))
+    # The terms table holds one df SEGMENT per build/append (negative
+    # segments for removals); sum per term on read. The segment sum
+    # runs AFTER the pruning (aggregating first would hash-aggregate
+    # the full vocabulary).
+    dft = (terms_scan.groupBy("term").agg(F.sum("df").alias("df"))
+           .filter(F.col("df") > 0))
     # (query_id, term, df): one row per query term — tiny by
     # construction, so it broadcasts into the postings scan.
     qt = dft.join(F.broadcast(qterms), "term")

@@ -50,7 +50,75 @@ SKEW_QUERIES = [
     "skew_dp_mean_generous_cap",
     "skew_asof_hot_key",
     "skew_semdedup_hot_cell",
+    # r11: the store-family build+serve flows under adversarial skew
+    # (degenerate band bucket / corpus-wide stopword), previously
+    # measured only at scale 1
+    "skew_store_hot_band",
+    "skew_bm25_hot_term",
 ]
+
+
+def _serving_probes(spark, scale: int):
+    """SERVING-ONLY second-decade probes (VERDICT r10 task 5): the
+    registry's bm25/ann queries rebuild their index per call, so their
+    ratios conflate build with serve. Here the index is built OUTSIDE
+    the timed region at 100k*scale corpus rows and only the query path
+    is timed: bm25_topk_from_index (8 queries, k=10) and
+    ann_search_from_index (8 queries, k=10, nprobe=2). Returns
+    name -> serve thunk; builders run (untimed) at call time."""
+    from pyspark.sql import functions as F
+
+    from pipelinedp_spark.operators.retrieval import (bm25_topk_from_index,
+                                                      build_bm25_index)
+    from pipelinedp_spark.operators.similarity import (
+        ann_search_from_index, build_ann_index)
+    n = 100_000 * scale
+
+    # --- BM25: 12 random base-36 tokens per doc -----------------------
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.conv(F.abs(F.xxhash64(F.col("id"), i))
+                             .cast("string"), 10, 36))).alias("text"))
+    build_bm25_index(docs, "probe_bm25_serve", num_buckets=8)
+    q_bm = docs.limit(8).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.split(F.col("text"), " ")[1],
+                    F.split(F.col("text"), " ")[3]).alias("query_text"))
+    q_bm = q_bm.localCheckpoint()
+
+    # --- ANN: 16-dim vectors, 64 IVF cells -----------------------------
+    dim = 16
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.pmod(F.abs(F.xxhash64(F.col("id"), j)),
+                             F.lit(1000)) / 500.0 - 1.0)
+        .alias("embedding"))
+    build_ann_index(vecs, "probe_ann_serve", num_cells=64, m=4,
+                    ksub=16)
+    q_ann = vecs.limit(8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec")).localCheckpoint()
+
+    return {
+        "serve_bm25_topk_from_index":
+            lambda: bm25_topk_from_index(q_bm, "probe_bm25_serve",
+                                         k=10),
+        "serve_ann_search_from_index":
+            lambda: ann_search_from_index(q_ann, "probe_ann_serve",
+                                          k=10, nprobe=2),
+    }
+
+
+def _drop_serving_tables(spark) -> None:
+    for t in ("probe_bm25_serve_postings", "probe_bm25_serve_terms",
+              "probe_bm25_serve_meta", "probe_ann_serve_codes",
+              "probe_ann_serve_centroids", "probe_ann_serve_codebooks",
+              "probe_ann_serve_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def _make_spark():
@@ -110,6 +178,24 @@ def main() -> None:
             out.setdefault(name, {})[tag] = dt
             out[name][f"rows_{tag}"] = rows
             print(f"{name} x{scale}: {dt}s rows={rows}", flush=True)
+
+    # --- serving-only probes: index built untimed, query timed ------
+    for tag, scale in (("sf1", 1), ("sf10", 10)):
+        spark.stop()
+        spark = _make_spark()
+        serves = _serving_probes(spark, scale)
+        for name, thunk in serves.items():
+            best = float("inf")
+            for _ in range(2):   # serving latency: best-of-2 (tiny)
+                t0 = time.perf_counter()
+                rows = thunk().count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            dt = round(best, 2)
+            out.setdefault(name, {})[tag] = dt
+            out[name][f"rows_{tag}"] = rows
+            print(f"{name} x{scale}: {dt}s rows={rows}", flush=True)
+        _drop_serving_tables(spark)
     spark.stop()
 
     for name, rec in out.items():
