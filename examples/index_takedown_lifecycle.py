@@ -1,6 +1,6 @@
-"""Round-10 additions tour: the full persisted-index lifecycle with
-EXACT takedowns (right-to-be-forgotten / licensing removals) — the
-operation a 100-TB corpus index must support without a rebuild.
+"""The full persisted-index lifecycle with EXACT takedowns
+(right-to-be-forgotten / licensing removals) — the operation a 100-TB
+corpus index must support without a rebuild.
 
 1. BM25 inverted index: build half the corpus, APPEND the rest
    (postings + df segments land bucket-aligned; n_docs/total_dl/avgdl
@@ -9,7 +9,14 @@ operation a 100-TB corpus index must support without a rebuild.
    bit-identical to an index never containing them.
 2. The same takedown on the exact-dedup fingerprint store: removed
    reference docs stop deduping future ingest batches.
-3. compact_store applies every tombstone physically (and merges
+3. Exactly-once micro-batch ingest (round 11): the foreachBatch body of
+   every store-kind stream is a batch-callable guarded function — a
+   replayed batch is a complete no-op, so at-least-once delivery never
+   double-writes output or index rows.
+4. PER-IMAGE pHash takedown (round 11): removing one image of a
+   visually-identical family keeps the family deduping future crawls;
+   the fingerprint dies only when the LAST member is removed.
+5. compact_store applies every tombstone physically (and merges
    per-append small files / df segments); results invariant.
 
     python examples/index_takedown_lifecycle.py [sf_dir]
@@ -59,17 +66,64 @@ def main() -> None:
     print("after takedown (removed docs' copies admissible again):",
           dedup.incremental_exact_dedup(batch, "demo_fp").count())
 
-    # -- 3. compaction applies tombstones physically ------------------
+    # -- 3. exactly-once ingest: a replayed micro-batch is a no-op ----
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_exact_batch_idempotent)
+    b = docs.select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+    print("batch 7 applied:",
+          ingest_exact_batch_idempotent(b, "demo_fp", 7))
+    print("batch 7 REPLAYED (suppressed by the ingest log):",
+          ingest_exact_batch_idempotent(b, "demo_fp", 7))
+
+    # -- 4. per-image pHash takedown ----------------------------------
+    import numpy as np
+    import pandas as pd
+
+    from pipelinedp_spark.operators import multimodal as MM
+
+    def gen(it):
+        i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [MM.encode_bmp(
+                ((i * ((int(d) % 4) + 2) + j) % 200).astype(np.uint8))
+                for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "image": payloads})
+
+    imgs = (spark.range(12).select(F.col("id").alias("doc_id"))
+            .mapInPandas(gen, "doc_id long, image binary")
+            .localCheckpoint())     # 4 visual families x 3 members
+    MM.build_phash_store(imgs, "demo_ph", num_buckets=4)
+    crawl = imgs.select((F.col("doc_id") + 100).alias("doc_id"), "image")
+    print("crawl copies flagged:",
+          MM.incremental_phash_dedup(crawl, "demo_ph")
+          .filter("is_dup").count())
+    MM.remove_from_phash_store(imgs.filter(F.col("doc_id") == 0),
+                               "demo_ph")
+    print("after removing ONE member of family 0 (survivors keep it):",
+          MM.incremental_phash_dedup(crawl, "demo_ph")
+          .filter("is_dup").count())
+    MM.remove_from_phash_store(
+        imgs.filter(F.pmod(F.col("doc_id"), 4) == 0), "demo_ph")
+    print("after removing ALL of family 0 (fingerprint retired):",
+          MM.incremental_phash_dedup(crawl, "demo_ph")
+          .filter("is_dup").count())
+
+    # -- 5. compaction applies tombstones physically ------------------
     dedup.compact_store(spark, "demo_bm25", "bm25")
     dedup.compact_store(spark, "demo_fp", "exact")
+    dedup.compact_store(spark, "demo_ph", "phash")
     print("post-compaction tombstone tables exist:",
           spark.catalog.tableExists("demo_bm25_tombstones"),
-          spark.catalog.tableExists("demo_fp_tombstones"))
+          spark.catalog.tableExists("demo_fp_tombstones"),
+          spark.catalog.tableExists("demo_ph_tombstones"))
     print("served results invariant after physical apply:")
     retrieval.bm25_topk_from_index(q, "demo_bm25", k=5).show()
 
     for t in ("demo_bm25_postings", "demo_bm25_terms", "demo_bm25_meta",
-              "demo_fp_fps", "demo_fp_meta"):
+              "demo_fp_fps", "demo_fp_meta", "demo_fp_ingest_log",
+              "demo_ph_blocks", "demo_ph_members", "demo_ph_meta",
+              "demo_ph_removed_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
 

@@ -447,7 +447,7 @@ def _entry():
 def test_tpch_q1_pushdown_and_partial_agg(spark):
     """Q1: the shipdate filter must reach the parquet scan and the
     6-metric aggregate must have a map-side partial; no joins at all."""
-    out = _entry()._tpch_q1_pricing(spark, SF)
+    out = _entry().queries()["tpch_q1_pricing"](spark, SF)
     plan = P.explain_str(out)
     assert "PushedFilters:" in plan
     assert re.search(r"PushedFilters:.*l_shipdate", plan)
@@ -459,7 +459,7 @@ def test_tpch_q3_broadcast_dim_and_topk(spark):
     """Q3: customer (filtered dim) must broadcast into the orders join
     — never a shuffle of the fact side for a dim lookup — and the
     top-k must compile to TakeOrderedAndProject, not a global sort."""
-    out = _entry()._tpch_q3_priority(spark, SF)
+    out = _entry().queries()["tpch_q3_priority"](spark, SF)
     plan = P.explain_str(out)
     assert P.has_broadcast_join(out)
     assert "TakeOrderedAndProject" in plan
@@ -471,7 +471,7 @@ def test_tpch_q18_partial_agg_broadcast_topk(spark):
     """Q18: the hot-orderkey HAVING aggregate must partial-combine
     map-side (a popular order never serializes onto one task), customer
     must broadcast, and the top-100 must be TakeOrderedAndProject."""
-    out = _entry()._tpch_q18_large_orders(spark, SF)
+    out = _entry().queries()["tpch_q18_large_orders"](spark, SF)
     plan = P.explain_str(out)
     assert P.has_partial_aggregation(out)
     assert P.has_broadcast_join(out)
@@ -482,7 +482,7 @@ def test_tpch_q18_partial_agg_broadcast_topk(spark):
 def test_tpch_q10_pushdown_broadcast_topk(spark):
     """Q10: returnflag + both date bounds pushed to the scans, customer
     and nation broadcast, top-20 as TakeOrderedAndProject."""
-    out = _entry()._tpch_q10_returned_items(spark, SF)
+    out = _entry().queries()["tpch_q10_returned_items"](spark, SF)
     plan = P.explain_str(out)
     assert re.search(r"PushedFilters:.*l_returnflag", plan)
     assert re.search(r"PushedFilters:.*o_orderdate", plan)
@@ -496,7 +496,7 @@ def test_tpch_q16_distinct_edges_broadcast_topk(spark):
     """Q16: part predicates pushed to its scan, the filtered dim
     broadcasts, the (part, supp) edge dedup partial-combines, top-40 is
     TakeOrderedAndProject."""
-    out = _entry()._tpch_q16_supplier_variety(spark, SF)
+    out = _entry().queries()["tpch_q16_supplier_variety"](spark, SF)
     plan = P.explain_str(out)
     assert re.search(r"PushedFilters:.*(p_brand|p_type)", plan)
     assert P.has_broadcast_join(out)
@@ -508,7 +508,7 @@ def test_tpch_q16_distinct_edges_broadcast_topk(spark):
 def test_tpch_q5_broadcast_dims(spark):
     """Q5: region/nation (and the small dim chain) broadcast; the only
     shuffle-scale joins are fact-fact; date filter pushed down."""
-    out = _entry()._tpch_q5_local_supplier(spark, SF)
+    out = _entry().queries()["tpch_q5_local_supplier"](spark, SF)
     plan = P.explain_str(out)
     assert P.has_broadcast_join(out)
     assert re.search(r"PushedFilters:.*o_orderdate", plan)
