@@ -1695,6 +1695,109 @@ def ingest_ann_batch_idempotent(batch_df: DataFrame,
                                 corpus_vec=vec_col, mode="append"))
 
 
+def ingest_span_batch_idempotent(batch_df: DataFrame,
+                                 store_name: str,
+                                 batch_id: int,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> bool:
+    """Append one micro-batch of REFERENCE documents to the persisted
+    span-decontamination index (`dedup.build_span_store`) EXACTLY ONCE —
+    e.g. an eval/benchmark suite that keeps growing while training
+    batches are span-cut against it. Fingerprint knobs (min_len,
+    seed_len) are inherited from the store meta so a streamed increment
+    can never anchor differently from the build; replays are suppressed
+    by the ingest log (`store.apply_batch_once`) — anchor rows are
+    anti-join-insensitive, but per-append small files and the texts
+    table are not free to duplicate. Tombstones are refreshed per batch
+    (a mid-stream `remove_from_span_store` takes effect at the next
+    trigger's reads)."""
+    from pipelinedp_spark import store as _store
+    from pipelinedp_spark.operators import dedup as D
+    s = batch_df.sparkSession
+    for t in (f"{store_name}_anchors", f"{store_name}_texts",
+              f"{store_name}_meta"):
+        s.catalog.refreshTable(t)
+    if s.catalog.tableExists(f"{store_name}_tombstones"):
+        s.catalog.refreshTable(f"{store_name}_tombstones")
+    m = s.table(f"{store_name}_meta").collect()[0]
+    return _store.apply_batch_once(
+        s, store_name, batch_id,
+        lambda: D.build_span_store(batch_df, store_name, text_col,
+                                   id_col, min_len=int(m["min_len"]),
+                                   seed_len=int(m["seed_len"]),
+                                   mode="append"))
+
+
+def streaming_span_ingest(stream: DataFrame,
+                          store_name: str,
+                          checkpoint_dir: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Streaming ingest into the persisted span-decontamination index —
+    the span member of the store family's streaming faces (exact /
+    minhash / ann / bm25 / span / phash all share the exactly-once
+    ingest-log contract since round 11). The caller builds the store
+    first (possibly from an empty reference). Returns the started
+    StreamingQuery."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_span_batch_idempotent(batch_df, store_name, batch_id,
+                                     text_col, id_col)
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def ingest_phash_batch_idempotent(batch_df: DataFrame,
+                                  store_name: str,
+                                  batch_id: int,
+                                  binary_col: str = "image",
+                                  id_col: str = "doc_id") -> bool:
+    """Append one micro-batch of REFERENCE images to the persisted
+    pHash dedup index (`multimodal.build_phash_store`) EXACTLY ONCE:
+    hashes land as bit-block rows + (ph, id) member rows bucket-aligned
+    with the store's knobs (max_hamming / num_blocks inherited from
+    meta). The guard matters doubly here: replayed member rows would
+    inflate the per-image takedown's survivor counts, keeping a family
+    fingerprint alive after its real last member was removed."""
+    from pipelinedp_spark import store as _store
+    from pipelinedp_spark.operators import multimodal as MM
+    s = batch_df.sparkSession
+    for t in (f"{store_name}_blocks", f"{store_name}_members",
+              f"{store_name}_meta"):
+        s.catalog.refreshTable(t)
+    if s.catalog.tableExists(f"{store_name}_tombstones"):
+        s.catalog.refreshTable(f"{store_name}_tombstones")
+    m = s.table(f"{store_name}_meta").collect()[0]
+    return _store.apply_batch_once(
+        s, store_name, batch_id,
+        lambda: MM.build_phash_store(batch_df, store_name, binary_col,
+                                     id_col,
+                                     max_hamming=int(m["max_hamming"]),
+                                     num_blocks=int(m["num_blocks"]),
+                                     mode="append"))
+
+
+def streaming_phash_ingest(stream: DataFrame,
+                           store_name: str,
+                           checkpoint_dir: str,
+                           binary_col: str = "image",
+                           id_col: str = "doc_id"):
+    """Streaming ingest into the persisted pHash image-dedup index —
+    the multimodal member of the store family's streaming faces. The
+    caller builds the store first (possibly empty). Returns the
+    started StreamingQuery."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_phash_batch_idempotent(batch_df, store_name, batch_id,
+                                      binary_col, id_col)
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def append_bm25_batch_idempotent(batch_df: DataFrame,
                                  store_name: str,
                                  batch_id: int,

@@ -143,3 +143,110 @@ def test_ann_ingest_exactly_once_and_mid_stream_takedown(spark):
                     "embedding"))
     assert ingest_ann_batch_idempotent(inc2, "xo_ann", 1)
     _drop(spark, ANN_TABLES)
+
+
+SPAN_TABLES = ("xo_span_anchors", "xo_span_texts", "xo_span_meta",
+               "xo_span_tombstones", "xo_span_ingest_log",
+               "xo_spanref_anchors", "xo_spanref_texts",
+               "xo_spanref_meta")
+
+
+def test_span_ingest_exactly_once_equals_build_once(spark):
+    from pipelinedp_spark.operators.dedup import (
+        build_span_store, incremental_decontaminate_spans)
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_span_batch_idempotent)
+    _drop(spark, SPAN_TABLES)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.length("text") >= 80).limit(40).localCheckpoint())
+    build_span_store(docs.limit(0), "xo_span", min_len=50, num_buckets=2)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 != 0)
+    assert ingest_span_batch_idempotent(b0, "xo_span", 0)
+    assert ingest_span_batch_idempotent(b1, "xo_span", 1)
+    spark.catalog.refreshTable("xo_span_anchors")
+    n_anchors = spark.table("xo_span_anchors").count()
+    # replay: no duplicate anchors/texts appended
+    assert not ingest_span_batch_idempotent(b1, "xo_span", 1)
+    spark.catalog.refreshTable("xo_span_anchors")
+    assert spark.table("xo_span_anchors").count() == n_anchors
+    # streamed-increment store must decontaminate EXACTLY like a
+    # build-once store over the same reference
+    batch = docs.select((F.col("doc_id") + 50000).alias("doc_id"),
+                        "text")
+    got = sorted(map(tuple, incremental_decontaminate_spans(
+        batch, "xo_span").collect()))
+    build_span_store(docs, "xo_spanref", min_len=50, num_buckets=2)
+    want = sorted(map(tuple, incremental_decontaminate_spans(
+        batch, "xo_spanref").collect()))
+    assert got == want and got
+    _drop(spark, SPAN_TABLES)
+
+
+PHASH_TABLES = ("xo_ph_blocks", "xo_ph_members", "xo_ph_meta",
+                "xo_ph_tombstones", "xo_ph_removed_ids",
+                "xo_ph_ingest_log", "xo_phref_blocks",
+                "xo_phref_members", "xo_phref_meta")
+
+
+def _images(spark, n):
+    import numpy as np
+    import pandas as pd
+
+    from pipelinedp_spark.operators import multimodal as MM
+
+    def gen(it):
+        i, j = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [MM.encode_bmp(
+                ((13 * ((i * ((int(d) % 8) + 3) + j) % 23)
+                  + (int(d) % 8) * 29) % 200).astype(np.uint8))
+                for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "image": payloads})
+
+    return (spark.range(n).select(F.col("id").alias("doc_id"))
+            .mapInPandas(gen, "doc_id long, image binary")
+            .localCheckpoint())
+
+
+def test_phash_ingest_exactly_once_and_member_counting(spark):
+    from pipelinedp_spark.operators import multimodal as MM
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_phash_batch_idempotent)
+    _drop(spark, PHASH_TABLES)
+    imgs = _images(spark, 32)    # 8 visual families x 4 members
+    MM.build_phash_store(imgs.limit(0), "xo_ph", num_buckets=2)
+    b0 = imgs.filter(F.col("doc_id") % 2 == 0)
+    b1 = imgs.filter(F.col("doc_id") % 2 != 0)
+    assert ingest_phash_batch_idempotent(b0, "xo_ph", 0)
+    assert ingest_phash_batch_idempotent(b1, "xo_ph", 1)
+    spark.catalog.refreshTable("xo_ph_members")
+    assert spark.table("xo_ph_members").count() == 32
+    # replay: member rows must NOT duplicate (inflated member counts
+    # would keep a family alive past its real last takedown)
+    assert not ingest_phash_batch_idempotent(b1, "xo_ph", 1)
+    spark.catalog.refreshTable("xo_ph_members")
+    assert spark.table("xo_ph_members").count() == 32
+    batch = imgs.select((F.col("doc_id") + 900).alias("doc_id"),
+                        "image")
+    assert (MM.incremental_phash_dedup(batch, "xo_ph")
+            .filter("is_dup").count() == 32)
+    # equality with a build-once store over the same reference
+    MM.build_phash_store(imgs, "xo_phref", num_buckets=2)
+    got = sorted(map(tuple, MM.incremental_phash_dedup(
+        batch, "xo_ph").collect()))
+    want = sorted(map(tuple, MM.incremental_phash_dedup(
+        batch, "xo_phref").collect()))
+    assert got == want
+    # per-image takedown over STREAMED members: removing 3 of family
+    # 0's 4 members keeps it flagging; the 4th retires it
+    fam0 = imgs.filter(F.pmod(F.col("doc_id"), 8) == 0)
+    MM.remove_from_phash_store(fam0.filter(F.col("doc_id") < 24),
+                               "xo_ph")
+    assert (MM.incremental_phash_dedup(batch, "xo_ph")
+            .filter("is_dup").count() == 32)
+    MM.remove_from_phash_store(fam0, "xo_ph")
+    assert (MM.incremental_phash_dedup(batch, "xo_ph")
+            .filter("is_dup").count() == 28)
+    _drop(spark, PHASH_TABLES)
