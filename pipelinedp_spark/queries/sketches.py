@@ -411,7 +411,12 @@ def _multimodal_phash_takedown(spark: SparkSession,
                 payloads.append(MM.encode_bmp(px))
             yield pd.DataFrame({"doc_id": ids, "image": payloads})
 
-    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
+    # render ONCE: filters can't push below mapInPandas, so without the
+    # checkpoint every downstream pass (build, two removals, the
+    # idempotency re-removal, the batch dedup) re-renders the whole
+    # corpus — measured ~7.3 s at sf0.1, ~halved by materializing
+    imgs = docs.mapInPandas(gen, "doc_id long, image binary") \
+        .localCheckpoint()
     ref = imgs.filter((F.col("doc_id") % 2 == 0)
                       & (F.col("doc_id") % 17 < 12))
     batch = imgs.filter(F.col("doc_id") % 2 == 1)
