@@ -119,12 +119,22 @@ def write_meta(spark, store_name: str, **values) -> None:
 
 
 def apply_batch_once(spark, store_name: str, batch_id: int,
-                     apply_fn) -> bool:
+                     apply_fn, run_id: str = "") -> bool:
     """Run ``apply_fn()`` (a micro-batch's store mutation) EXACTLY
-    ONCE per ``batch_id`` — the transactional-sink emulation every
-    foreachBatch ingest needs under Structured Streaming's
+    ONCE per ``(run_id, batch_id)`` — the transactional-sink emulation
+    every foreachBatch ingest needs under Structured Streaming's
     at-least-once replay. A ``{store}_ingest_log`` table records
-    applied batch ids; a replayed id is a no-op (returns False).
+    applied ids; a replayed pair is a no-op (returns False).
+
+    ``run_id`` matters because Structured Streaming batch ids are only
+    unique WITHIN one checkpoint lineage: a NEW stream (fresh
+    checkpoint dir) into the same store restarts at batch 0, and an
+    unnamespaced guard would silently skip its first batches as
+    "replays" of the old stream's. The streaming_*_ingest wrappers
+    pass their checkpoint location as the run id; batch callers (the
+    oracle mirrors, backfills) can leave the default single namespace.
+    A pre-r11 log table (batch_id column only) is honored as the ""
+    namespace and keeps its legacy schema on append.
 
     Even for the anti-join store kinds (exact/minhash/span/phash),
     whose STATE is multiplicity-insensitive, the guard matters: their
@@ -140,15 +150,39 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
     multi-table commit no plain parquet catalog offers."""
     from pyspark.sql import functions as F
     log_table = f"{store_name}_ingest_log"
-    if spark.catalog.tableExists(log_table):
+    rid = str(run_id or "")
+    legacy = False
+    exists = spark.catalog.tableExists(log_table)
+    if not exists:
+        # a crashed prior session can leave the log's managed location
+        # on disk with no catalog entry (in-memory catalog, files
+        # persist); creating over it fails with LOCATION_ALREADY_EXISTS
+        # — clear the orphan, same treatment as every store table
+        drop_store_table(spark, log_table)
+    if exists:
         spark.catalog.refreshTable(log_table)
-        done = spark.table(log_table).filter(
-            F.col("batch_id") == int(batch_id)).limit(1).count()
-        if done:
+        log = spark.table(log_table)
+        legacy = "run_id" not in log.columns
+        done = log.filter(F.col("batch_id") == int(batch_id))
+        if not legacy:
+            done = done.filter(F.col("run_id") == rid)
+        elif rid:
+            # legacy batch-only log + a namespaced caller: ambiguous —
+            # matching on batch_id alone is the conservative reading
+            # (skip rather than double-apply)
+            pass
+        if done.limit(1).count():
             return False
     apply_fn()
-    spark.sql(f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id") \
-        .write.mode("append").format("parquet").saveAsTable(log_table)
+    if legacy:
+        row = spark.sql(
+            f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id")
+    else:
+        esc = rid.replace("'", "''")
+        row = spark.sql(
+            f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id, "
+            f"'{esc}' AS run_id")
+    row.write.mode("append").format("parquet").saveAsTable(log_table)
     return True
 
 

@@ -1492,7 +1492,8 @@ def streaming_exact_dedup_store(stream: DataFrame,
         ingest_exact_batch_idempotent(
             batch_df, store_name, batch_id, text_col, id_col,
             sink=lambda surv: surv.select(id_col, "fingerprint")
-            .write.mode("append").parquet(output_path))
+            .write.mode("append").parquet(output_path),
+            run_id=checkpoint_dir)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
@@ -1505,7 +1506,8 @@ def ingest_exact_batch_idempotent(batch_df: DataFrame,
                                   batch_id: int,
                                   text_col: str = "text",
                                   id_col: str = "doc_id",
-                                  sink=None) -> bool:
+                                  sink=None,
+                                  run_id: str = "") -> bool:
     """One exact-store ingest micro-batch, applied EXACTLY ONCE — the
     foreachBatch body of `streaming_exact_dedup_store`, shared so
     batch replays (and the oracle mirrors) drive the identical path.
@@ -1550,7 +1552,8 @@ def ingest_exact_batch_idempotent(batch_df: DataFrame,
          .bucketBy(nbuck, "fingerprint").sortBy("fingerprint")
          .saveAsTable(f"{store_name}_fps"))
 
-    return _store.apply_batch_once(s, store_name, batch_id, _apply)
+    return _store.apply_batch_once(s, store_name, batch_id, _apply,
+                                   run_id=run_id)
 
 
 def streaming_near_dup_store(stream: DataFrame,
@@ -1585,7 +1588,7 @@ def streaming_near_dup_store(stream: DataFrame,
             batch_df, store_name, batch_id, text_col, id_col,
             jaccard_threshold,
             sink=lambda surv: surv.write.mode("append")
-            .parquet(output_path))
+            .parquet(output_path), run_id=checkpoint_dir)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
@@ -1599,7 +1602,8 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
                                      text_col: str = "text",
                                      id_col: str = "doc_id",
                                      jaccard_threshold: float = 0.8,
-                                     sink=None) -> bool:
+                                     sink=None,
+                                     run_id: str = "") -> bool:
     """One near-dup-store ingest micro-batch, applied EXACTLY ONCE —
     the foreachBatch body of `streaming_near_dup_store`, shared so
     batch replays (and the oracle mirrors) drive the identical path.
@@ -1637,7 +1641,8 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
         D.build_minhash_store(survivors, store_name, text_col, id_col,
                               k, num_hashes, rpb, nbuck, mode="append")
 
-    return _store.apply_batch_once(s, store_name, batch_id, _apply)
+    return _store.apply_batch_once(s, store_name, batch_id, _apply,
+                                   run_id=run_id)
 
 
 def streaming_ann_ingest(stream: DataFrame,
@@ -1661,7 +1666,8 @@ def streaming_ann_ingest(stream: DataFrame,
     StreamingQuery."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         ingest_ann_batch_idempotent(batch_df, store_name, batch_id,
-                                    vec_col, id_col)
+                                    vec_col, id_col,
+                                    run_id=checkpoint_dir)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
@@ -1673,7 +1679,8 @@ def ingest_ann_batch_idempotent(batch_df: DataFrame,
                                 store_name: str,
                                 batch_id: int,
                                 vec_col: str = "embedding",
-                                id_col: str = "vec_id") -> bool:
+                                id_col: str = "vec_id",
+                                run_id: str = "") -> bool:
     """One IVF-PQ index ingest micro-batch, applied EXACTLY ONCE — the
     foreachBatch body of `streaming_ann_ingest`, shared so batch
     replays (and the oracle mirrors) drive the identical path: refresh
@@ -1692,14 +1699,16 @@ def ingest_ann_batch_idempotent(batch_df: DataFrame,
     return _store.apply_batch_once(
         s, store_name, batch_id,
         lambda: build_ann_index(batch_df, store_name, corpus_id=id_col,
-                                corpus_vec=vec_col, mode="append"))
+                                corpus_vec=vec_col, mode="append"),
+        run_id=run_id)
 
 
 def ingest_span_batch_idempotent(batch_df: DataFrame,
                                  store_name: str,
                                  batch_id: int,
                                  text_col: str = "text",
-                                 id_col: str = "doc_id") -> bool:
+                                 id_col: str = "doc_id",
+                                 run_id: str = "") -> bool:
     """Append one micro-batch of REFERENCE documents to the persisted
     span-decontamination index (`dedup.build_span_store`) EXACTLY ONCE —
     e.g. an eval/benchmark suite that keeps growing while training
@@ -1725,7 +1734,8 @@ def ingest_span_batch_idempotent(batch_df: DataFrame,
         lambda: D.build_span_store(batch_df, store_name, text_col,
                                    id_col, min_len=int(m["min_len"]),
                                    seed_len=int(m["seed_len"]),
-                                   mode="append"))
+                                   mode="append"),
+        run_id=run_id)
 
 
 def streaming_span_ingest(stream: DataFrame,
@@ -1741,7 +1751,8 @@ def streaming_span_ingest(stream: DataFrame,
     StreamingQuery."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         ingest_span_batch_idempotent(batch_df, store_name, batch_id,
-                                     text_col, id_col)
+                                     text_col, id_col,
+                                     run_id=checkpoint_dir)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
@@ -1753,7 +1764,8 @@ def ingest_phash_batch_idempotent(batch_df: DataFrame,
                                   store_name: str,
                                   batch_id: int,
                                   binary_col: str = "image",
-                                  id_col: str = "doc_id") -> bool:
+                                  id_col: str = "doc_id",
+                                  run_id: str = "") -> bool:
     """Append one micro-batch of REFERENCE images to the persisted
     pHash dedup index (`multimodal.build_phash_store`) EXACTLY ONCE:
     hashes land as bit-block rows + (ph, id) member rows bucket-aligned
@@ -1776,7 +1788,8 @@ def ingest_phash_batch_idempotent(batch_df: DataFrame,
                                      id_col,
                                      max_hamming=int(m["max_hamming"]),
                                      num_blocks=int(m["num_blocks"]),
-                                     mode="append"))
+                                     mode="append"),
+        run_id=run_id)
 
 
 def streaming_phash_ingest(stream: DataFrame,
@@ -1790,7 +1803,8 @@ def streaming_phash_ingest(stream: DataFrame,
     started StreamingQuery."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         ingest_phash_batch_idempotent(batch_df, store_name, batch_id,
-                                      binary_col, id_col)
+                                      binary_col, id_col,
+                                      run_id=checkpoint_dir)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
@@ -1802,7 +1816,8 @@ def append_bm25_batch_idempotent(batch_df: DataFrame,
                                  store_name: str,
                                  batch_id: int,
                                  text_col: str = "text",
-                                 id_col: str = "doc_id") -> bool:
+                                 id_col: str = "doc_id",
+                                 run_id: str = "") -> bool:
     """Append one micro-batch to a persisted BM25 index EXACTLY ONCE.
 
     Unlike the anti-join stores (exact/minhash/span/phash — replay-safe
@@ -1830,7 +1845,8 @@ def append_bm25_batch_idempotent(batch_df: DataFrame,
         build_bm25_index(batch_df, store_name, text_col=text_col,
                          id_col=id_col, mode="append")
 
-    return _store.apply_batch_once(s, store_name, batch_id, _apply)
+    return _store.apply_batch_once(s, store_name, batch_id, _apply,
+                                   run_id=run_id)
 
 
 def streaming_bm25_ingest(stream: DataFrame,
@@ -1852,7 +1868,8 @@ def streaming_bm25_ingest(stream: DataFrame,
     started StreamingQuery."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         append_bm25_batch_idempotent(batch_df, store_name, batch_id,
-                                     text_col, id_col)
+                                     text_col, id_col,
+                                     run_id=checkpoint_dir)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)

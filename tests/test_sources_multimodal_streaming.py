@@ -1248,10 +1248,13 @@ def test_streaming_bm25_ingest_end_to_end(spark, tmp_path):
     want = sorted((r["query_id"], r["doc_id"], r["rank"], r["score"])
                   for r in bm25_topk(docs, qdf, k=10).collect())
     assert got == want and got
-    # replay guard: re-applying a logged batch id changes nothing
+    # replay guard: re-applying a logged batch id WITHIN THE STREAM'S
+    # LINEAGE (run_id = its checkpoint location) changes nothing; the
+    # same batch id under a fresh lineage would apply (r11 namespacing)
     n_log = spark.table("e2e_bm25_ingest_log").count()
     assert not append_bm25_batch_idempotent(
-        docs.filter(F.col("doc_id") % 2 == 0), "e2e_bm25", 0)
+        docs.filter(F.col("doc_id") % 2 == 0), "e2e_bm25", 0,
+        run_id=ckpt)
     assert spark.table("e2e_bm25_ingest_log").count() == n_log
     assert sorted((r["query_id"], r["doc_id"], r["rank"], r["score"])
                   for r in bm25_topk_from_index(qdf, "e2e_bm25",

@@ -74,3 +74,44 @@ def test_bm25_serving_pushes_query_terms_into_scans(spark):
     assert got == {(0, 0), (0, 1), (0, 2)}
     _drop(spark, "plumb_bm25_postings", "plumb_bm25_terms",
           "plumb_bm25_meta")
+
+
+def test_apply_batch_once_run_id_namespaces(spark):
+    """Batch ids are only unique within one checkpoint lineage: a NEW
+    stream into the same store restarts at batch 0 and must NOT be
+    skipped as a replay of the old stream's batch 0 — the guard keys
+    on (run_id, batch_id). Legacy (pre-r11, batch-only) logs keep
+    working in the '' namespace and keep their schema on append."""
+    _drop(spark, "plumb_xo_ingest_log")
+    hits = []
+    assert store.apply_batch_once(spark, "plumb_xo", 0,
+                                  lambda: hits.append("a"),
+                                  run_id="/ckpt/streamA")
+    # replay within the same lineage: suppressed
+    assert not store.apply_batch_once(spark, "plumb_xo", 0,
+                                      lambda: hits.append("a2"),
+                                      run_id="/ckpt/streamA")
+    # a NEW stream's batch 0: must apply
+    assert store.apply_batch_once(spark, "plumb_xo", 0,
+                                  lambda: hits.append("b"),
+                                  run_id="/ckpt/streamB")
+    # batch callers (default namespace) are independent too
+    assert store.apply_batch_once(spark, "plumb_xo", 0,
+                                  lambda: hits.append("c"))
+    assert not store.apply_batch_once(spark, "plumb_xo", 0,
+                                      lambda: hits.append("c2"))
+    assert hits == ["a", "b", "c"]
+    _drop(spark, "plumb_xo_ingest_log")
+    # legacy log: batch-only schema, honored and preserved on append
+    spark.sql("SELECT CAST(0 AS BIGINT) AS batch_id") \
+        .write.mode("overwrite").format("parquet") \
+        .saveAsTable("plumb_xo_ingest_log")
+    assert not store.apply_batch_once(spark, "plumb_xo", 0,
+                                      lambda: hits.append("d"))
+    assert store.apply_batch_once(spark, "plumb_xo", 1,
+                                  lambda: hits.append("e"),
+                                  run_id="/ckpt/streamA")
+    spark.catalog.refreshTable("plumb_xo_ingest_log")
+    assert spark.table("plumb_xo_ingest_log").columns == ["batch_id"]
+    assert hits == ["a", "b", "c", "e"]
+    _drop(spark, "plumb_xo_ingest_log")
