@@ -51,7 +51,12 @@ def begin_build(spark, store_name: str, mode: str,
     """The build/append preamble every store builder repeats.
 
     ``mode='overwrite'``: drop each ``{store}{suffix}`` table (plus
-    orphaned locations) and return None.
+    orphaned locations) AND the store's bookkeeping tables —
+    tombstones, removed-ids, ingest log — and return None. A rebuild
+    defines a new corpus truth: surviving tombstones would hide freshly
+    indexed content that matches an OLD takedown, and surviving batch
+    ids would make a restarted stream skip batches the new store never
+    saw.
 
     ``mode='append'``: read the ``{store}_meta`` row, check that each
     knob in ``validate`` matches what the store was built with (a
@@ -83,7 +88,8 @@ def begin_build(spark, store_name: str, mode: str,
                 f"store {store_name} was built with {built}; appending "
                 f"with {asked} would corrupt it")
         return m
-    for suffix in suffixes:
+    for suffix in (*suffixes, "_tombstones", "_removed_ids",
+                   "_ingest_log"):
         drop_store_table(spark, store_name + suffix)
     return None
 

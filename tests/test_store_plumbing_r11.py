@@ -115,3 +115,30 @@ def test_apply_batch_once_run_id_namespaces(spark):
     assert spark.table("plumb_xo_ingest_log").columns == ["batch_id"]
     assert hits == ["a", "b", "c", "e"]
     _drop(spark, "plumb_xo_ingest_log")
+
+
+def test_rebuild_clears_tombstones_and_ingest_log(spark):
+    """mode='overwrite' defines a new corpus truth: old takedowns and
+    old stream batch ids must not survive into the rebuilt store."""
+    from pipelinedp_spark.operators.dedup import (
+        build_exact_store, incremental_exact_dedup,
+        remove_from_exact_store)
+    tables = ("plumb_rb_fps", "plumb_rb_meta", "plumb_rb_tombstones",
+              "plumb_rb_ingest_log")
+    _drop(spark, *tables)
+    docs = spark.createDataFrame([(0, "alpha text"), (1, "beta text")],
+                                 "doc_id long, text string")
+    build_exact_store(docs, "plumb_rb", num_buckets=2)
+    remove_from_exact_store(docs.filter("doc_id = 0"), "plumb_rb")
+    store.apply_batch_once(spark, "plumb_rb", 0, lambda: None)
+    assert spark.catalog.tableExists("plumb_rb_tombstones")
+    assert spark.catalog.tableExists("plumb_rb_ingest_log")
+    # rebuild: the SAME corpus is indexed fresh — the old takedown must
+    # not keep hiding alpha, and batch 0 must apply again
+    build_exact_store(docs, "plumb_rb", num_buckets=2)
+    assert not spark.catalog.tableExists("plumb_rb_tombstones")
+    assert not spark.catalog.tableExists("plumb_rb_ingest_log")
+    batch = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    assert incremental_exact_dedup(batch, "plumb_rb").count() == 0
+    assert store.apply_batch_once(spark, "plumb_rb", 0, lambda: None)
+    _drop(spark, *tables)
