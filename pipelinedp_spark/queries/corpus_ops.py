@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import pipelinedp_spark as pds
-from pipelinedp_spark import dp_computations as dpc
 from pipelinedp_spark.queries.common import _t
 from pipelinedp_spark.queries.text_dedup import _plane_lit
 

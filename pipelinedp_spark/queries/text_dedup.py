@@ -12,8 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import pipelinedp_spark as pds
-from pipelinedp_spark import dp_computations as dpc
 from pipelinedp_spark.queries.common import _t
 
 
