@@ -427,8 +427,11 @@ def bm25_topk_from_index(queries: DataFrame,
     # corpus decade on a unique-token corpus, ~1x after). Degenerate
     # mega-batches (> 10k distinct terms) skip the literal pushdown to
     # keep the plan small and fall back to the broadcast joins below.
+    # probe with a LIMIT so a degenerate mega-batch never materializes
+    # millions of terms on the driver just to learn it is over the cap
     terms_list = [r["term"] for r in
-                  qterms.select("term").distinct().collect()]
+                  qterms.select("term").distinct().limit(10_001)
+                  .collect()]
     if len(terms_list) <= 10_000:
         post = post.filter(F.col("term").isin(terms_list))
         terms_scan = (spark.table(f"{store_name}_terms")

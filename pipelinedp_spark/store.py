@@ -35,6 +35,8 @@ def drop_store_table(spark, name: str) -> None:
     import shutil
     import urllib.parse
 
+    if name.endswith("_tombstones"):
+        _TS_SIZE_CACHE.pop(name[:-len("_tombstones")], None)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if wh.startswith("file:"):
@@ -100,6 +102,8 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     `spark.table` scans then restore the hash partitioning, so the
     store side of every candidate/anti join reaches the join with
     ZERO Exchange (plan-pinned per store kind)."""
+    if table.endswith("_tombstones"):
+        _TS_SIZE_CACHE.pop(table[:-len("_tombstones")], None)
     (df.write.mode(mode).format("parquet")
      .bucketBy(int(num_buckets), bucket_col).sortBy(bucket_col)
      .saveAsTable(table))
@@ -139,8 +143,12 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
     "replays" of the old stream's. The streaming_*_ingest wrappers
     pass their checkpoint location as the run id; batch callers (the
     oracle mirrors, backfills) can leave the default single namespace.
-    A pre-r11 log table (batch_id column only) is honored as the ""
-    namespace and keeps its legacy schema on append.
+    A pre-r11 log table (batch_id column only) keeps working for
+    default-namespace callers (and keeps its legacy schema on append);
+    a NAMESPACED caller against it raises — the legacy log cannot say
+    which lineage its ids belong to, and both silent readings lose
+    data (skip a new stream's batches, or double-apply a resumed one's
+    replays). Rebuild the store to reset the log.
 
     Even for the anti-join store kinds (exact/minhash/span/phash),
     whose STATE is multiplicity-insensitive, the guard matters: their
@@ -169,14 +177,22 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
         spark.catalog.refreshTable(log_table)
         log = spark.table(log_table)
         legacy = "run_id" not in log.columns
+        if legacy and rid:
+            # A batch-only log cannot say WHICH lineage its ids belong
+            # to: matching on batch_id alone would silently drop a NEW
+            # stream's first batches as "replays" of the old one, and
+            # ignoring the log would double-apply a RESUMED old
+            # stream's replays. Neither silent outcome is acceptable —
+            # fail loudly with the remedy (same contract as
+            # begin_build's missing-knob check).
+            raise ValueError(
+                f"store {store_name}'s ingest log predates run-id "
+                f"namespacing (batch-id-only rows); rebuild the store "
+                f"(mode='overwrite' resets the log) before streaming "
+                f"into it with a checkpoint lineage")
         done = log.filter(F.col("batch_id") == int(batch_id))
         if not legacy:
             done = done.filter(F.col("run_id") == rid)
-        elif rid:
-            # legacy batch-only log + a namespaced caller: ambiguous —
-            # matching on batch_id alone is the conservative reading
-            # (skip rather than double-apply)
-            pass
         if done.limit(1).count():
             return False
     apply_fn()
@@ -192,6 +208,9 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
     return True
 
 
+_TS_SIZE_CACHE: dict = {}
+
+
 def tombstones(spark, store_name: str,
                broadcast_rows: int = 2_000_000):
     """Read ``{store}_tombstones`` for a reader-side anti-join, or
@@ -199,21 +218,34 @@ def tombstones(spark, store_name: str,
     that tombstones stay SMALL between compactions, so the table is
     broadcast-hinted and the anti-join never exchanges the bucketed /
     partition-pruned store scan — but that assumption is enforced, not
-    assumed: the row count (a metadata-cheap job on a tiny parquet
-    table) gates the hint, and a jumbo takedown (e.g. a licensing
-    removal of a whole corpus slice, before its compaction) falls back
-    to a plain shuffled anti-join instead of force-broadcasting a
-    corpus-scale table into every executor. 2M ids ≈ tens of MB
-    broadcast — comfortably under executor headroom; past that,
-    `compact_store` is overdue anyway."""
+    assumed: the row count gates the hint, and a jumbo takedown (e.g.
+    a licensing removal of a whole corpus slice, before its
+    compaction) falls back to a plain shuffled anti-join instead of
+    force-broadcasting a corpus-scale table into every executor. 2M
+    ids ≈ tens of MB broadcast — comfortably under executor headroom;
+    past that, `compact_store` is overdue anyway.
+
+    The gate decision is memoized per (session, store): serving calls
+    and streaming micro-batches don't pay a count job each —
+    `write_bucketed` / `drop_store_table` invalidate the memo on every
+    tombstone append, compaction, or rebuild in this process (an
+    append from a DIFFERENT process goes stale only for the hint
+    decision, never the data — the same staleness class as Spark's own
+    relation cache, cleared by the same refresh)."""
     from pyspark.sql import functions as F
     ts_table = f"{store_name}_tombstones"
     if not spark.catalog.tableExists(ts_table):
         return None
     ts = spark.table(ts_table)
-    if ts.count() <= int(broadcast_rows):
-        ts = F.broadcast(ts)
-    return ts
+    hit = _TS_SIZE_CACHE.get(store_name)
+    if hit is not None and hit[0] is spark:
+        n = hit[1]
+    else:
+        n = ts.count()
+        if len(_TS_SIZE_CACHE) >= 512:
+            _TS_SIZE_CACHE.clear()
+        _TS_SIZE_CACHE[store_name] = (spark, n)
+    return F.broadcast(ts) if n <= int(broadcast_rows) else ts
 
 
 def refresh_store(spark, store_name: str,

@@ -1717,17 +1717,16 @@ def ingest_span_batch_idempotent(batch_df: DataFrame,
     can never anchor differently from the build; replays are suppressed
     by the ingest log (`store.apply_batch_once`) — anchor rows are
     anti-join-insensitive, but per-append small files and the texts
-    table are not free to duplicate. Tombstones are refreshed per batch
-    (a mid-stream `remove_from_span_store` takes effect at the next
-    trigger's reads)."""
+    table are not free to duplicate. (Tombstones are a SERVING-side
+    concern for this kind: the ingest path appends reference anchors
+    and never reads them — `incremental_decontaminate_spans` applies
+    takedowns at read time.)"""
     from pipelinedp_spark import store as _store
     from pipelinedp_spark.operators import dedup as D
     s = batch_df.sparkSession
     for t in (f"{store_name}_anchors", f"{store_name}_texts",
               f"{store_name}_meta"):
         s.catalog.refreshTable(t)
-    if s.catalog.tableExists(f"{store_name}_tombstones"):
-        s.catalog.refreshTable(f"{store_name}_tombstones")
     m = s.table(f"{store_name}_meta").collect()[0]
     return _store.apply_batch_once(
         s, store_name, batch_id,
@@ -1770,17 +1769,19 @@ def ingest_phash_batch_idempotent(batch_df: DataFrame,
     pHash dedup index (`multimodal.build_phash_store`) EXACTLY ONCE:
     hashes land as bit-block rows + (ph, id) member rows bucket-aligned
     with the store's knobs (max_hamming / num_blocks inherited from
-    meta). The guard matters doubly here: replayed member rows would
-    inflate the per-image takedown's survivor counts, keeping a family
-    fingerprint alive after its real last member was removed."""
+    meta). Duplicate member rows from a replay would be tolerated by
+    the takedown's existence-based survivorship, but the guard keeps
+    the members table an exact image of the ingested corpus (and the
+    blocks table free of per-replay small files). (Tombstones are a
+    SERVING-side concern for this kind: ingest appends reference
+    hashes and never reads them — `incremental_phash_dedup` applies
+    takedowns at read time.)"""
     from pipelinedp_spark import store as _store
     from pipelinedp_spark.operators import multimodal as MM
     s = batch_df.sparkSession
     for t in (f"{store_name}_blocks", f"{store_name}_members",
               f"{store_name}_meta"):
         s.catalog.refreshTable(t)
-    if s.catalog.tableExists(f"{store_name}_tombstones"):
-        s.catalog.refreshTable(f"{store_name}_tombstones")
     m = s.table(f"{store_name}_meta").collect()[0]
     return _store.apply_batch_once(
         s, store_name, batch_id,

@@ -102,15 +102,21 @@ def test_apply_batch_once_run_id_namespaces(spark):
                                       lambda: hits.append("c2"))
     assert hits == ["a", "b", "c"]
     _drop(spark, "plumb_xo_ingest_log")
-    # legacy log: batch-only schema, honored and preserved on append
+    # legacy log: batch-only schema, honored for default-namespace
+    # callers (and schema preserved on append) — but a NAMESPACED
+    # caller must fail loudly: the legacy log cannot say which lineage
+    # its ids belong to, and both silent readings lose data
     spark.sql("SELECT CAST(0 AS BIGINT) AS batch_id") \
         .write.mode("overwrite").format("parquet") \
         .saveAsTable("plumb_xo_ingest_log")
     assert not store.apply_batch_once(spark, "plumb_xo", 0,
                                       lambda: hits.append("d"))
     assert store.apply_batch_once(spark, "plumb_xo", 1,
-                                  lambda: hits.append("e"),
-                                  run_id="/ckpt/streamA")
+                                  lambda: hits.append("e"))
+    with pytest.raises(ValueError, match="predates run-id"):
+        store.apply_batch_once(spark, "plumb_xo", 2,
+                               lambda: hits.append("f"),
+                               run_id="/ckpt/streamA")
     spark.catalog.refreshTable("plumb_xo_ingest_log")
     assert spark.table("plumb_xo_ingest_log").columns == ["batch_id"]
     assert hits == ["a", "b", "c", "e"]
