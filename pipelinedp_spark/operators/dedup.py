@@ -86,6 +86,13 @@ def build_exact_store(reference: DataFrame,
         num_buckets = int(m["num_buckets"])   # appends stay aligned
     fp = T.rolling_fingerprint(F.col(text_col))
     fps = reference.select(fp.alias("fingerprint")).distinct()
+    # provenance-stamp columns (NULL for unguarded builds): created at
+    # build so guarded streaming appends can stamp their batches and
+    # `store.apply_batch_once` can roll back a half-applied one;
+    # appends to a pre-r12 table (no stamp columns) stay stamp-free
+    if mode != "append" or store.table_has_prov(spark,
+                                                f"{store_name}_fps"):
+        fps = store.with_prov(fps)
     store.write_bucketed(fps, f"{store_name}_fps", "fingerprint",
                          num_buckets, mode)
     if mode != "append":
@@ -1330,7 +1337,8 @@ def build_minhash_store(reference: DataFrame,
                         rows_per_band: int = 4,
                         num_buckets: int = 8,
                         max_bucket_size: int = 1000,
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        prov: tuple[str, int] | None = None) -> None:
     """Persist a reference corpus's dedup index as BUCKETED tables so
     later ingest batches join it with ZERO shuffle on the store side —
     the incremental-dedup flow real pipelines run: dedup each new crawl
@@ -1378,10 +1386,20 @@ def build_minhash_store(reference: DataFrame,
              .filter(F.col("__n__") <= max_bucket_size)
              .select("bh").hint("shuffle_hash"))
     bands = bands.join(sizes, "bh").select("id", "bh")
-    store.write_bucketed(bands, f"{store_name}_bands", "bh",
-                         num_buckets, mode)
     sh = (shingle_docs(reference, text_col, id_col, k)
           .select(F.col(id_col).alias("id"), "shingles"))
+    # provenance stamps (see build_bm25_index): a guarded streaming
+    # append marks its rows so a crash between apply and ingest-log
+    # write rolls back convergently — without the rollback, the
+    # re-run would see the batch as near-dups of its OWN crashed
+    # attempt's bands and silently emit nothing to the sink.
+    if mode != "append" or store.table_has_prov(
+            spark, f"{store_name}_bands"):
+        rid, bid = prov if prov is not None else (None, None)
+        bands = store.with_prov(bands, rid, bid)
+        sh = store.with_prov(sh, rid, bid)
+    store.write_bucketed(bands, f"{store_name}_bands", "bh",
+                         num_buckets, mode)
     store.write_bucketed(sh, f"{store_name}_shingles", "id",
                          num_buckets, mode)
     if mode != "append":
@@ -1534,7 +1552,8 @@ def build_span_store(reference: DataFrame,
                      min_len: int = 50,
                      seed_len: int | None = None,
                      num_buckets: int = 8,
-                     mode: str = "overwrite") -> None:
+                     mode: str = "overwrite",
+                     prov: tuple[str, int] | None = None) -> None:
     """Persist a benchmark/eval corpus as a SPAN-DECONTAMINATION index
     so every new training batch can be span-cut against it without
     recomputing the reference's fingerprints — the decontamination twin
@@ -1565,6 +1584,15 @@ def build_span_store(reference: DataFrame,
                 .select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("text")))
     anchors = _winnow_anchors(eligible, "text", "id", min_len, seed_len)
+    # provenance stamps (see build_bm25_index): a guarded streaming
+    # append marks its rows so a crash between apply and ingest-log
+    # write rolls back convergently instead of leaving duplicate
+    # anchor/text rows until compaction.
+    if mode != "append" or store.table_has_prov(
+            spark, f"{store_name}_anchors"):
+        rid, bid = prov if prov is not None else (None, None)
+        anchors = store.with_prov(anchors, rid, bid)
+        eligible = store.with_prov(eligible, rid, bid)
     store.write_bucketed(anchors, f"{store_name}_anchors", "ah",
                          num_buckets, mode)
     store.write_bucketed(eligible, f"{store_name}_texts", "id",
@@ -1800,6 +1828,22 @@ def compact_store(spark, store_name: str, kind: str) -> None:
     generating candidates, which is the cap's contract. Safe to run any
     time no ingest is active.
 
+    Round 12 adds two failure-hardening legs to every kind:
+
+    * the ingest log folds to one RANGE row per (run_id, contiguous
+      batch interval) and rewrites as a single file
+      (`store.compact_ingest_log`) — unbounded, a months-long stream
+      pays an O(N)-file driver listing per exactly-once guard check;
+    * HALF-APPLIED batches (provenance-stamped rows with no ingest-log
+      entry — a crash between apply and log whose stream never
+      resumed) are rolled back for the stamped kinds (exact, bm25), so
+      the compacted store holds exactly the confirmed batches plus
+      unguarded builds; the crashed stream's checkpoint never
+      committed the batch, so a resume replays it fresh. For bm25 the
+      rewrite additionally re-derives the terms table and the meta
+      scalars from the surviving postings — compaction is a full
+      repair of any partial state.
+
     ``kind`` is one of 'exact', 'minhash', 'span', 'phash', 'bm25',
     'ann'."""
     meta = spark.table(f"{store_name}_meta").collect()[0]
@@ -1811,7 +1855,10 @@ def compact_store(spark, store_name: str, kind: str) -> None:
 
     if kind == "exact":
         t = f"{store_name}_fps"
-        fps = spark.table(t).distinct()
+        fps = store.anti_orphans(
+            spark.table(t), store.orphan_provs(spark, store_name,
+                                               (t,)))
+        fps = fps.distinct()
         ts_table = f"{store_name}_tombstones"
         had_ts = spark.catalog.tableExists(ts_table)
         if had_ts:
@@ -1826,7 +1873,10 @@ def compact_store(spark, store_name: str, kind: str) -> None:
         had_ts = spark.catalog.tableExists(ts_table)
         ts = F.broadcast(spark.table(ts_table)) if had_ts else None
         t = f"{store_name}_bands"
-        bands = spark.table(t).distinct()
+        orphans = store.orphan_provs(
+            spark, store_name, (t, f"{store_name}_shingles"))
+        bands = store.anti_orphans(spark.table(t), orphans).distinct()
+        cols = [c for c in spark.table(t).columns]
         if had_ts:
             bands = bands.join(ts, "id", "left_anti")
         if "max_bucket_size" in meta.__fields__:
@@ -1838,10 +1888,11 @@ def compact_store(spark, store_name: str, kind: str) -> None:
                     .agg(F.count(F.lit(1)).alias("__n__"))
                     .filter(F.col("__n__") <= cap)
                     .select("bh").hint("shuffle_hash"))
-            bands = bands.join(keep, "bh").select("id", "bh")
+            bands = bands.join(keep, "bh").select(*cols)
         rewrite(t, bands, "bh")
         t = f"{store_name}_shingles"
-        sh = spark.table(t).dropDuplicates(["id"])
+        sh = store.anti_orphans(spark.table(t), orphans) \
+            .dropDuplicates(["id"])
         if had_ts:
             sh = sh.join(ts, "id", "left_anti")
         rewrite(t, sh, "id")
@@ -1853,12 +1904,15 @@ def compact_store(spark, store_name: str, kind: str) -> None:
         had_ts = spark.catalog.tableExists(ts_table)
         ts = F.broadcast(spark.table(ts_table)) if had_ts else None
         t = f"{store_name}_anchors"
-        an = spark.table(t).distinct()
+        orphans = store.orphan_provs(
+            spark, store_name, (t, f"{store_name}_texts"))
+        an = store.anti_orphans(spark.table(t), orphans).distinct()
         if had_ts:
             an = an.join(ts, "id", "left_anti")
         rewrite(t, an, "ah")
         t = f"{store_name}_texts"
-        tx = spark.table(t).dropDuplicates(["id"])
+        tx = store.anti_orphans(spark.table(t), orphans) \
+            .dropDuplicates(["id"])
         if had_ts:
             tx = tx.join(ts, "id", "left_anti")
         rewrite(t, tx, "id")
@@ -1867,7 +1921,9 @@ def compact_store(spark, store_name: str, kind: str) -> None:
             drop_store_table(spark, ts_table)
     elif kind == "phash":
         t = f"{store_name}_blocks"
-        bl = spark.table(t).distinct()
+        orphans = store.orphan_provs(
+            spark, store_name, (t, f"{store_name}_members"))
+        bl = store.anti_orphans(spark.table(t), orphans).distinct()
         ts_table = f"{store_name}_tombstones"
         had_ts = spark.catalog.tableExists(ts_table)
         if had_ts:
@@ -1881,7 +1937,8 @@ def compact_store(spark, store_name: str, kind: str) -> None:
         rm_table = f"{store_name}_removed_ids"
         had_rm = spark.catalog.tableExists(rm_table)
         if spark.catalog.tableExists(mt):
-            mem = spark.table(mt).dropDuplicates(["id"])
+            mem = store.anti_orphans(spark.table(mt), orphans) \
+                .dropDuplicates(["id"])
             if had_rm:
                 mem = mem.join(
                     F.broadcast(spark.table(rm_table).select("id")),
@@ -1897,26 +1954,43 @@ def compact_store(spark, store_name: str, kind: str) -> None:
             if had_rm:
                 drop_store_table(spark, rm_table)
     elif kind == "bm25":
-        # postings rows are unique per (doc, term) by the append
-        # contract — rewrite merges the per-append small files and
-        # applies tombstoned takedowns physically; the terms segments
-        # (negative removal segments included) collapse to one df row
-        # per term (what readers compute on the fly).
+        # Postings are the PRIMARY table — everything else re-derives
+        # from them, making compaction a full repair of any partial
+        # state (half-applied batches, the takedown's non-atomic
+        # correction window): roll back orphaned half-applied batches,
+        # dedup (term,id) — a no-op under the no-re-append contract, a
+        # repair after a pre-r12 double-apply — apply tombstoned
+        # takedowns physically, then RECOMPUTE the terms table (one df
+        # row per term; the negative removal segments existed only to
+        # correct for tombstoned docs, now physically gone) and the
+        # meta scalars (`restore_bm25_meta` — exactly derivable from
+        # live postings) instead of merging possibly-inconsistent
+        # segments.
+        from pipelinedp_spark.operators.retrieval import (
+            restore_bm25_meta)
         t = f"{store_name}_postings"
-        post = spark.table(t)
+        post = store.anti_orphans(
+            spark.table(t),
+            store.orphan_provs(spark, store_name,
+                               (t, f"{store_name}_terms")))
+        post = post.dropDuplicates(["term", "id"])
         ts_table = f"{store_name}_tombstones"
         had_ts = spark.catalog.tableExists(ts_table)
         if had_ts:
             post = post.join(F.broadcast(spark.table(ts_table)), "id",
                              "left_anti")
-        rewrite(t, post, "term")
-        t = f"{store_name}_terms"
-        rewrite(t, spark.table(t).groupBy("term")
-                .agg(F.sum("df").alias("df"))
-                .filter(F.col("df") > 0), "term")
+        post = post.localCheckpoint()
+        store.write_bucketed(post, t, "term",
+                             int(meta["num_buckets"]), "overwrite")
+        spark.catalog.refreshTable(t)
+        dft = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if store.PROV_RUN in post.columns:
+            dft = store.with_prov(dft)   # merged segments: no lineage
+        rewrite(f"{store_name}_terms", dft, "term")
         if had_ts:
             from pipelinedp_spark.store import drop_store_table
             drop_store_table(spark, ts_table)
+        restore_bm25_meta(spark, store_name)
     elif kind == "ann":
         # The codes table is PARTITIONED by cell (not bucketed):
         # replayed ingest rows duplicate ids (each consumes a top-k
@@ -1925,7 +1999,10 @@ def compact_store(spark, store_name: str, kind: str) -> None:
         # tombstoned takedowns physically, and merges files,
         # partitioning preserved.
         t = f"{store_name}_codes"
-        df = spark.table(t).dropDuplicates(["id"])
+        df = store.anti_orphans(
+            spark.table(t), store.orphan_provs(spark, store_name,
+                                               (t,)))
+        df = df.dropDuplicates(["id"])
         ts_table = f"{store_name}_tombstones"
         had_ts = spark.catalog.tableExists(ts_table)
         if had_ts:
@@ -1939,3 +2016,8 @@ def compact_store(spark, store_name: str, kind: str) -> None:
             drop_store_table(spark, ts_table)
     else:
         raise ValueError(f"unknown store kind: {kind}")
+    # Bound the exactly-once bookkeeping: fold the per-batch ingest
+    # log to one range row per lineage in a single file (replay
+    # suppression stays exact — the guard reads rows as inclusive
+    # batch-id intervals).
+    store.compact_ingest_log(spark, store_name)

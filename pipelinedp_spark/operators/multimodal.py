@@ -1479,7 +1479,8 @@ def build_phash_store(reference: DataFrame,
                       max_hamming: int = 0,
                       num_blocks: int = 4,
                       num_buckets: int = 8,
-                      mode: str = "overwrite") -> None:
+                      mode: str = "overwrite",
+                      prov: tuple[str, int] | None = None) -> None:
     """Persist a reference image corpus's perceptual-hash dedup index —
     the MULTIMODAL member of the bucketed incremental-store family
     (text twins: `dedup.build_exact_store` / `build_minhash_store` /
@@ -1502,7 +1503,10 @@ def build_phash_store(reference: DataFrame,
     family fingerprint exactly when its LAST member is removed (the
     serving path never reads it); plus ``{store}_meta``
     (max_hamming, num_blocks, num_buckets). ``mode='append'`` grows
-    the index bucket-aligned after a knob check."""
+    the index bucket-aligned after a knob check; appending content
+    whose hash was fully tombstoned by `remove_from_phash_store` does
+    NOT resurrect the family — compact first, then append (see the
+    takedown docstring's re-add contract)."""
     from pipelinedp_spark import store
     spark = reference.sparkSession
     if max_hamming > num_blocks - 1:
@@ -1515,6 +1519,24 @@ def build_phash_store(reference: DataFrame,
                                     "num_blocks": num_blocks})
     if m is not None:
         num_buckets = int(m["num_buckets"])   # appends stay aligned
+        # A pre-per-image-takedown store (built before _members
+        # existed) passes the knob check above but would get an
+        # INCOMPLETE members table here — saveAsTable('append') would
+        # create it holding only this batch, remove_from_phash_store's
+        # members guard would then pass, and a takedown of any
+        # pre-append image would find no member rows, compute "dead"
+        # as empty and silently no-op: the removed image's hash keeps
+        # flagging dups — a silent right-to-be-forgotten violation.
+        # Same loud-failure contract as the missing-knob / legacy-log
+        # paths.
+        if not spark.catalog.tableExists(f"{store_name}_members"):
+            raise ValueError(
+                f"store {store_name} predates per-image takedowns "
+                f"(no _members table); rebuild it with the current "
+                f"build_phash_store before appending (an append-"
+                f"created members table would hold only the new "
+                f"batch and silently break takedowns of older "
+                f"images)")
     hashed = (image_phash(reference, binary_col)
               .select(F.col("phash").alias("ph"),
                       F.col(id_col).alias("id"))
@@ -1523,9 +1545,20 @@ def build_phash_store(reference: DataFrame,
     blocks = (hashed.select("ph").distinct()
               .select("ph", F.explode(_phash_blocks(
                   "ph", num_blocks)).alias("bk")))
+    members = hashed.dropDuplicates(["id"])
+    # provenance stamps (see build_bm25_index): a guarded streaming
+    # append marks its rows so a crash between apply and ingest-log
+    # write rolls back convergently (only THIS batch's block/member
+    # rows are removed — a family indexed by earlier batches keeps
+    # its own stamped rows).
+    if mode != "append" or store.table_has_prov(
+            spark, f"{store_name}_blocks"):
+        rid, bid = prov if prov is not None else (None, None)
+        blocks = store.with_prov(blocks, rid, bid)
+        members = store.with_prov(members, rid, bid)
     store.write_bucketed(blocks, f"{store_name}_blocks", "bk",
                          num_buckets, mode)
-    store.write_bucketed(hashed.dropDuplicates(["id"]),
+    store.write_bucketed(members,
                          f"{store_name}_members", "ph", num_buckets,
                          mode)
     if mode != "append":
@@ -1559,7 +1592,16 @@ def remove_from_phash_store(images: DataFrame,
     re-running after a crash between the two appends heals the
     tombstone side. `compact_store(kind='phash')` applies everything
     physically (drops dead block rows and removed member rows) and
-    clears both bookkeeping tables."""
+    clears both bookkeeping tables.
+
+    Re-ADDING removed content requires that compaction FIRST — same
+    contract as the id-keyed store kinds: while a family's tombstone
+    stands, a `build_phash_store(mode='append')` of an image with the
+    same hash grows members/blocks but the serving anti-join still
+    hides the hash, and `compact_store(kind='phash')` applies
+    tombstones physically (dropping the dead family's rows INCLUDING
+    any appended-while-tombstoned ones). Compact first — clearing the
+    tombstones — then append the re-added content."""
     from pipelinedp_spark import store as _store
     spark = images.sparkSession
     if not spark.catalog.tableExists(f"{store_name}_members"):

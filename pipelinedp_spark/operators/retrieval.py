@@ -312,7 +312,8 @@ def build_bm25_index(docs: DataFrame,
                      text_col: str = "text",
                      id_col: str = "doc_id",
                      num_buckets: int = 8,
-                     mode: str = "overwrite") -> None:
+                     mode: str = "overwrite",
+                     prov: tuple[str, int] | None = None) -> None:
     """Persist the corpus's BM25 inverted index as bucketed tables so
     queries never re-tokenize the corpus — the offline-index flow
     `bm25_topk`'s docstring promises:
@@ -361,9 +362,21 @@ def build_bm25_index(docs: DataFrame,
     avgdl = float(total_dl) / float(n_docs) if n_docs else 0.0
     post = (tf.join(dl, id_col)
             .select("term", F.col(id_col).alias("id"), "tf", "dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # provenance stamps: ``prov=(run_id, batch_id)`` marks a guarded
+    # streaming append so `store.apply_batch_once` can roll the batch
+    # back if the process dies before its ingest-log row lands —
+    # BM25's tf/df/scalars are multiplicity-critical, so this is the
+    # kind where the crash window actually corrupts. Unguarded builds
+    # stamp NULLs; appends to a pre-r12 table (no stamp columns) stay
+    # stamp-free and keep the documented window.
+    if mode != "append" or store.table_has_prov(
+            spark, f"{store_name}_postings"):
+        rid, bid = prov if prov is not None else (None, None)
+        post = store.with_prov(post, rid, bid)
+        dft = store.with_prov(dft, rid, bid)
     store.write_bucketed(post, f"{store_name}_postings", "term",
                          num_buckets, mode)
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     store.write_bucketed(dft, f"{store_name}_terms", "term",
                          num_buckets, mode)
     store.write_meta(spark, store_name, n_docs=int(n_docs),
@@ -428,11 +441,15 @@ def bm25_topk_from_index(queries: DataFrame,
     # mega-batches (> 10k distinct terms) skip the literal pushdown to
     # keep the plan small and fall back to the broadcast joins below.
     # probe with a LIMIT so a degenerate mega-batch never materializes
-    # millions of terms on the driver just to learn it is over the cap
+    # millions of terms on the driver just to learn it is over the cap;
+    # the cap reads the session conf so the fallback branch is
+    # testable at oracle-gate scale (and tunable per deployment)
+    cap = int(spark.conf.get("spark.pipelinedp.bm25.termPushdownCap",
+                             "10000"))
     terms_list = [r["term"] for r in
-                  qterms.select("term").distinct().limit(10_001)
+                  qterms.select("term").distinct().limit(cap + 1)
                   .collect()]
-    if len(terms_list) <= 10_000:
+    if len(terms_list) <= cap:
         post = post.filter(F.col("term").isin(terms_list))
         terms_scan = (spark.table(f"{store_name}_terms")
                       .filter(F.col("term").isin(terms_list)))
@@ -522,6 +539,8 @@ def remove_from_bm25_index(doc_ids: DataFrame,
     store.write_bucketed(ids, ts_table, "id", nbuck, "append")
     neg = (removed.groupBy("term")
            .agg((-F.count(F.lit(1))).alias("df")))
+    if store.table_has_prov(spark, f"{store_name}_terms"):
+        neg = store.with_prov(neg)   # takedowns are not batch-guarded
     store.write_bucketed(neg, f"{store_name}_terms", "term", nbuck,
                          "append")
     prev_tot = (int(m["total_dl"]) if "total_dl" in m.__fields__
@@ -534,3 +553,34 @@ def remove_from_bm25_index(doc_ids: DataFrame,
                      num_buckets=nbuck)
     store.refresh_store(spark, store_name,
                         ("_postings", "_terms", "_meta", "_tombstones"))
+
+
+def restore_bm25_meta(spark, store_name: str) -> None:
+    """Recompute the ``{store}_meta`` scalars from the live postings —
+    the invariant every build/append/takedown maintains is that
+    ``n_docs`` / ``total_dl`` equal the distinct non-tombstoned doc
+    count / summed doc length of the postings table (a doc with zero
+    tokens never gets postings OR counts toward n_docs, and ``dl`` is
+    denormalized per row, so both are exactly derivable). Used as the
+    ``restore_fn`` of the exactly-once ingest guard: after a crashed
+    half-applied batch's stamped rows are rolled back, the meta row
+    (which the crashed attempt may or may not have rewritten) is put
+    back in sync with the cleaned tables; and by `compact_store`,
+    whose physical rewrite re-derives terms and meta from the
+    surviving postings."""
+    from pipelinedp_spark import store
+    m = spark.table(f"{store_name}_meta").collect()[0]
+    post = spark.table(f"{store_name}_postings")
+    ts = store.tombstones(spark, store_name)
+    if ts is not None:
+        post = post.join(ts, "id", "left_anti")
+    stats = (post.select("id", "dl").distinct()
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("dl").alias("tot")).collect()[0])
+    n_docs = int(stats["n"])
+    total_dl = int(stats["tot"] or 0)
+    avgdl = float(total_dl) / float(n_docs) if n_docs else 0.0
+    store.write_meta(spark, store_name, n_docs=n_docs,
+                     total_dl=total_dl, avgdl=float(avgdl),
+                     num_buckets=int(m["num_buckets"]))
+    spark.catalog.refreshTable(f"{store_name}_meta")

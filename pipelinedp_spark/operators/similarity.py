@@ -717,7 +717,8 @@ def build_ann_index(corpus: DataFrame,
                     centroids: Optional["np.ndarray"] = None,
                     codebooks: Optional["np.ndarray"] = None,
                     sample_size: int = 10_000,
-                    mode: str = "overwrite") -> None:
+                    mode: str = "overwrite",
+                    prov: tuple[str, int] | None = None) -> None:
     """Persist an IVF-PQ vector index — the ANN member of the bucketed/
     partitioned incremental-store family, and the vector-database-on-
     Spark shape: the corpus is encoded ONCE (cell assignment + m-byte
@@ -792,6 +793,15 @@ def build_ann_index(corpus: DataFrame,
         F.col(corpus_id).alias("id"),
         _cell(F.col(corpus_vec)).alias("cell"),
         _encode(F.col(corpus_vec)).alias("codes"))
+    # provenance stamps (see build_bm25_index): a guarded streaming
+    # append marks its code rows so a crash between apply and
+    # ingest-log write rolls back convergently — a half-applied
+    # batch's duplicate ids would otherwise eat top-k slots until
+    # compaction.
+    if mode != "append" or store.table_has_prov(
+            spark, f"{store_name}_codes"):
+        rid, bid = prov if prov is not None else (None, None)
+        coded = store.with_prov(coded, rid, bid)
     (coded.write.mode(mode).format("parquet")
      .partitionBy("cell").saveAsTable(f"{store_name}_codes"))
     if mode == "append":

@@ -24,6 +24,32 @@ import os
 from pyspark.sql import DataFrame
 
 
+def _managed_location(spark, name: str) -> str | None:
+    """Local-filesystem path a managed table `name` would live at, or
+    None when the warehouse isn't file-backed (cluster storage — the
+    catalog owns the location there)."""
+    import urllib.parse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if not wh.startswith("file:"):
+        return None
+    p = urllib.parse.urlparse(wh).path
+    parts = name.lower().split(".")
+    rel = (parts[-1] if len(parts) == 1
+           else os.path.join(f"{parts[-2]}.db", parts[-1]))
+    return os.path.join(p, rel)
+
+
+def _orphan_location(spark, name: str) -> str | None:
+    """The on-disk managed location of `name` if files exist there
+    WITHOUT a catalog entry (a crashed prior session persisted the
+    files but the in-memory catalog died with the process)."""
+    if spark.catalog.tableExists(name):
+        return None
+    loc = _managed_location(spark, name)
+    return loc if loc is not None and os.path.exists(loc) else None
+
+
 def drop_store_table(spark, name: str) -> None:
     """DROP TABLE IF EXISTS plus removal of an ORPHANED managed-table
     location (a crashed prior session can leave the warehouse directory
@@ -33,18 +59,13 @@ def drop_store_table(spark, name: str) -> None:
     location. Handles default-database ('<table>') and db-qualified
     ('<db>.<table>' under '<db>.db/<table>') managed layouts."""
     import shutil
-    import urllib.parse
 
     if name.endswith("_tombstones"):
         _TS_SIZE_CACHE.pop(name[:-len("_tombstones")], None)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        p = urllib.parse.urlparse(wh).path
-        parts = name.lower().split(".")
-        rel = (parts[-1] if len(parts) == 1
-               else os.path.join(f"{parts[-2]}.db", parts[-1]))
-        shutil.rmtree(os.path.join(p, rel), ignore_errors=True)
+    loc = _managed_location(spark, name)
+    if loc is not None:
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def begin_build(spark, store_name: str, mode: str,
@@ -128,8 +149,197 @@ def write_meta(spark, store_name: str, **values) -> None:
         .saveAsTable(f"{store_name}_meta")
 
 
+PROV_RUN = "__run_id"
+PROV_BATCH = "__batch_id"
+
+
+def with_prov(df: DataFrame, run_id: str | None = None,
+              batch_id: int | None = None) -> DataFrame:
+    """Stamp rows with their ingest provenance — the (run_id, batch_id)
+    pair of the guarded micro-batch that appended them (NULLs for
+    unguarded build/append callers). The stamps are constant per
+    append, so parquet dictionary-encodes them to near-zero bytes and
+    min/max column stats let a provenance scan skip every file a batch
+    never touched. `apply_batch_once` uses them to detect and roll
+    back a HALF-APPLIED batch (crash between apply and ingest-log
+    write) before re-applying — the convergent-recovery protocol that
+    closes the one-batch double-apply window."""
+    from pyspark.sql import functions as F
+    return (df.withColumn(PROV_RUN, F.lit(run_id).cast("string"))
+            .withColumn(PROV_BATCH, F.lit(
+                None if batch_id is None else int(batch_id))
+                .cast("long")))
+
+
+def table_has_prov(spark, table: str) -> bool:
+    """Whether a store table carries provenance-stamp columns (tables
+    built before round 12 don't; appends must match the table's
+    schema, so stamping is per-table conditional)."""
+    return (spark.catalog.tableExists(table)
+            and PROV_RUN in spark.table(table).columns)
+
+
+def _prov_match(rid: str, batch_id: int):
+    from pyspark.sql import functions as F
+    return (F.col(PROV_RUN).eqNullSafe(rid)
+            & F.col(PROV_BATCH).eqNullSafe(int(batch_id)))
+
+
+def _clean_half_applied(spark, store_name: str, rid: str,
+                        batch_id: int,
+                        stamped: dict[str, str]) -> bool:
+    """Remove every row the crashed attempt of (rid, batch_id) stamped
+    into the store's tables — restoring the store to before-the-batch
+    so the caller's re-apply lands exactly once. Returns True if
+    anything was found (the caller then runs its restore_fn to put
+    derived state — e.g. the BM25 meta scalars — back in sync).
+    Rewrites preserve each table's layout — ``stamped`` values are
+    either a bucket column name (bucketed kinds; num_buckets from
+    ``{store}_meta``) or ``("partition", col)`` for the
+    cell-partitioned ANN codes table. Tables without provenance
+    columns (pre-r12 builds) are skipped — they keep the documented
+    one-batch window."""
+    from pyspark.sql import functions as F
+    meta = None
+    found = False
+    for suffix, layout in stamped.items():
+        t = store_name + suffix
+        if not spark.catalog.tableExists(t):
+            continue
+        spark.catalog.refreshTable(t)
+        df = spark.table(t)
+        if PROV_RUN not in df.columns:
+            continue
+        cond = _prov_match(rid, batch_id)
+        if not df.filter(cond).limit(1).count():
+            continue
+        found = True
+        keep = df.filter(~cond).localCheckpoint()
+        if isinstance(layout, tuple) and layout[0] == "partition":
+            (keep.write.mode("overwrite").format("parquet")
+             .partitionBy(layout[1]).saveAsTable(t))
+        else:
+            if meta is None:
+                meta = spark.table(f"{store_name}_meta").collect()[0]
+            write_bucketed(keep, t, layout,
+                           int(meta["num_buckets"]), "overwrite")
+        spark.catalog.refreshTable(t)
+    return found
+
+
+def orphan_provs(spark, store_name: str,
+                 tables: tuple[str, ...]) -> "DataFrame | None":
+    """Distinct (run_id, batch_id) provenance pairs present in the
+    given store tables but confirmed by NO ingest-log row — i.e.
+    half-applied batches whose re-run never happened. Returns None
+    when nothing is stamped (pre-r12 tables or batch-built stores).
+    `compact_store` removes these rows so the compacted store holds
+    exactly the confirmed batches (plus unguarded builds): the
+    crashed stream's checkpoint never committed the batch, so on
+    resume Structured Streaming replays it and the guard applies it
+    fresh."""
+    from pyspark.sql import functions as F
+    provs = None
+    for t in tables:
+        if not table_has_prov(spark, t):
+            continue
+        p = (spark.table(t)
+             .filter(F.col(PROV_RUN).isNotNull())
+             .select(PROV_RUN, PROV_BATCH).distinct())
+        provs = p if provs is None else provs.unionByName(p).distinct()
+    if provs is None:
+        return None
+    log_table = f"{store_name}_ingest_log"
+    if spark.catalog.tableExists(log_table):
+        spark.catalog.refreshTable(log_table)
+        log = spark.table(log_table)
+        lo = F.col("batch_id")
+        hi = (F.coalesce(F.col("hi"), F.col("batch_id"))
+              if "hi" in log.columns else F.col("batch_id"))
+        run = (F.col("run_id") if "run_id" in log.columns
+               else F.lit(""))
+        cover = log.select(run.alias("__lr"), lo.alias("__lo"),
+                           hi.alias("__hi"))
+        provs = provs.join(
+            F.broadcast(cover),
+            (F.col(PROV_RUN) == F.col("__lr"))
+            & (F.col(PROV_BATCH) >= F.col("__lo"))
+            & (F.col(PROV_BATCH) <= F.col("__hi")),
+            "left_anti")
+    out = provs.localCheckpoint()
+    return out if out.limit(1).count() else None
+
+
+def anti_orphans(df: DataFrame, orphans: "DataFrame | None"):
+    """Drop rows stamped with an orphaned (run,batch) pair; rows with
+    NULL stamps (unguarded builds) always survive."""
+    from pyspark.sql import functions as F
+    if orphans is None or PROV_RUN not in df.columns:
+        return df
+    o = orphans.select(F.col(PROV_RUN).alias("__or"),
+                       F.col(PROV_BATCH).alias("__ob"))
+    return (df.join(F.broadcast(o),
+                    F.col(PROV_RUN).eqNullSafe(F.col("__or"))
+                    & F.col(PROV_BATCH).eqNullSafe(F.col("__ob")),
+                    "left_anti"))
+
+
+def compact_ingest_log(spark, store_name: str) -> None:
+    """Fold ``{store}_ingest_log`` to one RANGE row per (run_id,
+    maximal contiguous batch-id interval) and rewrite it as a single
+    file — the bound that keeps months-long streams from degrading:
+    unfolded, the log grows one small parquet file per micro-batch and
+    every exactly-once guard check pays an O(N)-file driver listing.
+    A contiguous stream folds to ONE row per lineage; replay
+    suppression is exact across the fold because the guard treats a
+    row as the inclusive interval [batch_id, coalesce(hi, batch_id)].
+    Legacy (batch-only) logs fold to (batch_id, hi) — deliberately NOT
+    gaining a run_id column, so the loud legacy-log-vs-namespaced-
+    caller failure keeps firing after compaction."""
+    log_table = f"{store_name}_ingest_log"
+    if not spark.catalog.tableExists(log_table):
+        return
+    spark.catalog.refreshTable(log_table)
+    log = spark.table(log_table)
+    legacy = "run_id" not in log.columns
+    run_expr = "''" if legacy else "run_id"
+    hi_expr = ("CAST(batch_id AS BIGINT)" if "hi" not in log.columns
+               else "coalesce(hi, batch_id)")
+    log.createOrReplaceTempView("__ingest_log_fold_in")
+    # classic interval merge (gaps-and-islands over ranges): running
+    # max of hi per run; a row starts a new island when its lo leaves
+    # a gap (> prev_hi + 1); islands collapse to (min lo, max hi)
+    folded = spark.sql(f"""
+        WITH iv AS (SELECT {run_expr} AS run_id,
+                           CAST(batch_id AS BIGINT) AS lo,
+                           {hi_expr} AS hi
+                    FROM __ingest_log_fold_in),
+        m AS (SELECT run_id, lo, hi,
+                     MAX(hi) OVER (PARTITION BY run_id
+                                   ORDER BY lo, hi
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_hi
+              FROM iv),
+        g AS (SELECT run_id, lo, hi,
+                     SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi + 1
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY run_id ORDER BY lo, hi)
+                       AS grp
+              FROM m)
+        SELECT MIN(lo) AS batch_id, run_id, MAX(hi) AS hi
+        FROM g GROUP BY run_id, grp""")
+    if legacy:
+        folded = folded.drop("run_id")
+    folded = folded.coalesce(1).localCheckpoint()
+    (folded.write.mode("overwrite").format("parquet")
+     .saveAsTable(log_table))
+    spark.catalog.refreshTable(log_table)
+
+
 def apply_batch_once(spark, store_name: str, batch_id: int,
-                     apply_fn, run_id: str = "") -> bool:
+                     apply_fn, run_id: str = "",
+                     stamped: dict[str, str] | None = None,
+                     restore_fn=None) -> bool:
     """Run ``apply_fn()`` (a micro-batch's store mutation) EXACTLY
     ONCE per ``(run_id, batch_id)`` — the transactional-sink emulation
     every foreachBatch ingest needs under Structured Streaming's
@@ -158,25 +368,56 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
     prevents duplicate code rows occupying top-k slots until
     compaction.
 
-    The log row lands AFTER the apply, so a crash between apply and
-    log can still double-apply — the window is one batch and a rebuild
-    or `compact_store` recovers; closing it fully needs an atomic
-    multi-table commit no plain parquet catalog offers."""
+    The log row lands AFTER the apply. For kinds that declare their
+    appended tables via ``stamped`` ({table_suffix: bucket_col}) and
+    stamp their rows with `with_prov`, a crash between apply and log
+    is CONVERGENT: the re-run (Structured Streaming replays the batch
+    — its checkpoint never committed) finds the stamped rows with no
+    log entry, rewrites the tables without them, calls ``restore_fn``
+    (which puts derived state like the BM25 meta scalars back in
+    sync), and applies fresh — ending bit-identical to a crash-free
+    run. Tables built before round 12 carry no stamp columns and keep
+    the documented one-batch window (rebuild or `compact_store`
+    recovers). The residual: an external ``sink`` callback that ran
+    inside the crashed attempt re-runs — exactly-once for the STORE,
+    at-least-once for the sink.
+
+    Log rows are ranges: the guard reads a row as the inclusive
+    interval [batch_id, coalesce(hi, batch_id)] so `compact_ingest_log`
+    can fold a long stream's one-row-per-batch history to one range
+    row per lineage without losing replay suppression."""
     from pyspark.sql import functions as F
     log_table = f"{store_name}_ingest_log"
     rid = str(run_id or "")
+    b = int(batch_id)
     legacy = False
+    has_hi = False
     exists = spark.catalog.tableExists(log_table)
     if not exists:
-        # a crashed prior session can leave the log's managed location
+        # A crashed prior session can leave the log's managed location
         # on disk with no catalog entry (in-memory catalog, files
-        # persist); creating over it fails with LOCATION_ALREADY_EXISTS
-        # — clear the orphan, same treatment as every store table
+        # persist); creating over it fails with LOCATION_ALREADY_EXISTS.
+        # If the store's OTHER tables exist in the catalog, those files
+        # are applied-batch HISTORY — silently discarding them would
+        # let a source replay double-apply (corrupting BM25 tf/df), so
+        # fail loudly with the remedy. Silent cleanup is reserved for
+        # the case where the whole store is orphaned (no meta table —
+        # nothing the lost history could corrupt).
+        if (_orphan_location(spark, log_table) is not None
+                and spark.catalog.tableExists(f"{store_name}_meta")):
+            raise ValueError(
+                f"store {store_name} has an orphaned ingest log "
+                f"(files on disk, no catalog entry) but its other "
+                f"tables exist: the applied-batch history was lost "
+                f"with the catalog, so replay suppression cannot be "
+                f"trusted; rebuild the store (mode='overwrite' resets "
+                f"the log) before ingesting into it")
         drop_store_table(spark, log_table)
     if exists:
         spark.catalog.refreshTable(log_table)
         log = spark.table(log_table)
         legacy = "run_id" not in log.columns
+        has_hi = "hi" in log.columns
         if legacy and rid:
             # A batch-only log cannot say WHICH lineage its ids belong
             # to: matching on batch_id alone would silently drop a NEW
@@ -190,20 +431,30 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
                 f"namespacing (batch-id-only rows); rebuild the store "
                 f"(mode='overwrite' resets the log) before streaming "
                 f"into it with a checkpoint lineage")
-        done = log.filter(F.col("batch_id") == int(batch_id))
+        hi = (F.coalesce(F.col("hi"), F.col("batch_id")) if has_hi
+              else F.col("batch_id"))
+        done = log.filter((F.col("batch_id") <= b) & (hi >= b))
         if not legacy:
             done = done.filter(F.col("run_id") == rid)
         if done.limit(1).count():
             return False
+    if stamped:
+        cleaned = _clean_half_applied(spark, store_name, rid, b,
+                                      stamped)
+        if cleaned and restore_fn is not None:
+            restore_fn()
     apply_fn()
     if legacy:
         row = spark.sql(
-            f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id")
+            f"SELECT CAST({b} AS BIGINT) AS batch_id"
+            + (", CAST(NULL AS BIGINT) AS hi" if has_hi else ""))
     else:
         esc = rid.replace("'", "''")
         row = spark.sql(
-            f"SELECT CAST({int(batch_id)} AS BIGINT) AS batch_id, "
-            f"'{esc}' AS run_id")
+            f"SELECT CAST({b} AS BIGINT) AS batch_id, '{esc}' AS "
+            f"run_id"
+            + (", CAST(NULL AS BIGINT) AS hi"
+               if has_hi or not exists else ""))
     row.write.mode("append").format("parquet").saveAsTable(log_table)
     return True
 
@@ -212,7 +463,7 @@ _TS_SIZE_CACHE: dict = {}
 
 
 def tombstones(spark, store_name: str,
-               broadcast_rows: int = 2_000_000):
+               broadcast_rows: int | None = None):
     """Read ``{store}_tombstones`` for a reader-side anti-join, or
     None when no takedown was ever issued. The normal contract is
     that tombstones stay SMALL between compactions, so the table is
@@ -231,8 +482,18 @@ def tombstones(spark, store_name: str,
     tombstone append, compaction, or rebuild in this process (an
     append from a DIFFERENT process goes stale only for the hint
     decision, never the data — the same staleness class as Spark's own
-    relation cache, cleared by the same refresh)."""
+    relation cache, cleared by the same refresh).
+
+    ``broadcast_rows`` defaults to the session conf
+    ``spark.pipelinedp.store.tombstoneBroadcastRows`` (else 2,000,000)
+    so the fallback branch is testable — the oracle gate runs at a
+    scale where 2M would otherwise never trip — and tunable per
+    deployment without threading a parameter through every reader."""
     from pyspark.sql import functions as F
+    if broadcast_rows is None:
+        broadcast_rows = int(spark.conf.get(
+            "spark.pipelinedp.store.tombstoneBroadcastRows",
+            "2000000"))
     ts_table = f"{store_name}_tombstones"
     if not spark.catalog.tableExists(ts_table):
         return None

@@ -1532,6 +1532,7 @@ def ingest_exact_batch_idempotent(batch_df: DataFrame,
         s.catalog.refreshTable(f"{store_name}_tombstones")
     nbuck = int(s.table(f"{store_name}_meta").collect()[0]
                 ["num_buckets"])
+    has_prov = _store.table_has_prov(s, f"{store_name}_fps")
 
     def _apply() -> None:
         fp = TX.rolling_fingerprint(F.col(text_col))
@@ -1547,13 +1548,18 @@ def ingest_exact_batch_idempotent(batch_df: DataFrame,
                      .localCheckpoint())
         if sink is not None:
             sink(survivors)
-        (survivors.select("fingerprint")
-         .write.mode("append").format("parquet")
+        out = survivors.select("fingerprint")
+        if has_prov:
+            # provenance stamp: lets the guard roll back this append
+            # if we crash before the ingest-log row lands
+            out = _store.with_prov(out, run_id or "", batch_id)
+        (out.write.mode("append").format("parquet")
          .bucketBy(nbuck, "fingerprint").sortBy("fingerprint")
          .saveAsTable(f"{store_name}_fps"))
 
-    return _store.apply_batch_once(s, store_name, batch_id, _apply,
-                                   run_id=run_id)
+    return _store.apply_batch_once(
+        s, store_name, batch_id, _apply, run_id=run_id,
+        stamped={"_fps": "fingerprint"} if has_prov else None)
 
 
 def streaming_near_dup_store(stream: DataFrame,
@@ -1615,7 +1621,16 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
     bands + shingles append bucket-aligned. Returns True if applied,
     False if skipped as an ingest-log replay — the output append and
     the per-increment max_bucket_size cap are NOT
-    multiplicity-insensitive, even though the candidate joins are."""
+    multiplicity-insensitive, even though the candidate joins are.
+
+    A crash between apply and log is CONVERGENT (round 12, same
+    protocol as BM25/exact): the batch's bands/shingles rows carry
+    (run_id, batch_id) provenance stamps, so the re-run rolls them
+    back before re-applying. Without the rollback the re-run would
+    anti-match the batch against its OWN crashed attempt's bands —
+    every doc reads as a near-dup of itself and the sink silently
+    receives nothing (the batch's output would be lost, worse than a
+    duplicate)."""
     from pipelinedp_spark import store as _store
     from pipelinedp_spark.operators import dedup as D
     s = batch_df.sparkSession
@@ -1628,6 +1643,8 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
                           int(m["rows_per_band"]))
     nbuck = int(m["num_buckets"])
 
+    has_prov = _store.table_has_prov(s, f"{store_name}_bands")
+
     def _apply() -> None:
         pairs = D.minhash_lsh_pairs(batch_df, text_col, id_col, k,
                                     num_hashes, rpb, jaccard_threshold)
@@ -1639,10 +1656,13 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
         if sink is not None:
             sink(survivors)
         D.build_minhash_store(survivors, store_name, text_col, id_col,
-                              k, num_hashes, rpb, nbuck, mode="append")
+                              k, num_hashes, rpb, nbuck, mode="append",
+                              prov=(run_id or "", int(batch_id)))
 
-    return _store.apply_batch_once(s, store_name, batch_id, _apply,
-                                   run_id=run_id)
+    return _store.apply_batch_once(
+        s, store_name, batch_id, _apply, run_id=run_id,
+        stamped=({"_bands": "bh", "_shingles": "id"}
+                 if has_prov else None))
 
 
 def streaming_ann_ingest(stream: DataFrame,
@@ -1689,18 +1709,25 @@ def ingest_ann_batch_idempotent(batch_df: DataFrame,
     partitions. Returns True if applied, False if skipped as an
     ingest-log replay (`store.apply_batch_once`) — without the guard a
     replayed batch appends duplicate code rows that occupy extra top-k
-    slots until compaction."""
+    slots until compaction. A crash between apply and log is
+    CONVERGENT (round 12): the code rows carry (run_id, batch_id)
+    provenance, so the re-run rolls the half-applied partition rows
+    back before re-encoding."""
     from pipelinedp_spark import store as _store
     from pipelinedp_spark.operators.similarity import build_ann_index
     s = batch_df.sparkSession
     for t in (f"{store_name}_meta", f"{store_name}_centroids",
               f"{store_name}_codebooks"):
         s.catalog.refreshTable(t)
+    has_prov = _store.table_has_prov(s, f"{store_name}_codes")
     return _store.apply_batch_once(
         s, store_name, batch_id,
         lambda: build_ann_index(batch_df, store_name, corpus_id=id_col,
-                                corpus_vec=vec_col, mode="append"),
-        run_id=run_id)
+                                corpus_vec=vec_col, mode="append",
+                                prov=(run_id or "", int(batch_id))),
+        run_id=run_id,
+        stamped=({"_codes": ("partition", "cell")}
+                 if has_prov else None))
 
 
 def ingest_span_batch_idempotent(batch_df: DataFrame,
@@ -1728,13 +1755,17 @@ def ingest_span_batch_idempotent(batch_df: DataFrame,
               f"{store_name}_meta"):
         s.catalog.refreshTable(t)
     m = s.table(f"{store_name}_meta").collect()[0]
+    has_prov = _store.table_has_prov(s, f"{store_name}_anchors")
     return _store.apply_batch_once(
         s, store_name, batch_id,
         lambda: D.build_span_store(batch_df, store_name, text_col,
                                    id_col, min_len=int(m["min_len"]),
                                    seed_len=int(m["seed_len"]),
-                                   mode="append"),
-        run_id=run_id)
+                                   mode="append",
+                                   prov=(run_id or "", int(batch_id))),
+        run_id=run_id,
+        stamped=({"_anchors": "ah", "_texts": "id"}
+                 if has_prov else None))
 
 
 def streaming_span_ingest(stream: DataFrame,
@@ -1783,14 +1814,18 @@ def ingest_phash_batch_idempotent(batch_df: DataFrame,
               f"{store_name}_meta"):
         s.catalog.refreshTable(t)
     m = s.table(f"{store_name}_meta").collect()[0]
+    has_prov = _store.table_has_prov(s, f"{store_name}_blocks")
     return _store.apply_batch_once(
         s, store_name, batch_id,
         lambda: MM.build_phash_store(batch_df, store_name, binary_col,
                                      id_col,
                                      max_hamming=int(m["max_hamming"]),
                                      num_blocks=int(m["num_blocks"]),
-                                     mode="append"),
-        run_id=run_id)
+                                     mode="append",
+                                     prov=(run_id or "", int(batch_id))),
+        run_id=run_id,
+        stamped=({"_blocks": "bk", "_members": "ph"}
+                 if has_prov else None))
 
 
 def streaming_phash_ingest(stream: DataFrame,
@@ -1830,24 +1865,38 @@ def append_bm25_batch_idempotent(batch_df: DataFrame,
     whole store family since round 11 (`store.apply_batch_once`): a
     ``{store}_ingest_log`` table records processed batch ids; a replay
     of a logged id is a no-op. Returns True if the batch was applied,
-    False if skipped as a replay. (The log row lands after the append,
-    so a crash BETWEEN append and log can still double-apply — the
-    window is one batch and a `build_bm25_index` rebuild recovers;
-    closing it fully needs an atomic multi-table commit no plain
-    parquet catalog offers.)"""
+    False if skipped as a replay.
+
+    A crash BETWEEN append and log is CONVERGENT (round 12): the
+    batch's postings/terms rows are provenance-stamped with
+    (run_id, batch_id), so the re-run — Structured Streaming replays
+    the batch because its checkpoint never committed — finds the
+    stamps with no log row, rewrites both tables without them,
+    restores the meta scalars from the cleaned postings
+    (`retrieval.restore_bm25_meta` — exact, the scalars are derivable
+    from the live postings), and applies fresh: bit-identical to a
+    crash-free run. Stores built before round 12 (no stamp columns)
+    keep the documented one-batch window; `compact_store` also
+    repairs it."""
     from pipelinedp_spark import store as _store
-    from pipelinedp_spark.operators.retrieval import build_bm25_index
+    from pipelinedp_spark.operators.retrieval import (
+        build_bm25_index, restore_bm25_meta)
     s = batch_df.sparkSession
+    has_prov = _store.table_has_prov(s, f"{store_name}_postings")
 
     def _apply() -> None:
         for t in (f"{store_name}_postings", f"{store_name}_terms",
                   f"{store_name}_meta"):
             s.catalog.refreshTable(t)
         build_bm25_index(batch_df, store_name, text_col=text_col,
-                         id_col=id_col, mode="append")
+                         id_col=id_col, mode="append",
+                         prov=(run_id or "", int(batch_id)))
 
-    return _store.apply_batch_once(s, store_name, batch_id, _apply,
-                                   run_id=run_id)
+    return _store.apply_batch_once(
+        s, store_name, batch_id, _apply, run_id=run_id,
+        stamped=({"_postings": "term", "_terms": "term"}
+                 if has_prov else None),
+        restore_fn=lambda: restore_bm25_meta(s, store_name))
 
 
 def streaming_bm25_ingest(stream: DataFrame,

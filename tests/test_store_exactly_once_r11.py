@@ -250,3 +250,101 @@ def test_phash_ingest_exactly_once_and_member_counting(spark):
     assert (MM.incremental_phash_dedup(batch, "xo_ph")
             .filter("is_dup").count() == 28)
     _drop(spark, PHASH_TABLES)
+
+
+SPAN_TK_TABLES = ("xo_spt_anchors", "xo_spt_texts", "xo_spt_meta",
+                  "xo_spt_tombstones", "xo_spt_ingest_log")
+
+
+def test_span_ingest_mid_stream_takedown(spark):
+    """Takedown BETWEEN span-store ingest triggers, then an in-session
+    serve (VERDICT r11 task 5): the removed reference doc's spans stop
+    being cut at the NEXT serve without a stream restart, while later
+    triggers keep ingesting normally."""
+    from pipelinedp_spark.operators.dedup import (
+        build_span_store, incremental_decontaminate_spans,
+        remove_from_span_store)
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_span_batch_idempotent)
+    _drop(spark, SPAN_TK_TABLES)
+    text_a = ("alpha reference passage about contribution bounding "
+              "and partition selection in differential privacy land")
+    text_b = ("beta reference passage describing bucketed joins and "
+              "zero exchange scans across the persisted store family")
+    text_c = ("gamma reference passage covering watermark semantics "
+              "and late data handling in structured streaming jobs")
+    build_span_store(_docs(spark, []).limit(0), "xo_spt", min_len=50,
+                     num_buckets=2)
+    assert ingest_span_batch_idempotent(
+        _docs(spark, [(0, text_a), (2, text_b)]), "xo_spt", 0)
+    batch = _docs(spark, [(100, text_a), (101, text_b), (102, text_c)])
+
+    def flagged():
+        spark.catalog.refreshTable("xo_spt_anchors")
+        return {r["doc_id"] for r in
+                incremental_decontaminate_spans(batch, "xo_spt")
+                .select("doc_id").distinct().collect()}
+
+    assert flagged() == {100, 101}
+    # takedown of reference doc 0 BETWEEN triggers…
+    remove_from_span_store(_docs(spark, [(0, text_a)]), "xo_spt")
+    # …a later trigger still ingests normally…
+    assert ingest_span_batch_idempotent(
+        _docs(spark, [(4, text_c)]), "xo_spt", 1)
+    # …and the in-session serve reflects BOTH: text_a is admissible
+    # again (its only reference copy was removed), text_c now cuts
+    assert flagged() == {101, 102}
+    _drop(spark, SPAN_TK_TABLES)
+
+
+PHASH_TK_TABLES = ("xo_pht_blocks", "xo_pht_members", "xo_pht_meta",
+                   "xo_pht_tombstones", "xo_pht_removed_ids",
+                   "xo_pht_ingest_log")
+
+
+def test_phash_ingest_mid_stream_takedown(spark):
+    """Takedown BETWEEN pHash-store ingest triggers, then an
+    in-session serve: retiring a family's last streamed members stops
+    it flagging at the next serve; a later trigger keeps ingesting;
+    and re-appended content of a tombstoned hash stays hidden until
+    compaction (the documented re-add contract)."""
+    from pipelinedp_spark.operators import multimodal as MM
+    from pipelinedp_spark.streaming.dp_streaming import (
+        ingest_phash_batch_idempotent)
+    _drop(spark, PHASH_TK_TABLES)
+    imgs = _images(spark, 32)   # 8 visual families (doc_id % 8) x 4
+    MM.build_phash_store(imgs.limit(0), "xo_pht", num_buckets=2)
+    # trigger 0 ingests members 0..15 (two per family)
+    assert ingest_phash_batch_idempotent(
+        imgs.filter(F.col("doc_id") < 16), "xo_pht", 0)
+    batch = imgs.filter((F.col("doc_id") >= 16) & (F.col("doc_id") < 24)) \
+        .select((F.col("doc_id") + 900).alias("doc_id"), "image")
+
+    def dup_fams():
+        for t in ("xo_pht_blocks", "xo_pht_members"):
+            spark.catalog.refreshTable(t)
+        return {(r["doc_id"] - 900) % 8 for r in
+                MM.incremental_phash_dedup(batch, "xo_pht")
+                .filter("is_dup").collect()}
+
+    assert dup_fams() == set(range(8))
+    # takedown of BOTH streamed members of family 3 BETWEEN triggers
+    MM.remove_from_phash_store(
+        imgs.filter(F.col("doc_id").isin(3, 11)), "xo_pht")
+    # a later trigger ingests normally — including doc 27, a NEW
+    # member of tombstoned family 3
+    assert ingest_phash_batch_idempotent(
+        imgs.filter(F.col("doc_id") >= 24), "xo_pht", 1)
+    # the in-session serve hides family 3 (takedown honored; the
+    # re-added member does NOT resurrect it — re-add needs compaction
+    # first, the documented contract) while the rest keep flagging
+    assert dup_fams() == set(range(8)) - {3}
+    # compaction clears the tombstone AND the dead family's rows;
+    # a fresh append then re-indexes the content
+    from pipelinedp_spark.operators.dedup import compact_store
+    compact_store(spark, "xo_pht", "phash")
+    assert dup_fams() == set(range(8)) - {3}
+    assert ingest_phash_batch_idempotent(
+        imgs.filter(F.col("doc_id") == 19), "xo_pht", 2)
+    assert dup_fams() == set(range(8))
+    _drop(spark, PHASH_TK_TABLES)
