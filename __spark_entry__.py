@@ -47,63 +47,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 _DRIVER_ARTIFACT_FIRST = [
-    # new round-11 queries first (must land inside the 50-row cap)
-    "dp_private_l0_bounds",
-    "multimodal_phash_takedown",
-    # round-11 rotation, ordered by STALENESS (latest driver record
-    # per name): the driver records only the first 50 queries()
-    # entries per round. These 45 names were last recorded in
-    # CORRECTNESS_r07 and the final 3 are the alphabetically
-    # first of the r08-era records — zero overlap with r10 AND r09
-    # (VERDICT r10 task 7).
-    "customer_scd2",
-    "doc_code_detect",
-    "doc_contamination_score",
-    "doc_corpus_diff",
-    "doc_domain_cap",
-    "doc_gopher_filter",
-    "doc_language_id",
-    "doc_language_mix",
-    "doc_length_buckets",
-    "doc_nfc_normalize",
-    "doc_normalize_text",
-    "doc_pmi_collocations",
-    "doc_readability",
-    "doc_sentence_dedup",
-    "doc_source_quality_report",
-    "doc_tar_shards",
-    "doc_textrank_keywords",
-    "doc_tfidf_keywords",
-    "dp_cluster_counts",
-    "emb_cluster_balanced_sample",
-    "emb_cluster_purity",
-    "emb_covariance",
-    "emb_hard_negatives",
-    "emb_int8_recall",
-    "emb_int8_roundtrip",
-    "emb_kmeans_centroids",
-    "emb_mmr_rerank",
-    "emb_pca_project",
-    "emb_triplets",
-    "events_attribution",
-    "events_funnel",
-    "events_json_profile",
-    "events_json_stats",
-    "events_retention",
-    "events_session_funnel",
-    "events_time_to_convert",
-    "events_transitions",
-    "events_window_anomaly",
-    "lineitem_order_stats",
-    "multimodal_exif",
-    "multimodal_mp3_meta",
-    "part_fuzzy_match",
-    "sim_ivf_pq_rerank_topk",
-    "stream_cluster_assign_mirror",
-    "stream_sentence_dedup_mirror",
-    "bpe_train_merges",
-    "customer_upsert",
-    "dedup_clusters",
+    # Round-12 rotation: the 3 new round-12 queries first (must
+    # land inside the driver's 50-row artifact cap), then the 47
+    # STALEST names — every one last recorded in CORRECTNESS_r08,
+    # so this window has ZERO overlap with both r11 and r10
+    # (VERDICT r11 task 6; staleness computed from the latest
+    # CORRECTNESS_r*.json record per name).
+    "doc_bm25_takedown_jumbo",
+    "doc_bm25_bigterms_topk",
+    "dedup_minhash_capped_bucket",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_lsh_plan",
+    "dedup_minhash_lsh",
+    "dedup_minhash_prod",
+    "dedup_simhash",
+    "doc_c4_filter",
+    "doc_chat_render",
+    "doc_decontaminate_spans",
+    "doc_duplicate_spans_exact",
+    "doc_exact_substr_cut",
+    "doc_fix_mojibake",
+    "doc_head_coverage",
+    "doc_jsonl_roundtrip",
+    "doc_leakage_safe_split",
+    "doc_pii_audit",
+    "doc_preference_pairs",
+    "doc_release_manifest",
+    "doc_text_stats",
+    "dp_count_pld",
+    "dp_count_public",
+    "dp_mean_public",
+    "dp_multi_sum_public",
+    "dp_partition_selection",
+    "dp_percentile_public",
+    "dp_percentile_tree",
+    "dp_sum_clip_per_contribution",
+    "dp_sum_clip_per_partition",
+    "dp_variance_public",
+    "dp_vector_sum_public",
+    "emb_matryoshka_recall",
+    "emb_near_dup",
+    "emb_near_dup_exact",
+    "events_dau_wau",
+    "events_k_anonymity",
+    "events_parse_quarantine",
+    "events_pseudonymize",
+    "events_rolling_features",
+    "events_salted_join",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "stream_semdedup_mirror",
+    "stream_upsert_mirror",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_local_supplier",
 ]
 
 
@@ -222,6 +221,9 @@ _REGISTRY_ORDER = [
     "doc_bm25_append",
     "stream_bm25_store_mirror",
     "doc_bm25_takedown",
+    "doc_bm25_takedown_jumbo",
+    "doc_bm25_bigterms_topk",
+    "dedup_minhash_capped_bucket",
     "sim_ann_takedown",
     "dedup_exact_incremental",
     "stream_exact_store_mirror",

@@ -741,6 +741,166 @@ def _doc_bm25_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 
+def _doc_bm25_takedown_jumbo(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """JUMBO takedown — the size-gated fallback branch of
+    `store.tombstones` IS the tested branch (VERDICT r11 task 3): half
+    the corpus is removed at once (a licensing removal of a whole
+    slice) with ``spark.pipelinedp.store.tombstoneBroadcastRows``
+    forced to 8, so the reader's anti-join takes the plain shuffled
+    path instead of force-broadcasting a corpus-scale tombstone table
+    into every executor — at 100 TB that broadcast is the OOM, and
+    until this query the gate's big branch was pytest-only, never
+    oracle-checked. The oracle scores the surviving half from scratch
+    (k=14); equality proves the fallback branch is exact, not merely
+    plan-shaped. Branch pinned in test_store_hardening_r12."""
+    from pipelinedp_spark.operators import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    knob = "spark.pipelinedp.store.tombstoneBroadcastRows"
+    old = spark.conf.get(knob, None)
+    spark.conf.set(knob, "8")
+    try:
+        retrieval.build_bm25_index(docs, "bm25_idx_r12j")
+        retrieval.remove_from_bm25_index(
+            docs.filter(F.col("doc_id") % 2 == 0), "bm25_idx_r12j")
+        out = retrieval.bm25_topk_from_index(q, "bm25_idx_r12j", k=14) \
+            .localCheckpoint()
+    finally:
+        if old is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, old)
+        for t in ("bm25_idx_r12j_postings", "bm25_idx_r12j_terms",
+                  "bm25_idx_r12j_meta", "bm25_idx_r12j_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+def _doc_bm25_bigterms_topk(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Degenerate-mega-batch serving — the OTHER size-gated BM25
+    branch: with ``spark.pipelinedp.bm25.termPushdownCap`` forced to 2
+    the query batch is over the cap, so `bm25_topk_from_index` skips
+    the isin() literal pushdown and serves through the broadcast
+    query-term joins (the plan a 100k-distinct-term batch must take —
+    an isin literal that size would blow up the plan). Scores must be
+    identical to the pushdown branch: the oracle is the same proven
+    BM25 SQL at k=11. Branch pinned in test_store_hardening_r12."""
+    from pipelinedp_spark.operators import retrieval
+    docs = _t(spark, sf_dir, "documents")
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    q = spark.sql(f"SELECT * FROM VALUES {vals} AS t(query_id, query_text)")
+    knob = "spark.pipelinedp.bm25.termPushdownCap"
+    old = spark.conf.get(knob, None)
+    spark.conf.set(knob, "2")
+    try:
+        retrieval.build_bm25_index(docs, "bm25_idx_r12bt")
+        out = retrieval.bm25_topk_from_index(q, "bm25_idx_r12bt",
+                                             k=11).localCheckpoint()
+    finally:
+        if old is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, old)
+        for t in ("bm25_idx_r12bt_postings", "bm25_idx_r12bt_terms",
+                  "bm25_idx_r12bt_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+def _dedup_minhash_capped_bucket(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The minhash GLOBAL bucket cap as the tested branch: the store
+    builds in two increments with ``max_bucket_size=1`` — each
+    increment's per-build cap drops its own degenerate buckets, but
+    buckets that grow past the cap
+    ACROSS the appends are only re-capped by
+    `compact_store(kind='minhash')` (the degenerate-bucket guard that
+    keeps a 100-TB candidate join from going quadratic on a hot
+    band). Until this query that re-cap was pytest-only. The oracle
+    mirrors BOTH stages literally — per-increment cap, then global
+    cap over the union — so equality proves the compaction cap drops
+    exactly the buckets it should and the batch dedups against
+    exactly the surviving bands."""
+    from pipelinedp_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    dedup.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 0),
+                              "mh_cap_r12", k=4, max_bucket_size=1)
+    dedup.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 2),
+                              "mh_cap_r12", k=4, max_bucket_size=1,
+                              mode="append")
+    dedup.compact_store(spark, "mh_cap_r12", "minhash")
+    out = (dedup.incremental_near_dup(
+        docs.filter(F.col("doc_id") % 2 == 1), "mh_cap_r12",
+        jaccard_threshold=0.6)
+        .select("doc_id", "lang").localCheckpoint())
+    for t in ("mh_cap_r12_bands", "mh_cap_r12_shingles",
+              "mh_cap_r12_meta", "mh_cap_r12_ingest_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+_DEDUP_MINHASH_CAPPED_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 4
+                   THEN list_distinct([t[i] || ' ' || t[i+1] || ' '
+                                       || t[i+2] || ' ' || t[i+3]
+                                       for i in range(1, len(t) - 2)])
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM tok),
+hm AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+          for s in shingles] AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_min([(((1103515245 * (i + 1) + 12345) % 2147483647) * h
+                     + ((2654435761 * i + 97) % 2147483647)) % 2147483647
+                    for h in hs])
+          for i in range(0, 8)] AS sig
+  FROM hm),
+bands AS (
+  SELECT doc_id,
+         UNNEST(range(0, 2)) AS band_idx,
+         UNNEST([md5(CAST(sig[1] AS VARCHAR) || '|' || CAST(sig[2] AS VARCHAR)
+                     || '|' || CAST(sig[3] AS VARCHAR) || '|'
+                     || CAST(sig[4] AS VARCHAR)),
+                 md5(CAST(sig[5] AS VARCHAR) || '|' || CAST(sig[6] AS VARCHAR)
+                     || '|' || CAST(sig[7] AS VARCHAR) || '|'
+                     || CAST(sig[8] AS VARCHAR))])
+             AS band_hash
+  FROM sig),
+-- reference store: two increments (doc_id%4=0 build, %4=2 append),
+-- each capped at max_bucket_size=1 per increment...
+kept_inc AS (
+  SELECT doc_id, band_idx, band_hash
+  FROM (SELECT doc_id, band_idx, band_hash, doc_id % 4 AS inc
+        FROM bands WHERE doc_id % 2 = 0)
+  QUALIFY COUNT(*) OVER (PARTITION BY inc, band_idx, band_hash) <= 1),
+-- ...then compact_store re-applies the cap GLOBALLY over the union
+kept AS (
+  SELECT doc_id, band_idx, band_hash FROM kept_inc
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 2 = 1),
+dups AS (
+  SELECT DISTINCT c.id_a
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.6)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT id_a FROM dups)
+"""
+
 def _sim_ann_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Takedown on the persisted IVF-PQ index
     (`similarity.remove_from_ann_index`): build over all embeddings
@@ -1651,6 +1811,9 @@ QUERIES = {
     "doc_bm25_append": _doc_bm25_append,
     "stream_bm25_store_mirror": _stream_bm25_store_mirror,
     "doc_bm25_takedown": _doc_bm25_takedown,
+    "doc_bm25_takedown_jumbo": _doc_bm25_takedown_jumbo,
+    "doc_bm25_bigterms_topk": _doc_bm25_bigterms_topk,
+    "dedup_minhash_capped_bucket": _dedup_minhash_capped_bucket,
     "sim_ann_takedown": _sim_ann_takedown,
     "doc_bigram_ppl": _doc_bigram_ppl,
     "stream_near_dup_mirror": _stream_near_dup_mirror,
@@ -1683,6 +1846,10 @@ ORACLES = {
     "doc_bm25_append": _gen_bm25_sql(k=12),
     "stream_bm25_store_mirror": _gen_bm25_sql(k=9),
     "doc_bm25_takedown": _gen_bm25_sql(k=13, where="doc_id % 5 <> 0"),
+    "doc_bm25_takedown_jumbo": _gen_bm25_sql(k=14,
+                                             where="doc_id % 2 <> 0"),
+    "doc_bm25_bigterms_topk": _gen_bm25_sql(k=11),
+    "dedup_minhash_capped_bucket": _DEDUP_MINHASH_CAPPED_SQL,
     "doc_bigram_ppl": _gen_bigram_ppl_sql(),
     "stream_near_dup_mirror": _STREAM_NEAR_DUP_MIRROR_SQL,
     "doc_hash_embeddings": _DOC_HASH_EMB_SQL,

@@ -68,7 +68,10 @@ SMOKE = ["dp_count_public", "dp_sum_clip_per_partition",
          "events_dau_wau", "customer_upsert", "stream_upsert_mirror",
          "doc_head_coverage",
          # round-11 (static oracles)
-         "multimodal_phash_takedown", "dp_private_l0_bounds"]
+         "multimodal_phash_takedown", "dp_private_l0_bounds",
+         # round-12 (the two bm25 gate queries use the _gen_bm25_sql
+         # generator — bakes sf0.01 N/avgdl literals, cannot smoke)
+         "dedup_minhash_capped_bucket"]
 
 
 @pytest.fixture(scope="module")
