@@ -181,10 +181,15 @@ def ensure_sf10_dp(spark) -> str:
     gitignored like sf1."""
     marker = os.path.join(DST10, "events.parquet")
     if os.path.isdir(marker):
+        # lazy top-up: documents joined the sf10 set in round 12 (the
+        # multimodal_video_frames second-decade probe reads it)
+        if not os.path.isdir(os.path.join(DST10, "documents.parquet")):
+            generate(spark, replicas=100, dst=DST10,
+                     tables=["documents"])
         return DST10
     return generate(spark, replicas=100, dst=DST10,
                     tables=["region", "nation", "customer", "orders",
-                            "events"])
+                            "events", "documents"])
 
 
 if __name__ == "__main__":

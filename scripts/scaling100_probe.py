@@ -43,6 +43,13 @@ DP_QUERIES = [
     "dp_percentile_public",       # events; histogram-sketch quantile
     "dp_windowed_count_events",   # events; tumbling window + bounding
     "dp_session_count_events",    # events; session windows + bounding
+    # r12 (VERDICT r11 task 4): the only compute-scaling entry > 3 in
+    # BENCH_LOCAL's first-decade leg — probe it at a REAL second
+    # decade with rows recorded, so the per-output-row ratio is
+    # machine-checkable (frame output is ~4 rows/doc by construction,
+    # i.e. exactly linear; the Arrow-batched render+demux+DCT path is
+    # the signal here)
+    "multimodal_video_frames",    # documents; AVI mux/demux + JPEG
 ]
 
 SKEW_QUERIES = [
@@ -138,6 +145,14 @@ def _make_spark():
 def main() -> None:
     from gen_sf1 import ensure_sf1, ensure_sf10_dp
 
+    # optional name filter: `python scripts/scaling100_probe.py <name>…`
+    # re-probes only the named entries (a full re-run is ~15 min; a
+    # single new probe shouldn't cost that)
+    only = set(sys.argv[1:]) or None
+
+    def _want(name: str) -> bool:
+        return only is None or name in only
+
     spec = importlib.util.spec_from_file_location(
         "spark_entry", os.path.join(REPO, "__spark_entry__.py"))
     mod = importlib.util.module_from_spec(spec)
@@ -151,10 +166,12 @@ def main() -> None:
 
     # --- DP/events registry queries: one fresh session per decade ---
     for tag, sf_dir in (("sf1", sf1), ("sf10", sf10)):
+        if not any(_want(n) for n in DP_QUERIES):
+            break
         spark.stop()
         spark = _make_spark()
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
-        for name in DP_QUERIES:
+        for name in (n for n in DP_QUERIES if _want(n)):
             q = mod.queries()[name]
             t0 = time.perf_counter()
             rows = q(spark, sf_dir).count()
@@ -167,10 +184,12 @@ def main() -> None:
     # --- skew suite: scale 1 then scale 10, fresh session each ---
     import bench
     for tag, scale in (("sf1", 1), ("sf10", 10)):
+        if not any(_want(n) for n in SKEW_QUERIES):
+            break
         spark.stop()
         spark = _make_spark()
         thunks = bench._skew_queries(spark, scale=scale)
-        for name in SKEW_QUERIES:
+        for name in (n for n in SKEW_QUERIES if _want(n)):
             t0 = time.perf_counter()
             rows = thunks[name]().count()
             dt = round(time.perf_counter() - t0, 2)
@@ -180,11 +199,17 @@ def main() -> None:
             print(f"{name} x{scale}: {dt}s rows={rows}", flush=True)
 
     # --- serving-only probes: index built untimed, query timed ------
+    serving_names = ("serve_bm25_topk_from_index",
+                     "serve_ann_search_from_index")
     for tag, scale in (("sf1", 1), ("sf10", 10)):
+        if not any(_want(n) for n in serving_names):
+            break
         spark.stop()
         spark = _make_spark()
         serves = _serving_probes(spark, scale)
         for name, thunk in serves.items():
+            if not _want(name):
+                continue
             best = float("inf")
             for _ in range(2):   # serving latency: best-of-2 (tiny)
                 t0 = time.perf_counter()
@@ -211,6 +236,17 @@ def main() -> None:
         except (OSError, ValueError):
             merged = {}
     merged.update(out)
+    # Derived per-output-row ratio for EVERY entry that recorded row
+    # counts (VERDICT r11 task 7): time-per-output-row at sf10 over
+    # time-per-output-row at sf1 — makes "the ratio is output growth,
+    # not engine work" machine-checkable instead of narrated (e.g.
+    # dedup_keep_best: 9.45x time on 10x OUTPUT rows -> 0.94/row).
+    for rec in merged.values():
+        r1, r10 = rec.get("rows_sf1"), rec.get("rows_sf10")
+        if r1 and r10 and rec.get("sf1") and rec.get("sf10"):
+            rec["rows_ratio_10x"] = round(r10 / max(r1, 1), 2)
+            rec["ratio_per_output_row"] = round(
+                (rec["sf10"] / r10) / (rec["sf1"] / r1), 2)
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
     print(json.dumps({n: r["ratio_10x_second_decade"]
