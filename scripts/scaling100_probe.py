@@ -95,6 +95,27 @@ def _serving_probes(spark, scale: int):
                     F.split(F.col("text"), " ")[3]).alias("query_text"))
     q_bm = q_bm.localCheckpoint()
 
+    # --- BM25 after a JUMBO takedown (r12): the corpus-scale-tombstone
+    # fallback branch at a real second decade. A separate index (the
+    # plain serve probe must stay tombstone-free), half the corpus
+    # removed UNTIMED; the timed serve forces the broadcast gate low so
+    # the reader's anti-join takes the shuffled path it would take at
+    # 100 TB (force-broadcasting n/2 tombstone rows is the OOM there).
+    from pipelinedp_spark.operators.retrieval import (
+        remove_from_bm25_index)
+    build_bm25_index(docs, "probe_bm25_jumbo", num_buckets=8)
+    remove_from_bm25_index(docs.filter(F.col("doc_id") % 2 == 0)
+                           .select("doc_id"), "probe_bm25_jumbo")
+    ts_knob = "spark.pipelinedp.store.tombstoneBroadcastRows"
+
+    def _serve_jumbo():
+        spark.conf.set(ts_knob, "8")
+        try:
+            return bm25_topk_from_index(q_bm, "probe_bm25_jumbo",
+                                        k=10)
+        finally:
+            spark.conf.unset(ts_knob)
+
     # --- ANN: 16-dim vectors, 64 IVF cells -----------------------------
     dim = 16
     vecs = spark.range(n).select(
@@ -114,6 +135,7 @@ def _serving_probes(spark, scale: int):
         "serve_bm25_topk_from_index":
             lambda: bm25_topk_from_index(q_bm, "probe_bm25_serve",
                                          k=10),
+        "serve_bm25_after_jumbo_takedown": _serve_jumbo,
         "serve_ann_search_from_index":
             lambda: ann_search_from_index(q_ann, "probe_ann_serve",
                                           k=10, nprobe=2),
@@ -122,7 +144,9 @@ def _serving_probes(spark, scale: int):
 
 def _drop_serving_tables(spark) -> None:
     for t in ("probe_bm25_serve_postings", "probe_bm25_serve_terms",
-              "probe_bm25_serve_meta", "probe_ann_serve_codes",
+              "probe_bm25_serve_meta", "probe_bm25_jumbo_postings",
+              "probe_bm25_jumbo_terms", "probe_bm25_jumbo_meta",
+              "probe_bm25_jumbo_tombstones", "probe_ann_serve_codes",
               "probe_ann_serve_centroids", "probe_ann_serve_codebooks",
               "probe_ann_serve_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -200,6 +224,7 @@ def main() -> None:
 
     # --- serving-only probes: index built untimed, query timed ------
     serving_names = ("serve_bm25_topk_from_index",
+                     "serve_bm25_after_jumbo_takedown",
                      "serve_ann_search_from_index")
     for tag, scale in (("sf1", 1), ("sf10", 10)):
         if not any(_want(n) for n in serving_names):

@@ -433,3 +433,62 @@ def test_phash_append_to_pre_members_store_raises(spark):
         MM.build_phash_store(imgs, "hd_ph", num_buckets=2,
                              mode="append")
     _drop(spark, tables)
+
+
+def test_gappy_log_folds_to_islands_and_suppression_is_exact(spark):
+    """Randomized (seeded) island fold: a non-contiguous applied set
+    must fold to exactly its contiguous islands, suppress every member
+    and admit every gap AFTER the fold, and re-fold to one row once
+    the gaps are applied — the property the 50-batch contiguous test
+    cannot see. Two interleaved lineages with different gap patterns
+    guard the PARTITION BY run_id in the interval merge."""
+    import random
+    _drop(spark, ["hd_gap_ingest_log"])
+    rng = random.Random(7)
+    applied = {
+        "ckA": sorted(rng.sample(range(40), 23)),
+        "ckB": sorted(rng.sample(range(30), 11)),
+    }
+    rows = [(b, r) for r, bs in applied.items() for b in bs]
+    rng.shuffle(rows)
+    spark.createDataFrame(
+        [(b, r, None) for b, r in rows],
+        "batch_id long, run_id string, hi long") \
+        .write.mode("overwrite").format("parquet") \
+        .saveAsTable("hd_gap_ingest_log")
+    store.compact_ingest_log(spark, "hd_gap")
+
+    def islands(bs):
+        out, lo, prev = [], bs[0], bs[0]
+        for b in bs[1:]:
+            if b > prev + 1:
+                out.append((lo, prev))
+                lo = b
+            prev = b
+        out.append((lo, prev))
+        return out
+
+    log = spark.table("hd_gap_ingest_log")
+    got = {(r["run_id"], r["batch_id"], r["hi"])
+           for r in log.collect()}
+    want = {(rid, lo, hi) for rid, bs in applied.items()
+            for lo, hi in islands(bs)}
+    assert got == want
+    # suppression after the fold: every member suppressed, every gap
+    # inside [min, max] admitted (each admit appends a confirming row,
+    # which is exactly the resume-after-gap semantics)
+    for rid, bs in applied.items():
+        for b in bs:
+            assert not store.apply_batch_once(
+                spark, "hd_gap", b, lambda: None, run_id=rid)
+        for b in range(bs[0], bs[-1] + 1):
+            if b not in bs:
+                assert store.apply_batch_once(
+                    spark, "hd_gap", b, lambda: None, run_id=rid)
+    # with the gaps applied the lineages re-fold to ONE row each
+    store.compact_ingest_log(spark, "hd_gap")
+    spark.catalog.refreshTable("hd_gap_ingest_log")
+    got = {tuple(r) for r in spark.table("hd_gap_ingest_log")
+           .select("run_id", "batch_id", "hi").collect()}
+    assert got == {(rid, bs[0], bs[-1]) for rid, bs in applied.items()}
+    _drop(spark, ["hd_gap_ingest_log"])
