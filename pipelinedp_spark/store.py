@@ -185,6 +185,74 @@ def _prov_match(rid: str, batch_id: int):
             & F.col(PROV_BATCH).eqNullSafe(int(batch_id)))
 
 
+def _batch_files(spark, table: str, rid: str, batch_id: int):
+    """The parquet files of ``table`` that hold ONLY rows stamped
+    (rid, batch_id) — i.e. exactly the files the crashed append wrote:
+    a guarded append's stamps are CONSTANT, and saveAsTable('append')
+    never rewrites earlier files, so per-file footer statistics
+    (min == max == the stamp, zero nulls, every row group) prove a
+    file is all-batch; all-NULL stamps (num_nulls == num_values) or a
+    constant DIFFERENT stamp prove it holds none. Returns the
+    all-batch file list, or None when ANY file is unclassifiable
+    (mixed stamps after a compaction rewrite, truncated string stats,
+    a non-file warehouse) — the caller then falls back to the rewrite.
+    This is what keeps crash rollback O(crashed batch) instead of
+    O(store): at production store sizes a full table rewrite to shed
+    one micro-batch would dwarf the batch itself."""
+    loc = _managed_location(spark, table)
+    if loc is None or not os.path.isdir(loc):
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    target_b = int(batch_id)
+    hits = []
+    for root, _dirs, files in os.walk(loc):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fn)
+            try:
+                md = pq.read_metadata(path)
+            except Exception:
+                return None
+            names = [md.schema.column(i).path
+                     for i in range(len(md.schema))]
+            try:
+                ri, bi = names.index(PROV_RUN), names.index(PROV_BATCH)
+            except ValueError:
+                return None     # pre-r12 file without stamp columns
+            verdicts = set()
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                rs, bs = rg.column(ri).statistics, \
+                    rg.column(bi).statistics
+                if rs is None or bs is None:
+                    return None
+                n = rg.num_rows
+                if rs.null_count == n and bs.null_count == n:
+                    verdicts.add("none")      # unguarded build rows
+                    continue
+                if (not rs.has_min_max or not bs.has_min_max
+                        or rs.null_count or bs.null_count):
+                    return None
+                rmin = rs.min.decode() if isinstance(rs.min, bytes) \
+                    else rs.min
+                rmax = rs.max.decode() if isinstance(rs.max, bytes) \
+                    else rs.max
+                if rmin != rmax or bs.min != bs.max:
+                    return None   # mixed stamps (e.g. compacted file)
+                verdicts.add("all" if (rmin == rid
+                                       and int(bs.min) == target_b)
+                             else "none")
+            if verdicts == {"all"}:
+                hits.append(path)
+            elif verdicts != {"none"}:
+                return None       # some groups match, some don't
+    return hits
+
+
 def _clean_half_applied(spark, store_name: str, rid: str,
                         batch_id: int,
                         stamped: dict[str, str]) -> bool:
@@ -214,6 +282,21 @@ def _clean_half_applied(spark, store_name: str, rid: str,
         if not df.filter(cond).limit(1).count():
             continue
         found = True
+        # O(crashed batch) fast path: the append's own files (proven
+        # all-batch by constant footer stats) are simply deleted —
+        # every other file is untouched, so rollback cost scales with
+        # the batch, never the store. Falls back to the layout-
+        # preserving rewrite when any file is unclassifiable.
+        files = _batch_files(spark, t, rid, int(batch_id))
+        if files:
+            for p in files:
+                os.remove(p)
+                crc = os.path.join(os.path.dirname(p),
+                                   "." + os.path.basename(p) + ".crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+            spark.catalog.refreshTable(t)
+            continue
         keep = df.filter(~cond).localCheckpoint()
         if isinstance(layout, tuple) and layout[0] == "partition":
             (keep.write.mode("overwrite").format("parquet")

@@ -492,3 +492,64 @@ def test_gappy_log_folds_to_islands_and_suppression_is_exact(spark):
            .select("run_id", "batch_id", "hi").collect()}
     assert got == {(rid, bs[0], bs[-1]) for rid, bs in applied.items()}
     _drop(spark, ["hd_gap_ingest_log"])
+
+
+def _table_files(spark, table):
+    loc = store._managed_location(spark, table)
+    return {f for f in os.listdir(loc) if f.endswith(".parquet")}
+
+
+def test_crash_rollback_is_file_level_not_a_rewrite(spark, monkeypatch):
+    """The O(crashed batch) property: rolling back a half-applied
+    batch deletes exactly the files that append wrote (constant
+    provenance stamps -> per-file footer stats prove all-batch) and
+    leaves every earlier file UNTOUCHED — at production store sizes a
+    full rewrite to shed one micro-batch would dwarf the batch."""
+    _drop(spark, EXACT_TABLES)
+    build_exact_store(_docs(spark, [(0, "alpha text")]), "hd_ex",
+                      num_buckets=2)
+    assert ingest_exact_batch_idempotent(
+        _docs(spark, [(1, "beta text")]), "hd_ex", 0, run_id="ck")
+    before = _table_files(spark, "hd_ex_fps")
+    _crash_on(monkeypatch, "hd_ex_ingest_log")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_exact_batch_idempotent(
+            _docs(spark, [(2, "gamma text")]), "hd_ex", 1, run_id="ck")
+    monkeypatch.undo()
+    assert ingest_exact_batch_idempotent(
+        _docs(spark, [(2, "gamma text")]), "hd_ex", 1, run_id="ck")
+    after = _table_files(spark, "hd_ex_fps")
+    # every pre-crash file survived by NAME: the rollback deleted only
+    # the crashed attempt's own files (a rewrite would replace all)
+    assert before <= after
+    build_exact_store(_docs(spark, [(0, "alpha text"),
+                                    (1, "beta text"),
+                                    (2, "gamma text")]),
+                      "hd_exref", num_buckets=2)
+    got = {r["fingerprint"] for r in spark.table("hd_ex_fps").collect()}
+    want = {r["fingerprint"]
+            for r in spark.table("hd_exref_fps").collect()}
+    assert got == want
+    _drop(spark, EXACT_TABLES)
+
+
+def test_crash_rollback_rewrite_fallback_converges(spark, monkeypatch,
+                                                   bm25_queries):
+    """When files can't be classified (non-file warehouse stand-in:
+    _managed_location -> None) the rollback falls back to the
+    layout-preserving rewrite and still converges bit-identically."""
+    _drop(spark, BM25_TABLES)
+    want = _bm25_reference(spark, bm25_queries)
+    build_bm25_index(_docs(spark, BM25_A), "hd_bm25", num_buckets=2)
+    _crash_on(monkeypatch, "hd_bm25_ingest_log")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_bm25_batch_idempotent(_docs(spark, BM25_B), "hd_bm25",
+                                     1, run_id="ck")
+    monkeypatch.undo()
+    monkeypatch.setattr(store, "_batch_files",
+                        lambda *a, **k: None)
+    assert append_bm25_batch_idempotent(_docs(spark, BM25_B),
+                                        "hd_bm25", 1, run_id="ck")
+    monkeypatch.undo()
+    assert _bm25_rows(spark, "hd_bm25", bm25_queries) == want
+    _drop(spark, BM25_TABLES)
