@@ -142,6 +142,70 @@ def _serving_probes(spark, scale: int):
     }
 
 
+def _recovery_probe(spark, scale: int) -> dict:
+    """Convergent crash recovery at a real second decade: a 1000-doc
+    guarded BM25 append is left HALF-APPLIED (postings/terms/meta
+    landed, no ingest-log row — exactly the crash-between-apply-and-log
+    state) against a 100k*scale-doc store, and the timed region is the
+    replayed batch's `apply_batch_once`: detect the stamped rows, roll
+    them back, restore the meta scalars, re-apply, log. The fast path
+    deletes the crashed append's own files (O(batch) + one meta scan);
+    the `_rewrite` twin monkeypatches the classifier away to force the
+    pre-r12 full-table rewrite, so the artifact records what the fast
+    path saves as the store grows."""
+    from pyspark.sql import functions as F
+
+    from pipelinedp_spark import store as S
+    from pipelinedp_spark.operators.retrieval import (build_bm25_index,
+                                                      restore_bm25_meta)
+    n = 100_000 * scale
+
+    def _gen(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.conv(F.abs(F.xxhash64(F.col("id"), i))
+                                 .cast("string"), 10, 36))).alias("text"))
+
+    build_bm25_index(_gen(0, n), "probe_bm25_rec", num_buckets=8)
+    out = {}
+    for name, bid, force_rewrite in (
+            ("recover_crashed_bm25_batch", 0, False),
+            ("recover_crashed_bm25_batch_rewrite", 1, True)):
+        batch = _gen(n + bid * 1000,
+                     n + (bid + 1) * 1000).localCheckpoint()
+        # the crashed attempt: fully applied, no log row
+        build_bm25_index(batch, "probe_bm25_rec", mode="append",
+                         prov=("ckP", bid))
+        orig = S._batch_files
+        if force_rewrite:
+            S._batch_files = lambda *a, **k: None
+        try:
+            t0 = time.perf_counter()
+            applied = S.apply_batch_once(
+                spark, "probe_bm25_rec", bid,
+                lambda: build_bm25_index(batch, "probe_bm25_rec",
+                                         mode="append",
+                                         prov=("ckP", bid)),
+                run_id="ckP",
+                stamped={"_postings": "term", "_terms": "term"},
+                restore_fn=lambda: restore_bm25_meta(
+                    spark, "probe_bm25_rec"))
+            dt = round(time.perf_counter() - t0, 2)
+        finally:
+            S._batch_files = orig
+        assert applied, f"{name}: recovery did not apply"
+        out[name] = (dt, 1000)
+    return out
+
+
+def _drop_recovery_tables(spark) -> None:
+    for t in ("probe_bm25_rec_postings", "probe_bm25_rec_terms",
+              "probe_bm25_rec_meta", "probe_bm25_rec_ingest_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def _drop_serving_tables(spark) -> None:
     for t in ("probe_bm25_serve_postings", "probe_bm25_serve_terms",
               "probe_bm25_serve_meta", "probe_bm25_jumbo_postings",
@@ -246,6 +310,23 @@ def main() -> None:
             out[name][f"rows_{tag}"] = rows
             print(f"{name} x{scale}: {dt}s rows={rows}", flush=True)
         _drop_serving_tables(spark)
+
+    # --- crash-recovery probes: store built untimed, the replayed
+    # batch's convergent recovery (rollback + restore + re-apply)
+    # timed; the _rewrite twin forces the pre-r12 fallback so the
+    # artifact shows what the file-level fast path saves at scale ----
+    recovery_names = ("recover_crashed_bm25_batch",
+                      "recover_crashed_bm25_batch_rewrite")
+    for tag, scale in (("sf1", 1), ("sf10", 10)):
+        if not any(_want(n) for n in recovery_names):
+            break
+        spark.stop()
+        spark = _make_spark()
+        for name, (dt, rows) in _recovery_probe(spark, scale).items():
+            out.setdefault(name, {})[tag] = dt
+            out[name][f"rows_{tag}"] = rows
+            print(f"{name} x{scale}: {dt}s rows={rows}", flush=True)
+        _drop_recovery_tables(spark)
     spark.stop()
 
     for name, rec in out.items():
