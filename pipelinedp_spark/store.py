@@ -62,6 +62,8 @@ def drop_store_table(spark, name: str) -> None:
 
     if name.endswith("_tombstones"):
         _TS_SIZE_CACHE.pop(name[:-len("_tombstones")], None)
+    if name.endswith("_ingest_log"):
+        _PROBE_SKIP.pop(name[:-len("_ingest_log")], None)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     loc = _managed_location(spark, name)
     if loc is not None:
@@ -151,6 +153,12 @@ def write_meta(spark, store_name: str, **values) -> None:
 
 PROV_RUN = "__run_id"
 PROV_BATCH = "__batch_id"
+
+# store -> (spark_session, run_id, max batch id cleanly applied by THIS
+# process). Lets `apply_batch_once` skip the half-applied-rollback
+# probe on the monotone happy path; cleared on any apply/log exception
+# (in-process retry must probe) and on ingest-log drop (rebuild).
+_PROBE_SKIP: dict = {}
 
 
 def with_prov(df: DataFrame, run_id: str | None = None,
@@ -385,9 +393,10 @@ def compact_ingest_log(spark, store_name: str) -> None:
     spark.catalog.refreshTable(log_table)
     log = spark.table(log_table)
     legacy = "run_id" not in log.columns
+    has_hi = "hi" in log.columns
     run_expr = "''" if legacy else "run_id"
-    hi_expr = ("CAST(batch_id AS BIGINT)" if "hi" not in log.columns
-               else "coalesce(hi, batch_id)")
+    hi_expr = ("coalesce(hi, batch_id)" if has_hi
+               else "CAST(batch_id AS BIGINT)")
     log.createOrReplaceTempView("__ingest_log_fold_in")
     # classic interval merge (gaps-and-islands over ranges): running
     # max of hi per run; a row starts a new island when its lo leaves
@@ -414,8 +423,34 @@ def compact_ingest_log(spark, store_name: str) -> None:
     if legacy:
         folded = folded.drop("run_id")
     folded = folded.coalesce(1).localCheckpoint()
-    (folded.write.mode("overwrite").format("parquet")
-     .saveAsTable(log_table))
+    # CRASH-SAFE fold (the log is the exactly-once backbone — losing
+    # it silently double-applies a whole stream on resume, and
+    # overwrite-saveAsTable is a non-atomic drop-recreate with exactly
+    # that window). The folded rows COVER every old row's interval, so
+    # append-then-delete is correct at every instant: after the append
+    # the log holds old + folded rows (duplicate coverage is harmless
+    # — the guard is an existence test, and the interval merge absorbs
+    # overlaps on the next fold); deleting the pre-append files then
+    # leaves exactly the folded rows. A crash anywhere leaves a
+    # correct, re-foldable log. Falls back to the overwrite rewrite
+    # when the warehouse isn't file-backed or the log predates the
+    # `hi` column (its schema can't take the appended range rows;
+    # one-time — the overwrite establishes the range schema).
+    loc = _managed_location(spark, log_table)
+    if has_hi and loc is not None and os.path.isdir(loc):
+        old = [os.path.join(loc, f) for f in os.listdir(loc)
+               if f.endswith(".parquet")]
+        (folded.write.mode("append").format("parquet")
+         .saveAsTable(log_table))
+        for p in old:
+            os.remove(p)
+            crc = os.path.join(os.path.dirname(p),
+                               "." + os.path.basename(p) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+    else:
+        (folded.write.mode("overwrite").format("parquet")
+         .saveAsTable(log_table))
     spark.catalog.refreshTable(log_table)
 
 
@@ -522,23 +557,45 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
         if done.limit(1).count():
             return False
     if stamped:
-        cleaned = _clean_half_applied(spark, store_name, rid, b,
-                                      stamped)
-        if cleaned and restore_fn is not None:
-            restore_fn()
-    apply_fn()
-    if legacy:
-        row = spark.sql(
-            f"SELECT CAST({b} AS BIGINT) AS batch_id"
-            + (", CAST(NULL AS BIGINT) AS hi" if has_hi else ""))
-    else:
-        esc = rid.replace("'", "''")
-        row = spark.sql(
-            f"SELECT CAST({b} AS BIGINT) AS batch_id, '{esc}' AS "
-            f"run_id"
-            + (", CAST(NULL AS BIGINT) AS hi"
-               if has_hi or not exists else ""))
-    row.write.mode("append").format("parquet").saveAsTable(log_table)
+        # Happy-path probe elision: a half-applied batch can only be
+        # (a) the resume point of a PRIOR process's crash, or (b) an
+        # in-process retry after an exception below (which clears the
+        # memo). Under the one-active-writer contract batch ids are
+        # monotone per lineage, so once THIS process has cleanly
+        # applied a batch for (store, lineage), any later batch id was
+        # never attempted anywhere and the per-table rollback probe
+        # (refresh + stat-pruned scan per stamped table, 2-5 driver
+        # jobs) is pure overhead — skipped.
+        hit = _PROBE_SKIP.get(store_name)
+        if not (hit is not None and hit[0] is spark
+                and hit[1] == rid and b > hit[2]):
+            cleaned = _clean_half_applied(spark, store_name, rid, b,
+                                          stamped)
+            if cleaned and restore_fn is not None:
+                restore_fn()
+    try:
+        apply_fn()
+        if legacy:
+            row = spark.sql(
+                f"SELECT CAST({b} AS BIGINT) AS batch_id"
+                + (", CAST(NULL AS BIGINT) AS hi" if has_hi else ""))
+        else:
+            esc = rid.replace("'", "''")
+            row = spark.sql(
+                f"SELECT CAST({b} AS BIGINT) AS batch_id, '{esc}' AS "
+                f"run_id"
+                + (", CAST(NULL AS BIGINT) AS hi"
+                   if has_hi or not exists else ""))
+        row.write.mode("append").format("parquet") \
+            .saveAsTable(log_table)
+    except BaseException:
+        # the batch may now be half-applied IN-PROCESS: drop the memo
+        # so a same-process retry runs the rollback probe
+        _PROBE_SKIP.pop(store_name, None)
+        raise
+    if len(_PROBE_SKIP) >= 512:
+        _PROBE_SKIP.clear()
+    _PROBE_SKIP[store_name] = (spark, rid, b)
     return True
 
 

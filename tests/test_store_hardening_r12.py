@@ -553,3 +553,83 @@ def test_crash_rollback_rewrite_fallback_converges(spark, monkeypatch,
     monkeypatch.undo()
     assert _bm25_rows(spark, "hd_bm25", bm25_queries) == want
     _drop(spark, BM25_TABLES)
+
+
+def test_happy_path_skips_rollback_probe(spark, monkeypatch):
+    """Steady-state guarded ingest must not pay the half-applied
+    rollback probe per batch: after this process cleanly applies a
+    batch for a lineage, later (monotone) batch ids skip it; a replay
+    is suppressed before it; an apply/log exception clears the memo so
+    the same-process retry probes again."""
+    _drop(spark, EXACT_TABLES)
+    build_exact_store(_docs(spark, [(0, "alpha text")]), "hd_ex",
+                      num_buckets=2)
+    calls = []
+    orig = store._clean_half_applied
+
+    def spy(*a, **k):
+        calls.append(a[3])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(store, "_clean_half_applied", spy)
+    for b in (0, 1, 2):
+        assert ingest_exact_batch_idempotent(
+            _docs(spark, [(10 + b, f"text {b}")]), "hd_ex", b,
+            run_id="ck")
+    assert calls == [0]   # only the first in-process batch probed
+    assert not ingest_exact_batch_idempotent(
+        _docs(spark, [(11, "text 1")]), "hd_ex", 1, run_id="ck")
+    assert calls == [0]   # replay suppressed before any probe
+    _crash_on(monkeypatch, "hd_ex_ingest_log")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_exact_batch_idempotent(
+            _docs(spark, [(13, "text 3")]), "hd_ex", 3, run_id="ck")
+    # undo clears the crash AND the spy; re-attach the spy
+    monkeypatch.undo()
+    monkeypatch.setattr(store, "_clean_half_applied", spy)
+    assert ingest_exact_batch_idempotent(
+        _docs(spark, [(13, "text 3")]), "hd_ex", 3, run_id="ck")
+    assert calls == [0, 3]   # in-process retry probed (memo cleared)
+    assert ingest_exact_batch_idempotent(
+        _docs(spark, [(14, "text 4")]), "hd_ex", 4, run_id="ck")
+    assert calls == [0, 3]   # monotone path elides again
+    _drop(spark, EXACT_TABLES)
+
+
+def test_log_fold_is_crash_safe_append_then_delete(spark, monkeypatch):
+    """The fold appends covering range rows BEFORE deleting old files,
+    so a crash between the two leaves a correct (duplicately covered)
+    log instead of silently LOSING it — the overwrite rewrite's
+    drop-recreate window would double-apply a whole stream on resume.
+    The intermediate state suppresses exactly, and the next fold
+    converges to one row in one file."""
+    _drop(spark, LOG_TABLES)
+    build_exact_store(_docs(spark, []).limit(0), "hd_log",
+                      num_buckets=2)
+    for b in range(10):
+        assert store.apply_batch_once(spark, "hd_log", b,
+                                      lambda: None, run_id="ckA")
+    # inject the crash: the delete leg never runs
+    monkeypatch.setattr(os, "remove", lambda p: None)
+    store.compact_ingest_log(spark, "hd_log")
+    monkeypatch.undo()
+    spark.catalog.refreshTable("hd_log_ingest_log")
+    log = spark.table("hd_log_ingest_log")
+    assert log.count() == 11   # 10 per-batch rows + the covering fold
+    # intermediate state: suppression exact, new batches still apply
+    for b in range(10):
+        assert not store.apply_batch_once(spark, "hd_log", b,
+                                          lambda: None, run_id="ckA")
+    assert store.apply_batch_once(spark, "hd_log", 10, lambda: None,
+                                  run_id="ckA")
+    # the next fold (this time completing) converges
+    store.compact_ingest_log(spark, "hd_log")
+    spark.catalog.refreshTable("hd_log_ingest_log")
+    log = spark.table("hd_log_ingest_log")
+    assert [tuple(r) for r in
+            log.select("batch_id", "run_id", "hi").collect()] \
+        == [(0, "ckA", 10)]
+    loc = store._managed_location(spark, "hd_log_ingest_log")
+    assert len([f for f in os.listdir(loc)
+                if f.endswith(".parquet")]) == 1
+    _drop(spark, LOG_TABLES)
