@@ -47,15 +47,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 _DRIVER_ARTIFACT_FIRST = [
-    # Round-12 rotation: the 3 new round-12 queries first (must
-    # land inside the driver's 50-row artifact cap), then the 47
+    # Round-12 rotation: the 9 new round-12 queries first (must
+    # land inside the driver's 50-row artifact cap), then the
     # STALEST names — every one last recorded in CORRECTNESS_r08,
     # so this window has ZERO overlap with both r11 and r10
     # (VERDICT r11 task 6; staleness computed from the latest
-    # CORRECTNESS_r*.json record per name).
+    # CORRECTNESS_r*.json record per name). Names past the 50-cap
+    # simply stay in the stale pool for the round-13 rotation.
     "doc_bm25_takedown_jumbo",
     "doc_bm25_bigterms_topk",
     "dedup_minhash_capped_bucket",
+    "tpch_q4_priority_wait",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_lsh_plan",
@@ -307,6 +314,16 @@ _REGISTRY_ORDER = [
     "lineitem_order_stats",
     "events_session_funnel",
     "customer_scd2",
+    # round 12: the four classic TPC-H plan shapes that were still
+    # missing (semi-join EXISTS, outer-join double-agg, decorrelated
+    # scalar subquery, EXISTS+NOT-EXISTS rewrite) plus the two
+    # scan-only baselines
+    "tpch_q4_priority_wait",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -1818,6 +1818,285 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 LIMIT 40
 """
 
+def _tpch_q4_priority_wait(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to this generator
+    (no commit/receipt dates, so "late" is a lineitem shipped more
+    than 60 days after the order date): orders placed in one quarter
+    count per priority iff at least one of their lines shipped late.
+    The EXISTS shape compiles to a LEFT SEMI join — the equi-key is
+    l_orderkey and the lateness predicate rides along as the join
+    residual, so an order with a thousand lines contributes ONE probe
+    hit, never a thousand joined rows to re-dedup. The quarter bound
+    pushes into the orders scan; the count per priority is a
+    five-group aggregate over the semi-join survivors."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01")))
+    late = (orders.alias("o")
+            .join(li.alias("l"),
+                  (F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+                  & (F.col("l.l_shipdate")
+                     > F.col("o.o_orderdate")
+                     + F.expr("INTERVAL 60 DAYS")),
+                  "left_semi"))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+ORDER BY 1
+"""
+
+def _tpch_q6_forecast_revenue(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): revenue that would have
+    been kept had discounts in a band been eliminated — one year of
+    shipments, discount in [0.05, 0.07], quantity under 24. The
+    whole-stage-codegen baseline: every predicate pushes into the
+    parquet scan (`PushedFilters` carries all four bounds), no join,
+    no shuffle beyond the single-row final combine. Revenue is exact
+    integer micro-dollars (price cents x discount basis points); the
+    double literals compare bit-identically in Spark and DuckDB
+    because both parse the same decimal text to the same IEEE value
+    and compare it against the same stored parquet double."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_u = (F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+             * F.expr("CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)"))
+    return (li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum(rev_u).alias("revenue_micro"),
+             F.count(F.lit(1)).alias("n_lines")))
+
+_TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))
+        AS BIGINT) AS revenue_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+def _tpch_q13_order_distribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), adapted (the comment-pattern
+    exclusion becomes an order-priority exclusion): how many customers
+    placed 0, 1, 2, ... qualifying orders. The outer-join double
+    aggregate, done in the scale-right order: qualifying orders
+    pre-aggregate to one (custkey, cnt) row BEFORE the outer join —
+    map-side combinable, and the join then carries one row per
+    customer instead of one per order, so customers-with-many-orders
+    never fan out. Customers with no orders surface through the LEFT
+    join as cnt NULL -> 0 (the canonical Q13 zero bucket). The second
+    aggregate is over at most max-orders-per-customer distinct groups
+    — tiny by construction."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    counts = (cust.join(per_cust,
+                        cust["c_custkey"] == per_cust["o_custkey"],
+                        "left")
+              .select(F.coalesce(F.col("cnt"), F.lit(0))
+                      .cast("long").alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(),
+                     F.col("c_count").desc()))
+
+_TPCH_Q13_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY 1),
+counts AS (
+  SELECT COALESCE(p.cnt, 0) AS c_count
+  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM counts
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+def _tpch_q14_promo_revenue(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of shipments, revenue
+    split into PROMO-part revenue vs total. Part is the classic
+    broadcast dim — the fact side never shuffles; the month bound
+    pushes into the lineitem scan. The canonical percentage is a
+    division of these two sums, so the exact integers are returned
+    instead (promo_rev_micro / total_rev_micro) — the caller divides;
+    the engine result stays hash-exact across summation orders."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01")))
+    part = _t(spark, sf_dir, "part")
+    rev_u = F.expr(
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) "
+        "* (10000 - CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))")
+    return (li.join(F.broadcast(part),
+                    li["l_partkey"] == part["p_partkey"])
+            .agg(F.sum(F.when(F.col("p_type").startswith("PROMO"),
+                              rev_u).otherwise(F.lit(0)))
+                 .alias("promo_rev_micro"),
+                 F.sum(rev_u).alias("total_rev_micro")))
+
+_TPCH_Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5)
+                                     AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS promo_rev_micro,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS total_rev_micro
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-03-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-04-01'
+"""
+
+def _tpch_q17_small_qty_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted (brand filter
+    only — this generator has no container column): revenue from
+    lineitems whose quantity is below 20% of the part's average
+    order quantity, for one brand. The correlated scalar subquery
+    decorrelates into a per-part aggregate + self-join, with two
+    scale choices that matter: (1) the brand's partkeys broadcast and
+    prune the FACT side before anything aggregates, so the per-part
+    average is computed over ~4% of lineitem, not all of it (the
+    per-part average only needs parts that can qualify); (2) the
+    average never materializes as a float — `qty < 0.2 * sum/n`
+    rewrites to `5 * qty_cents * n < sum_cents` in exact BIGINT
+    arithmetic, immune to summation order. Both the stats build and
+    the probe shuffle on l_partkey, so AQE plans one Exchange
+    lineage. Single-row result in exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    brand_keys = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1").select("p_partkey")
+    qty_c = F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)")
+    ext_c = F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    li_brand = (li.join(F.broadcast(brand_keys),
+                        li["l_partkey"] == F.col("p_partkey"))
+                .drop("p_partkey"))
+    per_part = (li_brand.groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).alias("n_lines_part"),
+                     F.sum(qty_c).alias("sum_qty_c")))
+    return (li_brand.select("l_partkey", qty_c.alias("qty_c"),
+                            ext_c.alias("ext_c"))
+            .join(per_part, "l_partkey")
+            .filter(F.lit(5) * F.col("qty_c") * F.col("n_lines_part")
+                    < F.col("sum_qty_c"))
+            .agg(F.count(F.lit(1)).alias("n_small_lines"),
+                 F.sum("ext_c").alias("revenue_cents")))
+
+_TPCH_Q17_SQL = """
+WITH li_brand AS (
+  SELECT l.l_partkey,
+         CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#1'),
+per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines_part,
+         CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c
+  FROM li_brand GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       CAST(SUM(b.ext_c) AS BIGINT) AS revenue_cents
+FROM li_brand b
+JOIN per_part pp ON b.l_partkey = pp.l_partkey
+WHERE 5 * b.qty_c * pp.n_lines_part < pp.sum_qty_c
+"""
+
+def _tpch_q21_waiting_suppliers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted ("failed
+    to deliver" = a returned 'R' lineitem, since this generator has
+    no commit/receipt dates): for finished multi-supplier orders,
+    count per supplier (one nation) the orders where THIS supplier
+    returned a line and no other supplier did. The canonical
+    EXISTS + NOT EXISTS double self-join rewrites Spark-first into
+    ONE per-order aggregate — `ns` = distinct suppliers on the order,
+    `nr` = distinct suppliers with a returned line — and the pair
+    (ns > 1, nr = 1) reproduces both correlated subqueries exactly
+    (the sole returning supplier of a multi-supplier order is the
+    blamed one). That turns two shuffled self-joins of lineitem into
+    one map-side-combinable aggregate plus joins that all share the
+    l_orderkey Exchange; supplier and nation broadcast. The blamed
+    (order, supplier) pairs dedup before counting so a supplier with
+    three returned lines in one order is blamed once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_9")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("ns"),
+                      F.countDistinct(
+                          F.when(F.col("l_returnflag") == "R",
+                                 F.col("l_suppkey"))).alias("nr")))
+    blamed = (li.filter(F.col("l_returnflag") == "R")
+              .select("l_orderkey", "l_suppkey").distinct()
+              .join(orders_f,
+                    F.col("l_orderkey") == orders_f["o_orderkey"])
+              .join(per_order.filter((F.col("ns") > 1)
+                                     & (F.col("nr") == 1)),
+                    "l_orderkey"))
+    return (blamed.join(F.broadcast(
+                supp.join(F.broadcast(nation),
+                          supp["s_nationkey"] == nation["n_nationkey"])
+                .select("s_suppkey", "s_name")),
+                blamed["l_suppkey"] == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(25))
+
+_TPCH_Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                        THEN l_suppkey END) AS nr
+  FROM lineitem GROUP BY 1),
+blamed AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                AND o.o_orderstatus = 'F'
+  JOIN per_order po ON po.l_orderkey = l.l_orderkey
+                    AND po.ns > 1 AND po.nr = 1
+  WHERE l.l_returnflag = 'R')
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM blamed b
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+             AND n.n_name = 'NATION_9'
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
 def _doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning ruleset (`quality.c4_filter`): docs get deterministic
     line structure (five frequent words become newlines), lines keep
@@ -3090,6 +3369,12 @@ QUERIES = {
     "tpch_q18_large_orders": _tpch_q18_large_orders,
     "tpch_q10_returned_items": _tpch_q10_returned_items,
     "tpch_q16_supplier_variety": _tpch_q16_supplier_variety,
+    "tpch_q4_priority_wait": _tpch_q4_priority_wait,
+    "tpch_q6_forecast_revenue": _tpch_q6_forecast_revenue,
+    "tpch_q13_order_distribution": _tpch_q13_order_distribution,
+    "tpch_q14_promo_revenue": _tpch_q14_promo_revenue,
+    "tpch_q17_small_qty_revenue": _tpch_q17_small_qty_revenue,
+    "tpch_q21_waiting_suppliers": _tpch_q21_waiting_suppliers,
     "events_rolling_features": _events_rolling_features,
     "doc_exact_substr_cut": _doc_exact_substr_cut,
     "doc_c4_filter": _doc_c4_filter,
@@ -3156,6 +3441,12 @@ ORACLES = {
     "tpch_q18_large_orders": _TPCH_Q18_SQL,
     "tpch_q10_returned_items": _TPCH_Q10_SQL,
     "tpch_q16_supplier_variety": _TPCH_Q16_SQL,
+    "tpch_q4_priority_wait": _TPCH_Q4_SQL,
+    "tpch_q6_forecast_revenue": _TPCH_Q6_SQL,
+    "tpch_q13_order_distribution": _TPCH_Q13_SQL,
+    "tpch_q14_promo_revenue": _TPCH_Q14_SQL,
+    "tpch_q17_small_qty_revenue": _TPCH_Q17_SQL,
+    "tpch_q21_waiting_suppliers": _TPCH_Q21_SQL,
     "events_rolling_features": _EVENTS_ROLLING_SQL,
     "doc_exact_substr_cut": _DOC_EXACT_SUBSTR_CUT_SQL,
     "doc_c4_filter": _DOC_C4_FILTER_SQL,
