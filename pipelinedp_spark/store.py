@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def _managed_location(spark, name: str) -> str | None:
@@ -282,7 +282,7 @@ def _clean_half_applied(spark, store_name: str, rid: str,
         t = store_name + suffix
         if not spark.catalog.tableExists(t):
             continue
-        spark.catalog.refreshTable(t)
+        refresh_table(spark, t)
         df = spark.table(t)
         if PROV_RUN not in df.columns:
             continue
@@ -303,7 +303,7 @@ def _clean_half_applied(spark, store_name: str, rid: str,
                                    "." + os.path.basename(p) + ".crc")
                 if os.path.exists(crc):
                     os.remove(crc)
-            spark.catalog.refreshTable(t)
+            refresh_table(spark, t)
             continue
         keep = df.filter(~cond).localCheckpoint()
         if isinstance(layout, tuple) and layout[0] == "partition":
@@ -314,7 +314,7 @@ def _clean_half_applied(spark, store_name: str, rid: str,
                 meta = spark.table(f"{store_name}_meta").collect()[0]
             write_bucketed(keep, t, layout,
                            int(meta["num_buckets"]), "overwrite")
-        spark.catalog.refreshTable(t)
+        refresh_table(spark, t)
     return found
 
 
@@ -342,7 +342,7 @@ def orphan_provs(spark, store_name: str,
         return None
     log_table = f"{store_name}_ingest_log"
     if spark.catalog.tableExists(log_table):
-        spark.catalog.refreshTable(log_table)
+        refresh_table(spark, log_table)
         log = spark.table(log_table)
         lo = F.col("batch_id")
         hi = (F.coalesce(F.col("hi"), F.col("batch_id"))
@@ -390,7 +390,7 @@ def compact_ingest_log(spark, store_name: str) -> None:
     log_table = f"{store_name}_ingest_log"
     if not spark.catalog.tableExists(log_table):
         return
-    spark.catalog.refreshTable(log_table)
+    refresh_table(spark, log_table)
     log = spark.table(log_table)
     legacy = "run_id" not in log.columns
     has_hi = "hi" in log.columns
@@ -451,7 +451,7 @@ def compact_ingest_log(spark, store_name: str) -> None:
     else:
         (folded.write.mode("overwrite").format("parquet")
          .saveAsTable(log_table))
-    spark.catalog.refreshTable(log_table)
+    refresh_table(spark, log_table)
 
 
 def apply_batch_once(spark, store_name: str, batch_id: int,
@@ -532,7 +532,7 @@ def apply_batch_once(spark, store_name: str, batch_id: int,
                 f"the log) before ingesting into it")
         drop_store_table(spark, log_table)
     if exists:
-        spark.catalog.refreshTable(log_table)
+        refresh_table(spark, log_table)
         log = spark.table(log_table)
         legacy = "run_id" not in log.columns
         has_hi = "hi" in log.columns
@@ -649,10 +649,34 @@ def tombstones(spark, store_name: str,
     return F.broadcast(ts) if n <= int(broadcast_rows) else ts
 
 
+def refresh_table(spark, table: str) -> None:
+    """refreshTable in ``spark`` AND in the process-default session.
+
+    Structured Streaming runs the foreachBatch callback against a
+    CLONED SparkSession (isolated SQL conf), and relation caches are
+    per-session — so a refresh inside the callback leaves the MAIN
+    session (the one serving between triggers in every stream mirror,
+    and in any driver process that both ingests and serves) cached at
+    the old file list. After an append that is mere staleness (the
+    read misses the new increment until its own refresh); after a
+    crash ROLLBACK that deleted the half-applied batch's files it is
+    a FAILED_READ_FILE crash on the next serve. Refreshing the
+    process-default session from the callback closes both for the
+    single-process deployment shape; separate processes keep the
+    standard Spark contract (readers refresh after external writes)."""
+    spark.catalog.refreshTable(table)
+    default = SparkSession._instantiatedSession
+    if default is not None and default is not spark:
+        try:
+            default.catalog.refreshTable(table)
+        except Exception:
+            pass   # default session torn down mid-flight
+
+
 def refresh_store(spark, store_name: str,
                   suffixes: tuple[str, ...]) -> None:
     """Invalidate relation caches after an append: a table read before
     the append stays cached at its old file list in this session and
     would silently miss the new increment."""
     for suffix in suffixes:
-        spark.catalog.refreshTable(store_name + suffix)
+        refresh_table(spark, store_name + suffix)

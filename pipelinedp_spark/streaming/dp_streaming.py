@@ -1527,9 +1527,9 @@ def ingest_exact_batch_idempotent(batch_df: DataFrame,
     # session and refresh first, or the file listing cached at
     # trigger 1 hides every later append (reproduced: cross-batch
     # duplicates silently survived).
-    s.catalog.refreshTable(f"{store_name}_fps")
+    _store.refresh_table(s, f"{store_name}_fps")
     if s.catalog.tableExists(f"{store_name}_tombstones"):
-        s.catalog.refreshTable(f"{store_name}_tombstones")
+        _store.refresh_table(s, f"{store_name}_tombstones")
     nbuck = int(s.table(f"{store_name}_meta").collect()[0]
                 ["num_buckets"])
     has_prov = _store.table_has_prov(s, f"{store_name}_fps")
@@ -1635,9 +1635,9 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
     from pipelinedp_spark.operators import dedup as D
     s = batch_df.sparkSession
     for t in (f"{store_name}_bands", f"{store_name}_shingles"):
-        s.catalog.refreshTable(t)
+        _store.refresh_table(s, t)
     if s.catalog.tableExists(f"{store_name}_tombstones"):
-        s.catalog.refreshTable(f"{store_name}_tombstones")
+        _store.refresh_table(s, f"{store_name}_tombstones")
     m = s.table(f"{store_name}_meta").collect()[0]
     k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
                           int(m["rows_per_band"]))
@@ -1718,7 +1718,7 @@ def ingest_ann_batch_idempotent(batch_df: DataFrame,
     s = batch_df.sparkSession
     for t in (f"{store_name}_meta", f"{store_name}_centroids",
               f"{store_name}_codebooks"):
-        s.catalog.refreshTable(t)
+        _store.refresh_table(s, t)
     has_prov = _store.table_has_prov(s, f"{store_name}_codes")
     return _store.apply_batch_once(
         s, store_name, batch_id,
@@ -1753,7 +1753,7 @@ def ingest_span_batch_idempotent(batch_df: DataFrame,
     s = batch_df.sparkSession
     for t in (f"{store_name}_anchors", f"{store_name}_texts",
               f"{store_name}_meta"):
-        s.catalog.refreshTable(t)
+        _store.refresh_table(s, t)
     m = s.table(f"{store_name}_meta").collect()[0]
     has_prov = _store.table_has_prov(s, f"{store_name}_anchors")
     return _store.apply_batch_once(
@@ -1812,7 +1812,7 @@ def ingest_phash_batch_idempotent(batch_df: DataFrame,
     s = batch_df.sparkSession
     for t in (f"{store_name}_blocks", f"{store_name}_members",
               f"{store_name}_meta"):
-        s.catalog.refreshTable(t)
+        _store.refresh_table(s, t)
     m = s.table(f"{store_name}_meta").collect()[0]
     has_prov = _store.table_has_prov(s, f"{store_name}_blocks")
     return _store.apply_batch_once(
@@ -1887,7 +1887,7 @@ def append_bm25_batch_idempotent(batch_df: DataFrame,
     def _apply() -> None:
         for t in (f"{store_name}_postings", f"{store_name}_terms",
                   f"{store_name}_meta"):
-            s.catalog.refreshTable(t)
+            _store.refresh_table(s, t)
         build_bm25_index(batch_df, store_name, text_col=text_col,
                          id_col=id_col, mode="append",
                          prov=(run_id or "", int(batch_id)))
