@@ -1,0 +1,86 @@
+"""Round-12 optimization harness: time a subset of queries() with the
+bench's exact methodology (local[$SPARK_GRAFT_CPUS], best-of-2 collect,
+clearCache between runs) and optionally dump .explain("formatted") to
+plans/r12/<name>_<tag>.txt.
+
+Usage:
+    python scripts/profile_queries.py [--plans TAG] [--sf DIR] name...
+    python scripts/profile_queries.py --top N        # N slowest from BENCH_LOCAL.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--plans", default=None,
+                    help="dump explain formatted to plans/r12/<name>_<TAG>.txt")
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--top", type=int, default=0)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    names = list(args.names)
+    if args.top:
+        with open("/root/repo/BENCH_LOCAL.json") as f:
+            bl = json.load(f)
+        names += [n for n, _ in sorted(bl["queries"].items(),
+                                       key=lambda kv: -kv[1])[:args.top]
+                  if n not in names]
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("r12-profile")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+
+    spark.read.parquet(f"{args.sf}/region.parquet").count()
+
+    out: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        spark.sparkContext.setJobDescription(name)
+        best = float("inf")
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            fn(spark, args.sf).collect()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[name] = round(best, 3)
+        print(f"{out[name]:8.3f}  {name}", flush=True)
+        if args.plans:
+            os.makedirs("/root/repo/plans/r12", exist_ok=True)
+            df = fn(spark, args.sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            with open(f"/root/repo/plans/r12/{name}_{args.plans}.txt",
+                      "w") as f:
+                f.write(plan)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
