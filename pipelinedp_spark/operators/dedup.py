@@ -110,8 +110,7 @@ def incremental_exact_dedup(new_docs: DataFrame,
     store side. Returns the surviving new rows with their fingerprint
     attached."""
     spark = new_docs.sparkSession
-    nbuck = int(spark.table(f"{store_name}_meta")
-                .collect()[0]["num_buckets"])
+    nbuck = int(store.read_meta(spark, store_name)["num_buckets"])
     fp = T.rolling_fingerprint(F.col(text_col))
     batch = (new_docs.withColumn("fingerprint", fp)
              .repartition(nbuck, "fingerprint"))
@@ -141,8 +140,7 @@ def remove_from_exact_store(docs: DataFrame,
     first."""
     from pipelinedp_spark import store as _store
     spark = docs.sparkSession
-    nbuck = int(spark.table(f"{store_name}_meta")
-                .collect()[0]["num_buckets"])
+    nbuck = int(store.read_meta(spark, store_name)["num_buckets"])
     fps = docs.select(
         T.rolling_fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()
@@ -1428,7 +1426,7 @@ def incremental_near_dup(new_docs: DataFrame,
     silently hash differently from the index. Returns the surviving
     new rows (original columns)."""
     spark = new_docs.sparkSession
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(spark, store_name)
     k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
                           int(m["rows_per_band"]))
     nbuck = int(m["num_buckets"])
@@ -1618,7 +1616,7 @@ def incremental_decontaminate_spans(docs: DataFrame,
     (id_col, span_start, span_end), end-exclusive; compose with
     `cut_spans`."""
     spark = docs.sparkSession
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(spark, store_name)
     min_len, seed_len = int(m["min_len"]), int(m["seed_len"])
     nbuck = int(m["num_buckets"])
     danchors = _winnow_anchors(
@@ -1787,8 +1785,7 @@ def remove_from_minhash_store(docs: DataFrame,
     physically and clears the tombstones. Re-adding a removed id
     requires that compaction first."""
     spark = docs.sparkSession
-    nbuck = int(spark.table(f"{store_name}_meta")
-                .collect()[0]["num_buckets"])
+    nbuck = int(store.read_meta(spark, store_name)["num_buckets"])
     _remove_ids_from_store(
         docs.select(F.col(id_col).alias("id")).distinct(),
         store_name, nbuck)
@@ -1804,8 +1801,7 @@ def remove_from_span_store(docs: DataFrame,
     texts are dropped with broadcast anti-joins). O(removed),
     idempotent; `compact_store(kind='span')` applies physically."""
     spark = docs.sparkSession
-    nbuck = int(spark.table(f"{store_name}_meta")
-                .collect()[0]["num_buckets"])
+    nbuck = int(store.read_meta(spark, store_name)["num_buckets"])
     _remove_ids_from_store(
         docs.select(F.col(id_col).alias("id")).distinct(),
         store_name, nbuck)
@@ -1846,7 +1842,7 @@ def compact_store(spark, store_name: str, kind: str) -> None:
 
     ``kind`` is one of 'exact', 'minhash', 'span', 'phash', 'bm25',
     'ann'."""
-    meta = spark.table(f"{store_name}_meta").collect()[0]
+    meta = store.read_meta(spark, store_name)
 
     def rewrite(table: str, df, bucket_col: str) -> None:
         df = df.localCheckpoint()   # the write replaces what it reads

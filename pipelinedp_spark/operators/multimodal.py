@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
+from pipelinedp_spark import store
+
 # Optional real codec backends, detected once at import: when Pillow /
 # soundfile exist in the environment, decoder="native" transparently
 # covers the payloads the from-scratch codecs cannot (WebP/TIFF,
@@ -1609,8 +1611,7 @@ def remove_from_phash_store(images: DataFrame,
             f"store {store_name} predates per-image takedowns (no "
             f"_members table); rebuild it with the current "
             f"build_phash_store before removing images")
-    nbuck = int(spark.table(f"{store_name}_meta")
-                .collect()[0]["num_buckets"])
+    nbuck = int(store.read_meta(spark, store_name)["num_buckets"])
     hashed = (image_phash(images, binary_col)
               .select(F.col(id_col).alias("id"),
                       F.col("phash").alias("ph"))
@@ -1672,7 +1673,7 @@ def incremental_phash_dedup(new_images: DataFrame,
     Returns (id_col, phash, is_dup); null-phash rows (undecodable
     payloads) pass through with is_dup = false."""
     spark = new_images.sparkSession
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(spark, store_name)
     max_hamming = int(m["max_hamming"])
     num_blocks = int(m["num_blocks"])
     nbuck = int(m["num_buckets"])

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipelinedp_spark.functions import text as T
+from pipelinedp_spark import store
 
 
 def term_frequencies(docs: DataFrame,
@@ -413,7 +414,7 @@ def bm25_topk_from_index(queries: DataFrame,
     dropped before its postings are ever probed. Default None = score
     every term exactly (the oracle-checked mode)."""
     spark = queries.sparkSession
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(spark, store_name)
     n_docs, avgdl = int(m["n_docs"]), float(m["avgdl"])
     post = spark.table(f"{store_name}_postings")
     # Logical takedowns (`remove_from_bm25_index`): tombstoned docs'
@@ -514,7 +515,7 @@ def remove_from_bm25_index(doc_ids: DataFrame,
     anti-join would hide the re-appended postings too."""
     from pipelinedp_spark import store
     spark = doc_ids.sparkSession
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(spark, store_name)
     nbuck = int(m["num_buckets"])
     ids = doc_ids.select(F.col(id_col).alias("id")).distinct()
     ts_table = f"{store_name}_tombstones"
@@ -569,7 +570,7 @@ def restore_bm25_meta(spark, store_name: str) -> None:
     whose physical rewrite re-derives terms and meta from the
     surviving postings."""
     from pipelinedp_spark import store
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(spark, store_name)
     post = spark.table(f"{store_name}_postings")
     ts = store.tombstones(spark, store_name)
     if ts is not None:

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pipelinedp_spark import store
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -842,7 +844,7 @@ def ann_search_from_index(queries: DataFrame,
     (equality-pinned). The corpus is never re-encoded.
     Returns (query_id, corpus_id, rank, adist)."""
     spark = queries.sparkSession
-    meta = spark.table(f"{store_name}_meta").collect()[0]
+    meta = store.read_meta(spark, store_name)
     m_, ksub_, sub = int(meta["m"]), int(meta["ksub"]), \
         int(meta["subdim"])
     cts_rows = spark.table(f"{store_name}_centroids") \
@@ -924,7 +926,7 @@ def remove_from_ann_index(vec_ids: DataFrame,
     a removed id requires that compaction first."""
     from pipelinedp_spark import store as _store
     spark = vec_ids.sparkSession
-    m = spark.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(spark, store_name)
     # Pre-ts_num_buckets metas fall back to the old constant 4 (the
     # tombstone join is a guarded broadcast anti-join, so the bucket
     # count is about append alignment, not join co-location).

@@ -52,6 +52,7 @@ from pyspark.sql.types import DoubleType
 from pipelinedp_spark import dp_computations as dp
 from pipelinedp_spark.aggregate_params import NoiseKind
 from pipelinedp_spark.noise import create_noise_source
+from pipelinedp_spark import store
 
 
 def _clip(col: Column, lo: float, hi: float) -> Column:
@@ -1530,7 +1531,7 @@ def ingest_exact_batch_idempotent(batch_df: DataFrame,
     _store.refresh_table(s, f"{store_name}_fps")
     if s.catalog.tableExists(f"{store_name}_tombstones"):
         _store.refresh_table(s, f"{store_name}_tombstones")
-    nbuck = int(s.table(f"{store_name}_meta").collect()[0]
+    nbuck = int(store.read_meta(s, store_name)
                 ["num_buckets"])
     has_prov = _store.table_has_prov(s, f"{store_name}_fps")
 
@@ -1638,7 +1639,7 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
         _store.refresh_table(s, t)
     if s.catalog.tableExists(f"{store_name}_tombstones"):
         _store.refresh_table(s, f"{store_name}_tombstones")
-    m = s.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(s, store_name)
     k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
                           int(m["rows_per_band"]))
     nbuck = int(m["num_buckets"])
@@ -1754,7 +1755,7 @@ def ingest_span_batch_idempotent(batch_df: DataFrame,
     for t in (f"{store_name}_anchors", f"{store_name}_texts",
               f"{store_name}_meta"):
         _store.refresh_table(s, t)
-    m = s.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(s, store_name)
     has_prov = _store.table_has_prov(s, f"{store_name}_anchors")
     return _store.apply_batch_once(
         s, store_name, batch_id,
@@ -1813,7 +1814,7 @@ def ingest_phash_batch_idempotent(batch_df: DataFrame,
     for t in (f"{store_name}_blocks", f"{store_name}_members",
               f"{store_name}_meta"):
         _store.refresh_table(s, t)
-    m = s.table(f"{store_name}_meta").collect()[0]
+    m = store.read_meta(s, store_name)
     has_prov = _store.table_has_prov(s, f"{store_name}_blocks")
     return _store.apply_batch_once(
         s, store_name, batch_id,

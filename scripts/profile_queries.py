@@ -29,6 +29,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--joblog", action="store_true",
+                    help="record a Spark event log and print a per-query "
+                         "job breakdown (n jobs, per-job wall ms)")
     args = ap.parse_args()
 
     names = list(args.names)
@@ -41,13 +44,20 @@ def main() -> None:
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master(f"local[{cpus}]")
-             .appName("r12-profile")
-             .config("spark.sql.shuffle.partitions", cpus)
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "8g")
-             .getOrCreate())
+    builder = (SparkSession.builder.master(f"local[{cpus}]")
+               .appName("r12-profile")
+               .config("spark.sql.shuffle.partitions", cpus)
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.ui.enabled", "false")
+               .config("spark.driver.memory", "8g"))
+    evdir = None
+    if args.joblog:
+        import tempfile
+        evdir = tempfile.mkdtemp(prefix="r12ev_")
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.compress", "false")
+                   .config("spark.eventLog.dir", f"file:{evdir}"))
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     spec = importlib.util.spec_from_file_location(
@@ -80,6 +90,44 @@ def main() -> None:
                 f.write(plan)
     print(json.dumps(out))
     spark.stop()
+    if evdir:
+        _report_joblog(evdir)
+
+
+def _report_joblog(evdir: str) -> None:
+    """Parse the event log: per job-description (query name), list the
+    jobs with wall ms — where a lifecycle query's time actually goes."""
+    import collections
+    logs = []
+    for root, _dirs, files in os.walk(evdir):
+        logs += [os.path.join(root, f) for f in files
+                 if "events" in f or f.startswith("local-")]
+    starts: dict[int, tuple] = {}
+    per_desc: dict[str, list] = collections.defaultdict(list)
+    for lp in logs:
+        with open(lp) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                if ev.get("Event") == "SparkListenerJobStart":
+                    props = ev.get("Properties") or {}
+                    starts[ev["Job ID"]] = (
+                        ev.get("Submission Time", 0),
+                        props.get("spark.job.description", "?"),
+                        props.get("callSite.short", ""))
+                elif ev.get("Event") == "SparkListenerJobEnd":
+                    s = starts.pop(ev["Job ID"], None)
+                    if s:
+                        per_desc[s[1]].append(
+                            (ev["Job ID"],
+                             ev.get("Completion Time", 0) - s[0], s[2]))
+    for desc, jobs in per_desc.items():
+        tot = sum(ms for _, ms, _ in jobs)
+        print(f"\n== {desc}: {len(jobs)} jobs, {tot/1000:.2f}s job time")
+        for jid, ms, site in sorted(jobs):
+            print(f"   job {jid:4d} {ms:7d} ms  {site}")
 
 
 if __name__ == "__main__":

@@ -51,8 +51,11 @@ def _drop(spark, names):
 
 
 def _crash_on(monkeypatch, table: str):
-    """Fault injection at the real boundary: the next saveAsTable of
-    `table` raises, emulating a process death at exactly that write."""
+    """Fault injection at the real boundary: the next write of `table`
+    raises, emulating a process death at exactly that write. Both
+    write paths are armed — the Spark ``saveAsTable`` AND the
+    driver-side parquet fast path an existing file-backed ingest log
+    takes (`store._append_log_row`)."""
     orig = DataFrameWriter.saveAsTable
 
     def boom(self, name, *a, **k):
@@ -61,6 +64,15 @@ def _crash_on(monkeypatch, table: str):
         return orig(self, name, *a, **k)
 
     monkeypatch.setattr(DataFrameWriter, "saveAsTable", boom)
+
+    orig_append = store._append_log_row
+
+    def boom_append(spark, log_table, *a, **k):
+        if log_table == table:
+            raise RuntimeError(f"injected crash at {log_table}")
+        return orig_append(spark, log_table, *a, **k)
+
+    monkeypatch.setattr(store, "_append_log_row", boom_append)
 
 
 def _bm25_rows(spark, name, queries):
