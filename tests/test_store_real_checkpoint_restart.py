@@ -143,7 +143,10 @@ def test_bm25_crash_and_real_restart_converges(spark, tmp_path,
                               str(ckpt))
     q.awaitTermination()
 
-    # fault injection at the real boundary: batch 1's ingest-log write
+    # fault injection at the real boundary: batch 1's ingest-log write.
+    # Both write paths are armed — the Spark ``saveAsTable`` AND the
+    # driver-side parquet fast path an existing file-backed ingest log
+    # takes (`store._append_log_row`).
     orig = DataFrameWriter.saveAsTable
 
     def boom(self, name, *a, **k):
@@ -152,6 +155,15 @@ def test_bm25_crash_and_real_restart_converges(spark, tmp_path,
         return orig(self, name, *a, **k)
 
     monkeypatch.setattr(DataFrameWriter, "saveAsTable", boom)
+
+    orig_append = store._append_log_row
+
+    def boom_append(spark, log_table, *a, **k):
+        if log_table == "rck_bm25_ingest_log":
+            raise RuntimeError("injected crash at rck_bm25_ingest_log")
+        return orig_append(spark, log_table, *a, **k)
+
+    monkeypatch.setattr(store, "_append_log_row", boom_append)
     _write_source(spark, src, BM25_B)
     q2 = streaming_bm25_ingest(_stream(spark, src), "rck_bm25",
                                str(ckpt))
