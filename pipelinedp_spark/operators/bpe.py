@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from pipelinedp_spark.functions import text as T
 
 END_OF_WORD = "</w>"
-_CHECKPOINT_EVERY = 8
+# Checkpoint the vocab every N merge rounds: each round wraps the
+# symbol arrays in another fold expression, and nested folds blow up
+# whole-stage codegen compile time long before the (vocabulary-sized)
+# data costs anything — measured at 20 merges on sf0.1: every-8 ≈ 7.7 s,
+# every-2 ≈ 4.9 s, identical merge output. Every-1 pays one extra
+# checkpoint job per round for no further plan relief.
+_CHECKPOINT_EVERY = 2
 
 
 def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
@@ -72,27 +78,40 @@ def train_bpe_merges(df: DataFrame,
     when the best pair's weighted count drops below ``min_pair_count``.
     Returns the merge list in learned order."""
     vocab = _word_vocab(df, text_col).localCheckpoint()
+    # Per-round work is VOCABULARY-sized (the corpus was folded into
+    # word counts above), so size the per-round shuffle to the vocab's
+    # own partition count instead of the session default (sized for
+    # corpus tables), and skip AQE inside the loop — its per-stage
+    # re-optimization jobs cost more than the tiny pair-count shuffle
+    # they would tune (same reasoning as graph.connected_components).
+    from pipelinedp_spark.plans import scoped_conf
+    spark = df.sparkSession
+    nparts = max(1, vocab.rdd.getNumPartitions())
     merges: List[Tuple[str, str]] = []
-    for i in range(num_merges):
-        pairs = vocab.select(
-            F.col("cnt"),
-            F.explode(F.zip_with(
-                F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                lambda x, y: F.struct(x.alias("a"), y.alias("b"))))
-            .alias("p"))
-        best = (pairs.groupBy("p").agg(F.sum("cnt").alias("n"))
-                .orderBy(F.col("n").desc(), F.col("p.a").asc(),
-                         F.col("p.b").asc())
-                .first())
-        if best is None or best["n"] < min_pair_count:
-            break
-        a, b = best["p"]["a"], best["p"]["b"]
-        merges.append((a, b))
-        vocab = vocab.select(_merge_expr(F.col("syms"), a, b).alias("syms"),
-                             F.col("cnt"))
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            vocab = vocab.localCheckpoint()
+    with scoped_conf(spark, **{
+            "spark.sql.shuffle.partitions": str(nparts),
+            "spark.sql.adaptive.enabled": "false"}):
+        for i in range(num_merges):
+            pairs = vocab.select(
+                F.col("cnt"),
+                F.explode(F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b"))))
+                .alias("p"))
+            best = (pairs.groupBy("p").agg(F.sum("cnt").alias("n"))
+                    .orderBy(F.col("n").desc(), F.col("p.a").asc(),
+                             F.col("p.b").asc())
+                    .first())
+            if best is None or best["n"] < min_pair_count:
+                break
+            a, b = best["p"]["a"], best["p"]["b"]
+            merges.append((a, b))
+            vocab = vocab.select(
+                _merge_expr(F.col("syms"), a, b).alias("syms"),
+                F.col("cnt"))
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                vocab = vocab.localCheckpoint()
     return merges
 
 
