@@ -76,7 +76,15 @@ def train_bpe_merges(df: DataFrame,
     """Learn up to ``num_merges`` BPE merges from a corpus. Deterministic:
     ties in pair frequency break by pair string ascending. Stops early
     when the best pair's weighted count drops below ``min_pair_count``.
-    Returns the merge list in learned order."""
+    Returns the merge list in learned order.
+
+    Concurrency note: the merge loop holds session-global conf
+    overrides (AQE off, shuffle partitions sized to the vocab) for its
+    whole duration via ``scoped_conf`` — any query planned on the SAME
+    SparkSession from another thread while training runs would inherit
+    them. Train on a dedicated session when running concurrent
+    workloads (the single-threaded-driver contract everywhere else in
+    this package)."""
     vocab = _word_vocab(df, text_col).localCheckpoint()
     # Per-round work is VOCABULARY-sized (the corpus was folded into
     # word counts above), so size the per-round shuffle to the vocab's

@@ -88,6 +88,21 @@ def sessionize_scalable(df: DataFrame, time_col: str, by: str, gap: int,
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # The boundary-stitch collect below is bounded BY CONSTRUCTION at
+    # <= 2 rows per partition (`_edges_with_pid` keeps only each
+    # partition's first and last key), so its size is known before any
+    # job runs: guard it like every other driver collect in this
+    # package — loudly, with the remedy — instead of assuming nobody
+    # ever asks for tens of millions of partitions.
+    max_boundary = int(spark.conf.get(
+        "spark.pipelinedp.sessions.maxBoundaryRows", "4000000"))
+    if 2 * n > max_boundary:
+        raise ValueError(
+            f"sessionize_scalable with num_partitions={n} would collect "
+            f"up to {2 * n} boundary rows to the driver (2 per "
+            f"partition), over the "
+            f"spark.pipelinedp.sessions.maxBoundaryRows cap "
+            f"({max_boundary}); lower num_partitions or raise the cap")
     part = (df.repartitionByRange(n, F.col(by), F.col(time_col))
             .sortWithinPartitions(by, time_col)
             .withColumn("_pid", F.spark_partition_id())

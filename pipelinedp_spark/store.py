@@ -121,6 +121,22 @@ def begin_build(spark, store_name: str, mode: str,
     return None
 
 
+def _shuffle_free_partitions(df: DataFrame) -> int | None:
+    """The input's partition count, but ONLY when reading it is free:
+    plans with no Exchange (checkpointed/materialized state plus narrow
+    ops). On a plan WITH exchanges, ``df.rdd.getNumPartitions()`` under
+    AQE materializes every intermediate query stage — jobs the
+    subsequent write would re-run — so those return None and the caller
+    keeps its unconditional behavior."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            return None
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    num_buckets: int, mode: str) -> None:
     """Write a store table bucketed AND sorted by its join key:
@@ -136,12 +152,25 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     hash the bucketing does, so each task holds exactly one bucket
     and the write lands one file per bucket — the small-files fix of
     guide-of-record §6, and every later scan of the store lists and
-    opens num_buckets files instead of hundreds per increment."""
+    opens num_buckets files instead of hundreds per increment.
+
+    CONDITIONAL (round 13): when the input is already at or below the
+    bucket width (a checkpointed micro-batch, a tombstone increment —
+    detectable for free only on exchange-free plans), the pre-write
+    shuffle is pure cost; a narrow ``coalesce(1)`` keeps the
+    one-file-per-bucket-or-fewer layout without it. Corpus-scale
+    builds (more partitions than buckets, or plans whose partition
+    count isn't free to read) keep the repartition."""
     if table.endswith("_tombstones"):
         _TS_SIZE_CACHE.pop(table[:-len("_tombstones")], None)
-    (df.repartition(int(num_buckets), bucket_col)
-     .write.mode(mode).format("parquet")
-     .bucketBy(int(num_buckets), bucket_col).sortBy(bucket_col)
+    nb = int(num_buckets)
+    parts = _shuffle_free_partitions(df)
+    if parts is not None and parts <= nb:
+        out = df.coalesce(1) if parts > 1 else df
+    else:
+        out = df.repartition(nb, bucket_col)
+    (out.write.mode(mode).format("parquet")
+     .bucketBy(nb, bucket_col).sortBy(bucket_col)
      .saveAsTable(table))
 
 
@@ -270,9 +299,13 @@ def _batch_files(spark, table: str, rid: str, batch_id: int):
         return None
     target_b = int(batch_id)
     hits = []
-    for root, _dirs, files in os.walk(loc):
+    for root, dirs, files in os.walk(loc):
+        # skip in-flight/hidden paths (matching Spark's listing filter):
+        # a _temporary leftover is invisible to the scan being rolled
+        # back, so classifying it would only force the rewrite fallback
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
-            if not fn.endswith(".parquet"):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
                 continue
             path = os.path.join(root, fn)
             try:
@@ -336,21 +369,20 @@ def _clean_half_applied(spark, store_name: str, rid: str,
         t = store_name + suffix
         if not spark.catalog.tableExists(t):
             continue
-        refresh_table(spark, t)
-        df = spark.table(t)
-        if PROV_RUN not in df.columns:
-            continue
-        cond = _prov_match(rid, batch_id)
-        if not df.filter(cond).limit(1).count():
-            continue
-        found = True
-        # O(crashed batch) fast path: the append's own files (proven
-        # all-batch by constant footer stats) are simply deleted —
-        # every other file is untouched, so rollback cost scales with
-        # the batch, never the store. Falls back to the layout-
-        # preserving rewrite when any file is unclassifiable.
+        # Footer-stats probe first (round 13): `_batch_files` reads the
+        # live files directly, so when it classifies EVERY file it is
+        # authoritative — an empty hit list proves the crashed batch
+        # never touched this table and the Spark probe job below
+        # (~150-300 ms per stamped table, paid on the FIRST guarded
+        # batch of every store per process) is elided entirely; a
+        # non-empty list is the O(crashed batch) rollback, file deletes
+        # only. Only an unclassifiable layout (mixed stamps after
+        # compaction, non-file warehouse, pre-r12 files) pays Spark.
         files = _batch_files(spark, t, rid, int(batch_id))
-        if files:
+        if files is not None:
+            if not files:
+                continue
+            found = True
             for p in files:
                 os.remove(p)
                 crc = os.path.join(os.path.dirname(p),
@@ -359,6 +391,14 @@ def _clean_half_applied(spark, store_name: str, rid: str,
                     os.remove(crc)
             refresh_table(spark, t)
             continue
+        refresh_table(spark, t)
+        df = spark.table(t)
+        if PROV_RUN not in df.columns:
+            continue
+        cond = _prov_match(rid, batch_id)
+        if not df.filter(cond).limit(1).count():
+            continue
+        found = True
         keep = df.filter(~cond).localCheckpoint()
         if isinstance(layout, tuple) and layout[0] == "partition":
             (keep.write.mode("overwrite").format("parquet")
@@ -469,9 +509,17 @@ def _append_log_row(spark, log_table: str, batch_id: int,
             cols["run_id"] = pa.array([str(run_id)], type=pa.string())
         if has_hi:
             cols["hi"] = pa.array([None], type=pa.int64())
-        pq.write_table(
-            pa.table(cols),
-            os.path.join(loc, f"part-log-{uuid.uuid4().hex}.parquet"))
+        # Write-to-temp + rename: the replaced saveAsTable append went
+        # through Hadoop's commit protocol (all-or-nothing visibility);
+        # a direct write crashed mid-flight would leave a torn parquet
+        # file that makes the whole log unreadable. The dot-prefixed
+        # temp name is invisible to both Spark's and pyarrow's file
+        # listings, and POSIX rename is atomic, restoring the
+        # all-or-nothing contract.
+        name = f"part-log-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(loc, f".{name}.tmp")
+        pq.write_table(pa.table(cols), tmp)
+        os.rename(tmp, os.path.join(loc, name))
         return True
     except Exception:
         return False
@@ -806,9 +854,14 @@ def _file_row_count(spark, table: str) -> int | None:
         return None
     n = 0
     try:
-        for root, _dirs, files in os.walk(loc):
+        for root, dirs, files in os.walk(loc):
+            # skip in-flight/hidden paths (_temporary, dotfiles) the
+            # way Spark's own file listing does — a crashed write's
+            # leftovers must not inflate the gate decision
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for fn in files:
-                if fn.endswith(".parquet"):
+                if fn.endswith(".parquet") and \
+                        not fn.startswith(("_", ".")):
                     n += pq.read_metadata(
                         os.path.join(root, fn)).num_rows
     except Exception:
@@ -830,7 +883,18 @@ def refresh_table(spark, table: str) -> None:
     a FAILED_READ_FILE crash on the next serve. Refreshing the
     process-default session from the callback closes both for the
     single-process deployment shape; separate processes keep the
-    standard Spark contract (readers refresh after external writes)."""
+    standard Spark contract (readers refresh after external writes).
+
+    The driver-side memos (`read_meta`, the tombstone size gate) are
+    invalidated here too: they are this module's analogue of Spark's
+    relation cache, so the documented 'readers refresh after external
+    writes' contract must cover them — a reader that refreshes
+    ``{store}_meta`` after another process rebuilt the store would
+    otherwise keep serving the memoized knobs forever."""
+    if table.endswith("_meta"):
+        _META_CACHE.pop(table[:-len("_meta")], None)
+    elif table.endswith("_tombstones"):
+        _TS_SIZE_CACHE.pop(table[:-len("_tombstones")], None)
     spark.catalog.refreshTable(table)
     default = SparkSession._instantiatedSession
     if default is not None and default is not spark:

@@ -1,7 +1,7 @@
 """Round-12 optimization harness: time a subset of queries() with the
 bench's exact methodology (local[$SPARK_GRAFT_CPUS], best-of-2 collect,
 clearCache between runs) and optionally dump .explain("formatted") to
-plans/r12/<name>_<tag>.txt.
+plans/r13/<name>_<tag>.txt.
 
 Usage:
     python scripts/profile_queries.py [--plans TAG] [--sf DIR] name...
@@ -24,7 +24,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--plans", default=None,
-                    help="dump explain formatted to plans/r12/<name>_<TAG>.txt")
+                    help="dump explain formatted to plans/r13/<name>_<TAG>.txt")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--top", type=int, default=0)
@@ -45,7 +45,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
     builder = (SparkSession.builder.master(f"local[{cpus}]")
-               .appName("r12-profile")
+               .appName("r13-profile")
                .config("spark.sql.shuffle.partitions", cpus)
                .config("spark.sql.adaptive.enabled", "true")
                .config("spark.ui.enabled", "false")
@@ -53,7 +53,7 @@ def main() -> None:
     evdir = None
     if args.joblog:
         import tempfile
-        evdir = tempfile.mkdtemp(prefix="r12ev_")
+        evdir = tempfile.mkdtemp(prefix="r13ev_")
         builder = (builder.config("spark.eventLog.enabled", "true")
                    .config("spark.eventLog.compress", "false")
                    .config("spark.eventLog.dir", f"file:{evdir}"))
@@ -81,11 +81,11 @@ def main() -> None:
         out[name] = round(best, 3)
         print(f"{out[name]:8.3f}  {name}", flush=True)
         if args.plans:
-            os.makedirs("/root/repo/plans/r12", exist_ok=True)
+            os.makedirs("/root/repo/plans/r13", exist_ok=True)
             df = fn(spark, args.sf)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
-            with open(f"/root/repo/plans/r12/{name}_{args.plans}.txt",
+            with open(f"/root/repo/plans/r13/{name}_{args.plans}.txt",
                       "w") as f:
                 f.write(plan)
     print(json.dumps(out))

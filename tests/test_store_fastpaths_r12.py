@@ -106,3 +106,81 @@ def test_file_row_count_matches_spark_count(spark):
     assert store._file_row_count(spark, "fp_cnt_t") == \
         spark.table("fp_cnt_t").count()
     store.drop_store_table(spark, "fp_cnt_t")
+
+
+def test_write_bucketed_skips_shuffle_below_bucket_width(spark):
+    """Round-13: a checkpointed input at or below the bucket width must
+    write WITHOUT the pre-write repartition (the shuffle would only
+    re-split the same rows) while keeping the file count at or under
+    num_buckets; plans with exchanges must keep the unconditional
+    repartition (reading their partition count would execute stages)."""
+    # partition-count probe: free only on exchange-free plans
+    ck = spark.range(500).selectExpr(
+        "id", "md5(cast(id as string)) as fp").coalesce(2).localCheckpoint()
+    assert store._shuffle_free_partitions(ck) == 2
+    assert store._shuffle_free_partitions(
+        spark.range(10).repartition(4)) is None
+
+    store.drop_store_table(spark, "fp_skip_t")
+    wide = spark.range(2_000).selectExpr(
+        "id", "md5(cast(id as string)) as fp").repartition(32)
+    store.write_bucketed(wide, "fp_skip_t", "fp", 8, "overwrite")
+    files = glob.glob(os.path.join(_loc(spark, "fp_skip_t"), "*.parquet"))
+    assert len(files) == 8
+    # sub-bucket-width checkpointed append: one task writes the
+    # increment, at most one file per bucket actually present
+    store.write_bucketed(ck, "fp_skip_t", "fp", 8, "append")
+    files2 = glob.glob(os.path.join(_loc(spark, "fp_skip_t"), "*.parquet"))
+    assert len(files2) - len(files) <= 8
+    assert spark.table("fp_skip_t").count() == 2_500
+    # the bucketed-aggregation contract survives the skipped shuffle:
+    # the appended fps (ids 0-499, same md5s as the build's) must land
+    # in their correct buckets — 2000 distinct keys, the 500 appended
+    # ones now with count 2
+    per_fp = spark.table("fp_skip_t").groupBy("fp").count()
+    assert per_fp.count() == 2_000
+    assert per_fp.filter("count = 2").count() == 500
+    store.drop_store_table(spark, "fp_skip_t")
+
+
+def test_refresh_table_invalidates_driver_memos(spark):
+    """Round-13 (ADVICE): refresh_table must drop the read_meta /
+    tombstone-size memos so 'readers refresh after external writes'
+    covers them, same as Spark's own relation cache."""
+    store.drop_store_table(spark, "fp_rf_t_meta")
+    store.write_meta(spark, "fp_rf_t", num_buckets=4)
+    assert int(store.read_meta(spark, "fp_rf_t")["num_buckets"]) == 4
+    assert "fp_rf_t" in store._META_CACHE
+    # simulate an EXTERNAL rewrite: poke the file directly, bypassing
+    # write_meta's own invalidation
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    loc = _loc(spark, "fp_rf_t_meta")
+    for f in glob.glob(os.path.join(loc, "*.parquet")):
+        os.remove(f)
+    pq.write_table(pa.table({"num_buckets": pa.array([8], pa.int64())}),
+                   os.path.join(loc, "part-x.parquet"))
+    store.refresh_table(spark, "fp_rf_t_meta")
+    assert "fp_rf_t" not in store._META_CACHE
+    assert int(store.read_meta(spark, "fp_rf_t")["num_buckets"]) == 8
+    store.drop_store_table(spark, "fp_rf_t_meta")
+
+
+def test_file_row_count_skips_inflight_paths(spark):
+    """Round-13 (ADVICE): hidden/_temporary leftovers of a crashed
+    write must not inflate the footer-based row count that gates the
+    tombstone broadcast hint."""
+    store.drop_store_table(spark, "fp_hid_t")
+    spark.range(100).selectExpr("id").write.format("parquet") \
+        .saveAsTable("fp_hid_t")
+    loc = _loc(spark, "fp_hid_t")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tmpdir = os.path.join(loc, "_temporary")
+    os.makedirs(tmpdir, exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array(range(50), pa.int64())}),
+                   os.path.join(tmpdir, "part-crashed.parquet"))
+    pq.write_table(pa.table({"id": pa.array(range(7), pa.int64())}),
+                   os.path.join(loc, ".part-hidden.parquet"))
+    assert store._file_row_count(spark, "fp_hid_t") == 100
+    store.drop_store_table(spark, "fp_hid_t")
