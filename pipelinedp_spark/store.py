@@ -123,14 +123,16 @@ def begin_build(spark, store_name: str, mode: str,
 
 def _shuffle_free_partitions(df: DataFrame) -> int | None:
     """The input's partition count, but ONLY when reading it is free:
-    plans with no Exchange (checkpointed/materialized state plus narrow
-    ops). On a plan WITH exchanges, ``df.rdd.getNumPartitions()`` under
-    AQE materializes every intermediate query stage — jobs the
-    subsequent write would re-run — so those return None and the caller
-    keeps its unconditional behavior."""
+    a bare localCheckpoint result (LogicalRDD — the shape every
+    tombstone/compaction call site passes). Everything else returns
+    None WITHOUT touching the physical plan: triggering planning here
+    (an earlier revision inspected executedPlan()) costs hundreds of
+    ms on the deep build/append plans that would keep the repartition
+    anyway, and ``df.rdd.getNumPartitions()`` on a plan with exchanges
+    would under AQE even materialize its stages."""
     try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        if "Exchange" in plan:
+        jplan = df._jdf.queryExecution().logical()
+        if jplan.getClass().getSimpleName() != "LogicalRDD":
             return None
         return df.rdd.getNumPartitions()
     except Exception:
