@@ -215,6 +215,18 @@ def minhash_signatures(df: DataFrame,
                      _sig(hs).alias("sig"))
 
 
+def _band_hash_exprs(num_hashes: int, rows_per_band: int):
+    """The per-band md5 expressions over a ``sig`` column — factored so
+    every consumer (band tables, profiles) hashes bands identically."""
+    num_bands = num_hashes // rows_per_band
+    return [
+        F.md5(F.concat_ws(
+            "|", *[F.element_at("sig", j * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)]))
+        for j in range(num_bands)
+    ]
+
+
 def minhash_bands(df: DataFrame,
                   text_col: str = "text",
                   id_col: str = "doc_id",
@@ -227,16 +239,60 @@ def minhash_bands(df: DataFrame,
     (`cross_corpus_near_dup`); at scale this is the table you persist as
     the corpus's dedup index."""
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    num_bands = num_hashes // rows_per_band
-    band_hashes = [
-        F.md5(F.concat_ws(
-            "|", *[F.element_at("sig", j * rows_per_band + r + 1)
-                   .cast("string") for r in range(rows_per_band)]))
-        for j in range(num_bands)
-    ]
+    band_hashes = _band_hash_exprs(num_hashes, rows_per_band)
     return sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"))
+
+
+def minhash_profile(df: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id",
+                    k: int = 3,
+                    num_hashes: int = 8,
+                    rows_per_band: int = 4) -> DataFrame:
+    """(id, shingles, bhs array of 'band_idx:band_hash') — EVERYTHING
+    the minhash family derives from a document's text, in one signature
+    pass. A streaming ingest batch flows through pair generation, the
+    store anti-match, and the store append; without a shared profile
+    each step re-tokenizes, re-shingles and re-signs the same text
+    (3 signature passes + up to 6 shingle passes per micro-batch,
+    measured as the bulk of the near-dup trigger floor). Checkpoint the
+    profile once and hand it to `minhash_lsh_pairs_from_profile` /
+    `incremental_near_dup(profile=)` / `build_minhash_store(profile=)`
+    — the band strings and shingle arrays are bit-identical to the
+    from-text paths (same `_band_hash_exprs`, same shingler)."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_hashes = _band_hash_exprs(num_hashes, rows_per_band)
+    bhs = F.array(*[F.concat_ws(":", F.lit(str(j)), bh)
+                    for j, bh in enumerate(band_hashes)])
+    return sig.select(F.col(id_col), F.col("shingles"),
+                      bhs.alias("bhs"))
+
+
+def minhash_lsh_pairs_from_profile(profile: DataFrame,
+                                   id_col: str = "doc_id",
+                                   jaccard_threshold: float = 0.8,
+                                   max_bucket_size: int = 1000
+                                   ) -> DataFrame:
+    """`minhash_lsh_pairs` over a precomputed (ideally checkpointed)
+    `minhash_profile` — identical pair set: the combined
+    'band_idx:band_hash' string is injective (':' never occurs in the
+    md5 hex or the index), so bucketing/capping/joining on it is
+    bucketing on (band_idx, band_hash)."""
+    bands = profile.select(F.col(id_col), F.explode("bhs").alias("bh"))
+    oversize = (bands.groupBy("bh")
+                .agg(F.count(F.lit(1)).alias("bucket_size"))
+                .filter(F.col("bucket_size") > max_bucket_size)
+                .select("bh"))
+    bands = bands.join(F.broadcast(oversize), "bh", "left_anti")
+    left = bands.select(F.col("bh"), F.col(id_col).alias("id_a"))
+    right = bands.select(F.col("bh"), F.col(id_col).alias("id_b"))
+    cand = (left.join(right, "bh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    return ngram_jaccard_verify(cand, profile.select(id_col, "shingles"),
+                                id_col, jaccard_threshold)
 
 
 def minhash_lsh_pairs(df: DataFrame,
@@ -1336,7 +1392,8 @@ def build_minhash_store(reference: DataFrame,
                         num_buckets: int = 8,
                         max_bucket_size: int = 1000,
                         mode: str = "overwrite",
-                        prov: tuple[str, int] | None = None) -> None:
+                        prov: tuple[str, int] | None = None,
+                        profile: DataFrame | None = None) -> None:
     """Persist a reference corpus's dedup index as BUCKETED tables so
     later ingest batches join it with ZERO shuffle on the store side —
     the incremental-dedup flow real pipelines run: dedup each new crawl
@@ -1374,18 +1431,29 @@ def build_minhash_store(reference: DataFrame,
                                     "rows_per_band": rows_per_band})
     if m is not None:
         num_buckets = int(m["num_buckets"])   # appends stay aligned
-    bands = (minhash_bands(reference, text_col, id_col, k, num_hashes,
-                           rows_per_band)
-             .select(F.col(id_col).alias("id"),
-                     F.concat_ws(":", F.col("band_idx").cast("string"),
-                                 F.col("band_hash")).alias("bh")))
+    if profile is not None:
+        # precomputed `minhash_profile` of (a superset of) the
+        # reference rows — same band strings/shingles as the from-text
+        # path; a semi-join restricts it to the rows being written
+        ref_ids = reference.select(F.col(id_col))
+        prof = profile.join(ref_ids, id_col, "left_semi")
+        bands = prof.select(F.col(id_col).alias("id"),
+                            F.explode("bhs").alias("bh"))
+        sh = prof.select(F.col(id_col).alias("id"), "shingles")
+    else:
+        bands = (minhash_bands(reference, text_col, id_col, k,
+                               num_hashes, rows_per_band)
+                 .select(F.col(id_col).alias("id"),
+                         F.concat_ws(":",
+                                     F.col("band_idx").cast("string"),
+                                     F.col("band_hash")).alias("bh")))
+        sh = (shingle_docs(reference, text_col, id_col, k)
+              .select(F.col(id_col).alias("id"), "shingles"))
     sizes = (bands.groupBy("bh")
              .agg(F.count(F.lit(1)).alias("__n__"))
              .filter(F.col("__n__") <= max_bucket_size)
              .select("bh").hint("shuffle_hash"))
     bands = bands.join(sizes, "bh").select("id", "bh")
-    sh = (shingle_docs(reference, text_col, id_col, k)
-          .select(F.col(id_col).alias("id"), "shingles"))
     # provenance stamps (see build_bm25_index): a guarded streaming
     # append marks its rows so a crash between apply and ingest-log
     # write rolls back convergently — without the rollback, the
@@ -1412,7 +1480,8 @@ def incremental_near_dup(new_docs: DataFrame,
                          store_name: str,
                          text_col: str = "text",
                          id_col: str = "doc_id",
-                         jaccard_threshold: float = 0.8) -> DataFrame:
+                         jaccard_threshold: float = 0.8,
+                         profile: DataFrame | None = None) -> DataFrame:
     """Dedup an ingest batch against a persisted `build_minhash_store`
     index: drop new documents whose exact shingle Jaccard against some
     stored reference document meets the threshold. Same semantics as
@@ -1424,23 +1493,37 @@ def incremental_near_dup(new_docs: DataFrame,
 
     Fingerprint knobs come from ``{store}_meta`` so a batch can't
     silently hash differently from the index. Returns the surviving
-    new rows (original columns)."""
+    new rows (original columns). ``profile`` (an optional precomputed
+    `minhash_profile` covering the batch) skips the re-tokenize/re-sign
+    of the batch text — the streaming ingest body computes one profile
+    per micro-batch and threads it through every step."""
     spark = new_docs.sparkSession
     m = store.read_meta(spark, store_name)
     k, num_hashes, rpb = (int(m["k"]), int(m["num_hashes"]),
                           int(m["rows_per_band"]))
     nbuck = int(m["num_buckets"])
+    if profile is not None:
+        prof = profile.join(new_docs.select(F.col(id_col)), id_col,
+                            "left_semi")
+        nb0 = prof.select(F.col(id_col).alias("id_a"),
+                          F.explode("bhs").alias("bh"))
+        sh_new = prof.select(F.col(id_col).alias("id_a"),
+                             F.col("shingles").alias("sh_a"))
+    else:
+        nb0 = (minhash_bands(new_docs, text_col, id_col, k, num_hashes,
+                             rpb)
+               .select(F.col(id_col).alias("id_a"),
+                       F.concat_ws(":", F.col("band_idx").cast("string"),
+                                   F.col("band_hash")).alias("bh")))
+        sh_new = shingle_docs(new_docs, text_col, id_col, k).select(
+            F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     # Batch-side inputs are PRE-partitioned to the store's bucket count:
     # when both join children satisfy the clustering but with mismatched
     # partition counts (bucketed scan vs a groupBy at
     # spark.sql.shuffle.partitions), Spark re-shuffles the BUCKETED
     # side — exactly the exchange the store exists to avoid. Matching
     # the count up front makes the store side always win (plan-pinned).
-    nb = (minhash_bands(new_docs, text_col, id_col, k, num_hashes, rpb)
-          .select(F.col(id_col).alias("id_a"),
-                  F.concat_ws(":", F.col("band_idx").cast("string"),
-                              F.col("band_hash")).alias("bh"))
-          .repartition(nbuck, "bh"))
+    nb = nb0.repartition(nbuck, "bh")
     sb = spark.table(f"{store_name}_bands")
     # Logical takedowns (`remove_from_minhash_store`): tombstoned
     # reference ids stop generating candidates; the (size-guarded
@@ -1454,8 +1537,6 @@ def incremental_near_dup(new_docs: DataFrame,
             .repartition(nbuck, "id_b"))
     sh_ref = spark.table(f"{store_name}_shingles").select(
         F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    sh_new = shingle_docs(new_docs, text_col, id_col, k).select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     joined = cand.join(sh_ref, "id_b").join(sh_new, "id_a")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -1647,18 +1647,28 @@ def ingest_near_dup_batch_idempotent(batch_df: DataFrame,
     has_prov = _store.table_has_prov(s, f"{store_name}_bands")
 
     def _apply() -> None:
-        pairs = D.minhash_lsh_pairs(batch_df, text_col, id_col, k,
-                                    num_hashes, rpb, jaccard_threshold)
+        # ONE signature pass for the whole micro-batch: pair
+        # generation, the store anti-match and the store append all
+        # consume the same checkpointed (id, shingles, band-hash)
+        # profile instead of re-tokenizing/re-signing the batch text
+        # at every step (was 3 signature passes + up to 6 shingle
+        # passes per trigger — the bulk of the trigger floor).
+        prof = D.minhash_profile(batch_df, text_col, id_col, k,
+                                 num_hashes, rpb).localCheckpoint()
+        pairs = D.minhash_lsh_pairs_from_profile(
+            prof, id_col, jaccard_threshold)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         within = batch_df.join(losers, id_col, "left_anti")
         survivors = D.incremental_near_dup(
             within, store_name, text_col, id_col,
-            jaccard_threshold).localCheckpoint()
+            jaccard_threshold, profile=prof).localCheckpoint()
         if sink is not None:
             sink(survivors)
         D.build_minhash_store(survivors, store_name, text_col, id_col,
                               k, num_hashes, rpb, nbuck, mode="append",
-                              prov=(run_id or "", int(batch_id)))
+                              prov=(run_id or "", int(batch_id)),
+                              profile=prof)
+        prof.unpersist()
 
     return _store.apply_batch_once(
         s, store_name, batch_id, _apply, run_id=run_id,
