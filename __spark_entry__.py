@@ -47,69 +47,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 _DRIVER_ARTIFACT_FIRST = [
-    # Round-12 rotation: the 9 new round-12 queries first (must
-    # land inside the driver's 50-row artifact cap), then the
-    # STALEST names — every one last recorded in CORRECTNESS_r08,
-    # so this window has ZERO overlap with both r11 and r10
-    # (VERDICT r11 task 6; staleness computed from the latest
-    # CORRECTNESS_r*.json record per name). Names past the 50-cap
-    # simply stay in the stale pool for the round-13 rotation.
-    "doc_bm25_takedown_jumbo",
-    "doc_bm25_bigterms_topk",
-    "dedup_minhash_capped_bucket",
-    "tpch_q4_priority_wait",
-    "tpch_q6_forecast_revenue",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_suppliers",
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_lsh_plan",
-    "dedup_minhash_lsh",
-    "dedup_minhash_prod",
-    "dedup_simhash",
-    "doc_c4_filter",
-    "doc_chat_render",
-    "doc_decontaminate_spans",
-    "doc_duplicate_spans_exact",
-    "doc_exact_substr_cut",
-    "doc_fix_mojibake",
-    "doc_head_coverage",
-    "doc_jsonl_roundtrip",
-    "doc_leakage_safe_split",
-    "doc_pii_audit",
-    "doc_preference_pairs",
-    "doc_release_manifest",
-    "doc_text_stats",
-    "dp_count_pld",
-    "dp_count_public",
-    "dp_mean_public",
-    "dp_multi_sum_public",
-    "dp_partition_selection",
-    "dp_percentile_public",
-    "dp_percentile_tree",
-    "dp_sum_clip_per_contribution",
-    "dp_sum_clip_per_partition",
-    "dp_variance_public",
-    "dp_vector_sum_public",
-    "emb_matryoshka_recall",
-    "emb_near_dup",
-    "emb_near_dup_exact",
-    "events_dau_wau",
-    "events_k_anonymity",
-    "events_parse_quarantine",
-    "events_pseudonymize",
-    "events_rolling_features",
-    "events_salted_join",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
+    # Round-13 rotation: the 50 STALEST oracle names — the 6 last
+    # recorded in CORRECTNESS_r08 plus the oldest 44 from r09 — so
+    # this window has zero overlap with the r12 and r11 windows
+    # (staleness computed from the latest CORRECTNESS_r*.json record
+    # per name, same procedure as the r12 rotation).
     "sim_lsh_topk",
-    "stream_semdedup_mirror",
-    "stream_upsert_mirror",
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "tpch_q5_local_supplier",
+    "stream_upsert_mirror",
+    "stream_semdedup_mirror",
+    "dp_count_dedup_corpus",
+    "dp_select_partitions_tg",
+    "dp_gaussian_threshold",
+    "dp_select_weighted_gaussian",
+    "dp_post_agg_threshold",
+    "dp_count_max_contributions",
+    "dp_count_composite_key",
+    "dp_windowed_count_events",
+    "dp_session_count_events",
+    "doc_prep_pipeline",
+    "asof_join_events",
+    "range_join_events",
+    "sessionize_events",
+    "token_topk",
+    "doc_split",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "utility_analysis_count_sum",
+    "utility_analysis_variance",
+    "analysis_histograms",
+    "doc_containment",
+    "multimodal_png_decode",
+    "dp_count_join_nation",
+    "dp_windowed_variance_events",
+    "doc_quality_signals",
+    "doc_pii_scrub",
+    "bpe_encode",
+    "sim_pq_topk",
+    "sim_ivf_pq_topk",
+    "sim_ann_store",
+    "doc_decontaminate",
+    "tpch_q18_large_orders",
+    "tpch_q10_returned_items",
+    "tpch_q16_supplier_variety",
+    "asof_join_tolerance_events",
+    "dedup_cross_corpus",
+    "doc_bm25_topk",
+    "doc_chunk_windows",
+    "doc_corpus_report",
+    "dedup_cross_corpus_near",
+    "dedup_incremental",
+    "doc_decontam_incremental",
+    "doc_hybrid_rrf",
+    "doc_bm25_incremental",
 ]
 
 
