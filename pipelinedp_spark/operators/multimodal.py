@@ -1099,8 +1099,15 @@ def image_phash(df: DataFrame, binary_col: str = "image") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf["phash"] = [phash64(decode_image_native(b))
-                            for b in pdf[binary_col]]
+            # object dtype, NOT a plain list: ints + None would coerce
+            # the batch to float64 and silently round every 63-bit
+            # hash above 2^53 — one undecodable payload in a batch
+            # corrupted its neighbours' hashes (batch-composition-
+            # dependent results)
+            pdf["phash"] = pd.Series(
+                [phash64(decode_image_native(b))
+                 for b in pdf[binary_col]],
+                dtype="object", index=pdf.index)
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
@@ -1252,7 +1259,9 @@ def audio_phash(df: DataFrame, binary_col: str = "audio") -> DataFrame:
                 fps.append(None if dec is None
                            else audio_fingerprint64(dec[0], dec[1]))
             pdf = pdf.copy()
-            pdf["afp"] = fps
+            # object dtype: ints + None as a plain list would coerce
+            # to float64 and round 63-bit fingerprints (see image_phash)
+            pdf["afp"] = pd.Series(fps, dtype="object", index=pdf.index)
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
@@ -1482,7 +1491,8 @@ def build_phash_store(reference: DataFrame,
                       num_blocks: int = 4,
                       num_buckets: int = 8,
                       mode: str = "overwrite",
-                      prov: tuple[str, int] | None = None) -> None:
+                      prov: tuple[str, int] | None = None,
+                      hashed: DataFrame | None = None) -> None:
     """Persist a reference image corpus's perceptual-hash dedup index —
     the MULTIMODAL member of the bucketed incremental-store family
     (text twins: `dedup.build_exact_store` / `build_minhash_store` /
@@ -1508,7 +1518,15 @@ def build_phash_store(reference: DataFrame,
     the index bucket-aligned after a knob check; appending content
     whose hash was fully tombstoned by `remove_from_phash_store` does
     NOT resurrect the family — compact first, then append (see the
-    takedown docstring's re-add contract)."""
+    takedown docstring's re-add contract).
+
+    ``hashed`` (an optional precomputed ``image_phash`` projection —
+    (id_col, phash), nullable phash) skips the decode+hash pass over
+    ``reference``: a lifecycle query that builds, removes and serves
+    from the SAME images computes ONE hash pass and threads it through
+    every step (the `minhash_profile` pattern). When given,
+    ``reference`` is ignored (any frame on the session); pass a
+    checkpointed profile — it is consumed twice here."""
     from pipelinedp_spark import store
     spark = reference.sparkSession
     if max_hamming > num_blocks - 1:
@@ -1539,15 +1557,20 @@ def build_phash_store(reference: DataFrame,
                 f"created members table would hold only the new "
                 f"batch and silently break takedowns of older "
                 f"images)")
-    hashed = (image_phash(reference, binary_col)
+    if hashed is not None:
+        hp = (hashed.select(F.col("phash").alias("ph"),
+                            F.col(id_col).alias("id"))
+              .filter(F.col("ph").isNotNull()))
+    else:
+        hp = (image_phash(reference, binary_col)
               .select(F.col("phash").alias("ph"),
                       F.col(id_col).alias("id"))
               .filter(F.col("ph").isNotNull())
               .localCheckpoint())
-    blocks = (hashed.select("ph").distinct()
+    blocks = (hp.select("ph").distinct()
               .select("ph", F.explode(_phash_blocks(
                   "ph", num_blocks)).alias("bk")))
-    members = hashed.dropDuplicates(["id"])
+    members = hp.dropDuplicates(["id"])
     # provenance stamps (see build_bm25_index): a guarded streaming
     # append marks its rows so a crash between apply and ingest-log
     # write rolls back convergently (only THIS batch's block/member
@@ -1573,7 +1596,8 @@ def build_phash_store(reference: DataFrame,
 def remove_from_phash_store(images: DataFrame,
                             store_name: str,
                             binary_col: str = "image",
-                            id_col: str = "doc_id") -> None:
+                            id_col: str = "doc_id",
+                            hashed: DataFrame | None = None) -> None:
     """PER-IMAGE takedown from a persisted pHash dedup index — the
     GDPR-shaped contract: removing one image of a visually-identical
     family decrements that family's membership; the family fingerprint
@@ -1603,7 +1627,13 @@ def remove_from_phash_store(images: DataFrame,
     hides the hash, and `compact_store(kind='phash')` applies
     tombstones physically (dropping the dead family's rows INCLUDING
     any appended-while-tombstoned ones). Compact first — clearing the
-    tombstones — then append the re-added content."""
+    tombstones — then append the re-added content.
+
+    ``hashed`` (an optional precomputed ``image_phash`` projection —
+    (id_col, phash), nullable phash, covering the removed images) skips
+    the decode+hash pass over ``images``; when given, ``images`` is
+    ignored (any frame on the session). Pass a checkpointed profile —
+    it feeds both bookkeeping appends."""
     from pipelinedp_spark import store as _store
     spark = images.sparkSession
     if not spark.catalog.tableExists(f"{store_name}_members"):
@@ -1612,11 +1642,17 @@ def remove_from_phash_store(images: DataFrame,
             f"_members table); rebuild it with the current "
             f"build_phash_store before removing images")
     nbuck = int(store.read_meta(spark, store_name)["num_buckets"])
-    hashed = (image_phash(images, binary_col)
-              .select(F.col(id_col).alias("id"),
-                      F.col("phash").alias("ph"))
-              .filter(F.col("ph").isNotNull())
-              .dropDuplicates(["id"]).localCheckpoint())
+    if hashed is not None:
+        hashed = (hashed.select(F.col(id_col).alias("id"),
+                                F.col("phash").alias("ph"))
+                  .filter(F.col("ph").isNotNull())
+                  .dropDuplicates(["id"]))
+    else:
+        hashed = (image_phash(images, binary_col)
+                  .select(F.col(id_col).alias("id"),
+                          F.col("phash").alias("ph"))
+                  .filter(F.col("ph").isNotNull())
+                  .dropDuplicates(["id"]).localCheckpoint())
     rm_table = f"{store_name}_removed_ids"
     new_rm = hashed
     if spark.catalog.tableExists(rm_table):
@@ -1661,7 +1697,8 @@ def _phash_blocks(hash_col: str, num_blocks: int):
 def incremental_phash_dedup(new_images: DataFrame,
                             store_name: str,
                             binary_col: str = "image",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            hashed: DataFrame | None = None) -> DataFrame:
     """Flag ingest-batch images whose pHash is within the store's
     ``max_hamming`` bits of any indexed reference hash — the
     incremental-crawl image dedup flow: batch images decode + hash
@@ -1671,14 +1708,23 @@ def incremental_phash_dedup(new_images: DataFrame,
     the store side and arrive verify-ready (the store row carries the
     full hash), and verdicts map back to image ids by one small join.
     Returns (id_col, phash, is_dup); null-phash rows (undecodable
-    payloads) pass through with is_dup = false."""
+    payloads) pass through with is_dup = false.
+
+    ``hashed`` (an optional precomputed ``image_phash`` projection —
+    (id_col, phash), nullable phash, covering the batch) skips the
+    decode+hash pass over ``new_images``; when given, ``new_images``
+    is ignored (any frame on the session). Pass a checkpointed
+    profile — it feeds both the block probe and the verdict join."""
     spark = new_images.sparkSession
     m = store.read_meta(spark, store_name)
     max_hamming = int(m["max_hamming"])
     num_blocks = int(m["num_blocks"])
     nbuck = int(m["num_buckets"])
-    hashed = (image_phash(new_images, binary_col)
-              .select(F.col(id_col), "phash").localCheckpoint())
+    if hashed is not None:
+        hashed = hashed.select(F.col(id_col), "phash")
+    else:
+        hashed = (image_phash(new_images, binary_col)
+                  .select(F.col(id_col), "phash").localCheckpoint())
     bblocks = (hashed.filter(F.col("phash").isNotNull())
                .select("phash").distinct()
                .select(F.col("phash").alias("__h__"),

@@ -267,7 +267,11 @@ def video_phash(df: DataFrame,
                 ids.append(vid)
                 fps.append(vfp)
                 ns.append(len(hashes))
-            yield pd.DataFrame({id_col: ids, "vfp": fps,
+            # vfp as object dtype: 63-bit ints + None as a plain list
+            # would coerce to float64 and round the fingerprints (see
+            # multimodal.image_phash)
+            yield pd.DataFrame({id_col: ids,
+                                "vfp": pd.Series(fps, dtype="object"),
                                 "n_hashed": ns})
 
     return df.select(id_col, video_col).mapInPandas(

@@ -355,13 +355,20 @@ def _multimodal_phash_incremental(spark: SparkSession,
                 payloads.append(MM.encode_bmp(px))
             yield pd.DataFrame({"doc_id": ids, "image": payloads})
 
-    imgs = docs.mapInPandas(gen, "doc_id long, image binary")
-    ref = imgs.filter((F.col("doc_id") % 2 == 0)
-                      & (F.col("doc_id") % 17 < 12))
-    batch = imgs.filter(F.col("doc_id") % 2 == 1)
+    # render + decode + pHash ONCE for the whole corpus: without the
+    # shared profile the un-checkpointed render ran twice (once under
+    # the build's reference pass, once under the batch dedup pass) —
+    # the render is the query's dominant Python-bound cost
+    hp = (MM.image_phash(
+              docs.mapInPandas(gen, "doc_id long, image binary"))
+          .select("doc_id", "phash").localCheckpoint())
+    ref = hp.filter((F.col("doc_id") % 2 == 0)
+                    & (F.col("doc_id") % 17 < 12))
+    batch = hp.filter(F.col("doc_id") % 2 == 1)
     MM.build_phash_store(ref, "phash_store_r9", max_hamming=2,
-                         num_blocks=4)
-    out = (MM.incremental_phash_dedup(batch, "phash_store_r9")
+                         num_blocks=4, hashed=ref)
+    out = (MM.incremental_phash_dedup(batch, "phash_store_r9",
+                                      hashed=batch)
            .select("doc_id", "is_dup").localCheckpoint())
     for t in ("phash_store_r9_blocks", "phash_store_r9_members",
               "phash_store_r9_meta"):
@@ -409,30 +416,38 @@ def _multimodal_phash_takedown(spark: SparkSession,
                 payloads.append(MM.encode_bmp(px))
             yield pd.DataFrame({"doc_id": ids, "image": payloads})
 
-    # render ONCE: filters can't push below mapInPandas, so without the
-    # checkpoint every downstream pass (build, two removals, the
-    # idempotency re-removal, the batch dedup) re-renders the whole
-    # corpus — measured ~7.3 s at sf0.1, ~halved by materializing
-    imgs = docs.mapInPandas(gen, "doc_id long, image binary") \
-        .localCheckpoint()
-    ref = imgs.filter((F.col("doc_id") % 2 == 0)
-                      & (F.col("doc_id") % 17 < 12))
-    batch = imgs.filter(F.col("doc_id") % 2 == 1)
+    # render + decode + pHash ONCE: filters can't push below
+    # mapInPandas, so without a shared profile every downstream pass
+    # (build, two removals, the idempotency re-removal, the batch
+    # dedup) re-decoded its slice of the corpus — ~1.7 corpus-
+    # equivalents across 5 decode jobs, and the materialized frame
+    # carried the image BYTES. The checkpointed (doc_id, phash)
+    # profile replaces all of it; every consumer takes `hashed=`.
+    hp = (MM.image_phash(
+              docs.mapInPandas(gen, "doc_id long, image binary"))
+          .select("doc_id", "phash").localCheckpoint())
+    ref = hp.filter((F.col("doc_id") % 2 == 0)
+                    & (F.col("doc_id") % 17 < 12))
+    batch = hp.filter(F.col("doc_id") % 2 == 1)
     MM.build_phash_store(ref, "phash_tk_r11", max_hamming=2,
-                         num_blocks=4)
+                         num_blocks=4, hashed=ref)
     cand = ref.withColumn("cls", F.col("doc_id") % 17) \
         .filter(F.col("cls") < 9)
     keep = (cand.filter(F.col("cls") < 6).groupBy("cls")
             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
     rm = cand.join(keep, "doc_id", "left_anti").select("doc_id",
-                                                       "image")
+                                                       "phash")
     partial = rm.filter(F.col("doc_id") % 17 < 6).localCheckpoint()
-    MM.remove_from_phash_store(partial, "phash_tk_r11")
-    MM.remove_from_phash_store(
-        rm.filter(F.col("doc_id") % 17 >= 6), "phash_tk_r11")
+    MM.remove_from_phash_store(partial, "phash_tk_r11",
+                               hashed=partial)
+    rm_rest = rm.filter(F.col("doc_id") % 17 >= 6)
+    MM.remove_from_phash_store(rm_rest, "phash_tk_r11",
+                               hashed=rm_rest)
     # re-removing already-removed images must be a no-op
-    MM.remove_from_phash_store(partial, "phash_tk_r11")
-    out = (MM.incremental_phash_dedup(batch, "phash_tk_r11")
+    MM.remove_from_phash_store(partial, "phash_tk_r11",
+                               hashed=partial)
+    out = (MM.incremental_phash_dedup(batch, "phash_tk_r11",
+                                      hashed=batch)
            .select("doc_id", "is_dup").localCheckpoint())
     for t in ("phash_tk_r11_blocks", "phash_tk_r11_members",
               "phash_tk_r11_meta", "phash_tk_r11_tombstones",
