@@ -1601,8 +1601,14 @@ def cross_corpus_spans(docs: DataFrame,
                 .select(id_col, F.col("v.pos").alias("pos"),
                         F.col("v.h").alias("h")))
 
-    danchors = _anchors(docs)
-    ranchors = _anchors(reference)
+    # Materialized once each: every anchor frame feeds the `shared`
+    # probe AND its candidate join — un-checkpointed, the checkpoint
+    # boundary between those jobs re-runs the winnowing pandas UDF
+    # over the full text of BOTH corpora (§1.2/§4). Anchor rows are
+    # ~2/(w+1) of character positions (3 narrow columns), so the
+    # materialization is ~5% of the text it saves re-scanning.
+    danchors = _anchors(docs).localCheckpoint()
+    ranchors = _anchors(reference).localCheckpoint()
     # Every intermediate here scales with a corpus — never broadcast
     # (same reasoning as duplicate_spans_exact: post-agg size estimates
     # under-guess and a driver-built broadcast dies exactly at scale).
@@ -1700,10 +1706,15 @@ def incremental_decontaminate_spans(docs: DataFrame,
     m = store.read_meta(spark, store_name)
     min_len, seed_len = int(m["min_len"]), int(m["seed_len"])
     nbuck = int(m["num_buckets"])
+    # Materialized once: the batch anchor pass (a pandas UDF over the
+    # batch text) feeds the `shared` probe below AND the candidate
+    # join — un-checkpointed, the checkpoint boundary between them
+    # makes the UDF run twice over the batch (§1.2/§4; anchor rows are
+    # ~2/(w+1) of positions, far smaller than the text they replace).
     danchors = _winnow_anchors(
         docs.filter(F.length(F.col(text_col)) >= min_len)
         .select(F.col(id_col), F.col(text_col)),
-        text_col, id_col, min_len, seed_len)
+        text_col, id_col, min_len, seed_len).localCheckpoint()
     sanchors = spark.table(f"{store_name}_anchors")
     # Logical takedowns (`remove_from_span_store`): tombstoned
     # reference ids stop contributing anchors (size-guarded broadcast

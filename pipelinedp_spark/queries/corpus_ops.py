@@ -824,15 +824,21 @@ def _dedup_minhash_capped_bucket(spark: SparkSession,
     exactly the surviving bands."""
     from pipelinedp_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
+    # one signature pass for the whole query: the two build slices plus
+    # the batch tile the corpus exactly (evens %4 in {0,2} + all odds),
+    # and without a shared profile each of the three steps re-scanned,
+    # re-shingled and re-signed its slice from text (6 text passes)
+    prof = dedup.minhash_profile(docs, k=4).localCheckpoint()
     dedup.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 0),
-                              "mh_cap_r12", k=4, max_bucket_size=1)
+                              "mh_cap_r12", k=4, max_bucket_size=1,
+                              profile=prof)
     dedup.build_minhash_store(docs.filter(F.col("doc_id") % 4 == 2),
                               "mh_cap_r12", k=4, max_bucket_size=1,
-                              mode="append")
+                              mode="append", profile=prof)
     dedup.compact_store(spark, "mh_cap_r12", "minhash")
     out = (dedup.incremental_near_dup(
         docs.filter(F.col("doc_id") % 2 == 1), "mh_cap_r12",
-        jaccard_threshold=0.6)
+        jaccard_threshold=0.6, profile=prof)
         .select("doc_id", "lang").localCheckpoint())
     for t in ("mh_cap_r12_bands", "mh_cap_r12_shingles",
               "mh_cap_r12_meta", "mh_cap_r12_ingest_log"):
