@@ -321,8 +321,14 @@ def main() -> None:
         # artifact always carries the same-run normalization and the
         # gate can be read host-free. Runs between sessions (no
         # concurrent Spark). Best-effort: any failure just omits the
-        # calibration keys.
+        # calibration keys (with the failure reason recorded in the
+        # summary, so a missing calibration is diagnosable — observed
+        # 2026-08-18: a fresh checkout pays worktree-add + first-run
+        # warmup here, and inside a degraded-host window that blew the
+        # old 600s budget, silently dropping the artifact's most
+        # important normalization field).
         r01_calib = None
+        r01_calib_err = None
         try:
             import subprocess
             repo = os.path.dirname(os.path.abspath(__file__))
@@ -343,15 +349,18 @@ def main() -> None:
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(repo, "scripts", "bench_r01_cohort.py")],
-                env=env, timeout=600, capture_output=True, text=True)
+                env=env, timeout=1800, capture_output=True, text=True)
             # the script prints THIS run's numbers before min-merging
             # into the long-term artifact — same-run values are the
             # ones that cancel today's host state
             for line in proc.stdout.splitlines():
                 if line.startswith("{"):
                     r01_calib = json.loads(line)["median_ratio_vs_r01"]
-        except Exception:
+            if r01_calib is None:
+                r01_calib_err = f"no-json-line rc={proc.returncode}"
+        except Exception as exc:
             r01_calib = None
+            r01_calib_err = type(exc).__name__
         spark = _make_spark()
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
@@ -514,6 +523,9 @@ def main() -> None:
                 r01_calib
             out["r01_cohort_fresh"]["median_ratio_normalized"] = round(
                 r01_median / r01_calib, 3)
+        elif r01_calib_err:
+            out["r01_cohort_fresh"]["r01_code_calibration_error"] = \
+                r01_calib_err
     # second-decade (sf1 -> sf10) probe results, if the one-off
     # scripts/scaling_probe.py sf10 run has been recorded
     s100 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -570,6 +582,8 @@ def main() -> None:
             summary["r01_code_calibration_median"] = r01_calib
             summary["r01_cohort_median_ratio_normalized"] = round(
                 r01_median / r01_calib, 3)
+        elif r01_calib_err:
+            summary["r01_code_calibration_error"] = r01_calib_err
     # grow "queries" (slowest-first) until the LINE budget is reached,
     # so the one line stays parseable inside the capture tail
     budget = 1700
